@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalogue entry: a Spark query over a testdata sf directory plus
+  * (when SQL-expressible) the equivalent ANSI SQL the driver runs in
+  * DuckDB as the oracle. Keeping both halves in one value prevents the
+  * queries/oracleSql maps from drifting apart.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+)
+
+object QueryCatalog {
+  /** All registered query groups, in stable order. */
+  def all: Seq[Q] =
+    graft.operators.RelationalQueries.all ++
+      graft.operators.GeoQueries.all ++
+      graft.operators.DedupQueries.all ++
+      graft.operators.TextQueries.all ++
+      graft.operators.SimilarityQueries.all ++
+      graft.operators.MultimodalQueries.all ++
+      graft.operators.EventQueries.all
+}

@@ -1,0 +1,534 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.util.Cols._
+
+/** SURVEY.md §2 operator inventory re-expressed over the driver's
+  * synthetic tables, one query per inventory row, each with a DuckDB
+  * oracle. Names carry the inventory id (s4, p1, f1, d1, j1, g1, u1 …).
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame
+  * plan — filters/projections reach the parquet scan, dimension joins
+  * are explicitly `broadcast(...)`, aggregations are partial (map-side
+  * combine) by construction, and sorts exist only to make the driver's
+  * hash compare deterministic (a production caller would drop the
+  * final orderBy).
+  */
+object RelationalQueries {
+
+  // S4 — source scan with projection + filter pushdown
+  // (reference: GeoJSON FeatureCollection scan, building-inspector.js:327-331)
+  private val s4Scan = Q(
+    "s4_scan_pushdown",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter(to_date($"l_shipdate") < lit("1996-01-01"))
+        .select(
+          $"l_orderkey",
+          $"l_linenumber",
+          $"l_quantity",
+          to_date($"l_shipdate").as("ship_date"),
+        )
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+           |       CAST(l_shipdate AS DATE) AS ship_date
+           |FROM lineitem
+           |WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+  )
+
+  // P1 — object projection: composite typed record built from a row
+  // (reference: building projection, building-inspector.js:108-127)
+  private val p1Project = Q(
+    "p1_project_object",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          concat(lit("order-"), $"o_orderkey").as("id"),
+          lit("st:Order").as("otype"),
+          year($"o_orderdate").as("valid_since"),
+          year($"o_orderdate").as("valid_until"),
+          $"o_orderstatus".as("status"),
+          cents($"o_totalprice").as("total_cents"),
+        )
+        .orderBy($"id")
+    },
+    Some(s"""SELECT 'order-' || o_orderkey AS id,
+            |       'st:Order' AS otype,
+            |       CAST(year(o_orderdate) AS INT) AS valid_since,
+            |       CAST(year(o_orderdate) AS INT) AS valid_until,
+            |       o_orderstatus AS status,
+            |       ${centsSql("o_totalprice")} AS total_cents
+            |FROM orders
+            |ORDER BY id""".stripMargin),
+  )
+
+  // P2 — positional child-id projection: "{parent}-{i+1}" + element_at
+  // (reference: address projection, building-inspector.js:146-165)
+  private val p2ChildId = Q(
+    "p2_positional_child_id",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+        .select(
+          concat($"p_partkey", lit("-"), $"pos" + 1).as("child_id"),
+          $"p_partkey".as("parent_id"),
+          element_at(split(col("word"), ""), 1).as("initial"),
+        )
+        .orderBy($"child_id")
+    },
+    Some("""SELECT p_partkey || '-' || pos AS child_id,
+           |       p_partkey AS parent_id,
+           |       substr(word, 1, 1) AS initial
+           |FROM (
+           |  SELECT p_partkey,
+           |         unnest(string_split(p_name, ' ')) AS word,
+           |         unnest(generate_series(1, len(string_split(p_name, ' ')))) AS pos
+           |  FROM part)
+           |ORDER BY child_id""".stripMargin),
+  )
+
+  // P4/P5 — relation (edge) emission: each row fans out to 2 edges
+  // (reference: mapwarper relations, building-inspector.js:183-202)
+  private val p4Relations = Q(
+    "p4_relation_fanout",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          explode(
+            array(
+              struct(
+                concat(lit("order-"), $"o_orderkey").as("src"),
+                concat(lit("customer/"), $"o_custkey").as("dst"),
+                lit("st:by").as("rtype"),
+              ),
+              struct(
+                concat(lit("order-"), $"o_orderkey").as("src"),
+                concat(lit("status/"), $"o_orderstatus").as("dst"),
+                lit("st:in").as("rtype"),
+              ),
+            )
+          ).as("rel"),
+        )
+        .select($"rel.src".as("src"), $"rel.dst".as("dst"), $"rel.rtype".as("rtype"))
+        .orderBy($"src", $"dst", $"rtype")
+    },
+    Some("""SELECT src, dst, rtype FROM (
+           |  SELECT 'order-' || o_orderkey AS src,
+           |         'customer/' || o_custkey AS dst, 'st:by' AS rtype
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'order-' || o_orderkey AS src,
+           |         'status/' || o_orderstatus AS dst, 'st:in' AS rtype
+           |  FROM orders)
+           |ORDER BY src, dst, rtype""".stripMargin),
+  )
+
+  // F1 — integer parse/cast from a string payload
+  // (reference: parseInt(map_id), building-inspector.js:102,105)
+  private val f1Cast = Q(
+    "f1_cast_parse_int",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int").as("k"),
+        )
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |       CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  // F2 — guarded string split (empty/null → null, not [""])
+  // (reference: consensus_color split, building-inspector.js:120)
+  private val f2Split = Q(
+    "f2_split_guarded",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          $"p_partkey",
+          when(length($"p_name") > 0, size(split($"p_name", " ")))
+            .otherwise(lit(null))
+            .as("n_tokens"),
+          when(length($"p_name") > 0, element_at(split($"p_name", " "), 1))
+            .otherwise(lit(null))
+            .as("first_token"),
+        )
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |       CASE WHEN length(p_name) > 0
+           |            THEN CAST(len(string_split(p_name, ' ')) AS INT) END AS n_tokens,
+           |       CASE WHEN length(p_name) > 0
+           |            THEN string_split(p_name, ' ')[1] END AS first_token
+           |FROM part
+           |ORDER BY p_partkey""".stripMargin),
+  )
+
+  // F6 — degenerate-row filter on a structural predicate
+  // (reference: <4-point ring drop, building-inspector.js:138-140)
+  private val f6Filter = Q(
+    "f6_structural_filter",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .filter(size(split($"p_name", " ")) >= 2 && $"p_size" >= 10)
+        .select($"p_partkey", $"p_name", $"p_size")
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_size
+           |FROM part
+           |WHERE len(string_split(p_name, ' ')) >= 2 AND p_size >= 10
+           |ORDER BY p_partkey""".stripMargin),
+  )
+
+  // D1 — first-seen dedup by key over explicit ingest order
+  // (reference: consolidatedCache first-wins, building-inspector.js:92-100;
+  //  fidelity via row_number over ingest order per SURVEY §2.3)
+  private val d1DedupFirst = Q(
+    "d1_dedup_first_seen",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type FROM (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id
+           |                            ORDER BY ts, event_id) AS rn
+           |  FROM events)
+           |WHERE rn = 1
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  // D3 — last-wins keyBy (dimension map build)
+  // (reference: sheetsById overwrite, building-inspector.js:384-386)
+  private val d3DedupLast = Q(
+    "d3_dedup_last_wins",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type FROM (
+           |  SELECT user_id, event_id, event_type,
+           |         row_number() OVER (PARTITION BY user_id
+           |                            ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events)
+           |WHERE rn = 1
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  // J1 — broadcast hash lookup join (inner, dimension build side)
+  // (reference: sheetsById probe, building-inspector.js:103-104)
+  private val j1Broadcast = Q(
+    "j1_broadcast_lookup_join",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents($"o_totalprice")).as("total_cents"),
+        )
+        .orderBy($"c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment,
+            |       count(*) AS n_orders,
+            |       sum(${centsSql("o_totalprice")}) AS total_cents
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin),
+  )
+
+  // J2 — left-outer lookup with null side-output (log records)
+  // (reference: borough lookup + "Can't find borough" log,
+  //  building-inspector.js:106,129-136)
+  private val j2LeftOuterLog = Q(
+    "j2_left_outer_with_log",
+    (s, d) => {
+      import s.implicits._
+      // Shrink the dimension to force misses, as the reference's
+      // layer-boroughs table misses some layers.
+      val dim = Tables.nation(s, d).filter($"n_nationkey" < 20)
+      val joined = Tables.customer(s, d)
+        .join(broadcast(dim), $"c_nationkey" === $"n_nationkey", "left_outer")
+      val data = joined.select(
+        concat(lit("customer-"), $"c_custkey").as("id"),
+        coalesce($"n_name", lit(null)).as("nation_name"),
+        lit("object").as("rtype"),
+      )
+      val logs = joined
+        .filter($"n_name".isNull)
+        .select(
+          concat(lit("customer-"), $"c_custkey").as("id"),
+          concat(lit("Can't find nation for key "), $"c_nationkey").as("nation_name"),
+          lit("log").as("rtype"),
+        )
+      data.unionByName(logs).orderBy($"rtype", $"id")
+    },
+    Some("""WITH joined AS (
+           |  SELECT c_custkey, c_nationkey, n_name
+           |  FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+           |    ON c_nationkey = n_nationkey)
+           |SELECT id, nation_name, rtype FROM (
+           |  SELECT 'customer-' || c_custkey AS id, n_name AS nation_name,
+           |         'object' AS rtype
+           |  FROM joined
+           |  UNION ALL
+           |  SELECT 'customer-' || c_custkey AS id,
+           |         'Can''t find nation for key ' || c_nationkey AS nation_name,
+           |         'log' AS rtype
+           |  FROM joined WHERE n_name IS NULL)
+           |ORDER BY rtype, id""".stripMargin),
+  )
+
+  // G1 — positional explode (the reference's only generator)
+  // (reference: consensus_address.forEach with index, building-inspector.js:143-177)
+  private val g1Posexplode = Q(
+    "g1_posexplode",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+        .select($"p_partkey", ($"pos" + 1).as("pos1"), col("word"))
+        .orderBy($"p_partkey", $"pos1")
+    },
+    Some("""SELECT p_partkey, pos AS pos1, word
+           |FROM (
+           |  SELECT p_partkey,
+           |         unnest(string_split(p_name, ' ')) AS word,
+           |         unnest(generate_series(1, len(string_split(p_name, ' ')))) AS pos
+           |  FROM part)
+           |ORDER BY p_partkey, pos1""".stripMargin),
+  )
+
+  // U1 — union of heterogeneous record streams
+  // (reference: objects + relations + logs one sink, building-inspector.js:315)
+  private val u1Union = Q(
+    "u1_union_streams",
+    (s, d) => {
+      import s.implicits._
+      val objects = Tables.supplier(s, d)
+        .select(
+          concat(lit("supplier-"), $"s_suppkey").as("id"),
+          lit("object").as("rtype"),
+          $"s_name".as("payload"),
+        )
+      val relations = Tables.supplier(s, d)
+        .select(
+          concat(lit("supplier-"), $"s_suppkey").as("id"),
+          lit("relation").as("rtype"),
+          concat(lit("nation/"), $"s_nationkey").as("payload"),
+        )
+      objects.unionByName(relations).orderBy($"rtype", $"id")
+    },
+    Some("""SELECT id, rtype, payload FROM (
+           |  SELECT 'supplier-' || s_suppkey AS id, 'object' AS rtype,
+           |         s_name AS payload
+           |  FROM supplier
+           |  UNION ALL
+           |  SELECT 'supplier-' || s_suppkey AS id, 'relation' AS rtype,
+           |         'nation/' || s_nationkey AS payload
+           |  FROM supplier)
+           |ORDER BY rtype, id""".stripMargin),
+  )
+
+  // ---- capability extensions beyond reference parity (SURVEY §7.2) ----
+
+  // Flagship: TPC-H Q1-shaped aggregation (partial agg + 2-key groupBy).
+  private val q1Agg = Q(
+    "q1_agg_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter(to_date($"l_shipdate") <= lit("2000-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          sum(cents($"l_extendedprice") * cents($"l_discount")).as("sum_disc_scaled"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |       sum(l_quantity) AS sum_qty,
+            |       sum(${centsSql("l_extendedprice")}) AS sum_base_cents,
+            |       sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS sum_disc_scaled,
+            |       count(*) AS count_order
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+  )
+
+  // Multi-way join: revenue per nation (fact ⋈ fact ⋈ broadcast dims).
+  private val qMultiJoin = Q(
+    "q5_multiway_join_revenue",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(cents($"l_extendedprice")).as("revenue_cents"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy($"n_name")
+    },
+    Some(s"""SELECT n_name,
+            |       sum(${centsSql("l_extendedprice")}) AS revenue_cents,
+            |       count(*) AS n_items
+            |FROM lineitem
+            |JOIN orders   ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |JOIN nation   ON c_nationkey = n_nationkey
+            |GROUP BY n_name
+            |ORDER BY n_name""".stripMargin),
+  )
+
+  // Window functions: rank + running sum per partition.
+  private val qWindow = Q(
+    "qw_window_running",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, d)
+        .select(
+          $"o_custkey",
+          $"o_orderkey",
+          row_number().over(w).as("rn"),
+          sum(cents($"o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_cents"),
+        )
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+            |       row_number() OVER w AS rn,
+            |       sum(${centsSql("o_totalprice")}) OVER (
+            |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+            |FROM orders
+            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            |ORDER BY o_custkey, rn""".stripMargin),
+  )
+
+  // Top-k: global sort + limit (TakeOrderedAndProject physically).
+  private val qTopK = Q(
+    "qt_topk",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+        .limit(10)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal
+           |FROM customer
+           |ORDER BY c_acctbal DESC, c_custkey
+           |LIMIT 10""".stripMargin),
+  )
+
+  // Semi + anti joins (EXISTS / NOT EXISTS side-outputs, SURVEY §2.4).
+  private val qSemiAnti = Q(
+    "qj_semi_anti",
+    (s, d) => {
+      import s.implicits._
+      val orderedKeys = Tables.orders(s, d).select($"o_custkey")
+      val withOrders = Tables.customer(s, d)
+        .join(orderedKeys, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", lit("has_orders").as("status"))
+      val withoutOrders = Tables.customer(s, d)
+        .join(orderedKeys, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", lit("no_orders").as("status"))
+      withOrders.unionByName(withoutOrders).orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, status FROM (
+           |  SELECT c_custkey, 'has_orders' AS status FROM customer
+           |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  UNION ALL
+           |  SELECT c_custkey, 'no_orders' AS status FROM customer
+           |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+           |ORDER BY c_custkey""".stripMargin),
+  )
+
+  // Distinct aggregates.
+  private val qDistinct = Q(
+    "qa_distinct_agg",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"),
+        )
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       count(DISTINCT l_partkey) AS n_parts,
+           |       count(DISTINCT l_suppkey) AS n_supps,
+           |       count(*) AS n_rows
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+  )
+
+  // Rollup (grouping sets family).
+  private val qRollup = Q(
+    "qa_rollup",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("cents"))
+        .orderBy(
+          $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first,
+        )
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            |       sum(${centsSql("o_totalprice")}) AS cents
+            |FROM orders
+            |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            |ORDER BY o_orderstatus ASC NULLS FIRST,
+            |         o_orderpriority ASC NULLS FIRST""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(
+    s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
+    d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
+    u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
+    qRollup,
+  )
+}
