@@ -1,0 +1,75 @@
+package graft.functions
+
+/** ECMA-262 `Number::toString(10)` semantics for doubles.
+  *
+  * The reference derives toponym ids from
+  * `md5(geometry.coordinates.join(','))`
+  * (/root/reference/building-inspector.js:207), and JavaScript's
+  * `Array.prototype.join` stringifies each double with the ECMA
+  * shortest-round-trip algorithm: no trailing ".0" on integral values,
+  * plain decimal notation for magnitudes in [1e-6, 1e21), exponent
+  * notation outside. Java's `Double.toString` differs (always ".0",
+  * switches to E-notation at 1e7/1e-3), so ids would diverge without
+  * this reimplementation.
+  *
+  * Algorithm: find the fewest significant digits that round-trip
+  * (probe `%.Pe` for P = 0..16), then lay the digits out per the spec's
+  * notation rules. Pinned against node-generated vectors in
+  * JsNumberSpec.
+  */
+object JsNumber {
+
+  def format(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == java.lang.Double.POSITIVE_INFINITY) return "Infinity"
+    if (d == java.lang.Double.NEGATIVE_INFINITY) return "-Infinity"
+    if (d == 0.0) return "0" // covers -0.0: JS String(-0) === "0"
+    if (d < 0) return "-" + format(-d)
+
+    // Shortest digit string s (no trailing zeros) and exponent n such
+    // that d = 0.s * 10^n.
+    var digits: String = null
+    var n = 0
+    var p = 0
+    while (digits == null && p <= 17) {
+      val s = String.format("%." + p + "e", Double.box(d))
+      if (java.lang.Double.parseDouble(s) == d) {
+        val e = s.indexOf('e')
+        val mant = s.substring(0, e).replace(".", "")
+        val exp = Integer.parseInt(s.substring(e + 1))
+        val trimmed = {
+          var end = mant.length
+          while (end > 1 && mant.charAt(end - 1) == '0') end -= 1
+          mant.substring(0, end)
+        }
+        digits = trimmed
+        n = exp + 1
+      }
+      p += 1
+    }
+    val k = digits.length
+    if (k <= n && n <= 21) {
+      digits + "0" * (n - k)
+    } else if (0 < n && n <= 21) {
+      digits.substring(0, n) + "." + digits.substring(n)
+    } else if (-6 < n && n <= 0) {
+      "0." + "0" * (-n) + digits
+    } else {
+      val expPart = (if (n - 1 >= 0) "+" else "-") + math.abs(n - 1)
+      (if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)) +
+        "e" + expPart
+    }
+  }
+
+  /** JS `Array.prototype.join(',')` over a flat double array. */
+  def join(values: Array[Double]): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < values.length) {
+      if (i > 0) sb.append(',')
+      sb.append(format(values(i)))
+      i += 1
+    }
+    sb.toString
+  }
+}

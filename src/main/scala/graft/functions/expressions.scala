@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the operators Spark lacks
+  * (SURVEY.md §2.8/§4.2). All three generate code via static calls
+  * into the pure kernels ([[JsNumber]], [[Base62]], [[GeoUtil]]) so
+  * they stay inside whole-stage codegen instead of falling back to
+  * interpreted eval.
+  */
+
+/** JS `coordinates.join(',')` over an array<double>
+  * (reference: building-inspector.js:207).
+  */
+case class JsCoordJoin(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(JsNumber.join(input.asInstanceOf[ArrayData].toDoubleArray()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.JsNumber.join($c.toDoubleArray()))")
+  override protected def withNewChildInternal(newChild: Expression): JsCoordJoin =
+    copy(child = newChild)
+}
+
+/** base-62.js `encodeHex` (reference: building-inspector.js:209). */
+case class Base62EncodeHex(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Base62.encodeHex(input.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Base62.encodeHex($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): Base62EncodeHex =
+    copy(child = newChild)
+}
+
+/** Point-in-polygon containment predicate: `st_contains(rings, point)`
+  * where rings is GeoJSON Polygon coordinates
+  * (array<array<array<double>>>) and point is [x, y]
+  * (reference probe: geo-indices.js:48).
+  */
+case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(rings: Any, point: Any): Any =
+    GeoUtil.contains(rings.asInstanceOf[ArrayData], point.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, p) => s"graft.functions.GeoUtil.contains($r, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains =
+    copy(left = l, right = r)
+}
+
+/** Column-API surface for the custom expressions. */
+object exprs {
+  private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def e(col: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(col)
+
+  def js_coord_join(coords: Column): Column = c(JsCoordJoin(e(coords)))
+  def base62_encode_hex(hex: Column): Column = c(Base62EncodeHex(e(hex)))
+  def st_contains(polygonRings: Column, point: Column): Column =
+    c(StContains(e(polygonRings), e(point)))
+
+  /** Register the expressions for the `spark.sql` surface. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "js_coord_join", es => JsCoordJoin(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "base62_encode_hex", es => Base62EncodeHex(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "st_contains", es => StContains(es(0), es(1)), "built-in")
+  }
+}

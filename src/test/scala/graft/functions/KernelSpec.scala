@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class JsNumberSpec extends AnyFunSuite {
+  // Vectors generated with node (ECMA Number::toString ground truth).
+  private val vectors = Seq(
+    40.0 -> "40",
+    -73.98 -> "-73.98",
+    40.71 -> "40.71",
+    -73.9 -> "-73.9",
+    40.7115 -> "40.7115",
+    0.0005 -> "0.0005",
+    2e-4 -> "0.0002",
+    1e-7 -> "1e-7",
+    123456789.5 -> "123456789.5",
+    0.0 -> "0",
+    -0.0 -> "0",
+    0.1 + 0.2 -> "0.30000000000000004",
+    1.0 / 3.0 -> "0.3333333333333333",
+    180.00000000001 -> "180.00000000001",
+    -0.000001234 -> "-0.000001234",
+    9007199254740993e2 -> "900719925474099300",
+    40.712345678901234 -> "40.71234567890124",
+  )
+
+  test("format matches JS Number::toString vectors") {
+    vectors.foreach { case (d, want) =>
+      assert(JsNumber.format(d) == want, s"for $d")
+    }
+  }
+
+  test("join matches JS Array.join(',')") {
+    assert(JsNumber.join(Array(-73.975, 40.7115)) == "-73.975,40.7115")
+    assert(JsNumber.join(Array(-73.98, 40.71, -73.97, 40.72)) == "-73.98,40.71,-73.97,40.72")
+    assert(JsNumber.join(Array.empty[Double]) == "")
+  }
+
+  test("format round-trips for arbitrary doubles") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20000).foreach { _ =>
+      val d = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!d.isNaN && !d.isInfinite) {
+        assert(java.lang.Double.parseDouble(JsNumber.format(d)) == d, s"bits of $d")
+      }
+    }
+    (1 to 20000).foreach { _ =>
+      val d = (rnd.nextDouble() - 0.5) * 360 // lon/lat-like range
+      assert(java.lang.Double.parseDouble(JsNumber.format(d)) == d, s"for $d")
+    }
+  }
+}
+
+class Base62Spec extends AnyFunSuite {
+  test("encodeHex vectors (independent Python computation)") {
+    assert(Base62.encodeHex("d7736d2973f83d32d7d71ae5afa77b92") == "6yy6dDdNEW5gyflS0uB0oa")
+    assert(Base62.encodeHex("ff") == "47")
+    assert(Base62.encodeHex("00") == "0")
+    assert(Base62.encodeHex("0a") == "a")
+  }
+}
+
+class GeoUtilSpec extends AnyFunSuite {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private def arr(points: Seq[Seq[Double]]*): ArrayData =
+    ArrayData.toArrayData(points.map(ring =>
+      ArrayData.toArrayData(ring.map(p => ArrayData.toArrayData(p.toArray)).toArray)).toArray)
+
+  private def pt(x: Double, y: Double): ArrayData = ArrayData.toArrayData(Array(x, y))
+
+  // Unit square with a hole in the middle.
+  private val square = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0), Seq(0.0, 0.0))
+  private val hole = Seq(Seq(4.0, 4.0), Seq(6.0, 4.0), Seq(6.0, 6.0), Seq(4.0, 6.0), Seq(4.0, 4.0))
+
+  test("inside / outside / hole") {
+    val poly = arr(square, hole)
+    assert(GeoUtil.contains(poly, pt(2, 2)))
+    assert(!GeoUtil.contains(poly, pt(11, 5)))
+    assert(!GeoUtil.contains(poly, pt(5, 5)), "inside the hole is outside")
+    assert(GeoUtil.contains(arr(square), pt(5, 5)))
+  }
+
+  test("boundary counts as inside") {
+    val poly = arr(square)
+    assert(GeoUtil.contains(poly, pt(0, 5)), "edge")
+    assert(GeoUtil.contains(poly, pt(0, 0)), "vertex")
+    assert(GeoUtil.contains(poly, pt(5, 10)), "top edge")
+  }
+
+  test("concave polygon") {
+    // L-shape: notch cut from the top-right.
+    val l = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 5.0), Seq(5.0, 5.0),
+      Seq(5.0, 10.0), Seq(0.0, 10.0), Seq(0.0, 0.0))
+    val poly = arr(l)
+    assert(GeoUtil.contains(poly, pt(2, 8)))
+    assert(!GeoUtil.contains(poly, pt(8, 8)), "in the notch")
+    assert(GeoUtil.contains(poly, pt(8, 2)))
+  }
+
+  test("bbox of exterior ring") {
+    val b = GeoUtil.bbox(arr(square, hole))
+    assert(b.toSeq == Seq(0.0, 0.0, 10.0, 10.0))
+  }
+
+  test("bbox containment is implied by polygon containment") {
+    val poly = arr(square)
+    val b = GeoUtil.bbox(arr(square))
+    val rnd = new scala.util.Random(42)
+    (1 to 5000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * 60
+      val y = (rnd.nextDouble() - 0.5) * 60
+      if (GeoUtil.contains(poly, pt(x, y))) {
+        assert(x >= b(0) && x <= b(2) && y >= b(1) && y <= b(3))
+      }
+    }
+  }
+}
