@@ -1,5 +1,108 @@
 package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.Q
+import graft.model.Tables
+import graft.util.Cols._
+
+/** Event-stream analytics over the `events` table. `ts` is epoch-nanos
+  * BIGINT (see [[graft.model.Tables.events]]); all time math stays in
+  * exact integer nanoseconds, which DuckDB mirrors via `epoch_ns(ts)`.
+  * These are the batch duals of the Structured Streaming ops in
+  * graft.streaming — same logical windows, watermark added there.
+  */
 object EventQueries {
-  def all: Seq[Q] = Seq()
+
+  private final val HourNs = 3600L * 1000 * 1000 * 1000
+  private final val GapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
+
+  // Tumbling window aggregation (1h buckets).
+  private val tumbling = Q(
+    "ev_tumbling_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(
+          expr(s"ts div $HourNs").as("hour_bucket"),
+          $"event_type",
+        )
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents($"value")).as("value_cents"),
+        )
+        .orderBy($"hour_bucket", $"event_type")
+    },
+    Some(s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+            |       count(*) AS n,
+            |       sum(${centsSql("value")}) AS value_cents
+            |FROM events
+            |GROUP BY hour_bucket, event_type
+            |ORDER BY hour_bucket, event_type""".stripMargin),
+  )
+
+  // Sessionization: a new session starts after a >30 min gap per user;
+  // session id = running count of session starts (classic gap-and-island).
+  private val sessionize = Q(
+    "ev_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("is_start",
+          when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"is_start").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(
+          $"user_id", $"event_id",
+          concat($"user_id", lit("-"), $"session_seq").as("session_id"),
+        )
+        .orderBy($"user_id", $"event_id")
+    },
+    Some(s"""SELECT user_id, event_id,
+            |       user_id || '-' || session_seq AS session_id
+            |FROM (
+            |  SELECT user_id, event_id,
+            |         sum(is_start) OVER (PARTITION BY user_id
+            |                             ORDER BY ts, event_id
+            |                             ROWS BETWEEN UNBOUNDED PRECEDING
+            |                             AND CURRENT ROW) AS session_seq
+            |  FROM (
+            |    SELECT user_id, event_id, ts,
+            |           CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+            |                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $GapNs
+            |                THEN 1 ELSE 0 END AS is_start
+            |    FROM events
+            |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+            |ORDER BY user_id, event_id""".stripMargin),
+  )
+
+  // Per-user funnel-ish pivot: conditional aggregation by event type.
+  private val funnel = Q(
+    "ev_type_pivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_error"),
+          count(lit(1)).as("n_total"),
+        )
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+           |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           |       count(*) AS n_total
+           |FROM events
+           |GROUP BY user_id
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(tumbling, sessionize, funnel)
 }
