@@ -63,6 +63,38 @@ case class StContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Karp-Rabin rolling hash of a string: h = (h*31 + c) mod (2^31 - 1)
+  * over UTF-16 code units. Document fingerprinting primitive for the
+  * training-data pipeline; modulus keeps every intermediate inside a
+  * long so the oracle can replay it with plain integer SQL.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.hash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Mod = 2147483647L // 2^31 - 1
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * 31 + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
 /** Column-API surface for the custom expressions. */
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -72,6 +104,7 @@ object exprs {
   def base62_encode_hex(hex: Column): Column = c(Base62EncodeHex(e(hex)))
   def st_contains(polygonRings: Column, point: Column): Column =
     c(StContains(e(polygonRings), e(point)))
+  def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,5 +1,195 @@
 package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.Q
+import graft.model.Tables
+
+/** Document deduplication operators for a training-data pipeline —
+  * first-class components beyond the reference surface (BASELINE.json
+  * north star): exact hash dedup, MinHash+LSH near-dup candidates,
+  * SimHash signatures, and n-gram Jaccard verification.
+  *
+  * Everything is hash-deterministic (md5-derived hash families, no
+  * engine-specific hash functions) so the DuckDB oracle can recompute
+  * each result exactly.
+  *
+  * Scale notes: each stage is shuffle-partitioned by its natural key
+  * (docHash, (k), (band, signature)), aggregations are partial, and
+  * candidate generation never materializes the O(n²) pair space — LSH
+  * bands bound the self-join. At 100 TB the shingle explosion is the
+  * big intermediate; it flows straight into a partial min-aggregation
+  * (map-side combine) so the shuffle carries only K×docs rows.
+  */
 object DedupQueries {
-  def all: Seq[Q] = Seq()
+
+  // Exact dedup: group by content hash, keep the smallest doc_id
+  // (deterministic winner), count the group.
+  private val exact = Q(
+    "td_exact_dedup",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text").as("content_md5"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"content_md5")
+    },
+    Some("""SELECT md5(text) AS content_md5,
+           |       min(doc_id) AS keep_id,
+           |       count(*) AS n_copies
+           |FROM documents
+           |GROUP BY md5(text)
+           |ORDER BY content_md5""".stripMargin),
+  )
+
+  // MinHash + LSH banding: 3-word shingles, K=8 md5-keyed min-hashes,
+  // 4 bands × 2 rows, candidate pairs from band-signature collisions.
+  private val minhashLsh = Q(
+    "td_minhash_lsh_pairs",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val shingles = words
+        .withColumn("w1", lead($"word", 1).over(byDoc))
+        .withColumn("w2", lead($"word", 2).over(byDoc))
+        .filter($"w2".isNotNull)
+        .select($"doc_id", concat_ws(" ", $"word", $"w1", $"w2").as("shingle"))
+        .distinct()
+      val sigs = shingles
+        .select($"doc_id", $"shingle", explode(sequence(lit(0), lit(7))).as("k"))
+        .select($"doc_id", $"k", md5(concat($"k".cast("string"), lit(":"), $"shingle")).as("h"))
+        .groupBy($"doc_id", $"k")
+        .agg(min($"h").as("minh"))
+      val bands = sigs
+        .groupBy($"doc_id", ($"k" / 2).cast("int").as("band"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct($"k", $"minh"))), x => x.getField("minh")),
+          ",")).as("band_sig"))
+      val a = bands.select($"doc_id".as("doc1"), $"band", $"band_sig")
+      val b = bands.select($"doc_id".as("doc2"), $"band".as("band2"), $"band_sig".as("band_sig2"))
+      a.join(b, $"band" === $"band2" && $"band_sig" === $"band_sig2" && $"doc1" < $"doc2")
+        .select($"doc1", $"doc2")
+        .distinct()
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(text, ' ')) AS word,
+           |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |  FROM documents),
+           |shingles AS (
+           |  SELECT DISTINCT doc_id, shingle FROM (
+           |    SELECT doc_id,
+           |           word || ' ' || lead(word, 1) OVER w || ' ' ||
+           |           lead(word, 2) OVER w AS shingle,
+           |           lead(word, 2) OVER w AS w2
+           |    FROM words
+           |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           |  WHERE w2 IS NOT NULL),
+           |sigs AS (
+           |  SELECT doc_id, k, min(md5(k || ':' || shingle)) AS minh
+           |  FROM shingles CROSS JOIN range(0, 8) t(k)
+           |  GROUP BY doc_id, k),
+           |bands AS (
+           |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+           |         md5(string_agg(minh, ',' ORDER BY k)) AS band_sig
+           |  FROM sigs
+           |  GROUP BY doc_id, k // 2)
+           |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.band_sig = b.band_sig
+           | AND a.doc_id < b.doc_id
+           |ORDER BY doc1, doc2""".stripMargin),
+  )
+
+  // SimHash: 60-bit signature from md5-derived word hashes (60 bits
+  // keeps the value positive in BIGINT for the oracle). Bit b is set
+  // when the sum over words of ±1 votes is positive.
+  private val simhash = Q(
+    "td_simhash_signature",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .select($"doc_id", $"word",
+          expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("wh"))
+      val votes = words
+        .select($"doc_id", $"wh", explode(sequence(lit(0), lit(59))).as("b"))
+        .select($"doc_id", $"b",
+          when(expr("shiftright(wh, b)") % 2 === 1, 1L).otherwise(-1L).as("vote"))
+        .groupBy($"doc_id", $"b")
+        .agg(sum($"vote").as("v"))
+      votes
+        .groupBy($"doc_id")
+        .agg(sum(when($"v" > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+          .as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |        FROM documents)),
+           |votes AS (
+           |  SELECT doc_id, b,
+           |         sum(CASE WHEN (wh // (1::BIGINT << b)) % 2 = 1
+           |                  THEN 1 ELSE -1 END) AS v
+           |  FROM words CROSS JOIN range(0, 60) t(b)
+           |  GROUP BY doc_id, b)
+           |SELECT doc_id,
+           |       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           |FROM votes
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // N-gram (word) Jaccard similarity over same-source candidate pairs:
+  // |A ∩ B| / |A ∪ B| from exact integer counts (division of identical
+  // ints is bit-deterministic in both engines).
+  private val jaccard = Q(
+    "td_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val tokens = Tables.documents(s, d)
+        .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
+        .distinct()
+      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
+      val a = tokens.select($"doc_id".as("doc1"), $"source", $"word")
+      val b = tokens.select($"doc_id".as("doc2"), $"source".as("source2"), $"word".as("word2"))
+      val inter = a
+        .join(b, $"source" === $"source2" && $"word" === $"word2" && $"doc1" < $"doc2")
+        .groupBy($"doc1", $"doc2")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select($"doc_id".as("doc1"), $"n_words".as("n1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"n_words".as("n2")), "doc2")
+        .select($"doc1", $"doc2",
+          ($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT DISTINCT doc_id, source, word FROM (
+           |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)),
+           |sizes AS (
+           |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+           |  FROM tokens a JOIN tokens b
+           |    ON a.source = b.source AND a.word = b.word AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc1, doc2,
+           |       CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter) AS jaccard
+           |FROM inter
+           |JOIN (SELECT doc_id AS doc1, n_words AS n1 FROM sizes) s1 USING (doc1)
+           |JOIN (SELECT doc_id AS doc2, n_words AS n2 FROM sizes) s2 USING (doc2)
+           |WHERE CAST(n_inter AS DOUBLE) / (n1 + n2 - n_inter) >= 0.5
+           |ORDER BY doc1, doc2""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(exact, minhashLsh, simhash, jaccard)
 }

@@ -1,5 +1,125 @@
 package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
 import graft.Q
+import graft.model.Tables
+
+/** Multimodal-column support: media travels as an opaque `binary`
+  * column plus typed metadata, exactly as image/audio/video would in a
+  * 100 TB training-data lake. The decode step is a clearly-marked
+  * DETERMINISTIC STUB (no media libraries in this environment): it
+  * derives "decoded" properties from the payload's md5, which keeps
+  * the Spark-side plumbing — schema, batch iteration, partitioning,
+  * typed Dataset boundary — real and oracle-checkable, while a real
+  * deployment swaps [[Multimodal.decodeStub]] for an actual codec.
+  *
+  * Scale notes: decode runs per-partition (mapPartitions) so a real
+  * codec can amortize init per batch; payloads never shuffle — only
+  * extracted features/metadata do.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + whatever metadata the lake has. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
+
+  /** Decoded output: metadata + a fixed-shape feature vector. */
+  final case class MediaDecoded(
+      doc_id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      feat0: Double,
+  )
+
+  /** DETERMINISTIC STUB for the codec: md5-derived pseudo-decode.
+    * Replace with a real image/audio decoder (per-partition init) in
+    * production. Pure function of the payload bytes.
+    */
+  def decodeStub(payload: Array[Byte]): (String, Int, Int, Double) = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    def ub(i: Int): Int = md5(i) & 0xff
+    val format = if (ub(0) < 86) "png" else if (ub(0) < 171) "jpeg" else "webp"
+    val width = 64 + ub(1)
+    val height = 64 + ub(2)
+    val feat0 = ub(3).toDouble / 255.0
+    (format, width, height, feat0)
+  }
+
+  /** The batch-decode operator: per-partition iteration over typed
+    * rows — where a real codec would init once per partition and
+    * process a batch at a time.
+    */
+  def decode(rows: Dataset[MediaRow]): Dataset[MediaDecoded] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { r =>
+        val (format, width, height, feat0) = decodeStub(r.payload)
+        MediaDecoded(r.doc_id, r.payload.length, format, width, height, feat0)
+      }
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque binary payload. */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"source")
+      .as[MediaRow]
+  }
+}
+
 object MultimodalQueries {
-  def all: Seq[Q] = Seq()
+
+  // Metadata extraction over the binary column (no decode).
+  private val metadata = Q(
+    "mm_binary_metadata",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .select(
+          $"doc_id",
+          length($"payload").as("n_bytes"),
+          md5($"payload").as("payload_md5"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |       md5(text) AS payload_md5
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // Full typed decode path through mapPartitions; the md5-derived stub
+  // makes even the "decoded" fields oracle-checkable.
+  private val decode = Q(
+    "mm_decode_features",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.decode(Multimodal.asMedia(s, d))
+        .toDF()
+        .select($"doc_id", $"n_bytes", $"format", $"width", $"height")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |         md5(text) AS m
+           |  FROM documents)
+           |SELECT doc_id, n_bytes,
+           |       CASE WHEN CAST('0x' || substr(m, 1, 2) AS INT) < 86 THEN 'png'
+           |            WHEN CAST('0x' || substr(m, 1, 2) AS INT) < 171 THEN 'jpeg'
+           |            ELSE 'webp' END AS format,
+           |       64 + CAST('0x' || substr(m, 3, 2) AS INT) AS width,
+           |       64 + CAST('0x' || substr(m, 5, 2) AS INT) AS height
+           |FROM h
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(metadata, decode)
 }

@@ -1,5 +1,168 @@
 package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
 import graft.Q
+import graft.model.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline and
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Determinism: a float32×float32 product is exact in double (24-bit
+  * mantissas), and each product is cast to DECIMAL(30,15) before
+  * summation — decimal addition is exact and order-independent, so
+  * Spark's array fold and DuckDB's SQL SUM agree bit-for-bit, which a
+  * naive double summation would not.
+  *
+  * Scale notes: brute-force is one broadcast of the query vector and a
+  * single codegen'd pass (zip_with + aggregate, no explode, no
+  * shuffle before the global top-k); LSH bucketing shuffles once on
+  * (vector, plane) and yields a bucket id to equi-join candidates on —
+  * the 100 TB ANN path where only same-bucket pairs are compared.
+  */
 object SimilarityQueries {
-  def all: Seq[Q] = Seq()
+
+  private val Dec = "decimal(30,15)"
+
+  // Brute-force cosine top-k against the vec_id=0 query vector.
+  private val cosineTopK = Q(
+    "sim_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) =>
+            (x.cast("double") * y.cast("double")).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, v) => (acc + v).cast(Dec),
+        )
+      emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(query))
+        .select(
+          $"vec_id",
+          dotDec($"embedding", $"qe").as("dot"),
+          dotDec($"embedding", $"embedding").as("nb"),
+          dotDec($"qe", $"qe").as("na"),
+        )
+        .select(
+          $"vec_id",
+          // scaled-integer cosine: decimal→double conversion differs by
+          // 1 ulp between engines, so hash-compare at 1e-9 resolution
+          round($"dot".cast("double") /
+            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
+            .cast("long").as("cosine_e9"),
+        )
+        .orderBy($"cosine_e9".desc, $"vec_id")
+        .limit(10)
+    },
+    Some("""WITH q AS (
+           |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sums AS (
+           |  SELECT e.vec_id,
+           |         SUM(CAST(CAST(e.embedding[i] AS DOUBLE) *
+           |                  CAST(q.qe[i] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(e.embedding[i] AS DOUBLE) *
+           |                  CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))) AS nb,
+           |         SUM(CAST(CAST(q.qe[i] AS DOUBLE) *
+           |                  CAST(q.qe[i] AS DOUBLE) AS DECIMAL(30,15))) AS na
+           |  FROM embeddings e, q, range(1, 65) t(i)
+           |  WHERE e.vec_id <> 0
+           |  GROUP BY e.vec_id)
+           |SELECT vec_id,
+           |       CAST(round(CAST(dot AS DOUBLE) /
+           |            sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |            AS BIGINT) AS cosine_e9
+           |FROM sums
+           |ORDER BY cosine_e9 DESC, vec_id
+           |LIMIT 10""".stripMargin),
+  )
+
+  // Random-hyperplane LSH bucket assignment: 6 md5-derived ±1
+  // hyperplanes → 64 buckets; candidates for ANN are same-bucket pairs.
+  private val lshBuckets = Q(
+    "sim_lsh_bucket",
+    (s, d) => {
+      import s.implicits._
+      val dims = Tables.embeddings(s, d)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+        .select($"vec_id", ($"pos" + 1).as("i"), $"v")
+      val votes = dims
+        .select($"vec_id", $"i", $"v", explode(sequence(lit(0), lit(5))).as("p"))
+        .select(
+          $"vec_id", $"p",
+          when(substring(md5(concat($"p".cast("string"), lit("-"), $"i".cast("string"))), 1, 1) < "8",
+            ($"v".cast("double")).cast(Dec))
+            .otherwise((-$"v".cast("double")).cast(Dec)).as("w"),
+        )
+        .groupBy($"vec_id", $"p")
+        .agg(sum($"w").as("proj"))
+      votes
+        .groupBy($"vec_id")
+        .agg(sum(when($"proj" > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("bucket"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH votes AS (
+           |  SELECT e.vec_id, p,
+           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |             END) AS proj
+           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+           |  GROUP BY e.vec_id, p)
+           |SELECT vec_id,
+           |       sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           |FROM votes
+           |GROUP BY vec_id
+           |ORDER BY vec_id""".stripMargin),
+  )
+
+  // ANN via LSH: top-3 cosine neighbours per probe vector, computed
+  // only among same-bucket candidates (the join never leaves the
+  // bucket key — this is the piece that scales).
+  private val lshAnn = Q(
+    "sim_lsh_ann_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val withBucket = lshBuckets.fn(s, d) // (vec_id, bucket)
+        .join(emb, "vec_id")
+        .select($"vec_id", $"bucket", $"embedding")
+      val probes = withBucket.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("pe"))
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, v) => (acc + v).cast(Dec),
+        )
+      val scored = probes
+        .join(withBucket.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
+        .filter($"cand_id" =!= $"probe_id")
+        .select(
+          $"probe_id", $"cand_id",
+          dotDec($"pe", $"embedding").as("dot"),
+          dotDec($"pe", $"pe").as("na"),
+          dotDec($"embedding", $"embedding").as("nb"),
+        )
+        .select(
+          $"probe_id", $"cand_id",
+          ($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")))
+            .as("cosine"),
+        )
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"probe_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rk" <= 3)
+        .select($"probe_id", $"rk", $"cand_id")
+        .orderBy($"probe_id", $"rk")
+    },
+    None, // verified by SimilaritySpec against the brute-force baseline
+  )
+
+  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn)
 }
