@@ -24,6 +24,14 @@ import graft.model.Tables
   */
 object DedupQueries {
 
+  /** Universal-hash family over a 48-bit base hash: (a_k·h + b_k) mod p
+    * with p prime < 2^48 — every intermediate fits a long, so the
+    * oracle replays it with plain integer SQL.
+    */
+  private final val P = 281474976710597L // largest prime < 2^48
+  private def hashK(k: Int, h: org.apache.spark.sql.Column) =
+    (lit(2L * k + 3) * (h % P) + lit(5L * k + 7)) % P
+
   // Exact dedup: group by content hash, keep the smallest doc_id
   // (deterministic winner), count the group.
   private val exact = Q(
@@ -43,35 +51,55 @@ object DedupQueries {
            |ORDER BY content_md5""".stripMargin),
   )
 
-  // MinHash + LSH banding: 3-word shingles, K=8 md5-keyed min-hashes,
-  // 4 bands × 2 rows, candidate pairs from band-signature collisions.
+  // MinHash + LSH banding: 3-word shingles, K=8 min-hashes from ONE
+  // md5 per shingle + a universal-hash family (a_k*h + b_k mod p over
+  // the md5's first 48 bits — 8x less hashing than md5-per-k), 4 bands
+  // of 2 rows, candidate pairs from band-signature collisions.
+  // Shingles are built in-row (no window shuffle), then ONE narrow
+  // explode feeds a single groupBy(doc_id) computing all 8 min-hashes
+  // as separate aggregates — everything stays inside whole-stage
+  // codegen and the shuffle carries one row per doc.
   private val minhashLsh = Q(
     "td_minhash_lsh_pairs",
     (s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
-      val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      val shingles = words
-        .withColumn("w1", lead($"word", 1).over(byDoc))
-        .withColumn("w2", lead($"word", 2).over(byDoc))
-        .filter($"w2".isNotNull)
-        .select($"doc_id", concat_ws(" ", $"word", $"w1", $"w2").as("shingle"))
-        .distinct()
-      val sigs = shingles
-        .select($"doc_id", $"shingle", explode(sequence(lit(0), lit(7))).as("k"))
-        .select($"doc_id", $"k", md5(concat($"k".cast("string"), lit(":"), $"shingle")).as("h"))
-        .groupBy($"doc_id", $"k")
-        .agg(min($"h").as("minh"))
-      val bands = sigs
-        .groupBy($"doc_id", ($"k" / 2).cast("int").as("band"))
-        .agg(md5(array_join(
-          transform(array_sort(collect_list(struct($"k", $"minh"))), x => x.getField("minh")),
-          ",")).as("band_sig"))
-      val a = bands.select($"doc_id".as("doc1"), $"band", $"band_sig")
-      val b = bands.select($"doc_id".as("doc2"), $"band".as("band2"), $"band_sig".as("band_sig2"))
-      a.join(b, $"band" === $"band2" && $"band_sig" === $"band_sig2" && $"doc1" < $"doc2")
-        .select($"doc1", $"doc2")
+      import graft.util.Cols.fanout
+      val w = $"w"
+      val shingleArr = array_distinct(zip_with(
+        zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(w, lit(3), size(w) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      val sigs = fanout(Tables.documents(s, d))
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size(w) >= 3)
+        .select($"doc_id", explode(shingleArr).as("shingle"))
+        .select($"doc_id",
+          expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("h"))
+        .groupBy($"doc_id")
+        .agg(
+          min(hashK(0, $"h")).as("m0"),
+          (1 to 7).map(k => min(hashK(k, $"h")).as(s"m$k")): _*)
+      val bands = sigs.select($"doc_id",
+        posexplode(array((0 to 3).map(b =>
+          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*))
+          .as(Seq("band", "band_sig")))
+      // Candidate pairs WITHOUT a self-join (a self-join would run the
+      // whole signature pipeline twice — Spark only reuses exchanges,
+      // not arbitrary subplans): group each band bucket, then emit the
+      // bucket's pair combinations in-row from the sorted id list.
+      val ids = $"ids"
+      bands
+        .groupBy($"band", $"band_sig")
+        .agg(array_sort(collect_list($"doc_id")).as("ids"))
+        .filter(size(ids) >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(ids) - 2),
+          i => transform(
+            slice(ids, i + 2, size(ids)),
+            j => struct(element_at(ids, i + 1).as("doc1"), j.as("doc2")))
+        ))).as("p"))
+        .select($"p.doc1".as("doc1"), $"p.doc2".as("doc2"))
         .distinct()
         .orderBy($"doc1", $"doc2")
     },
@@ -89,13 +117,19 @@ object DedupQueries {
            |    FROM words
            |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
            |  WHERE w2 IS NOT NULL),
+           |hashes AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+           |  FROM shingles),
            |sigs AS (
-           |  SELECT doc_id, k, min(md5(k || ':' || shingle)) AS minh
-           |  FROM shingles CROSS JOIN range(0, 8) t(k)
+           |  SELECT doc_id, k,
+           |         min(((2*k + 3) * (h % 281474976710597) + (5*k + 7))
+           |             % 281474976710597) AS minh
+           |  FROM hashes CROSS JOIN range(0, 8) t(k)
            |  GROUP BY doc_id, k),
            |bands AS (
            |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
-           |         md5(string_agg(minh, ',' ORDER BY k)) AS band_sig
+           |         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY k)) AS band_sig
            |  FROM sigs
            |  GROUP BY doc_id, k // 2)
            |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -112,20 +146,23 @@ object DedupQueries {
     "td_simhash_signature",
     (s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
+      import graft.util.Cols.fanout
+      // One word-hash row per word; the 60 bit-votes are 60 conditional
+      // aggregates over those rows (codegen'd, no x60 row explosion).
+      val words = fanout(Tables.documents(s, d))
         .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .select($"doc_id", $"word",
+        .select($"doc_id",
           expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("wh"))
+      def vote(b: Int) =
+        sum(when(expr(s"shiftright(wh, $b)") % 2 === 1, 1L).otherwise(-1L))
       val votes = words
-        .select($"doc_id", $"wh", explode(sequence(lit(0), lit(59))).as("b"))
-        .select($"doc_id", $"b",
-          when(expr("shiftright(wh, b)") % 2 === 1, 1L).otherwise(-1L).as("vote"))
-        .groupBy($"doc_id", $"b")
-        .agg(sum($"vote").as("v"))
-      votes
         .groupBy($"doc_id")
-        .agg(sum(when($"v" > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-          .as("simhash"))
+        .agg(vote(0).as("v0"), (1 to 59).map(b => vote(b).as(s"v$b")): _*)
+      votes
+        .select($"doc_id",
+          (0 to 59).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
         .orderBy($"doc_id")
     },
     Some("""WITH words AS (
@@ -153,7 +190,8 @@ object DedupQueries {
     "td_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      val tokens = Tables.documents(s, d)
+      import graft.util.Cols.fanout
+      val tokens = fanout(Tables.documents(s, d))
         .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
         .distinct()
       val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))

@@ -40,7 +40,7 @@ object SimilarityQueries {
           lit(0).cast(Dec),
           (acc, v) => (acc + v).cast(Dec),
         )
-      emb.filter($"vec_id" =!= 0)
+      graft.util.Cols.fanout(emb.filter($"vec_id" =!= 0))
         .crossJoin(broadcast(query))
         .select(
           $"vec_id",
@@ -81,28 +81,39 @@ object SimilarityQueries {
            |LIMIT 10""".stripMargin),
   )
 
+  /** The 6×64 ±1 hyperplane matrix is a CONSTANT derivable at plan
+    * time (md5 of plane-dim indices), so it is materialized driver-side
+    * and embedded as literals: bucket assignment becomes one in-row
+    * codegen'd fold per vector — no explode, no shuffle. The oracle
+    * recomputes the same md5-derived weights in SQL.
+    */
+  private[operators] def planeWeights: Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(6, 64) { (p, i0) =>
+      val hex = digest.digest(s"$p-${i0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+  }
+
   // Random-hyperplane LSH bucket assignment: 6 md5-derived ±1
   // hyperplanes → 64 buckets; candidates for ANN are same-bucket pairs.
   private val lshBuckets = Q(
     "sim_lsh_bucket",
     (s, d) => {
       import s.implicits._
-      val dims = Tables.embeddings(s, d)
-        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-        .select($"vec_id", ($"pos" + 1).as("i"), $"v")
-      val votes = dims
-        .select($"vec_id", $"i", $"v", explode(sequence(lit(0), lit(5))).as("p"))
-        .select(
-          $"vec_id", $"p",
-          when(substring(md5(concat($"p".cast("string"), lit("-"), $"i".cast("string"))), 1, 1) < "8",
-            ($"v".cast("double")).cast(Dec))
-            .otherwise((-$"v".cast("double")).cast(Dec)).as("w"),
-        )
-        .groupBy($"vec_id", $"p")
-        .agg(sum($"w").as("proj"))
-      votes
-        .groupBy($"vec_id")
-        .agg(sum(when($"proj" > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("bucket"))
+      val weights = planeWeights
+      def proj(p: Int) = aggregate(
+        zip_with($"embedding", lit(weights(p)), (x, w) =>
+          (x.cast("double") * w).cast(Dec)),
+        lit(0).cast(Dec),
+        (acc, v) => (acc + v).cast(Dec),
+      )
+      val bucket = (0 to 5)
+        .map(p => when(proj(p) > 0, lit(1L << p)).otherwise(0L))
+        .reduce(_ + _)
+      graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .select($"vec_id", bucket.as("bucket"))
         .orderBy($"vec_id")
     },
     Some("""WITH votes AS (
@@ -133,25 +144,19 @@ object SimilarityQueries {
         .select($"vec_id", $"bucket", $"embedding")
       val probes = withBucket.filter($"vec_id" < 10)
         .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("pe"))
-      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      // No oracle on this path → plain double folds (fastest codegen);
+      // the decimal trick is only needed for cross-engine hash-compare.
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(
-          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-          lit(0).cast(Dec),
-          (acc, v) => (acc + v).cast(Dec),
-        )
+          zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
       val scored = probes
         .join(withBucket.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
         .filter($"cand_id" =!= $"probe_id")
         .select(
           $"probe_id", $"cand_id",
-          dotDec($"pe", $"embedding").as("dot"),
-          dotDec($"pe", $"pe").as("na"),
-          dotDec($"embedding", $"embedding").as("nb"),
-        )
-        .select(
-          $"probe_id", $"cand_id",
-          ($"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")))
-            .as("cosine"),
+          (dot($"pe", $"embedding") /
+            sqrt(dot($"pe", $"pe") * dot($"embedding", $"embedding"))).as("cosine"),
         )
       scored
         .withColumn("rk", row_number().over(

@@ -22,4 +22,13 @@ object Cols {
 
   /** SQL fragment mirroring [[cents]] for the DuckDB oracle. */
   def centsSql(e: String): String = s"CAST(round(($e) * 100) AS BIGINT)"
+
+  /** Fan a scan out to the session's full parallelism before a
+    * CPU-heavy stage. Small dimension-sized inputs often arrive as one
+    * parquet split (and one row group is unsplittable), which would
+    * otherwise pin hash/codec-bound pipelines to a single core; the
+    * tiny shuffle buys full-width execution. No-op effect on results.
+    */
+  def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
