@@ -239,5 +239,42 @@ object GeoQueries {
            |ORDER BY hash_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId)
+  // The spark.sql surface: same spatial join expressed as SQL text
+  // over registered temp views, using the engine's registered
+  // st_contains function (SURVEY §3.4 — the engine exposes spark.sql
+  // over temp views as a first-class entry point).
+  private val sqlSurface = Q(
+    "sql_surface_spatial",
+    (s, d) => {
+      graft.functions.exprs.register(s)
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
+      s.sql("""
+        WITH pts AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(c_custkey % 95 + 1 AS DOUBLE) AS px,
+                 CAST(c_custkey % 87 + 2 AS DOUBLE) AS py
+          FROM graft_customer),
+        polys AS (
+          SELECT s_suppkey, s_nationkey,
+                 CAST(s_suppkey % 97 AS DOUBLE) AS x0,
+                 CAST(s_suppkey % 89 + 1 AS DOUBLE) AS y0,
+                 CAST(s_suppkey % 97 + 1 + s_suppkey % 5 AS DOUBLE) AS x1,
+                 CAST(s_suppkey % 89 + 3 + s_suppkey % 7 AS DOUBLE) AS y1
+          FROM graft_supplier)
+        SELECT c_custkey, s_suppkey
+        FROM pts JOIN polys
+          ON c_nationkey = s_nationkey
+         AND px >= x0 AND px <= x1 AND py >= y0 AND py <= y1
+         AND st_contains(
+               array(array(array(x0, y0), array(x1, y0), array(x1, y1),
+                           array(x0, y1), array(x0, y0))),
+               array(px, py))
+        ORDER BY c_custkey, s_suppkey""")
+    },
+    j3Spatial.oracle, // same result as the DataFrame-API spatial join
+  )
+
+  def all: Seq[Q] =
+    Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface)
 }

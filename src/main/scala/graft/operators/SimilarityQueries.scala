@@ -169,5 +169,78 @@ object SimilarityQueries {
     None, // verified by SimilaritySpec against the brute-force baseline
   )
 
-  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn)
+  // Embedding-cosine near-duplicate pairs: LSH candidates verified by
+  // exact (decimal) cosine >= 0.4. The operator IS the two-stage
+  // LSH-then-verify pipeline, and the oracle replays both stages.
+  private val nearDup = Q(
+    "td_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, v) => (acc + v).cast(Dec),
+        )
+      val bucketed = lshBuckets.fn(s, d)
+        .join(Tables.embeddings(s, d), "vec_id")
+        .select($"vec_id", $"bucket", $"embedding")
+      val a = bucketed.select($"vec_id".as("vec1"), $"bucket", $"embedding".as("ea"))
+      val b = bucketed.select($"vec_id".as("vec2"), $"bucket".as("bucket2"), $"embedding".as("eb"))
+      a.join(b, $"bucket" === $"bucket2" && $"vec1" < $"vec2")
+        .select(
+          $"vec1", $"vec2",
+          dotDec($"ea", $"eb").as("dot"),
+          dotDec($"ea", $"ea").as("na"),
+          dotDec($"eb", $"eb").as("nb"),
+        )
+        .select(
+          $"vec1", $"vec2",
+          round($"dot".cast("double") /
+            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
+            .cast("long").as("cosine_e9"),
+        )
+        .filter($"cosine_e9" >= 400000000L)
+        .orderBy($"vec1", $"vec2")
+    },
+    Some("""WITH votes AS (
+           |  SELECT e.vec_id, p,
+           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |             END) AS proj
+           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+           |  GROUP BY e.vec_id, p),
+           |buckets AS (
+           |  SELECT vec_id,
+           |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           |  FROM votes GROUP BY vec_id),
+           |be AS (
+           |  SELECT b.vec_id, b.bucket, e.embedding
+           |  FROM buckets b JOIN embeddings e USING (vec_id)),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           |         a.embedding AS ea, b.embedding AS eb
+           |  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |sums AS (
+           |  SELECT vec1, vec2,
+           |         SUM(CAST(CAST(ea[k] AS DOUBLE) * CAST(eb[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(ea[k] AS DOUBLE) * CAST(ea[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(eb[k] AS DOUBLE) * CAST(eb[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS nb
+           |  FROM pairs, range(1, 65) t(k)
+           |  GROUP BY vec1, vec2)
+           |SELECT vec1, vec2, cosine_e9 FROM (
+           |  SELECT vec1, vec2,
+           |         CAST(round(CAST(dot AS DOUBLE) /
+           |              sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |              AS BIGINT) AS cosine_e9
+           |  FROM sums)
+           |WHERE cosine_e9 >= 400000000
+           |ORDER BY vec1, vec2""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup)
 }
