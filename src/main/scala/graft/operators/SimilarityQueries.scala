@@ -242,5 +242,71 @@ object SimilarityQueries {
            |ORDER BY vec1, vec2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup)
+  // IVF-flat cell assignment: the inverted-file ANN alternative to
+  // LSH. Cells are seeded by the first 8 vectors (a deterministic
+  // stand-in for k-means training — the assignment/probe machinery is
+  // identical); each vector joins the cell of its nearest centroid by
+  // cosine. The centroid side is 8 rows → broadcast; assignment is one
+  // broadcast join + rank, which is the shape that scales.
+  private val ivfCells = Q(
+    "sim_ivf_cell_assign",
+    (s, d) => {
+      import s.implicits._
+      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+          lit(0).cast(Dec),
+          (acc, v) => (acc + v).cast(Dec),
+        )
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
+      graft.util.Cols.fanout(emb)
+        .crossJoin(broadcast(cents))
+        .select(
+          $"vec_id", $"cent_id",
+          dotDec($"embedding", $"ce").as("dot"),
+          dotDec($"embedding", $"embedding").as("na"),
+          dotDec($"ce", $"ce").as("nb"),
+        )
+        .select(
+          $"vec_id", $"cent_id",
+          round($"dot".cast("double") /
+            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
+            .cast("long").as("cos_e9"),
+        )
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cent_id".as("cell"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce
+           |  FROM embeddings WHERE vec_id < 8),
+           |sums AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
+           |  FROM embeddings e CROSS JOIN cents c, range(1, 65) t(k)
+           |  GROUP BY e.vec_id, c.cent_id),
+           |ranked AS (
+           |  SELECT vec_id, cent_id,
+           |         row_number() OVER (
+           |           PARTITION BY vec_id
+           |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                    AS BIGINT) DESC, cent_id) AS rn
+           |  FROM sums)
+           |SELECT vec_id, cent_id AS cell
+           |FROM ranked WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells)
 }

@@ -60,6 +60,7 @@ object Ingest {
       extractFeatures: String => Seq[String],
       o: Options = Options(),
       sleeper: Long => Unit = Thread.sleep,
+      fetcher: (String, Options) => String = fetch(_, _),
   ): Int = {
     Files.deleteIfExists(Paths.get(out))
     Files.createFile(Paths.get(out))
@@ -68,7 +69,7 @@ object Ingest {
     var total = 0
     while (more) {
       page += 1
-      val body = fetch(s"$base/page/$page", o)
+      val body = fetcher(s"$base/page/$page", o)
       val features = extractFeatures(body)
       if (features.nonEmpty) {
         Files.write(
