@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.Partitioning
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+import graft.functions.{GeoUtil, StContains}
+
+/** Custom physical planning for the point-in-polygon join (SURVEY
+  * §4.2 item 3): plans a logical
+  * `Join(…, cond = layerEq && … && st_contains(rings, point))` as a
+  * broadcast of the polygon side with a PER-LAYER SORTED INTERVAL
+  * INDEX — the role the reference's per-layer R-tree plays
+  * (geo-indices.js:22-56) — instead of the stock broadcast hash join
+  * that re-tests every same-layer polygon per point.
+  *
+  * Index: polygons of a layer sorted by bbox xmin with a running
+  * prefix-max of xmax. A probe binary-searches the last xmin <= px and
+  * walks left only while prefixMaxXmax >= px, so each point touches
+  * the polygons whose x-interval could contain it — typically O(log n
+  * + answer) instead of O(polygons-in-layer).
+  *
+  * Scale: the polygon side must be broadcastable (it is the
+  * dimension-sized side in the reference workload — the same
+  * assumption its in-memory R-tree makes). For an un-broadcastable
+  * polygon side, DON'T install this strategy: the default plan
+  * (equi-shuffle on layer + bbox prefilter + residual st_contains)
+  * already partitions correctly.
+  *
+  * Opt-in: `GraftPlanner.install(spark)`.
+  */
+object SpatialJoinStrategy extends SparkStrategy {
+
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), hint)
+        if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+      val conjuncts = splitConjuncts(cond)
+      val contains = conjuncts.collectFirst {
+        case sc: StContains
+            if sc.left.references.subsetOf(r.outputSet) &&
+              sc.right.references.subsetOf(l.outputSet) => sc
+      }
+      val layerEq = conjuncts.collectFirst {
+        case eq @ EqualTo(a, b)
+            if a.references.subsetOf(l.outputSet) &&
+              b.references.subsetOf(r.outputSet) => (eq, a, b)
+        case eq @ EqualTo(a, b)
+            if a.references.subsetOf(r.outputSet) &&
+              b.references.subsetOf(l.outputSet) => (eq, b, a)
+      }
+      (contains, layerEq) match {
+        case (Some(sc), Some((eq, lKey, rKey))) =>
+          val residual = conjuncts.filterNot(c => c.fastEquals(sc) || c.fastEquals(eq))
+          BroadcastSpatialJoinExec(
+            planLater(l), planLater(r), jt,
+            lKey, rKey, sc.left, sc.right,
+            residual.reduceOption(And)) :: Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}
+
+/** Per-layer sorted-interval polygon index (see strategy Scaladoc). */
+private[plans] final class LayerIndex(
+    val xmins: Array[Double],
+    val prefixMaxXmax: Array[Double],
+    val bboxes: Array[Array[Double]], // xmin, ymin, xmax, ymax
+    val rings: Array[Array[Array[Array[Double]]]], // JVM-primitive (serializable)
+    val rows: Array[InternalRow],
+) extends Serializable {
+
+  /** Indices of polygons containing (px, py). */
+  def probe(px: Double, py: Double, out: java.util.ArrayList[Int]): Unit = {
+    // binary search: last index with xmin <= px
+    var lo = 0
+    var hi = xmins.length - 1
+    var last = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (xmins(mid) <= px) { last = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    var i = last
+    while (i >= 0 && prefixMaxXmax(i) >= px) {
+      val b = bboxes(i)
+      if (px <= b(2) && py >= b(1) && py <= b(3) &&
+        GeoUtil.containsRawXY(rings(i), px, py)) {
+        out.add(i)
+      }
+      i -= 1
+    }
+  }
+}
+
+case class BroadcastSpatialJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    joinType: JoinType,
+    leftKey: Expression,
+    rightKey: Expression,
+    rightRings: Expression,
+    leftPoint: Expression,
+    residual: Option[Expression],
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = joinType match {
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastSpatialJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Build the per-layer index once on the driver from the (small,
+    // dimension-sized) polygon side, then broadcast it.
+    val rightRows = right.executeCollect().map(_.copy())
+    val keyEval = BindReferences.bindReference(rightKey, right.output)
+    val ringsEval = BindReferences.bindReference(rightRings, right.output)
+
+    val grouped = new java.util.HashMap[Any, java.util.ArrayList[(InternalRow, Array[Array[Array[Double]]])]]()
+    rightRows.foreach { row =>
+      val key = keyEval.eval(row)
+      val rings = ringsEval.eval(row).asInstanceOf[ArrayData]
+      if (key != null && rings != null) {
+        grouped.computeIfAbsent(key, _ => new java.util.ArrayList())
+          .add((row, GeoUtil.toRawRings(rings)))
+      }
+    }
+    val indices = new java.util.HashMap[Any, LayerIndex]()
+    grouped.forEach { (key, polys) =>
+      val arr = polys.toArray(Array.empty[(InternalRow, Array[Array[Array[Double]]])])
+        .map { case (row, rings) => (row, rings, GeoUtil.bboxRaw(rings)) }
+        .sortBy(_._3(0)) // by bbox xmin
+      val prefix = new Array[Double](arr.length)
+      var running = Double.NegativeInfinity
+      arr.indices.foreach { i =>
+        running = math.max(running, arr(i)._3(2))
+        prefix(i) = running
+      }
+      indices.put(key, new LayerIndex(
+        arr.map(_._3(0)), prefix, arr.map(_._3),
+        arr.map(_._2), arr.map(_._1)))
+    }
+    val bc = sparkContext.broadcast(indices)
+
+    val isLeftOuter = joinType == LeftOuter
+    val leftOutput = left.output
+    val rightAttrs = right.output
+    val outAttrs = output
+    val leftKeyExpr = leftKey
+    val leftPointExpr = leftPoint
+    val residualExpr = residual
+
+    left.execute().mapPartitions({ iter =>
+      val idx = bc.value
+      val keyEvalL = BindReferences.bindReference(leftKeyExpr, leftOutput)
+      val pointEvalL = BindReferences.bindReference(leftPointExpr, leftOutput)
+      val residualPred = residualExpr.map(e =>
+        Predicate.create(e, leftOutput ++ rightAttrs))
+      residualPred.foreach(_.initialize(0))
+      val joined = new JoinedRow
+      val nullRight = InternalRow.fromSeq(Seq.fill(rightAttrs.size)(null))
+      val proj = UnsafeProjection.create(outAttrs.map(_.asInstanceOf[Expression]), outAttrs)
+      val hits = new java.util.ArrayList[Int]()
+
+      iter.flatMap { lrow =>
+        val key = keyEvalL.eval(lrow)
+        val point = pointEvalL.eval(lrow).asInstanceOf[ArrayData]
+        hits.clear()
+        val layer = if (key == null) null else idx.get(key)
+        if (layer != null && point != null && point.numElements() >= 2) {
+          layer.probe(point.getDouble(0), point.getDouble(1), hits)
+        }
+        val matches = new scala.collection.mutable.ArrayBuffer[InternalRow](hits.size())
+        var i = 0
+        while (i < hits.size()) {
+          joined(lrow, layer.rows(hits.get(i)))
+          if (residualPred.forall(_.eval(joined))) {
+            matches += proj(joined).copy()
+          }
+          i += 1
+        }
+        if (matches.isEmpty && isLeftOuter) {
+          joined(lrow, nullRight)
+          Iterator.single(proj(joined).copy())
+        } else matches.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Installer for the engine's custom planning. */
+object GraftPlanner {
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SpatialJoinStrategy
+    }
+
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == SpatialJoinStrategy)
+}
