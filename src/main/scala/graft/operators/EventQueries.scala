@@ -104,5 +104,30 @@ object EventQueries {
            |ORDER BY user_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(tumbling, sessionize, funnel)
+  // As-of join shape: attach to every event the most recent prior (or
+  // simultaneous) 'signup' event of the same user. Expressed as a
+  // running conditional max over the event-time order — the
+  // shuffle-once window formulation of a time-series as-of join.
+  private val asOf = Q(
+    "ev_asof_last_signup",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_signup_id",
+          max(when($"event_type" === "signup", $"event_id")).over(w))
+        .select($"user_id", $"event_id", $"last_signup_id")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           |       max(CASE WHEN event_type = 'signup' THEN event_id END)
+           |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |         AS last_signup_id
+           |FROM events
+           |ORDER BY user_id, event_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf)
 }

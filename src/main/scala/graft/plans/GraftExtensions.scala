@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Base62EncodeHex, JsCoordJoin, RollingHash, StContains}
+
+/** Config-time registration of the engine's custom expressions and
+  * physical strategy:
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * The same surface is available at runtime on an existing session via
+  * `graft.functions.exprs.register(spark)` + `GraftPlanner.install`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("st_contains"),
+      info("st_contains", "st_contains(rings, point) - point-in-polygon with holes, boundary-inclusive"),
+      (es: Seq[Expression]) => StContains(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("base62_encode_hex"),
+      info("base62_encode_hex", "base62_encode_hex(hex) - base-62 encoding of a hex digest"),
+      (es: Seq[Expression]) => Base62EncodeHex(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("js_coord_join"),
+      info("js_coord_join", "js_coord_join(array<double>) - ECMAScript Array.join(',')"),
+      (es: Seq[Expression]) => JsCoordJoin(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - Karp-Rabin fingerprint mod 2^31-1"),
+      (es: Seq[Expression]) => RollingHash(es.head)))
+    e.injectPlannerStrategy(_ => SpatialJoinStrategy)
+  }
+}

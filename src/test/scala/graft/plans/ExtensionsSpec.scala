@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.sql.extensions=graft.plans.GraftExtensions must register the
+  * custom functions for SQL text and the spatial strategy.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("extensions class registers functions and strategy") {
+    // Force a NEW SparkSession (extensions apply per session) while
+    // reusing any live SparkContext; never stop() here — that would
+    // kill the context shared with the other suites. withExtensions is
+    // the programmatic twin of spark.sql.extensions=graft.plans
+    // .GraftExtensions (the string form is a static conf read at
+    // SparkContext creation, which a shared test JVM cannot redo).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = spark.sql(
+        """SELECT
+          |  st_contains(array(array(array(0d,0d),array(10d,0d),array(10d,10d),
+          |                          array(0d,10d),array(0d,0d))),
+          |              array(5d,5d)) AS inside,
+          |  base62_encode_hex('ff') AS b62,
+          |  js_coord_join(array(-73.9d, 40d)) AS joined,
+          |  rolling_hash('abc') AS rh
+          |""".stripMargin).collect().head
+      assert(row.getBoolean(0))
+      assert(row.getString(1) == "47")
+      assert(row.getString(2) == "-73.9,40")
+      assert(row.getLong(3) == ("abc".foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)))
+      assert(spark.sessionState.planner.strategies.contains(SpatialJoinStrategy))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
