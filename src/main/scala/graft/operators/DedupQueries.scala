@@ -51,6 +51,43 @@ object DedupQueries {
            |ORDER BY content_md5""".stripMargin),
   )
 
+  /** Shared oracle CTE chain: documents → shingles → minhash band
+    * signatures → LSH candidate pairs. */
+  private val minhashCandidatesCtes = """words AS (
+    |  SELECT doc_id,
+    |         unnest(string_split(text, ' ')) AS word,
+    |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    |  FROM documents),
+    |shingles AS (
+    |  SELECT DISTINCT doc_id, shingle FROM (
+    |    SELECT doc_id,
+    |           word || ' ' || lead(word, 1) OVER w || ' ' ||
+    |           lead(word, 2) OVER w AS shingle,
+    |           lead(word, 2) OVER w AS w2
+    |    FROM words
+    |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+    |  WHERE w2 IS NOT NULL),
+    |hashes AS (
+    |  SELECT doc_id,
+    |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+    |  FROM shingles),
+    |sigs AS (
+    |  SELECT doc_id, k,
+    |         min(((2*k + 3) * (h % 281474976710597) + (5*k + 7))
+    |             % 281474976710597) AS minh
+    |  FROM hashes CROSS JOIN range(0, 8) t(k)
+    |  GROUP BY doc_id, k),
+    |bands AS (
+    |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+    |         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY k)) AS band_sig
+    |  FROM sigs
+    |  GROUP BY doc_id, k // 2),
+    |candidates AS (
+    |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.band_sig = b.band_sig
+    |   AND a.doc_id < b.doc_id)""".stripMargin
+
   // MinHash + LSH banding: 3-word shingles, K=8 min-hashes from ONE
   // md5 per shingle + a universal-hash family (a_k*h + b_k mod p over
   // the md5's first 48 bits — 8x less hashing than md5-per-k), 4 bands
@@ -103,40 +140,9 @@ object DedupQueries {
         .distinct()
         .orderBy($"doc1", $"doc2")
     },
-    Some("""WITH words AS (
-           |  SELECT doc_id,
-           |         unnest(string_split(text, ' ')) AS word,
-           |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-           |  FROM documents),
-           |shingles AS (
-           |  SELECT DISTINCT doc_id, shingle FROM (
-           |    SELECT doc_id,
-           |           word || ' ' || lead(word, 1) OVER w || ' ' ||
-           |           lead(word, 2) OVER w AS shingle,
-           |           lead(word, 2) OVER w AS w2
-           |    FROM words
-           |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-           |  WHERE w2 IS NOT NULL),
-           |hashes AS (
-           |  SELECT doc_id,
-           |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
-           |  FROM shingles),
-           |sigs AS (
-           |  SELECT doc_id, k,
-           |         min(((2*k + 3) * (h % 281474976710597) + (5*k + 7))
-           |             % 281474976710597) AS minh
-           |  FROM hashes CROSS JOIN range(0, 8) t(k)
-           |  GROUP BY doc_id, k),
-           |bands AS (
-           |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
-           |         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY k)) AS band_sig
-           |  FROM sigs
-           |  GROUP BY doc_id, k // 2)
-           |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.band_sig = b.band_sig
-           | AND a.doc_id < b.doc_id
-           |ORDER BY doc1, doc2""".stripMargin),
+    Some(s"""WITH $minhashCandidatesCtes
+            |SELECT doc1, doc2 FROM candidates
+            |ORDER BY doc1, doc2""".stripMargin),
   )
 
   // SimHash: 60-bit signature from md5-derived word hashes (60 bits
@@ -229,5 +235,59 @@ object DedupQueries {
            |ORDER BY doc1, doc2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(exact, minhashLsh, simhash, jaccard)
+  // End-to-end near-dup pipeline: MinHash/LSH candidate pairs verified
+  // by exact word-set Jaccard — the scalable alternative to all-pairs
+  // Jaccard (the join fan-in is bounded by LSH candidates, not by
+  // vocabulary co-occurrence).
+  private val jaccardOnCandidates = Q(
+    "td_minhash_jaccard_verify",
+    (s, d) => {
+      import s.implicits._
+      import graft.util.Cols.fanout
+      val candidates = minhashLsh.fn(s, d).select($"doc1", $"doc2")
+      val tokens = fanout(Tables.documents(s, d))
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
+      val t1 = tokens.select($"doc_id".as("doc1"), $"word")
+      val t2 = tokens.select($"doc_id".as("d2t"), $"word".as("word2"))
+      val inter = candidates
+        .join(t1, "doc1")
+        .join(t2, $"doc2" === $"d2t" && $"word" === $"word2")
+        .groupBy($"doc1", $"doc2")
+        .agg(count(lit(1)).as("n_inter"))
+      candidates
+        .join(inter, Seq("doc1", "doc2"), "left_outer")
+        .join(sizes.select($"doc_id".as("doc1"), $"n_words".as("n1")), "doc1")
+        .join(sizes.select($"doc_id".as("doc2"), $"n_words".as("n2")), "doc2")
+        .select($"doc1", $"doc2",
+          round(coalesce($"n_inter", lit(0L)).cast("double") /
+            ($"n1" + $"n2" - coalesce($"n_inter", lit(0L))) * 1e9)
+            .cast("long").as("jaccard_e9"))
+        .orderBy($"doc1", $"doc2")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |tokens AS (
+            |  SELECT DISTINCT doc_id, word FROM (
+            |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            |    FROM documents)),
+            |sizes AS (
+            |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
+            |inter AS (
+            |  SELECT c.doc1, c.doc2, count(*) AS n_inter
+            |  FROM candidates c
+            |  JOIN tokens t1 ON t1.doc_id = c.doc1
+            |  JOIN tokens t2 ON t2.doc_id = c.doc2 AND t2.word = t1.word
+            |  GROUP BY c.doc1, c.doc2)
+            |SELECT c.doc1, c.doc2,
+            |       CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+            |            (s1.n_words + s2.n_words - coalesce(i.n_inter, 0)) * 1e9)
+            |            AS BIGINT) AS jaccard_e9
+            |FROM candidates c
+            |LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+            |JOIN sizes s1 ON s1.doc_id = c.doc1
+            |JOIN sizes s2 ON s2.doc_id = c.doc2
+            |ORDER BY c.doc1, c.doc2""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(exact, minhashLsh, simhash, jaccard, jaccardOnCandidates)
 }

@@ -525,10 +525,41 @@ object RelationalQueries {
             |         o_orderpriority ASC NULLS FIRST""".stripMargin),
   )
 
+  // Salted skew join: the fact side carries a synthetic salt and the
+  // dim side is exploded across all salt values, so one hot key spreads
+  // over N shuffle partitions. Semantically identical to the plain
+  // join (which is what the oracle runs) — the salt is purely physical.
+  private val qSalted = Q(
+    "qj_salted_skew_join",
+    (s, d) => {
+      import s.implicits._
+      val Salts = 8
+      val dim = Tables.customer(s, d)
+        .groupBy(($"c_custkey" % 150).as("user_id"))
+        .agg(min($"c_name").as("uname"))
+      val saltedDim = dim.select(
+        $"user_id", $"uname",
+        explode(sequence(lit(0), lit(Salts - 1))).as("salt"))
+      val fact = Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          pmod($"event_id", lit(Salts)).cast("int").as("salt"))
+      fact // shuffle_hash hint: auto-broadcast would defeat the salting demo
+        .join(saltedDim.hint("shuffle_hash"), Seq("user_id", "salt"))
+        .select($"user_id", $"event_id", $"uname")
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""SELECT d.user_id, e.event_id, d.uname
+           |FROM events e
+           |JOIN (SELECT c_custkey % 150 AS user_id, min(c_name) AS uname
+           |      FROM customer GROUP BY c_custkey % 150) d
+           |  ON e.user_id = d.user_id
+           |ORDER BY d.user_id, e.event_id""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup,
+    qRollup, qSalted,
   )
 }
