@@ -44,4 +44,25 @@ object Engine {
 
   def transformToNdjson(spark: SparkSession, dirs: Dirs, out: String): Unit =
     NdjsonSink.write(transform(spark, dirs), out)
+
+  /** The reference's download step (building-inspector.js:337-369):
+    * sequential, rate-limited driver-side ingest of the three datasets
+    * to landing files — consolidated paginated to NDJSON (read back
+    * parallel via [[graft.sources.GeoJson.featuresNdjson]]), toponyms
+    * and sheets single-shot. `extractFeatures` parses one page body
+    * into its features (injected: keeps this module HTTP-client-pure
+    * and lets tests drive the loop offline).
+    */
+  def download(
+      baseUrl: String,
+      outDir: String,
+      extractFeatures: String => Seq[String],
+      options: graft.sources.Ingest.Options = graft.sources.Ingest.Options(),
+  ): Unit = {
+    graft.sources.Ingest.pagesToNdjson(
+      s"$baseUrl/consolidated", s"$outDir/consolidated.ndjson",
+      extractFeatures, options)
+    graft.sources.Ingest.toFile(s"$baseUrl/toponyms", s"$outDir/toponyms.geojson", options)
+    graft.sources.Ingest.toFile(s"$baseUrl/sheets", s"$outDir/sheets.geojson", options)
+  }
 }

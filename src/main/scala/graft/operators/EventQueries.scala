@@ -129,5 +129,25 @@ object EventQueries {
            |ORDER BY user_id, event_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf)
+  // Semi-structured payloads via Spark 4 VARIANT: parse once, extract
+  // typed fields lazily — the scale-friendly way to query JSON columns
+  // (shredded binary instead of per-query string parsing).
+  private val variantJson = Q(
+    "ev_variant_json",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_field"),
+        )
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |       CAST(json_extract_string(props, '$.k') AS INT) AS k_field
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf, variantJson)
 }
