@@ -105,6 +105,8 @@ object exprs {
   def st_contains(polygonRings: Column, point: Column): Column =
     c(StContains(e(polygonRings), e(point)))
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
+  def kmv_distinct(col: Column, k: Int): Column =
+    c(KmvDistinct(e(col), k).toAggregateExpression())
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

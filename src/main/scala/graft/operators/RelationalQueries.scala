@@ -556,10 +556,52 @@ object RelationalQueries {
            |ORDER BY d.user_id, e.event_id""".stripMargin),
   )
 
+  // Custom KMV sketch vs exact distinct: the md5-based k-minimum-values
+  // estimator is fully replayable in SQL (unlike HLL), so even the
+  // APPROXIMATE answer is oracle-checked exactly.
+  private val qKmv = Q(
+    "qa_kmv_distinct_sketch",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.kmv_distinct
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          kmv_distinct($"l_partkey".cast("string"), 256).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+        )
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH h AS (
+           |  SELECT DISTINCT l_returnflag AS g,
+           |         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12)
+           |              AS BIGINT) AS h
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT g, h,
+           |         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+           |         count(*) OVER (PARTITION BY g) AS n
+           |  FROM h),
+           |x AS (
+           |  SELECT l_returnflag AS g,
+           |         count(DISTINCT l_partkey) AS exact_parts
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT r.g AS l_returnflag,
+           |       CASE WHEN max(r.n) < 256 THEN max(r.n)
+           |            ELSE CAST(floor(255 * 281474976710656.0 /
+           |                 max(CASE WHEN r.rn = 256 THEN r.h END)) AS BIGINT)
+           |       END AS approx_parts,
+           |       max(x.exact_parts) AS exact_parts
+           |FROM r JOIN x ON r.g = x.g
+           |WHERE r.rn <= 256
+           |GROUP BY r.g
+           |ORDER BY r.g""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup, qSalted,
+    qRollup, qSalted, qKmv,
   )
 }
