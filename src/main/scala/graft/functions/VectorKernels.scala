@@ -1,0 +1,78 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.Decimal
+
+/** Vector-similarity kernels backing [[CosineE9]].
+  *
+  * The scaled-integer cosine must agree bit-for-bit with the
+  * DECIMAL(30,15)-fold formulation the DuckDB oracle runs, so each
+  * float product is converted to decimal with SPARK'S OWN cast
+  * semantics (`Decimal(double)` + changePrecision — shortest-repr
+  * based, not raw binary expansion) before exact BigDecimal summation.
+  * A float×float product is exact in double, so the only rounding is
+  * that cast, identical on both engines.
+  */
+object VectorKernels {
+
+  private def dec15(d: Double): JBigDecimal = {
+    val dec = Decimal(d)
+    dec.changePrecision(30, 15)
+    dec.toJavaBigDecimal
+  }
+
+  /** round(cosine(a, b) * 1e9) over float vectors, decimal-exact. */
+  def cosineE9(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = JBigDecimal.ZERO
+    var na = JBigDecimal.ZERO
+    var nb = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot = dot.add(dec15(x * y))
+      na = na.add(dec15(x * x))
+      nb = nb.add(dec15(y * y))
+      i += 1
+    }
+    val c = dot.doubleValue() / math.sqrt(na.doubleValue() * nb.doubleValue())
+    // Spark round(double, 0) semantics: BigDecimal HALF_UP
+    new JBigDecimal(c * 1e9).setScale(0, RoundingMode.HALF_UP).longValue()
+  }
+
+  /** The 6×64 ±1 random-hyperplane matrix (md5-derived constant shared
+    * with the SQL oracle's `substr(md5(p || '-' || i), 1, 1) < '8'`).
+    */
+  private lazy val planes: Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(6, 64) { (p, i0) =>
+      val hex = digest.digest(s"$p-${i0 + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+  }
+
+  /** LSH bucket id for a float vector: bit p set iff the decimal-exact
+    * projection on hyperplane p is positive.
+    */
+  def lshBucket(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bucket = 0L
+    var p = 0
+    while (p < 6) {
+      val w = planes(p)
+      var proj = JBigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        proj = proj.add(dec15(v.getFloat(i).toDouble * w(i)))
+        i += 1
+      }
+      if (proj.signum() > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}

@@ -95,6 +95,40 @@ object RollingHash {
   }
 }
 
+/** Decimal-exact scaled-integer cosine over two float vectors:
+  * `cosine_e9(a, b) = round(cos(a,b) * 1e9)` with the DECIMAL(30,15)
+  * summation the oracle replays (see [[VectorKernels]]). As a native
+  * codegen'd expression this scores a candidate pair in one static
+  * call — the interpreted lambda overhead of a zip_with/aggregate
+  * fold is the dominant cost of similarity joins otherwise.
+  */
+case class CosineE9(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineE9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineE9($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineE9 =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket id of a float vector (codegen'd; the
+  * ±1 plane matrix is the md5-derived constant the oracle replays).
+  */
+case class LshBucket(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucket(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.lshBucket($v)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -107,6 +141,8 @@ object exprs {
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
   def kmv_distinct(col: Column, k: Int): Column =
     c(KmvDistinct(e(col), k).toAggregateExpression())
+  def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
+  def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

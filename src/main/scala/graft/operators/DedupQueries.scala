@@ -244,7 +244,10 @@ object DedupQueries {
     (s, d) => {
       import s.implicits._
       import graft.util.Cols.fanout
-      val candidates = minhashLsh.fn(s, d).select($"doc1", $"doc2")
+      // The candidate set is tiny but its lineage is the whole minhash
+      // chain, and it feeds TWO joins below — localCheckpoint
+      // materializes it once instead of recomputing the chain per use.
+      val candidates = minhashLsh.fn(s, d).select($"doc1", $"doc2").localCheckpoint()
       val tokens = fanout(Tables.documents(s, d))
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
       val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))

@@ -31,31 +31,14 @@ object SimilarityQueries {
     "sim_cosine_topk",
     (s, d) => {
       import s.implicits._
+      import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
-      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) =>
-            (x.cast("double") * y.cast("double")).cast(Dec)),
-          lit(0).cast(Dec),
-          (acc, v) => (acc + v).cast(Dec),
-        )
       graft.util.Cols.fanout(emb.filter($"vec_id" =!= 0))
         .crossJoin(broadcast(query))
-        .select(
-          $"vec_id",
-          dotDec($"embedding", $"qe").as("dot"),
-          dotDec($"embedding", $"embedding").as("nb"),
-          dotDec($"qe", $"qe").as("na"),
-        )
-        .select(
-          $"vec_id",
-          // scaled-integer cosine: decimal→double conversion differs by
-          // 1 ulp between engines, so hash-compare at 1e-9 resolution
-          round($"dot".cast("double") /
-            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
-            .cast("long").as("cosine_e9"),
-        )
+        // scaled-integer cosine: decimal-exact inside the codegen'd
+        // kernel, hash-comparable at 1e-9 resolution
+        .select($"vec_id", cosine_e9($"embedding", $"qe").as("cosine_e9"))
         .orderBy($"cosine_e9".desc, $"vec_id")
         .limit(10)
     },
@@ -81,19 +64,15 @@ object SimilarityQueries {
            |LIMIT 10""".stripMargin),
   )
 
-  /** The 6×64 ±1 hyperplane matrix is a CONSTANT derivable at plan
-    * time (md5 of plane-dim indices), so it is materialized driver-side
-    * and embedded as literals: bucket assignment becomes one in-row
-    * codegen'd fold per vector — no explode, no shuffle. The oracle
-    * recomputes the same md5-derived weights in SQL.
+  /** Unordered (vec_id, bucket, embedding) — shared by the bucket
+    * query, the ANN, and near-dup so each reuse is one codegen'd
+    * kernel call per row with no embedded sort.
     */
-  private[operators] def planeWeights: Array[Array[Double]] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(6, 64) { (p, i0) =>
-      val hex = digest.digest(s"$p-${i0 + 1}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      if (hex.charAt(0) < '8') 1.0 else -1.0
-    }
+  private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    import graft.functions.exprs.lsh_bucket
+    graft.util.Cols.fanout(Tables.embeddings(s, d))
+      .select($"vec_id", lsh_bucket($"embedding").as("bucket"), $"embedding")
   }
 
   // Random-hyperplane LSH bucket assignment: 6 md5-derived ±1
@@ -102,19 +81,7 @@ object SimilarityQueries {
     "sim_lsh_bucket",
     (s, d) => {
       import s.implicits._
-      val weights = planeWeights
-      def proj(p: Int) = aggregate(
-        zip_with($"embedding", lit(weights(p)), (x, w) =>
-          (x.cast("double") * w).cast(Dec)),
-        lit(0).cast(Dec),
-        (acc, v) => (acc + v).cast(Dec),
-      )
-      val bucket = (0 to 5)
-        .map(p => when(proj(p) > 0, lit(1L << p)).otherwise(0L))
-        .reduce(_ + _)
-      graft.util.Cols.fanout(Tables.embeddings(s, d))
-        .select($"vec_id", bucket.as("bucket"))
-        .orderBy($"vec_id")
+      bucketed(s, d).select($"vec_id", $"bucket").orderBy($"vec_id")
     },
     Some("""WITH votes AS (
            |  SELECT e.vec_id, p,
@@ -138,26 +105,15 @@ object SimilarityQueries {
     "sim_lsh_ann_topk",
     (s, d) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val withBucket = lshBuckets.fn(s, d) // (vec_id, bucket)
-        .join(emb, "vec_id")
-        .select($"vec_id", $"bucket", $"embedding")
+      val withBucket = bucketed(s, d)
       val probes = withBucket.filter($"vec_id" < 10)
         .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("pe"))
-      // No oracle on this path → plain double folds (fastest codegen);
-      // the decimal trick is only needed for cross-engine hash-compare.
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+      import graft.functions.exprs.cosine_e9
       val scored = probes
         .join(withBucket.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
         .filter($"cand_id" =!= $"probe_id")
-        .select(
-          $"probe_id", $"cand_id",
-          (dot($"pe", $"embedding") /
-            sqrt(dot($"pe", $"pe") * dot($"embedding", $"embedding"))).as("cosine"),
-        )
+        .select($"probe_id", $"cand_id",
+          cosine_e9($"pe", $"embedding").as("cosine"))
       scored
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -176,30 +132,12 @@ object SimilarityQueries {
     "td_embedding_neardup",
     (s, d) => {
       import s.implicits._
-      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-          lit(0).cast(Dec),
-          (acc, v) => (acc + v).cast(Dec),
-        )
-      val bucketed = lshBuckets.fn(s, d)
-        .join(Tables.embeddings(s, d), "vec_id")
-        .select($"vec_id", $"bucket", $"embedding")
-      val a = bucketed.select($"vec_id".as("vec1"), $"bucket", $"embedding".as("ea"))
-      val b = bucketed.select($"vec_id".as("vec2"), $"bucket".as("bucket2"), $"embedding".as("eb"))
+      import graft.functions.exprs.cosine_e9
+      val bkt = bucketed(s, d)
+      val a = bkt.select($"vec_id".as("vec1"), $"bucket", $"embedding".as("ea"))
+      val b = bkt.select($"vec_id".as("vec2"), $"bucket".as("bucket2"), $"embedding".as("eb"))
       a.join(b, $"bucket" === $"bucket2" && $"vec1" < $"vec2")
-        .select(
-          $"vec1", $"vec2",
-          dotDec($"ea", $"eb").as("dot"),
-          dotDec($"ea", $"ea").as("na"),
-          dotDec($"eb", $"eb").as("nb"),
-        )
-        .select(
-          $"vec1", $"vec2",
-          round($"dot".cast("double") /
-            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
-            .cast("long").as("cosine_e9"),
-        )
+        .select($"vec1", $"vec2", cosine_e9($"ea", $"eb").as("cosine_e9"))
         .filter($"cosine_e9" >= 400000000L)
         .orderBy($"vec1", $"vec2")
     },
@@ -252,12 +190,7 @@ object SimilarityQueries {
     "sim_ivf_cell_assign",
     (s, d) => {
       import s.implicits._
-      def dotDec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(
-          zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
-          lit(0).cast(Dec),
-          (acc, v) => (acc + v).cast(Dec),
-        )
+      import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
       val cents = emb.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
@@ -265,18 +198,7 @@ object SimilarityQueries {
         .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
       graft.util.Cols.fanout(emb)
         .crossJoin(broadcast(cents))
-        .select(
-          $"vec_id", $"cent_id",
-          dotDec($"embedding", $"ce").as("dot"),
-          dotDec($"embedding", $"embedding").as("na"),
-          dotDec($"ce", $"ce").as("nb"),
-        )
-        .select(
-          $"vec_id", $"cent_id",
-          round($"dot".cast("double") /
-            sqrt($"na".cast("double") * $"nb".cast("double")) * 1e9)
-            .cast("long").as("cos_e9"),
-        )
+        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vec_id", $"cent_id".as("cell"))
