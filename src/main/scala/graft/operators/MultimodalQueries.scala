@@ -121,5 +121,74 @@ object MultimodalQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(metadata, decode)
+  // Resize: pure metadata transform over the stub-decoded dimensions —
+  // fit-within-256 preserving aspect ratio via exact integer math.
+  private val resize = Q(
+    "mm_resize",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.decode(Multimodal.asMedia(s, d))
+        .toDF()
+        .select(
+          $"doc_id", $"width", $"height",
+          when(greatest($"width", $"height") <= 256, $"width")
+            .otherwise(expr("CAST(width * 256 DIV greatest(width, height) AS INT)"))
+            .as("out_width"),
+          when(greatest($"width", $"height") <= 256, $"height")
+            .otherwise(expr("CAST(height * 256 DIV greatest(width, height) AS INT)"))
+            .as("out_height"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |         64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) AS width,
+           |         64 + CAST('0x' || substr(md5(text), 5, 2) AS INT) AS height
+           |  FROM documents)
+           |SELECT doc_id, width, height,
+           |       CASE WHEN greatest(width, height) <= 256 THEN width
+           |            ELSE CAST(width * 256 // greatest(width, height) AS INT)
+           |       END AS out_width,
+           |       CASE WHEN greatest(width, height) <= 256 THEN height
+           |            ELSE CAST(height * 256 // greatest(width, height) AS INT)
+           |       END AS out_height
+           |FROM h
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // Frame sampling: the stub "video" has md5-derived frame count; emit
+  // every 5th frame as its own row (posexplode over the frame index
+  // sequence — the generator plumbing a real frame extractor feeds).
+  private val frameSample = Q(
+    "mm_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          (expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)") + 10)
+            .as("n_frames"))
+        .select($"doc_id", $"n_frames",
+          posexplode(sequence(lit(0), $"n_frames" - 1, lit(5)))
+            .as(Seq("sample_idx", "frame_idx")))
+        .select(
+          $"doc_id",
+          $"sample_idx",
+          $"frame_idx",
+          ($"frame_idx" * 40L).as("ts_ms"), // 25 fps
+        )
+        .orderBy($"doc_id", $"sample_idx")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(text), 7, 2) AS INT) + 10 AS n_frames
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CAST(frame_idx // 5 AS INT) AS sample_idx,
+           |       CAST(frame_idx AS INT) AS frame_idx,
+           |       frame_idx * 40 AS ts_ms
+           |FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx)
+           |ORDER BY doc_id, sample_idx""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(metadata, decode, resize, frameSample)
 }
