@@ -58,6 +58,17 @@ object StreamingOps {
         col("event_type"), col("n"), col("value_cents"),
       )
 
+  /** Streaming exact dedup by key with WATERMARK-BOUNDED state:
+    * duplicates arriving within the watermark window are dropped, and
+    * per-key state is evicted once the watermark passes — the only
+    * dedup formulation whose state does not grow without bound on an
+    * infinite stream.
+    */
+  def dedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Gap-based sessionization: a session closes after `gapMs` of
     * silence per user (stateful, event-time timeout).
     */
