@@ -22,5 +22,6 @@ object QueryCatalog {
       graft.operators.TextQueries.all ++
       graft.operators.SimilarityQueries.all ++
       graft.operators.MultimodalQueries.all ++
-      graft.operators.EventQueries.all
+      graft.operators.EventQueries.all ++
+      graft.operators.ExtraQueries.all
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.util.Cols._
+
+/** Remaining general-engine operator classes beyond the reference
+  * surface: set operations, unpivot, scalar subqueries, non-equi range
+  * joins, data-quality profiling, and corpus vocabulary stats.
+  */
+object ExtraQueries {
+
+  // INTERSECT / EXCEPT set operations.
+  private val setOps = Q(
+    "qs_intersect_except",
+    (s, d) => {
+      import s.implicits._
+      val ordered = Tables.orders(s, d).select($"o_custkey".as("key")).distinct()
+      val balanced = Tables.customer(s, d)
+        .filter($"c_acctbal" > 0).select($"c_custkey".as("key")).distinct()
+      val both = ordered.intersect(balanced)
+        .select($"key", lit("both").as("which"))
+      val orderedOnly = ordered.except(balanced)
+        .select($"key", lit("ordered_only").as("which"))
+      both.unionByName(orderedOnly).orderBy($"key", $"which")
+    },
+    Some("""SELECT key, which FROM (
+           |  SELECT key, 'both' AS which FROM (
+           |    SELECT DISTINCT o_custkey AS key FROM orders
+           |    INTERSECT
+           |    SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 0)
+           |  UNION ALL
+           |  SELECT key, 'ordered_only' AS which FROM (
+           |    SELECT DISTINCT o_custkey AS key FROM orders
+           |    EXCEPT
+           |    SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 0))
+           |ORDER BY key, which""".stripMargin),
+  )
+
+  // Unpivot (wide → long), the inverse of the conditional-agg pivot.
+  private val unpivot = Q(
+    "qs_unpivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey",
+          expr("stack(2, 'size', CAST(p_size AS DOUBLE), " +
+            "'retail_cents', CAST(round(p_retailprice * 100) AS DOUBLE)) " +
+            "AS (metric, value)"))
+        .orderBy($"p_partkey", $"metric")
+    },
+    Some("""SELECT p_partkey, metric, value FROM (
+           |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+           |  FROM part
+           |  UNION ALL
+           |  SELECT p_partkey, 'retail_cents' AS metric,
+           |         CAST(round(p_retailprice * 100) AS DOUBLE) AS value
+           |  FROM part)
+           |ORDER BY p_partkey, metric""".stripMargin),
+  )
+
+  // Scalar subquery: rows above the global average (computed once,
+  // broadcast to every row).
+  private val scalarSubquery = Q(
+    "qs_scalar_subquery",
+    (s, d) => {
+      import s.implicits._
+      val avgCents = Tables.orders(s, d)
+        .agg((sum(cents($"o_totalprice")) / count(lit(1))).as("avg_cents"))
+      Tables.orders(s, d)
+        .crossJoin(broadcast(avgCents))
+        .filter(cents($"o_totalprice") > $"avg_cents")
+        .select($"o_orderkey", cents($"o_totalprice").as("total_cents"))
+        .orderBy($"o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS total_cents
+            |FROM orders
+            |WHERE ${centsSql("o_totalprice")} >
+            |  (SELECT sum(${centsSql("o_totalprice")}) / count(*) FROM orders)
+            |ORDER BY o_orderkey""".stripMargin),
+  )
+
+  // Non-equi range join: orders binned into price bands (a broadcast
+  // nested-loop join — the 10-row band side makes BNLJ the right
+  // plan; at scale a range join binning trick turns this into an
+  // equi-join on the bucket id).
+  private val rangeJoin = Q(
+    "qj_range_band_join",
+    (s, d) => {
+      import s.implicits._
+      val bands = s.range(10).select(
+        $"id".as("band"),
+        ($"id" * 5000000L).as("lo_cents"),
+        (($"id" + 1) * 5000000L).as("hi_cents"),
+      )
+      Tables.orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("tc"))
+        .join(broadcast(bands), $"tc" >= $"lo_cents" && $"tc" < $"hi_cents")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_orders"), sum($"tc").as("sum_cents"))
+        .orderBy($"band")
+    },
+    Some(s"""SELECT band, count(*) AS n_orders,
+            |       sum(${centsSql("o_totalprice")}) AS sum_cents
+            |FROM orders
+            |JOIN (SELECT r AS band, r * 5000000 AS lo_cents,
+            |             (r + 1) * 5000000 AS hi_cents
+            |      FROM range(0, 10) t(r)) bands
+            |  ON ${centsSql("o_totalprice")} >= lo_cents
+            | AND ${centsSql("o_totalprice")} < hi_cents
+            |GROUP BY band
+            |ORDER BY band""".stripMargin),
+  )
+
+  // Data-quality profiling over the corpus: per-source completeness
+  // and shape stats from exact integer counts.
+  private val profile = Q(
+    "ta_profile_by_source",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"text".isNull || length($"text") === 0, 1L).otherwise(0L))
+            .as("n_empty"),
+          min(length($"text")).as("min_len"),
+          max(length($"text")).as("max_len"),
+          sum(length($"text")).as("sum_len"),
+          countDistinct($"lang").as("n_langs"),
+        )
+        .orderBy($"source")
+    },
+    Some("""SELECT source,
+           |       count(*) AS n_docs,
+           |       sum(CASE WHEN text IS NULL OR length(text) = 0
+           |                THEN 1 ELSE 0 END) AS n_empty,
+           |       CAST(min(length(text)) AS INT) AS min_len,
+           |       CAST(max(length(text)) AS INT) AS max_len,
+           |       sum(length(text)) AS sum_len,
+           |       count(DISTINCT lang) AS n_langs
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
+  // Vocabulary stats: global top-20 words by document frequency.
+  private val vocab = Q(
+    "ta_vocab_topk",
+    (s, d) => {
+      import s.implicits._
+      import graft.util.Cols.fanout
+      fanout(Tables.documents(s, d))
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy($"doc_freq".desc, $"word")
+        .limit(20)
+    },
+    Some("""SELECT word, count(*) AS doc_freq FROM (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |    FROM documents))
+           |GROUP BY word
+           |ORDER BY doc_freq DESC, word
+           |LIMIT 20""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile, vocab)
+}
