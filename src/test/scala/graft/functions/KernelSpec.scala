@@ -51,6 +51,36 @@ class JsNumberSpec extends AnyFunSuite {
   }
 }
 
+class VectorKernelSpec extends AnyFunSuite {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private def vec(xs: Array[Float]): ArrayData = ArrayData.toArrayData(xs)
+
+  test("cosineE9 is symmetric, bounded, and exact on aligned vectors") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val a = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+      val b = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+      val ab = VectorKernels.cosineE9(vec(a), vec(b))
+      val ba = VectorKernels.cosineE9(vec(b), vec(a))
+      assert(ab == ba, "symmetry")
+      assert(ab >= -1000000000L && ab <= 1000000000L, s"bounded, got $ab")
+      assert(VectorKernels.cosineE9(vec(a), vec(a)) == 1000000000L, "self-cosine = 1")
+      assert(VectorKernels.cosineE9(vec(a), vec(a.map(-_))) == -1000000000L, "negated = -1")
+    }
+  }
+
+  test("lshBucket is stable and within 6 bits") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+      val b1 = VectorKernels.lshBucket(vec(a))
+      assert(b1 == VectorKernels.lshBucket(vec(a)), "deterministic")
+      assert(b1 >= 0 && b1 < 64, s"6-bit bucket, got $b1")
+    }
+  }
+}
+
 class Base62Spec extends AnyFunSuite {
   test("encodeHex vectors (independent Python computation)") {
     assert(Base62.encodeHex("d7736d2973f83d32d7d71ae5afa77b92") == "6yy6dDdNEW5gyflS0uB0oa")
@@ -101,6 +131,33 @@ class GeoUtilSpec extends AnyFunSuite {
   test("bbox of exterior ring") {
     val b = GeoUtil.bbox(arr(square, hole))
     assert(b.toSeq == Seq(0.0, 0.0, 10.0, 10.0))
+  }
+
+  test("random star polygons: containment implies bbox containment") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      // random star-shaped (possibly concave) polygon around a center
+      val cx = rnd.nextDouble() * 100
+      val cy = rnd.nextDouble() * 100
+      val n = 5 + rnd.nextInt(10)
+      val pts = (0 until n).map { i =>
+        val ang = 2 * math.Pi * i / n
+        val r = 1 + rnd.nextDouble() * 9
+        Seq(cx + r * math.cos(ang), cy + r * math.sin(ang))
+      } :+ Seq(cx + (1 + 0) * math.cos(0), cy + 0.0) // close approximately
+      val ring = pts.init :+ pts.head // properly closed
+      val poly = arr(ring)
+      val b = GeoUtil.bbox(poly)
+      assert(GeoUtil.contains(poly, pt(cx, cy)), "center of a star polygon is inside")
+      (1 to 50).foreach { _ =>
+        val x = cx + (rnd.nextDouble() - 0.5) * 40
+        val y = cy + (rnd.nextDouble() - 0.5) * 40
+        if (GeoUtil.contains(poly, pt(x, y))) {
+          assert(x >= b(0) && x <= b(2) && y >= b(1) && y <= b(3),
+            "containment implies bbox containment")
+        }
+      }
+    }
   }
 
   test("bbox containment is implied by polygon containment") {
