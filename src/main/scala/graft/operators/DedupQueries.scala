@@ -292,5 +292,57 @@ object DedupQueries {
             |ORDER BY c.doc1, c.doc2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(exact, minhashLsh, simhash, jaccard, jaccardOnCandidates)
+  // Duplicate-cluster assignment: connected components over the LSH
+  // candidate graph via iterative min-label propagation (the
+  // driver-side loop only checks a convergence COUNT per round — all
+  // data work is joins/aggregations; at scale this is the standard
+  // alternating large-star/small-star shape). Output: every doc in a
+  // candidate pair mapped to its component's minimum doc id — the
+  // "keep one representative per duplicate cluster" step. The oracle
+  // rebuilds components with a recursive transitive-closure CTE.
+  private val dedupClusters = Q(
+    "td_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      val edges = minhashLsh.fn(s, d).select($"doc1", $"doc2").localCheckpoint()
+      val sym = edges.unionByName(
+        edges.select($"doc2".as("doc1"), $"doc1".as("doc2")))
+      var labels = sym.select($"doc1".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 25) {
+        val propagated = sym
+          .join(labels, sym("doc2") === labels("node"))
+          .select($"doc1".as("node"), $"label")
+          .unionByName(labels)
+          .groupBy($"node")
+          .agg(min($"label").as("label"))
+          .localCheckpoint() // truncate the iterative lineage
+        converged = propagated.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter($"label" =!= $"old").isEmpty
+        labels = propagated
+        iter += 1
+      }
+      labels.select($"node".as("doc_id"), $"label".as("cluster_rep"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashCandidatesCtes,
+            |sym AS (
+            |  SELECT doc1, doc2 FROM candidates
+            |  UNION
+            |  SELECT doc2, doc1 FROM candidates),
+            |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
+            |reach(src, dst) AS (
+            |  SELECT node, node FROM nodes
+            |  UNION
+            |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst)
+            |SELECT src AS doc_id, min(dst) AS cluster_rep
+            |FROM reach
+            |GROUP BY src
+            |ORDER BY doc_id""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(exact, minhashLsh, simhash, jaccard, jaccardOnCandidates, dedupClusters)
 }
