@@ -165,5 +165,50 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+  // Deterministic hash-based sampling: a stable 10% sample selected by
+  // content-independent hash ranges — reproducible across runs,
+  // engines, and partitionings (unlike rand()-based sampling).
+  private val stableSample = Q(
+    "ta_stable_sample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)") % 100 < 10)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source
+           |FROM documents
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 10
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // Train/val/test split by stable hash buckets (80/10/10): the
+  // reproducible dataset-split step of a training pipeline.
+  private val split3 = Q(
+    "td_train_val_test_split",
+    (s, d) => {
+      import s.implicits._
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)") % 100
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       CASE WHEN b < 80 THEN 'train'
+           |            WHEN b < 90 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS b
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, stableSample, split3)
 }
