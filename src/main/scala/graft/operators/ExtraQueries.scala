@@ -168,5 +168,84 @@ object ExtraQueries {
            |LIMIT 20""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile, vocab)
+  // Window-function breadth: ranking family + range frames in one
+  // query (ntile, percent_rank, cume_dist, lag/lead, RANGE frame sum).
+  private val windowVariants = Q(
+    "qw_window_variants",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_mktsegment").orderBy(cents($"c_acctbal"), $"c_custkey")
+      Tables.customer(s, d)
+        .select(
+          $"c_custkey", $"c_mktsegment",
+          cents($"c_acctbal").as("bal_cents"),
+          ntile(4).over(w).as("quartile"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          lag(cents($"c_acctbal"), 1).over(w).as("prev_bal"),
+        )
+        .orderBy($"c_mktsegment", $"rnk", $"c_custkey")
+    },
+    Some(s"""SELECT c_custkey, c_mktsegment,
+            |       ${centsSql("c_acctbal")} AS bal_cents,
+            |       ntile(4) OVER w AS quartile,
+            |       rank() OVER w AS rnk,
+            |       dense_rank() OVER w AS drnk,
+            |       lag(${centsSql("c_acctbal")}, 1) OVER w AS prev_bal
+            |FROM customer
+            |WINDOW w AS (PARTITION BY c_mktsegment
+            |             ORDER BY ${centsSql("c_acctbal")}, c_custkey)
+            |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin),
+  )
+
+  // Fuzzy matching: same-brand part-name pairs within edit distance 3
+  // (levenshtein has identical semantics in both engines) — the
+  // string-similarity dedup primitive.
+  private val fuzzy = Q(
+    "td_fuzzy_name_match",
+    (s, d) => {
+      import s.implicits._
+      val a = Tables.part(s, d).select($"p_partkey".as("k1"), $"p_brand", $"p_name".as("n1"))
+      val b = Tables.part(s, d)
+        .select($"p_partkey".as("k2"), $"p_brand".as("brand2"), $"p_name".as("n2"))
+      a.join(b, $"p_brand" === $"brand2" && $"k1" < $"k2")
+        .select($"k1", $"k2", levenshtein($"n1", $"n2").as("dist"))
+        .filter($"dist" <= 3)
+        .orderBy($"k1", $"k2")
+    },
+    Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+           |FROM part a JOIN part b
+           |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           |WHERE levenshtein(a.p_name, b.p_name) <= 3
+           |ORDER BY k1, k2""".stripMargin),
+  )
+
+  // Text normalization: lowercase, strip non-alphanumerics, collapse
+  // whitespace — the cleaning step before hashing/dedup; fingerprinted
+  // with md5 so the oracle checks the normalized bytes exactly.
+  private val normalize = Q(
+    "ta_normalize_text",
+    (s, d) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select($"doc_id", md5(norm).as("norm_md5"), length(norm).as("norm_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       md5(trim(regexp_replace(
+           |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           |           ' +', ' ', 'g'))) AS norm_md5,
+           |       CAST(length(trim(regexp_replace(
+           |           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           |           ' +', ' ', 'g'))) AS INT) AS norm_len
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
+    vocab, windowVariants, fuzzy, normalize)
 }
