@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -129,6 +130,34 @@ case class LshBucket(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Generator (UDTF surface, SURVEY §2.5): emits one row per
+  * word n-gram of a text column — the custom-generator counterpart to
+  * posexplode, streaming rows lazily instead of materializing the
+  * n-gram array per input row.
+  */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false),
+  ))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val words = v.asInstanceOf[UTF8String].toString.split(" ")
+      if (words.length < n) Iterator.empty
+      else (0 to words.length - n).iterator.map { i =>
+        InternalRow(i, UTF8String.fromString(words.slice(i, i + n).mkString(" ")))
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -143,6 +172,7 @@ object exprs {
     c(KmvDistinct(e(col), k).toAggregateExpression())
   def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
+  def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -210,5 +210,32 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, stableSample, split3)
+  // Native Generator surface: word bigrams emitted by the custom
+  // NGrams UDTF (one lazily-streamed row per n-gram), checked against
+  // the window-lead formulation in SQL.
+  private val bigramsUdtf = Q(
+    "ta_ngrams_generator",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter($"doc_id" < 100)
+        .select($"doc_id", ngrams($"text", 2).as(Seq("pos", "ngram")))
+        .orderBy($"doc_id", $"pos")
+    },
+    Some("""SELECT doc_id, CAST(pos - 1 AS INT) AS pos,
+           |       word || ' ' || next_word AS ngram
+           |FROM (
+           |  SELECT doc_id, pos, word, lead(word, 1) OVER w AS next_word
+           |  FROM (
+           |    SELECT doc_id,
+           |           unnest(string_split(text, ' ')) AS word,
+           |           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |    FROM documents WHERE doc_id < 100)
+           |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           |WHERE next_word IS NOT NULL
+           |ORDER BY doc_id, pos""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(tokens, quality, langid, fingerprint, stableSample, split3, bigramsUdtf)
 }
