@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash", "rolling_hash(str) - Karp-Rabin fingerprint mod 2^31-1"),
       (es: Seq[Expression]) => RollingHash(es.head)))
     e.injectPlannerStrategy(_ => SpatialJoinStrategy)
+    e.injectOptimizerRule(_ => AddBboxPrefilter)
   }
 }

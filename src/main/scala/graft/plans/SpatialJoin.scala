@@ -206,13 +206,21 @@ case class BroadcastSpatialJoinExec(
 
 /** Installer for the engine's custom planning. */
 object GraftPlanner {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(SpatialJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ SpatialJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AddBboxPrefilter)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AddBboxPrefilter
+    }
+  }
 
-  def uninstall(spark: SparkSession): Unit =
+  def uninstall(spark: SparkSession): Unit = {
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies.filterNot(_ == SpatialJoinStrategy)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == AddBboxPrefilter)
+  }
 }
