@@ -312,12 +312,16 @@ object DedupQueries {
       var converged = false
       var iter = 0
       while (!converged && iter < 12) {
+        // materialize the propagation BEFORE the pointer-jump self-join
+        // (a self-join would recompute it on both sides) and truncate
+        // the iterative lineage
         val propagated = sym
           .join(labels, sym("doc2") === labels("node"))
           .select($"doc1".as("node"), $"label")
           .unionByName(labels)
           .groupBy($"node")
           .agg(min($"label").as("label"))
+          .localCheckpoint()
         // pointer jumping: relabel by the label's own label — halves
         // the rounds to converge (log diameter instead of diameter)
         val byLabel = propagated
@@ -326,7 +330,7 @@ object DedupQueries {
           .join(byLabel, $"label" === $"jnode", "left_outer")
           .select($"node",
             least($"label", coalesce($"jlabel", $"label")).as("label"))
-          .localCheckpoint() // truncate the iterative lineage
+          .localCheckpoint()
         converged = jumped.join(labels.withColumnRenamed("label", "old"), "node")
           .filter($"label" =!= $"old").isEmpty
         labels = jumped
