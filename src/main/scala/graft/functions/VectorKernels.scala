@@ -55,6 +55,43 @@ object VectorKernels {
     }
   }
 
+  /** Pack sorted vocabulary indexes into a fixed-width bitset
+    * (array of longs); `words` is the number of 64-bit words.
+    */
+  def bitsetFromIndexes(indexes: ArrayData, words: Int): ArrayData = {
+    val mask = new Array[Long](words)
+    var i = 0
+    val n = indexes.numElements()
+    while (i < n) {
+      val idx = indexes.getInt(i)
+      mask(idx >>> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+    ArrayData.toArrayData(mask)
+  }
+
+  /** Word-set Jaccard from two equal-width bitsets: |A∩B| / |A∪B|
+    * via popcounts — the exact integer ratio the SQL oracle computes
+    * from its explode-join formulation.
+    */
+  def bitsetJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var inter = 0
+    var na = 0
+    var nb = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      na += java.lang.Long.bitCount(x)
+      nb += java.lang.Long.bitCount(y)
+      i += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** LSH bucket id for a float vector: bit p set iff the decimal-exact
     * projection on hyperplane p is positive.
     */

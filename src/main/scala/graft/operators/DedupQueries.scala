@@ -189,29 +189,39 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
-  // N-gram (word) Jaccard similarity over same-source candidate pairs:
-  // |A ∩ B| / |A ∪ B| from exact integer counts (division of identical
-  // ints is bit-deterministic in both engines).
+  // N-gram (word) Jaccard similarity over same-source pairs at
+  // threshold 0.5: each document's word set is packed into a BITSET
+  // over a dense vocabulary index, so a pair costs one codegen'd
+  // popcount kernel call instead of an exploded (source, word)
+  // co-occurrence join that materializes O(pairs-per-word) rows. The
+  // integer intersection/union counts — and therefore the double
+  // jaccard — are exactly what the oracle's explode-join computes.
   private val jaccard = Q(
     "td_ngram_jaccard",
     (s, d) => {
       import s.implicits._
+      import graft.functions.exprs.{bitset_from_indexes, bitset_jaccard}
       import graft.util.Cols.fanout
       val tokens = fanout(Tables.documents(s, d))
-        .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
-        .distinct()
-      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
-      val a = tokens.select($"doc_id".as("doc1"), $"source", $"word")
-      val b = tokens.select($"doc_id".as("doc2"), $"source".as("source2"), $"word".as("word2"))
-      val inter = a
-        .join(b, $"source" === $"source2" && $"word" === $"word2" && $"doc1" < $"doc2")
-        .groupBy($"doc1", $"doc2")
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select($"doc_id".as("doc1"), $"n_words".as("n1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"n_words".as("n2")), "doc2")
-        .select($"doc1", $"doc2",
-          ($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
+        .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("word"))
+      // dense vocabulary index (vocabulary is tiny relative to the
+      // corpus; at 100 TB this stays a broadcastable dimension)
+      val vocab = tokens.select($"word").distinct()
+        .withColumn("widx",
+          (row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"word")) - 1)
+            .cast("int"))
+      val vocabSize = vocab.count().toInt
+      val maskWords = (vocabSize + 63) / 64
+      val masks = tokens
+        .join(broadcast(vocab), "word")
+        .groupBy($"doc_id", $"source")
+        .agg(collect_list($"widx").as("idxs"))
+        .select($"doc_id", $"source",
+          bitset_from_indexes($"idxs", maskWords).as("mask"))
+      val a = masks.select($"doc_id".as("doc1"), $"source", $"mask".as("m1"))
+      val b = masks.select($"doc_id".as("doc2"), $"source".as("source2"), $"mask".as("m2"))
+      a.join(b, $"source" === $"source2" && $"doc1" < $"doc2")
+        .select($"doc1", $"doc2", bitset_jaccard($"m1", $"m2").as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"doc1", $"doc2")
     },
