@@ -30,16 +30,22 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.model.Tables(spark, sfDir, t).count())
 
+    // A failed query must be visible in the JSON (time -1 + an errors
+    // entry), never a normal-looking timing.
     val results = QueryCatalog.all.map { q =>
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { q.fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (q.name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

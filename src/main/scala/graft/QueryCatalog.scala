@@ -23,5 +23,6 @@ object QueryCatalog {
       graft.operators.SimilarityQueries.all ++
       graft.operators.MultimodalQueries.all ++
       graft.operators.EventQueries.all ++
-      graft.operators.ExtraQueries.all
+      graft.operators.ExtraQueries.all ++
+      graft.operators.PipelineQueries.all
 }

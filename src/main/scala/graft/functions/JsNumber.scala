@@ -72,4 +72,38 @@ object JsNumber {
     }
     sb.toString
   }
+
+  /** JS `Array.prototype.join(',')` over a raw JSON coordinates
+    * subtree of ANY nesting depth. JS join stringifies each element
+    * with `toString`, and Array#toString is itself join(',') — so
+    * nested arrays flatten recursively with no brackets:
+    * `[[1,2],[3,4]].join(',') === "1,2,3,4"`. The reference applies
+    * this to every toponym geometry, Point or not
+    * (building-inspector.js:207), so Polygon toponyms get ids from the
+    * flattened ring coordinates.
+    *
+    * JS element rules mirrored: null/undefined → "", numbers via
+    * [[format]], strings verbatim, booleans "true"/"false".
+    */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def joinNestedJson(rawJson: String): String = {
+    val node = mapper.readTree(rawJson)
+    val sb = new java.lang.StringBuilder
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.isArray) {
+        var i = 0
+        val it = n.elements()
+        while (it.hasNext) {
+          if (i > 0) sb.append(',')
+          walk(it.next())
+          i += 1
+        }
+      } else if (n.isNumber) sb.append(format(n.asDouble()))
+      else if (n.isNull) () // JS String(null element) -> ""
+      else sb.append(n.asText())
+    }
+    walk(node)
+    sb.toString
+  }
 }

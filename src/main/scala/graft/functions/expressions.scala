@@ -32,6 +32,25 @@ case class JsCoordJoin(child: Expression)
     copy(child = newChild)
 }
 
+/** JS `coordinates.join(',')` over the RAW JSON coordinates subtree —
+  * recursive-flatten semantics for geometries of any nesting depth
+  * (reference: building-inspector.js:207; see
+  * [[JsNumber.joinNestedJson]]).
+  */
+case class JsCoordJoinRaw(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(JsNumber.joinNestedJson(input.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.JsNumber.joinNestedJson($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): JsCoordJoinRaw =
+    copy(child = newChild)
+}
+
 /** base-62.js `encodeHex` (reference: building-inspector.js:209). */
 case class Base62EncodeHex(child: Expression)
     extends UnaryExpression {
@@ -209,6 +228,7 @@ object exprs {
   private def e(col: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(col)
 
   def js_coord_join(coords: Column): Column = c(JsCoordJoin(e(coords)))
+  def js_coord_join_raw(rawJson: Column): Column = c(JsCoordJoinRaw(e(rawJson)))
   def base62_encode_hex(hex: Column): Column = c(Base62EncodeHex(e(hex)))
   def st_contains(polygonRings: Column, point: Column): Column =
     c(StContains(e(polygonRings), e(point)))
@@ -227,6 +247,8 @@ object exprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "js_coord_join", es => JsCoordJoin(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "js_coord_join_raw", es => JsCoordJoinRaw(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "base62_encode_hex", es => Base62EncodeHex(es.head), "built-in")
     reg.createOrReplaceTempFunction(

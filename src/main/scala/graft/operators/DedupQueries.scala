@@ -183,7 +183,8 @@ object DedupQueries {
            |  FROM words CROSS JOIN range(0, 60) t(b)
            |  GROUP BY doc_id, b)
            |SELECT doc_id,
-           |       sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+           |            AS BIGINT) AS simhash
            |FROM votes
            |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin),
@@ -204,13 +205,31 @@ object DedupQueries {
       import graft.util.Cols.fanout
       val tokens = fanout(Tables.documents(s, d))
         .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("word"))
-      // dense vocabulary index (vocabulary is tiny relative to the
-      // corpus; at 100 TB this stays a broadcastable dimension)
-      val vocab = tokens.select($"word").distinct()
-        .withColumn("widx",
-          (row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"word")) - 1)
-            .cast("int"))
-      val vocabSize = vocab.count().toInt
+      // Dense vocabulary index WITHOUT a global-window sort: words are
+      // hashed into buckets, ranked per bucket (parallel windows), and
+      // shifted by driver-computed cumulative bucket offsets — one
+      // small collect() of ≤NBuckets counts replaces both the
+      // single-partition row_number exchange and the extra
+      // vocab.count() action. Any word→index bijection yields the same
+      // jaccard, so the bucketed layout is oracle-equivalent.
+      val NBuckets = 1024
+      val vocabBk = tokens.select($"word").distinct()
+        .withColumn("bkt", pmod(xxhash64($"word"), lit(NBuckets)).cast("int"))
+        .localCheckpoint() // reused: offset collect + the index join below
+      val counts = vocabBk.groupBy($"bkt").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val vocabSize = counts.values.sum.toInt
+      var acc = 0L
+      val offsetRows = counts.keys.toSeq.sorted.map { b =>
+        val r = (b, acc); acc += counts(b); r
+      }
+      val offDf = offsetRows.toDF("bkt", "offset")
+      val vocab = vocabBk
+        .withColumn("pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"bkt").orderBy($"word")) - 1)
+        .join(broadcast(offDf), "bkt")
+        .select($"word", ($"offset" + $"pos").cast("int").as("widx"))
       val maskWords = (vocabSize + 63) / 64
       val masks = tokens
         .join(broadcast(vocab), "word")
@@ -258,8 +277,12 @@ object DedupQueries {
       // chain, and it feeds TWO joins below — localCheckpoint
       // materializes it once instead of recomputing the chain per use.
       val candidates = minhashLsh.fn(s, d).select($"doc1", $"doc2").localCheckpoint()
+      // The token table feeds THREE subplans (sizes, t1, t2); Spark
+      // reuses only exchanges, so without a checkpoint the explode
+      // scan runs three times.
       val tokens = fanout(Tables.documents(s, d))
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+        .localCheckpoint()
       val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
       val t1 = tokens.select($"doc_id".as("doc1"), $"word")
       val t2 = tokens.select($"doc_id".as("d2t"), $"word".as("word2"))
@@ -322,16 +345,19 @@ object DedupQueries {
       var converged = false
       var iter = 0
       while (!converged && iter < 12) {
-        // materialize the propagation BEFORE the pointer-jump self-join
-        // (a self-join would recompute it on both sides) and truncate
-        // the iterative lineage
+        // One checkpoint action per round: the previous label rides
+        // along as `old` (max(old) over the union — the self branch is
+        // the only one carrying it), so convergence detection is a
+        // cheap scan of the checkpointed result instead of an extra
+        // join+action; the pointer-jump self-join reuses the
+        // propagation's shuffle via ReusedExchange.
+        val labelT = labels.schema("label").dataType
         val propagated = sym
           .join(labels, sym("doc2") === labels("node"))
-          .select($"doc1".as("node"), $"label")
-          .unionByName(labels)
+          .select($"doc1".as("node"), $"label", lit(null).cast(labelT).as("old"))
+          .unionByName(labels.select($"node", $"label", $"label".as("old")))
           .groupBy($"node")
-          .agg(min($"label").as("label"))
-          .localCheckpoint()
+          .agg(min($"label").as("label"), max($"old").as("old"))
         // pointer jumping: relabel by the label's own label — halves
         // the rounds to converge (log diameter instead of diameter)
         val byLabel = propagated
@@ -339,11 +365,11 @@ object DedupQueries {
         val jumped = propagated
           .join(byLabel, $"label" === $"jnode", "left_outer")
           .select($"node",
-            least($"label", coalesce($"jlabel", $"label")).as("label"))
+            least($"label", coalesce($"jlabel", $"label")).as("label"),
+            $"old")
           .localCheckpoint()
-        converged = jumped.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter($"label" =!= $"old").isEmpty
-        labels = jumped
+        converged = jumped.filter($"label" =!= $"old").isEmpty
+        labels = jumped.select($"node", $"label")
         iter += 1
       }
       labels.select($"node".as("doc_id"), $"label".as("cluster_rep"))

@@ -36,7 +36,7 @@ object EventQueries {
     },
     Some(s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
             |       count(*) AS n,
-            |       sum(${centsSql("value")}) AS value_cents
+            |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
             |FROM events
             |GROUP BY hour_bucket, event_type
             |ORDER BY hour_bucket, event_type""".stripMargin),
@@ -95,9 +95,9 @@ object EventQueries {
         .orderBy($"user_id")
     },
     Some("""SELECT user_id,
-           |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
            |       count(*) AS n_total
            |FROM events
            |GROUP BY user_id

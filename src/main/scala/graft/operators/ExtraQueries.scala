@@ -103,7 +103,7 @@ object ExtraQueries {
         .orderBy($"band")
     },
     Some(s"""SELECT band, count(*) AS n_orders,
-            |       sum(${centsSql("o_totalprice")}) AS sum_cents
+            |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents
             |FROM orders
             |JOIN (SELECT r AS band, r * 5000000 AS lo_cents,
             |             (r + 1) * 5000000 AS hi_cents
@@ -135,11 +135,11 @@ object ExtraQueries {
     },
     Some("""SELECT source,
            |       count(*) AS n_docs,
-           |       sum(CASE WHEN text IS NULL OR length(text) = 0
-           |                THEN 1 ELSE 0 END) AS n_empty,
+           |       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
            |       CAST(min(length(text)) AS INT) AS min_len,
            |       CAST(max(length(text)) AS INT) AS max_len,
-           |       sum(length(text)) AS sum_len,
+           |       CAST(sum(length(text)) AS BIGINT) AS sum_len,
            |       count(DISTINCT lang) AS n_langs
            |FROM documents
            |GROUP BY source

@@ -59,6 +59,36 @@ object InspectorPipeline {
   def layersDim(layerBoroughs: DataFrame): DataFrame =
     layerBoroughs.select(col("id").as("lb_layer_id"), col("borough"))
 
+  /** H4 fail-fast (J1): the reference dereferences
+    * `sheetsById[feature.properties.sheet_id]` unconditionally
+    * (building-inspector.js:103-104) and `stopOnError` aborts the whole
+    * run on the resulting TypeError (:268,322). A silent inner join
+    * would instead drop such features, so before joining we assert —
+    * on the DEDUPED set, because a later duplicate is never
+    * dereferenced by the reference — that every referenced sheet
+    * exists, and abort with the offending ids.
+    *
+    * Cost: one extra narrow pass over (sheet_id) incl. the dedup
+    * shuffle; the dimension side is broadcast, so no extra wide
+    * shuffle at scale. The check is an eager pre-flight action,
+    * mirroring the reference's fail-before-emit contract.
+    */
+  private def assertSheetsPresent(
+      deduped: DataFrame, sheetsD: DataFrame, what: String): Unit = {
+    val missing = deduped
+      .select(col("sheet_id"))
+      .join(broadcast(sheetsD.select(col("s_sheet_id"))),
+        col("sheet_id") === col("s_sheet_id"), "left_anti")
+      .distinct()
+      .limit(20)
+      .collect()
+      .map(_.get(0))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$what references missing sheet id(s): ${missing.mkString(", ")} " +
+          "(reference aborts: building-inspector.js:103-104 + stopOnError)")
+  }
+
   // ------------------------------------------------------- consolidated
 
   def consolidated(
@@ -89,8 +119,10 @@ object InspectorPipeline {
       .drop("rn")
 
     // J1 (inner, fail-fast semantics) + J2 (left outer).
+    val sheetsD = sheetsDim(sheets)
+    assertSheetsPresent(deduped, sheetsD, "consolidated")
     val joined = deduped
-      .join(broadcast(sheetsDim(sheets)), col("sheet_id") === col("s_sheet_id"))
+      .join(broadcast(sheetsD), col("sheet_id") === col("s_sheet_id"))
       .join(broadcast(layersDim(layers)), col("layer_id") === col("lb_layer_id"), "left_outer")
       .withColumn("rings", GeoJson.polygonRings(col("geom0.coordinates")))
 
@@ -206,11 +238,15 @@ object InspectorPipeline {
     )
 
     // P3/F3/F4: toponym-{sheetId}-{base62(md5(coords.join(',')))}
-    // (building-inspector.js:206-209).
+    // (building-inspector.js:206-209). The join runs on the RAW
+    // coordinates subtree with JS recursive-flatten semantics: the
+    // reference derives the id for EVERY toponym before the Point
+    // gate, so a Polygon toponym's id comes from its flattened ring
+    // coordinates, not from a null Point parse.
     val withId = base.withColumn(
       "toponym_id",
       concat(lit("toponym-"), col("sheet_id"), lit("-"),
-        base62_encode_hex(md5(js_coord_join(col("coords"))))),
+        base62_encode_hex(md5(js_coord_join_raw(col("geometry.coordinates"))))),
     )
 
     // D2: first-seen dedup by synthetic id (building-inspector.js:211-214).
@@ -222,8 +258,10 @@ object InspectorPipeline {
 
     // J1 + J2; toponym mapId comes from the SHEET's map_id
     // (building-inspector.js:218), unlike buildings.
+    val sheetsD = sheetsDim(sheets)
+    assertSheetsPresent(deduped, sheetsD, "toponyms")
     val joined = deduped
-      .join(broadcast(sheetsDim(sheets)), col("sheet_id") === col("s_sheet_id"))
+      .join(broadcast(sheetsD), col("sheet_id") === col("s_sheet_id"))
       .join(broadcast(layersDim(layers)), col("layer_id") === col("lb_layer_id"), "left_outer")
       .withColumn("map_id", col("sheet_map_id").cast("int"))
       .persist()

@@ -1,0 +1,336 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** Driver-gated END-TO-END run of the inspector pipeline: the full
+  * consolidated + toponym dataflow ([[InspectorPipeline]], the same
+  * code `Engine.transform` composes) over GeoJSON-shaped inputs
+  * synthesized deterministically from the parquet tables, so the
+  * DuckDB oracle can replay every branch arithmetically.
+  *
+  * Composed semantics exercised in ONE query (SURVEY §2 rows):
+  * D3 last-wins sheet keyBy (duplicate sheets 0-2), J1 broadcast sheet
+  * join, J2 left-outer borough join + log side-output (region 4 and
+  * layer 9 have no borough), D1 first-seen building dedup (ids collide
+  * mod 1000), F6 degenerate-ring filter AFTER dedup (H2; every 11th
+  * building), F2 color truthiness guard (every 5th is ''), F7 'NONE' /
+  * null address sentinels, G1 positional address explode (1-2
+  * addresses + positional geometry pickup), P4 mapwarper fan-out ×2,
+  * P3/F3/F4 toponym hash ids incl. the non-Point recursive coord join
+  * (every 10th toponym is a Polygon), D2 toponym dedup (coords repeat
+  * every 50 suppliers), J3 3-way spatial outcome (match / no-match
+  * log / no-index error via layer 9), U1 tagged union of all streams.
+  *
+  * All synthesized coordinates/ids are integer-rendered, so the
+  * oracle rebuilds the exact geometry/id strings with `||`; base62 of
+  * the full 128-bit md5 is replayed with a UHUGEINT hex fold +
+  * recursive divmod (the f4 pattern widened to 128 bits).
+  */
+object PipelineQueries {
+
+  private def pt(x: Column, y: Column) =
+    concat(lit("["), x, lit(","), y, lit("]"))
+
+  private def ring5(x0: Column, y0: Column, x1: Column, y1: Column) =
+    concat(lit("[["), pt(x0, y0), lit(","), pt(x1, y0), lit(","), pt(x1, y1),
+      lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("]]"))
+
+  /** Sheets from nation: 25 sheets, layer = region (nation 24 → layer
+    * 9, which no building uses → the unindexed-layer outcome), plus
+    * LATER duplicates of sheets 0-2 with a different map_id so the
+    * last-wins keyBy is observable through toponym mapIds.
+    */
+  private[operators] def synthSheets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def feat(mapBase: Int) = struct(
+      lit("Feature").as("type"),
+      struct(
+        $"n_nationkey".cast("long").as("id"),
+        (lit(mapBase) + $"n_nationkey").cast("string").as("map_id"),
+        struct(
+          when($"n_nationkey" === 24, lit(9)).otherwise($"n_regionkey")
+            .cast("long").as("external_id"),
+          (lit(1880) + $"n_nationkey").cast("string").as("year"),
+        ).as("layer"),
+      ).as("properties"),
+    ).as("feature")
+    val n = Tables.nation(s, d)
+    n.select($"n_nationkey".cast("long").as("ingest_order"), feat(10000))
+      .unionByName(n.filter($"n_nationkey" < 3)
+        .select(($"n_nationkey" + 100).cast("long").as("ingest_order"), feat(20000)))
+  }
+
+  /** Buildings from customer: ids collide mod 1000 (D1), every 11th
+    * ring is degenerate (F6/H2), geometry text is integer-rendered.
+    */
+  private[operators] def synthConsolidated(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = $"c_custkey"
+    val x0 = k % 97
+    val y0 = k % 89 + 1
+    val x1 = k % 97 + 1 + k % 5
+    val y1 = k % 89 + 3 + k % 7
+    val ring = when(k % 11 === 0,
+      concat(lit("[["), pt(x0, y0), lit(","), pt(x1, y0), lit(","), pt(x0, y0), lit("]]")))
+      .otherwise(ring5(x0, y0, x1, y1))
+    val addr = when(k % 4 === 0, lit("NONE"))
+      .when(k % 4 === 1, lit(null).cast("string"))
+      .when(k % 4 === 2, concat(lit("[{\"flag_value\":\"a"), k % 50, lit("\"}]")))
+      .otherwise(concat(lit("[{\"flag_value\":\"a"), k % 50,
+        lit("\"},{\"flag_value\":\"b"), k % 50, lit("\"}]")))
+    Tables.customer(s, d).select(
+      k.as("ingest_order"),
+      struct(
+        lit("Feature").as("type"),
+        struct(
+          (k % 1000).cast("string").as("id"),
+          (k % 24).as("sheet_id"),
+          (lit(30000) + k % 100).cast("string").as("map_id"),
+          when(k % 5 === 0, lit("")).otherwise($"c_mktsegment").as("consensus_color"),
+          addr.as("consensus_address"),
+        ).as("properties"),
+        struct(
+          lit("GeometryCollection").as("type"),
+          array(
+            struct(lit("Polygon").as("type"), ring.as("coordinates")),
+            struct(lit("Point").as("type"), pt(x0 + 1, y0 + 1).as("coordinates")),
+            struct(lit("Point").as("type"), pt(x0 + 2, y0 + 2).as("coordinates")),
+          ).as("geometries"),
+        ).as("geometry"),
+      ).as("feature"),
+    )
+  }
+
+  /** Toponyms from supplier: every 10th is a Polygon (non-Point id
+    * path), point coords repeat with period 50 while sheets repeat
+    * with period 25 → D2 dedup fires on the second half.
+    */
+  private[operators] def synthToponyms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val j = $"s_suppkey"
+    val isPoly = j % 10 === 0
+    val px = j % 50 + 1
+    val py = j % 50 + 2
+    val qx = j % 90
+    val qy = j % 80
+    Tables.supplier(s, d).select(
+      j.as("ingest_order"),
+      struct(
+        lit("Feature").as("type"),
+        struct(
+          (j % 25).as("sheet_id"),
+          $"s_name".as("consensus"),
+        ).as("properties"),
+        struct(
+          when(isPoly, lit("Polygon")).otherwise(lit("Point")).as("type"),
+          when(isPoly, ring5(qx, qy, qx + 4, qy + 4)).otherwise(pt(px, py))
+            .as("coordinates"),
+        ).as("geometry"),
+      ).as("feature"),
+    )
+  }
+
+  private val endToEnd = Q(
+    "pipe_end_to_end",
+    (s, d) => {
+      import s.implicits._
+      val layers = Tables.region(s, d).filter($"r_regionkey" =!= 4)
+        .select($"r_regionkey".cast("long").as("id"), $"r_name".as("borough"))
+      val sheets = synthSheets(s, d)
+      val cons = InspectorPipeline.consolidated(s, synthConsolidated(s, d), sheets, layers)
+      val topo = InspectorPipeline.toponyms(
+        s, synthToponyms(s, d), sheets, layers, cons.indexedBuildings)
+      val flat = cons.records.unionByName(topo).select(
+        $"rtype", $"id", $"otype", $"valid_since", $"valid_until", $"name",
+        $"data.number".as("number"), $"data.sheetId".as("sheet_id"),
+        $"data.layerId".as("layer_id"), $"data.mapId".as("map_id"),
+        array_join($"data.colors", "|").as("colors"),
+        $"data.borough".as("borough"), $"geometry_json",
+        $"rel_from", $"rel_to", $"rel_type", $"error")
+      flat.orderBy(flat.columns.toSeq.map(c => col(c).asc_nulls_first): _*)
+    },
+    Some("""WITH RECURSIVE
+           |sheets0 AS (
+           |  SELECT n_nationkey AS sid, n_nationkey AS ord,
+           |         CAST(10000 + n_nationkey AS VARCHAR) AS smap,
+           |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END AS slayer,
+           |         1880 + n_nationkey AS syear
+           |  FROM nation
+           |  UNION ALL
+           |  SELECT n_nationkey, n_nationkey + 100, CAST(20000 + n_nationkey AS VARCHAR),
+           |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END,
+           |         1880 + n_nationkey
+           |  FROM nation WHERE n_nationkey < 3),
+           |sheets AS (
+           |  SELECT sid, smap, slayer, syear FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY ord DESC) AS rn
+           |    FROM sheets0) WHERE rn = 1),
+           |boroughs AS (
+           |  SELECT r_regionkey AS lid, r_name AS borough FROM region WHERE r_regionkey <> 4),
+           |bld0 AS (
+           |  SELECT c_custkey AS k,
+           |         CAST(c_custkey % 1000 AS VARCHAR) AS bid,
+           |         c_custkey % 24 AS sheet_id,
+           |         30000 + c_custkey % 100 AS map_id,
+           |         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END AS color,
+           |         c_custkey % 4 AS amode, c_custkey % 50 AS anum,
+           |         c_custkey % 97 AS x0, c_custkey % 89 + 1 AS y0,
+           |         c_custkey % 97 + 1 + c_custkey % 5 AS x1,
+           |         c_custkey % 89 + 3 + c_custkey % 7 AS y1,
+           |         (c_custkey % 11 = 0) AS degen
+           |  FROM customer),
+           |bld1 AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY bid ORDER BY k) AS rn FROM bld0)
+           |  WHERE rn = 1),
+           |bld AS (
+           |  SELECT b.*, s.slayer AS layer_id, s.syear AS yr, br.borough
+           |  FROM bld1 b
+           |  JOIN sheets s ON b.sheet_id = s.sid
+           |  LEFT JOIN boroughs br ON s.slayer = br.lid
+           |  WHERE NOT b.degen),
+           |addr AS (
+           |  SELECT *, 1 AS pos1, 'a' || anum AS aname FROM bld WHERE amode IN (2, 3)
+           |  UNION ALL
+           |  SELECT *, 2, 'b' || anum FROM bld WHERE amode = 3),
+           |top0 AS (
+           |  SELECT s_suppkey AS j, s_suppkey % 25 AS sheet_id, s_name AS tname,
+           |         (s_suppkey % 10 = 0) AS is_poly,
+           |         s_suppkey % 50 + 1 AS px, s_suppkey % 50 + 2 AS py,
+           |         s_suppkey % 90 AS qx, s_suppkey % 80 AS qy
+           |  FROM supplier),
+           |topj AS (
+           |  SELECT *,
+           |         CASE WHEN is_poly
+           |              THEN qx||','||qy||','||(qx+4)||','||qy||','||(qx+4)||','||(qy+4)
+           |                   ||','||qx||','||(qy+4)||','||qx||','||qy
+           |              ELSE px||','||py END AS cj
+           |  FROM top0),
+           |toph AS (SELECT j, md5(cj) AS h FROM topj),
+           |hexv(j, i, v) AS (
+           |  SELECT j, 0, 0::UHUGEINT FROM toph
+           |  UNION ALL
+           |  SELECT x.j, x.i + 1,
+           |         x.v * 16 + CAST(strpos('0123456789abcdef', substr(t.h, x.i + 1, 1)) - 1 AS UHUGEINT)
+           |  FROM hexv x JOIN toph t ON t.j = x.j WHERE x.i < 32),
+           |nval AS (SELECT j, v FROM hexv WHERE i = 32),
+           |b62(j, remaining, acc) AS (
+           |  SELECT j, v, '' FROM nval
+           |  UNION ALL
+           |  SELECT b.j, b.remaining // 62,
+           |         substr('0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           |                CAST(b.remaining % 62 AS INT) + 1, 1) || b.acc
+           |  FROM b62 b WHERE b.remaining > 0),
+           |tids AS (
+           |  SELECT n.j, CASE WHEN n.v = 0 THEN '0' ELSE b.acc END AS id62
+           |  FROM nval n JOIN b62 b ON b.j = n.j AND b.remaining = 0),
+           |topi AS (
+           |  SELECT t.*, 'toponym-' || t.sheet_id || '-' || i.id62 AS tid
+           |  FROM topj t JOIN tids i ON i.j = t.j),
+           |topd AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY j) AS rn FROM topi)
+           |  WHERE rn = 1),
+           |topf AS (
+           |  SELECT t.*, s.slayer AS layer_id, s.syear AS yr,
+           |         CAST(s.smap AS INT) AS map_id, br.borough
+           |  FROM topd t
+           |  JOIN sheets s ON t.sheet_id = s.sid
+           |  LEFT JOIN boroughs br ON s.slayer = br.lid),
+           |idxlayers AS (SELECT DISTINCT layer_id FROM bld),
+           |probes AS (SELECT * FROM topf WHERE NOT is_poly),
+           |probed AS (
+           |  SELECT p.tid, b.bid
+           |  FROM probes p
+           |  JOIN idxlayers il ON p.layer_id = il.layer_id
+           |  LEFT JOIN bld b ON b.layer_id = p.layer_id
+           |    AND p.px >= b.x0 AND p.px <= b.x1 AND p.py >= b.y0 AND p.py <= b.y1)
+           |SELECT * FROM (
+           |  SELECT 'object' AS rtype, bid AS id, 'st:Building' AS otype,
+           |         yr AS valid_since, yr AS valid_until,
+           |         CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS number,
+           |         sheet_id, layer_id, map_id,
+           |         CASE WHEN color <> '' THEN color END AS colors, borough,
+           |         '{"type":"Polygon","coordinates":[[[' || x0 || ',' || y0 || '],['
+           |           || x1 || ',' || y0 || '],[' || x1 || ',' || y1 || '],['
+           |           || x0 || ',' || y1 || '],[' || x0 || ',' || y0 || ']]]}'
+           |           AS geometry_json,
+           |         CAST(NULL AS VARCHAR) AS rel_from, CAST(NULL AS VARCHAR) AS rel_to,
+           |         CAST(NULL AS VARCHAR) AS rel_type, CAST(NULL AS VARCHAR) AS error
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, bid, 'mapwarper/' || map_id, 'st:in', NULL
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, bid, 'mapwarper/layer-' || layer_id, 'st:in', NULL
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT 'log', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, NULL, NULL, NULL,
+           |         'Can''t find borough for layer ' || layer_id
+           |  FROM bld WHERE borough IS NULL
+           |  UNION ALL
+           |  SELECT 'object', bid || '-' || pos1, 'st:Address', yr, yr, aname, aname,
+           |         sheet_id, layer_id, map_id, NULL, borough,
+           |         '{"type":"Point","coordinates":[' || (x0 + pos1) || ',' || (y0 + pos1) || ']}',
+           |         NULL, NULL, NULL, NULL
+           |  FROM addr
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, bid || '-' || pos1, bid, 'st:in', NULL
+           |  FROM addr
+           |  UNION ALL
+           |  SELECT 'object', tid, 'st:Building', yr, yr, tname, NULL,
+           |         sheet_id, layer_id, map_id, NULL, borough,
+           |         CASE WHEN is_poly
+           |              THEN '{"type":"Polygon","coordinates":[[[' || qx || ',' || qy || '],['
+           |                   || (qx+4) || ',' || qy || '],[' || (qx+4) || ',' || (qy+4) || '],['
+           |                   || qx || ',' || (qy+4) || '],[' || qx || ',' || qy || ']]]}'
+           |              ELSE '{"type":"Point","coordinates":[' || px || ',' || py || ']}' END,
+           |         NULL, NULL, NULL, NULL
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, tid, 'mapwarper/' || map_id, 'st:in', NULL
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, tid, 'mapwarper/layer-' || layer_id, 'st:in', NULL
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT 'log', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, NULL, NULL, NULL,
+           |         'Can''t find borough for layer ' || layer_id
+           |  FROM topf WHERE borough IS NULL
+           |  UNION ALL
+           |  SELECT 'relation', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, tid, bid, 'st:sameAs', NULL
+           |  FROM probed WHERE bid IS NOT NULL
+           |  UNION ALL
+           |  SELECT 'log', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, NULL, NULL, NULL,
+           |         'Can''t find building for toponym ' || tid
+           |  FROM probed WHERE bid IS NULL
+           |  UNION ALL
+           |  SELECT 'log', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           |         NULL, NULL, NULL, NULL, NULL, NULL,
+           |         'Error computing intersection for toponym ' || tid
+           |  FROM probes WHERE layer_id NOT IN (SELECT layer_id FROM idxlayers))
+           |ORDER BY rtype ASC NULLS FIRST, id ASC NULLS FIRST, otype ASC NULLS FIRST,
+           |         valid_since ASC NULLS FIRST, valid_until ASC NULLS FIRST,
+           |         name ASC NULLS FIRST, number ASC NULLS FIRST,
+           |         sheet_id ASC NULLS FIRST, layer_id ASC NULLS FIRST,
+           |         map_id ASC NULLS FIRST, colors ASC NULLS FIRST,
+           |         borough ASC NULLS FIRST, geometry_json ASC NULLS FIRST,
+           |         rel_from ASC NULLS FIRST, rel_to ASC NULLS FIRST,
+           |         rel_type ASC NULLS FIRST, error ASC NULLS FIRST""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(endToEnd)
+}

@@ -260,7 +260,7 @@ object RelationalQueries {
     },
     Some(s"""SELECT c_mktsegment,
             |       count(*) AS n_orders,
-            |       sum(${centsSql("o_totalprice")}) AS total_cents
+            |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
             |FROM orders JOIN customer ON o_custkey = c_custkey
             |GROUP BY c_mktsegment
             |ORDER BY c_mktsegment""".stripMargin),
@@ -370,7 +370,9 @@ object RelationalQueries {
         .filter(to_date($"l_shipdate") <= lit("2000-09-02"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity").as("sum_qty"),
+          // l_quantity is a double column of integral values; the cast
+          // keeps the sum in exact int64 like the oracle's BIGINT.
+          sum($"l_quantity").cast("long").as("sum_qty"),
           sum(cents($"l_extendedprice")).as("sum_base_cents"),
           sum(cents($"l_extendedprice") * cents($"l_discount")).as("sum_disc_scaled"),
           count(lit(1)).as("count_order"),
@@ -378,9 +380,9 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
-            |       sum(l_quantity) AS sum_qty,
-            |       sum(${centsSql("l_extendedprice")}) AS sum_base_cents,
-            |       sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS sum_disc_scaled,
+            |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+            |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+            |       CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS BIGINT) AS sum_disc_scaled,
             |       count(*) AS count_order
             |FROM lineitem
             |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
@@ -405,7 +407,7 @@ object RelationalQueries {
         .orderBy($"n_name")
     },
     Some(s"""SELECT n_name,
-            |       sum(${centsSql("l_extendedprice")}) AS revenue_cents,
+            |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
             |       count(*) AS n_items
             |FROM lineitem
             |JOIN orders   ON l_orderkey = o_orderkey
@@ -434,9 +436,9 @@ object RelationalQueries {
     },
     Some(s"""SELECT o_custkey, o_orderkey,
             |       row_number() OVER w AS rn,
-            |       sum(${centsSql("o_totalprice")}) OVER (
+            |       CAST(sum(${centsSql("o_totalprice")}) OVER (
             |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
             |FROM orders
             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             |ORDER BY o_custkey, rn""".stripMargin),
@@ -518,7 +520,7 @@ object RelationalQueries {
         )
     },
     Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-            |       sum(${centsSql("o_totalprice")}) AS cents
+            |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS cents
             |FROM orders
             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             |ORDER BY o_orderstatus ASC NULLS FIRST,

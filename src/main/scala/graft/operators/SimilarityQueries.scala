@@ -92,7 +92,8 @@ object SimilarityQueries {
            |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
            |  GROUP BY e.vec_id, p)
            |SELECT vec_id,
-           |       sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           |       CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           |            AS BIGINT) AS bucket
            |FROM votes
            |GROUP BY vec_id
            |ORDER BY vec_id""".stripMargin),
@@ -122,7 +123,50 @@ object SimilarityQueries {
         .select($"probe_id", $"rk", $"cand_id")
         .orderBy($"probe_id", $"rk")
     },
-    None, // verified by SimilaritySpec against the brute-force baseline
+    // Oracle replays the full chain: bucket assignment (same CTEs as
+    // td_embedding_neardup), same-bucket candidate join, decimal-exact
+    // cosine, per-probe row_number top-3.
+    Some("""WITH votes AS (
+           |  SELECT e.vec_id, p,
+           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |             END) AS proj
+           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+           |  GROUP BY e.vec_id, p),
+           |buckets AS (
+           |  SELECT vec_id,
+           |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           |  FROM votes GROUP BY vec_id),
+           |be AS (
+           |  SELECT b.vec_id, b.bucket, e.embedding
+           |  FROM buckets b JOIN embeddings e USING (vec_id)),
+           |cand AS (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+           |         p.embedding AS pe, c.embedding AS ce
+           |  FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+           |  WHERE p.vec_id < 10),
+           |sums AS (
+           |  SELECT probe_id, cand_id,
+           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS nb
+           |  FROM cand, range(1, 65) t(k)
+           |  GROUP BY probe_id, cand_id),
+           |ranked AS (
+           |  SELECT probe_id, cand_id,
+           |         row_number() OVER (
+           |           PARTITION BY probe_id
+           |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                    AS BIGINT) DESC, cand_id) AS rk
+           |  FROM sums)
+           |SELECT probe_id, rk, cand_id
+           |FROM ranked WHERE rk <= 3
+           |ORDER BY probe_id, rk""".stripMargin),
   )
 
   // Embedding-cosine near-duplicate pairs: LSH candidates verified by

@@ -55,7 +55,7 @@ object SpatialJoinStrategy extends SparkStrategy {
               b.references.subsetOf(l.outputSet) => (eq, b, a)
       }
       (contains, layerEq) match {
-        case (Some(sc), Some((eq, lKey, rKey))) =>
+        case (Some(sc), Some((eq, lKey, rKey))) if canBuildIndex(r) =>
           val residual = conjuncts.filterNot(c => c.fastEquals(sc) || c.fastEquals(eq))
           BroadcastSpatialJoinExec(
             planLater(l), planLater(r), jt,
@@ -69,6 +69,20 @@ object SpatialJoinStrategy extends SparkStrategy {
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
     case other => Seq(other)
+  }
+
+  /** Size guard: the exec node collects the polygon side to the driver
+    * to build the interval index, so only claim the join when that
+    * side's estimated size fits the broadcast threshold (the same
+    * stats check Spark's own JoinSelection.canBroadcast makes;
+    * threshold <= 0 = broadcasting disabled). Over the cap we return
+    * Nil and the default equi-shuffle + bbox-prefilter plan — which
+    * partitions correctly at any scale — is used instead.
+    */
+  private def canBuildIndex(r: LogicalPlan): Boolean = {
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold
   }
 }
 

@@ -151,4 +151,72 @@ class InspectorPipelineSpec extends AnyFunSuite {
       s"count mismatches:\n${diffs.mkString("\n")}"
     })
   }
+
+  private def res(name: String): String =
+    getClass.getResource(s"/inspector/$name").getPath
+
+  private def writeTemp(name: String, content: String): String = {
+    val f = java.nio.file.Files.createTempFile(name, ".geojson")
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def feature(id: String, sheetId: Int): String =
+    s"""{"type":"Feature","properties":{"id":"$id","sheet_id":$sheetId,""" +
+      """"map_id":"20010","consensus_color":"","consensus_address":"NONE"},""" +
+      """"geometry":{"type":"GeometryCollection","geometries":[""" +
+      """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,1],[0,0]]]}]}}"""
+
+  // The reference md5s geometry.coordinates.join(',') for EVERY
+  // toponym before the Point gate (building-inspector.js:207), and JS
+  // join recursively flattens nested arrays — so a Polygon toponym's
+  // id must derive from its flattened ring coordinates.
+  test("toponym id for a Polygon geometry flattens coords like JS join") {
+    val topo = writeTemp("polytopo",
+      """{"type":"FeatureCollection","features":[{"type":"Feature",""" +
+        """"properties":{"sheet_id":862,"consensus":"Poly Name"},""" +
+        """"geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}}]}""")
+    val records = Engine.transform(spark, Engine.Dirs(
+      consolidated = res("consolidated.geojson"),
+      toponyms = topo,
+      sheets = res("sheets.geojson"),
+      layerBoroughs = res("layer-boroughs.json"),
+    ))
+    val want = topoId(862, "0,0,4,0,4,4,0,4,0,0")
+    val ids = records.filter(records("name") === "Poly Name")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq(want))
+  }
+
+  // H4 fail-fast: the reference dereferences sheetsById[sheet_id]
+  // (building-inspector.js:103-104) and stopOnError aborts the run.
+  test("H4: a feature referencing a missing sheet aborts with its id") {
+    val bad = writeTemp("h4-missing",
+      s"""{"type":"FeatureCollection","features":[${feature("200", 999)}]}""")
+    val e = intercept[IllegalStateException] {
+      Engine.transform(spark, Engine.Dirs(
+        consolidated = bad,
+        toponyms = res("toponyms.geojson"),
+        sheets = res("sheets.geojson"),
+        layerBoroughs = res("layer-boroughs.json"),
+      )).count()
+    }
+    assert(e.getMessage.contains("999"))
+  }
+
+  // ...but a missing sheet on a LATER duplicate must NOT abort: the
+  // reference dedups by building id before the deref (H2 ordering),
+  // so only first occurrences are ever dereferenced.
+  test("H4: a missing sheet on a suppressed duplicate does not abort") {
+    val dup = writeTemp("h4-dup",
+      s"""{"type":"FeatureCollection","features":[${feature("200", 860)},${feature("200", 999)}]}""")
+    val records = Engine.transform(spark, Engine.Dirs(
+      consolidated = dup,
+      toponyms = res("toponyms.geojson"),
+      sheets = res("sheets.geojson"),
+      layerBoroughs = res("layer-boroughs.json"),
+    ))
+    assert(records.count() > 0)
+  }
 }

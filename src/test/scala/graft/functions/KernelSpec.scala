@@ -36,6 +36,20 @@ class JsNumberSpec extends AnyFunSuite {
     assert(JsNumber.join(Array.empty[Double]) == "")
   }
 
+  test("joinNestedJson flattens like JS join over nested arrays") {
+    // JS: [[1,2],[3,4]].join(',') === "1,2,3,4"
+    assert(JsNumber.joinNestedJson("[[1,2],[3,4]]") == "1,2,3,4")
+    // Polygon ring depth (3 levels), JS-number formatting preserved
+    assert(JsNumber.joinNestedJson("[[[0,0],[4,0],[4,4.5],[0,4],[0,0]]]") ==
+      "0,0,4,0,4,4.5,0,4,0,0")
+    // flat Point stays identical to the typed join
+    assert(JsNumber.joinNestedJson("[-73.975,40.7115]") ==
+      JsNumber.join(Array(-73.975, 40.7115)))
+    // JS: [null,1].join(',') === ",1"
+    assert(JsNumber.joinNestedJson("[null,1]") == ",1")
+    assert(JsNumber.joinNestedJson("[]") == "")
+  }
+
   test("format round-trips for arbitrary doubles") {
     val rnd = new scala.util.Random(42)
     (1 to 20000).foreach { _ =>

@@ -59,12 +59,40 @@ class SpatialJoinPlanSpec extends AnyFunSuite {
     val expectOuter = collectRows("left_outer")
     assert(expectOuter.size >= expectInner.size)
     GraftPlanner.install(spark)
+    // pin the threshold: the shared test session may carry another
+    // suite's -1 (broadcast disabled), which the size guard honours
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       val planStr = spatialQuery(spark, "inner").queryExecution.executedPlan.toString
       assert(planStr.contains("BroadcastSpatialJoin"), s"strategy did not fire:\n$planStr")
       assert(collectRows("inner") == expectInner)
       assert(collectRows("left_outer") == expectOuter)
-    } finally GraftPlanner.uninstall(spark)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      GraftPlanner.uninstall(spark)
+    }
+  }
+
+  // Size guard: a polygon side over the broadcast threshold must NOT
+  // be claimed by the strategy (its exec collects that side to the
+  // driver) — the default equi+bbox plan runs instead, same rows.
+  test("strategy falls back to the default plan over the size threshold") {
+    val expectInner = collectRows("inner")
+    GraftPlanner.install(spark)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val planStr = spatialQuery(spark, "inner").queryExecution.executedPlan.toString
+      assert(!planStr.contains("BroadcastSpatialJoin"),
+        s"strategy fired despite tiny threshold:\n$planStr")
+      assert(collectRows("inner") == expectInner)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val planStr2 = spatialQuery(spark, "inner").queryExecution.executedPlan.toString
+      assert(!planStr2.contains("BroadcastSpatialJoin"),
+        s"strategy fired with broadcasting disabled:\n$planStr2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      GraftPlanner.uninstall(spark)
+    }
   }
 
   test("inspector pipeline output is identical under the custom strategy") {

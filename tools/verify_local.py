@@ -15,6 +15,7 @@ import json
 import math
 import os
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -25,6 +26,13 @@ TABLES = [
 
 
 def norm(v):
+    # Decimal must NOT collapse to the int rendering: DuckDB integer
+    # sum() returns HUGEINT (Arrow decimal128), which the driver's
+    # hasher renders distinctly from Spark's int64. Keeping the type
+    # visible here is what makes local green predict driver green
+    # (round-1 lesson: str(fetchall()) hid 11 driver failures).
+    if isinstance(v, Decimal):
+        return f"Decimal('{v}')"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -34,6 +42,20 @@ def norm(v):
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
+
+
+def fetch_arrow(cur):
+    """Fetch a DuckDB result via Arrow, like the driver does.
+
+    Arrow preserves logical types (HUGEINT -> decimal128 -> Decimal),
+    unlike fetchall(), which converts HUGEINT to a plain Python int and
+    masks type drift vs Spark's parquet output.
+    """
+    tbl = cur.arrow()
+    cols = list(tbl.column_names)
+    pycols = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*pycols)) if cols else []
+    return cols, rows
 
 
 def table_hash(cols, rows):
@@ -63,20 +85,16 @@ def main():
         if not files:
             results[name] = "NO_OUTPUT"
             continue
-        got = con.execute(
+        got_cols, got_rows = fetch_arrow(con.execute(
             "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
-        )
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
+        ))
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(got_rows)}" + (
                 " EMPTY!" if not got_rows else ""
             )
             continue
         try:
-            want = con.execute(oracle[name])
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            want_cols, want_rows = fetch_arrow(con.execute(oracle[name]))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
             continue
