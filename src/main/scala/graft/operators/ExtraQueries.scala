@@ -202,18 +202,31 @@ object ExtraQueries {
   // Fuzzy matching: same-brand part-name pairs within edit distance 3
   // (levenshtein has identical semantics in both engines) — the
   // string-similarity dedup primitive.
-  // The edit distance is computed once per DISTINCT name pair (the
-  // name domain is far smaller than the row count), then joined back
-  // to key pairs — identical output to the naive all-rows self-join,
-  // but the expensive function runs |names|^2 times instead of
-  // |rows|^2 (40M -> 4k evaluations at sf0.1).
+  // Scale shape, outside-in: (1) the edit distance is computed once
+  // per DISTINCT name pair (the name domain is far smaller than the
+  // row count), then joined back to key pairs — the expensive function
+  // runs |names|^2-bounded times instead of |rows|^2; (2) the name
+  // pairing itself is a shuffle EQUI-join on a length-bucket blocking
+  // key, not a cross join: edit distance <= 3 implies |len1-len2| <= 3,
+  // and two lengths within 3 of each other land in 4-wide buckets at
+  // most 1 apart, so replicating one side to its 3 neighbouring
+  // buckets covers every qualifying pair exactly once. An unbounded
+  // name domain therefore shuffle-partitions by bucket instead of
+  // reverting to a driver-broadcast quadratic.
   private val fuzzy = Q(
     "td_fuzzy_name_match",
     (s, d) => {
       import s.implicits._
       val names = Tables.part(s, d).select($"p_name").distinct()
-      val namePairs = names.select($"p_name".as("n1"))
-        .crossJoin(broadcast(names.select($"p_name".as("n2"))))
+        .select($"p_name", length($"p_name").as("len"))
+      val lhs = names.select(
+        $"p_name".as("n1"), $"len".as("len1"), floor($"len" / 4).as("bkt"))
+      val rhs = names.select(
+        $"p_name".as("n2"), $"len".as("len2"),
+        explode(array(floor($"len" / 4) - 1, floor($"len" / 4),
+          floor($"len" / 4) + 1)).as("bkt"))
+      val namePairs = lhs.join(rhs, Seq("bkt"))
+        .filter(abs($"len1" - $"len2") <= 3) // cheap prune before levenshtein
         .select($"n1", $"n2", levenshtein($"n1", $"n2").as("dist"))
         .filter($"dist" <= 3)
       val a = Tables.part(s, d).select($"p_partkey".as("k1"), $"p_brand", $"p_name".as("pn1"))
