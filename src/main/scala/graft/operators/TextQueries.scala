@@ -236,6 +236,125 @@ object TextQueries {
            |ORDER BY doc_id, pos""".stripMargin),
   )
 
+  // PII scrubbing: mask emails and long digit runs before training.
+  // The synthetic corpus contains neither, so the doc is first
+  // enriched with a deterministic email + reference number per row —
+  // the scrubber (regex masking, both patterns RE2/Java-compatible)
+  // is the operator under test, and the oracle replays enrichment and
+  // scrub alike. One narrow projection, no shuffle before the sort.
+  private val piiScrub = Q(
+    "ta_pii_scrub",
+    (s, d) => {
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val longNum = "[0-9]{6,}"
+      val enriched = concat($"text", lit(" contact user"), $"doc_id",
+        lit("@example.com ref "), $"doc_id" + 1000000)
+      val scrubbed = regexp_replace(
+        regexp_replace(enriched, email, "<EMAIL>"), longNum, "<NUM>")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          regexp_count(enriched, lit(email)).as("n_emails"),
+          regexp_count(enriched, lit(longNum)).as("n_longnums"),
+          md5(scrubbed).as("scrub_md5"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""WITH enriched AS (
+           |  SELECT doc_id,
+           |         text || ' contact user' || doc_id || '@example.com ref '
+           |              || (doc_id + 1000000) AS etext
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(etext,
+           |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+           |       CAST(len(regexp_extract_all(etext, '[0-9]{6,}')) AS INT) AS n_longnums,
+           |       md5(regexp_replace(
+           |           regexp_replace(etext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+           |                          '<EMAIL>', 'g'),
+           |           '[0-9]{6,}', '<NUM>', 'g')) AS scrub_md5
+           |FROM enriched
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // Repetition detection: fraction of repeated word 3-grams per doc
+  // (1 - distinct/total) — the boilerplate/spam signal of a corpus
+  // quality pipeline. Uses the native NGrams generator; one groupBy
+  // on doc_id (the natural partition key), exact integer counts, and
+  // a fixed-shape double division both engines compute identically.
+  private val repetition = Q(
+    "ta_repetition_3gram",
+    (s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", ngrams($"text", 3).as(Seq("pos", "g")))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n3"), countDistinct($"g").as("nd"))
+      Tables.documents(s, d).select($"doc_id")
+        .join(grams, Seq("doc_id"), "left_outer")
+        .select(
+          $"doc_id",
+          coalesce($"n3", lit(0L)).as("n3"),
+          coalesce($"nd", lit(0L)).as("nd"),
+          when(coalesce($"n3", lit(0L)) > 0,
+            lit(1.0) - $"nd".cast("double") / $"n3").otherwise(0.0)
+            .as("repetition"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, word, pos,
+           |         lead(word, 1) OVER win AS w1, lead(word, 2) OVER win AS w2
+           |  FROM (SELECT doc_id,
+           |               unnest(string_split(text, ' ')) AS word,
+           |               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |        FROM documents)
+           |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           |g AS (
+           |  SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS g3
+           |  FROM w WHERE w2 IS NOT NULL),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS n3, count(DISTINCT g3) AS nd
+           |  FROM g GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(a.n3, 0) AS n3,
+           |       coalesce(a.nd, 0) AS nd,
+           |       CASE WHEN coalesce(a.n3, 0) > 0
+           |            THEN CAST(1 AS DOUBLE) - CAST(a.nd AS DOUBLE) / a.n3
+           |            ELSE 0.0 END AS repetition
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
+  // Weighted source mixing: each source gets a stable hash-derived
+  // sampling rate (10-59%), each doc a stable hash bucket — the
+  // deterministic "mix corpora at different ratios" step of training
+  // data assembly. Pure per-row filter: partition-local, no shuffle
+  // before the presentation sort, reproducible across engines and
+  // partitionings.
+  private val weightedMix = Q(
+    "td_weighted_source_mix",
+    (s, d) => {
+      import s.implicits._
+      val docBucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+      val srcRate =
+        expr("CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 50 + 10")
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", srcRate.as("rate"))
+        .filter(docBucket < srcRate)
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source,
+           |       CAST('0x' || substr(md5(source), 1, 2) AS BIGINT) % 50 + 10 AS rate
+           |FROM documents
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100
+           |      < CAST('0x' || substr(md5(source), 1, 2) AS BIGINT) % 50 + 10
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(tokens, quality, langid, fingerprint, stableSample, split3, bigramsUdtf)
+    Seq(tokens, quality, langid, fingerprint, stableSample, split3, bigramsUdtf,
+      piiScrub, repetition, weightedMix)
 }
