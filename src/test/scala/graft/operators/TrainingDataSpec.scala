@@ -51,6 +51,38 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  // Soundness of the fuzzy-match length-bucket blocking: the blocked
+  // equi-join must yield EXACTLY the cross-join pairs for dist <= 3,
+  // including on adversarial lengths straddling bucket boundaries.
+  test("length-bucket blocking equals the naive cross join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // names with lengths clustered around the 4-wide bucket boundaries
+    val names = (Seq("ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+      "abcdefgh", "abcdx", "abxde", "xbcdefgh", "abcdefghijk", "abcdefghijkl") ++
+      (0 until 30).map(i => "n" * (i % 9 + 1) + i)).distinct.toDF("n")
+    val naive = names.select($"n".as("n1"))
+      .crossJoin(names.select($"n".as("n2")))
+      .select($"n1", $"n2", levenshtein($"n1", $"n2").as("dist"))
+      .filter($"dist" <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val withLen = names.select($"n", length($"n").as("len"))
+    val lhs = withLen.select($"n".as("n1"), $"len".as("len1"), floor($"len" / 4).as("bkt"))
+    val rhs = withLen.select($"n".as("n2"), $"len".as("len2"),
+      explode(array(floor($"len" / 4) - 1, floor($"len" / 4), floor($"len" / 4) + 1)).as("bkt"))
+    val blocked = lhs.join(rhs, Seq("bkt"))
+      .filter(abs($"len1" - $"len2") <= 3)
+      .select($"n1", $"n2", levenshtein($"n1", $"n2").as("dist"))
+      .filter($"dist" <= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // exactly-once: no duplicates from the ±1 bucket replication
+    assert(blocked.length == blocked.toSet.size, "blocking produced duplicate pairs")
+    assert(blocked.toSet == naive, {
+      val missing = naive.diff(blocked.toSet)
+      s"blocking missed ${missing.size} pairs: ${missing.take(5)}"
+    })
+  }
+
   test("multimodal decode keeps schema, determinism, and batch shape") {
     val media = Multimodal.asMedia(spark, sf)
     val decoded = Multimodal.decode(media)
