@@ -149,5 +149,45 @@ object EventQueries {
            |ORDER BY event_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf, variantJson)
+  // Stream/batch parity, DRIVER-GATED: the same tumbling aggregation
+  // executed as an actual Structured Streaming query — parquet file
+  // source → stateful streaming aggregation → memory sink (complete
+  // mode, so after all files are consumed the sink holds exactly the
+  // batch answer) — and checked against the SAME DuckDB oracle as the
+  // batch query. This oracle-gates the streaming execution path
+  // (FileStreamSource, state store, complete-mode sink), not just its
+  // batch dual; watermarked/append-mode variants live in
+  // graft.streaming and are spec-verified (append emission timing is
+  // trigger-dependent, so only the complete-mode agg is byte-stable).
+  private val streamParity = Q(
+    "ev_stream_tumbling_parity",
+    (s, d) => {
+      import s.implicits._
+      // Batch read first: fixes the nanosAsLong conf and provides the
+      // schema the streaming source needs.
+      val schema = Tables.events(s, d).schema
+      // FileStreamSource wants a directory to monitor; expose the
+      // single events file through a temp dir via symlink (no copy).
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
+      streamDir.toFile.deleteOnExit()
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val agg = stream
+        .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+      val sink = "ev_stream_parity_sink"
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      s.table(sink)
+        .select($"hour_bucket", $"event_type", $"n", $"value_cents")
+        .orderBy($"hour_bucket", $"event_type")
+    },
+    tumbling.oracle, // identical result contract to the batch query
+  )
+
+  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity)
 }
