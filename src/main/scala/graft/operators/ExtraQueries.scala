@@ -269,6 +269,34 @@ object ExtraQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // Recursive CTE (Spark 4 SQL surface): hierarchy walk over a
+  // synthesized parent chain (parent = key - 5), emitting each
+  // nation's root ancestor and depth. Iterative self-reference is the
+  // one relational shape the DataFrame API can't express in a single
+  // plan; both engines run the identical ANSI text.
+  private val recursiveCte = Q(
+    "qs_recursive_cte",
+    (s, d) => {
+      graft.model.Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+      s.sql("""WITH RECURSIVE walk(key, root, depth) AS (
+              |  SELECT n_nationkey, n_nationkey, 0 FROM graft_nation
+              |  WHERE n_nationkey < 5
+              |  UNION ALL
+              |  SELECT n.n_nationkey, w.root, w.depth + 1
+              |  FROM graft_nation n JOIN walk w ON n.n_nationkey - 5 = w.key)
+              |SELECT key, root, depth FROM walk
+              |ORDER BY key, root, depth""".stripMargin)
+    },
+    Some("""WITH RECURSIVE walk(key, root, depth) AS (
+           |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+           |  WHERE n_nationkey < 5
+           |  UNION ALL
+           |  SELECT n.n_nationkey, w.root, w.depth + 1
+           |  FROM nation n JOIN walk w ON n.n_nationkey - 5 = w.key)
+           |SELECT key, root, depth FROM walk
+           |ORDER BY key, root, depth""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
-    vocab, windowVariants, fuzzy, normalize)
+    vocab, windowVariants, fuzzy, normalize, recursiveCte)
 }
