@@ -274,5 +274,111 @@ object SimilarityQueries {
            |ORDER BY vec_id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells)
+  // IVF probe: the search half of the inverted-file ANN (cell assign
+  // above is the indexing half). The query vector ranks the 8
+  // centroids, keeps nprobe=2 cells, and scores ONLY the vectors
+  // assigned to those cells — the candidate set is bounded by the
+  // probed cells' population, which is what makes IVF search sublinear
+  // at scale. Centroids and the query vector broadcast; the candidate
+  // restriction is an equi-join on the cell id.
+  private val ivfProbe = Q(
+    "sim_ivf_probe_topk",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+      val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      // nprobe=2 cells nearest to the query vector (8-row ranking)
+      val probeCells = query.crossJoin(broadcast(cents))
+        .select($"cent_id", cosine_e9($"qe", $"ce").as("qcos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy($"qcos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"cent_id".as("probe_cell"))
+      // cell assignment of every vector (as in sim_ivf_cell_assign)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
+      val cells = graft.util.Cols.fanout(emb)
+        .crossJoin(broadcast(cents))
+        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cent_id".as("cell"))
+      cells
+        .join(broadcast(probeCells), $"cell" === $"probe_cell")
+        .filter($"vec_id" =!= 0)
+        .join(emb.withColumnRenamed("vec_id", "e_id"), $"vec_id" === $"e_id")
+        .crossJoin(broadcast(query))
+        .select($"vec_id", cosine_e9($"embedding", $"qe").as("cosine_e9"))
+        .orderBy($"cosine_e9".desc, $"vec_id")
+        .limit(10)
+    },
+    Some("""WITH cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS ce
+           |  FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |asums AS (
+           |  SELECT e.vec_id, c.cent_id,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
+           |  FROM embeddings e CROSS JOIN cents c, range(1, 65) t(k)
+           |  GROUP BY e.vec_id, c.cent_id),
+           |cells AS (
+           |  SELECT vec_id, cent_id AS cell FROM (
+           |    SELECT vec_id, cent_id,
+           |           row_number() OVER (
+           |             PARTITION BY vec_id
+           |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                      AS BIGINT) DESC, cent_id) AS rn
+           |    FROM asums) WHERE rn = 1),
+           |qsums AS (
+           |  SELECT c.cent_id,
+           |         SUM(CAST(CAST(q.qe[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(q.qe[k] AS DOUBLE) *
+           |                  CAST(q.qe[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
+           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
+           |  FROM cents c, q, range(1, 65) t(k)
+           |  GROUP BY c.cent_id),
+           |probecells AS (
+           |  SELECT cent_id FROM (
+           |    SELECT cent_id,
+           |           row_number() OVER (
+           |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                      AS BIGINT) DESC, cent_id) AS rn
+           |    FROM qsums) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT vec_id FROM cells
+           |  JOIN probecells ON cell = cent_id
+           |  WHERE vec_id <> 0),
+           |csums AS (
+           |  SELECT e.vec_id,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(q.qe[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+           |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(q.qe[k] AS DOUBLE) *
+           |                  CAST(q.qe[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
+           |  FROM embeddings e JOIN cand USING (vec_id), q, range(1, 65) t(k)
+           |  GROUP BY e.vec_id)
+           |SELECT vec_id,
+           |       CAST(round(CAST(dot AS DOUBLE) /
+           |            sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |            AS BIGINT) AS cosine_e9
+           |FROM csums
+           |ORDER BY cosine_e9 DESC, vec_id
+           |LIMIT 10""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfProbe)
 }
