@@ -147,47 +147,99 @@ object DedupQueries {
 
   // SimHash: 60-bit signature from md5-derived word hashes (60 bits
   // keeps the value positive in BIGINT for the oracle). Bit b is set
-  // when the sum over words of ±1 votes is positive.
+  // when the sum over words of ±1 votes is positive. One word-hash row
+  // per word; the 60 bit-votes are 60 conditional aggregates over
+  // those rows (codegen'd, no x60 row explosion). Shared by the
+  // signature query and the banded near-dup pairing below.
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    import graft.util.Cols.fanout
+    val words = fanout(Tables.documents(s, d))
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .select($"doc_id",
+        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("wh"))
+    def vote(b: Int) =
+      sum(when(expr(s"shiftright(wh, $b)") % 2 === 1, 1L).otherwise(-1L))
+    val votes = words
+      .groupBy($"doc_id")
+      .agg(vote(0).as("v0"), (1 to 59).map(b => vote(b).as(s"v$b")): _*)
+    votes.select($"doc_id",
+      (0 to 59).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** DuckDB replay of the per-doc 60-bit simhash, as CTEs ending in
+    * `sigs(doc_id, simhash)` — shared by the signature query and the
+    * near-dup pairing. (Declared before its users: object vals
+    * initialize in order.)
+    */
+  private val simhashCtes =
+    """words AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (wh // (1::BIGINT << b)) % 2 = 1
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM words CROSS JOIN range(0, 60) t(b)
+      |  GROUP BY doc_id, b),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+      |              AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
   private val simhash = Q(
     "td_simhash_signature",
     (s, d) => {
       import s.implicits._
-      import graft.util.Cols.fanout
-      // One word-hash row per word; the 60 bit-votes are 60 conditional
-      // aggregates over those rows (codegen'd, no x60 row explosion).
-      val words = fanout(Tables.documents(s, d))
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
-        .select($"doc_id",
-          expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("wh"))
-      def vote(b: Int) =
-        sum(when(expr(s"shiftright(wh, $b)") % 2 === 1, 1L).otherwise(-1L))
-      val votes = words
-        .groupBy($"doc_id")
-        .agg(vote(0).as("v0"), (1 to 59).map(b => vote(b).as(s"v$b")): _*)
-      votes
-        .select($"doc_id",
-          (0 to 59).map(b =>
-            when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
-        .orderBy($"doc_id")
+      simhashDf(s, d).orderBy($"doc_id")
     },
-    Some("""WITH words AS (
-           |  SELECT doc_id,
-           |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS wh
-           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-           |        FROM documents)),
-           |votes AS (
-           |  SELECT doc_id, b,
-           |         sum(CASE WHEN (wh // (1::BIGINT << b)) % 2 = 1
-           |                  THEN 1 ELSE -1 END) AS v
-           |  FROM words CROSS JOIN range(0, 60) t(b)
-           |  GROUP BY doc_id, b)
-           |SELECT doc_id,
-           |       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
-           |            AS BIGINT) AS simhash
-           |FROM votes
-           |GROUP BY doc_id
-           |ORDER BY doc_id""".stripMargin),
+    Some(s"""WITH $simhashCtes
+            |SELECT doc_id, simhash FROM sigs
+            |ORDER BY doc_id""".stripMargin),
+  )
+
+  // SimHash near-duplicate pairs at hamming distance <= 3, found via
+  // BAND BLOCKING: the 60-bit signature splits into 4 bands of 15
+  // bits, and by pigeonhole any pair within hamming 3 agrees exactly
+  // on at least one band — so candidates come from an EQUI-join on
+  // (band, band_value), never an all-pairs scan, and the final
+  // bit_count(xor) filter makes the result exact. The oracle runs the
+  // naive all-pairs formulation, which the pigeonhole theorem makes
+  // identical. Scale: shuffles on the band value (skew bounded by
+  // genuine duplicate clusters, AQE-handled); pairs matching several
+  // bands are deduped before the popcount.
+  private val simhashNearDup = Q(
+    "td_simhash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val sigs = simhashDf(s, d).localCheckpoint() // feeds both join sides
+      val bands = sigs.select($"doc_id", $"simhash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${b * 15}) & 32767").as("bval"))): _*)).as("bb"))
+        .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bval".as("bval"))
+      val lhs = bands.select($"doc_id".as("doc1"), $"simhash".as("h1"), $"band", $"bval")
+      val rhs = bands.select($"doc_id".as("doc2"), $"simhash".as("h2"),
+        $"band".as("band2"), $"bval".as("bval2"))
+      lhs.join(rhs, $"band" === $"band2" && $"bval" === $"bval2" && $"doc1" < $"doc2")
+        .select($"doc1", $"doc2", $"h1", $"h2")
+        .distinct()
+        .select($"doc1", $"doc2",
+          bit_count($"h1".bitwiseXOR($"h2")).as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"doc1", $"doc2")
+    },
+    Some(s"""WITH $simhashCtes
+            |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            |ORDER BY doc1, doc2""".stripMargin),
   )
 
   // N-gram (word) Jaccard similarity over same-source pairs at
@@ -392,5 +444,6 @@ object DedupQueries {
   )
 
   def all: Seq[Q] =
-    Seq(exact, minhashLsh, simhash, jaccard, jaccardOnCandidates, dedupClusters)
+    Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
+      dedupClusters)
 }
