@@ -443,7 +443,78 @@ object DedupQueries {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  // Train/test DECONTAMINATION: the step that keeps eval data out of
+  // the training split. Composition of existing scale paths — MinHash
+  // LSH candidates verified by exact Jaccard (never all-pairs), joined
+  // to the stable hash split assignment — keeping pairs above 0.5 that
+  // CROSS the train boundary; output names the contaminated eval doc
+  // and its training near-duplicate.
+  private val decontaminate = Q(
+    "td_decontaminate",
+    (s, d) => {
+      import s.implicits._
+      val verified = jaccardOnCandidates.fn(s, d) // (doc1, doc2, jaccard_e9)
+      val bucket =
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+      val splits = Tables.documents(s, d).select(
+        $"doc_id",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      verified
+        .join(splits.select($"doc_id".as("doc1"), $"split".as("split1")), "doc1")
+        .join(splits.select($"doc_id".as("doc2"), $"split".as("split2")), "doc2")
+        .filter($"jaccard_e9" >= 500000000L &&
+          (($"split1" === "train") =!= ($"split2" === "train")))
+        .select(
+          when($"split1" === "train", $"doc2").otherwise($"doc1").as("eval_doc"),
+          when($"split1" === "train", $"split2").otherwise($"split1").as("eval_split"),
+          when($"split1" === "train", $"doc1").otherwise($"doc2").as("train_doc"),
+          $"jaccard_e9")
+        .orderBy($"eval_doc", $"train_doc")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |tokens AS (
+            |  SELECT DISTINCT doc_id, word FROM (
+            |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            |    FROM documents)),
+            |sizes AS (
+            |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
+            |inter AS (
+            |  SELECT c.doc1, c.doc2, count(*) AS n_inter
+            |  FROM candidates c
+            |  JOIN tokens t1 ON t1.doc_id = c.doc1
+            |  JOIN tokens t2 ON t2.doc_id = c.doc2 AND t2.word = t1.word
+            |  GROUP BY c.doc1, c.doc2),
+            |verified AS (
+            |  SELECT c.doc1, c.doc2,
+            |         CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+            |              (s1.n_words + s2.n_words - coalesce(i.n_inter, 0)) * 1e9)
+            |              AS BIGINT) AS jaccard_e9
+            |  FROM candidates c
+            |  LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+            |  JOIN sizes s1 ON s1.doc_id = c.doc1
+            |  JOIN sizes s2 ON s2.doc_id = c.doc2),
+            |splits AS (
+            |  SELECT doc_id,
+            |         CASE WHEN b < 80 THEN 'train'
+            |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            |  FROM (SELECT doc_id,
+            |               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+            |                    AS BIGINT) % 100 AS b
+            |        FROM documents))
+            |SELECT CASE WHEN p1.split = 'train' THEN v.doc2 ELSE v.doc1 END AS eval_doc,
+            |       CASE WHEN p1.split = 'train' THEN p2.split ELSE p1.split END AS eval_split,
+            |       CASE WHEN p1.split = 'train' THEN v.doc1 ELSE v.doc2 END AS train_doc,
+            |       v.jaccard_e9
+            |FROM verified v
+            |JOIN splits p1 ON p1.doc_id = v.doc1
+            |JOIN splits p2 ON p2.doc_id = v.doc2
+            |WHERE v.jaccard_e9 >= 500000000
+            |  AND ((p1.split = 'train') <> (p2.split = 'train'))
+            |ORDER BY eval_doc, train_doc""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
-      dedupClusters)
+      dedupClusters, decontaminate)
 }
