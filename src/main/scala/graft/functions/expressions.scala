@@ -211,7 +211,10 @@ case class NGrams(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val words = v.asInstanceOf[UTF8String].toString.split(" ")
+      // limit -1 keeps trailing empty tokens, matching Catalyst
+      // split(text, ' ') and DuckDB string_split — Java's default
+      // split drops them, which would diverge on trailing spaces
+      val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (words.length < n) Iterator.empty
       else (0 to words.length - n).iterator.map { i =>
         InternalRow(i, UTF8String.fromString(words.slice(i, i + n).mkString(" ")))

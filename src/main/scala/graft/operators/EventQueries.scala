@@ -167,12 +167,26 @@ object EventQueries {
       // schema the streaming source needs.
       val schema = Tables.events(s, d).schema
       // FileStreamSource wants a directory to monitor; expose the
-      // single events file through a temp dir via symlink (no copy).
+      // events data through a temp dir via symlinks (no copy). Handles
+      // both a single-file events.parquet and a Spark-written
+      // directory dataset (whose part files must be linked
+      // individually — a symlinked subdirectory would not be listed).
+      // deleteOnExit runs in reverse registration order, so the dir is
+      // registered first and removed last, after its links.
+      val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
       val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
       streamDir.toFile.deleteOnExit()
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(src).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+        } else Seq(src)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val link = streamDir.resolve(s"part-$i.parquet")
+        java.nio.file.Files.createSymbolicLink(link, f)
+        link.toFile.deleteOnExit()
+      }
       val stream = s.readStream.schema(schema).parquet(streamDir.toString)
       val agg = stream
         .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), $"event_type")

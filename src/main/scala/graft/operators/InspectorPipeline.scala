@@ -68,10 +68,11 @@ object InspectorPipeline {
     * dereferenced by the reference — that every referenced sheet
     * exists, and abort with the offending ids.
     *
-    * Cost: one extra narrow pass over (sheet_id) incl. the dedup
-    * shuffle; the dimension side is broadcast, so no extra wide
-    * shuffle at scale. The check is an eager pre-flight action,
-    * mirroring the reference's fail-before-emit contract.
+    * Cost: the deduped set is localCheckpoint-ed by the callers, so
+    * this adds one narrow scan of the materialized partitions (just
+    * sheet_id) plus the broadcast anti-join — NOT a second dedup
+    * shuffle. The check is an eager pre-flight action, mirroring the
+    * reference's fail-before-emit contract.
     */
   private def assertSheetsPresent(
       deduped: DataFrame, sheetsD: DataFrame, what: String): Unit = {
@@ -112,11 +113,16 @@ object InspectorPipeline {
     // D1: first-seen dedup by building id, BEFORE the degenerate-ring
     // filter — a duplicate whose first occurrence is degenerate must
     // stay suppressed (H2; building-inspector.js:92-100 vs :138-140).
+    // localCheckpoint: the H4 pre-flight assert below is an eager
+    // action over this set; materializing it once means the assert and
+    // the main join share one dedup shuffle instead of running the
+    // wide window twice.
     val dedupW = Window.partitionBy(col("building_id")).orderBy(col("ingest_order"))
     val deduped = feats
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
       .drop("rn")
+      .localCheckpoint()
 
     // J1 (inner, fail-fast semantics) + J2 (left outer).
     val sheetsD = sheetsDim(sheets)
@@ -250,11 +256,14 @@ object InspectorPipeline {
     )
 
     // D2: first-seen dedup by synthetic id (building-inspector.js:211-214).
+    // localCheckpoint for the same reason as the consolidated phase:
+    // one dedup shuffle shared by the H4 assert and the sheet join.
     val dedupW = Window.partitionBy(col("toponym_id")).orderBy(col("ingest_order"))
     val deduped = withId
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
       .drop("rn")
+      .localCheckpoint()
 
     // J1 + J2; toponym mapId comes from the SHEET's map_id
     // (building-inspector.js:218), unlike buildings.

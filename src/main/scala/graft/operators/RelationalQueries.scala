@@ -370,9 +370,11 @@ object RelationalQueries {
         .filter(to_date($"l_shipdate") <= lit("2000-09-02"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          // l_quantity is a double column of integral values; the cast
-          // keeps the sum in exact int64 like the oracle's BIGINT.
-          sum($"l_quantity").cast("long").as("sum_qty"),
+          // l_quantity is a double column of integral values; casting
+          // each VALUE to long before summing keeps both engines in
+          // exact int64 arithmetic (a post-sum cast would truncate in
+          // Spark but round in DuckDB if a value were ever fractional).
+          sum($"l_quantity".cast("long")).as("sum_qty"),
           sum(cents($"l_extendedprice")).as("sum_base_cents"),
           sum(cents($"l_extendedprice") * cents($"l_discount")).as("sum_disc_scaled"),
           count(lit(1)).as("count_order"),
@@ -380,7 +382,7 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
-            |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+            |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
             |       CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
             |       CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")}) AS BIGINT) AS sum_disc_scaled,
             |       count(*) AS count_order

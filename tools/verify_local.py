@@ -53,7 +53,9 @@ def fetch_arrow(cur):
     """
     tbl = cur.arrow()
     cols = list(tbl.column_names)
-    pycols = [tbl.column(c).to_pylist() for c in cols]
+    # positional access (tbl.columns), not by name: name lookup raises
+    # on duplicate column names and would kill the whole gate
+    pycols = [col.to_pylist() for col in tbl.columns]
     rows = list(zip(*pycols)) if cols else []
     return cols, rows
 
