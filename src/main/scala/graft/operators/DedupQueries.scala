@@ -88,6 +88,33 @@ object DedupQueries {
     |    ON a.band = b.band AND a.band_sig = b.band_sig
     |   AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain continuing `candidates`: exact word-set
+    * Jaccard per candidate pair, ending in
+    * `verified(doc1, doc2, jaccard_e9)` — used by the verify query and
+    * decontamination so the formula lives in one place.
+    */
+  private val jaccardVerifyCtes = """tokens AS (
+    |  SELECT DISTINCT doc_id, word FROM (
+    |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    |    FROM documents)),
+    |sizes AS (
+    |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
+    |inter AS (
+    |  SELECT c.doc1, c.doc2, count(*) AS n_inter
+    |  FROM candidates c
+    |  JOIN tokens t1 ON t1.doc_id = c.doc1
+    |  JOIN tokens t2 ON t2.doc_id = c.doc2 AND t2.word = t1.word
+    |  GROUP BY c.doc1, c.doc2),
+    |verified AS (
+    |  SELECT c.doc1, c.doc2,
+    |         CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+    |              (s1.n_words + s2.n_words - coalesce(i.n_inter, 0)) * 1e9)
+    |              AS BIGINT) AS jaccard_e9
+    |  FROM candidates c
+    |  LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+    |  JOIN sizes s1 ON s1.doc_id = c.doc1
+    |  JOIN sizes s2 ON s2.doc_id = c.doc2)""".stripMargin
+
   // MinHash + LSH banding: 3-word shingles, K=8 min-hashes from ONE
   // md5 per shingle + a universal-hash family (a_k*h + b_k mod p over
   // the md5's first 48 bits — 8x less hashing than md5-per-k), 4 bands
@@ -354,27 +381,9 @@ object DedupQueries {
         .orderBy($"doc1", $"doc2")
     },
     Some(s"""WITH $minhashCandidatesCtes,
-            |tokens AS (
-            |  SELECT DISTINCT doc_id, word FROM (
-            |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            |    FROM documents)),
-            |sizes AS (
-            |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
-            |inter AS (
-            |  SELECT c.doc1, c.doc2, count(*) AS n_inter
-            |  FROM candidates c
-            |  JOIN tokens t1 ON t1.doc_id = c.doc1
-            |  JOIN tokens t2 ON t2.doc_id = c.doc2 AND t2.word = t1.word
-            |  GROUP BY c.doc1, c.doc2)
-            |SELECT c.doc1, c.doc2,
-            |       CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
-            |            (s1.n_words + s2.n_words - coalesce(i.n_inter, 0)) * 1e9)
-            |            AS BIGINT) AS jaccard_e9
-            |FROM candidates c
-            |LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
-            |JOIN sizes s1 ON s1.doc_id = c.doc1
-            |JOIN sizes s2 ON s2.doc_id = c.doc2
-            |ORDER BY c.doc1, c.doc2""".stripMargin),
+            |$jaccardVerifyCtes
+            |SELECT doc1, doc2, jaccard_e9 FROM verified
+            |ORDER BY doc1, doc2""".stripMargin),
   )
 
   // Duplicate-cluster assignment: connected components over the LSH
@@ -473,27 +482,7 @@ object DedupQueries {
         .orderBy($"eval_doc", $"train_doc")
     },
     Some(s"""WITH $minhashCandidatesCtes,
-            |tokens AS (
-            |  SELECT DISTINCT doc_id, word FROM (
-            |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
-            |    FROM documents)),
-            |sizes AS (
-            |  SELECT doc_id, count(*) AS n_words FROM tokens GROUP BY doc_id),
-            |inter AS (
-            |  SELECT c.doc1, c.doc2, count(*) AS n_inter
-            |  FROM candidates c
-            |  JOIN tokens t1 ON t1.doc_id = c.doc1
-            |  JOIN tokens t2 ON t2.doc_id = c.doc2 AND t2.word = t1.word
-            |  GROUP BY c.doc1, c.doc2),
-            |verified AS (
-            |  SELECT c.doc1, c.doc2,
-            |         CAST(round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
-            |              (s1.n_words + s2.n_words - coalesce(i.n_inter, 0)) * 1e9)
-            |              AS BIGINT) AS jaccard_e9
-            |  FROM candidates c
-            |  LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
-            |  JOIN sizes s1 ON s1.doc_id = c.doc1
-            |  JOIN sizes s2 ON s2.doc_id = c.doc2),
+            |$jaccardVerifyCtes,
             |splits AS (
             |  SELECT doc_id,
             |         CASE WHEN b < 80 THEN 'train'

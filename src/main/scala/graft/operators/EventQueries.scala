@@ -179,8 +179,10 @@ object EventQueries {
       val files: Seq[java.nio.file.Path] =
         if (java.nio.file.Files.isDirectory(src)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(src).iterator().asScala.toSeq
+          val listing = java.nio.file.Files.list(src) // close: holds an fd
+          try listing.iterator().asScala.toSeq
             .filter(_.getFileName.toString.endsWith(".parquet"))
+          finally listing.close()
         } else Seq(src)
       files.zipWithIndex.foreach { case (f, i) =>
         val link = streamDir.resolve(s"part-$i.parquet")
