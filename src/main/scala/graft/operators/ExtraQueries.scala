@@ -297,6 +297,61 @@ object ExtraQueries {
            |ORDER BY key, root, depth""".stripMargin),
   )
 
+  // True relational PIVOT (RelationalGroupedDataset.pivot with
+  // explicit values — no extra distinct-values job): order counts per
+  // priority pivoted across status columns. Spark leaves an absent
+  // (priority, status) cell NULL, so the oracle wraps its conditional
+  // counts in NULLIF.
+  private val pivotOp = Q(
+    "qa_pivot_op",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |       NULLIF(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           |                   AS BIGINT), 0) AS "F",
+           |       NULLIF(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+           |                   AS BIGINT), 0) AS "O",
+           |       NULLIF(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+           |                   AS BIGINT), 0) AS "P"
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+  )
+
+  // Correlated EXISTS / NOT EXISTS in the projection: exercises
+  // Spark's subquery decorrelation (each EXISTS rewrites to an
+  // existence join). Identical ANSI text runs in both engines.
+  private val existsSubquery = Q(
+    "qs_exists_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT c_custkey,
+              |       EXISTS (SELECT 1 FROM graft_orders o
+              |               WHERE o.o_custkey = c.c_custkey
+              |                 AND o.o_totalprice > 150000) AS has_big_order,
+              |       NOT EXISTS (SELECT 1 FROM graft_orders o
+              |                   WHERE o.o_custkey = c.c_custkey) AS has_no_orders
+              |FROM graft_customer c
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey,
+           |       EXISTS (SELECT 1 FROM orders o
+           |               WHERE o.o_custkey = c.c_custkey
+           |                 AND o.o_totalprice > 150000) AS has_big_order,
+           |       NOT EXISTS (SELECT 1 FROM orders o
+           |                   WHERE o.o_custkey = c.c_custkey) AS has_no_orders
+           |FROM customer c
+           |ORDER BY c_custkey""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
-    vocab, windowVariants, fuzzy, normalize, recursiveCte)
+    vocab, windowVariants, fuzzy, normalize, recursiveCte, pivotOp,
+    existsSubquery)
 }
