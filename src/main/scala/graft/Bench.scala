@@ -32,14 +32,32 @@ object Bench {
 
     // A failed query must be visible in the JSON (time -1 + an errors
     // entry), never a normal-looking timing.
+    //
+    // n=3 reps per query, reporting the MIN under "queries" (the
+    // driver's contract key) plus the mean under "queries_mean": the
+    // host swings per-query timings ±40% run-to-run, which is enough
+    // noise to hide a real regression behind a lucky single sample.
+    // The cache is cleared between reps so each one measures the plan,
+    // not residue from the previous rep.
+    val Reps = 3
     val results = QueryCatalog.all.map { q =>
-      val t0 = System.nanoTime()
-      val err =
-        try { q.fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (q.name, if (err.isDefined) -1.0 else (System.nanoTime() - t0) / 1e9, err)
+      var err: Option[String] = None
+      val times = (1 to Reps).iterator.map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            err = Some(e.toString.takeWhile(_ != '\n').take(200)); None
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+      val min = if (err.isDefined) -1.0 else times.min
+      val mean = if (err.isDefined) -1.0 else times.sum / times.size
+      (q.name, min, mean, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qmeans = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // Full JSON string escape (backslash, quote, ALL control chars):
     // an exception message with a tab or stray CR must not break the
@@ -53,11 +71,11 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"queries_mean":$qmeans,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,6 +101,7 @@ object JsNumber {
         }
       } else if (n.isNumber) sb.append(format(n.asDouble()))
       else if (n.isNull) () // JS String(null element) -> ""
+      else if (n.isObject) sb.append("[object Object]") // JS String({})
       else sb.append(n.asText())
     }
     walk(node)

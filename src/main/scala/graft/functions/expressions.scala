@@ -41,6 +41,16 @@ case class JsCoordJoinRaw(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // Registered as a SQL function: without a guard, a non-string child
+  // (e.g. an array) reaches toString on Catalyst internal data and
+  // fails at runtime with an opaque Jackson error instead of an
+  // analysis-time type error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"js_coord_join_raw requires a string (raw JSON) argument, got ${child.dataType.sql}")
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(JsNumber.joinNestedJson(input.toString))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

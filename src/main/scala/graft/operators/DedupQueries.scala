@@ -310,15 +310,32 @@ object DedupQueries {
         .join(broadcast(offDf), "bkt")
         .select($"word", ($"offset" + $"pos").cast("int").as("widx"))
       val maskWords = (vocabSize + 63) / 64
+      // SIZE-BAND BLOCKING for the pair join: jaccard >= 0.5 forces
+      // |A| <= 2|B| and |B| <= 2|A| (jaccard = I/U <= min/max), and two
+      // word counts within 2x of each other have floor(log2) bands at
+      // most 1 apart — so keying the join on (source, band) with one
+      // side replicated to its 3 neighbouring bands covers every
+      // qualifying pair exactly once while bounding candidates per
+      // shuffle key, instead of O(n^2) pairs per source. band is
+      // computed as length(bin(n)) - 1 (exact integer log2; floating
+      // log2 can sit a ulp under an integer at exact powers of two).
       val masks = tokens
         .join(broadcast(vocab), "word")
         .groupBy($"doc_id", $"source")
         .agg(collect_list($"widx").as("idxs"))
-        .select($"doc_id", $"source",
+        .select($"doc_id", $"source", size($"idxs").as("nw"),
+          (length(bin(size($"idxs"))) - 1).as("band"),
           bitset_from_indexes($"idxs", maskWords).as("mask"))
-      val a = masks.select($"doc_id".as("doc1"), $"source", $"mask".as("m1"))
-      val b = masks.select($"doc_id".as("doc2"), $"source".as("source2"), $"mask".as("m2"))
-      a.join(b, $"source" === $"source2" && $"doc1" < $"doc2")
+        .localCheckpoint() // feeds both sides of the pair join
+      val a = masks.select($"doc_id".as("doc1"), $"source",
+        $"nw".as("n1"), $"band", $"mask".as("m1"))
+      val b = masks.select($"doc_id".as("doc2"), $"source".as("source2"),
+        $"nw".as("n2"), explode(array($"band" - 1, $"band", $"band" + 1)).as("band2"),
+        $"mask".as("m2"))
+      a.join(b, $"source" === $"source2" && $"band" === $"band2" && $"doc1" < $"doc2")
+        // cheap exact prune implied by the 0.5 threshold, ahead of the
+        // popcount kernel (the band admits ratios up to ~4)
+        .filter($"n1" <= $"n2" * 2 && $"n2" <= $"n1" * 2)
         .select($"doc1", $"doc2", bitset_jaccard($"m1", $"m2").as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"doc1", $"doc2")

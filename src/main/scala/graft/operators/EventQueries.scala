@@ -159,6 +159,46 @@ object EventQueries {
   // batch dual; watermarked/append-mode variants live in
   // graft.streaming and are spec-verified (append emission timing is
   // trigger-dependent, so only the complete-mode agg is byte-stable).
+  /** Expose the events parquet data as a DIRECTORY for
+    * FileStreamSource via symlinks in a temp dir (no copy). Handles
+    * both a single-file events.parquet and a Spark-written directory
+    * dataset (whose part files must be linked individually — a
+    * symlinked subdirectory would not be listed). A hive-partitioned
+    * layout (part files under key=value subdirectories) would silently
+    * stream a subset of the data, so it fails loudly instead. Callers
+    * must clean up eagerly via [[deleteStreamDir]] once the streaming
+    * query has stopped (the memory sink holds the rows by then) —
+    * deleteOnExit would accumulate one hook entry + temp dir per
+    * invocation across a long bench/correctness session.
+    */
+  private def makeStreamDir(d: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(src) // close: holds an fd
+        val children = try listing.iterator().asScala.toSeq finally listing.close()
+        children.find(java.nio.file.Files.isDirectory(_)).foreach { sub =>
+          throw new IllegalArgumentException(
+            s"unsupported partitioned events layout: subdirectory $sub under $src")
+        }
+        children.filter(_.getFileName.toString.endsWith(".parquet"))
+      } else Seq(src)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"part-$i.parquet"), f)
+    }
+    streamDir
+  }
+
+  private def deleteStreamDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(dir)
+    try listing.iterator().asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists)
+    finally listing.close()
+    java.nio.file.Files.deleteIfExists(dir)
+  }
+
   private val streamParity = Q(
     "ev_stream_tumbling_parity",
     (s, d) => {
@@ -166,41 +206,21 @@ object EventQueries {
       // Batch read first: fixes the nanosAsLong conf and provides the
       // schema the streaming source needs.
       val schema = Tables.events(s, d).schema
-      // FileStreamSource wants a directory to monitor; expose the
-      // events data through a temp dir via symlinks (no copy). Handles
-      // both a single-file events.parquet and a Spark-written
-      // directory dataset (whose part files must be linked
-      // individually — a symlinked subdirectory would not be listed).
-      // deleteOnExit runs in reverse registration order, so the dir is
-      // registered first and removed last, after its links.
-      val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-      streamDir.toFile.deleteOnExit()
-      val files: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(src)) {
-          import scala.jdk.CollectionConverters._
-          val listing = java.nio.file.Files.list(src) // close: holds an fd
-          try listing.iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-          finally listing.close()
-        } else Seq(src)
-      files.zipWithIndex.foreach { case (f, i) =>
-        val link = streamDir.resolve(s"part-$i.parquet")
-        java.nio.file.Files.createSymbolicLink(link, f)
-        link.toFile.deleteOnExit()
-      }
-      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      val agg = stream
-        .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
-      val sink = "ev_stream_parity_sink"
-      val q = agg.writeStream
-        .outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable()
-      finally q.stop()
-      s.table(sink)
-        .select($"hour_bucket", $"event_type", $"n", $"value_cents")
-        .orderBy($"hour_bucket", $"event_type")
+      val streamDir = makeStreamDir(d)
+      try {
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val agg = stream
+          .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+        val sink = "ev_stream_parity_sink"
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+          .select($"hour_bucket", $"event_type", $"n", $"value_cents")
+          .orderBy($"hour_bucket", $"event_type")
+      } finally deleteStreamDir(streamDir)
     },
     tumbling.oracle, // identical result contract to the batch query
   )

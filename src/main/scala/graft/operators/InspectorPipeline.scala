@@ -81,6 +81,7 @@ object InspectorPipeline {
       .join(broadcast(sheetsD.select(col("s_sheet_id"))),
         col("sheet_id") === col("s_sheet_id"), "left_anti")
       .distinct()
+      .orderBy(col("sheet_id")) // stable sample → reproducible abort message
       .limit(20)
       .collect()
       .map(_.get(0))

@@ -106,7 +106,10 @@ object SimilarityQueries {
     "sim_lsh_ann_topk",
     (s, d) => {
       import s.implicits._
-      val withBucket = bucketed(s, d)
+      // bucketed() feeds BOTH join sides (probes + candidates); Spark
+      // reuses only exchanges, so without a checkpoint the whole
+      // scan+kernel subplan runs twice (the r2 4x bench regression).
+      val withBucket = bucketed(s, d).localCheckpoint()
       val probes = withBucket.filter($"vec_id" < 10)
         .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("pe"))
       import graft.functions.exprs.cosine_e9
@@ -177,7 +180,8 @@ object SimilarityQueries {
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
-      val bkt = bucketed(s, d)
+      // checkpoint: feeds both sides of the self-join below
+      val bkt = bucketed(s, d).localCheckpoint()
       val a = bkt.select($"vec_id".as("vec1"), $"bucket", $"embedding".as("ea"))
       val b = bkt.select($"vec_id".as("vec2"), $"bucket".as("bucket2"), $"embedding".as("eb"))
       a.join(b, $"bucket" === $"bucket2" && $"vec1" < $"vec2")
