@@ -225,5 +225,78 @@ object EventQueries {
     tumbling.oracle, // identical result contract to the batch query
   )
 
-  def all: Seq[Q] = Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity)
+  // Stream/batch parity for STATEFUL sessionization, DRIVER-GATED: the
+  // flatMapGroupsWithState path (graft.streaming.StreamingOps
+  // .sessionize — keyed state, event-time timeout) run as a real
+  // streaming query over the same file-stream fixture as
+  // ev_stream_tumbling_parity, checked against a DuckDB replay of its
+  // exact emission semantics. Two ways a session is emitted:
+  //  (a) closed by a later event of the same user (> gap silence in
+  //      the data) — always emitted;
+  //  (b) the user's final open session times out once the terminal
+  //      watermark (max event time - 10 min) passes session_end + gap.
+  // A final session younger than that stays in state forever on a
+  // bounded fixture — exactly the append-mode contract — so the oracle
+  // reproduces (a) ∪ (b) rather than the batch gap-island total. Time
+  // math is in epoch MILLIS (Timestamp.getTime in the state function;
+  // ns//1e6 in the oracle) with a 30-min gap and 10-min watermark.
+  private val sessionStreamParity = Q(
+    "ev_stream_session_parity",
+    (s, d) => {
+      import s.implicits._
+      val schema = Tables.events(s, d).schema
+      val streamDir = makeStreamDir(d)
+      try {
+        val events = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(
+            $"event_id",
+            // epoch-nanos BIGINT → TimestampType (micros); ms flooring
+            // happens in Timestamp.getTime, mirrored by the oracle
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            $"user_id", $"event_type", $"value")
+          .as[graft.streaming.StreamingOps.Event]
+        val sessions =
+          graft.streaming.StreamingOps.sessionize(events, gapMs = 30L * 60 * 1000)
+        val sink = "ev_stream_session_sink"
+        val q = sessions.toDF().writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+          .select(
+            $"user_id",
+            unix_millis($"session_start").as("start_ms"),
+            unix_millis($"session_end").as("end_ms"),
+            $"n_events")
+          .orderBy($"user_id", $"start_ms")
+      } finally deleteStreamDir(streamDir)
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+           |flags AS (
+           |  SELECT user_id, event_id, ms,
+           |         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+           |              THEN 1 ELSE 0 END AS is_start
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+           |isl AS (
+           |  SELECT user_id, ms,
+           |         sum(is_start) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |                             ROWS BETWEEN UNBOUNDED PRECEDING
+           |                             AND CURRENT ROW) AS seq
+           |  FROM flags),
+           |sess AS (
+           |  SELECT user_id, seq, min(ms) AS start_ms, max(ms) AS end_ms,
+           |         count(*) AS n_events
+           |  FROM isl GROUP BY user_id, seq),
+           |wm AS (SELECT max(ms) - 600000 AS w FROM e),
+           |lastseq AS (SELECT user_id, max(seq) AS mx FROM sess GROUP BY user_id)
+           |SELECT s.user_id, s.start_ms, s.end_ms, s.n_events
+           |FROM sess s JOIN lastseq l USING (user_id), wm
+           |WHERE s.seq < l.mx OR s.end_ms + 1800000 < wm.w
+           |ORDER BY user_id, start_ms""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity,
+      sessionStreamParity)
 }

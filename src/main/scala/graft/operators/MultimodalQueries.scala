@@ -8,16 +8,17 @@ import graft.model.Tables
 
 /** Multimodal-column support: media travels as an opaque `binary`
   * column plus typed metadata, exactly as image/audio/video would in a
-  * 100 TB training-data lake. The decode step is a clearly-marked
-  * DETERMINISTIC STUB (no media libraries in this environment): it
-  * derives "decoded" properties from the payload's md5, which keeps
-  * the Spark-side plumbing — schema, batch iteration, partitioning,
-  * typed Dataset boundary — real and oracle-checkable, while a real
-  * deployment swaps [[Multimodal.decodeStub]] for an actual codec.
+  * 100 TB training-data lake. The decode step runs a REAL image codec
+  * (javax.imageio — PNG/JPEG/GIF/BMP) on payloads that parse as
+  * images, and falls back to a deterministic md5-derived pseudo-decode
+  * for everything else — the quarantine-row pattern for corrupt media.
+  * The `documents`-backed catalogue queries exercise the fallback arm
+  * (text bytes are never valid images), keeping them oracle-checkable;
+  * the real arm is spec-verified with an actual PNG round-trip.
   *
-  * Scale notes: decode runs per-partition (mapPartitions) so a real
-  * codec can amortize init per batch; payloads never shuffle — only
-  * extracted features/metadata do.
+  * Scale notes: decode runs per-partition (mapPartitions) so the codec
+  * amortizes init per batch; payloads never shuffle — only extracted
+  * features/metadata do.
   */
 object Multimodal {
 
@@ -34,9 +35,12 @@ object Multimodal {
       feat0: Double,
   )
 
-  /** DETERMINISTIC STUB for the codec: md5-derived pseudo-decode.
-    * Replace with a real image/audio decoder (per-partition init) in
-    * production. Pure function of the payload bytes.
+  /** DETERMINISTIC FALLBACK for non-image payloads: md5-derived
+    * pseudo-decode. Keeps every byte stream decodable — exactly what a
+    * production pipeline does with a quarantine/default row for
+    * corrupt media — and keeps the `documents`-backed oracle queries
+    * replayable (their text payloads are never valid images).
+    * Pure function of the payload bytes.
     */
   def decodeStub(payload: Array[Byte]): (String, Int, Int, Double) = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -48,16 +52,46 @@ object Multimodal {
     (format, width, height, feat0)
   }
 
+  /** Real codec path: decode the payload with javax.imageio when its
+    * bytes are a parseable image (PNG/JPEG/GIF/BMP — whatever readers
+    * the JVM ships), reporting the actual format, pixel dimensions,
+    * and the mean-luma-of-origin-pixel feature; fall back to
+    * [[decodeStub]] for anything unparseable.
+    */
+  def decodePayload(payload: Array[Byte]): (String, Int, Int, Double) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(payload)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = reader.read(0)
+          val argb = img.getRGB(0, 0)
+          val luma = (((argb >> 16) & 0xff) * 0.299 +
+            ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114) / 255.0
+          (format, img.getWidth, img.getHeight, luma)
+        } finally reader.dispose()
+      }
+    } catch {
+      // truncated/corrupt image container: quarantine-style fallback
+      case _: java.io.IOException => decodeStub(payload)
+    } finally if (iis != null) iis.close()
+  }
+
   /** The batch-decode operator: per-partition iteration over typed
-    * rows — where a real codec would init once per partition and
-    * process a batch at a time.
+    * rows — the real codec initializes its ImageIO machinery once per
+    * JVM and streams each partition's payloads through
+    * [[decodePayload]].
     */
   def decode(rows: Dataset[MediaRow]): Dataset[MediaDecoded] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // per-partition codec init would go here
       it.map { r =>
-        val (format, width, height, feat0) = decodeStub(r.payload)
+        val (format, width, height, feat0) = decodePayload(r.payload)
         MediaDecoded(r.doc_id, r.payload.length, format, width, height, feat0)
       }
     }

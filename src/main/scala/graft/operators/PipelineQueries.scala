@@ -134,17 +134,137 @@ object PipelineQueries {
     )
   }
 
+  /** The full composed record stream (consolidated + toponym phases)
+    * over the synthesized inputs — shared by the flattened
+    * `pipe_end_to_end` gate and the serialized `pipe_ndjson_lines`
+    * gate. The synth inputs are localCheckpoint-ed: each is re-read
+    * under several output branches (sheets feeds both phases' dims,
+    * consolidated feeds 5 record branches + the spatial index), and
+    * materializing them once collapses the re-derived join subtrees
+    * the round-2 plan audit flagged (59 exchanges).
+    */
+  private def pipelineRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val layers = Tables.region(s, d).filter($"r_regionkey" =!= 4)
+      .select($"r_regionkey".cast("long").as("id"), $"r_name".as("borough"))
+    val sheets = synthSheets(s, d).localCheckpoint()
+    val cons = InspectorPipeline.consolidated(
+      s, synthConsolidated(s, d).localCheckpoint(), sheets, layers)
+    val topo = InspectorPipeline.toponyms(
+      s, synthToponyms(s, d).localCheckpoint(), sheets, layers, cons.indexedBuildings)
+    cons.records.unionByName(topo)
+  }
+
+  /** The DuckDB replay of the synthesized pipeline, as a WITH prefix
+    * shared by `pipe_end_to_end` (flattened record compare) and
+    * `pipe_ndjson_lines` (serialized byte compare): sheets last-wins
+    * dedup, building dedup + degenerate filter + borough join, address
+    * explode, toponym base62 ids (UHUGEINT hex fold + recursive divmod
+    * 62), toponym dedup + joins, and the point-in-polygon probe.
+    */
+  private val SynthCtes: String =
+    """WITH RECURSIVE
+      |sheets0 AS (
+      |  SELECT n_nationkey AS sid, n_nationkey AS ord,
+      |         CAST(10000 + n_nationkey AS VARCHAR) AS smap,
+      |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END AS slayer,
+      |         1880 + n_nationkey AS syear
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, n_nationkey + 100, CAST(20000 + n_nationkey AS VARCHAR),
+      |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END,
+      |         1880 + n_nationkey
+      |  FROM nation WHERE n_nationkey < 3),
+      |sheets AS (
+      |  SELECT sid, smap, slayer, syear FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY ord DESC) AS rn
+      |    FROM sheets0) WHERE rn = 1),
+      |boroughs AS (
+      |  SELECT r_regionkey AS lid, r_name AS borough FROM region WHERE r_regionkey <> 4),
+      |bld0 AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(c_custkey % 1000 AS VARCHAR) AS bid,
+      |         c_custkey % 24 AS sheet_id,
+      |         30000 + c_custkey % 100 AS map_id,
+      |         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END AS color,
+      |         c_custkey % 4 AS amode, c_custkey % 50 AS anum,
+      |         c_custkey % 97 AS x0, c_custkey % 89 + 1 AS y0,
+      |         c_custkey % 97 + 1 + c_custkey % 5 AS x1,
+      |         c_custkey % 89 + 3 + c_custkey % 7 AS y1,
+      |         (c_custkey % 11 = 0) AS degen
+      |  FROM customer),
+      |bld1 AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY bid ORDER BY k) AS rn FROM bld0)
+      |  WHERE rn = 1),
+      |bld AS (
+      |  SELECT b.*, s.slayer AS layer_id, s.syear AS yr, br.borough
+      |  FROM bld1 b
+      |  JOIN sheets s ON b.sheet_id = s.sid
+      |  LEFT JOIN boroughs br ON s.slayer = br.lid
+      |  WHERE NOT b.degen),
+      |addr AS (
+      |  SELECT *, 1 AS pos1, 'a' || anum AS aname FROM bld WHERE amode IN (2, 3)
+      |  UNION ALL
+      |  SELECT *, 2, 'b' || anum FROM bld WHERE amode = 3),
+      |top0 AS (
+      |  SELECT s_suppkey AS j, s_suppkey % 25 AS sheet_id, s_name AS tname,
+      |         (s_suppkey % 10 = 0) AS is_poly,
+      |         s_suppkey % 50 + 1 AS px, s_suppkey % 50 + 2 AS py,
+      |         s_suppkey % 90 AS qx, s_suppkey % 80 AS qy
+      |  FROM supplier),
+      |topj AS (
+      |  SELECT *,
+      |         CASE WHEN is_poly
+      |              THEN qx||','||qy||','||(qx+4)||','||qy||','||(qx+4)||','||(qy+4)
+      |                   ||','||qx||','||(qy+4)||','||qx||','||qy
+      |              ELSE px||','||py END AS cj
+      |  FROM top0),
+      |toph AS (SELECT j, md5(cj) AS h FROM topj),
+      |hexv(j, i, v) AS (
+      |  SELECT j, 0, 0::UHUGEINT FROM toph
+      |  UNION ALL
+      |  SELECT x.j, x.i + 1,
+      |         x.v * 16 + CAST(strpos('0123456789abcdef', substr(t.h, x.i + 1, 1)) - 1 AS UHUGEINT)
+      |  FROM hexv x JOIN toph t ON t.j = x.j WHERE x.i < 32),
+      |nval AS (SELECT j, v FROM hexv WHERE i = 32),
+      |b62(j, remaining, acc) AS (
+      |  SELECT j, v, '' FROM nval
+      |  UNION ALL
+      |  SELECT b.j, b.remaining // 62,
+      |         substr('0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |                CAST(b.remaining % 62 AS INT) + 1, 1) || b.acc
+      |  FROM b62 b WHERE b.remaining > 0),
+      |tids AS (
+      |  SELECT n.j, CASE WHEN n.v = 0 THEN '0' ELSE b.acc END AS id62
+      |  FROM nval n JOIN b62 b ON b.j = n.j AND b.remaining = 0),
+      |topi AS (
+      |  SELECT t.*, 'toponym-' || t.sheet_id || '-' || i.id62 AS tid
+      |  FROM topj t JOIN tids i ON i.j = t.j),
+      |topd AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY j) AS rn FROM topi)
+      |  WHERE rn = 1),
+      |topf AS (
+      |  SELECT t.*, s.slayer AS layer_id, s.syear AS yr,
+      |         CAST(s.smap AS INT) AS map_id, br.borough
+      |  FROM topd t
+      |  JOIN sheets s ON t.sheet_id = s.sid
+      |  LEFT JOIN boroughs br ON s.slayer = br.lid),
+      |idxlayers AS (SELECT DISTINCT layer_id FROM bld),
+      |probes AS (SELECT * FROM topf WHERE NOT is_poly),
+      |probed AS (
+      |  SELECT p.tid, b.bid
+      |  FROM probes p
+      |  JOIN idxlayers il ON p.layer_id = il.layer_id
+      |  LEFT JOIN bld b ON b.layer_id = p.layer_id
+      |    AND p.px >= b.x0 AND p.px <= b.x1 AND p.py >= b.y0 AND p.py <= b.y1)""".stripMargin
+
   private val endToEnd = Q(
     "pipe_end_to_end",
     (s, d) => {
       import s.implicits._
-      val layers = Tables.region(s, d).filter($"r_regionkey" =!= 4)
-        .select($"r_regionkey".cast("long").as("id"), $"r_name".as("borough"))
-      val sheets = synthSheets(s, d)
-      val cons = InspectorPipeline.consolidated(s, synthConsolidated(s, d), sheets, layers)
-      val topo = InspectorPipeline.toponyms(
-        s, synthToponyms(s, d), sheets, layers, cons.indexedBuildings)
-      val flat = cons.records.unionByName(topo).select(
+      val flat = pipelineRecords(s, d).select(
         $"rtype", $"id", $"otype", $"valid_since", $"valid_until", $"name",
         $"data.number".as("number"), $"data.sheetId".as("sheet_id"),
         $"data.layerId".as("layer_id"), $"data.mapId".as("map_id"),
@@ -153,102 +273,7 @@ object PipelineQueries {
         $"rel_from", $"rel_to", $"rel_type", $"error")
       flat.orderBy(flat.columns.toSeq.map(c => col(c).asc_nulls_first): _*)
     },
-    Some("""WITH RECURSIVE
-           |sheets0 AS (
-           |  SELECT n_nationkey AS sid, n_nationkey AS ord,
-           |         CAST(10000 + n_nationkey AS VARCHAR) AS smap,
-           |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END AS slayer,
-           |         1880 + n_nationkey AS syear
-           |  FROM nation
-           |  UNION ALL
-           |  SELECT n_nationkey, n_nationkey + 100, CAST(20000 + n_nationkey AS VARCHAR),
-           |         CASE WHEN n_nationkey = 24 THEN 9 ELSE n_regionkey END,
-           |         1880 + n_nationkey
-           |  FROM nation WHERE n_nationkey < 3),
-           |sheets AS (
-           |  SELECT sid, smap, slayer, syear FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY ord DESC) AS rn
-           |    FROM sheets0) WHERE rn = 1),
-           |boroughs AS (
-           |  SELECT r_regionkey AS lid, r_name AS borough FROM region WHERE r_regionkey <> 4),
-           |bld0 AS (
-           |  SELECT c_custkey AS k,
-           |         CAST(c_custkey % 1000 AS VARCHAR) AS bid,
-           |         c_custkey % 24 AS sheet_id,
-           |         30000 + c_custkey % 100 AS map_id,
-           |         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END AS color,
-           |         c_custkey % 4 AS amode, c_custkey % 50 AS anum,
-           |         c_custkey % 97 AS x0, c_custkey % 89 + 1 AS y0,
-           |         c_custkey % 97 + 1 + c_custkey % 5 AS x1,
-           |         c_custkey % 89 + 3 + c_custkey % 7 AS y1,
-           |         (c_custkey % 11 = 0) AS degen
-           |  FROM customer),
-           |bld1 AS (
-           |  SELECT * FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY bid ORDER BY k) AS rn FROM bld0)
-           |  WHERE rn = 1),
-           |bld AS (
-           |  SELECT b.*, s.slayer AS layer_id, s.syear AS yr, br.borough
-           |  FROM bld1 b
-           |  JOIN sheets s ON b.sheet_id = s.sid
-           |  LEFT JOIN boroughs br ON s.slayer = br.lid
-           |  WHERE NOT b.degen),
-           |addr AS (
-           |  SELECT *, 1 AS pos1, 'a' || anum AS aname FROM bld WHERE amode IN (2, 3)
-           |  UNION ALL
-           |  SELECT *, 2, 'b' || anum FROM bld WHERE amode = 3),
-           |top0 AS (
-           |  SELECT s_suppkey AS j, s_suppkey % 25 AS sheet_id, s_name AS tname,
-           |         (s_suppkey % 10 = 0) AS is_poly,
-           |         s_suppkey % 50 + 1 AS px, s_suppkey % 50 + 2 AS py,
-           |         s_suppkey % 90 AS qx, s_suppkey % 80 AS qy
-           |  FROM supplier),
-           |topj AS (
-           |  SELECT *,
-           |         CASE WHEN is_poly
-           |              THEN qx||','||qy||','||(qx+4)||','||qy||','||(qx+4)||','||(qy+4)
-           |                   ||','||qx||','||(qy+4)||','||qx||','||qy
-           |              ELSE px||','||py END AS cj
-           |  FROM top0),
-           |toph AS (SELECT j, md5(cj) AS h FROM topj),
-           |hexv(j, i, v) AS (
-           |  SELECT j, 0, 0::UHUGEINT FROM toph
-           |  UNION ALL
-           |  SELECT x.j, x.i + 1,
-           |         x.v * 16 + CAST(strpos('0123456789abcdef', substr(t.h, x.i + 1, 1)) - 1 AS UHUGEINT)
-           |  FROM hexv x JOIN toph t ON t.j = x.j WHERE x.i < 32),
-           |nval AS (SELECT j, v FROM hexv WHERE i = 32),
-           |b62(j, remaining, acc) AS (
-           |  SELECT j, v, '' FROM nval
-           |  UNION ALL
-           |  SELECT b.j, b.remaining // 62,
-           |         substr('0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
-           |                CAST(b.remaining % 62 AS INT) + 1, 1) || b.acc
-           |  FROM b62 b WHERE b.remaining > 0),
-           |tids AS (
-           |  SELECT n.j, CASE WHEN n.v = 0 THEN '0' ELSE b.acc END AS id62
-           |  FROM nval n JOIN b62 b ON b.j = n.j AND b.remaining = 0),
-           |topi AS (
-           |  SELECT t.*, 'toponym-' || t.sheet_id || '-' || i.id62 AS tid
-           |  FROM topj t JOIN tids i ON i.j = t.j),
-           |topd AS (
-           |  SELECT * FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY j) AS rn FROM topi)
-           |  WHERE rn = 1),
-           |topf AS (
-           |  SELECT t.*, s.slayer AS layer_id, s.syear AS yr,
-           |         CAST(s.smap AS INT) AS map_id, br.borough
-           |  FROM topd t
-           |  JOIN sheets s ON t.sheet_id = s.sid
-           |  LEFT JOIN boroughs br ON s.slayer = br.lid),
-           |idxlayers AS (SELECT DISTINCT layer_id FROM bld),
-           |probes AS (SELECT * FROM topf WHERE NOT is_poly),
-           |probed AS (
-           |  SELECT p.tid, b.bid
-           |  FROM probes p
-           |  JOIN idxlayers il ON p.layer_id = il.layer_id
-           |  LEFT JOIN bld b ON b.layer_id = p.layer_id
-           |    AND p.px >= b.x0 AND p.px <= b.x1 AND p.py >= b.y0 AND p.py <= b.y1)
+    Some(SynthCtes + """
            |SELECT * FROM (
            |  SELECT 'object' AS rtype, bid AS id, 'st:Building' AS otype,
            |         yr AS valid_since, yr AS valid_until,
@@ -332,5 +357,104 @@ object PipelineQueries {
            |         rel_type ASC NULLS FIRST, error ASC NULLS FIRST""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(endToEnd)
+  /** S7 BYTE-CONTRACT gate: the exact serialized NDJSON lines of the
+    * composed pipeline ([[graft.sources.NdjsonSink.lines]]) — field
+    * order, null-field omission, and the raw-geometry splice — hashed
+    * against an oracle that rebuilds every line with `||`. The
+    * `pipe_end_to_end` gate pins the record *content*; this pins the
+    * serialized bytes a downstream NDJSON consumer actually parses.
+    */
+  private val ndjsonLines = Q(
+    "pipe_ndjson_lines",
+    (s, d) => {
+      import s.implicits._
+      graft.sources.NdjsonSink.lines(pipelineRecords(s, d))
+        .orderBy($"value".asc_nulls_first)
+    },
+    Some(SynthCtes + """
+           |SELECT value FROM (
+           |  SELECT '{"type":"object","obj":{"id":"' || bid
+           |      || '","type":"st:Building","validSince":' || yr
+           |      || ',"validUntil":' || yr
+           |      || ',"data":{"sheetId":' || sheet_id
+           |      || ',"layerId":' || layer_id || ',"mapId":' || map_id
+           |      || CASE WHEN color <> '' THEN ',"colors":["' || color || '"]' ELSE '' END
+           |      || CASE WHEN borough IS NOT NULL THEN ',"borough":"' || borough || '"' ELSE '' END
+           |      || '},"geometry":{"type":"Polygon","coordinates":[[[' || x0 || ',' || y0
+           |      || '],[' || x1 || ',' || y0 || '],[' || x1 || ',' || y1
+           |      || '],[' || x0 || ',' || y1 || '],[' || x0 || ',' || y0
+           |      || ']]]}}}' AS value
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || bid
+           |      || '","to":"mapwarper/' || map_id || '","type":"st:in"}}'
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || bid
+           |      || '","to":"mapwarper/layer-' || layer_id || '","type":"st:in"}}'
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT '{"type":"log","obj":{"error":"Can''t find borough for layer '
+           |      || layer_id || '"}}'
+           |  FROM bld WHERE borough IS NULL
+           |  UNION ALL
+           |  SELECT '{"type":"object","obj":{"id":"' || bid || '-' || pos1
+           |      || '","type":"st:Address","validSince":' || yr
+           |      || ',"validUntil":' || yr
+           |      || ',"name":"' || aname
+           |      || '","data":{"number":"' || aname
+           |      || '","sheetId":' || sheet_id
+           |      || ',"layerId":' || layer_id || ',"mapId":' || map_id
+           |      || CASE WHEN borough IS NOT NULL THEN ',"borough":"' || borough || '"' ELSE '' END
+           |      || '},"geometry":{"type":"Point","coordinates":[' || (x0 + pos1)
+           |      || ',' || (y0 + pos1) || ']}}}'
+           |  FROM addr
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || bid || '-' || pos1
+           |      || '","to":"' || bid || '","type":"st:in"}}'
+           |  FROM addr
+           |  UNION ALL
+           |  SELECT '{"type":"object","obj":{"id":"' || tid
+           |      || '","type":"st:Building","validSince":' || yr
+           |      || ',"validUntil":' || yr
+           |      || ',"name":"' || tname
+           |      || '","data":{"sheetId":' || sheet_id
+           |      || ',"layerId":' || layer_id || ',"mapId":' || map_id
+           |      || CASE WHEN borough IS NOT NULL THEN ',"borough":"' || borough || '"' ELSE '' END
+           |      || '},"geometry":'
+           |      || CASE WHEN is_poly
+           |           THEN '{"type":"Polygon","coordinates":[[[' || qx || ',' || qy
+           |                || '],[' || (qx+4) || ',' || qy || '],[' || (qx+4) || ',' || (qy+4)
+           |                || '],[' || qx || ',' || (qy+4) || '],[' || qx || ',' || qy || ']]]}'
+           |           ELSE '{"type":"Point","coordinates":[' || px || ',' || py || ']}' END
+           |      || '}}'
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || tid
+           |      || '","to":"mapwarper/' || map_id || '","type":"st:in"}}'
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || tid
+           |      || '","to":"mapwarper/layer-' || layer_id || '","type":"st:in"}}'
+           |  FROM topf
+           |  UNION ALL
+           |  SELECT '{"type":"log","obj":{"error":"Can''t find borough for layer '
+           |      || layer_id || '"}}'
+           |  FROM topf WHERE borough IS NULL
+           |  UNION ALL
+           |  SELECT '{"type":"relation","obj":{"from":"' || tid
+           |      || '","to":"' || bid || '","type":"st:sameAs"}}'
+           |  FROM probed WHERE bid IS NOT NULL
+           |  UNION ALL
+           |  SELECT '{"type":"log","obj":{"error":"Can''t find building for toponym '
+           |      || tid || '"}}'
+           |  FROM probed WHERE bid IS NULL
+           |  UNION ALL
+           |  SELECT '{"type":"log","obj":{"error":"Error computing intersection for toponym '
+           |      || tid || '"}}'
+           |  FROM probes WHERE layer_id NOT IN (SELECT layer_id FROM idxlayers))
+           |ORDER BY value ASC NULLS FIRST""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(endToEnd, ndjsonLines)
 }

@@ -228,23 +228,147 @@ object SimilarityQueries {
            |ORDER BY vec1, vec2""".stripMargin),
   )
 
+  /** Cosine k-means centroids: `iters` Lloyd iterations from the
+    * deterministic first-8 seed. The centroid update keeps the
+    * UN-normalized per-dimension sum — cosine is invariant under
+    * positive scaling, so the sum IS the mean direction — computed as
+    * exact DECIMAL(30,15) aggregates, rounded to a 1e-4 grid, and
+    * scaled to integer-valued floats (|ci| ≤ 2^24 at these magnitudes,
+    * so float, double, and DuckDB BIGINT all represent it exactly and
+    * every product inside the cosine kernel stays a ≤48-bit-mantissa
+    * double). That is what lets DuckDB replay the full training run
+    * bit-for-bit. Each iteration is one 8-row broadcast assign + one
+    * shuffle on (cent_id, dim); the ≤8-row centroid result is
+    * localCheckpoint-ed so iterations don't re-derive the chain.
+    */
+  private def lloydCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int) = {
+    import s.implicits._
+    import graft.functions.exprs.cosine_e9
+    val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      .localCheckpoint() // feeds assign + update in every iteration
+    var cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
+    for (_ <- 1 to iters) {
+      val assign = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cent_id")
+      cents = emb.join(assign, "vec_id")
+        .select($"cent_id", posexplode($"embedding").as(Seq("k", "x")))
+        .groupBy($"cent_id", $"k")
+        .agg(sum($"x".cast("double").cast(Dec)).as("csum"))
+        // 1e-4 grid → exact integer (two steps to dodge Spark's
+        // precision-capped decimal multiply)
+        .select($"cent_id", $"k",
+          (round($"csum", 4).cast("decimal(20,4)") * lit(10000)).cast("long").as("ci"))
+        .groupBy($"cent_id")
+        .agg(array_sort(collect_list(struct($"k", $"ci"))).as("kc"))
+        .select($"cent_id",
+          transform($"kc", e => e.getField("ci").cast("float")).as("ce"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** DuckDB replay of [[lloydCentroids]] (2 iterations) + the final
+    * cell assignment, shared by the two IVF oracles: seed assign
+    * (float centroids), integer-grid update, re-assign (integer
+    * centroids), second update, assignment against the trained
+    * centroids. c2 is (cent_id, k, ci) long-form; `embedding[c.k]`
+    * pairs each dimension with its centroid component.
+    */
+  private val KmCtes: String =
+    """WITH c0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |s1 AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+      |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
+      |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
+      |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+      |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
+      |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
+      |  FROM embeddings e CROSS JOIN c0 c, range(1, 65) t(k)
+      |  GROUP BY e.vec_id, c.cent_id),
+      |a1 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id
+      |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+      |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+      |                      AS BIGINT) DESC, cent_id) AS rn
+      |    FROM s1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a.cent_id, t.k,
+      |         CAST(round(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE)
+      |                             AS DECIMAL(30,15))), 4) * 10000 AS BIGINT) AS ci
+      |  FROM embeddings e JOIN a1 a USING (vec_id), range(1, 65) t(k)
+      |  GROUP BY a.cent_id, t.k),
+      |s2 AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) * c.ci
+      |             AS DECIMAL(38,15))) AS dot,
+      |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) *
+      |                  CAST(e.embedding[c.k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+      |         SUM(CAST(CAST(c.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)
+      |             AS DECIMAL(38,15))) AS nb
+      |  FROM embeddings e CROSS JOIN c1 c
+      |  GROUP BY e.vec_id, c.cent_id),
+      |a2 AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id
+      |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+      |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+      |                      AS BIGINT) DESC, cent_id) AS rn
+      |    FROM s2) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT a.cent_id, t.k,
+      |         CAST(round(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE)
+      |                             AS DECIMAL(30,15))), 4) * 10000 AS BIGINT) AS ci
+      |  FROM embeddings e JOIN a2 a USING (vec_id), range(1, 65) t(k)
+      |  GROUP BY a.cent_id, t.k),
+      |s3 AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) * c.ci
+      |             AS DECIMAL(38,15))) AS dot,
+      |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) *
+      |                  CAST(e.embedding[c.k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+      |         SUM(CAST(CAST(c.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)
+      |             AS DECIMAL(38,15))) AS nb
+      |  FROM embeddings e CROSS JOIN c2 c
+      |  GROUP BY e.vec_id, c.cent_id),
+      |cells AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (
+      |             PARTITION BY vec_id
+      |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+      |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+      |                      AS BIGINT) DESC, cent_id) AS rn
+      |    FROM s3) WHERE rn = 1)""".stripMargin
+
   // IVF-flat cell assignment: the inverted-file ANN alternative to
-  // LSH. Cells are seeded by the first 8 vectors (a deterministic
-  // stand-in for k-means training — the assignment/probe machinery is
-  // identical); each vector joins the cell of its nearest centroid by
-  // cosine. The centroid side is 8 rows → broadcast; assignment is one
-  // broadcast join + rank, which is the shape that scales.
+  // LSH, with centroids TRAINED by [[lloydCentroids]] (2 Lloyd
+  // iterations from the first-8 seed). The centroid side stays ≤8
+  // rows → broadcast; assignment is one broadcast join + rank, which
+  // is the shape that scales.
   private val ivfCells = Q(
     "sim_ivf_cell_assign",
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
-      val emb = Tables.embeddings(s, d)
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+      val cents = lloydCentroids(s, d, iters = 2)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
-      graft.util.Cols.fanout(emb)
+      graft.util.Cols.fanout(Tables.embeddings(s, d))
         .crossJoin(broadcast(cents))
         .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
         .withColumn("rn", row_number().over(w))
@@ -252,47 +376,26 @@ object SimilarityQueries {
         .select($"vec_id", $"cent_id".as("cell"))
         .orderBy($"vec_id")
     },
-    Some("""WITH cents AS (
-           |  SELECT vec_id AS cent_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id < 8),
-           |sums AS (
-           |  SELECT e.vec_id, c.cent_id,
-           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
-           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
-           |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
-           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
-           |  FROM embeddings e CROSS JOIN cents c, range(1, 65) t(k)
-           |  GROUP BY e.vec_id, c.cent_id),
-           |ranked AS (
-           |  SELECT vec_id, cent_id,
-           |         row_number() OVER (
-           |           PARTITION BY vec_id
-           |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
-           |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
-           |                    AS BIGINT) DESC, cent_id) AS rn
-           |  FROM sums)
-           |SELECT vec_id, cent_id AS cell
-           |FROM ranked WHERE rn = 1
+    Some(KmCtes + """
+           |SELECT vec_id, cell FROM cells
            |ORDER BY vec_id""".stripMargin),
   )
 
   // IVF probe: the search half of the inverted-file ANN (cell assign
-  // above is the indexing half). The query vector ranks the 8
-  // centroids, keeps nprobe=2 cells, and scores ONLY the vectors
-  // assigned to those cells — the candidate set is bounded by the
-  // probed cells' population, which is what makes IVF search sublinear
-  // at scale. Centroids and the query vector broadcast; the candidate
-  // restriction is an equi-join on the cell id.
+  // above is the indexing half), over the SAME trained centroids. The
+  // query vector ranks the 8 trained centroids, keeps nprobe=2 cells,
+  // and scores ONLY the vectors assigned to those cells — the
+  // candidate set is bounded by the probed cells' population, which is
+  // what makes IVF search sublinear at scale. Centroids and the query
+  // vector broadcast; the candidate restriction is an equi-join on the
+  // cell id.
   private val ivfProbe = Q(
     "sim_ivf_probe_topk",
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter($"vec_id" < 8)
-        .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
+      val cents = lloydCentroids(s, d, iters = 2)
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
       // nprobe=2 cells nearest to the query vector (8-row ranking)
       val probeCells = query.crossJoin(broadcast(cents))
@@ -320,38 +423,17 @@ object SimilarityQueries {
         .orderBy($"cosine_e9".desc, $"vec_id")
         .limit(10)
     },
-    Some("""WITH cents AS (
-           |  SELECT vec_id AS cent_id, embedding AS ce
-           |  FROM embeddings WHERE vec_id < 8),
+    Some(KmCtes + """,
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |asums AS (
-           |  SELECT e.vec_id, c.cent_id,
-           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
-           |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
-           |                  CAST(e.embedding[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
-           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
-           |  FROM embeddings e CROSS JOIN cents c, range(1, 65) t(k)
-           |  GROUP BY e.vec_id, c.cent_id),
-           |cells AS (
-           |  SELECT vec_id, cent_id AS cell FROM (
-           |    SELECT vec_id, cent_id,
-           |           row_number() OVER (
-           |             PARTITION BY vec_id
-           |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
-           |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
-           |                      AS BIGINT) DESC, cent_id) AS rn
-           |    FROM asums) WHERE rn = 1),
            |qsums AS (
            |  SELECT c.cent_id,
-           |         SUM(CAST(CAST(q.qe[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS dot,
-           |         SUM(CAST(CAST(q.qe[k] AS DOUBLE) *
-           |                  CAST(q.qe[k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
-           |         SUM(CAST(CAST(c.ce[k] AS DOUBLE) *
-           |                  CAST(c.ce[k] AS DOUBLE) AS DECIMAL(30,15))) AS nb
-           |  FROM cents c, q, range(1, 65) t(k)
+           |         SUM(CAST(CAST(q.qe[c.k] AS DOUBLE) * c.ci
+           |             AS DECIMAL(38,15))) AS dot,
+           |         SUM(CAST(CAST(q.qe[c.k] AS DOUBLE) *
+           |                  CAST(q.qe[c.k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)
+           |             AS DECIMAL(38,15))) AS nb
+           |  FROM c2 c, q
            |  GROUP BY c.cent_id),
            |probecells AS (
            |  SELECT cent_id FROM (

@@ -97,4 +97,30 @@ class TrainingDataSpec extends AnyFunSuite {
     val repart = Multimodal.decode(media.repartition(7)).collect()
     assert(repart.map(_.doc_id).sorted.sameElements(rows.map(_.doc_id).sorted))
   }
+
+  test("decode runs the real imageio codec on valid images, stub otherwise") {
+    import spark.implicits._
+    // a real 12x7 PNG: red origin pixel, the rest blue
+    val img = new java.awt.image.BufferedImage(
+      12, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 12; y <- 0 until 7)
+      img.setRGB(x, y, if (x == 0 && y == 0) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val pngBytes = bos.toByteArray
+    val textBytes = "not an image".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(1L, pngBytes, "img"),
+      Multimodal.MediaRow(2L, textBytes, "txt"),
+    ).toDS()
+    val out = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    // real arm: actual format + pixel dimensions + red-pixel luma
+    assert(out(0).format == "png")
+    assert(out(0).width == 12 && out(0).height == 7)
+    assert(math.abs(out(0).feat0 - 0.299) < 1e-9)
+    assert(out(0).n_bytes == pngBytes.length)
+    // fallback arm: byte-identical to the documented stub
+    val (f, w, h, feat) = Multimodal.decodeStub(textBytes)
+    assert(out(1) == Multimodal.MediaDecoded(2L, textBytes.length, f, w, h, feat))
+  }
 }
