@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.QueryCatalog
+
+/** Plan-shape regression guard: pins the scale-critical properties the
+  * round-2/3 tuning bought — blocking keys on the pair joins, bounded
+  * exchange counts, no whole-data SinglePartition shuffles — so a
+  * future edit that quietly reintroduces an all-pairs join or a
+  * global-window sort fails HERE, not in the next driver bench.
+  * Budgets are ceilings with headroom (planner drift shouldn't flap
+  * them), not exact counts.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Executing-plan walk, mirroring graft.Plans: through adaptive
+    * wrappers, into each distinct cached plan once.
+    */
+  private def collectExec(root: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case im: InMemoryTableScanExec if seen.add(im.relation.cachedPlan) =>
+          walk(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      p +: (inner ++ p.subqueries.flatMap(walk) ++ p.children.flatMap(walk))
+    }
+    walk(root)
+  }
+
+  private def planOf(name: String): Seq[SparkPlan] =
+    collectExec(QueryCatalog.all.find(_.name == name).get
+      .fn(spark, sf).queryExecution.executedPlan)
+
+  private def exchanges(nodes: Seq[SparkPlan]): Int =
+    nodes.count {
+      case _: ShuffleExchangeExec | _: BroadcastExchangeExec => true
+      case _ => false
+    }
+
+  test("exchange budgets hold for the tuned queries") {
+    // (query, ceiling) — round-3 measured counts are roughly half these
+    val budgets = Seq(
+      "td_ngram_jaccard" -> 8,
+      "sim_lsh_ann_topk" -> 8,
+      "td_minhash_lsh_pairs" -> 8,
+      "td_minhash_jaccard_verify" -> 16,
+      "pipe_end_to_end" -> 30,
+    )
+    for ((name, budget) <- budgets) {
+      val n = exchanges(planOf(name))
+      assert(n <= budget, s"$name plans $n exchanges, budget $budget")
+    }
+  }
+
+  test("no whole-data SinglePartition shuffle in the dedup/similarity suite") {
+    // Global one-row aggregates and final presentation limits are fine;
+    // these queries should have NO SinglePartition exchange at all.
+    for (name <- Seq("td_ngram_jaccard", "td_minhash_lsh_pairs",
+      "td_simhash_neardup", "td_embedding_neardup", "ta_vocab_topk")) {
+      val singles = planOf(name).collect {
+        case s: ShuffleExchangeExec
+            if s.outputPartitioning ==
+              org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+      }
+      assert(singles.isEmpty, s"$name has SinglePartition exchanges: $singles")
+    }
+  }
+
+  test("pair joins carry their blocking keys, not bare sources") {
+    // td_ngram_jaccard must join on (source, band): the join's string
+    // rendering carries both key names on the equality.
+    val ngramJoins = planOf("td_ngram_jaccard")
+      .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
+    assert(ngramJoins.contains("source") && ngramJoins.contains("band"),
+      s"ngram pair join lost its size-band blocking key:\n$ngramJoins")
+    // td_fuzzy_name_match must join on the length bucket.
+    val fuzzyJoins = planOf("td_fuzzy_name_match")
+      .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
+    assert(fuzzyJoins.contains("bkt"),
+      s"fuzzy-match join lost its length-bucket blocking key:\n$fuzzyJoins")
+  }
+}
