@@ -55,41 +55,28 @@ object VectorKernels {
     }
   }
 
-  /** Pack sorted vocabulary indexes into a fixed-width bitset
-    * (array of longs); `words` is the number of 64-bit words.
+  /** Count of common elements of two ascending-sorted long arrays:
+    * O(|A|+|B|) two-pointer merge. Cost depends only on the two
+    * documents' own word counts — unlike the round-3 bitset kernel,
+    * whose per-document mask was O(vocabulary) bits and therefore
+    * could not exist at corpus-scale vocabularies. The integer
+    * intersection count is exactly what the SQL oracle's explode-join
+    * `count(*)` computes.
     */
-  def bitsetFromIndexes(indexes: ArrayData, words: Int): ArrayData = {
-    val mask = new Array[Long](words)
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
     var i = 0
-    val n = indexes.numElements()
-    while (i < n) {
-      val idx = indexes.getInt(i)
-      mask(idx >>> 6) |= 1L << (idx & 63)
-      i += 1
-    }
-    ArrayData.toArrayData(mask)
-  }
-
-  /** Word-set Jaccard from two equal-width bitsets: |A∩B| / |A∪B|
-    * via popcounts — the exact integer ratio the SQL oracle computes
-    * from its explode-join formulation.
-    */
-  def bitsetJaccard(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    var j = 0
     var inter = 0
-    var na = 0
-    var nb = 0
-    var i = 0
-    while (i < n) {
+    while (i < na && j < nb) {
       val x = a.getLong(i)
-      val y = b.getLong(i)
-      inter += java.lang.Long.bitCount(x & y)
-      na += java.lang.Long.bitCount(x)
-      nb += java.lang.Long.bitCount(y)
-      i += 1
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
     }
-    val union = na + nb - inter
-    if (union == 0) 0.0 else inter.toDouble / union
+    inter
   }
 
   /** LSH bucket id for a float vector: bit p set iff the decimal-exact

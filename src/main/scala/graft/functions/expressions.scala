@@ -159,30 +159,22 @@ case class LshBucket(child: Expression)
     copy(child = newChild)
 }
 
-/** Pack sorted vocabulary indexes into a fixed-width bitset. */
-case class BitsetFromIndexes(child: Expression, words: Int)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.bitsetFromIndexes(v.asInstanceOf[ArrayData], words)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VectorKernels.bitsetFromIndexes($v, $words)")
-  override protected def withNewChildInternal(newChild: Expression): BitsetFromIndexes =
-    copy(child = newChild)
-}
-
-/** Popcount Jaccard over two bitsets (see [[VectorKernels]]). */
-case class BitsetJaccard(left: Expression, right: Expression)
+/** Intersection size of two ascending-sorted long arrays (see
+  * [[VectorKernels.sortedIntersectCount]]) — the pair-scoring kernel
+  * of the n-gram Jaccard join, O(|A|+|B|) per pair with no
+  * vocabulary-width term.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.bitsetJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.bitsetJaccard($a, $b)")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitsetJaccard =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
 }
 
@@ -251,9 +243,8 @@ object exprs {
   def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
-  def bitset_from_indexes(idx: Column, words: Int): Column =
-    c(BitsetFromIndexes(e(idx), words))
-  def bitset_jaccard(a: Column, b: Column): Column = c(BitsetJaccard(e(a), e(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    c(SortedIntersectCount(e(a), e(b)))
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -270,46 +270,40 @@ object DedupQueries {
   )
 
   // N-gram (word) Jaccard similarity over same-source pairs at
-  // threshold 0.5: each document's word set is packed into a BITSET
-  // over a dense vocabulary index, so a pair costs one codegen'd
-  // popcount kernel call instead of an exploded (source, word)
-  // co-occurrence join that materializes O(pairs-per-word) rows. The
-  // integer intersection/union counts — and therefore the double
-  // jaccard — are exactly what the oracle's explode-join computes.
+  // threshold 0.5: each document's word set becomes a SORTED array of
+  // long word-ids, and a pair costs one codegen'd two-pointer
+  // intersection — O(|A|+|B|), no vocabulary-width term anywhere —
+  // instead of an exploded (source, word) co-occurrence join that
+  // materializes O(pairs-per-word) rows. Nothing in the plan holds
+  // the vocabulary on one node: the word→id map is an unhinted
+  // shuffle join (AQE may still broadcast it when the RUNTIME size is
+  // small — correct at any scale), and per-document state is bounded
+  // by the document's own word count. The integer intersection/union
+  // counts — and therefore the double jaccard — are exactly what the
+  // oracle's explode-join computes.
   private val jaccard = Q(
     "td_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.{bitset_from_indexes, bitset_jaccard}
+      import graft.functions.exprs.sorted_intersect_count
       import graft.util.Cols.fanout
       val tokens = fanout(Tables.documents(s, d))
         .select($"doc_id", $"source", explode(array_distinct(split($"text", " "))).as("word"))
-      // Dense vocabulary index WITHOUT a global-window sort: words are
-      // hashed into buckets, ranked per bucket (parallel windows), and
-      // shifted by driver-computed cumulative bucket offsets — one
-      // small collect() of ≤NBuckets counts replaces both the
-      // single-partition row_number exchange and the extra
-      // vocab.count() action. Any word→index bijection yields the same
-      // jaccard, so the bucketed layout is oracle-equivalent.
+      // Exact word→long bijection with no driver action and no dense
+      // range: hash words into buckets, rank within each bucket
+      // (parallel windows, never a single-partition sort), and pack
+      // widx = bkt·2^32 + rank. Sorted-array intersection needs only
+      // injectivity, not density, so the round-3 cumulative-offset
+      // collect is gone. Any word→id bijection yields the same
+      // jaccard, so the layout is oracle-equivalent.
       val NBuckets = 1024
-      val vocabBk = tokens.select($"word").distinct()
+      val vocab = tokens.select($"word").distinct()
         .withColumn("bkt", pmod(xxhash64($"word"), lit(NBuckets)).cast("int"))
-        .localCheckpoint() // reused: offset collect + the index join below
-      val counts = vocabBk.groupBy($"bkt").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val vocabSize = counts.values.sum.toInt
-      var acc = 0L
-      val offsetRows = counts.keys.toSeq.sorted.map { b =>
-        val r = (b, acc); acc += counts(b); r
-      }
-      val offDf = offsetRows.toDF("bkt", "offset")
-      val vocab = vocabBk
         .withColumn("pos",
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy($"bkt").orderBy($"word")) - 1)
-        .join(broadcast(offDf), "bkt")
-        .select($"word", ($"offset" + $"pos").cast("int").as("widx"))
-      val maskWords = (vocabSize + 63) / 64
+        .select($"word",
+          (shiftleft($"bkt".cast("long"), 32) + $"pos").as("widx"))
       // SIZE-BAND BLOCKING for the pair join: jaccard >= 0.5 forces
       // |A| <= 2|B| and |B| <= 2|A| (jaccard = I/U <= min/max), and two
       // word counts within 2x of each other have floor(log2) bands at
@@ -319,24 +313,25 @@ object DedupQueries {
       // shuffle key, instead of O(n^2) pairs per source. band is
       // computed as length(bin(n)) - 1 (exact integer log2; floating
       // log2 can sit a ulp under an integer at exact powers of two).
-      val masks = tokens
-        .join(broadcast(vocab), "word")
+      val sets = tokens
+        .join(vocab, "word")
         .groupBy($"doc_id", $"source")
-        .agg(collect_list($"widx").as("idxs"))
+        .agg(sort_array(collect_list($"widx")).as("idxs"))
         .select($"doc_id", $"source", size($"idxs").as("nw"),
-          (length(bin(size($"idxs"))) - 1).as("band"),
-          bitset_from_indexes($"idxs", maskWords).as("mask"))
+          (length(bin(size($"idxs"))) - 1).as("band"), $"idxs")
         .localCheckpoint() // feeds both sides of the pair join
-      val a = masks.select($"doc_id".as("doc1"), $"source",
-        $"nw".as("n1"), $"band", $"mask".as("m1"))
-      val b = masks.select($"doc_id".as("doc2"), $"source".as("source2"),
+      val a = sets.select($"doc_id".as("doc1"), $"source",
+        $"nw".as("n1"), $"band", $"idxs".as("i1"))
+      val b = sets.select($"doc_id".as("doc2"), $"source".as("source2"),
         $"nw".as("n2"), explode(array($"band" - 1, $"band", $"band" + 1)).as("band2"),
-        $"mask".as("m2"))
+        $"idxs".as("i2"))
       a.join(b, $"source" === $"source2" && $"band" === $"band2" && $"doc1" < $"doc2")
         // cheap exact prune implied by the 0.5 threshold, ahead of the
-        // popcount kernel (the band admits ratios up to ~4)
+        // intersection kernel (the band admits ratios up to ~4)
         .filter($"n1" <= $"n2" * 2 && $"n2" <= $"n1" * 2)
-        .select($"doc1", $"doc2", bitset_jaccard($"m1", $"m2").as("jaccard"))
+        .withColumn("ni", sorted_intersect_count($"i1", $"i2"))
+        .select($"doc1", $"doc2",
+          ($"ni".cast("double") / ($"n1" + $"n2" - $"ni")).as("jaccard"))
         .filter($"jaccard" >= 0.5)
         .orderBy($"doc1", $"doc2")
     },

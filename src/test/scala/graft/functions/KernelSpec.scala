@@ -84,6 +84,25 @@ class VectorKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCount matches Set intersection on random sorted arrays") {
+    def longs(xs: Array[Long]): ArrayData = ArrayData.toArrayData(xs)
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      // draw from a small value range so overlaps actually occur;
+      // distinct+sorted mirrors the query's array_distinct + sort_array
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val want = a.toSet.intersect(b.toSet).size
+      assert(VectorKernels.sortedIntersectCount(longs(a), longs(b)) == want)
+      assert(VectorKernels.sortedIntersectCount(longs(b), longs(a)) == want, "symmetry")
+    }
+    assert(VectorKernels.sortedIntersectCount(
+      longs(Array.empty[Long]), longs(Array(1L, 2L))) == 0)
+    assert(VectorKernels.sortedIntersectCount(
+      longs(Array(Long.MinValue, 0L, Long.MaxValue)),
+      longs(Array(Long.MinValue, 0L, Long.MaxValue))) == 3)
+  }
+
   test("lshBucket is stable and within 6 bits") {
     val rnd = new scala.util.Random(7)
     (1 to 200).foreach { _ =>

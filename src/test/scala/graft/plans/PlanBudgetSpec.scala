@@ -19,7 +19,17 @@ import graft.QueryCatalog
   */
 class PlanBudgetSpec extends AnyFunSuite {
 
-  private val sf = "/root/testdata/sf0.001"
+  // Fixture dir is overridable so the suite isn't welded to one
+  // machine layout; when absent the suite cancels instead of erroring.
+  private val sf = sys.props.get("graft.testdata.sf")
+    .orElse(sys.env.get("GRAFT_TESTDATA_SF"))
+    .getOrElse("/root/testdata/sf0.001")
+
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    assume(new java.io.File(sf, "documents.parquet").exists(),
+      s"plan-budget fixture dir $sf absent on this machine")
+    super.withFixture(test)
+  }
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
@@ -98,5 +108,19 @@ class PlanBudgetSpec extends AnyFunSuite {
       .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
     assert(fuzzyJoins.contains("bkt"),
       s"fuzzy-match join lost its length-bucket blocking key:\n$fuzzyJoins")
+  }
+
+  test("td_ngram_jaccard carries no static broadcast hint") {
+    // The vocabulary join must stay unhinted: a broadcast() hint on
+    // the word→id map would ship the entire vocabulary to every
+    // executor — the round-3 scale-killer. AQE may still broadcast at
+    // RUNTIME when the measured size is small; this pins only that no
+    // plan-time hint forces it at any scale.
+    val analyzed = QueryCatalog.all.find(_.name == "td_ngram_jaccard").get
+      .fn(spark, sf).queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"td_ngram_jaccard has static hints: $hints")
   }
 }
