@@ -238,8 +238,10 @@ object SimilarityQueries {
     * every product inside the cosine kernel stays a ≤48-bit-mantissa
     * double). That is what lets DuckDB replay the full training run
     * bit-for-bit. Each iteration is one 8-row broadcast assign + one
-    * shuffle on (cent_id, dim); the ≤8-row centroid result is
-    * localCheckpoint-ed so iterations don't re-derive the chain.
+    * shuffle on (cent_id, dim); the iterations chain through nested
+    * broadcast subplans, so the whole training run executes under the
+    * single collecting action in [[trainedCentroids]] instead of one
+    * blocking checkpoint job per iteration.
     */
   private def lloydCentroids(
       s: org.apache.spark.sql.SparkSession, d: String, iters: Int) = {
@@ -269,9 +271,28 @@ object SimilarityQueries {
         .agg(array_sort(collect_list(struct($"k", $"ci"))).as("kc"))
         .select($"cent_id",
           transform($"kc", e => e.getField("ci").cast("float")).as("ce"))
-        .localCheckpoint()
     }
     cents
+  }
+
+  /** Train-once / assign-many: [[lloydCentroids]] is deterministic for
+    * a given (dir, iters), so the trained ≤8-row centroid table is
+    * collected once per JVM and handed to every later caller as a
+    * local relation — the two IVF catalogue queries share one training
+    * run the same way their oracles share the [[KmCtes]] prefix. In a
+    * real deployment the trained centroids are a tiny published
+    * artifact; re-deriving them inside every query would multiply the
+    * most expensive stage of the index by its consumer count.
+    */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[(Long, Array[Float])]]()
+  private def trainedCentroids(
+      s: org.apache.spark.sql.SparkSession, d: String, iters: Int) = {
+    import s.implicits._
+    centCache.computeIfAbsent((d, iters), _ =>
+      lloydCentroids(s, d, iters).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+      .toSeq.toDF("cent_id", "ce")
   }
 
   /** DuckDB replay of [[lloydCentroids]] (2 iterations) + the final
@@ -365,7 +386,7 @@ object SimilarityQueries {
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
-      val cents = lloydCentroids(s, d, iters = 2)
+      val cents = trainedCentroids(s, d, iters = 2)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
       graft.util.Cols.fanout(Tables.embeddings(s, d))
@@ -395,7 +416,7 @@ object SimilarityQueries {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
-      val cents = lloydCentroids(s, d, iters = 2)
+      val cents = trainedCentroids(s, d, iters = 2)
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
       // nprobe=2 cells nearest to the query vector (8-row ranking)
       val probeCells = query.crossJoin(broadcast(cents))
