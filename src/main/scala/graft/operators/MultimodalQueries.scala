@@ -52,13 +52,41 @@ object Multimodal {
     (format, width, height, feat0)
   }
 
+  /** Upper bound on either pixel dimension the decoder will read: a
+    * tiny payload whose header CLAIMS huge dimensions would otherwise
+    * make `reader.read(0)` eagerly allocate the declared raster — a
+    * decompression-bomb OOM, not a decode.
+    */
+  val MaxPixelDim = 16384
+
+  /** True iff the payload starts with a known raster-image signature
+    * (PNG/JPEG/GIF/BMP — the formats the JVM's ImageIO ships readers
+    * for). Checked BEFORE constructing an ImageInputStream: on a
+    * predominantly-text corpus the per-payload stream + reader-probe
+    * allocation is pure overhead, and a 4-byte prefix test rejects
+    * non-images for free.
+    */
+  def looksLikeImage(payload: Array[Byte]): Boolean = {
+    if (payload.length < 4) return false
+    def b(i: Int): Int = payload(i) & 0xff
+    (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+    (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) ||              // JPEG
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||  // GIF
+    (b(0) == 'B' && b(1) == 'M')                                   // BMP
+  }
+
   /** Real codec path: decode the payload with javax.imageio when its
-    * bytes are a parseable image (PNG/JPEG/GIF/BMP — whatever readers
-    * the JVM ships), reporting the actual format, pixel dimensions,
-    * and the mean-luma-of-origin-pixel feature; fall back to
-    * [[decodeStub]] for anything unparseable.
+    * bytes carry an image signature AND parse, reporting the actual
+    * format, pixel dimensions, and the mean-luma-of-origin-pixel
+    * feature; fall back to [[decodeStub]] for anything else. Corrupt
+    * containers quarantine on ANY non-fatal throw — ImageIO readers
+    * surface truncation as RuntimeException subclasses
+    * (IllegalArgumentException, ArrayIndexOutOfBoundsException,
+    * CMMException) as often as IOException — and header-declared
+    * dimensions are bounded before `read(0)` allocates them.
     */
   def decodePayload(payload: Array[Byte]): (String, Int, Int, Double) = {
+    if (!looksLikeImage(payload)) return decodeStub(payload)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -69,16 +97,21 @@ object Multimodal {
         try {
           reader.setInput(iis)
           val format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
-          val img = reader.read(0)
-          val argb = img.getRGB(0, 0)
-          val luma = (((argb >> 16) & 0xff) * 0.299 +
-            ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114) / 255.0
-          (format, img.getWidth, img.getHeight, luma)
+          if (reader.getWidth(0) > MaxPixelDim || reader.getHeight(0) > MaxPixelDim)
+            decodeStub(payload)
+          else {
+            val img = reader.read(0)
+            val argb = img.getRGB(0, 0)
+            val luma = (((argb >> 16) & 0xff) * 0.299 +
+              ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114) / 255.0
+            (format, img.getWidth, img.getHeight, luma)
+          }
         } finally reader.dispose()
       }
     } catch {
       // truncated/corrupt image container: quarantine-style fallback
-      case _: java.io.IOException => decodeStub(payload)
+      // (OOM and friends still propagate)
+      case scala.util.control.NonFatal(_) => decodeStub(payload)
     } finally if (iis != null) iis.close()
   }
 

@@ -123,4 +123,35 @@ class TrainingDataSpec extends AnyFunSuite {
     val (f, w, h, feat) = Multimodal.decodeStub(textBytes)
     assert(out(1) == Multimodal.MediaDecoded(2L, textBytes.length, f, w, h, feat))
   }
+
+  test("decode quarantines corrupt and bomb payloads instead of throwing") {
+    // PNG signature followed by garbage: the reader probe accepts it,
+    // decode throws (often a RuntimeException subclass, not
+    // IOException) — must fall back to the stub, not fail the task
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](32)(0x42)
+    assert(Multimodal.decodePayload(corrupt) == Multimodal.decodeStub(corrupt))
+    // a syntactically-valid PNG header CLAIMING 60000x60000: read(0)
+    // would allocate the declared raster; the dimension bound must
+    // quarantine it before that
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      val di = new java.io.DataOutputStream(ihdr)
+      di.writeBytes("IHDR"); di.writeInt(60000); di.writeInt(60000)
+      di.write(8); di.write(2); di.write(0); di.write(0); di.write(0)
+      val body = ihdr.toByteArray
+      d.writeInt(13)
+      d.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      d.writeInt(crc.getValue.toInt)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodePayload(bomb) == Multimodal.decodeStub(bomb))
+    // the prefix sniff rejects text without touching ImageIO at all
+    assert(!Multimodal.looksLikeImage("plain text payload".getBytes("UTF-8")))
+    assert(Multimodal.looksLikeImage(corrupt))
+  }
 }
