@@ -174,21 +174,27 @@ object EventQueries {
   private def makeStreamDir(d: String): java.nio.file.Path = {
     val src = java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(src) // close: holds an fd
-        val children = try listing.iterator().asScala.toSeq finally listing.close()
-        children.find(java.nio.file.Files.isDirectory(_)).foreach { sub =>
-          throw new IllegalArgumentException(
-            s"unsupported partitioned events layout: subdirectory $sub under $src")
-        }
-        children.filter(_.getFileName.toString.endsWith(".parquet"))
-      } else Seq(src)
-    files.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"part-$i.parquet"), f)
+    try {
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          import scala.jdk.CollectionConverters._
+          val listing = java.nio.file.Files.list(src) // close: holds an fd
+          val children = try listing.iterator().asScala.toSeq finally listing.close()
+          children.find(java.nio.file.Files.isDirectory(_)).foreach { sub =>
+            throw new IllegalArgumentException(
+              s"unsupported partitioned events layout: subdirectory $sub under $src")
+          }
+          children.filter(_.getFileName.toString.endsWith(".parquet"))
+        } else Seq(src)
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.createSymbolicLink(streamDir.resolve(s"part-$i.parquet"), f)
+      }
+      streamDir
+    } catch {
+      // callers only guard AFTER this returns: a half-built dir
+      // (failed symlink, partitioned-layout refusal) must not leak
+      case e: Throwable => deleteStreamDir(streamDir); throw e
     }
-    streamDir
   }
 
   private def deleteStreamDir(dir: java.nio.file.Path): Unit = {
@@ -260,8 +266,19 @@ object EventQueries {
         val sink = "ev_stream_session_sink"
         val q = sessions.toDF().writeStream
           .outputMode("append").format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
+        try {
+          q.processAllAvailable()
+          // The (a) ∪ (b) oracle below is the emission semantics of a
+          // SINGLE data micro-batch (+ the timeout batch). The file
+          // source puts all available files in one batch by default;
+          // if a layout/option change ever splits them, sessions
+          // straddle batches differently and setTimeoutTimestamp can
+          // throw under an advanced watermark — fail loudly here
+          // instead of surfacing as an oracle mismatch.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"session-parity fixture must land in one micro-batch, got $dataBatches")
+        } finally q.stop()
         s.table(sink)
           .select(
             $"user_id",
@@ -296,7 +313,50 @@ object EventQueries {
            |ORDER BY user_id, start_ms""".stripMargin),
   )
 
+  // Streaming exact-dedup parity, DRIVER-GATED: the watermark-bounded
+  // dropDuplicatesWithinWatermark path (graft.streaming.StreamingOps
+  // .dedup) run as a real streaming query over the file-stream
+  // fixture. Every input row is deterministically DOUBLED first
+  // (explode of a 2-element array), so the operator must collapse
+  // each pair back to exactly one row; because the two copies are
+  // byte-identical and created by the same explode, they always land
+  // in the same micro-batch and first-seen order cannot matter —
+  // which is what makes the streaming output (and so the oracle)
+  // exact. The replay is the distinct row set: event_id is unique in
+  // the fixture, so SELECT-all-columns is the watermark-window
+  // first-seen result regardless of batch layout.
+  private val dedupStreamParity = Q(
+    "ev_stream_dedup_parity",
+    (s, d) => {
+      import s.implicits._
+      val schema = Tables.events(s, d).schema
+      val streamDir = makeStreamDir(d)
+      try {
+        val events = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(
+            $"event_id",
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            $"user_id", $"event_type", $"value")
+        val doubled = events
+          .withColumn("copy", explode(array(lit(0), lit(1)))).drop("copy")
+        val sink = "ev_stream_dedup_sink"
+        val q = graft.streaming.StreamingOps.dedup(doubled, Seq("event_id"))
+          .writeStream.outputMode("append").format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+          .select($"event_id", unix_millis($"ts").as("ts_ms"), $"user_id",
+            $"event_type", cents($"value").as("value_cents"))
+          .orderBy($"event_id")
+      } finally deleteStreamDir(streamDir)
+    },
+    Some(s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, user_id,
+            |       event_type, ${centsSql("value")} AS value_cents
+            |FROM events
+            |ORDER BY event_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity,
-      sessionStreamParity)
+      sessionStreamParity, dedupStreamParity)
 }

@@ -75,6 +75,16 @@ class PlanBudgetSpec extends AnyFunSuite {
       "td_minhash_lsh_pairs" -> 8,
       "td_minhash_jaccard_verify" -> 16,
       "pipe_end_to_end" -> 30,
+      // round-4 additions: every remaining catalogue query above ~1 s
+      // at sf0.1 (streaming parities pin via their batch duals — their
+      // own executed plan is just the memory-sink read)
+      "pipe_ndjson_lines" -> 30,
+      "sim_ivf_cell_assign" -> 8,
+      "sim_ivf_probe_topk" -> 12,
+      "td_dedup_clusters" -> 6,
+      "td_decontaminate" -> 16,
+      "ev_tumbling_window" -> 4,
+      "ev_sessionize" -> 4,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
