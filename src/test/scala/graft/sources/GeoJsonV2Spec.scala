@@ -30,10 +30,52 @@ class GeoJsonV2Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(v2Rows.nonEmpty && v2Rows.sameElements(classicRows))
 
-    // one partition per file
+    // one partition per file below the chunk threshold
     assert(v2.rdd.getNumPartitions == 1)
     val both = spark.read.format("geojson").load(s"$path,$path")
     assert(both.rdd.getNumPartitions == 2)
     assert(both.count() == 2 * v2Rows.length)
   }
+
+  test("a file above chunkBytes splits into byte-range tasks with exact rows") {
+    // Synthesize a "big" FeatureCollection with mixed formatting:
+    // pretty-printed whitespace, braces/commas inside string values —
+    // the inputs a naive brace-resync would misparse.
+    val n = 500
+    val features = (0 until n).map { i =>
+      val name = s"""block {$i}, "quoted", [brace]"""
+      s"""{ "type": "Feature",
+         |  "properties": {"id": "f$i", "name": ${jsonStr(name)}, "idx": $i},
+         |  "geometry": {"type": "Point", "coordinates": [${i % 180}.5, 40.$i]} }""".stripMargin
+    }
+    val doc = s"""{"type": "FeatureCollection",
+                 |"features": [
+                 |${features.mkString(",\n")}
+                 |]}""".stripMargin
+    val f = java.io.File.createTempFile("graft-big", ".geojson")
+    try {
+      java.nio.file.Files.writeString(f.toPath, doc)
+      val whole = spark.read.format("geojson").load(f.getPath)
+      val split = spark.read.format("geojson")
+        .option("chunkBytes", "4096").load(f.getPath)
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected many byte-range tasks, got ${split.rdd.getNumPartitions}")
+      assert(whole.rdd.getNumPartitions == 1)
+      // identical rows AND identical per-file ingest_order
+      val a = whole.orderBy("ingest_order").collect().map(r => (r.getLong(1), r.getString(2)))
+      val b = split.orderBy("ingest_order").collect().map(r => (r.getLong(1), r.getString(2)))
+      assert(a.length == n && b.length == n)
+      assert(a.sameElements(b))
+      assert(b.map(_._1).sameElements(0L until n.toLong))
+      // feature payloads survive byte-exact re-serialization checks
+      assert(b(7)._2.contains("\"id\":\"f7\""))
+    } finally f.delete()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
 }
