@@ -43,8 +43,14 @@ object Bench {
     // what those rounds would have recorded under load; the round-3
     // judge re-ran with the same min-of-reps scheme and adopted min as
     // the comparison basis, with the mean kept under "queries_mean".
-    val Reps = 3
-    val results = QueryCatalog.all.map { q =>
+    val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_BENCH_ONLY=prefix1,prefix2 restricts the run (scale
+    // probes over the heavy suites); unset (the driver) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = QueryCatalog.all
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
+    val results = selected.map { q =>
       var err: Option[String] = None
       val times = (1 to Reps).iterator.map { _ =>
         spark.catalog.clearCache()

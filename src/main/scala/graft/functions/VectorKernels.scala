@@ -43,6 +43,36 @@ object VectorKernels {
     new JBigDecimal(c * 1e9).setScale(0, RoundingMode.HALF_UP).longValue()
   }
 
+  /** Plain-double cosine PREFILTER for [[cosineE9]]: ~1000x cheaper
+    * than the decimal-exact kernel, with a rigorously bounded error.
+    * Each float×float product is exact in double; summing 64 such
+    * terms accumulates ≤ 63 roundings of ≤ ulp(partial) each, and the
+    * final divide/sqrt add a few ulps — total error below 1e-12 of
+    * the true cosine, eight orders of magnitude inside the 1e-6
+    * margins the callers use. Candidates are admitted with
+    * `approx ≥ threshold − margin` and then re-scored by the exact
+    * kernel, so the REPORTED values and the final predicate are
+    * decimal-exact — the prefilter can only let through extra
+    * candidates for the exact kernel to reject, never drop a
+    * qualifying one.
+    */
+  def cosineApprox(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
   /** The 6×64 ±1 random-hyperplane matrix (md5-derived constant shared
     * with the SQL oracle's `substr(md5(p || '-' || i), 1, 1) < '8'`).
     */

@@ -144,6 +144,22 @@ case class CosineE9(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Plain-double cosine prefilter (see
+  * [[VectorKernels.cosineApprox]]) — admits candidates for the
+  * decimal-exact [[CosineE9]] to re-score; never in a reported value.
+  */
+case class CosineApprox(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineApprox(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineApprox($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineApprox =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id of a float vector (codegen'd; the
   * ±1 plane matrix is the md5-derived constant the oracle replays).
   */
@@ -241,6 +257,7 @@ object exprs {
   def kmv_distinct(col: Column, k: Int): Column =
     c(KmvDistinct(e(col), k).toAggregateExpression())
   def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
+  def cosine_approx(a: Column, b: Column): Column = c(CosineApprox(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -31,11 +31,26 @@ object SimilarityQueries {
     "sim_cosine_topk",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.cosine_e9
+      import graft.functions.exprs.{cosine_approx, cosine_e9}
       val emb = Tables.embeddings(s, d)
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
-      graft.util.Cols.fanout(emb.filter($"vec_id" =!= 0))
+      // Double-prefiltered exact top-k: score everything with the
+      // cheap double kernel, find the 10th-best double value t, and
+      // run the decimal-exact kernel only on candidates ≥ t − 2e-6.
+      // Any true top-10 member must beat one of the double-top-10 on
+      // the exact scale, and those sit ≥ t − 1e-12 — so the shortlist
+      // provably contains the exact top-10 while the reported
+      // cosine_e9 and the final ordering stay decimal-exact.
+      val scored = graft.util.Cols.fanout(emb.filter($"vec_id" =!= 0))
         .crossJoin(broadcast(query))
+        .select($"vec_id", $"embedding", $"qe",
+          cosine_approx($"embedding", $"qe").as("capx"))
+        .localCheckpoint() // feeds the threshold AND the shortlist
+      val t10 = scored.orderBy($"capx".desc, $"vec_id").limit(10)
+        .agg(min($"capx").as("t"))
+      scored
+        .crossJoin(broadcast(t10))
+        .filter($"capx" >= $"t" - 2e-6)
         // scaled-integer cosine: decimal-exact inside the codegen'd
         // kernel, hash-comparable at 1e-9 resolution
         .select($"vec_id", cosine_e9($"embedding", $"qe").as("cosine_e9"))
@@ -181,10 +196,18 @@ object SimilarityQueries {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
       // checkpoint: feeds both sides of the self-join below
+      import graft.functions.exprs.cosine_approx
       val bkt = bucketed(s, d).localCheckpoint()
       val a = bkt.select($"vec_id".as("vec1"), $"bucket", $"embedding".as("ea"))
       val b = bkt.select($"vec_id".as("vec2"), $"bucket".as("bucket2"), $"embedding".as("eb"))
       a.join(b, $"bucket" === $"bucket2" && $"vec1" < $"vec2")
+        // double prefilter (error ≤ 1e-12, margin 1e-6 — see
+        // VectorKernels.cosineApprox): the decimal-exact kernel runs
+        // only on near-threshold survivors, and the reported value +
+        // final predicate stay decimal-exact. The 1e-9 HALF_UP
+        // rounding means exact cosines down to 0.4 - 5e-10 can still
+        // round to the 4e8 gate; the margin covers that too.
+        .filter(cosine_approx($"ea", $"eb") >= 0.4 - 1e-6)
         .select($"vec1", $"vec2", cosine_e9($"ea", $"eb").as("cosine_e9"))
         .filter($"cosine_e9" >= 400000000L)
         .orderBy($"vec1", $"vec2")
@@ -228,6 +251,42 @@ object SimilarityQueries {
            |ORDER BY vec1, vec2""".stripMargin),
   )
 
+  /** ZERO-SHUFFLE exact argmax assignment of every vector to its
+    * nearest (cosine) centroid: the ≤8 centroids ride along as
+    * LITERALS inside one codegen'd projection — no crossJoin fan-out,
+    * no per-vector window shuffle, nothing moves but the scan. Each
+    * row computes the cheap double cosine against all centroids,
+    * takes their max, and runs the decimal-exact kernel only on
+    * centroids within the 2e-6 margin of it (usually exactly one);
+    * any centroid outside the margin is > 1e3 units below the winner
+    * on the e9 integer scale, so it can neither win nor tie — the
+    * winner (max by exact cos, ties to the smallest cent_id, via an
+    * array_max over (cos_e9, −cent_id) structs) is bit-identical to
+    * the full exact ranking the oracle replays. This is the shape
+    * that scales: assignment cost is one arithmetic pass over the
+    * corpus, independent of cluster count semantics.
+    */
+  private def rowLocalAssign(
+      emb: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Array[Float])]): org.apache.spark.sql.DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.exprs.{cosine_approx, cosine_e9}
+    val capxs = cents.map { case (_, ce) =>
+      cosine_approx($"embedding", typedLit(ce))
+    }
+    val cmax = greatest(capxs: _*)
+    val scored = cents.zip(capxs).map { case ((id, ce), capx) =>
+      when(capx >= cmax - lit(2e-6),
+        struct(
+          cosine_e9($"embedding", typedLit(ce)).as("cos_e9"),
+          lit(-id).as("neg_cent")))
+    }
+    emb.select($"vec_id", $"embedding")
+      .withColumn("best", array_max(array(scored: _*)))
+      .select($"vec_id", $"embedding",
+        (-$"best.neg_cent").cast("long").as("cent_id"))
+  }
+
   /** Cosine k-means centroids: `iters` Lloyd iterations from the
     * deterministic first-8 seed. The centroid update keeps the
     * UN-normalized per-dimension sum — cosine is invariant under
@@ -237,29 +296,23 @@ object SimilarityQueries {
     * so float, double, and DuckDB BIGINT all represent it exactly and
     * every product inside the cosine kernel stays a ≤48-bit-mantissa
     * double). That is what lets DuckDB replay the full training run
-    * bit-for-bit. Each iteration is one 8-row broadcast assign + one
-    * shuffle on (cent_id, dim); the iterations chain through nested
-    * broadcast subplans, so the whole training run executes under the
-    * single collecting action in [[trainedCentroids]] instead of one
-    * blocking checkpoint job per iteration.
+    * bit-for-bit. The ≤8-row centroids live on the driver between
+    * iterations (the published-artifact shape), so one iteration is a
+    * single job: the zero-shuffle [[rowLocalAssign]] projection
+    * feeding one partial-agg shuffle on (cent_id, dim).
     */
   private def lloydCentroids(
-      s: org.apache.spark.sql.SparkSession, d: String, iters: Int) = {
+      s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int): Seq[(Long, Array[Float])] = {
     import s.implicits._
-    import graft.functions.exprs.cosine_e9
+    def toSeq(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
-      .localCheckpoint() // feeds assign + update in every iteration
-    var cents = emb.filter($"vec_id" < 8)
-      .select($"vec_id".as("cent_id"), $"embedding".as("ce"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
+      .select($"vec_id", $"embedding")
+      .localCheckpoint() // scanned once per iteration
+    var cents = toSeq(emb.filter($"vec_id" < 8).collect())
     for (_ <- 1 to iters) {
-      val assign = emb.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cent_id")
-      cents = emb.join(assign, "vec_id")
+      cents = toSeq(rowLocalAssign(emb, cents)
         .select($"cent_id", posexplode($"embedding").as(Seq("k", "x")))
         .groupBy($"cent_id", $"k")
         .agg(sum($"x".cast("double").cast(Dec)).as("csum"))
@@ -271,29 +324,26 @@ object SimilarityQueries {
         .agg(array_sort(collect_list(struct($"k", $"ci"))).as("kc"))
         .select($"cent_id",
           transform($"kc", e => e.getField("ci").cast("float")).as("ce"))
+        .collect())
     }
     cents
   }
 
   /** Train-once / assign-many: [[lloydCentroids]] is deterministic for
     * a given (dir, iters), so the trained ≤8-row centroid table is
-    * collected once per JVM and handed to every later caller as a
-    * local relation — the two IVF catalogue queries share one training
-    * run the same way their oracles share the [[KmCtes]] prefix. In a
-    * real deployment the trained centroids are a tiny published
-    * artifact; re-deriving them inside every query would multiply the
-    * most expensive stage of the index by its consumer count.
+    * computed once per JVM and handed to every later caller — the two
+    * IVF catalogue queries share one training run the same way their
+    * oracles share the [[KmCtes]] prefix. In a real deployment the
+    * trained centroids are a tiny published artifact; re-deriving
+    * them inside every query would multiply the most expensive stage
+    * of the index by its consumer count.
     */
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Array[(Long, Array[Float])]]()
+    (String, Int), Seq[(Long, Array[Float])]]()
   private def trainedCentroids(
-      s: org.apache.spark.sql.SparkSession, d: String, iters: Int) = {
-    import s.implicits._
-    centCache.computeIfAbsent((d, iters), _ =>
-      lloydCentroids(s, d, iters).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
-      .toSeq.toDF("cent_id", "ce")
-  }
+      s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int): Seq[(Long, Array[Float])] =
+    centCache.computeIfAbsent((d, iters), _ => lloydCentroids(s, d, iters))
 
   /** DuckDB replay of [[lloydCentroids]] (2 iterations) + the final
     * cell assignment, shared by the two IVF oracles: seed assign
@@ -378,22 +428,15 @@ object SimilarityQueries {
 
   // IVF-flat cell assignment: the inverted-file ANN alternative to
   // LSH, with centroids TRAINED by [[lloydCentroids]] (2 Lloyd
-  // iterations from the first-8 seed). The centroid side stays ≤8
-  // rows → broadcast; assignment is one broadcast join + rank, which
-  // is the shape that scales.
+  // iterations from the first-8 seed). Assignment is the zero-shuffle
+  // [[rowLocalAssign]] projection — one arithmetic pass over the
+  // corpus, which is the shape that scales.
   private val ivfCells = Q(
     "sim_ivf_cell_assign",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.cosine_e9
       val cents = trainedCentroids(s, d, iters = 2)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
-      graft.util.Cols.fanout(Tables.embeddings(s, d))
-        .crossJoin(broadcast(cents))
-        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+      rowLocalAssign(graft.util.Cols.fanout(Tables.embeddings(s, d)), cents)
         .select($"vec_id", $"cent_id".as("cell"))
         .orderBy($"vec_id")
     },
@@ -417,28 +460,22 @@ object SimilarityQueries {
       import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
       val cents = trainedCentroids(s, d, iters = 2)
+      val centsDf = cents.toDF("cent_id", "ce")
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
       // nprobe=2 cells nearest to the query vector (8-row ranking)
-      val probeCells = query.crossJoin(broadcast(cents))
+      val probeCells = query.crossJoin(broadcast(centsDf))
         .select($"cent_id", cosine_e9($"qe", $"ce").as("qcos"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(lit(1)).orderBy($"qcos".desc, $"cent_id")))
         .filter($"rn" <= 2)
         .select($"cent_id".as("probe_cell"))
-      // cell assignment of every vector (as in sim_ivf_cell_assign)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"cos_e9".desc, $"cent_id")
-      val cells = graft.util.Cols.fanout(emb)
-        .crossJoin(broadcast(cents))
-        .select($"vec_id", $"cent_id", cosine_e9($"embedding", $"ce").as("cos_e9"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cent_id".as("cell"))
-      cells
-        .join(broadcast(probeCells), $"cell" === $"probe_cell")
+      // zero-shuffle cell assignment (as in sim_ivf_cell_assign);
+      // rowLocalAssign keeps each vector's embedding, so candidates
+      // score against the query without joining back to the table
+      rowLocalAssign(graft.util.Cols.fanout(emb), cents)
+        .join(broadcast(probeCells), $"cent_id" === $"probe_cell")
         .filter($"vec_id" =!= 0)
-        .join(emb.withColumnRenamed("vec_id", "e_id"), $"vec_id" === $"e_id")
         .crossJoin(broadcast(query))
         .select($"vec_id", cosine_e9($"embedding", $"qe").as("cosine_e9"))
         .orderBy($"cosine_e9".desc, $"vec_id")
