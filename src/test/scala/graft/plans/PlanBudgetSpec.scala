@@ -120,6 +120,17 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"fuzzy-match join lost its length-bucket blocking key:\n$fuzzyJoins")
   }
 
+  test("qj_range_band_join stays a hash join, not a nested loop") {
+    // The banding rewrite exists precisely to avoid
+    // BroadcastNestedLoopJoin, whose constant degraded superlinearly
+    // in the sf0.1→sf1 probe (exponent 1.42 → 0.7 after the fix).
+    val nodes = planOf("qj_range_band_join")
+    val bnlj = nodes.filter(_.nodeName.contains("BroadcastNestedLoop"))
+    assert(bnlj.isEmpty, s"range-band join regressed to BNLJ: $bnlj")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "range-band join lost its bucket equi-join")
+  }
+
   test("td_ngram_jaccard carries no static broadcast hint") {
     // The vocabulary join must stay unhinted: a broadcast() hint on
     // the word→id map would ship the entire vocabulary to every
