@@ -280,7 +280,12 @@ object DedupQueries {
   // small — correct at any scale), and per-document state is bounded
   // by the document's own word count. The integer intersection/union
   // counts — and therefore the double jaccard — are exactly what the
-  // oracle's explode-join computes.
+  // oracle's explode-join computes. (On corpora where per-block pair
+  // counts still explode, the exact-join refinement is PPJoin-style
+  // prefix filtering — candidates must share a token in their
+  // (1-t)·|set|+1 rarest-token prefix — which composes with this
+  // blocking; on the 31-word synthetic vocabulary every prefix
+  // collides, so it would add cost without pruning here.)
   private val jaccard = Q(
     "td_ngram_jaccard",
     (s, d) => {

@@ -69,6 +69,26 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming dual of the tagged-record NDJSON sink (SURVEY §2.1 S7,
+    * [[graft.sources.NdjsonSink]]): the SAME byte-exact line rendering
+    * — field order, null omission, raw-geometry splice — applied to an
+    * unbounded record stream and appended as text part-files with the
+    * file sink's exactly-once commit log. The rendering is a pure
+    * column transform, so batch and streaming cannot drift: both call
+    * `NdjsonSink.lines`. The reference's strictly-sequential write
+    * order is not semantic (SURVEY §2.7); lines land partitioned and
+    * batched, canonicalized by sort in the parity spec.
+    */
+  def writeNdjsonStream(
+      records: DataFrame, path: String, checkpoint: String) =
+    graft.sources.NdjsonSink.lines(records)
+      .writeStream
+      .format("text")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Gap-based sessionization: a session closes after `gapMs` of
     * silence per user (stateful, event-time timeout).
     */

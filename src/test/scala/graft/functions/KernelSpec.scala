@@ -84,6 +84,23 @@ class VectorKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineApprox sits far inside the 1e-6 admission margin of cosineE9") {
+    // The prefilter contract: |approx − exact| ≪ the 1e-6 margin every
+    // caller uses, so a candidate the prefilter drops cannot have
+    // passed the exact threshold. 1e9·approx vs the decimal-exact e9
+    // integer should differ by well under 1e3 (margin·1e9); in
+    // practice the gap is ≤ ~1 ulp of the e9 scale.
+    val rnd = new scala.util.Random(99)
+    (1 to 2000).foreach { _ =>
+      val a = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+      val b = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+      val exact = VectorKernels.cosineE9(vec(a), vec(b))
+      val approx = VectorKernels.cosineApprox(vec(a), vec(b)) * 1e9
+      assert(math.abs(approx - exact) < 10.0,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("sortedIntersectCount matches Set intersection on random sorted arrays") {
     def longs(xs: Array[Long]): ArrayData = ArrayData.toArrayData(xs)
     val rnd = new scala.util.Random(13)

@@ -66,4 +66,45 @@ class FileStreamSpec extends AnyFunSuite {
       assert(dedup.toSet == Set(1L, 2L, 3L, 9L))
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("streaming NDJSON sink emits byte-identical lines to the batch sink") {
+    // one record of each rtype, covering null omission, the data
+    // struct, and the raw-geometry splice
+    val recs = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('object', '123', 'st:Building', '1880', '1881',
+        |   CAST(NULL AS STRING), named_struct('sheetId', 7),
+        |   '{"type":"Point","coordinates":[-73.98,40.71]}',
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   CAST(NULL AS STRING)),
+        |  ('relation', CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   named_struct('sheetId', CAST(NULL AS INT)), CAST(NULL AS STRING),
+        |   'building-inspector/1', 'mapwarper/2', 'st:sameAs',
+        |   CAST(NULL AS STRING)),
+        |  ('log', CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   named_struct('sheetId', CAST(NULL AS INT)), CAST(NULL AS STRING),
+        |   CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |   'no sheet 9')
+        |AS t(rtype, id, otype, valid_since, valid_until, name, data,
+        |     geometry_json, rel_from, rel_to, rel_type, error)""".stripMargin)
+    val base = Files.createTempDirectory("graft-ndjson-parity")
+    val fixture = s"$base/fixture"
+    val outBatch = s"$base/batch"
+    val outStream = s"$base/stream"
+    recs.write.parquet(fixture)
+    graft.sources.NdjsonSink.write(recs, outBatch)
+    val q = StreamingOps.writeNdjsonStream(
+      spark.readStream.schema(recs.schema).parquet(fixture),
+      outStream, s"$base/ckpt")
+    try q.processAllAvailable()
+    finally q.stop()
+    val a = spark.read.text(outBatch).collect().map(_.getString(0)).sorted
+    val b = spark.read.text(outStream).collect().map(_.getString(0)).sorted
+    assert(a.length == 3)
+    assert(a.sameElements(b), s"batch:\n${a.mkString("\n")}\nstream:\n${b.mkString("\n")}")
+    assert(a.exists(_.contains("\"geometry\":{\"type\":\"Point\",\"coordinates\":[-73.98,40.71]}")))
+    assert(a.exists(_.startsWith("{\"type\":\"relation\",\"obj\":{\"from\":\"building-inspector/1\"")))
+  }
 }
