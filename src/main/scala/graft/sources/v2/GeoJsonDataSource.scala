@@ -124,7 +124,23 @@ private[v2] class GeoJsonTable(paths: Seq[String], chunkBytes: Long)
   override def name(): String = s"geojson(${paths.mkString(",")})"
   override def schema(): StructType = GeoJsonDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  /** Partitions for one file: byte-range splits above chunkBytes,
+    * else the whole-file streaming parser.
+    */
+  private[v2] def partitionsFor(p: String): Seq[InputPartition] = {
+    val size = new java.io.File(p).length()
+    val ranges =
+      if (size > chunkBytes) GeoJsonDataSource.indexSplits(p, chunkBytes)
+      else None
+    ranges match {
+      case Some(rs) if rs.nonEmpty =>
+        rs.map { case (s, e, i) => GeoJsonInputPartition(p, s, e, i): InputPartition }
+      case _ =>
+        Seq(GeoJsonInputPartition(p, -1L, -1L, 0L): InputPartition)
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -132,23 +148,61 @@ private[v2] class GeoJsonTable(paths: Seq[String], chunkBytes: Long)
       override def readSchema(): StructType = GeoJsonDataSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        paths.flatMap { p =>
-          val size = new java.io.File(p).length()
-          val ranges =
-            if (size > chunkBytes) GeoJsonDataSource.indexSplits(p, chunkBytes)
-            else None
-          ranges match {
-            case Some(rs) if rs.nonEmpty =>
-              rs.map { case (s, e, i) =>
-                GeoJsonInputPartition(p, s, e, i): InputPartition
-              }
-            case _ =>
-              Seq(GeoJsonInputPartition(p, -1L, -1L, 0L): InputPartition)
-          }
-        }.toArray
+        paths.flatMap(partitionsFor).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new GeoJsonReaderFactory
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(paths.size == 1 && new java.io.File(paths.head).isDirectory,
+          s"streaming geojson needs a single landing DIRECTORY to watch, got $paths")
+        new GeoJsonMicroBatchStream(paths.head, GeoJsonTable.this)
+      }
     }
+}
+
+/** Micro-batch stream over a landing directory of FeatureCollection
+  * files — the engine twin of the reference's incremental
+  * page-by-page ingest (building-inspector.js:37-64 pulls pages until
+  * empty; here each landed `.geojson` file is a page). An offset is
+  * the SET of files ingested so far (serialized as a sorted JSON
+  * array), so a batch is exactly the newly-landed files, each planned
+  * with the same byte-range splitting as the batch scan; per-file
+  * `ingest_order` and the (path, ingest_order) dedup contract carry
+  * over unchanged. Files must land atomically (write-then-rename, the
+  * standard landing-dir discipline) — a file is picked up when listed.
+  */
+private[v2] class GeoJsonMicroBatchStream(dir: String, table: GeoJsonTable)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new ObjectMapper()
+
+  private def listFiles(): Seq[String] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Seq.empty
+    else fs.filter(f => f.isFile && f.getName.endsWith(".geojson"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = GeoJsonOffset(Seq.empty)
+  override def latestOffset(): Offset = GeoJsonOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    GeoJsonOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GeoJsonOffset].files.toSet
+    end.asInstanceOf[GeoJsonOffset].files.filterNot(seen)
+      .flatMap(table.partitionsFor).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[v2] case class GeoJsonOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new ObjectMapper().writeValueAsString(files.sorted.toArray)
 }
 
 /** start < 0 ⇒ whole file (stream from the top, locate `features`);

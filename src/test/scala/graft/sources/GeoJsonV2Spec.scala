@@ -72,6 +72,43 @@ class GeoJsonV2Spec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("streaming source ingests newly-landed files incrementally, in order") {
+    def collection(ids: Seq[Int]): String = {
+      val fs = ids.map(i =>
+        s"""{"type": "Feature", "properties": {"id": "f$i"}, "geometry": null}""")
+      s"""{"type": "FeatureCollection", "features": [${fs.mkString(",")}]}"""
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson-stream")
+    def land(name: String, doc: String): Unit = {
+      // write-then-rename: the landing-dir atomicity discipline
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.writeString(tmp, doc)
+      java.nio.file.Files.move(tmp, dir.resolve(name))
+    }
+    land("page1.geojson", collection(Seq(0, 1, 2)))
+    val q = spark.readStream.format("geojson").load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("geojson_stream_sink").start()
+    try {
+      q.processAllAvailable()
+      land("page2.geojson", collection(Seq(10, 11)))
+      q.processAllAvailable()
+      val rows = spark.table("geojson_stream_sink")
+        .collect()
+        .map(r => (new java.io.File(r.getString(0)).getName, r.getLong(1),
+          r.getString(2).contains("\"id\":\"f")))
+      assert(rows.length == 5, s"got ${rows.mkString(";")}")
+      assert(rows.forall(_._3), "feature_json payloads survived")
+      // per-file ingest_order restarts per page, as in the batch scan
+      assert(rows.filter(_._1 == "page1.geojson").map(_._2).sorted.sameElements(Seq(0L, 1L, 2L)))
+      assert(rows.filter(_._1 == "page2.geojson").map(_._2).sorted.sameElements(Seq(0L, 1L)))
+      // no file is ingested twice across batches
+      land("page1.geojson.done", "{}") // non-.geojson noise is ignored
+      q.processAllAvailable()
+      assert(spark.table("geojson_stream_sink").count() == 5)
+    } finally q.stop()
+  }
+
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
