@@ -371,7 +371,15 @@ object PipelineQueries {
       graft.sources.NdjsonSink.lines(pipelineRecords(s, d))
         .orderBy($"value".asc_nulls_first)
     },
-    Some(SynthCtes + """
+    Some(NdjsonOracleSql),
+  )
+
+  /** The NDJSON byte oracle, shared verbatim by `pipe_ndjson_lines`
+    * (batch rendering) and `pipe_ndjson_stream` (the same lines
+    * produced through the STREAMING file sink) — one source of truth,
+    * two execution paths gated against it.
+    */
+  private lazy val NdjsonOracleSql: String = SynthCtes + """
            |SELECT value FROM (
            |  SELECT '{"type":"object","obj":{"id":"' || bid
            |      || '","type":"st:Building","validSince":' || yr
@@ -453,8 +461,51 @@ object PipelineQueries {
            |  SELECT '{"type":"log","obj":{"error":"Error computing intersection for toponym '
            |      || tid || '"}}'
            |  FROM probes WHERE layer_id NOT IN (SELECT layer_id FROM idxlayers))
-           |ORDER BY value ASC NULLS FIRST""".stripMargin),
+           |ORDER BY value ASC NULLS FIRST""".stripMargin
+
+  /** STREAMING S7 gate: the same serialized bytes as
+    * `pipe_ndjson_lines`, but produced by the real streaming path —
+    * the synthesized records go to a parquet landing fixture, flow
+    * through `spark.readStream` → [[graft.streaming.StreamingOps
+    * .writeNdjsonStream]] (file sink, exactly-once commit log), and
+    * the committed text files are read back and hashed against the
+    * IDENTICAL byte oracle. Batch and streaming render through one
+    * shared transform, and this query proves the streaming commit
+    * path preserves every byte of it. The read-back is
+    * localCheckpoint-ed so the temp fixture/sink dirs are deleted
+    * before the result leaves the function.
+    */
+  private val ndjsonStream = Q(
+    "pipe_ndjson_stream",
+    (s, d) => {
+      import s.implicits._
+      val records = pipelineRecords(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft-ndjson-stream-gate")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val listing = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.toSeq.foreach(rm)
+          } finally listing.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try {
+        val fixture = s"$base/records"
+        records.write.parquet(fixture)
+        val out = s"$base/out"
+        val q = graft.streaming.StreamingOps.writeNdjsonStream(
+          s.readStream.schema(s.read.parquet(fixture).schema).parquet(fixture),
+          out, s"$base/ckpt")
+        try q.processAllAvailable()
+        finally q.stop()
+        s.read.text(out).localCheckpoint()
+          .orderBy($"value".asc_nulls_first)
+      } finally rm(base)
+    },
+    Some(NdjsonOracleSql),
   )
 
-  def all: Seq[Q] = Seq(endToEnd, ndjsonLines)
+  def all: Seq[Q] = Seq(endToEnd, ndjsonLines, ndjsonStream)
 }
