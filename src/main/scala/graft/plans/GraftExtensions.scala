@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Base62EncodeHex, JsCoordJoin, RollingHash, StContains}
+import graft.functions.{Base62EncodeHex, CosineApprox, CosineE9, JsCoordJoin, LshBucket, RollingHash, SortedIntersectCount, StContains}
 
 /** Config-time registration of the engine's custom expressions and
   * physical strategy:
@@ -36,6 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - Karp-Rabin fingerprint mod 2^31-1"),
       (es: Seq[Expression]) => RollingHash(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("cosine_e9"),
+      info("cosine_e9", "cosine_e9(array<float>, array<float>) - round(cosine*1e9), decimal-exact"),
+      (es: Seq[Expression]) => CosineE9(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_approx"),
+      info("cosine_approx", "cosine_approx(array<float>, array<float>) - double-precision cosine prefilter"),
+      (es: Seq[Expression]) => CosineApprox(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(array<float>) - 6-plane random-hyperplane LSH bucket id"),
+      (es: Seq[Expression]) => LshBucket(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
     e.injectPlannerStrategy(_ => SpatialJoinStrategy)
     e.injectOptimizerRule(_ => AddBboxPrefilter)
   }

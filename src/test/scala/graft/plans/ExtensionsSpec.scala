@@ -38,6 +38,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getString(1) == "47")
       assert(row.getString(2) == "-73.9,40")
       assert(row.getLong(3) == ("abc".foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)))
+      val row2 = spark.sql(
+        """SELECT
+          |  cosine_e9(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+          |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS self_cos,
+          |  cosine_approx(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+          |                array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))) AS ortho,
+          |  lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS bkt,
+          |  sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS ni
+          |""".stripMargin).collect().head
+      assert(row2.getLong(0) == 1000000000L)
+      assert(row2.getDouble(1) == 0.0)
+      assert(row2.getLong(2) >= 0 && row2.getLong(2) < 64)
+      assert(row2.getInt(3) == 2)
       assert(spark.sessionState.planner.strategies.contains(SpatialJoinStrategy))
     } finally {
       SparkSession.clearActiveSession()
