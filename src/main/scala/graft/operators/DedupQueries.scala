@@ -520,7 +520,63 @@ object DedupQueries {
             |ORDER BY eval_doc, train_doc""".stripMargin),
   )
 
+  // CONCAT-AND-CHUNK sequence packing: the pretraining "global token
+  // stream split into fixed-length sequences" operator — every doc
+  // (in doc_id order) maps to the [first_seq, last_seq] range of
+  // 512-token sequences its tokens land in. The global prefix sum is
+  // the interesting part at scale: a naive `Window.orderBy(doc_id)`
+  // is a SinglePartition sort of the corpus, so this computes it in
+  // TWO PHASES — per-range partial sums under parallel windows, plus
+  // driver-computed cumulative offsets of the ≤P tiny per-range
+  // totals — the same shape a 1000-executor prefix sum takes. The
+  // range id is doc_id·P/N (doc ids are dense), so ranges respect the
+  // global order and the offsets are exact, not estimated.
+  private val concatChunks = Q(
+    "td_concat_chunks",
+    (s, d) => {
+      import s.implicits._
+      val L = 512L
+      val P = 8
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+      val n = docs.count()
+      val ranged = docs
+        .withColumn("rid", ($"doc_id" * P / n).cast("int"))
+        .localCheckpoint() // feeds the totals collect + the main pass
+      val totals = ranged.groupBy($"rid").agg(sum($"n_tok").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      val offsets = totals.keys.toSeq.sorted.map { r =>
+        val o = (r, acc); acc += totals(r); o
+      }.toDF("rid", "off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"rid").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      ranged
+        .withColumn("local_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .join(broadcast(offsets), "rid")
+        .select($"doc_id", $"n_tok",
+          (($"off" + $"local_before") / L).cast("long").as("first_seq"),
+          (($"off" + $"local_before" + $"n_tok" - 1) / L).cast("long").as("last_seq"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cb
+           |  FROM t)
+           |SELECT doc_id, n_tok,
+           |       CAST(cb // 512 AS BIGINT) AS first_seq,
+           |       CAST((cb + n_tok - 1) // 512 AS BIGINT) AS last_seq
+           |FROM c
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
-      dedupClusters, decontaminate)
+      dedupClusters, decontaminate, concatChunks)
 }

@@ -95,8 +95,11 @@ class PlanBudgetSpec extends AnyFunSuite {
   test("no whole-data SinglePartition shuffle in the dedup/similarity suite") {
     // Global one-row aggregates and final presentation limits are fine;
     // these queries should have NO SinglePartition exchange at all.
+    // td_concat_chunks is here because the two-phase prefix sum exists
+    // precisely to avoid the naive global-window SinglePartition sort.
     for (name <- Seq("td_ngram_jaccard", "td_minhash_lsh_pairs",
-      "td_simhash_neardup", "td_embedding_neardup", "ta_vocab_topk")) {
+      "td_simhash_neardup", "td_embedding_neardup", "ta_vocab_topk",
+      "td_concat_chunks")) {
       val singles = planOf(name).collect {
         case s: ShuffleExchangeExec
             if s.outputPartitioning ==
