@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's "[success] Total time: ..." trailer was landing after it
+// and left BENCH_r{1..4}.json's `parsed` field null. Suppress it so the
+// bench/verify JSON line is genuinely last.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// ...and write the forked run's stdout raw (no "[info] " logger
+// prefix) so the line is parseable exactly as printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

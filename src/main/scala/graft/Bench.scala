@@ -56,7 +56,24 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = QueryCatalog.all
       .filter(q => only.forall(_.exists(q.name.startsWith)))
-    val results = selected.map { q =>
+    // IVF centroids are memoized per JVM (the artifact-reuse production
+    // story), so sim_ivf_* catalogue timings are ASSIGNMENT-ONLY by
+    // design. Training is therefore timed as its own first-class entry
+    // (min/mean over the same rep count, memo reset before each rep) and
+    // the memo is left warm so every later IVF rep measures assignment.
+    val ivfTrain =
+      if (!selected.exists(_.name.startsWith("sim_ivf"))) Seq.empty
+      else {
+        val times = (1 to Reps).map { _ =>
+          operators.SimilarityQueries.resetCentroidCache()
+          val t0 = System.nanoTime()
+          operators.SimilarityQueries.trainIvf(spark, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        Seq(("sim_ivf_train", times.min, times.sum / times.size,
+          Option.empty[String]))
+      }
+    val results = ivfTrain ++ selected.map { q =>
       var err: Option[String] = None
       val times = (1 to Reps).iterator.map { _ =>
         spark.catalog.clearCache()

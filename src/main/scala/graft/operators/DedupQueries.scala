@@ -536,10 +536,23 @@ object DedupQueries {
     (s, d) => {
       import s.implicits._
       val L = 512L
-      val P = 8
       val docs = Tables.documents(s, d)
         .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
-      val n = docs.count()
+      // One range per input partition (floor 8): the per-range window is
+      // the prefix sum's parallel unit, so it must scale with the
+      // cluster, not sit at a constant.
+      val P = math.max(8, docs.rdd.getNumPartitions)
+      // doc_id·P/n is only an order-respecting range partitioner when
+      // ids are dense 0..n-1. Sparse or clustered ids would skew every
+      // range onto few tasks and still emit plausible-looking output,
+      // so the precondition fails loudly instead of silently.
+      val stats = docs.agg(
+        count(lit(1)), min($"doc_id").cast("long"), max($"doc_id").cast("long"))
+        .head()
+      val n = stats.getLong(0)
+      require(n > 0 && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+        s"td_concat_chunks requires dense doc ids 0..n-1; got n=$n, " +
+          s"min=${stats.get(1)}, max=${stats.get(2)}")
       val ranged = docs
         .withColumn("rid", ($"doc_id" * P / n).cast("int"))
         .localCheckpoint() // feeds the totals collect + the main pass

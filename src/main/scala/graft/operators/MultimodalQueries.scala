@@ -59,9 +59,13 @@ object Multimodal {
     */
   val MaxPixelDim = 16384
 
-  /** True iff the payload starts with a known raster-image signature
-    * (PNG/JPEG/GIF/BMP — the formats the JVM's ImageIO ships readers
-    * for). Checked BEFORE constructing an ImageInputStream: on a
+  /** True iff the payload starts with a known raster-image signature:
+    * PNG/JPEG/GIF/BMP/TIFF — the formats the JDK's ImageIO ships
+    * readers for (JDK 9+ also bundles TIFF; WBMP is deliberately NOT
+    * sniffed — its "signature" is two near-arbitrary bytes, so a
+    * prefix test would wave through random binary and defeat the
+    * point of the sniff; WBMP payloads fall to [[decodeStub]] by
+    * design). Checked BEFORE constructing an ImageInputStream: on a
     * predominantly-text corpus the per-payload stream + reader-probe
     * allocation is pure overhead, and a 4-byte prefix test rejects
     * non-images for free.
@@ -72,7 +76,9 @@ object Multimodal {
     (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
     (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) ||              // JPEG
     (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||  // GIF
-    (b(0) == 'B' && b(1) == 'M')                                   // BMP
+    (b(0) == 'B' && b(1) == 'M') ||                                // BMP
+    (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||   // TIFF LE
+    (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a)      // TIFF BE
   }
 
   /** Real codec path: decode the payload with javax.imageio when its

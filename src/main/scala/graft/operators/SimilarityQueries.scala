@@ -345,6 +345,19 @@ object SimilarityQueries {
       iters: Int): Seq[(Long, Array[Float])] =
     centCache.computeIfAbsent((d, iters), _ => lloydCentroids(s, d, iters))
 
+  /** Bench hooks: the per-JVM memo means catalogue timings for the two
+    * IVF queries are ASSIGNMENT-ONLY (the production reading — trained
+    * centroids are a published artifact, not per-query work). So the
+    * bench measures training explicitly: reset the memo, force a train,
+    * time it, reported as its own `sim_ivf_train` entry. A training
+    * regression then moves a first-class bench number instead of hiding
+    * inside rep 1 of whichever IVF query runs first.
+    */
+  def resetCentroidCache(): Unit = centCache.clear()
+  def trainIvf(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    trainedCentroids(s, d, iters = 2); ()
+  }
+
   /** DuckDB replay of [[lloydCentroids]] (2 iterations) + the final
     * cell assignment, shared by the two IVF oracles: seed assign
     * (float centroids), integer-grid update, re-assign (integer

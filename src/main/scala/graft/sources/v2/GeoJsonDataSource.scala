@@ -170,6 +170,14 @@ private[v2] class GeoJsonTable(paths: Seq[String], chunkBytes: Long)
   * `ingest_order` and the (path, ingest_order) dedup contract carry
   * over unchanged. Files must land atomically (write-then-rename, the
   * standard landing-dir discipline) — a file is picked up when listed.
+  *
+  * Known limit: offsets carry the complete file set, so offset JSON
+  * and the per-batch set-diff grow O(files ever landed) — right for a
+  * bounded backfill (any landing order, files may arrive out of name
+  * order), but a months-long continuous ingest should compact the
+  * offset to a high-water mark, which is only sound once landing
+  * names are promised monotone (e.g. timestamped); this source makes
+  * no such assumption, so it keeps the explicit set.
   */
 private[v2] class GeoJsonMicroBatchStream(dir: String, table: GeoJsonTable)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {

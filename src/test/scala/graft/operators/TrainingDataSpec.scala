@@ -153,5 +153,40 @@ class TrainingDataSpec extends AnyFunSuite {
     // the prefix sniff rejects text without touching ImageIO at all
     assert(!Multimodal.looksLikeImage("plain text payload".getBytes("UTF-8")))
     assert(Multimodal.looksLikeImage(corrupt))
+    // JDK 9+ bundles a TIFF reader: both byte orders must sniff as
+    // images so a TIFF payload reaches the real codec, not the stub
+    assert(Multimodal.looksLikeImage(
+      Array[Byte]('I', 'I', 0x2a, 0, 1, 2, 3, 4)))
+    assert(Multimodal.looksLikeImage(
+      Array[Byte]('M', 'M', 0, 0x2a, 1, 2, 3, 4)))
+  }
+
+  // td_concat_chunks' range partitioner (rid = doc_id·P/n) is only
+  // order-exact for dense ids 0..n-1; the query must REFUSE sparse ids
+  // loudly rather than emit skewed-but-plausible output.
+  test("concat-chunks rejects sparse doc ids loudly, accepts dense ones") {
+    import spark.implicits._
+    val fn = DedupQueries.all.find(_.name == "td_concat_chunks").get.fn
+    def writeDocs(ids: Seq[Long], dir: java.io.File): Unit =
+      ids.map(i => (i, Seq.fill(17)(s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+        .repartition(4) // >1 input partition so P > the floor path is live
+        .write.mode("overwrite").parquet(new java.io.File(dir, "documents.parquet").toString)
+
+    val sparse = java.nio.file.Files.createTempDirectory("graft-sparse").toFile
+    writeDocs(Seq(0L, 2L, 4L, 7L), sparse)
+    val e = intercept[IllegalArgumentException](fn(spark, sparse.toString).collect())
+    assert(e.getMessage.contains("dense doc ids"), e.getMessage)
+
+    // dense ids: output must equal the naive single-stream prefix sum
+    val dense = java.nio.file.Files.createTempDirectory("graft-dense").toFile
+    writeDocs(0L until 100L, dense)
+    val got = fn(spark, dense.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    var acc = 0L
+    val want = (0L until 100L).map { i =>
+      val t = (i, acc / 512, (acc + 17 - 1) / 512); acc += 17; t
+    }
+    assert(got.toSeq == want)
   }
 }
