@@ -15,6 +15,105 @@ import graft.model.Tables
   */
 object GeoQueries {
 
+  /** THE shared grid-derivation codepath for every spatial entry
+    * (j3_spatial_point_in_polygon, j3_spatial_outcomes,
+    * sql_surface_spatial — and their oracles): geometry is synthesized
+    * at CONSTANT DENSITY. The grid's side lengths scale with
+    * sqrt(supplier-count), so its AREA grows linearly with the row
+    * count — the way a real city's map grows when the building table
+    * does — instead of stacking ever more rectangles on a fixed
+    * 97x89 board (which makes the ANSWER, and any engine's runtime,
+    * quadratic by construction and says nothing about the join).
+    * Clamped at the base moduli: at every driver scale factor
+    * (sf <= 0.1, suppliers <= 1000) the derivation is numerically
+    * identical to the original fixed grid, so oracle results there are
+    * unchanged. Rectangle sizes stay fixed (buildings don't grow with
+    * the city).
+    *
+    * One scalar count feeds four literal moduli (a parquet
+    * metadata-only action, same cost class as the sanctioned tiny
+    * collects); the SQL text below computes the identical IEEE-754
+    * expression as a scalar subquery, and is valid verbatim in BOTH
+    * DuckDB (the oracle) and Spark SQL (sql_surface_spatial), which is
+    * what keeps the three entries from ever diverging.
+    */
+  private[operators] object SpatialGrid {
+    // memoized per dir (the count is parquet-metadata-only, but it is
+    // still a job; fixture dirs are immutable so the memo is safe)
+    private val moduliCache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]()
+
+    /** (gw, gh, pw, ph): polygon grid w/h, point grid w/h. */
+    def moduli(s: org.apache.spark.sql.SparkSession, d: String): (Long, Long, Long, Long) =
+      moduliCache.computeIfAbsent(d, _ => {
+        val n = Tables.supplier(s, d).count()
+        val scale = math.sqrt(n / 1000.0)
+        def m(base: Long) = base.max(math.floor(base * scale).toLong)
+        (m(97), m(89), m(95), m(87))
+      })
+
+    /** Same four moduli as a SQL CTE (Spark SQL + DuckDB dialects). */
+    def gridSql(supplier: String): String =
+      s"""grid AS (
+         |  SELECT greatest(97, CAST(floor(97 * s) AS BIGINT)) AS gw,
+         |         greatest(89, CAST(floor(89 * s) AS BIGINT)) AS gh,
+         |         greatest(95, CAST(floor(95 * s) AS BIGINT)) AS pw,
+         |         greatest(87, CAST(floor(87 * s) AS BIGINT)) AS ph
+         |  FROM (SELECT sqrt(count(*) / 1000.0) AS s FROM $supplier))""".stripMargin
+
+    def ptsSql(customer: String): String =
+      s"""SELECT c_custkey, c_nationkey,
+         |       CAST(c_custkey % pw + 1 AS DOUBLE) AS px,
+         |       CAST(c_custkey % ph + 2 AS DOUBLE) AS py
+         |FROM $customer, grid""".stripMargin
+
+    def polysSql(supplier: String): String =
+      s"""SELECT s_suppkey, s_nationkey,
+         |       CAST(s_suppkey % gw AS DOUBLE) AS x0,
+         |       CAST(s_suppkey % gh + 1 AS DOUBLE) AS y0,
+         |       CAST(s_suppkey % gw + 1 + s_suppkey % 5 AS DOUBLE) AS x1,
+         |       CAST(s_suppkey % gh + 3 + s_suppkey % 7 AS DOUBLE) AS y1
+         |FROM $supplier, grid""".stripMargin
+
+    /** Points: c_custkey, c_layer, px, py. */
+    def points(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      val (_, _, pw, ph) = moduli(s, d)
+      Tables.customer(s, d).select(
+        $"c_custkey",
+        $"c_nationkey".as("c_layer"),
+        (($"c_custkey" % pw) + 1).cast("double").as("px"),
+        (($"c_custkey" % ph) + 2).cast("double").as("py"),
+      )
+    }
+
+    /** Rectangles: s_suppkey, p_layer, x0, y0, x1, y1. */
+    def rects(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      val (gw, gh, _, _) = moduli(s, d)
+      Tables.supplier(s, d).select(
+        $"s_suppkey",
+        $"s_nationkey".as("p_layer"),
+        ($"s_suppkey" % gw).cast("double").as("x0"),
+        (($"s_suppkey" % gh) + 1).cast("double").as("y0"),
+        (($"s_suppkey" % gw) + 1 + ($"s_suppkey" % 5)).cast("double").as("x1"),
+        (($"s_suppkey" % gh) + 3 + ($"s_suppkey" % 7)).cast("double").as("y1"),
+      )
+    }
+
+    /** Rectangles with the closed GeoJSON-style ring array. */
+    def polysWithRings(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      rects(s, d).select(
+        $"s_suppkey", $"p_layer", $"x0", $"y0", $"x1", $"y1",
+        array(array(
+          array($"x0", $"y0"), array($"x1", $"y0"), array($"x1", $"y1"),
+          array($"x0", $"y1"), array($"x0", $"y0"),
+        )).as("rings"),
+      )
+    }
+  }
+
   // J3 — point-in-polygon join, equi on a layer key + containment.
   // Suppliers become rectangles on layer s_nationkey; customers become
   // points on layer c_nationkey. Same physical shape as the reference
@@ -24,32 +123,9 @@ object GeoQueries {
     "j3_spatial_point_in_polygon",
     (s, d) => {
       import s.implicits._
-      val polys = Tables.supplier(s, d).select(
-        $"s_suppkey",
-        $"s_nationkey".as("p_layer"),
-        ($"s_suppkey" % 97).cast("double").as("x0"),
-        (($"s_suppkey" % 89) + 1).cast("double").as("y0"),
-        (($"s_suppkey" % 97) + 1 + ($"s_suppkey" % 5)).cast("double").as("x1"),
-        (($"s_suppkey" % 89) + 3 + ($"s_suppkey" % 7)).cast("double").as("y1"),
-      ).select(
-        $"s_suppkey", $"p_layer", $"x0", $"y0", $"x1", $"y1",
-        array(
-          array($"x0", $"y0"), array($"x1", $"y0"), array($"x1", $"y1"),
-          array($"x0", $"y1"), array($"x0", $"y0"),
-        ).as("ring"),
-      ).select(
-        $"s_suppkey", $"p_layer", $"x0", $"y0", $"x1", $"y1",
-        array($"ring").as("rings"),
-      )
-      val points = Tables.customer(s, d).select(
-        $"c_custkey",
-        $"c_nationkey".as("c_layer"),
-        (($"c_custkey" % 95) + 1).cast("double").as("px"),
-        (($"c_custkey" % 87) + 2).cast("double").as("py"),
-      )
-      points
+      SpatialGrid.points(s, d)
         .join(
-          broadcast(polys),
+          broadcast(SpatialGrid.polysWithRings(s, d)),
           $"c_layer" === $"p_layer" &&
             $"px" >= $"x0" && $"px" <= $"x1" &&
             $"py" >= $"y0" && $"py" <= $"y1" &&
@@ -58,17 +134,11 @@ object GeoQueries {
         .select($"c_custkey", $"s_suppkey")
         .orderBy($"c_custkey", $"s_suppkey")
     },
-    Some("""SELECT c_custkey, s_suppkey
-           |FROM (SELECT c_custkey, c_nationkey,
-           |             CAST(c_custkey % 95 + 1 AS DOUBLE) AS px,
-           |             CAST(c_custkey % 87 + 2 AS DOUBLE) AS py
-           |      FROM customer) pts
-           |JOIN (SELECT s_suppkey, s_nationkey,
-           |             CAST(s_suppkey % 97 AS DOUBLE) AS x0,
-           |             CAST(s_suppkey % 89 + 1 AS DOUBLE) AS y0,
-           |             CAST(s_suppkey % 97 + 1 + s_suppkey % 5 AS DOUBLE) AS x1,
-           |             CAST(s_suppkey % 89 + 3 + s_suppkey % 7 AS DOUBLE) AS y1
-           |      FROM supplier) polys
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+           |pts AS (${SpatialGrid.ptsSql("customer")}),
+           |polys AS (${SpatialGrid.polysSql("supplier")})
+           |SELECT c_custkey, s_suppkey
+           |FROM pts JOIN polys
            |  ON c_nationkey = s_nationkey
            | AND px >= x0 AND px <= x1 AND py >= y0 AND py <= y1
            |ORDER BY c_custkey, s_suppkey""".stripMargin),
@@ -81,21 +151,10 @@ object GeoQueries {
     "j3_spatial_outcomes",
     (s, d) => {
       import s.implicits._
-      val polys = Tables.supplier(s, d)
-        .filter($"s_nationkey" < 20) // leave layers >= 20 unindexed
-        .select(
-          $"s_nationkey".as("p_layer"),
-          ($"s_suppkey" % 97).cast("double").as("x0"),
-          (($"s_suppkey" % 89) + 1).cast("double").as("y0"),
-          (($"s_suppkey" % 97) + 1 + ($"s_suppkey" % 5)).cast("double").as("x1"),
-          (($"s_suppkey" % 89) + 3 + ($"s_suppkey" % 7)).cast("double").as("y1"),
-        )
-      val points = Tables.customer(s, d).select(
-        $"c_custkey",
-        $"c_nationkey".as("c_layer"),
-        (($"c_custkey" % 95) + 1).cast("double").as("px"),
-        (($"c_custkey" % 87) + 2).cast("double").as("py"),
-      )
+      val polys = SpatialGrid.rects(s, d)
+        .filter($"p_layer" < 20) // leave layers >= 20 unindexed
+        .drop("s_suppkey")
+      val points = SpatialGrid.points(s, d)
       val layersWithIndex = polys.select($"p_layer").distinct()
       val flagged = points
         .join(broadcast(layersWithIndex), $"c_layer" === $"p_layer", "left_outer")
@@ -122,18 +181,11 @@ object GeoQueries {
         .select($"c_custkey", lit("no_index").as("outcome"), lit(0L).as("n_matches"))
       outcome.unionByName(noIndex).orderBy($"c_custkey")
     },
-    Some("""WITH pts AS (
-           |  SELECT c_custkey, c_nationkey,
-           |         CAST(c_custkey % 95 + 1 AS DOUBLE) AS px,
-           |         CAST(c_custkey % 87 + 2 AS DOUBLE) AS py
-           |  FROM customer),
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+           |pts AS (${SpatialGrid.ptsSql("customer")}),
            |polys AS (
-           |  SELECT s_nationkey,
-           |         CAST(s_suppkey % 97 AS DOUBLE) AS x0,
-           |         CAST(s_suppkey % 89 + 1 AS DOUBLE) AS y0,
-           |         CAST(s_suppkey % 97 + 1 + s_suppkey % 5 AS DOUBLE) AS x1,
-           |         CAST(s_suppkey % 89 + 3 + s_suppkey % 7 AS DOUBLE) AS y1
-           |  FROM supplier WHERE s_nationkey < 20)
+           |  SELECT * FROM (${SpatialGrid.polysSql("supplier")})
+           |  WHERE s_nationkey < 20)
            |SELECT c_custkey, outcome, n_matches FROM (
            |  SELECT p.c_custkey,
            |         CASE WHEN count(polys.s_nationkey) > 0 THEN 'match'
@@ -249,19 +301,12 @@ object GeoQueries {
       graft.functions.exprs.register(s)
       Tables.customer(s, d).createOrReplaceTempView("graft_customer")
       Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
-      s.sql("""
-        WITH pts AS (
-          SELECT c_custkey, c_nationkey,
-                 CAST(c_custkey % 95 + 1 AS DOUBLE) AS px,
-                 CAST(c_custkey % 87 + 2 AS DOUBLE) AS py
-          FROM graft_customer),
-        polys AS (
-          SELECT s_suppkey, s_nationkey,
-                 CAST(s_suppkey % 97 AS DOUBLE) AS x0,
-                 CAST(s_suppkey % 89 + 1 AS DOUBLE) AS y0,
-                 CAST(s_suppkey % 97 + 1 + s_suppkey % 5 AS DOUBLE) AS x1,
-                 CAST(s_suppkey % 89 + 3 + s_suppkey % 7 AS DOUBLE) AS y1
-          FROM graft_supplier)
+      // derivation CTEs are the SAME text the DuckDB oracle runs
+      // (SpatialGrid.*Sql) — one shared codepath, two engines
+      s.sql(s"""
+        WITH ${SpatialGrid.gridSql("graft_supplier")},
+        pts AS (${SpatialGrid.ptsSql("graft_customer")}),
+        polys AS (${SpatialGrid.polysSql("graft_supplier")})
         SELECT c_custkey, s_suppkey
         FROM pts JOIN polys
           ON c_nationkey = s_nationkey

@@ -20,11 +20,15 @@ import graft.functions.{GeoUtil, StContains}
   * (geo-indices.js:22-56) — instead of the stock broadcast hash join
   * that re-tests every same-layer polygon per point.
   *
-  * Index: polygons of a layer sorted by bbox xmin with a running
-  * prefix-max of xmax. A probe binary-searches the last xmin <= px and
-  * walks left only while prefixMaxXmax >= px, so each point touches
-  * the polygons whose x-interval could contain it — typically O(log n
-  * + answer) instead of O(polygons-in-layer).
+  * Index: a uniform 2-D CELL GRID per layer (cell edge = the layer's
+  * mean bbox extent), polygons registered in every cell their bbox
+  * overlaps. A probe hashes its point to ONE cell and tests only that
+  * cell's candidates — O(candidates-in-cell + answer) per point, which
+  * at constant polygon density is O(1) + answer regardless of layer
+  * size. (A 1-D interval index — the previous design — degrades to
+  * O(sqrt(n)) per probe at constant density because a whole x-column
+  * of the map shares each interval; the reference's R-tree
+  * (geo-indices.js:22-56) and this grid are both genuinely 2-D.)
   *
   * Scale: the polygon side must be broadcastable (it is the
   * dimension-sized side in the reference workload — the same
@@ -86,10 +90,12 @@ object SpatialJoinStrategy extends SparkStrategy {
   }
 }
 
-/** Per-layer sorted-interval polygon index (see strategy Scaladoc). */
+/** Per-layer uniform-cell polygon grid (see strategy Scaladoc). */
 private[plans] final class LayerIndex(
-    val xmins: Array[Double],
-    val prefixMaxXmax: Array[Double],
+    val minX: Double,
+    val minY: Double,
+    val cell: Double,
+    val cells: java.util.HashMap[java.lang.Long, Array[Int]],
     val bboxes: Array[Array[Double]], // xmin, ymin, xmax, ymax
     val rings: Array[Array[Array[Array[Double]]]], // JVM-primitive (serializable)
     val rows: Array[InternalRow],
@@ -97,23 +103,70 @@ private[plans] final class LayerIndex(
 
   /** Indices of polygons containing (px, py). */
   def probe(px: Double, py: Double, out: java.util.ArrayList[Int]): Unit = {
-    // binary search: last index with xmin <= px
-    var lo = 0
-    var hi = xmins.length - 1
-    var last = -1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (xmins(mid) <= px) { last = mid; lo = mid + 1 } else hi = mid - 1
-    }
-    var i = last
-    while (i >= 0 && prefixMaxXmax(i) >= px) {
-      val b = bboxes(i)
-      if (px <= b(2) && py >= b(1) && py <= b(3) &&
-        GeoUtil.containsRawXY(rings(i), px, py)) {
-        out.add(i)
+    val cx = math.floor((px - minX) / cell).toLong
+    val cy = math.floor((py - minY) / cell).toLong
+    val cand = cells.get((cx << 32) | (cy & 0xffffffffL))
+    if (cand != null) {
+      var i = 0
+      while (i < cand.length) {
+        val j = cand(i)
+        val b = bboxes(j)
+        if (px >= b(0) && px <= b(2) && py >= b(1) && py <= b(3) &&
+          GeoUtil.containsRawXY(rings(j), px, py)) {
+          out.add(j)
+        }
+        i += 1
       }
-      i -= 1
     }
+  }
+}
+
+private[plans] object LayerIndex {
+
+  /** Build from (row, rings, bbox) triples. Cell edge = the layer's
+    * mean bbox extent (clamped away from zero for degenerate layers):
+    * each polygon then overlaps O(1) cells and each cell holds O(1)
+    * polygons at constant density, so build is linear and a probe
+    * touches a bounded candidate list. Every point hashes to exactly
+    * one cell, so no dedup of emitted matches is needed.
+    */
+  def build(arr: Array[(InternalRow, Array[Array[Array[Double]]], Array[Double])]): LayerIndex = {
+    var minX = Double.PositiveInfinity
+    var minY = Double.PositiveInfinity
+    var sumExtent = 0.0
+    arr.foreach { case (_, _, b) =>
+      minX = math.min(minX, b(0))
+      minY = math.min(minY, b(1))
+      sumExtent += math.max(b(2) - b(0), b(3) - b(1))
+    }
+    val cell = math.max(sumExtent / math.max(arr.length, 1), 1e-9)
+    val byCell = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Int]]()
+    arr.indices.foreach { j =>
+      val b = arr(j)._3
+      var cx = math.floor((b(0) - minX) / cell).toLong
+      val cx1 = math.floor((b(2) - minX) / cell).toLong
+      val cy0 = math.floor((b(1) - minY) / cell).toLong
+      val cy1 = math.floor((b(3) - minY) / cell).toLong
+      while (cx <= cx1) {
+        var cy = cy0
+        while (cy <= cy1) {
+          byCell
+            .computeIfAbsent((cx << 32) | (cy & 0xffffffffL), _ => new java.util.ArrayList[Int]())
+            .add(j)
+          cy += 1
+        }
+        cx += 1
+      }
+    }
+    val cells = new java.util.HashMap[java.lang.Long, Array[Int]](byCell.size() * 2)
+    byCell.forEach { (k, v) =>
+      val a = new Array[Int](v.size())
+      var i = 0
+      while (i < a.length) { a(i) = v.get(i); i += 1 }
+      cells.put(k, a)
+    }
+    new LayerIndex(minX, minY, cell, cells,
+      arr.map(_._3), arr.map(_._2), arr.map(_._1))
   }
 }
 
@@ -159,16 +212,7 @@ case class BroadcastSpatialJoinExec(
     grouped.forEach { (key, polys) =>
       val arr = polys.toArray(Array.empty[(InternalRow, Array[Array[Array[Double]]])])
         .map { case (row, rings) => (row, rings, GeoUtil.bboxRaw(rings)) }
-        .sortBy(_._3(0)) // by bbox xmin
-      val prefix = new Array[Double](arr.length)
-      var running = Double.NegativeInfinity
-      arr.indices.foreach { i =>
-        running = math.max(running, arr(i)._3(2))
-        prefix(i) = running
-      }
-      indices.put(key, new LayerIndex(
-        arr.map(_._3(0)), prefix, arr.map(_._3),
-        arr.map(_._2), arr.map(_._1)))
+      indices.put(key, LayerIndex.build(arr))
     }
     val bc = sparkContext.broadcast(indices)
 

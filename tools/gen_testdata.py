@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Scale-probe testdata generator (driver-schema compatible).
 
-Usage: python3 tools/gen_testdata.py <sf> <out_dir>
+Usage: python3 tools/gen_testdata.py <sf> <out_dir> [--grow-domains]
 
 Produces the same ten tables as the driver's /root/testdata/sf* dirs —
 identical parquet schemas (including events' TIMESTAMP(NANOS) ts and
@@ -17,6 +17,23 @@ Row counts follow the driver's observed scaling:
   documents 50k*sf (20 fixed sources, 31-word vocab), embeddings
   2000*(10*sf)^0.602 (the driver's 4x-per-decade pattern: 500@0.01,
   2000@0.1 -> 8000@1).
+
+--grow-domains: real corpora grow their VALUE DOMAINS with size; the
+fixed mode above pins them (20 sources, 31 words, 64 part names), which
+makes several probe ANSWERS quadratic by construction (every doc pair
+shares most words, every part shares a name with n/64 others) and says
+nothing about the engine. Grow mode scales the domains with sf the way
+real data does, anchored so sf <= 0.1 reproduces the fixed mode:
+  vocabulary   V = max(31, 30*sqrt(total_tokens))   (Heaps' law, K=30,
+               beta=0.5), words drawn Zipf(1/rank) so a head of common
+               words persists while the tail grows;
+  sources      max(20, 200*sf);
+  part names   adjective/noun lists grown by sqrt(sf/0.1) each, so
+               distinct names grow ~ sf and lev<=3 collisions stay a
+               bounded fraction instead of covering the whole table.
+(The spatial grid the probes exercise is DERIVED inside the queries
+from supplier cardinality — area ~ rows, constant density — so it needs
+no generator support; see GeoQueries.SpatialGrid.)
 """
 import os
 import sys
@@ -53,9 +70,22 @@ def ts_ms(rng, n, start_day, end_day):
     return pa.array(ms, type=pa.timestamp('ms'))
 
 
+def grown_words(rng, n_new, taken):
+    """Deterministic letter-string tokens, distinct from `taken`."""
+    out = []
+    while len(out) < n_new:
+        k = rng.integers(3, 8)
+        w = ''.join(chr(ord('a') + c) for c in rng.integers(0, 26, k))
+        if w not in taken:
+            taken.add(w)
+            out.append(w)
+    return out
+
+
 def main():
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    grow = '--grow-domains' in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
 
@@ -90,8 +120,14 @@ def main():
         's_nationkey': pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         's_acctbal': np.round(rng.uniform(0, 10_000, n_supp), 2),
     }))
-    adj = np.array(ADJS)[rng.integers(0, len(ADJS), n_part)]
-    noun = np.array(NOUNS)[rng.integers(0, len(NOUNS), n_part)]
+    adjs, nouns = list(ADJS), list(NOUNS)
+    if grow and sf > 0.1:
+        lists_scale = (sf / 0.1) ** 0.5  # names = adjs*nouns ~ sf
+        taken = set(adjs) | set(nouns)
+        adjs += grown_words(rng, round(len(ADJS) * lists_scale) - len(ADJS), taken)
+        nouns += grown_words(rng, round(len(NOUNS) * lists_scale) - len(NOUNS), taken)
+    adj = np.array(adjs)[rng.integers(0, len(adjs), n_part)]
+    noun = np.array(nouns)[rng.integers(0, len(nouns), n_part)]
     write(out, 'part', pa.table({
         'p_partkey': pa.array(range(n_part), pa.int64()),
         'p_name': [f'{a} {b}' for a, b in zip(adj, noun)],
@@ -139,13 +175,31 @@ def main():
         'props': [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
     }))
     n_words = rng.integers(10, 101, n_doc)
-    vocab = np.array(VOCAB)
-    texts = [' '.join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words]
+    n_src = 20
+    if grow:
+        total_tokens = int(n_words.sum())
+        v_size = max(len(VOCAB), round(30 * total_tokens ** 0.5))
+        taken = set(VOCAB)
+        vocab = np.array(list(VOCAB) +
+                         grown_words(rng, v_size - len(VOCAB), taken))
+        # Zipf(1/rank): a persistent head of common words, a tail that
+        # grows with the corpus — the collision structure Heaps' law
+        # actually produces (uniform over a huge vocab would kill ALL
+        # collisions, which is as unrealistic as the 31-word fixed mode)
+        p = 1.0 / np.arange(1, len(vocab) + 1)
+        cum = np.cumsum(p / p.sum())
+        flat = vocab[np.searchsorted(cum, rng.random(int(n_words.sum())))]
+        bounds = np.concatenate([[0], np.cumsum(n_words)])
+        texts = [' '.join(flat[bounds[i]:bounds[i + 1]]) for i in range(n_doc)]
+        n_src = max(20, int(200 * sf))
+    else:
+        vocab = np.array(VOCAB)
+        texts = [' '.join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words]
     write(out, 'documents', pa.table({
         'doc_id': pa.array(range(n_doc), pa.int64()),
         'text': texts,
         'lang': pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANGP)]),
-        'source': [f'src{i}' for i in rng.integers(0, 20, n_doc)],
+        'source': [f'src{i}' for i in rng.integers(0, n_src, n_doc)],
         'n_chars': pa.array([len(t) for t in texts], pa.int64()),
     }))
     vecs = rng.normal(0, 1, (n_emb, 64))
