@@ -342,8 +342,18 @@ object EventQueries {
         val sink = "ev_stream_dedup_sink"
         val q = graft.streaming.StreamingOps.dedup(doubled, Seq("event_id"))
           .writeStream.outputMode("append").format("memory").queryName(sink).start()
-        try q.processAllAvailable()
-        finally q.stop()
+        try {
+          q.processAllAvailable()
+          // same pin as the session gate: the oracle (= the full
+          // distinct row set) is only right when everything lands in
+          // ONE data micro-batch — a multi-batch layout would silently
+          // drop rows >10min behind the first batch's watermark. Fail
+          // loudly on a layout change instead of as an oracle diff.
+          // (Cross-batch semantics are the JOB of ev_stream_dedup_xbatch.)
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"dedup-parity fixture must land in one micro-batch, got $dataBatches")
+        } finally q.stop()
         s.table(sink)
           .select($"event_id", unix_millis($"ts").as("ts_ms"), $"user_id",
             $"event_type", cents($"value").as("value_cents"))
@@ -356,7 +366,134 @@ object EventQueries {
             |ORDER BY event_id""".stripMargin),
   )
 
+  /** Write `df` as exactly ONE parquet file named `name` inside `dir`
+    * with an explicit mtime — the unit of micro-batch layout control
+    * for cross-batch fixtures (FileStreamSource orders by modification
+    * time, and `maxFilesPerTrigger=1` then maps one file to one
+    * batch).
+    */
+  private def writeBatchFile(
+      df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path,
+      name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xbatch-write")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listing.close()
+      val target = java.nio.file.Files.move(part, dir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(
+        target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(tmp)
+      try listing.iterator().asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists)
+      finally listing.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  // CROSS-BATCH streaming-dedup gate, DRIVER-GATED: the piece
+  // ev_stream_dedup_parity's same-batch doubling cannot exercise —
+  // dropDuplicatesWithinWatermark's actual job across micro-batches.
+  // Three single-file batches (maxFilesPerTrigger=1, mtime-ordered;
+  // state eviction happens at END of batch, so expiry needs a batch
+  // BETWEEN first-seen and the duplicate's arrival):
+  //   b1 all original events (max event time = mx, watermark W = 7d);
+  //   b2 100 fresh new-key rows at mx+20d — its end-of-batch cleanup
+  //      runs with eviction watermark mx-W and evicts every key older
+  //      than mx-2W;
+  //   b3 duplicates with FRESH event times (mx+21d; dedup keys on
+  //      event_id only, so the dup row's own ts decides lateness) of
+  //      (a) keys younger than mx-6d — state live, MUST collapse; and
+  //      (b) keys older than mx-15d — state evicted, MUST re-emit.
+  // Oracle = originals ∪ advancers ∪ (b) and none of (a): a dedup
+  // failure adds rows, a state-expiry failure removes rows, so both
+  // watermark windows are distinguished by the hash. All boundary
+  // comparisons are done in MILLIS on both sides (floor(ns/1e6)), and
+  // every synthetic timestamp is an exact ms multiple, so the two
+  // engines select identical row sets. The margins (6d vs 7d, 15d vs
+  // 14d) keep every key a full day away from an eviction boundary.
+  private val dedupCrossBatch = Q(
+    "ev_stream_dedup_xbatch",
+    (s, d) => {
+      import s.implicits._
+      val DayMs = 86400000L
+      val ev = Tables.events(s, d) // ts: epoch-nanos BIGINT
+      val schema = ev.schema
+      val mxMs = ev.agg(max(expr("ts div 1000000"))).head().getLong(0)
+      def nsOfMs(c: org.apache.spark.sql.Column) = c * lit(1000000L)
+      val advancers = s.range(100).select(
+        ($"id" + 10000000L).as("event_id"),
+        nsOfMs(lit(mxMs + 20 * DayMs)).as("ts"),
+        $"id".as("user_id"),
+        lit("click").as("event_type"),
+        lit(0.0).as("value"),
+        lit("""{"k": 0}""").as("props"))
+      val dups = ev
+        .filter(expr("ts div 1000000") > mxMs - 6 * DayMs ||
+          expr("ts div 1000000") < mxMs - 15 * DayMs)
+        .select($"event_id",
+          nsOfMs(lit(mxMs + 21 * DayMs) + $"event_id" % 1000).as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-xbatch")
+      try {
+        val now = System.currentTimeMillis()
+        writeBatchFile(ev, streamDir, "0-events.parquet", now - 120000)
+        writeBatchFile(advancers, streamDir, "1-advance.parquet", now - 60000)
+        writeBatchFile(dups, streamDir, "2-dups.parquet", now)
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamDir.toString)
+          .select(
+            $"event_id",
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            $"user_id", $"event_type", $"value")
+        val sink = "ev_stream_dedup_xbatch_sink"
+        val q = graft.streaming.StreamingOps
+          .dedup(stream, Seq("event_id"), watermark = "7 days")
+          .writeStream.outputMode("append").format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          // the gate's whole point is the cross-batch layout: one file
+          // per micro-batch. A layout/option regression must fail
+          // loudly here, not as an opaque oracle diff.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 3,
+            s"cross-batch dedup fixture must land in 3 micro-batches, got $dataBatches")
+        } finally q.stop()
+        s.table(sink)
+          .select($"event_id", unix_millis($"ts").as("ts_ms"), $"user_id",
+            $"event_type", cents($"value").as("value_cents"))
+          .orderBy($"event_id", $"ts_ms")
+      } finally deleteStreamDir(streamDir)
+    },
+    Some(s"""WITH m AS (SELECT max(epoch_ns(ts) // 1000000) AS mx FROM events),
+            |orig AS (
+            |  SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, user_id,
+            |         event_type, ${centsSql("value")} AS value_cents
+            |  FROM events),
+            |adv AS (
+            |  SELECT 10000000 + range AS event_id, mx + 1728000000 AS ts_ms,
+            |         range AS user_id, 'click' AS event_type,
+            |         CAST(0 AS BIGINT) AS value_cents
+            |  FROM range(100), m),
+            |dup AS (
+            |  SELECT event_id, mx + 1814400000 + event_id % 1000 AS ts_ms,
+            |         user_id, event_type, value_cents
+            |  FROM orig, m
+            |  WHERE ts_ms < mx - 1296000000)
+            |SELECT * FROM orig
+            |UNION ALL SELECT * FROM adv
+            |UNION ALL SELECT * FROM dup
+            |ORDER BY event_id, ts_ms""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity,
-      sessionStreamParity, dedupStreamParity)
+      sessionStreamParity, dedupStreamParity, dedupCrossBatch)
 }

@@ -64,9 +64,12 @@ object StreamingOps {
     * dedup formulation whose state does not grow without bound on an
     * infinite stream.
     */
-  def dedup(events: DataFrame, keys: Seq[String]): DataFrame =
+  def dedup(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming dual of the tagged-record NDJSON sink (SURVEY §2.1 S7,
