@@ -507,5 +507,92 @@ object PipelineQueries {
     Some(NdjsonOracleSql),
   )
 
-  def all: Seq[Q] = Seq(endToEnd, ndjsonLines, ndjsonStream)
+  /** STREAMING S4 gate, DRIVER-GATED: the DSv2 GeoJSON source's
+    * micro-batch mode ([[graft.sources.v2]]) run as a real streaming
+    * query over a landing directory — file A is landed before the
+    * stream starts, file B while it is RUNNING (write-then-rename, the
+    * landing discipline the source documents), so the gate proves
+    * incremental pickup, per-file ingest_order assignment, and full
+    * feature_json payload fidelity (values round-trip through the
+    * byte-range JSON reader and back out of get_json_object), not
+    * just a one-shot scan. Features are synthesized from `supplier`
+    * so the DuckDB oracle recomputes every output column
+    * arithmetically. The driver-side render collect is gate-fixture
+    * construction only (a FeatureCollection is a single JSON
+    * document — inherently one writer per file).
+    */
+  private val geojsonStreamParity = Q(
+    "s4_stream_parity",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_nationkey".cast("long").as("nk"),
+          graft.util.Cols.cents($"s_acctbal").as("bal_cents"))
+        .orderBy($"s_suppkey")
+        .collect()
+      def doc(parity: Int): String = {
+        val fs = rows.iterator.filter(_.getLong(0) % 2 == parity).map { r =>
+          val k = r.getLong(0)
+          s"""{"type":"Feature","properties":{"id":$k,"nk":${r.getLong(1)},""" +
+            s""""bal_cents":${r.getLong(2)}},"geometry":{"type":"Point",""" +
+            s""""coordinates":[${k % 95 + 1},${k % 87 + 2}]}}"""
+        }
+        s"""{"type":"FeatureCollection","features":[${fs.mkString(",")}]}"""
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-s4-stream")
+      def land(name: String, body: String): Unit = {
+        // write-then-rename: the file must appear atomically (the
+        // source picks a file up the moment it lists; .tmp is not
+        // listed because only *.geojson names are)
+        val tmp = dir.resolve(s"$name.tmp")
+        java.nio.file.Files.writeString(tmp, body)
+        java.nio.file.Files.move(tmp, dir.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val listing = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.toSeq.foreach(rm)
+          } finally listing.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try {
+        land("a-even.geojson", doc(0))
+        val stream = s.readStream.format("geojson").load(dir.toString)
+          .select(
+            get_json_object($"feature_json", "$.properties.id").cast("long").as("id"),
+            get_json_object($"feature_json", "$.properties.nk").cast("long").as("nk"),
+            get_json_object($"feature_json", "$.properties.bal_cents").cast("long").as("bal_cents"),
+            get_json_object($"feature_json", "$.geometry.coordinates[0]").cast("long").as("px"),
+            $"ingest_order")
+        val sink = "s4_stream_parity_sink"
+        val q = stream.writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          land("b-odd.geojson", doc(1))
+          q.processAllAvailable()
+          // the gate's point is incremental pickup: one data batch per
+          // landed file. A layout/option regression fails loudly here.
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 2,
+            s"s4 stream fixture must land in 2 micro-batches, got $dataBatches")
+        } finally q.stop()
+        s.table(sink)
+          .select($"id", $"nk", $"bal_cents", $"px", $"ingest_order")
+          .orderBy($"id")
+      } finally rm(dir)
+    },
+    Some(s"""SELECT s_suppkey AS id, CAST(s_nationkey AS BIGINT) AS nk,
+            |       ${graft.util.Cols.centsSql("s_acctbal")} AS bal_cents,
+            |       s_suppkey % 95 + 1 AS px,
+            |       row_number() OVER (PARTITION BY s_suppkey % 2
+            |                          ORDER BY s_suppkey) - 1 AS ingest_order
+            |FROM supplier ORDER BY id""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity)
 }
