@@ -112,21 +112,108 @@ object GeoQueries {
         )).as("rings"),
       )
     }
+
+    /** GRID-CELL BLOCKING — the piece that makes the join linear at
+      * constant density. A plain layer-equi join (broadcast or
+      * shuffled) residual-checks every same-layer polygon per point:
+      * O(points x polys/layer), quadratic in sf even when the ANSWER
+      * is linear — exactly what the grown-domain sf10 probe measured
+      * (exponent ~1.9) before this existed. Blocking instead keys the
+      * join on a uniform cell id: every rectangle is SMALLER than a
+      * cell (spans <= 5x8 < 16), so a polygon registers under the ONE
+      * cell holding its min corner, and a point probes the 4 cells its
+      * own cell + SW neighbours cover — a 4-row offsets fanout on the
+      * probe side, not an explode of the build side. Candidates per
+      * join key = polygons per cell = density x 256 = O(1); the join
+      * is a pure equi join on (layer, kx, ky) that Catalyst plans as a
+      * hash join (AQE broadcasts the small side at runtime when it
+      * fits — correct at ANY scale, no static hint), and the bbox +
+      * st_contains residuals are unchanged, so the result set is
+      * byte-identical to the unblocked formulation at every sf.
+      */
+    val CellSize = 16L
+
+    /** The 4-row probe-offset inline table (both SQL dialects). */
+    def offsSql: String =
+      """offs AS (SELECT 0 AS dx, 0 AS dy UNION ALL SELECT -1, 0
+        |         UNION ALL SELECT 0, -1 UNION ALL SELECT -1, -1)""".stripMargin
+
+    /** Points with their cell id (cx, cy). */
+    def pointsWithCell(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      points(s, d).select($"*",
+        floor($"px" / CellSize).cast("long").as("cx"),
+        floor($"py" / CellSize).cast("long").as("cy"))
+    }
+
+    def ptsCellSql(customer: String): String =
+      s"""SELECT *, CAST(floor(px / 16) AS BIGINT) AS cx,
+         |       CAST(floor(py / 16) AS BIGINT) AS cy
+         |FROM (${ptsSql(customer)})""".stripMargin
+
+    /** Rectangles keyed by their min-corner cell (pcx, pcy). */
+    def rectsWithCell(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      rects(s, d).select($"*",
+        floor($"x0" / CellSize).cast("long").as("pcx"),
+        floor($"y0" / CellSize).cast("long").as("pcy"))
+    }
+
+    def polysCellSql(supplier: String): String =
+      s"""SELECT *, CAST(floor(x0 / 16) AS BIGINT) AS pcx,
+         |       CAST(floor(y0 / 16) AS BIGINT) AS pcy
+         |FROM (${polysSql(supplier)})""".stripMargin
+
+    /** The 4 probe offsets as a DataFrame dual of [[offsSql]]. */
+    def offs(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      Seq((0L, 0L), (-1L, 0L), (0L, -1L), (-1L, -1L)).toDF("dx", "dy")
+    }
+
+    /** Points fanned out to their 4 probe cells with the key
+      * PRE-PROJECTED (kx, ky): `pcx = kx` is then a plain left/right
+      * equality Catalyst keeps as a hash-join key. Leaving the
+      * arithmetic inside the join condition instead lets the optimizer
+      * reorder the 4-row cross join to the OUTSIDE and run the
+      * unblocked quadratic layer join first — the exact plan the
+      * blocking exists to avoid (observed on the SQL surface: sf10
+      * unchanged at ~50 s until this projection pinned the shape).
+      */
+    def probe(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      pointsWithCell(s, d)
+        .crossJoin(broadcast(offs(s)))
+        .select($"c_custkey", $"c_layer", $"px", $"py",
+          ($"cx" + $"dx").as("kx"), ($"cy" + $"dy").as("ky"))
+    }
+
+    /** SQL dual of [[probe]] (requires the `offs` CTE in scope). */
+    def probeSql(customer: String): String =
+      s"""SELECT c_custkey, c_nationkey, px, py,
+         |       cx + dx AS kx, cy + dy AS ky
+         |FROM (${ptsCellSql(customer)}) CROSS JOIN offs""".stripMargin
   }
 
-  // J3 — point-in-polygon join, equi on a layer key + containment.
-  // Suppliers become rectangles on layer s_nationkey; customers become
-  // points on layer c_nationkey. Same physical shape as the reference
-  // join (geo-indices.js:38-50): broadcast polygons, equi-key + bbox +
-  // exact residual.
+  // J3 — point-in-polygon join: grid-cell blocking (SpatialGrid
+  // Scaladoc) + layer equi key + bbox prefilter + exact st_contains
+  // residual. The role the reference's per-layer R-tree plays
+  // (geo-indices.js:38-50) is played by the cell id in the join key:
+  // candidates per key stay O(1) at constant polygon density, and the
+  // ORACLE is deliberately UNBLOCKED — a blocking bug (a polygon
+  // spanning more cells than the probe offsets cover) shows up as a
+  // hash mismatch, not as a silently-agreeing replay.
   private val j3Spatial = Q(
     "j3_spatial_point_in_polygon",
     (s, d) => {
       import s.implicits._
-      SpatialGrid.points(s, d)
+      val polys = SpatialGrid.polysWithRings(s, d).select($"*",
+        floor($"x0" / SpatialGrid.CellSize).cast("long").as("pcx"),
+        floor($"y0" / SpatialGrid.CellSize).cast("long").as("pcy"))
+      SpatialGrid.probe(s, d)
         .join(
-          broadcast(SpatialGrid.polysWithRings(s, d)),
+          polys,
           $"c_layer" === $"p_layer" &&
+            $"kx" === $"pcx" && $"ky" === $"pcy" &&
             $"px" >= $"x0" && $"px" <= $"x1" &&
             $"py" >= $"y0" && $"py" <= $"y1" &&
             st_contains($"rings", array($"px", $"py")),
@@ -151,20 +238,28 @@ object GeoQueries {
     "j3_spatial_outcomes",
     (s, d) => {
       import s.implicits._
-      val polys = SpatialGrid.rects(s, d)
+      val polys = SpatialGrid.rectsWithCell(s, d)
         .filter($"p_layer" < 20) // leave layers >= 20 unindexed
         .drop("s_suppkey")
-      val points = SpatialGrid.points(s, d)
+      val points = SpatialGrid.pointsWithCell(s, d)
       val layersWithIndex = polys.select($"p_layer").distinct()
       val flagged = points
         .join(broadcast(layersWithIndex), $"c_layer" === $"p_layer", "left_outer")
         .withColumn("has_index", $"p_layer".isNotNull)
         .drop("p_layer")
+      // cell-blocked left outer: an unmatched probe row contributes a
+      // null p_layer, and count() ignores nulls, so the 4-offset
+      // fanout collapses exactly in the groupBy. Probe keys are
+      // pre-projected (see SpatialGrid.probe) to pin the join order.
       val joined = flagged
         .filter($"has_index")
+        .crossJoin(broadcast(SpatialGrid.offs(s)))
+        .select($"c_custkey", $"c_layer", $"px", $"py",
+          ($"cx" + $"dx").as("kx"), ($"cy" + $"dy").as("ky"))
         .join(
-          broadcast(polys),
+          polys,
           $"c_layer" === $"p_layer" &&
+            $"kx" === $"pcx" && $"ky" === $"pcy" &&
             $"px" >= $"x0" && $"px" <= $"x1" &&
             $"py" >= $"y0" && $"py" <= $"y1",
           "left_outer",
@@ -302,14 +397,19 @@ object GeoQueries {
       Tables.customer(s, d).createOrReplaceTempView("graft_customer")
       Tables.supplier(s, d).createOrReplaceTempView("graft_supplier")
       // derivation CTEs are the SAME text the DuckDB oracle runs
-      // (SpatialGrid.*Sql) — one shared codepath, two engines
+      // (SpatialGrid.*Sql) and the blocking is the same cell pattern
+      // as the DataFrame j3 — one codepath, two surfaces. The oracle
+      // stays UNBLOCKED (j3Spatial.oracle), so a blocking bug in this
+      // text hash-mismatches instead of cancelling out.
       s.sql(s"""
         WITH ${SpatialGrid.gridSql("graft_supplier")},
-        pts AS (${SpatialGrid.ptsSql("graft_customer")}),
-        polys AS (${SpatialGrid.polysSql("graft_supplier")})
+        polys AS (${SpatialGrid.polysCellSql("graft_supplier")}),
+        ${SpatialGrid.offsSql},
+        probe AS (${SpatialGrid.probeSql("graft_customer")})
         SELECT c_custkey, s_suppkey
-        FROM pts JOIN polys
+        FROM probe JOIN polys
           ON c_nationkey = s_nationkey
+         AND kx = pcx AND ky = pcy
          AND px >= x0 AND px <= x1 AND py >= y0 AND py <= y1
          AND st_contains(
                array(array(array(x0, y0), array(x1, y0), array(x1, y1),

@@ -121,6 +121,19 @@ class PlanBudgetSpec extends AnyFunSuite {
       .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
     assert(fuzzyJoins.contains("bkt"),
       s"fuzzy-match join lost its length-bucket blocking key:\n$fuzzyJoins")
+    // Both spatial surfaces must join on the PRE-PROJECTED grid-cell
+    // probe keys (kx/ky = cx+dx). If the optimizer ever reorders the
+    // 4-row offsets cross join to the outside again, the cell
+    // equalities leave the main join and it degrades to the unblocked
+    // quadratic layer join (the grown-sf10 probe measured exponent
+    // ~1.9 for exactly that plan) — the keys vanish from the hash
+    // join's rendering, failing here.
+    for (name <- Seq("j3_spatial_point_in_polygon", "sql_surface_spatial")) {
+      val hashJoins = planOf(name)
+        .filter(_.nodeName.contains("HashJoin")).map(_.toString).mkString("\n")
+      assert(hashJoins.contains("kx") && hashJoins.contains("pcx"),
+        s"$name lost its grid-cell blocking keys:\n$hashJoins")
+    }
   }
 
   test("qj_range_band_join stays a hash join, not a nested loop") {
