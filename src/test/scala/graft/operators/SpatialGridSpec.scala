@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GeoQueries.SpatialGrid
+
+/** The grid-cell blocking's correctness rests on one structural
+  * invariant — every derived rectangle is SMALLER than a cell, so its
+  * bbox lies in at most 2x2 cells and the 4-offset probe covers every
+  * possible (point, polygon) containment — and on the derivation
+  * actually growing above the clamp. Both are exercised here on a
+  * fixture BIG enough that the moduli scale (suppliers > 1000), a
+  * path every sf0.01/sf0.001 test leaves clamped; the blocked join is
+  * then checked row-for-row against the naive unblocked join.
+  */
+class SpatialGridSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Fixture dir with supplier/customer parquet at 4x the clamp
+    * cardinality, so moduli = floor(base * 2): the grown-grid path.
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-gridspec").toString
+    spark.range(4000)
+      .select($"id".as("s_suppkey"), ($"id" % 25).cast("int").as("s_nationkey"),
+        concat(lit("Supplier#"), $"id").as("s_name"), lit(0.0).as("s_acctbal"))
+      .write.parquet(s"$d/supplier.parquet")
+    spark.range(20000)
+      .select($"id".as("c_custkey"), ($"id" % 25).cast("int").as("c_nationkey"),
+        concat(lit("Customer#"), $"id").as("c_name"), lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+      .write.parquet(s"$d/customer.parquet")
+    d
+  }
+
+  test("moduli grow past the clamp with supplier cardinality") {
+    val (gw, gh, pw, ph) = SpatialGrid.moduli(spark, dir)
+    // 4000 suppliers -> scale = sqrt(4) = 2 exactly
+    assert((gw, gh, pw, ph) == (194L, 178L, 190L, 174L),
+      s"expected doubled moduli, got ($gw, $gh, $pw, $ph)")
+  }
+
+  test("every derived rectangle is smaller than a blocking cell") {
+    import spark.implicits._
+    val spans = SpatialGrid.rects(spark, dir)
+      .agg(max($"x1" - $"x0").as("mx"), max($"y1" - $"y0").as("my"))
+      .head()
+    assert(spans.getDouble(0) < SpatialGrid.CellSize &&
+      spans.getDouble(1) < SpatialGrid.CellSize,
+      s"rect spans ${spans.mkString(",")} must stay under cell ${SpatialGrid.CellSize}: " +
+        "a polygon bigger than a cell can span >2 cells and the 4-offset " +
+        "probe would MISS containments")
+  }
+
+  test("cell-blocked join equals the naive unblocked join on the grown grid") {
+    import spark.implicits._
+    val blocked = QueryCatalog_j3(spark, dir)
+    val polys = SpatialGrid.rects(spark, dir)
+    val naive = SpatialGrid.points(spark, dir)
+      .join(polys,
+        $"c_layer" === $"p_layer" &&
+          $"px" >= $"x0" && $"px" <= $"x1" &&
+          $"py" >= $"y0" && $"py" <= $"y1")
+      .select($"c_custkey", $"s_suppkey")
+      .orderBy($"c_custkey", $"s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "fixture produced no containments — spec is vacuous")
+    assert(got.sameElements(naive),
+      s"blocked join diverged: ${got.length} vs ${naive.length} rows")
+  }
+
+  /** The catalogue's j3 query run against the fixture dir. */
+  private def QueryCatalog_j3(s: SparkSession, d: String) =
+    graft.QueryCatalog.all.find(_.name == "j3_spatial_point_in_polygon").get.fn(s, d)
+}
