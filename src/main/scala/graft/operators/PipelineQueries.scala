@@ -500,6 +500,10 @@ object PipelineQueries {
           out, s"$base/ckpt")
         try q.processAllAvailable()
         finally q.stop()
+        // GATE-ONLY canonicalization: the global sort exists so the
+        // byte oracle can hash a deterministic order — a production
+        // sink stops at the committed text files above; do not copy
+        // this orderBy into a real pipeline.
         s.read.text(out).localCheckpoint()
           .orderBy($"value".asc_nulls_first)
       } finally rm(base)
