@@ -116,11 +116,15 @@ class PlanBudgetSpec extends AnyFunSuite {
       .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
     assert(ngramJoins.contains("source") && ngramJoins.contains("band"),
       s"ngram pair join lost its size-band blocking key:\n$ngramJoins")
-    // td_fuzzy_name_match must join on the length bucket.
+    // td_fuzzy_name_match's candidate join must carry the PassJoin
+    // partition keys (segment == substring, source length) — without
+    // them it regresses to the names²/length-band candidate join the
+    // grown-domain probe measured at exponent 1.21.
     val fuzzyJoins = planOf("td_fuzzy_name_match")
       .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
-    assert(fuzzyJoins.contains("bkt"),
-      s"fuzzy-match join lost its length-bucket blocking key:\n$fuzzyJoins")
+    assert(fuzzyJoins.contains("seg") && fuzzyJoins.contains("sub") &&
+      fuzzyJoins.contains("lsrc"),
+      s"fuzzy-match join lost its PassJoin segment blocking keys:\n$fuzzyJoins")
     // Both spatial surfaces must join on the PRE-PROJECTED grid-cell
     // probe keys (kx/ky = cx+dx). If the optimizer ever reorders the
     // 4-row offsets cross join to the outside again, the cell
