@@ -279,11 +279,17 @@ object ExtraQueries {
           $"i" === $"pi" && $"len1" === $"lsrc" && $"seg" === $"sub")
         .filter(greatest($"len1", $"len2") >= 7)
         .select($"n1", $"n2").distinct()
-      // short arm: both names <= 6 chars — a bounded population where
-      // 4-way splitting degenerates; plain length-band pairing
+      // short arm: both names <= 6 chars, where 4-way splitting
+      // degenerates. Length-band EQUI pairing (len/4-wide buckets, one
+      // side replicated to its 3 neighbours covers every |diff| <= 3
+      // pair) — quadratic only within the <= 6-char population, and
+      // still a shuffle equi join, never a cartesian
       val shortNames = names.filter($"len" <= 6)
-      val shortPairs = shortNames.select($"p_name".as("n1"), $"len".as("len1"))
-        .crossJoin(shortNames.select($"p_name".as("n2"), $"len".as("len2")))
+      val shortPairs = shortNames
+        .select($"p_name".as("n1"), $"len".as("len1"), floor($"len" / 4).as("bkt"))
+        .join(shortNames.select($"p_name".as("n2"), $"len".as("len2"),
+          explode(array(floor($"len" / 4) - 1, floor($"len" / 4),
+            floor($"len" / 4) + 1)).as("bkt")), Seq("bkt"))
         .filter(abs($"len1" - $"len2") <= 3)
         .select($"n1", $"n2")
       val namePairs = longPairs.unionByName(shortPairs)
