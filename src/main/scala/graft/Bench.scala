@@ -64,14 +64,27 @@ object Bench {
     val ivfTrain =
       if (!selected.exists(_.name.startsWith("sim_ivf"))) Seq.empty
       else {
-        val times = (1 to Reps).map { _ =>
-          operators.SimilarityQueries.resetCentroidCache()
-          val t0 = System.nanoTime()
-          operators.SimilarityQueries.trainIvf(spark, sfDir)
-          (System.nanoTime() - t0) / 1e9
+        // same error contract as every catalogue query: a training
+        // failure must surface as (-1, errors-entry), never abort the
+        // whole bench before the JSON line prints
+        var err: Option[String] = None
+        val times = (1 to Reps).flatMap { _ =>
+          try {
+            operators.SimilarityQueries.resetCentroidCache()
+            val t0 = System.nanoTime()
+            operators.SimilarityQueries.trainIvf(spark, sfDir)
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+          }
         }
-        Seq(("sim_ivf_train", times.min, times.sum / times.size,
-          Option.empty[String]))
+        // same -1 convention as the main loop when anything failed
+        val (mn, mean) =
+          if (err.isDefined || times.isEmpty) (-1.0, -1.0)
+          else (times.min, times.sum / times.size)
+        Seq(("sim_ivf_train", mn, mean, err))
       }
     val results = ivfTrain ++ selected.map { q =>
       var err: Option[String] = None

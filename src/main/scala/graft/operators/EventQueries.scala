@@ -378,22 +378,32 @@ object EventQueries {
       name: String,
       mtimeMs: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-xbatch-write")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val listing = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.toSeq.foreach(rmTree)
+        } finally listing.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
     try {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
       val listing = java.nio.file.Files.list(tmp)
       val part =
-        try listing.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+        try listing.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
         finally listing.close()
-      val target = java.nio.file.Files.move(part, dir.resolve(name))
+      require(part.isDefined, s"parquet write to $tmp produced no part file")
+      val target = java.nio.file.Files.move(part.get, dir.resolve(name))
       java.nio.file.Files.setLastModifiedTime(
         target, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
     } finally {
-      import scala.jdk.CollectionConverters._
-      val listing = java.nio.file.Files.list(tmp)
-      try listing.iterator().asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists)
-      finally listing.close()
-      java.nio.file.Files.deleteIfExists(tmp)
+      // recursive (a failed write leaves _temporary/ subtrees) and
+      // non-throwing: cleanup must never mask the real write failure
+      try rmTree(tmp)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -425,10 +435,16 @@ object EventQueries {
       val DayMs = 86400000L
       val ev = Tables.events(s, d) // ts: epoch-nanos BIGINT
       val schema = ev.schema
-      val mxMs = ev.agg(max(expr("ts div 1000000"))).head().getLong(0)
+      val mxRow = ev.agg(max(expr("ts div 1000000")), max($"event_id")).head()
+      val mxMs = mxRow.getLong(0)
+      // advancer ids start past the live key range — a fixed base
+      // (say 10M) would COLLIDE with real event_ids at sf > 10
+      // (n_ev = 1M·sf), making the engine silently dedup advancers
+      // while the oracle still emits them
+      val idBase = mxRow.getLong(1) + 1
       def nsOfMs(c: org.apache.spark.sql.Column) = c * lit(1000000L)
       val advancers = s.range(100).select(
-        ($"id" + 10000000L).as("event_id"),
+        ($"id" + idBase).as("event_id"),
         nsOfMs(lit(mxMs + 20 * DayMs)).as("ts"),
         $"id".as("user_id"),
         lit("click").as("event_type"),
@@ -472,13 +488,15 @@ object EventQueries {
           .orderBy($"event_id", $"ts_ms")
       } finally deleteStreamDir(streamDir)
     },
-    Some(s"""WITH m AS (SELECT max(epoch_ns(ts) // 1000000) AS mx FROM events),
+    Some(s"""WITH m AS (SELECT max(epoch_ns(ts) // 1000000) AS mx,
+            |                  max(event_id) + 1 AS idbase
+            |           FROM events),
             |orig AS (
             |  SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, user_id,
             |         event_type, ${centsSql("value")} AS value_cents
             |  FROM events),
             |adv AS (
-            |  SELECT 10000000 + range AS event_id, mx + 1728000000 AS ts_ms,
+            |  SELECT idbase + range AS event_id, mx + 1728000000 AS ts_ms,
             |         range AS user_id, 'click' AS event_type,
             |         CAST(0 AS BIGINT) AS value_cents
             |  FROM range(100), m),

@@ -151,13 +151,19 @@ object GeoQueries {
          |       CAST(floor(py / 16) AS BIGINT) AS cy
          |FROM (${ptsSql(customer)})""".stripMargin
 
+    /** THE one definition of the polygon cell key: min-corner cell of
+      * (x0, y0). Applied by every rect/ring variant and mirrored by
+      * [[polysCellSql]] — the corner convention and [[CellSize]] must
+      * never fork, or the blocked join silently misses candidates.
+      */
+    def withMinCornerCell(polys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      polys.select(org.apache.spark.sql.functions.col("*"),
+        floor(org.apache.spark.sql.functions.col("x0") / CellSize).cast("long").as("pcx"),
+        floor(org.apache.spark.sql.functions.col("y0") / CellSize).cast("long").as("pcy"))
+
     /** Rectangles keyed by their min-corner cell (pcx, pcy). */
-    def rectsWithCell(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-      import s.implicits._
-      rects(s, d).select($"*",
-        floor($"x0" / CellSize).cast("long").as("pcx"),
-        floor($"y0" / CellSize).cast("long").as("pcy"))
-    }
+    def rectsWithCell(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      withMinCornerCell(rects(s, d))
 
     def polysCellSql(supplier: String): String =
       s"""SELECT *, CAST(floor(x0 / 16) AS BIGINT) AS pcx,
@@ -206,9 +212,7 @@ object GeoQueries {
     "j3_spatial_point_in_polygon",
     (s, d) => {
       import s.implicits._
-      val polys = SpatialGrid.polysWithRings(s, d).select($"*",
-        floor($"x0" / SpatialGrid.CellSize).cast("long").as("pcx"),
-        floor($"y0" / SpatialGrid.CellSize).cast("long").as("pcy"))
+      val polys = SpatialGrid.withMinCornerCell(SpatialGrid.polysWithRings(s, d))
       SpatialGrid.probe(s, d)
         .join(
           polys,

@@ -132,11 +132,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     // quadratic layer join (the grown-sf10 probe measured exponent
     // ~1.9 for exactly that plan) — the keys vanish from the hash
     // join's rendering, failing here.
+    // Generic Join scan (not HashJoin-specific): the pin is about the
+    // KEYS being in an equi join, and must not flap if a conf (e.g. a
+    // leaked broadcast threshold) flips the strategy to sort-merge —
+    // but it must still exclude the nested-loop shape, where the cell
+    // equalities degenerate to a post-cross filter.
     for (name <- Seq("j3_spatial_point_in_polygon", "sql_surface_spatial")) {
-      val hashJoins = planOf(name)
-        .filter(_.nodeName.contains("HashJoin")).map(_.toString).mkString("\n")
-      assert(hashJoins.contains("kx") && hashJoins.contains("pcx"),
-        s"$name lost its grid-cell blocking keys:\n$hashJoins")
+      val equiJoins = planOf(name)
+        .filter(p => p.nodeName.contains("Join") &&
+          !p.nodeName.contains("NestedLoop"))
+        .map(_.toString).mkString("\n")
+      assert(equiJoins.contains("kx") && equiJoins.contains("pcx"),
+        s"$name lost its grid-cell blocking keys:\n$equiJoins")
     }
   }
 
