@@ -511,7 +511,68 @@ object EventQueries {
             |ORDER BY event_id, ts_ms""".stripMargin),
   )
 
+  // STREAM-STREAM interval join, DRIVER-GATED: the remaining flagship
+  // Structured Streaming shape — two watermarked streams joined on an
+  // equi key + an EVENT-TIME RANGE (purchase within 30 min after a
+  // click by the same user). The range condition on the watermarked
+  // timestamp columns is what lets Spark bound both join states; an
+  // inner join emits a match as soon as both sides have arrived, so
+  // on a single-batch bounded fixture the emitted set is exactly the
+  // batch join — which is the oracle. Timestamp arithmetic is
+  // microsecond-exact on both engines (Spark TimestampType is micros
+  // = ns div 1000; the oracle replays epoch_ns // 1000), so the
+  // window boundaries cannot drift by a floor.
+  private val streamStreamJoin = Q(
+    "ev_stream_stream_join",
+    (s, d) => {
+      import s.implicits._
+      val schema = Tables.events(s, d).schema
+      val streamDir = makeStreamDir(d)
+      try {
+        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select(
+            $"event_id",
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            $"user_id", $"event_type")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("cid"), $"user_id".as("cu"), $"ts".as("ct"))
+          .withWatermark("ct", "10 minutes")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("pid"), $"user_id".as("pu"), $"ts".as("pt"))
+          .withWatermark("pt", "10 minutes")
+        val joined = clicks.join(purchases,
+          $"cu" === $"pu" &&
+            $"pt" >= $"ct" && $"pt" <= $"ct" + expr("INTERVAL 30 MINUTES"))
+        val sink = "ev_stream_stream_sink"
+        val q = joined.writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          // single-batch pin, same rationale as the dedup gate: a
+          // multi-batch layout could drop late rows at the watermark
+          // and surface as an opaque diff
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 1,
+            s"stream-stream fixture must land in one micro-batch, got $dataBatches")
+        } finally q.stop()
+        s.table(sink)
+          .select($"cid", $"pid", $"cu".as("user_id"),
+            unix_millis($"ct").as("ct_ms"), unix_millis($"pt").as("pt_ms"))
+          .orderBy($"cid", $"pid")
+      } finally deleteStreamDir(streamDir)
+    },
+    Some("""SELECT c.event_id AS cid, p.event_id AS pid, c.user_id,
+           |       epoch_ns(c.ts) // 1000000 AS ct_ms,
+           |       epoch_ns(p.ts) // 1000000 AS pt_ms
+           |FROM events c JOIN events p
+           |  ON c.user_id = p.user_id
+           | AND c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+           | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 1800000000
+           |ORDER BY cid, pid""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity,
-      sessionStreamParity, dedupStreamParity, dedupCrossBatch)
+      sessionStreamParity, dedupStreamParity, dedupCrossBatch, streamStreamJoin)
 }
