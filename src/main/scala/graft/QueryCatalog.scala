@@ -24,5 +24,6 @@ object QueryCatalog {
       graft.operators.MultimodalQueries.all ++
       graft.operators.EventQueries.all ++
       graft.operators.ExtraQueries.all ++
+      graft.operators.GraphQueries.all ++
       graft.operators.PipelineQueries.all
 }

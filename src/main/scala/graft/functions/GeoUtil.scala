@@ -143,4 +143,25 @@ object GeoUtil {
     }
     Array(xmin, ymin, xmax, ymax)
   }
+
+  /** Spread the low 32 bits of v to the even bit positions of a long
+    * (the standard mask-shift interleave ladder — O(1), branch-free).
+    */
+  def spreadBits(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton (Z-order) interleave of two non-negative 32-bit cell
+    * coordinates: x's bits land on even positions, y's on odd. Nearby
+    * (x, y) cells map to nearby z values, which is what makes sorting
+    * by z a spatial-locality-preserving data layout.
+    */
+  def morton(x: Long, y: Long): Long =
+    spreadBits(x) | (spreadBits(y) << 1)
 }

@@ -194,6 +194,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Morton (Z-order) interleave of two cell coordinates — the
+  * space-filling-curve key used to CLUSTER spatial data on disk so a
+  * bbox query touches O(few) contiguous file ranges instead of the
+  * whole table (the Z-ordering layout step of a 100 TB geo corpus).
+  * Pure bit math, codegen'd via a static call; the oracle replays it
+  * as unrolled div/mod arithmetic.
+  */
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeoUtil.morton(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.GeoUtil.morton($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MortonInterleave =
+    copy(left = l, right = r)
+}
+
 /** Bbox of a GeoJSON polygon's exterior ring as [xmin, ymin, xmax,
   * ymax] — computed once per polygon row when projected on a join's
   * build side (see graft.plans.AddBboxPrefilter).
@@ -262,6 +281,8 @@ object exprs {
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
+  def morton_interleave(x: Column, y: Column): Column =
+    c(MortonInterleave(e(x), e(y)))
 
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

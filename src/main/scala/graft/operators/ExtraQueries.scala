@@ -417,7 +417,59 @@ object ExtraQueries {
            |ORDER BY c_custkey""".stripMargin),
   )
 
+  // Two-table backward AS-OF join (each event picks the latest order
+  // of its user at-or-before the event time), built the scalable way:
+  // tag + union + one co-partitioned time-ordered window scan, instead
+  // of a range join (which degenerates to O(events x orders/user)
+  // residual checks). One shuffle on the join key; state per row is a
+  // single "last seen build row" — the shape a 1000-executor
+  // SortMergeJoin already knows how to run, skew-salting compatible.
+  // Ties (several orders of one user in the same millisecond) are
+  // pre-collapsed to max(o_orderkey) so both engines pick the same
+  // row; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — a fully
+  // independent implementation of the semantics, not a replay.
+  private val asofJoin = Q(
+    "qj_asof_join",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(
+          pmod($"o_custkey", lit(150L)).as("user_id"),
+          // parquet TIMESTAMP_NTZ; the session timezone is pinned UTC,
+          // so the cast to an instant is the identity mapping
+          unix_millis($"o_orderdate".cast("timestamp")).as("t"),
+          $"o_orderkey")
+        .groupBy($"user_id", $"t")
+        .agg(max($"o_orderkey").as("o_key"))
+        .select($"user_id", $"t", lit(0).as("tag"), $"o_key",
+          lit(null).cast("long").as("event_id"))
+      val e = Tables.events(s, d)
+        .select($"user_id", expr("ts div 1000000").as("t"),
+          lit(1).as("tag"), lit(null).cast("long").as("o_key"), $"event_id")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"t", $"tag", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("asof_orderkey", last($"o_key", ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"event_id", $"user_id", $"t".as("t_ms"), $"asof_orderkey")
+        .orderBy($"event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey % 150 AS user_id, epoch_ms(o_orderdate) AS t,
+           |         max(o_orderkey) AS o_key
+           |  FROM orders GROUP BY 1, 2),
+           |e AS (
+           |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS t
+           |  FROM events)
+           |SELECT e.event_id, e.user_id, e.t AS t_ms, o.o_key AS asof_orderkey
+           |FROM e ASOF LEFT JOIN o
+           |  ON e.user_id = o.user_id AND e.t >= o.t
+           |ORDER BY e.event_id""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, windowVariants, fuzzy, normalize, recursiveCte, pivotOp,
-    existsSubquery)
+    existsSubquery, asofJoin)
 }

@@ -424,6 +424,55 @@ object GeoQueries {
     j3Spatial.oracle, // same result as the DataFrame-API spatial join
   )
 
+  // Z-ORDER data clustering — the layout step that makes a 100 TB
+  // spatial corpus range-prunable: sort/bucket rows by the Morton key
+  // of their grid cell and any bbox query touches O(few) contiguous
+  // aligned Z-blocks instead of the whole table. The codegen'd
+  // MortonInterleave expression computes the curve key; bucket
+  // = z div 4096 drops the low 6+6 interleaved bits, so every bucket
+  // is an axis-aligned 64x64-cell tile. The per-bucket extents the
+  // query emits ARE the locality proof the oracle hash-checks: every
+  // bucket's bbox is bounded by the tile (max - min < 64 on both
+  // axes), which is exactly the file-skipping guarantee a writer gets
+  // by `.repartitionByRange($"z")` before writing parquet. The oracle
+  // replays the interleave as unrolled div/mod arithmetic.
+  private val zorderCluster = Q(
+    "geo_zorder_cluster",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(
+          ($"c_custkey" % 1024).as("cx"),
+          (($"c_custkey" * 7919 + 13) % 1024).as("cy"))
+        .withColumn("z", morton_interleave($"cx", $"cy"))
+        .withColumn("bucket", expr("z div 4096"))
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"cx").as("x0"), max($"cx").as("x1"),
+          min($"cy").as("y0"), max($"cy").as("y1"))
+        .orderBy($"bucket")
+    },
+    Some {
+      val z = (0 until 10).map { b =>
+        s"((cx // ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+          s"((cy // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      s"""WITH cells AS (
+         |  SELECT c_custkey % 1024 AS cx,
+         |         (c_custkey * 7919 + 13) % 1024 AS cy
+         |  FROM customer),
+         |keyed AS (SELECT cx, cy, ($z) // 4096 AS bucket FROM cells)
+         |SELECT bucket, count(*) AS n,
+         |       min(cx) AS x0, max(cx) AS x1,
+         |       min(cy) AS y0, max(cy) AS y1
+         |FROM keyed
+         |GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
-    Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface)
+    Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
+      zorderCluster)
 }

@@ -529,6 +529,51 @@ object RelationalQueries {
             |         o_orderpriority ASC NULLS FIRST""".stripMargin),
   )
 
+  // GROUPING SETS (the general form rollup/cube specialize): one
+  // Expand + one hash aggregate — each input row is replicated once
+  // per grouping set map-side, so the shuffle stays a single partial
+  // aggregation regardless of how many sets are requested. The
+  // explicit grouping() flags disambiguate a natural NULL from a
+  // rolled-up column, which is what makes the operator safe on
+  // nullable grouping keys at any scale.
+  private val qGroupingSets = Q(
+    "qa_grouping_sets",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(
+            Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderpriority"),
+            Seq.empty[org.apache.spark.sql.Column],
+          ),
+          $"o_orderstatus", $"o_orderpriority",
+        )
+        .agg(
+          grouping($"o_orderstatus").cast("int").as("g_status"),
+          grouping($"o_orderpriority").cast("int").as("g_priority"),
+          count(lit(1)).as("n"),
+          sum(cents($"o_totalprice")).as("cents"),
+        )
+        .orderBy(
+          $"g_status", $"g_priority",
+          $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first,
+        )
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+            |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+            |       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+            |       count(*) AS n,
+            |       CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS cents
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |                        (o_orderpriority), ())
+            |ORDER BY g_status, g_priority,
+            |         o_orderstatus ASC NULLS FIRST,
+            |         o_orderpriority ASC NULLS FIRST""".stripMargin),
+  )
+
   // Salted skew join: the fact side carries a synthetic salt and the
   // dim side is exploded across all salt values, so one hot key spreads
   // over N shuffle partitions. Semantically identical to the plain
@@ -606,6 +651,6 @@ object RelationalQueries {
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup, qSalted, qKmv,
+    qRollup, qGroupingSets, qSalted, qKmv,
   )
 }

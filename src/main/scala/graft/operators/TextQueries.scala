@@ -184,6 +184,79 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // Inverted-index construction: the (token → sorted postings) layout
+  // a corpus search/dedup index is built from. One explode + one
+  // partial-aggregated groupBy on (token, doc) gives the posting rows
+  // (tf + first position); document frequency rides along as a window
+  // count over the token partition — the same shuffle key the final
+  // token-sorted output needs anyway, which is exactly the layout an
+  // index writer wants (postings for one token are contiguous, so at
+  // 100 TB each reducer streams complete posting lists straight to
+  // index files; no driver-side assembly anywhere).
+  private val invertedPostings = Q(
+    "ta_inverted_postings",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .filter($"doc_id" < 300)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+        .groupBy($"token", $"doc_id")
+        .agg(count(lit(1)).as("tf"), (min($"pos") + 1).as("first_pos"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"token")))
+        .orderBy($"token", $"doc_id")
+    },
+    Some("""SELECT token, doc_id, tf, first_pos,
+           |       count(*) OVER (PARTITION BY token) AS df
+           |FROM (
+           |  SELECT token, doc_id, count(*) AS tf,
+           |         CAST(min(pos) AS INT) AS first_pos
+           |  FROM (
+           |    SELECT doc_id,
+           |           unnest(string_split(text, ' ')) AS token,
+           |           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |    FROM documents WHERE doc_id < 300)
+           |  GROUP BY token, doc_id)
+           |ORDER BY token, doc_id""".stripMargin),
+  )
+
+  // STRATIFIED sampling: exactly k docs per source stratum, selected
+  // as the k smallest salted-md5 values — a deterministic reservoir
+  // (every doc equally likely under the hash, reproducible across
+  // engines/partitionings, no rand()). One shuffle on the stratum key;
+  // the per-stratum rank is a window sort bounded by the largest
+  // stratum. At 100 TB the same selection runs as a bounded-heap
+  // partial aggregate (keep k smallest (hash, doc) pairs map-side,
+  // merge heaps — the KmvDistinct buffer pattern in
+  // functions/KmvDistinct.scala), turning the stratum sort into an
+  // O(k) state merge; the hash-rank SEMANTICS are identical, which is
+  // what the oracle pins here.
+  private val stratifiedSample = Q(
+    "td_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("strat:"), $"doc_id".cast("string")))
+      val rk = row_number().over(
+        Window.partitionBy($"source").orderBy(h.as("h"), $"doc_id"))
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang")
+        .withColumn("rk", rk)
+        .filter($"rk" <= 5)
+        .orderBy($"source", $"rk")
+    },
+    Some("""SELECT doc_id, source, lang, CAST(rk AS INT) AS rk
+           |FROM (
+           |  SELECT doc_id, source, lang,
+           |         row_number() OVER (
+           |           PARTITION BY source
+           |           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+           |         ) AS rk
+           |  FROM documents)
+           |WHERE rk <= 5
+           |ORDER BY source, rk""".stripMargin),
+  )
+
   // Train/val/test split by stable hash buckets (80/10/10): the
   // reproducible dataset-split step of a training pipeline.
   private val split3 = Q(
@@ -355,6 +428,7 @@ object TextQueries {
   )
 
   def all: Seq[Q] =
-    Seq(tokens, quality, langid, fingerprint, stableSample, split3, bigramsUdtf,
-      piiScrub, repetition, weightedMix)
+    Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
+      split3, bigramsUdtf, piiScrub, repetition, weightedMix,
+      invertedPostings)
 }

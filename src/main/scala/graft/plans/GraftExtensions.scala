@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Base62EncodeHex, CosineApprox, CosineE9, JsCoordJoin, LshBucket, RollingHash, SortedIntersectCount, StContains}
+import graft.functions.{Base62EncodeHex, CosineApprox, CosineE9, JsCoordJoin, LshBucket, MortonInterleave, RollingHash, SortedIntersectCount, StContains}
 
 /** Config-time registration of the engine's custom expressions and
   * physical strategy:
@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count", "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      info("morton_interleave", "morton_interleave(x, y) - Z-order curve key of two non-negative cell coordinates"),
+      (es: Seq[Expression]) => MortonInterleave(es(0), es(1))))
     e.injectPlannerStrategy(_ => SpatialJoinStrategy)
     e.injectOptimizerRule(_ => AddBboxPrefilter)
   }

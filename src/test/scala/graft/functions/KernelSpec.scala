@@ -222,4 +222,44 @@ class GeoUtilSpec extends AnyFunSuite {
       }
     }
   }
+
+  // Bit-at-a-time reference for the mask-ladder Morton interleave.
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 32) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("morton interleave matches the bit-loop reference (fuzz + edges)") {
+    val edges = Seq(0L, 1L, 2L, 3L, 1023L, 1024L, 65535L, (1L << 32) - 1)
+    for (x <- edges; y <- edges)
+      assert(GeoUtil.morton(x, y) === mortonRef(x, y), s"edge ($x, $y)")
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val x = rnd.nextLong() & 0xffffffffL
+      val y = rnd.nextLong() & 0xffffffffL
+      assert(GeoUtil.morton(x, y) === mortonRef(x, y), s"fuzz ($x, $y)")
+    }
+  }
+
+  test("morton Z-blocks are axis-aligned tiles (the file-skipping invariant)") {
+    // dropping the 12 low (6+6 interleaved) bits of z confines both
+    // coordinates to one aligned 64x64 tile — the property
+    // geo_zorder_cluster's per-bucket extents rely on:
+    // same 64x64 tile <=> same bucket
+    val rnd = new scala.util.Random(11)
+    (1 to 5000).foreach { _ =>
+      val x1 = rnd.nextInt(1024).toLong; val y1 = rnd.nextInt(1024).toLong
+      val x2 = rnd.nextInt(1024).toLong; val y2 = rnd.nextInt(1024).toLong
+      val sameTile = (x1 / 64 == x2 / 64) && (y1 / 64 == y2 / 64)
+      val sameBucket =
+        (GeoUtil.morton(x1, y1) >> 12) == (GeoUtil.morton(x2, y2) >> 12)
+      assert(sameTile === sameBucket, s"($x1,$y1) vs ($x2,$y2)")
+    }
+  }
 }
