@@ -438,7 +438,15 @@ object ExtraQueries {
           pmod($"o_custkey", lit(150L)).as("user_id"),
           // parquet TIMESTAMP_NTZ; the session timezone is pinned UTC,
           // so the cast to an instant is the identity mapping
-          unix_millis($"o_orderdate".cast("timestamp")).as("t"),
+          unix_millis($"o_orderdate".cast("timestamp")).as("om"),
+          $"o_orderkey")
+        // The synthetic order timeline (1995-2001) predates the event
+        // window (Jan 2024) entirely, which would leave the no-prior-
+        // order NULL arm dead. Compress it into the event window
+        // (integer div, exact both engines): both the matched and the
+        // unmatched arm are then genuinely exercised (~1% NULLs).
+        .select($"user_id",
+          (lit(1704067200000L) + expr("(om - 788918400000) div 80")).as("t"),
           $"o_orderkey")
         .groupBy($"user_id", $"t")
         .agg(max($"o_orderkey").as("o_key"))
@@ -457,7 +465,8 @@ object ExtraQueries {
         .orderBy($"event_id")
     },
     Some("""WITH o AS (
-           |  SELECT o_custkey % 150 AS user_id, epoch_ms(o_orderdate) AS t,
+           |  SELECT o_custkey % 150 AS user_id,
+           |         1704067200000 + (epoch_ms(o_orderdate) - 788918400000) // 80 AS t,
            |         max(o_orderkey) AS o_key
            |  FROM orders GROUP BY 1, 2),
            |e AS (
