@@ -42,6 +42,80 @@ object EventQueries {
             |ORDER BY hour_bucket, event_type""".stripMargin),
   )
 
+  // HOPPING (sliding) windows via Spark's native TimeWindow operator:
+  // 10-minute windows every 5 minutes, so each event lands in exactly
+  // two overlapping windows. The TimeWindow rewrite is an Expand (one
+  // replicated row per overlapped window) feeding one partial
+  // aggregation — the same map-side-combine shape as tumbling, x2
+  // rows; nothing is stateful or ordered, so the plan scales like any
+  // groupBy. The oracle replays the window assignment as exact
+  // integer-microsecond arithmetic over an explicit k in {0,1} fanout.
+  private val hopping = Q(
+    "ev_hopping_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("tus", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"tus", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+        .select(
+          unix_micros($"window.start").as("wstart_us"),
+          $"event_type", $"n", $"value_cents")
+        .orderBy($"wstart_us", $"event_type")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT epoch_ns(ts) // 1000 AS us, event_type,
+            |         ${centsSql("value")} AS c
+            |  FROM events),
+            |w AS (
+            |  SELECT us - us % 300000000 - k * 300000000 AS wstart_us,
+            |         event_type, c
+            |  FROM e, (SELECT unnest([0, 1]) AS k))
+            |SELECT wstart_us, event_type, count(*) AS n,
+            |       CAST(sum(c) AS BIGINT) AS value_cents
+            |FROM w
+            |GROUP BY wstart_us, event_type
+            |ORDER BY wstart_us, event_type""".stripMargin),
+  )
+
+  // SCD2 / CDC interval build: collapse each user's event-type stream
+  // into change-history rows [valid_from, valid_to) — the
+  // slowly-changing-dimension shape a warehouse merge emits. Two
+  // window passes over one user-partitioned sort (lag to find change
+  // points, lead to close intervals); the open current row keeps a
+  // NULL valid_to. Interval bounds are integer MICROseconds — the
+  // finest unit both engines read identically from TIMESTAMP_NS
+  // parquet — so they hash-match exactly.
+  private val scd2 = Q(
+    "ev_scd2_intervals",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val segs = Window.partitionBy($"user_id").orderBy($"valid_from")
+      Tables.events(s, d)
+        .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+        .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+        // micro-, not nanoseconds: DuckDB truncates TIMESTAMP_NS
+        // parquet to us precision on read, so us is the finest unit
+        // both engines agree on exactly
+        .select($"user_id", $"event_type", expr("ts div 1000").as("valid_from"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(segs))
+        .orderBy($"user_id", $"valid_from")
+    },
+    Some("""SELECT user_id, event_type, valid_from,
+           |       lead(valid_from, 1) OVER (
+           |         PARTITION BY user_id ORDER BY valid_from) AS valid_to
+           |FROM (
+           |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS valid_from
+           |  FROM (
+           |    SELECT user_id, event_type, ts, event_id,
+           |           lag(event_type, 1) OVER (
+           |             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           |    FROM events)
+           |  WHERE prev_type IS NULL OR prev_type <> event_type)
+           |ORDER BY user_id, valid_from""".stripMargin),
+  )
+
   // Sessionization: a new session starts after a >30 min gap per user;
   // session id = running count of session starts (classic gap-and-island).
   private val sessionize = Q(
@@ -584,6 +658,7 @@ object EventQueries {
   )
 
   def all: Seq[Q] =
-    Seq(tumbling, sessionize, funnel, asOf, variantJson, streamParity,
-      sessionStreamParity, dedupStreamParity, dedupCrossBatch, streamStreamJoin)
+    Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
+      streamParity, sessionStreamParity, dedupStreamParity, dedupCrossBatch,
+      streamStreamJoin)
 }

@@ -478,7 +478,73 @@ object ExtraQueries {
            |ORDER BY e.event_id""".stripMargin),
   )
 
+  // Bloom-prefilter semi join, the runtime-filter pattern made
+  // explicit: instead of shuffling the full probe side against the
+  // build side's keys, broadcast a COMPACT bit set (here m = 2^20
+  // bits as distinct bit positions; k = 2 md5-derived hash functions
+  // — 5 hex chars = exactly 20 bits, no modulo bias) and keep only
+  // probe rows whose k positions are all set. Candidates provably
+  // contain every true match (no false negatives — the invariant the
+  // oracle hash-checks per segment, n_candidates >= n_actual with the
+  // false-positive count measured, not assumed). At 100 TB this is
+  // why a ~128 KiB broadcast replaces a shuffle of 1e9 join keys;
+  // Spark's own InjectRuntimeFilter does the same transparently, this
+  // entry pins the semantics so the pattern is testable.
+  private val bloomPrefilter = Q(
+    "qj_bloom_prefilter",
+    (s, d) => {
+      import s.implicits._
+      def h(salt: String, key: Column): Column =
+        expr(s"CAST(conv(substring(md5(concat('$salt', CAST(${key.toString} AS STRING))), 1, 5), 16, 10) AS BIGINT)")
+      val build = Tables.orders(s, d).select($"o_custkey").distinct()
+      val bits = build.select(explode(array(
+        h("b1:", $"o_custkey"), h("b2:", $"o_custkey"))).as("pos")).distinct()
+      val probe = Tables.customer(s, d).select(
+        $"c_custkey", $"c_mktsegment",
+        h("b1:", $"c_custkey").as("h1"), h("b2:", $"c_custkey").as("h2"))
+      val candidates = probe
+        .join(broadcast(bits.select($"pos".as("h1"))), Seq("h1"), "left_semi")
+        .join(broadcast(bits.select($"pos".as("h2"))), Seq("h2"), "left_semi")
+      val actual = candidates
+        .join(build.select($"o_custkey".as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_actual"))
+      candidates
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_candidates"))
+        .join(actual, Seq("c_mktsegment"), "left_outer")
+        .select($"c_mktsegment", $"n_candidates",
+          coalesce($"n_actual", lit(0L)).as("n_actual"),
+          ($"n_candidates" - coalesce($"n_actual", lit(0L))).as("n_false_pos"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH build AS (SELECT DISTINCT o_custkey FROM orders),
+           |bits AS (
+           |  SELECT DISTINCT pos FROM (
+           |    SELECT CAST('0x' || substr(md5('b1:' || CAST(o_custkey AS VARCHAR)), 1, 5) AS BIGINT) AS pos FROM build
+           |    UNION
+           |    SELECT CAST('0x' || substr(md5('b2:' || CAST(o_custkey AS VARCHAR)), 1, 5) AS BIGINT) FROM build)),
+           |probe AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |         CAST('0x' || substr(md5('b1:' || CAST(c_custkey AS VARCHAR)), 1, 5) AS BIGINT) AS h1,
+           |         CAST('0x' || substr(md5('b2:' || CAST(c_custkey AS VARCHAR)), 1, 5) AS BIGINT) AS h2
+           |  FROM customer),
+           |cand AS (
+           |  SELECT p.c_custkey, p.c_mktsegment,
+           |         CASE WHEN EXISTS (
+           |           SELECT 1 FROM build b WHERE b.o_custkey = p.c_custkey)
+           |         THEN 1 ELSE 0 END AS hit
+           |  FROM probe p
+           |  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.h1)
+           |    AND EXISTS (SELECT 1 FROM bits b WHERE b.pos = p.h2))
+           |SELECT c_mktsegment,
+           |       count(*) AS n_candidates,
+           |       CAST(sum(hit) AS BIGINT) AS n_actual,
+           |       CAST(count(*) - sum(hit) AS BIGINT) AS n_false_pos
+           |FROM cand
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, windowVariants, fuzzy, normalize, recursiveCte, pivotOp,
-    existsSubquery, asofJoin)
+    existsSubquery, asofJoin, bloomPrefilter)
 }

@@ -529,6 +529,50 @@ object RelationalQueries {
             |         o_orderpriority ASC NULLS FIRST""".stripMargin),
   )
 
+  // Discrete per-group quantiles (p50/p90/p99 of the price
+  // distribution) — the distribution-profiling step of data-quality
+  // monitoring. Uses the ceil(p*n)-th order statistic (pure integer
+  // index arithmetic, so both engines select the identical row;
+  // interpolated quantiles would differ in the last float ulp and can
+  // never be hash-gated). One window sort per group + one conditional
+  // aggregate; at 100 TB the same numbers come from a partial-agg
+  // sketch (KMV-style bounded buffer) when exactness can be traded.
+  private val qQuantiles = Q(
+    "qa_quantile_disc",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_returnflag")
+      val byV = w.orderBy($"v", $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          cents($"l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"l_returnflag")
+        .agg(
+          max(when($"rn" === expr("(n * 50 + 99) div 100"), $"v")).as("p50"),
+          max(when($"rn" === expr("(n * 90 + 99) div 100"), $"v")).as("p90"),
+          max(when($"rn" === expr("(n * 99 + 99) div 100"), $"v")).as("p99"),
+        )
+        .orderBy($"l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag,
+            |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+            |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90,
+            |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99
+            |FROM (
+            |  SELECT l_returnflag, v,
+            |         row_number() OVER (PARTITION BY l_returnflag
+            |           ORDER BY v, l_orderkey, l_linenumber) AS rn,
+            |         count(*) OVER (PARTITION BY l_returnflag) AS n
+            |  FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+            |               ${centsSql("l_extendedprice")} AS v
+            |        FROM lineitem))
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin),
+  )
+
   // GROUPING SETS (the general form rollup/cube specialize): one
   // Expand + one hash aggregate — each input row is replicated once
   // per grouping set map-side, so the shuffle stays a single partial
@@ -651,6 +695,6 @@ object RelationalQueries {
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup, qGroupingSets, qSalted, qKmv,
+    qRollup, qGroupingSets, qQuantiles, qSalted, qKmv,
   )
 }
