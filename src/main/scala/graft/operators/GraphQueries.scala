@@ -35,19 +35,28 @@ object GraphQueries {
     "gr_pagerank",
     (s, d) => {
       import s.implicits._
+      // checkpoint the |E| directed pairs, not the 2|E| symmetrized
+      // union — union is lazy and shuffle-free, so halving the
+      // materialized rows halves the (per-rep dominant) checkpoint
+      // cost while the 3 iterations still re-read memory, not lineage
       val edges = Tables.lineitem(s, d)
         .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
+        .localCheckpoint()
       val sym = edges
         .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
-        .localCheckpoint() // materialize once; 3 iterations re-read it
       val deg = sym.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       var ranks = deg.select($"src".as("node"), lit(1000000L).as("pr"))
       for (_ <- 1 to Iters) {
+        // Fold rank/outdeg on the NODE table first (node-sized join),
+        // so each iteration touches the edge table exactly once and
+        // the small contrib side broadcasts — the edge list never
+        // shuffles per iteration, only the partially-aggregated
+        // (dst, sum) pairs do.
+        val contribs = ranks.join(deg, $"node" === $"src")
+          .select($"node".as("csrc"), expr("pr div outdeg").as("contrib"))
         ranks = sym
-          .join(deg, "src")
-          .join(ranks, $"src" === $"node")
-          .select($"dst", expr("pr div outdeg").as("contrib"))
+          .join(contribs, $"src" === $"csrc")
           .groupBy($"dst")
           .agg(sum($"contrib").as("s"))
           .select($"dst".as("node"), expr("150000 + (85 * s) div 100").as("pr"))
