@@ -305,6 +305,39 @@ object EventQueries {
     tumbling.oracle, // identical result contract to the batch query
   )
 
+  // Stream/batch parity for the HOPPING window: the same native
+  // TimeWindow assignment (10 min / 5 min slide) run as a real
+  // streaming query in complete mode over the file-stream fixture —
+  // overlapping windows are the case where streaming state holds TWO
+  // live windows per key, which tumbling parity never exercises. Same
+  // oracle as the batch `ev_hopping_window`.
+  private val hoppingStreamParity = Q(
+    "ev_stream_hopping_parity",
+    (s, d) => {
+      import s.implicits._
+      val schema = Tables.events(s, d).schema
+      val streamDir = makeStreamDir(d)
+      try {
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val agg = stream
+          .withColumn("tus", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window($"tus", "10 minutes", "5 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+        val sink = "ev_stream_hopping_sink"
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(sink).start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+          .select(
+            unix_micros($"window.start").as("wstart_us"),
+            $"event_type", $"n", $"value_cents")
+          .orderBy($"wstart_us", $"event_type")
+      } finally deleteStreamDir(streamDir)
+    },
+    hopping.oracle, // identical result contract to the batch query
+  )
+
   // Stream/batch parity for STATEFUL sessionization, DRIVER-GATED: the
   // flatMapGroupsWithState path (graft.streaming.StreamingOps
   // .sessionize — keyed state, event-time timeout) run as a real
@@ -659,6 +692,6 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
-      streamParity, sessionStreamParity, dedupStreamParity, dedupCrossBatch,
-      streamStreamJoin)
+      streamParity, hoppingStreamParity, sessionStreamParity,
+      dedupStreamParity, dedupCrossBatch, streamStreamJoin)
 }
