@@ -502,18 +502,20 @@ object ExtraQueries {
       val probe = Tables.customer(s, d).select(
         $"c_custkey", $"c_mktsegment",
         h("b1:", $"c_custkey").as("h1"), h("b2:", $"c_custkey").as("h2"))
-      val candidates = probe
+      // single pass: flag true membership with a broadcast left join
+      // on the surviving candidates, then ONE conditional aggregation
+      // — the candidate subtree is never evaluated twice
+      probe
         .join(broadcast(bits.select($"pos".as("h1"))), Seq("h1"), "left_semi")
         .join(broadcast(bits.select($"pos".as("h2"))), Seq("h2"), "left_semi")
-      val actual = candidates
-        .join(build.select($"o_custkey".as("c_custkey")), Seq("c_custkey"), "left_semi")
-        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_actual"))
-      candidates
-        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_candidates"))
-        .join(actual, Seq("c_mktsegment"), "left_outer")
-        .select($"c_mktsegment", $"n_candidates",
-          coalesce($"n_actual", lit(0L)).as("n_actual"),
-          ($"n_candidates" - coalesce($"n_actual", lit(0L))).as("n_false_pos"))
+        .join(
+          broadcast(build.select($"o_custkey".as("c_custkey"), lit(1L).as("hit"))),
+          Seq("c_custkey"), "left_outer")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(coalesce($"hit", lit(0L))).as("n_actual"),
+          (count(lit(1)) - sum(coalesce($"hit", lit(0L)))).as("n_false_pos"))
         .orderBy($"c_mktsegment")
     },
     Some("""WITH build AS (SELECT DISTINCT o_custkey FROM orders),

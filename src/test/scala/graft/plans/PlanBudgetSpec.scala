@@ -85,6 +85,16 @@ class PlanBudgetSpec extends AnyFunSuite {
       "td_decontaminate" -> 16,
       "ev_tumbling_window" -> 4,
       "ev_sessionize" -> 4,
+      // round-5 additions (measured counts are half these or less;
+      // gr_pagerank plans 3 iterations x ~4 exchanges + edge build)
+      "gr_pagerank" -> 20,
+      "qj_asof_join" -> 6,
+      "qj_bloom_prefilter" -> 10,
+      "ev_hopping_window" -> 4,
+      "ev_scd2_intervals" -> 4,
+      "qa_quantile_disc" -> 4,
+      "geo_zorder_cluster" -> 4,
+      "ta_inverted_postings" -> 6,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
@@ -145,6 +155,25 @@ class PlanBudgetSpec extends AnyFunSuite {
       assert(equiJoins.contains("kx") && equiJoins.contains("pcx"),
         s"$name lost its grid-cell blocking keys:\n$equiJoins")
     }
+  }
+
+  test("round-5 additions keep their equi-join shapes") {
+    // gr_pagerank: every per-iteration join must stay an equi join on
+    // the edge key — a nested-loop anywhere makes an iteration
+    // O(|E|·|V|) instead of O(|E|).
+    val prNodes = planOf("gr_pagerank")
+    assert(!prNodes.exists(_.nodeName.contains("NestedLoop")),
+      "pagerank iteration regressed to a nested-loop join")
+    // qj_bloom_prefilter: both bit-membership probes must be
+    // broadcast semi joins (the compact-bit-set-instead-of-shuffle
+    // point of the pattern), never a shuffle of the probe table per
+    // hash function.
+    val bloomJoins = planOf("qj_bloom_prefilter")
+      .filter(_.nodeName.contains("Join")).map(_.toString)
+    assert(bloomJoins.count(_.contains("LeftSemi")) >= 3,
+      s"bloom prefilter lost its semi joins:\n${bloomJoins.mkString("\n")}")
+    assert(!planOf("qj_bloom_prefilter").exists(_.nodeName.contains("NestedLoop")),
+      "bloom prefilter regressed to a nested-loop join")
   }
 
   test("qj_range_band_join stays a hash join, not a nested loop") {
