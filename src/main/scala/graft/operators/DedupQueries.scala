@@ -589,7 +589,144 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // PARAGRAPH-LEVEL cross-document dedup (the CCNet/RefinedWeb-style
+  // boilerplate pass): the corpus has no newlines, so a "paragraph" is
+  // a fixed 5-word window (array slice — identical semantics in both
+  // engines), fingerprinted with md5. A segment is "duplicated" when
+  // it appears in >= 2 DISTINCT documents (within-doc repeats don't
+  // count — that is ta_repetition_3gram's job), and a document is
+  // flagged when >= 60% of its segments are duplicated. All counts are
+  // integers and the ratio is integer percent, so the row set is
+  // hash-gated exactly.
+  // Scale shape: one explode bounded by token count / 5, one partial
+  // agg keyed by the 128-bit fingerprint (map-side combine), and one
+  // join back on that key to re-score documents — the same
+  // token-to-stats-and-back layout as td_ngram_jaccard, with no pair
+  // join anywhere: cost is linear in corpus tokens at any sf.
+  private val paragraphDedup = Q(
+    "td_paragraph_dedup",
+    (s, d) => {
+      import s.implicits._
+      val L = 5
+      val segs = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id", $"words",
+          explode(sequence(lit(0), expr(s"(size(words) + ${L - 1}) div $L - 1"))).as("seg_no"))
+        .select($"doc_id",
+          md5(array_join(slice($"words", $"seg_no" * L + 1, lit(L)), " ")).as("seg_h"))
+      val crossDoc = segs.groupBy($"seg_h")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      segs.join(crossDoc, "seg_h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+        .withColumn("dup_pct", expr("n_dup_segs * 100 div n_segs"))
+        .filter($"dup_pct" >= 60)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |segs AS (
+           |  SELECT doc_id,
+           |         md5(array_to_string(list_slice(w, s * 5 + 1, s * 5 + 5), ' ')) AS seg_h
+           |  FROM docs, unnest(generate_series(0, (len(w) + 4) // 5 - 1)) AS t(s)),
+           |cd AS (
+           |  SELECT seg_h, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg_h),
+           |per AS (
+           |  SELECT doc_id, count(*) AS n_segs,
+           |         sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_segs
+           |  FROM segs JOIN cd USING (seg_h) GROUP BY doc_id)
+           |SELECT doc_id, n_segs, CAST(n_dup_segs AS BIGINT) AS n_dup_segs,
+           |       CAST(n_dup_segs AS BIGINT) * 100 // n_segs AS dup_pct
+           |FROM per
+           |WHERE CAST(n_dup_segs AS BIGINT) * 100 // n_segs >= 60
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // CONTAINMENT join — the ASYMMETRIC near-dup relation Jaccard-LSH
+  // structurally misses: a short document quoted inside a much longer
+  // one has high containment |A∩B|/|A| but low Jaccard (the union is
+  // dominated by B), so minhash buckets never pair them. Candidates
+  // come from PREFIX FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06 —
+  // public literature): if B holds >= 90% of A's distinct words, B
+  // must share at least one of A's floor(|A|/10)+1 globally-RAREST
+  // words (missing all of them already misses > 10%). The candidate
+  // join is therefore (source, rare-prefix word) against the full
+  // posting list — on a Zipf/Heaps vocabulary those posting lists are
+  // the SHORT ones, which is what bounds candidates at 100 TB; on this
+  // fixture's bounded vocabulary every list collides (same caveat as
+  // td_ngram_jaccard's prefix note), and the source block is what
+  // bounds the fixture cost. Verification reuses the codegen'd
+  // sorted-array intersection kernel; the threshold is checked as
+  // 10·I >= 9·|A| in integers. The ORACLE is the UNBLOCKED all-pairs
+  // formulation: a prefix-filter bug (a missed candidate) is a hash
+  // mismatch, not a silently-agreeing replay.
+  private val containment = Q(
+    "td_containment_join",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.sorted_intersect_count
+      import graft.util.Cols.fanout
+      import org.apache.spark.sql.expressions.Window
+      val tokens = fanout(Tables.documents(s, d))
+        .select($"doc_id", $"source",
+          explode(array_distinct(split($"text", " "))).as("word"))
+      // Same bucket-rank word→long bijection as td_ngram_jaccard: any
+      // injective packing yields the same intersection counts.
+      val NBuckets = 1024
+      val vocab = tokens.select($"word").distinct()
+        .withColumn("bkt", pmod(xxhash64($"word"), lit(NBuckets)).cast("int"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy($"bkt").orderBy($"word")) - 1)
+        .select($"word", (shiftleft($"bkt".cast("long"), 32) + $"pos").as("widx"))
+      val toks = tokens.join(vocab, "word")
+        .select($"doc_id", $"source", $"widx")
+        .localCheckpoint() // feeds df, sets, prefix, and postings
+      val df = toks.groupBy($"widx").agg(count(lit(1)).as("df"))
+      val sets = toks.groupBy($"doc_id", $"source")
+        .agg(sort_array(collect_list($"widx")).as("idxs"))
+        .withColumn("nw", size($"idxs").cast("long"))
+        .localCheckpoint() // verified side of both semijoins below
+      // rn <= floor(nw/10)+1  ⇔  (rn-1)·10 <= nw  (exact integers)
+      val wd = Window.partitionBy($"doc_id")
+      val prefix = toks.join(df, "widx")
+        .withColumn("nw", count(lit(1)).over(wd))
+        .withColumn("rn", row_number().over(wd.orderBy($"df", $"widx")))
+        .filter($"nw" >= 10 && ($"rn" - 1) * 10 <= $"nw")
+        .select($"doc_id".as("doc1"), $"source", $"widx")
+      val postings = toks
+        .select($"doc_id".as("doc2"), $"source".as("source2"), $"widx".as("widx2"))
+      val candidates = prefix
+        .join(postings,
+          $"source" === $"source2" && $"widx" === $"widx2" && $"doc1" =!= $"doc2")
+        .select($"doc1", $"doc2").distinct()
+      val inner = sets.filter($"nw" >= 10)
+        .select($"doc_id".as("doc1"), $"nw".as("n1"), $"idxs".as("i1"))
+      val outer = sets.select($"doc_id".as("doc2"), $"idxs".as("i2"))
+      candidates.join(inner, "doc1").join(outer, "doc2")
+        .withColumn("ni", sorted_intersect_count($"i1", $"i2").cast("long"))
+        .filter($"ni" * 10 >= $"n1" * 9)
+        .select($"doc1", $"doc2", $"n1", $"ni")
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT DISTINCT doc_id, source, word FROM (
+           |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)),
+           |sizes AS (
+           |  SELECT doc_id, count(*) AS n FROM tokens GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS ni
+           |  FROM tokens a JOIN tokens b
+           |    ON a.source = b.source AND a.word = b.word AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc1, doc2, s1.n AS n1, ni
+           |FROM inter JOIN sizes s1 ON doc1 = s1.doc_id
+           |WHERE s1.n >= 10 AND ni * 10 >= s1.n * 9
+           |ORDER BY doc1, doc2""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
-      dedupClusters, decontaminate, concatChunks)
+      dedupClusters, decontaminate, concatChunks, paragraphDedup, containment)
 }

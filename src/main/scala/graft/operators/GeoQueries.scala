@@ -472,7 +472,70 @@ object GeoQueries {
     },
   )
 
+  // k-NEAREST-NEIGHBOURS WITHIN RADIUS — the bounded spatial kNN join
+  // (for each point: up to 3 nearest same-layer points within
+  // distance 8, excluding itself). The radius bound is what makes
+  // grid blocking EXACT, not approximate: r = 8 <= CellSize = 16, so
+  // the 3×3 neighbourhood of a point's own cell provably contains
+  // every point within r — no ring expansion, no recall argument.
+  // The probe fans each point to 9 cell keys (a broadcast 9-row
+  // offsets table, the same pre-projected-key shape as
+  // SpatialGrid.probe); candidates per key = cell occupancy = O(1) at
+  // constant density, the per-point top-3 is a row_number window
+  // whose partitions are radius-bounded candidate lists, and
+  // distances are exact integer squares (coordinates are integral),
+  // so ties break on (dist2, neighbour id) — a total order both
+  // engines agree on. The ORACLE is the UNBLOCKED same-layer
+  // all-pairs join: a blocking bug (a neighbour outside the 9 cells)
+  // is a hash mismatch.
+  private val knnRadius = Q(
+    "geo_knn_radius",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val offs9 = (for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy))
+        .toDF("dx", "dy")
+      val probe = SpatialGrid.pointsWithCell(s, d)
+        .crossJoin(broadcast(offs9))
+        .select($"c_custkey", $"c_layer", $"px", $"py",
+          ($"cx" + $"dx").as("kx"), ($"cy" + $"dy").as("ky"))
+      val build = SpatialGrid.pointsWithCell(s, d)
+        .select($"c_custkey".as("nbr"), $"c_layer".as("nl"),
+          $"px".as("nx"), $"py".as("ny"), $"cx".as("bx"), $"cy".as("by"))
+      val cand = probe
+        .join(build,
+          $"c_layer" === $"nl" && $"kx" === $"bx" && $"ky" === $"by" &&
+            $"c_custkey" =!= $"nbr")
+        .withColumn("dist2",
+          (($"px" - $"nx") * ($"px" - $"nx") +
+            ($"py" - $"ny") * ($"py" - $"ny")).cast("long"))
+        .filter($"dist2" <= 64)
+      cand
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy($"c_custkey").orderBy($"dist2", $"nbr")))
+        .filter($"rnk" <= 3)
+        .select($"c_custkey", $"rnk", $"nbr", $"dist2")
+        .orderBy($"c_custkey", $"rnk")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |pts AS (${SpatialGrid.ptsSql("customer")}),
+            |cand AS (
+            |  SELECT a.c_custkey, b.c_custkey AS nbr,
+            |         CAST((a.px - b.px) * (a.px - b.px)
+            |            + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+            |  FROM pts a JOIN pts b
+            |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+            |  WHERE (a.px - b.px) * (a.px - b.px)
+            |      + (a.py - b.py) * (a.py - b.py) <= 64)
+            |SELECT c_custkey, CAST(rnk AS INT) AS rnk, nbr, dist2
+            |FROM (SELECT *, row_number() OVER (
+            |        PARTITION BY c_custkey ORDER BY dist2, nbr) AS rnk
+            |      FROM cand)
+            |WHERE rnk <= 3
+            |ORDER BY c_custkey, rnk""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
-      zorderCluster)
+      zorderCluster, knnRadius)
 }

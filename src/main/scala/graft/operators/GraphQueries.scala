@@ -89,5 +89,78 @@ object GraphQueries {
     },
   )
 
-  def all: Seq[Q] = Seq(pagerank)
+  // TRIANGLE COUNT over the co-purchase graph (parts sharing an
+  // order), after per-node TOP-10 sparsification — the standard
+  // "build a similarity graph, keep each node's k strongest edges,
+  // then run graph analytics" pipeline. Three scale moves:
+  //   1. pair generation is IN-ROW per order (collect_set → sorted
+  //      array → positional suffix explode), never a lineitem
+  //      self-join: cost is Σ|basket|², linear when baskets are
+  //      bounded — the market-basket shape;
+  //   2. the raw co-purchase graph densifies as sf grows (random
+  //      baskets over a part catalogue make avg degree scale with
+  //      orders/parts), so analytics run on the top-10-by-weight
+  //      sparsification: |E| <= 10·|V| and degree is capped at ~20
+  //      after symmetrization REGARDLESS of sf — which also caps the
+  //      wedge work of the triangle join at O(|V|·20²). Ties break on
+  //      (weight desc, neighbour id), a total order, so the kept edge
+  //      set is deterministic across engines and partitionings;
+  //   3. triangles are counted once each via the canonical u<v<w
+  //      two-join wedge-close (on a degree-skewed graph you would
+  //      re-orient by (degree, id) first; the top-10 cap already
+  //      bounds every wedge list here).
+  // The ORACLE generates pairs by the unblocked self-join — an
+  // in-row emission bug is a hash mismatch, not a replayed agreement.
+  private val triangles = Q(
+    "gr_triangle_count",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
+        .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
+        .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
+      val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+      val sym = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
+      val kept = sym
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
+        .filter($"rn" <= 10)
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+        .localCheckpoint() // feeds three join legs + the node count
+      val tri = kept.select($"u".as("a"), $"v".as("b"))
+        .join(kept.select($"u".as("b2"), $"v".as("c2")), $"b" === $"b2")
+        .join(kept.select($"u".as("a3"), $"v".as("c3")),
+          $"a" === $"a3" && $"c2" === $"c3")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodes = kept.select($"u").unionByName(kept.select($"v".as("u")))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      val edges = kept.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(edges).crossJoin(tri)
+    },
+    Some("""WITH li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |raw AS (
+           |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2),
+           |sym AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
+           |kept AS (
+           |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+           |    SELECT u, v,
+           |           row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+           |    FROM sym)
+           |  WHERE rn <= 10)
+           |SELECT
+           |  (SELECT count(DISTINCT n) FROM
+           |     (SELECT u AS n FROM kept UNION SELECT v FROM kept)) AS n_nodes,
+           |  (SELECT count(*) FROM kept) AS n_edges,
+           |  (SELECT count(*) FROM kept e1
+           |     JOIN kept e2 ON e1.v = e2.u
+           |     JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(pagerank, triangles)
 }

@@ -427,8 +427,78 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // BM25 ranking (k1 = 1.2, b = 0.75) for a fixed 3-term query, in
+  // EXACT integer micro-units so both engines hash-agree on the SCORE,
+  // not just the ordering. Two determinism moves:
+  //   - idf is the log-free Robertson ratio (2(N-df)+1)/(2df+1) scaled
+  //     to 1e6 — strictly monotone in the textbook ln((N-df+.5)/(df+.5)),
+  //     which is all a ranking needs, and libm-free (Math.log is only
+  //     1-ulp-accurate on the JVM, so a log-based score could differ
+  //     from DuckDB's in the last bit);
+  //   - the tf-saturation fraction is cleared to integers by
+  //     multiplying numerator and denominator by 10·A where
+  //     A = floor(10·Σdl/N) ≈ 10·avgdl:
+  //       score(d) = Σ_t idf_micro(t) · 22·A·tf div (10·A·tf + 3·A + 90·dl)
+  //     (that is BM25's tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) with
+  //     k1 = 6/5 and b = 3/4 exactly).
+  // Scale shape: the query-term filter runs INSIDE the words array
+  // (functions.filter) before explode, so the exploded row count is
+  // matches-only, never the corpus token count; df (≤3 rows) and the
+  // global (N, A) scalar broadcast; the only data-scale shuffle keys on
+  // doc_id; top-100 is TakeOrderedAndProject (per-partition heaps).
+  // Overflow: idf_micro·22·A·tf stays under 2^63 through N ~ 1e8 docs
+  // with A ≤ 1e4, tf ≤ 1e3; a petabyte corpus would move the literal
+  // arithmetic to DECIMAL(38,0) — same expressions, wider lanes.
+  private val bm25 = Q(
+    "ta_bm25_rank",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("spark", "hash", "merge")
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("words"))
+      val dl = docs.select($"doc_id", size($"words").cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum($"dl").as("sumdl"))
+        .select($"n", expr("sumdl * 10 div n").as("a"))
+      val tf = docs
+        .select($"doc_id",
+          explode(filter($"words", w => w.isin(terms.map(x => x: Any): _*))).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          expr("""((2 * (n - df) + 1) * 1000000 div (2 * df + 1))
+                 | * 22 * a * tf div (10 * a * tf + 3 * a + 90 * dl)""".stripMargin))
+        .groupBy($"doc_id").agg(sum($"term_score").as("score_micro"))
+        .orderBy($"score_micro".desc, $"doc_id")
+        .limit(100)
+    },
+    Some("""WITH dl AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |  FROM documents),
+           |stats AS (
+           |  SELECT count(*) AS n, (sum(dl) * 10) // count(*) AS a FROM dl),
+           |tf AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  WHERE word IN ('spark', 'hash', 'merge')
+           |  GROUP BY doc_id, word),
+           |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+           |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_micro
+           |FROM (
+           |  SELECT tf.doc_id,
+           |         ((2 * (n - df) + 1) * 1000000 // (2 * df + 1))
+           |           * 22 * a * tf.tf // (10 * a * tf.tf + 3 * a + 90 * dl.dl) AS term_score
+           |  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats)
+           |GROUP BY doc_id
+           |ORDER BY score_micro DESC, doc_id
+           |LIMIT 100""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
-      invertedPostings)
+      invertedPostings, bm25)
 }
