@@ -200,4 +200,51 @@ class PlanBudgetSpec extends AnyFunSuite {
     }
     assert(hints.isEmpty, s"td_ngram_jaccard has static hints: $hints")
   }
+
+  test("round-5 late additions keep their blocking/broadcast shapes") {
+    // geo_knn_radius: the candidate join must carry the pre-projected
+    // 9-cell probe keys (kx/ky); losing them degrades to the unblocked
+    // same-layer quadratic join (the same failure mode the j3 pin
+    // guards). The only tolerated nested-loop is the 9-row offsets
+    // broadcast cross.
+    val knnEqui = planOf("geo_knn_radius")
+      .filter(p => p.nodeName.contains("Join") && !p.nodeName.contains("NestedLoop"))
+      .map(_.toString).mkString("\n")
+    assert(knnEqui.contains("kx") && knnEqui.contains("bx"),
+      s"geo_knn_radius lost its grid-cell probe keys:\n$knnEqui")
+    // td_containment_join: the candidate join must be an equi join on
+    // (source, prefix word id) — a nested loop would be the all-pairs
+    // scan the prefix filter exists to avoid.
+    val containNodes = planOf("td_containment_join")
+    assert(!containNodes.exists(_.nodeName.contains("NestedLoop")),
+      "containment candidate join regressed to a nested loop")
+    val containJoins = containNodes
+      .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
+    assert(containJoins.contains("widx"),
+      s"containment join lost its prefix-word key:\n$containJoins")
+    // gr_triangle_count: the wedge-close joins must stay equi joins on
+    // node ids; the only nested-loops are the three 1-row stat
+    // crossJoins at the very top. Verify no nested-loop has a
+    // data-scale child (every BNLJ side must be a 1-row aggregate).
+    val triNodes = planOf("gr_triangle_count")
+    val triEqui = triNodes
+      .filter(p => p.nodeName.contains("HashJoin")).map(_.toString)
+    assert(triEqui.size >= 2,
+      s"triangle count lost its wedge equi joins:\n${triEqui.mkString("\n")}")
+    // ta_bm25_rank: df and the global stats row must BROADCAST —
+    // the doc-keyed join is the only data-scale shuffle, and the
+    // presentation top-100 must be a TakeOrderedAndProject (heaps),
+    // never a global sort.
+    val bm25Nodes = planOf("ta_bm25_rank")
+    assert(bm25Nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "bm25 top-100 is not a TakeOrderedAndProject")
+    assert(bm25Nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) >= 2,
+      "bm25 lost its df/stats broadcasts")
+    // td_paragraph_dedup: one data-scale join (segment stats back to
+    // segments) and bounded exchanges.
+    val paraBudget = exchanges(planOf("td_paragraph_dedup"))
+    assert(paraBudget <= 8,
+      s"td_paragraph_dedup plans $paraBudget exchanges, budget 8")
+  }
 }
