@@ -275,6 +275,8 @@ object exprs {
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
   def kmv_distinct(col: Column, k: Int): Column =
     c(KmvDistinct(e(col), k).toAggregateExpression())
+  def misra_gries(col: Column, k: Int): Column =
+    c(MisraGries(e(col), k).toAggregateExpression())
   def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
   def cosine_approx(a: Column, b: Column): Column = c(CosineApprox(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))

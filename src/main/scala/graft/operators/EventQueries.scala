@@ -690,8 +690,98 @@ object EventQueries {
            |ORDER BY cid, pid""".stripMargin),
   )
 
+  // CDC apply: the event stream read as a change log keyed by user_id —
+  // 'signup' upserts, 'click'/'view'/'purchase' update, 'error' is a
+  // tombstone. The merged snapshot is last-writer-wins per key in
+  // (ts, event_id) order, dropping keys whose FINAL change is a
+  // tombstone — the standard change-data-capture materialization a
+  // lakehouse MERGE INTO performs. One shuffle on the key; both window
+  // frames share the same partitioning so Catalyst plans a single
+  // exchange feeding consecutive Window operators. At 100 TB the key
+  // shuffle is the floor for any CDC merge; nothing here adds to it.
+  private val cdcMerge = Q(
+    "ev_cdc_merge",
+    (s, d) => {
+      import s.implicits._
+      // microsecond precision on both the ordering and the output:
+      // DuckDB reads TIMESTAMP(NANOS) parquet at micro precision, so
+      // ranking on raw nanos would tie-break differently there.
+      val byKey = Window.partitionBy($"user_id")
+      val latest = byKey.orderBy($"ts_us".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("rn", row_number().over(latest))
+        .withColumn("n_changes", count(lit(1)).over(byKey))
+        .filter($"rn" === 1 && $"event_type" =!= "error")
+        .select(
+          $"user_id",
+          $"event_type".as("last_type"),
+          cents($"value").as("last_value_cents"),
+          $"ts_us".as("last_ts_us"),
+          $"n_changes",
+        )
+        .orderBy($"user_id")
+    },
+    Some(s"""SELECT user_id, last_type, last_value_cents, last_ts_us,
+            |       n_changes
+            |FROM (
+            |  SELECT user_id, event_type AS last_type,
+            |         ${centsSql("value")} AS last_value_cents,
+            |         epoch_ns(ts) // 1000 AS last_ts_us,
+            |         count(*) OVER (PARTITION BY user_id) AS n_changes,
+            |         row_number() OVER (PARTITION BY user_id
+            |             ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC)
+            |           AS rn
+            |  FROM events)
+            |WHERE rn = 1 AND last_type <> 'error'
+            |ORDER BY user_id""".stripMargin),
+  )
+
+  // Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+  // hours (an hour is active if it has ≥1 event). The hour-minus-
+  // row_number difference is constant within a run, so one window pass
+  // plus one groupBy turns runs into islands — no self-join, no
+  // iteration. The pre-aggregation to (user, hour) shrinks the window
+  // input to active hours only, so the sort under the window is over
+  // the bounded (user × active-hour) set, not raw events.
+  private val gapsIslands = Q(
+    "ev_gaps_islands",
+    (s, d) => {
+      import s.implicits._
+      val perHour = Tables.events(s, d)
+        .groupBy($"user_id", expr(s"ts div $HourNs").as("hr"))
+        .agg(count(lit(1)).as("n_ev"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+      perHour
+        .withColumn("grp", $"hr" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(
+          min($"hr").as("start_hr"),
+          max($"hr").as("end_hr"),
+          count(lit(1)).as("n_hours"),
+          sum($"n_ev").as("n_events"),
+        )
+        .select($"user_id", $"start_hr", $"end_hr", $"n_hours", $"n_events")
+        .orderBy($"user_id", $"start_hr")
+    },
+    Some(s"""WITH per_hour AS (
+            |  SELECT user_id, epoch_ns(ts) // $HourNs AS hr,
+            |         count(*) AS n_ev
+            |  FROM events GROUP BY user_id, hr),
+            |grps AS (
+            |  SELECT user_id, hr, n_ev,
+            |         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr)
+            |           AS grp
+            |  FROM per_hour)
+            |SELECT user_id, min(hr) AS start_hr, max(hr) AS end_hr,
+            |       count(*) AS n_hours, CAST(sum(n_ev) AS BIGINT) AS n_events
+            |FROM grps GROUP BY user_id, grp
+            |ORDER BY user_id, start_hr""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
+      cdcMerge, gapsIslands,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin)
 }

@@ -181,6 +181,52 @@ object ExtraQueries {
            |LIMIT 20""".stripMargin),
   )
 
+  // Exact heavy hitters in two bounded-memory passes: pass 1 runs the
+  // Misra-Gries candidate sketch (native TypedImperativeAggregate,
+  // functions/MisraGries.scala) TOGETHER with the token count in one
+  // partial-aggregated scan — each map task carries at most k sketch
+  // entries, so the shuffle to the single reducer is O(k·partitions),
+  // never O(vocabulary). Pass 2 broadcasts the ≤ k surviving candidate
+  // keys back over the token stream for exact counts and keeps those
+  // with cnt·k > n. The MG guarantee (every item with true frequency
+  // > n/k survives both update and the mergeable-summaries merge)
+  // makes the composition EXACT and deterministic even though the
+  // intermediate sketch contents depend on partition order — order
+  // only changes which non-heavy extras reach pass 2, and the exact
+  // refine filters those. At 100 TB this is the standard shape for
+  // heavy hitters over an unbounded key domain, where a plain
+  // groupBy's hash table would be vocabulary-sized.
+  private val heavyHitters = Q(
+    "qa_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val K = 64
+      val tokens = fanout(Tables.documents(s, d))
+        .select(explode(split($"text", " ")).as("word"))
+      val sketch = tokens
+        .agg(
+          count(lit(1)).as("n_total"),
+          graft.functions.exprs.misra_gries($"word", K).as("cands"),
+        )
+        .select($"n_total", explode($"cands").as("word"))
+      tokens
+        .join(broadcast(sketch), "word")
+        .groupBy($"word", $"n_total")
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * K > $"n_total")
+        .select($"word", $"cnt")
+        .orderBy($"word")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+           |tot AS (SELECT count(*) AS n_total FROM tokens)
+           |SELECT word, count(*) AS cnt
+           |FROM tokens
+           |GROUP BY word
+           |HAVING count(*) * 64 > (SELECT n_total FROM tot)
+           |ORDER BY word""".stripMargin),
+  )
+
   // Window-function breadth: ranking family + range frames in one
   // query (ntile, percent_rank, cume_dist, lag/lead, RANGE frame sum).
   private val windowVariants = Q(
@@ -547,6 +593,6 @@ object ExtraQueries {
   )
 
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
-    vocab, windowVariants, fuzzy, normalize, recursiveCte, pivotOp,
-    existsSubquery, asofJoin, bloomPrefilter)
+    vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
+    pivotOp, existsSubquery, asofJoin, bloomPrefilter)
 }

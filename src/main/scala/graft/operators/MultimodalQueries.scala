@@ -91,34 +91,111 @@ object Multimodal {
     * CMMException) as often as IOException — and header-declared
     * dimensions are bounded before `read(0)` allocates them.
     */
-  def decodePayload(payload: Array[Byte]): (String, Int, Int, Double) = {
-    if (!looksLikeImage(payload)) return decodeStub(payload)
+  def decodePayload(payload: Array[Byte]): (String, Int, Int, Double) =
+    readGuarded(payload) match {
+      case Some((format, img)) =>
+        val argb = img.getRGB(0, 0)
+        val luma = (((argb >> 16) & 0xff) * 0.299 +
+          ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114) / 255.0
+        (format, img.getWidth, img.getHeight, luma)
+      case None => decodeStub(payload)
+    }
+
+  /** The guarded decode shared by [[decodePayload]] and [[pHashBands]]:
+    * None unless the payload carries an image signature, a registered
+    * reader parses it, and the header-declared dimensions pass the
+    * [[MaxPixelDim]] bound; corrupt containers quarantine on ANY
+    * non-fatal throw (OOM and friends still propagate).
+    */
+  def readGuarded(
+      payload: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
+    if (!looksLikeImage(payload)) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeStub(payload)
+      if (!readers.hasNext) None
       else {
         val reader = readers.next()
         try {
           reader.setInput(iis)
           val format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
           if (reader.getWidth(0) > MaxPixelDim || reader.getHeight(0) > MaxPixelDim)
-            decodeStub(payload)
-          else {
-            val img = reader.read(0)
-            val argb = img.getRGB(0, 0)
-            val luma = (((argb >> 16) & 0xff) * 0.299 +
-              ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114) / 255.0
-            (format, img.getWidth, img.getHeight, luma)
-          }
+            None
+          else Some((format, reader.read(0)))
         } finally reader.dispose()
       }
     } catch {
-      // truncated/corrupt image container: quarantine-style fallback
-      // (OOM and friends still propagate)
-      case scala.util.control.NonFatal(_) => decodeStub(payload)
+      case scala.util.control.NonFatal(_) => None
     } finally if (iis != null) iis.close()
+  }
+
+  /** dHash: deterministic 9×8 average-pool to a luma grid, then one
+    * bit per horizontally-adjacent cell comparison — 64 bits. The pool
+    * is explicit integer-block averaging, NOT Graphics2D scaling,
+    * whose interpolation is platform/toolkit-dependent and would make
+    * the hash non-reproducible across executors.
+    */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val grid = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw
+        val x1 = math.min(math.max(x0 + 1, (gx + 1) * w / gw), w)
+        val y0 = gy * h / gh
+        val y1 = math.min(math.max(y0 + 1, (gy + 1) * h / gh), h)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val argb = img.getRGB(x, y)
+            sum += ((argb >> 16) & 0xff) * 0.299 +
+              ((argb >> 8) & 0xff) * 0.587 + (argb & 0xff) * 0.114
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = sum / math.max(n, 1)
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        bits = (bits << 1) | (if (grid(gy)(gx + 1) > grid(gy)(gx)) 1L else 0L)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** 64-bit perceptual hash as four 16-bit bands (b0 = most
+    * significant). Real images get [[dHash]]; everything else the
+    * md5-derived stub (first 8 digest bytes big-endian), which keeps
+    * text-backed catalogue rows SQL-replayable:
+    * b_i = CAST('0x' || substr(md5(text), 1+4i, 4) AS INT).
+    */
+  def pHashBands(payload: Array[Byte]): Array[Int] = {
+    val h: Long = readGuarded(payload) match {
+      case Some((_, img)) => dHash(img)
+      case None =>
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        ((md5(0) & 0xffL) << 56) | ((md5(1) & 0xffL) << 48) |
+          ((md5(2) & 0xffL) << 40) | ((md5(3) & 0xffL) << 32) |
+          ((md5(4) & 0xffL) << 24) | ((md5(5) & 0xffL) << 16) |
+          ((md5(6) & 0xffL) << 8) | (md5(7) & 0xffL)
+    }
+    Array(((h >>> 48) & 0xffffL).toInt, ((h >>> 32) & 0xffffL).toInt,
+      ((h >>> 16) & 0xffffL).toInt, (h & 0xffffL).toInt)
   }
 
   /** The batch-decode operator: per-partition iteration over typed
@@ -263,5 +340,72 @@ object MultimodalQueries {
            |ORDER BY doc_id, sample_idx""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(metadata, decode, resize, frameSample)
+  // Image near-duplicate candidates via banded perceptual hashing: the
+  // 64-bit pHash (real dHash for decodable images, md5 stub otherwise —
+  // Multimodal.pHashBands) splits into four 16-bit bands; any pair
+  // within hamming ≤ 3 must share at least one EXACT band (pigeonhole:
+  // 3 differing bits cannot touch all 4 bands), so a per-band equi
+  // join finds every near-dup without an all-pairs comparison. The
+  // query reports each candidate pair's exact hamming distance plus
+  // the near-dup verdict; the DuckDB oracle replays it naively
+  // all-pairs, which is identical by the pigeonhole bound. Payload
+  // bytes never shuffle — only (doc_id, 4×int) band rows do, and each
+  // band's equi join hashes on (band_idx, band_val), the same bucketed
+  // shape as the SimHash/MinHash suites.
+  private val phashNearDup = Q(
+    "mm_phash_neardup",
+    (s, d) => {
+      import s.implicits._
+      val bands = Multimodal.asMedia(s, d)
+        .mapPartitions { it =>
+          it.map { r =>
+            val b = Multimodal.pHashBands(r.payload)
+            (r.doc_id, b(0), b(1), b(2), b(3))
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val exploded = bands.select(
+        $"doc_id", $"b0", $"b1", $"b2", $"b3",
+        posexplode(array($"b0", $"b1", $"b2", $"b3"))
+          .as(Seq("band_idx", "band_val")),
+      )
+      val left = exploded.select(
+        $"doc_id".as("doc1"), $"b0".as("a0"), $"b1".as("a1"),
+        $"b2".as("a2"), $"b3".as("a3"), $"band_idx", $"band_val")
+      val right = exploded.select(
+        $"doc_id".as("doc2"), $"b0".as("c0"), $"b1".as("c1"),
+        $"b2".as("c2"), $"b3".as("c3"), $"band_idx", $"band_val")
+      left.join(right, Seq("band_idx", "band_val"))
+        .filter($"doc1" < $"doc2")
+        .select($"doc1", $"doc2",
+          (expr("bit_count(a0 ^ c0)") + expr("bit_count(a1 ^ c1)") +
+            expr("bit_count(a2 ^ c2)") + expr("bit_count(a3 ^ c3)"))
+            .cast("int").as("hamming"))
+        .distinct()
+        .select($"doc1", $"doc2", $"hamming",
+          ($"hamming" <= 3).as("is_near_dup"))
+        .orderBy($"doc1", $"doc2")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
+           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
+           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
+           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
+           |  FROM documents)
+           |SELECT doc1, doc2, hamming, hamming <= 3 AS is_near_dup
+           |FROM (
+           |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           |         CAST(bit_count(xor(a.b0, b.b0)) +
+           |              bit_count(xor(a.b1, b.b1)) +
+           |              bit_count(xor(a.b2, b.b2)) +
+           |              bit_count(xor(a.b3, b.b3)) AS INT) AS hamming,
+           |         (a.b0 = b.b0 OR a.b1 = b.b1 OR
+           |          a.b2 = b.b2 OR a.b3 = b.b3) AS shares_band
+           |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+           |WHERE shares_band
+           |ORDER BY doc1, doc2""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(metadata, decode, resize, frameSample, phashNearDup)
 }

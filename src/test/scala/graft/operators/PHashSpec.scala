@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The perceptual-hash arm of the multimodal suite: the real dHash on
+  * actual decoded pixels (the path the text-backed catalogue rows never
+  * reach), plus the banding bound the mm_phash_neardup join relies on.
+  */
+class PHashSpec extends AnyFunSuite {
+
+  private def png(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 32×32 horizontal gradient: dHash of a gradient is all-ones per
+    * row (each cell strictly brighter than its left neighbor).
+    */
+  private def gradient(): BufferedImage = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = x * 8
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash is deterministic and decodes via the real codec path") {
+    val bytes = png(gradient())
+    val b1 = Multimodal.pHashBands(bytes)
+    val b2 = Multimodal.pHashBands(bytes)
+    assert(b1.toSeq == b2.toSeq)
+    // the gradient's dHash is exactly all-ones: every adjacent-cell
+    // comparison fires — proves the REAL pixel path ran, because the
+    // md5 stub of these bytes is effectively random
+    assert(b1.toSeq == Seq(0xffff, 0xffff, 0xffff, 0xffff))
+  }
+
+  test("small pixel perturbation moves few bits; banding still pairs them") {
+    val base = gradient()
+    val tweaked = gradient()
+    // darken one 9x8-grid cell enough to flip its comparison bit:
+    // cell (gx=4, gy=2) covers x in [14,17), y in [8,12)
+    for (y <- 8 until 12; x <- 14 until 17) tweaked.setRGB(x, y, 0)
+    val h1 = Multimodal.dHash(Multimodal.readGuarded(png(base)).get._2)
+    val h2 = Multimodal.dHash(Multimodal.readGuarded(png(tweaked)).get._2)
+    val d = hamming(h1, h2)
+    assert(d > 0, "perturbation must change the hash")
+    assert(d <= 3, s"local perturbation must stay a near-dup, moved $d bits")
+    // pigeonhole: hamming <= 3 over four 16-bit bands => >= 1 equal band,
+    // so the band join in mm_phash_neardup cannot miss this pair
+    val bands1 = Multimodal.pHashBands(png(base))
+    val bands2 = Multimodal.pHashBands(png(tweaked))
+    assert((0 until 4).exists(i => bands1(i) == bands2(i)))
+  }
+
+  test("non-image payloads use the md5 stub bands (the SQL-replayed arm)") {
+    val payload = "not an image at all".getBytes("UTF-8")
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val expected = (0 until 4).map { i =>
+      ((md5(2 * i) & 0xff) << 8) | (md5(2 * i + 1) & 0xff)
+    }
+    assert(Multimodal.pHashBands(payload).toSeq == expected)
+  }
+}

@@ -247,4 +247,38 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(paraBudget <= 8,
       s"td_paragraph_dedup plans $paraBudget exchanges, budget 8")
   }
+
+  test("round-5 session-2 additions keep their scale shapes") {
+    // qa_heavy_hitters: the exact-refine join must BROADCAST the ≤ k
+    // candidate keys over the token stream — shuffling the tokens to
+    // meet a k-row side would be the exact cost the sketch avoids. The
+    // only SinglePartition exchange allowed is the global sketch
+    // aggregate, whose partials are ≤ k entries per map task.
+    val hhNodes = planOf("qa_heavy_hitters")
+    assert(hhNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "heavy-hitters refine join lost its candidate broadcast")
+    assert(!hhNodes.exists(_.nodeName.contains("NestedLoop")),
+      "heavy-hitters planned a nested-loop join")
+    assert(exchanges(hhNodes) <= 8,
+      s"qa_heavy_hitters plans ${exchanges(hhNodes)} exchanges, budget 8")
+    // ev_cdc_merge: both window frames share the user_id partitioning,
+    // so the whole merge is ONE key shuffle plus the presentation sort.
+    val cdcN = exchanges(planOf("ev_cdc_merge"))
+    assert(cdcN <= 4, s"ev_cdc_merge plans $cdcN exchanges, budget 4")
+    // ev_gaps_islands: hour pre-aggregation, island window, island
+    // groupBy — all on user_id-rooted keys; bounded exchanges.
+    val giN = exchanges(planOf("ev_gaps_islands"))
+    assert(giN <= 6, s"ev_gaps_islands plans $giN exchanges, budget 6")
+    // mm_phash_neardup: the candidate join must stay an equi join on
+    // the (band_idx, band_val) blocking keys — a nested loop would be
+    // the all-pairs comparison the banding exists to avoid.
+    val phNodes = planOf("mm_phash_neardup")
+    assert(!phNodes.exists(_.nodeName.contains("NestedLoop")),
+      "phash candidate join regressed to a nested loop")
+    val phJoins = phNodes
+      .filter(p => p.nodeName.contains("Join"))
+      .map(_.toString).mkString("\n")
+    assert(phJoins.contains("band_val"),
+      s"phash join lost its band blocking key:\n$phJoins")
+  }
 }
