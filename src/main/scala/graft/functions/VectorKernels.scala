@@ -85,6 +85,41 @@ object VectorKernels {
     }
   }
 
+  /** round(1e9 · Σ (a[from+i] − b[i])²) over float vectors,
+    * decimal-exact: each squared difference is computed in DOUBLE
+    * ((x−y) and its square are single IEEE roundings, identical in
+    * both engines), cast to DECIMAL(30,15) with Spark's own cast
+    * semantics, and summed exactly — mirroring the oracle's
+    * `CAST(round(SUM(CAST((x−y)*(x−y) AS DECIMAL(30,15))) * 1e9) AS
+    * BIGINT)`. `from` selects the subvector (product-quantization
+    * subspace); `b`'s length sets the span.
+    */
+  def sqDistE9(a: ArrayData, b: ArrayData, from: Int): Long = {
+    val n = b.numElements()
+    var sum = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val diff = a.getFloat(from + i).toDouble - b.getFloat(i).toDouble
+      sum = sum.add(dec15(diff * diff))
+      i += 1
+    }
+    sum.movePointRight(9).setScale(0, RoundingMode.HALF_UP).longValue()
+  }
+
+  /** Driver-side twin of [[sqDistE9]] on plain arrays (LUT
+    * construction and specs) — same arithmetic, bit for bit.
+    */
+  def sqDistE9Arrays(a: Array[Float], b: Array[Float], from: Int): Long = {
+    var sum = JBigDecimal.ZERO
+    var i = 0
+    while (i < b.length) {
+      val diff = a(from + i).toDouble - b(i).toDouble
+      sum = sum.add(dec15(diff * diff))
+      i += 1
+    }
+    sum.movePointRight(9).setScale(0, RoundingMode.HALF_UP).longValue()
+  }
+
   /** Count of common elements of two ascending-sorted long arrays:
     * O(|A|+|B|) two-pointer merge. Cost depends only on the two
     * documents' own word counts — unlike the round-3 bitset kernel,

@@ -160,6 +160,22 @@ case class CosineApprox(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Decimal-exact scaled squared L2 distance over a float subvector
+  * (see [[VectorKernels.sqDistE9]]) — the product-quantization
+  * subspace/ADC kernel. `from` is a plan-time constant, not a child.
+  */
+case class SqDistE9(left: Expression, right: Expression, from: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistE9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], from)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sqDistE9($a, $b, $from)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistE9 =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id of a float vector (codegen'd; the
   * ±1 plane matrix is the md5-derived constant the oracle replays).
   */
@@ -278,6 +294,8 @@ object exprs {
   def misra_gries(col: Column, k: Int): Column =
     c(MisraGries(e(col), k).toAggregateExpression())
   def cosine_e9(a: Column, b: Column): Column = c(CosineE9(e(a), e(b)))
+  def sq_dist_e9(a: Column, b: Column, from: Int): Column =
+    c(SqDistE9(e(a), e(b), from))
   def cosine_approx(a: Column, b: Column): Column = c(CosineApprox(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))

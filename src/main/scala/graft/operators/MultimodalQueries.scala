@@ -356,11 +356,16 @@ object MultimodalQueries {
     "mm_phash_neardup",
     (s, d) => {
       import s.implicits._
-      val bands = Multimodal.asMedia(s, d)
+      // narrow projection BEFORE the opaque mapPartitions so the scan
+      // prunes to (doc_id, text) — typed MediaRow would drag `source`
+      // through the codec stage for nothing
+      val bands = Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          it.map { r =>
-            val b = Multimodal.pHashBands(r.payload)
-            (r.doc_id, b(0), b(1), b(2), b(3))
+          it.map { case (id, payload) =>
+            val b = Multimodal.pHashBands(payload)
+            (id, b(0), b(1), b(2), b(3))
           }
         }
         .toDF("doc_id", "b0", "b1", "b2", "b3")

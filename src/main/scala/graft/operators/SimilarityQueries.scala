@@ -537,5 +537,102 @@ object SimilarityQueries {
            |LIMIT 10""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfProbe)
+  // Product quantization ADC search — the compressed-domain ANN that
+  // makes 100 TB embedding search feasible: each 64-dim vector is
+  // stored as M=4 one-byte codes (16× compression here; the stored
+  // index never materializes full vectors at query time). The seed
+  // codebook is the first 8 vectors' subvectors — in production the
+  // codebook is a tiny published artifact exactly like the IVF
+  // centroids (Lloyd training is demonstrated there; PQ adds the
+  // complementary compressed-search machinery). Query-time shape:
+  //   1. encode: per subspace, argmin over the 8 literal codes of the
+  //      decimal-exact SqDistE9 kernel — a ZERO-SHUFFLE projection
+  //      (the codebook rides as literals; nothing moves but the scan);
+  //   2. ADC: the query's 4×8 distance look-up table (computed once
+  //      with the SAME kernel on the driver) rides as 4 literal arrays
+  //      indexed by the codes — asymmetric distance is 4 element_at
+  //      calls + 3 adds per row;
+  //   3. shortlist: top-30 by ADC via TakeOrderedAndProject (heaps,
+  //      never a global sort);
+  //   4. exact re-rank: full 64-dim SqDistE9 against the broadcast
+  //      query literal on the 30 survivors → final top-10.
+  // The oracle replays every stage: the LUT is exactly the query row's
+  // own subspace-distance rows, so no separate LUT CTE is needed.
+  private val pqTopK = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.sq_dist_e9
+      val M = 4; val SubDim = 16; val Short = 30
+      val emb = Tables.embeddings(s, d)
+      val cbRows = emb.filter($"vec_id" < 8)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val codebook: Array[Array[Array[Float]]] =
+        Array.tabulate(M, 8)((m, j) =>
+          cbRows(j)._2.slice(m * SubDim, (m + 1) * SubDim))
+      val qe = cbRows.find(_._1 == 0L).get._2
+      val lut: Array[Array[Long]] = Array.tabulate(M, 8)((m, j) =>
+        graft.functions.VectorKernels.sqDistE9Arrays(qe, codebook(m)(j), m * SubDim))
+      def codeCol(m: Int) = array_min(array((0 until 8).map(j =>
+        struct(
+          sq_dist_e9($"embedding", typedLit(codebook(m)(j).toSeq), m * SubDim)
+            .as("d"),
+          lit(j).as("j"))): _*)).getField("j")
+      val adc = (0 until M).map(m =>
+        element_at(typedLit(lut(m).toSeq), codeCol(m) + 1)).reduce(_ + _)
+      graft.util.Cols.fanout(emb)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"embedding", adc.as("adc_e9"))
+        .orderBy($"adc_e9", $"vec_id").limit(Short)
+        .select($"vec_id", $"adc_e9",
+          sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
+        .orderBy($"dist_e9", $"vec_id").limit(10)
+    },
+    Some("""WITH cb AS (
+           |  SELECT vec_id AS j, embedding FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sub AS (
+           |  SELECT e.vec_id, m.m, c.j,
+           |         CAST(round(SUM(CAST(
+           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE)) *
+           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE))
+           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS d_e9
+           |  FROM embeddings e CROSS JOIN cb c, range(0, 4) m(m),
+           |       range(1, 17) t(k)
+           |  GROUP BY e.vec_id, m.m, c.j),
+           |codes AS (
+           |  SELECT vec_id, m, j FROM (
+           |    SELECT vec_id, m, j,
+           |           row_number() OVER (PARTITION BY vec_id, m
+           |                              ORDER BY d_e9, j) AS rn
+           |    FROM sub) WHERE rn = 1),
+           |lut AS (SELECT m, j, d_e9 FROM sub WHERE vec_id = 0),
+           |adc AS (
+           |  SELECT c.vec_id, CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
+           |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+           |  GROUP BY c.vec_id),
+           |short AS (
+           |  SELECT vec_id, adc_e9 FROM adc WHERE vec_id <> 0
+           |  ORDER BY adc_e9, vec_id LIMIT 30),
+           |ex AS (
+           |  SELECT e.vec_id,
+           |         CAST(round(SUM(CAST(
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE)) *
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE))
+           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS dist_e9
+           |  FROM embeddings e JOIN short USING (vec_id), q, range(1, 65) t(k)
+           |  GROUP BY e.vec_id)
+           |SELECT s.vec_id, s.adc_e9, x.dist_e9
+           |FROM short s JOIN ex x USING (vec_id)
+           |ORDER BY x.dist_e9, s.vec_id
+           |LIMIT 10""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfProbe, pqTopK)
 }

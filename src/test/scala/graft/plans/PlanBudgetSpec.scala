@@ -280,5 +280,17 @@ class PlanBudgetSpec extends AnyFunSuite {
       .map(_.toString).mkString("\n")
     assert(phJoins.contains("band_val"),
       s"phash join lost its band blocking key:\n$phJoins")
+    // sim_pq_topk: encode+ADC must stay a pure zero-join projection
+    // over the scan (codebook and LUT ride as literals), with both
+    // top-k stages as TakeOrderedAndProject heaps, never a global
+    // sort. A join or data-scale exchange here means the codebook
+    // stopped being a literal artifact.
+    val pqNodes = planOf("sim_pq_topk")
+    assert(!pqNodes.exists(_.nodeName.contains("Join")),
+      "sim_pq_topk planned a join; codebook/LUT must be literals")
+    assert(pqNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "sim_pq_topk top-k is not a TakeOrderedAndProject")
+    assert(exchanges(pqNodes) <= 3,
+      s"sim_pq_topk plans ${exchanges(pqNodes)} exchanges, budget 3")
   }
 }
