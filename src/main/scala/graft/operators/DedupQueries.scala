@@ -53,7 +53,7 @@ object DedupQueries {
 
   /** Shared oracle CTE chain: documents → shingles → minhash band
     * signatures → LSH candidate pairs. */
-  private val minhashCandidatesCtes = """words AS (
+  private[operators] val minhashCandidatesCtes = """words AS (
     |  SELECT doc_id,
     |         unnest(string_split(text, ' ')) AS word,
     |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
@@ -411,7 +411,7 @@ object DedupQueries {
   // candidate pair mapped to its component's minimum doc id — the
   // "keep one representative per duplicate cluster" step. The oracle
   // rebuilds components with a recursive transitive-closure CTE.
-  private val dedupClusters = Q(
+  private[operators] val dedupClusters = Q(
     "td_dedup_clusters",
     (s, d) => {
       import s.implicits._

@@ -598,5 +598,98 @@ object PipelineQueries {
             |FROM supplier ORDER BY id""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity)
+  // Driver-gated END-TO-END training-data assembly — the LLM-pipeline
+  // dual of pipe_end_to_end: five stages composed in ONE query, each
+  // the exact semantics of its standalone catalogue entry, all
+  // replayed by a single DuckDB oracle:
+  //   S1 exact dedup           (td_exact_dedup: first id per content md5)
+  //   S2 near-dup removal      (td_dedup_clusters: MinHash→LSH→connected
+  //                             components; keep cluster representatives —
+  //                             the full candidate+CC chain runs inside)
+  //   S3 quality filter        (ta_quality_score arithmetic, ≥ 0.5)
+  //   S4 language filter       (labeled lang ∈ {en, es, de})
+  //   S5 weighted source mix   (td_weighted_source_mix stable-hash rates)
+  // Scale shape: S1 shuffles once on the content hash, S2 reuses the
+  // bucketed LSH chain (never all-pairs), S3-S5 are per-row
+  // projections/filters; the stages compose as one linear dataflow
+  // with no stage materializing anything wider than its own keys.
+  private val trainingData = Q(
+    "pipe_training_data",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val exactKeep = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+      val reps = DedupQueries.dedupClusters.fn(s, d)
+        .select($"doc_id".as("cl_doc"), $"cluster_rep")
+      val words = split($"text", " ")
+      val stop = Seq("the", "a", "of", "and", "to")
+      val docBucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+      val srcRate = expr(
+        "CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 50 + 10")
+      docs
+        .withColumn("rn_exact", row_number().over(exactKeep))
+        .join(reps, $"doc_id" === $"cl_doc", "left_outer")
+        .withColumn("n_words", size(words))
+        .withColumn("n_stop",
+          size(filter(words, w => w.isin(stop.map(x => x: Any): _*))))
+        .withColumn("quality",
+          ($"n_stop".cast("double") / $"n_words") * 0.4 +
+            when($"n_words" >= 20 && $"n_words" <= 80, 1.0).otherwise(0.0) * 0.6)
+        .withColumn("rate", srcRate)
+        .filter($"rn_exact" === 1)                                     // S1
+        .filter($"cluster_rep".isNull || $"cluster_rep" === $"doc_id") // S2
+        .filter($"quality" >= 0.5)                                     // S3
+        .filter($"lang".isin("en", "es", "de"))                        // S4
+        .filter(docBucket < $"rate")                                   // S5
+        .select($"doc_id", $"source", $"lang", $"n_words", $"rate")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.minhashCandidatesCtes},
+            |sym AS (
+            |  SELECT doc1, doc2 FROM candidates
+            |  UNION
+            |  SELECT doc2, doc1 FROM candidates),
+            |cnodes AS (SELECT DISTINCT doc1 AS node FROM sym),
+            |reach(src, dst) AS (
+            |  SELECT node, node FROM cnodes
+            |  UNION
+            |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst),
+            |reps AS (
+            |  SELECT src AS doc_id, min(dst) AS cluster_rep
+            |  FROM reach GROUP BY src),
+            |exact AS (
+            |  SELECT doc_id,
+            |         row_number() OVER (PARTITION BY md5(text)
+            |                            ORDER BY doc_id) AS rn_exact
+            |  FROM documents),
+            |qual AS (
+            |  SELECT doc_id,
+            |         len(string_split(text, ' ')) AS n_words,
+            |         len(list_filter(string_split(text, ' '),
+            |             w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+            |  FROM documents)
+            |SELECT d.doc_id, d.source, d.lang,
+            |       CAST(q.n_words AS INT) AS n_words,
+            |       CAST('0x' || substr(md5(d.source), 1, 2) AS BIGINT) % 50 + 10
+            |         AS rate
+            |FROM documents d
+            |JOIN exact e ON e.doc_id = d.doc_id
+            |JOIN qual q ON q.doc_id = d.doc_id
+            |LEFT JOIN reps r ON r.doc_id = d.doc_id
+            |WHERE e.rn_exact = 1
+            |  AND (r.cluster_rep IS NULL OR r.cluster_rep = d.doc_id)
+            |  AND CAST(q.n_stop AS DOUBLE) / q.n_words * 0.4 +
+            |      (CASE WHEN q.n_words BETWEEN 20 AND 80
+            |            THEN 1.0 ELSE 0.0 END) * 0.6 >= 0.5
+            |  AND d.lang IN ('en', 'es', 'de')
+            |  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+            |          AS BIGINT) % 100
+            |      < CAST('0x' || substr(md5(d.source), 1, 2) AS BIGINT) % 50 + 10
+            |ORDER BY d.doc_id""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData)
 }

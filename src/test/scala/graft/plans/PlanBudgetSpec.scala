@@ -292,5 +292,14 @@ class PlanBudgetSpec extends AnyFunSuite {
       "sim_pq_topk top-k is not a TakeOrderedAndProject")
     assert(exchanges(pqNodes) <= 3,
       s"sim_pq_topk plans ${exchanges(pqNodes)} exchanges, budget 3")
+    // pipe_training_data: the composed five-stage assembly must stay
+    // equi-join-only (its S2 stage embeds the full LSH candidate
+    // chain — a nested loop anywhere means a stage regressed to
+    // all-pairs) with a bounded exchange count.
+    val tdNodes = planOf("pipe_training_data")
+    assert(!tdNodes.exists(_.nodeName.contains("NestedLoop")),
+      "pipe_training_data planned a nested-loop join")
+    assert(exchanges(tdNodes) <= 20,
+      s"pipe_training_data plans ${exchanges(tdNodes)} exchanges, budget 20")
   }
 }
