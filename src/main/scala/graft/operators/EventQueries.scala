@@ -779,9 +779,66 @@ object EventQueries {
             |ORDER BY user_id, start_hr""".stripMargin),
   )
 
+  // Time-series resampling with LOCF gap fill: each user's hourly
+  // series is densified over [first active hour, last active hour]
+  // (sequence + explode — a generator, not a shuffle) and missing
+  // hours carry the last observed hourly value forward
+  // (last(ignoreNulls) over an unbounded-preceding row frame). The
+  // window input is the DENSIFIED (user, hour) grid, bounded by
+  // users × span-hours — never raw events; at 100 TB this is the
+  // standard resample shape (one groupBy to hours, one per-key span,
+  // one ordered pass per key).
+  private val gapFill = Q(
+    "ev_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      val perHour = Tables.events(s, d)
+        .groupBy($"user_id", expr(s"ts div $HourNs").as("hr"))
+        .agg(count(lit(1)).as("n_ev"), sum(cents($"value")).as("val_cents"))
+      val slots = perHour
+        .groupBy($"user_id")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slots
+        .join(perHour, Seq("user_id", "hr"), "left_outer")
+        .select(
+          $"user_id", $"hr",
+          coalesce($"n_ev", lit(0L)).as("n_events"),
+          last($"val_cents", ignoreNulls = true).over(w).as("locf_cents"),
+          $"n_ev".isNull.as("is_filled"),
+        )
+        .orderBy($"user_id", $"hr")
+    },
+    Some(s"""WITH per_hour AS (
+            |  SELECT user_id, epoch_ns(ts) // $HourNs AS hr,
+            |         count(*) AS n_ev,
+            |         CAST(sum(${centsSql("value")}) AS BIGINT) AS val_cents
+            |  FROM events GROUP BY user_id, hr),
+            |spans AS (
+            |  SELECT user_id, min(hr) AS h0, max(hr) AS h1
+            |  FROM per_hour GROUP BY user_id),
+            |slots AS (
+            |  SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+            |  FROM spans),
+            |j AS (
+            |  SELECT s.user_id, s.hr, p.n_ev, p.val_cents
+            |  FROM slots s LEFT JOIN per_hour p USING (user_id, hr))
+            |SELECT user_id, hr,
+            |       COALESCE(n_ev, 0) AS n_events,
+            |       last_value(val_cents IGNORE NULLS) OVER (
+            |         PARTITION BY user_id ORDER BY hr
+            |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |         AS locf_cents,
+            |       n_ev IS NULL AS is_filled
+            |FROM j
+            |ORDER BY user_id, hr""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
-      cdcMerge, gapsIslands,
+      cdcMerge, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin)
 }

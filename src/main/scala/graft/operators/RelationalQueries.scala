@@ -573,6 +573,73 @@ object RelationalQueries {
             |ORDER BY l_returnflag""".stripMargin),
   )
 
+  // Approximate quantiles via a mergeable equi-width histogram — the
+  // bounded-memory counterpart of qa_quantile_disc, whose exact answer
+  // sorts every group under a window (the cost a 100 TB pipeline
+  // avoids). 256 fixed bins between the global min/max (one broadcast
+  // scalar agg); per-group bin counts are plain longs, so the sketch
+  // is a partial-aggregable histogram that MERGES by addition — the
+  // quantile-sketch slot next to KMV (distinct), Misra-Gries (heavy
+  // hitters), and the bloom filter (membership). The p-quantile
+  // estimate is the lower edge of the first bin whose cumulative
+  // count reaches ceil(p·n): deterministic, error bounded by one bin
+  // width, identical integer arithmetic in the oracle.
+  private val qHistQuantile = Q(
+    "qa_histogram_quantile",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select($"l_returnflag", cents($"l_extendedprice").as("v"))
+      val bounds = li.agg(min($"v").as("vmin"), max($"v").as("vmax"))
+      val binned = li.crossJoin(broadcast(bounds))
+        .withColumn("w", expr("greatest(CAST(1 AS BIGINT), (vmax - vmin) div 256 + 1)"))
+        .withColumn("bin", expr("(v - vmin) div w"))
+        .groupBy($"l_returnflag", $"vmin", $"w", $"bin")
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"l_returnflag").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy($"l_returnflag")
+      binned
+        .withColumn("cum", sum($"c").over(wcum))
+        .withColumn("n", sum($"c").over(wall))
+        .select($"l_returnflag", $"vmin", $"w", $"bin", $"cum", $"n",
+          explode(typedLit(Seq(500, 950, 990))).as("p_milli"))
+        .filter($"cum" * 1000 >= $"p_milli" * $"n")
+        .groupBy($"l_returnflag", $"p_milli")
+        .agg(
+          min($"bin").as("qbin"),
+          min($"vmin" + $"bin" * $"w").as("q_edge_cents"),
+        )
+        .orderBy($"l_returnflag", $"p_milli")
+    },
+    Some(s"""WITH li AS (
+            |  SELECT l_returnflag, ${centsSql("l_extendedprice")} AS v
+            |  FROM lineitem),
+            |b AS (SELECT min(v) AS vmin, max(v) AS vmax FROM li),
+            |binned AS (
+            |  SELECT l_returnflag, vmin, w, (v - vmin) // w AS bin,
+            |         count(*) AS c
+            |  FROM (SELECT li.l_returnflag, li.v, b.vmin,
+            |               greatest(1, (b.vmax - b.vmin) // 256 + 1) AS w
+            |        FROM li, b)
+            |  GROUP BY l_returnflag, vmin, w, bin),
+            |cum AS (
+            |  SELECT l_returnflag, vmin, w, bin,
+            |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+            |  FROM binned),
+            |px AS (SELECT unnest([500, 950, 990]) AS p_milli)
+            |SELECT l_returnflag, p_milli,
+            |       CAST(min(bin) AS BIGINT) AS qbin,
+            |       CAST(min(vmin + bin * w) AS BIGINT) AS q_edge_cents
+            |FROM cum, px
+            |WHERE cum * 1000 >= p_milli * n
+            |GROUP BY l_returnflag, p_milli
+            |ORDER BY l_returnflag, p_milli""".stripMargin),
+  )
+
   // GROUPING SETS (the general form rollup/cube specialize): one
   // Expand + one hash aggregate — each input row is replicated once
   // per grouping set map-side, so the shuffle stays a single partial
@@ -695,6 +762,6 @@ object RelationalQueries {
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup, qGroupingSets, qQuantiles, qSalted, qKmv,
+    qRollup, qGroupingSets, qQuantiles, qHistQuantile, qSalted, qKmv,
   )
 }

@@ -301,5 +301,22 @@ class PlanBudgetSpec extends AnyFunSuite {
       "pipe_training_data planned a nested-loop join")
     assert(exchanges(tdNodes) <= 20,
       s"pipe_training_data plans ${exchanges(tdNodes)} exchanges, budget 20")
+    // ev_gap_fill: the densify join must stay an equi join on
+    // (user_id, hr); bounded exchanges (hour agg, span agg, join,
+    // window, presentation sort share the user_id-rooted keys).
+    val gfNodes = planOf("ev_gap_fill")
+    assert(!gfNodes.exists(_.nodeName.contains("NestedLoop")),
+      "ev_gap_fill densify join regressed to a nested loop")
+    assert(exchanges(gfNodes) <= 8,
+      s"ev_gap_fill plans ${exchanges(gfNodes)} exchanges, budget 8")
+    // qa_histogram_quantile: the only nested-loop is the 1-row bounds
+    // broadcast (the scalar-subquery shape); everything else is
+    // partial-aggregable histogram counts.
+    val hqNodes = planOf("qa_histogram_quantile")
+    val hqBnlj = hqNodes.filter(_.nodeName.contains("BroadcastNestedLoop"))
+    assert(hqBnlj.size <= 1,
+      s"qa_histogram_quantile has ${hqBnlj.size} BNLJs; only the 1-row bounds cross is allowed")
+    assert(exchanges(hqNodes) <= 8,
+      s"qa_histogram_quantile plans ${exchanges(hqNodes)} exchanges, budget 8")
   }
 }
