@@ -737,6 +737,51 @@ object EventQueries {
             |ORDER BY user_id""".stripMargin),
   )
 
+  // Streaming dual of ev_cdc_merge, DRIVER-GATED: the change log
+  // consumed as a stream with the snapshot maintained as a COMPLETE-
+  // mode keyed aggregation — max_by over the (ts_us, event_id) change
+  // order keeps exactly the last writer per key as batches arrive, the
+  // memory sink holds the CURRENT materialized snapshot after every
+  // micro-batch (the streaming table a lakehouse CDC apply maintains),
+  // and tombstoned keys are filtered on read-out. Same oracle as the
+  // batch query: the final snapshot after the last batch must be
+  // bit-identical to the batch merge.
+  private val cdcStreamParity = Q(
+    "ev_stream_cdc_parity",
+    (s, d) => {
+      import s.implicits._
+      val schema = Tables.events(s, d).schema
+      val streamDir = makeStreamDir(d)
+      try {
+        val snapshot = s.readStream.schema(schema).parquet(streamDir.toString)
+          .select($"user_id", $"event_id", $"event_type",
+            expr("ts div 1000").as("ts_us"), cents($"value").as("value_cents"))
+          .groupBy($"user_id")
+          .agg(
+            max_by(
+              struct($"event_type", $"value_cents", $"ts_us"),
+              struct($"ts_us", $"event_id")).as("last"),
+            count(lit(1)).as("n_changes"),
+          )
+        val sink = "ev_stream_cdc_sink"
+        val q = snapshot.writeStream
+          .outputMode("complete").format("memory").queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .filter($"last.event_type" =!= "error")
+          .select(
+            $"user_id",
+            $"last.event_type".as("last_type"),
+            $"last.value_cents".as("last_value_cents"),
+            $"last.ts_us".as("last_ts_us"),
+            $"n_changes",
+          )
+          .orderBy($"user_id")
+      } finally deleteStreamDir(streamDir)
+    },
+    cdcMerge.oracle, // identical contract: stream snapshot == batch merge
+  )
+
   // Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
   // hours (an hour is active if it has ≥1 event). The hour-minus-
   // row_number difference is constant within a run, so one window pass
@@ -838,7 +883,7 @@ object EventQueries {
 
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
-      cdcMerge, gapsIslands, gapFill,
+      cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin)
 }
