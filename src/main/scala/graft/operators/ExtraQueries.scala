@@ -463,6 +463,73 @@ object ExtraQueries {
            |ORDER BY c_custkey""".stripMargin),
   )
 
+  // LATERAL correlated subquery (Spark 4 ANSI LATERAL): per-nation
+  // top-2 customers by balance — the "top-N per outer row" shape that
+  // decorrelates into a ranked window join. Identical ANSI text runs
+  // on both engines; Spark plans the decorrelated form (rank filter
+  // over a window co-partitioned on the correlation key), never a
+  // per-outer-row rescan, which is what makes LATERAL safe at scale.
+  private val lateralTopN = Q(
+    "qs_lateral_topn",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      s.sql("""SELECT n.n_nationkey, n.n_name, t.c_custkey,
+              |       CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+              |FROM graft_nation n,
+              |     LATERAL (SELECT c_custkey, c_acctbal
+              |              FROM graft_customer c
+              |              WHERE c.c_nationkey = n.n_nationkey
+              |              ORDER BY c_acctbal DESC, c_custkey
+              |              LIMIT 2) t
+              |ORDER BY n.n_nationkey, bal_cents DESC, t.c_custkey""".stripMargin)
+    },
+    Some("""SELECT n.n_nationkey, n.n_name, t.c_custkey,
+           |       CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+           |FROM nation n,
+           |     LATERAL (SELECT c_custkey, c_acctbal
+           |              FROM customer c
+           |              WHERE c.c_nationkey = n.n_nationkey
+           |              ORDER BY c_acctbal DESC, c_custkey
+           |              LIMIT 2) t
+           |ORDER BY n.n_nationkey, bal_cents DESC, t.c_custkey""".stripMargin),
+  )
+
+  // RANGE-frame window over a numeric offset: each order's trailing
+  // 30-day same-customer revenue — the frame is VALUE-bounded (RANGE
+  // BETWEEN 30 PRECEDING on epoch days), not row-bounded, so ties and
+  // gaps in order dates are handled by the frame semantics, not data
+  // luck. Integer day arithmetic keeps both engines exact.
+  private val rangeFrame = Q(
+    "qw_range_frame",
+    (s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy($"day")
+        .rangeBetween(-30, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+            .as("day"),
+          cents($"o_totalprice").as("price_cents"))
+        .select($"o_custkey", $"o_orderkey", $"day",
+          sum($"price_cents").over(w).as("trail30_cents"))
+        .orderBy($"o_custkey", $"day", $"o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey, day,
+            |       CAST(sum(price_cents) OVER (
+            |         PARTITION BY o_custkey ORDER BY day
+            |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+            |         AS trail30_cents
+            |FROM (SELECT o_custkey, o_orderkey,
+            |             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+            |                  AS BIGINT) AS day,
+            |             ${centsSql("o_totalprice")} AS price_cents
+            |      FROM orders)
+            |ORDER BY o_custkey, day, o_orderkey""".stripMargin),
+  )
+
   // Two-table backward AS-OF join (each event picks the latest order
   // of its user at-or-before the event time), built the scalable way:
   // tag + union + one co-partitioned time-ordered window scan, instead
@@ -594,5 +661,6 @@ object ExtraQueries {
 
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
-    pivotOp, existsSubquery, asofJoin, bloomPrefilter)
+    pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
+    bloomPrefilter)
 }
