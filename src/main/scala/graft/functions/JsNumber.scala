@@ -107,4 +107,67 @@ object JsNumber {
     walk(node)
     sb.toString
   }
+
+  /** ECMA-262 `parseInt(string)` (radix unspecified) — the reference
+    * parses ids with bare `parseInt`
+    * (/root/reference/building-inspector.js:102,105), which is
+    * TOLERANT-PREFIX: skip ECMA whitespace, take an optional sign,
+    * auto-detect a `0x`/`0X` hex prefix, then consume the longest
+    * digit run and IGNORE trailing junk — `parseInt("12abc")` is 12
+    * where a SQL cast is NULL/error. No digits → NaN, which this
+    * typed surface maps to null (boxed return so codegen's null check
+    * works).
+    *
+    * Divergence, documented: JS returns a double, so digit runs past
+    * 2^53 lose precision and past Long range can't be represented
+    * here — those return null instead (the reference's ids are tiny;
+    * KernelSpec pins the behavior).
+    */
+  def parseIntJs(s: String): java.lang.Long = {
+    val n = s.length
+    var i = 0
+    // ECMA StrWhiteSpaceChar: TAB LF VT FF CR SP NBSP ZWNBSP + Zs
+    def isWs(c: Char): Boolean =
+      c == '\t' || c == '\n' || c == 0x0b.toChar || c == '\f' ||
+        c == '\r' || c == ' ' || c == 0xa0.toChar || c == 0xfeff.toChar ||
+        Character.getType(c) == Character.SPACE_SEPARATOR
+    while (i < n && isWs(s.charAt(i))) i += 1
+    var neg = false
+    if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+      neg = s.charAt(i) == '-'
+      i += 1
+    }
+    var radix = 10
+    if (i + 1 < n && s.charAt(i) == '0' &&
+        (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
+      radix = 16
+      i += 2
+    }
+    // ASCII-only digit value: JS accepts exactly [0-9a-zA-Z] per
+    // radix — Character.digit would also admit Unicode digits
+    // (Arabic-Indic, fullwidth) that parseInt treats as junk
+    def digitOf(c: Char): Int = {
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'z') c - 'a' + 10
+        else if (c >= 'A' && c <= 'Z') c - 'A' + 10
+        else -1
+      if (d >= 0 && d < radix) d else -1
+    }
+    var v = 0L
+    var digits = 0
+    var overflow = false
+    var cont = true
+    while (cont && i < n) {
+      val d = digitOf(s.charAt(i))
+      if (d < 0) cont = false
+      else {
+        if (v > (Long.MaxValue - d) / radix) overflow = true
+        else v = v * radix + d
+        digits += 1
+        i += 1
+      }
+    }
+    if (digits == 0 || overflow) null else java.lang.Long.valueOf(if (neg) -v else v)
+  }
 }

@@ -3,9 +3,10 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** KMV (k-minimum-values) approximate distinct count as a native
@@ -31,6 +32,14 @@ case class KmvDistinct(
     inputAggBufferOffset: Int = 0,
 ) extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
 
+  // analysis-time contract: hash48 reads the child as UTF8String —
+  // reject non-string arguments at analysis with a named error
+  // instead of ClassCastException mid-task (AbstractDataType is
+  // private[sql], so checkInputDataTypes is the public surface)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct requires a string argument, got ${child.dataType.sql}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType

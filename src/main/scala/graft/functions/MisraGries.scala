@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -41,6 +42,14 @@ case class MisraGries(
 ) extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
   require(k > 0, "MisraGries requires k > 0")
 
+  // analysis-time contract: the update path reads the child as
+  // UTF8String, so a non-string argument must fail analysis with a
+  // named error, not ClassCastException mid-task (AbstractDataType is
+  // private[sql], so checkInputDataTypes is the public surface)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a string argument, got ${child.dataType.sql}")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -96,6 +96,13 @@ object VectorKernels {
     */
   def sqDistE9(a: ArrayData, b: ArrayData, from: Int): Long = {
     val n = b.numElements()
+    // fail fast with a named error instead of an
+    // ArrayIndexOutOfBoundsException deep inside a codegen'd task
+    if (from + n > a.numElements()) {
+      throw new IllegalArgumentException(
+        s"sq_dist_e9: subvector [$from, ${from + n}) out of bounds for " +
+          s"vector of ${a.numElements()} elements")
+    }
     var sum = JBigDecimal.ZERO
     var i = 0
     while (i < n) {

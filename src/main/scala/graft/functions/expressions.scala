@@ -93,6 +93,42 @@ case class StContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JS `parseInt(s)` tolerant-prefix semantics (reference:
+  * `parseInt(map_id)`, building-inspector.js:102,105): "12abc" → 12
+  * where a SQL cast is null. Nullable by design — no leading digits
+  * (JS NaN) maps to null; see [[JsNumber.parseIntJs]].
+  */
+case class JsParseInt(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"js_parse_int requires a string argument, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    JsNumber.parseIntJs(input.toString)
+  // the kernel returns a BOXED Long (null = JS NaN), so the generated
+  // code must null-check the result rather than assign a primitive
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("parsed")
+      s"""
+         |java.lang.Long $boxed = graft.functions.JsNumber.parseIntJs($c.toString());
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): JsParseInt =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin rolling hash of a string: h = (h*31 + c) mod (2^31 - 1)
   * over UTF-16 code units. Document fingerprinting primitive for the
   * training-data pipeline; modulus keeps every intermediate inside a
@@ -286,6 +322,7 @@ object exprs {
   def js_coord_join(coords: Column): Column = c(JsCoordJoin(e(coords)))
   def js_coord_join_raw(rawJson: Column): Column = c(JsCoordJoinRaw(e(rawJson)))
   def base62_encode_hex(hex: Column): Column = c(Base62EncodeHex(e(hex)))
+  def js_parse_int(s: Column): Column = c(JsParseInt(e(s)))
   def st_contains(polygonRings: Column, point: Column): Column =
     c(StContains(e(polygonRings), e(point)))
   def rolling_hash(s: Column): Column = c(RollingHash(e(s)))
@@ -313,6 +350,8 @@ object exprs {
       "js_coord_join_raw", es => JsCoordJoinRaw(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "base62_encode_hex", es => Base62EncodeHex(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "js_parse_int", es => JsParseInt(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "st_contains", es => StContains(es(0), es(1)), "built-in")
   }

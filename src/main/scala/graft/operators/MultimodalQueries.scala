@@ -348,7 +348,11 @@ object MultimodalQueries {
   // join finds every near-dup without an all-pairs comparison. The
   // query reports each candidate pair's exact hamming distance plus
   // the near-dup verdict; the DuckDB oracle replays it naively
-  // all-pairs, which is identical by the pigeonhole bound. Payload
+  // all-pairs, which is identical by the pigeonhole bound. ORACLE
+  // INVARIANT: the oracle replays the md5-stub arm for every row, so
+  // parity requires that no document's UTF-8 bytes decode via
+  // readGuarded — asserted over the gated corpora by PHashSpec
+  // ("no documents-corpus payload decodes as an image"). Payload
   // bytes never shuffle — only (doc_id, 4×int) band rows do, and each
   // band's equi join hashes on (band_idx, band_val), the same bucketed
   // shape as the SimHash/MinHash suites.

@@ -154,6 +154,39 @@ object RelationalQueries {
            |ORDER BY event_id""".stripMargin),
   )
 
+  // F1b — JS parseInt fidelity (SURVEY F1's documented divergence,
+  // reference building-inspector.js:102,105): tolerant-prefix parse
+  // of a string with trailing junk, where a SQL cast returns null.
+  // The messy input is constructed ("<digits>px") so the oracle can
+  // replay the JS semantics by re-extracting the digit prefix — a
+  // plain CAST of the messy string would error in DuckDB, which is
+  // exactly the delta js_parse_int closes.
+  private val f1JsParseInt = Q(
+    "f1_js_parse_int",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.js_parse_int
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          concat(regexp_extract($"props", "\"k\": (\\d+)", 1), lit("px"))
+            .as("messy"),
+        )
+        .select(
+          $"event_id",
+          $"messy",
+          js_parse_int($"messy").as("k_js"),
+        )
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id,
+           |       regexp_extract(props, '"k": (\d+)', 1) || 'px' AS messy,
+           |       CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+           |            AS BIGINT) AS k_js
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+  )
+
   // F2 — guarded string split (empty/null → null, not [""])
   // (reference: consensus_color split, building-inspector.js:120)
   private val f2Split = Q(
@@ -759,7 +792,8 @@ object RelationalQueries {
   )
 
   def all: Seq[Q] = Seq(
-    s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f2Split, f6Filter,
+    s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f1JsParseInt,
+    f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
     qRollup, qGroupingSets, qQuantiles, qHistQuantile, qSalted, qKmv,

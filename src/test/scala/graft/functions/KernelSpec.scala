@@ -30,6 +30,37 @@ class JsNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("parseIntJs matches JS parseInt vectors (node ground truth)") {
+    // node -e '[...].map(s => parseInt(s))' — NaN maps to null here
+    val vectors: Seq[(String, java.lang.Long)] = Seq(
+      "12abc" -> 12L,
+      " 42" -> 42L,
+      "\t\n 7" -> 7L,
+      "+7x" -> 7L,
+      "-13.9" -> -13L,
+      "" -> null,
+      "abc" -> null,
+      "0x1A" -> 26L,
+      "0X10" -> 16L,
+      "0x" -> null,
+      "0xgg" -> null,
+      "12e3" -> 12L, // parseInt stops at 'e' — NOT 12000
+      "  -0x0F" -> -15L,
+      "٣٤" -> null, // Unicode digits are junk to JS parseInt
+      "   99px" -> 99L,
+      "-" -> null,
+      "+." -> null,
+      "0" -> 0L,
+      "007" -> 7L,
+      "9007199254740991end" -> 9007199254740991L,
+    )
+    vectors.foreach { case (s, want) =>
+      assert(JsNumber.parseIntJs(s) == want, s"for '$s'")
+    }
+    // past-Long digit runs: documented null (JS loses precision there)
+    assert(JsNumber.parseIntJs("99999999999999999999999") == null)
+  }
+
   test("join matches JS Array.join(',')") {
     assert(JsNumber.join(Array(-73.975, 40.7115)) == "-73.975,40.7115")
     assert(JsNumber.join(Array(-73.98, 40.71, -73.97, 40.72)) == "-73.98,40.71,-73.97,40.72")

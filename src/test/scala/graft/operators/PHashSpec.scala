@@ -68,4 +68,31 @@ class PHashSpec extends AnyFunSuite {
     }
     assert(Multimodal.pHashBands(payload).toSeq == expected)
   }
+
+  // mm_phash_neardup's oracle replays the md5-stub arm for EVERY row,
+  // while the Spark side would use the real dHash for any payload that
+  // decodes as an image. Oracle parity therefore rests on the corpus
+  // invariant that no document's UTF-8 bytes decode via readGuarded —
+  // assert it over the same corpora the driver gates (sf0.001 specs,
+  // sf0.01 correctness) instead of trusting it by accident.
+  test("no documents-corpus payload decodes as an image (oracle-parity invariant)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("phash-invariant")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = new java.io.File(s"/root/testdata/$sf/documents.parquet")
+      if (dir.exists()) {
+        val decodable = spark.read.parquet(dir.toString)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .filter(r => Multimodal.readGuarded(r._2.getBytes("UTF-8")).isDefined)
+          .count()
+        assert(decodable == 0L,
+          s"$sf: $decodable document payload(s) decode as images — " +
+            "mm_phash_neardup's md5-stub oracle would diverge from the dHash arm")
+      }
+    }
+  }
 }
