@@ -287,8 +287,31 @@ object SimilarityQueries {
         (-$"best.neg_cent").cast("long").as("cent_id"))
   }
 
+  /** Stable-hash training seed: the k corpus vectors with the
+    * smallest (md5(vec_id), vec_id) order, re-numbered 0..k-1 in that
+    * order. Unlike the old `vec_id < 8` seed this needs NO contiguous
+    * id prefix — any corpus with ≥ k vectors seeds deterministically,
+    * and both engines replay the pick (Spark md5 of the utf-8 id
+    * string == DuckDB md5(CAST(vec_id AS VARCHAR))). The seed is a
+    * TakeOrdered(k) — no full sort at scale.
+    */
+  private def stableSeed(
+      emb: org.apache.spark.sql.DataFrame, k: Int): Seq[(Long, Array[Float])] = {
+    import emb.sparkSession.implicits._
+    val rows = emb
+      .select($"vec_id", $"embedding",
+        md5($"vec_id".cast("string").cast("binary")).as("h"))
+      .orderBy($"h", $"vec_id").limit(k)
+      .select($"embedding").collect()
+    require(rows.length == k,
+      s"stable-hash seed needs $k vectors, corpus has only ${rows.length}")
+    rows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getSeq[Float](0).toArray)
+    }.toSeq
+  }
+
   /** Cosine k-means centroids: `iters` Lloyd iterations from the
-    * deterministic first-8 seed. The centroid update keeps the
+    * deterministic [[stableSeed]] of size k. The centroid update keeps the
     * UN-normalized per-dimension sum — cosine is invariant under
     * positive scaling, so the sum IS the mean direction — computed as
     * exact DECIMAL(30,15) aggregates, rounded to a 1e-4 grid, and
@@ -303,14 +326,14 @@ object SimilarityQueries {
     */
   private def lloydCentroids(
       s: org.apache.spark.sql.SparkSession, d: String,
-      iters: Int): Seq[(Long, Array[Float])] = {
+      iters: Int, k: Int): Seq[(Long, Array[Float])] = {
     import s.implicits._
     def toSeq(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
       .select($"vec_id", $"embedding")
       .localCheckpoint() // scanned once per iteration
-    var cents = toSeq(emb.filter($"vec_id" < 8).collect())
+    var cents = stableSeed(emb, k)
     for (_ <- 1 to iters) {
       cents = toSeq(rowLocalAssign(emb, cents)
         .select($"cent_id", posexplode($"embedding").as(Seq("k", "x")))
@@ -339,11 +362,11 @@ object SimilarityQueries {
     * of the index by its consumer count.
     */
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Seq[(Long, Array[Float])]]()
+    (String, Int, Int), Seq[(Long, Array[Float])]]()
   private def trainedCentroids(
       s: org.apache.spark.sql.SparkSession, d: String,
-      iters: Int): Seq[(Long, Array[Float])] =
-    centCache.computeIfAbsent((d, iters), _ => lloydCentroids(s, d, iters))
+      iters: Int, k: Int): Seq[(Long, Array[Float])] =
+    centCache.computeIfAbsent((d, iters, k), _ => lloydCentroids(s, d, iters, k))
 
   /** Bench hooks: the per-JVM memo means catalogue timings for the two
     * IVF queries are ASSIGNMENT-ONLY (the production reading — trained
@@ -354,21 +377,26 @@ object SimilarityQueries {
     * inside rep 1 of whichever IVF query runs first.
     */
   def resetCentroidCache(): Unit = centCache.clear()
-  def trainIvf(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    trainedCentroids(s, d, iters = 2); ()
+  def trainIvf(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 8): Unit = {
+    trainedCentroids(s, d, iters = 2, k = k); ()
   }
 
-  /** DuckDB replay of [[lloydCentroids]] (2 iterations) + the final
-    * cell assignment, shared by the two IVF oracles: seed assign
-    * (float centroids), integer-grid update, re-assign (integer
-    * centroids), second update, assignment against the trained
-    * centroids. c2 is (cent_id, k, ci) long-form; `embedding[c.k]`
-    * pairs each dimension with its centroid component.
+  /** DuckDB replay of [[lloydCentroids]] (2 iterations, k centroids)
+    * + the final cell assignment, shared by the IVF oracles: the
+    * [[stableSeed]] pick, seed assign (float centroids), integer-grid
+    * update, re-assign (integer centroids), second update, assignment
+    * against the trained centroids. c2 is (cent_id, k, ci) long-form;
+    * `embedding[c.k]` pairs each dimension with its centroid
+    * component.
     */
-  private val KmCtes: String =
-    """WITH c0 AS (
-      |  SELECT vec_id AS cent_id, embedding AS ce
-      |  FROM embeddings WHERE vec_id < 8),
+  private def kmCtes(k: Int): String =
+    s"""WITH c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+      |           AS cent_id,
+      |         embedding AS ce
+      |  FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+      |        FROM embeddings ORDER BY h, vec_id LIMIT $k)),""".stripMargin +
+    """
       |s1 AS (
       |  SELECT e.vec_id, c.cent_id,
       |         SUM(CAST(CAST(e.embedding[k] AS DOUBLE) *
@@ -444,19 +472,23 @@ object SimilarityQueries {
   // iterations from the first-8 seed). Assignment is the zero-shuffle
   // [[rowLocalAssign]] projection — one arithmetic pass over the
   // corpus, which is the shape that scales.
-  private val ivfCells = Q(
-    "sim_ivf_cell_assign",
+  private def ivfCellsQ(name: String, k: Int) = Q(
+    name,
     (s, d) => {
       import s.implicits._
-      val cents = trainedCentroids(s, d, iters = 2)
+      val cents = trainedCentroids(s, d, iters = 2, k = k)
       rowLocalAssign(graft.util.Cols.fanout(Tables.embeddings(s, d)), cents)
         .select($"vec_id", $"cent_id".as("cell"))
         .orderBy($"vec_id")
     },
-    Some(KmCtes + """
+    Some(kmCtes(k) + """
            |SELECT vec_id, cell FROM cells
            |ORDER BY vec_id""".stripMargin),
   )
+  private val ivfCells = ivfCellsQ("sim_ivf_cell_assign", 8)
+  // larger-k proof that the training path is k-generic end to end
+  // (seed, Lloyd grid, oracle replay) — not an 8-shaped special case
+  private val ivfCellsK12 = ivfCellsQ("sim_ivf_cell_assign_k12", 12)
 
   // IVF probe: the search half of the inverted-file ANN (cell assign
   // above is the indexing half), over the SAME trained centroids. The
@@ -472,7 +504,7 @@ object SimilarityQueries {
       import s.implicits._
       import graft.functions.exprs.cosine_e9
       val emb = Tables.embeddings(s, d)
-      val cents = trainedCentroids(s, d, iters = 2)
+      val cents = trainedCentroids(s, d, iters = 2, k = 8)
       val centsDf = cents.toDF("cent_id", "ce")
       val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
       // nprobe=2 cells nearest to the query vector (8-row ranking)
@@ -494,7 +526,7 @@ object SimilarityQueries {
         .orderBy($"cosine_e9".desc, $"vec_id")
         .limit(10)
     },
-    Some(KmCtes + """,
+    Some(kmCtes(8) + """,
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |qsums AS (
            |  SELECT c.cent_id,
@@ -558,23 +590,34 @@ object SimilarityQueries {
   //      query literal on the 30 survivors → final top-10.
   // The oracle replays every stage: the LUT is exactly the query row's
   // own subspace-distance rows, so no separate LUT CTE is needed.
-  private val pqTopK = Q(
-    "sim_pq_topk",
+  private def pqTopKQ(name: String, codes: Int) = Q(
+    name,
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.sq_dist_e9
-      val M = 4; val SubDim = 16; val Short = 30
+      val M = 4; val SubDim = 16; val ShortN = 30
       val emb = Tables.embeddings(s, d)
-      val cbRows = emb.filter($"vec_id" < 8)
-        .select($"vec_id", $"embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      // codebook seed: same stable-hash pick as the IVF centroids —
+      // positional index j = 0..codes-1 in (md5(vec_id), vec_id)
+      // order, which the oracle's row_number replays exactly
+      val cbRows = emb
+        .select($"vec_id", $"embedding",
+          md5($"vec_id".cast("string").cast("binary")).as("h"))
+        .orderBy($"h", $"vec_id").limit(codes)
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(cbRows.length == codes,
+        s"$name codebook seed needs $codes vectors, corpus has ${cbRows.length}")
       val codebook: Array[Array[Array[Float]]] =
-        Array.tabulate(M, 8)((m, j) =>
-          cbRows(j)._2.slice(m * SubDim, (m + 1) * SubDim))
-      val qe = cbRows.find(_._1 == 0L).get._2
-      val lut: Array[Array[Long]] = Array.tabulate(M, 8)((m, j) =>
+        Array.tabulate(M, codes)((m, j) =>
+          cbRows(j).slice(m * SubDim, (m + 1) * SubDim))
+      val qRows = emb.filter($"vec_id" === 0).select($"embedding").collect()
+      require(qRows.length == 1,
+        s"$name query vector vec_id=0 missing or duplicated (${qRows.length} rows)")
+      val qe = qRows(0).getSeq[Float](0).toArray
+      val lut: Array[Array[Long]] = Array.tabulate(M, codes)((m, j) =>
         graft.functions.VectorKernels.sqDistE9Arrays(qe, codebook(m)(j), m * SubDim))
-      def codeCol(m: Int) = array_min(array((0 until 8).map(j =>
+      def codeCol(m: Int) = array_min(array((0 until codes).map(j =>
         struct(
           sq_dist_e9($"embedding", typedLit(codebook(m)(j).toSeq), m * SubDim)
             .as("d"),
@@ -584,13 +627,18 @@ object SimilarityQueries {
       graft.util.Cols.fanout(emb)
         .filter($"vec_id" =!= 0)
         .select($"vec_id", $"embedding", adc.as("adc_e9"))
-        .orderBy($"adc_e9", $"vec_id").limit(Short)
+        .orderBy($"adc_e9", $"vec_id").limit(ShortN)
         .select($"vec_id", $"adc_e9",
           sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
         .orderBy($"dist_e9", $"vec_id").limit(10)
     },
-    Some("""WITH cb AS (
-           |  SELECT vec_id AS j, embedding FROM embeddings WHERE vec_id < 8),
+    Some(s"""WITH cb AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+           |           AS j,
+           |         embedding
+           |  FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+           |        FROM embeddings ORDER BY h, vec_id LIMIT $codes)),""".stripMargin +
+      """
            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |sub AS (
            |  SELECT e.vec_id, m.m, c.j,
@@ -632,7 +680,11 @@ object SimilarityQueries {
            |ORDER BY x.dist_e9, s.vec_id
            |LIMIT 10""".stripMargin),
   )
+  private val pqTopK = pqTopKQ("sim_pq_topk", 8)
+  // larger codebook proof that PQ encode/ADC/oracle are codes-generic
+  private val pqTopKC16 = pqTopKQ("sim_pq_topk_c16", 16)
 
   def all: Seq[Q] =
-    Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfProbe, pqTopK)
+    Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
+      ivfProbe, pqTopK, pqTopKC16)
 }
