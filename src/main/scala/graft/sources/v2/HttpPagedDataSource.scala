@@ -1,0 +1,184 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Ingest
+
+/** ENGINE-SIDE paginated HTTP source (SURVEY §2.1 S1; reference
+  * download loop, building-inspector.js:50-83) as a DataSource V2
+  * batch table — one InputPartition PER PAGE, so a 10k-page API lands
+  * through every executor in parallel instead of the reference's
+  * sequential ≤1 page/s driver loop:
+  *
+  *   spark.read.format("http-paged")
+  *     .option("base", "http://host/api/consolidated")  // GET {base}/page/{n}
+  *     .option("pages", 120)                            // optional: known count
+  *     .load()
+  *
+  * → rows (page, ingest_order, feature_json); global ingest order is
+  * (page, ingest_order) — `ingest_order` is the feature's index
+  * WITHIN its page, because a global index would need every earlier
+  * page's count at plan time. Each task GETs its own page with the
+  * reference's resilience policy ([[Ingest.fetch]]: 25 s timeout, 5
+  * retries — building-inspector.js:14-18) and stream-parses the
+  * root-level `features` array; `feature_json` is the compact
+  * re-serialization (field order preserved), the same contract as the
+  * GeoJSON DSv2 reader.
+  *
+  * PAGE-COUNT DISCOVERY: the until-empty-page loop is inherently
+  * sequential, so when `pages` is not given, PLANNING finds the first
+  * empty page E with an exponential probe (1, 2, 4, …) plus binary
+  * search — O(log E) driver-side GETs whose bodies are discarded —
+  * and plans pages 1..E-1. An API that reports its page count (or a
+  * caller that knows it) skips discovery entirely via the `pages`
+  * option. Pages appearing AFTER planning are not read (batch
+  * semantics; re-read or use the landing-dir streaming source for
+  * continuous ingest).
+  *
+  * The driver-side [[Ingest.pagesToNdjson]] loop stays the fidelity
+  * twin (byte-verbatim landing, 1 page/s politeness); this table is
+  * the scale path. `sleepMs` (default 0) throttles per task for APIs
+  * that need politeness even under parallel ingest.
+  */
+class HttpPagedDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "http-paged"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpPagedDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base = Option(properties.get("base")).getOrElse(
+      throw new IllegalArgumentException(
+        "http-paged requires .option(\"base\", url) — pages are GET {base}/page/{n}"))
+    val opts = Ingest.Options(
+      timeoutMs = Option(properties.get("timeoutms")).map(_.toLong).getOrElse(25000L),
+      retries = Option(properties.get("retries")).map(_.toInt).getOrElse(5),
+      pageSleepMs = Option(properties.get("sleepms")).map(_.toLong).getOrElse(0L),
+    )
+    val pages = Option(properties.get("pages")).map(_.toInt)
+    new HttpPagedTable(base, pages, opts)
+  }
+}
+
+object HttpPagedDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("ingest_order", LongType, nullable = false),
+    StructField("feature_json", StringType, nullable = false),
+  ))
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse one page body's root-level `features` array to compact
+    * JSON strings (empty for a missing/empty array — the loop's
+    * termination shape, building-inspector.js:60-63).
+    */
+  def features(body: String): Seq[String] = {
+    val arr = mapper.readTree(body).path("features")
+    if (!arr.isArray) Seq.empty
+    else arr.elements().asScala.map(mapper.writeValueAsString).toSeq
+  }
+
+  /** First empty page via exponential probe + binary search: O(log E)
+    * GETs. Invariant: lo is a known non-empty page (0 = virtual), hi
+    * a known empty one; pages are non-empty exactly on 1..E-1 (the
+    * API contract the reference's until-empty loop assumes).
+    */
+  def findFirstEmptyPage(base: String, o: Ingest.Options): Int = {
+    def isEmpty(page: Int): Boolean =
+      features(Ingest.fetch(s"$base/page/$page", o)).isEmpty
+    var lo = 0 // greatest known non-empty
+    var hi = 1
+    while (!isEmpty(hi)) { lo = hi; hi *= 2 }
+    // binary search in (lo, hi]: first empty page
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (isEmpty(mid)) hi = mid else lo = mid
+    }
+    hi
+  }
+}
+
+private[v2] class HttpPagedTable(
+    base: String, pages: Option[Int], opts: Ingest.Options)
+    extends Table with SupportsRead {
+  override def name(): String = s"http-paged($base)"
+  override def schema(): StructType = HttpPagedDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  /** Discovery runs AT MOST ONCE per table: Spark calls
+    * planInputPartitions more than once for the same scan (once per
+    * physical-plan materialization), and the Table instance is what
+    * the V2 relation pins in the logical plan — so the memo belongs
+    * here, not on the ScanBuilder.
+    */
+  private lazy val resolvedPages: Int = pages.getOrElse(
+    HttpPagedDataSource.findFirstEmptyPage(base, opts) - 1)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = HttpPagedDataSource.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        (1 to resolvedPages)
+          .map(p => HttpPageInputPartition(base, p, opts): InputPartition)
+          .toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new HttpPageReaderFactory
+    }
+}
+
+private[v2] case class HttpPageInputPartition(
+    base: String, page: Int, opts: Ingest.Options) extends InputPartition
+
+private[v2] class HttpPageReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HttpPageInputPartition]
+    new HttpPageReader(p.base, p.page, p.opts)
+  }
+}
+
+/** Fetches ONE page (lazily, on first next()) and emits its features.
+  * The page body lives only as long as the iterator — one page per
+  * task in memory, never the whole dataset.
+  */
+private[v2] class HttpPageReader(base: String, page: Int, opts: Ingest.Options)
+    extends PartitionReader[InternalRow] {
+
+  private var it: Iterator[String] = _
+  private var order = -1L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (it == null) {
+      if (opts.pageSleepMs > 0) Thread.sleep(opts.pageSleepMs)
+      it = HttpPagedDataSource.features(
+        Ingest.fetch(s"$base/page/$page", opts)).iterator
+    }
+    if (!it.hasNext) return false
+    order += 1
+    current = InternalRow(page, order, UTF8String.fromString(it.next()))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
