@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // one dir, or a comma list (SPARK_GRAFT_SF_DIRS) probed in one JVM
+    val sfDirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val noBroadcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
@@ -43,6 +46,19 @@ object SkewProbe {
     if (noBroadcast) {
       builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    // AQE's skew-join split is the production answer to geometric
+    // key concentration, but its default trigger (partition > 256 MB
+    // AND > 5x median) never fires on probe-sized inputs where the
+    // whole hot partition is a few MB. SPARK_GRAFT_SKEWTUNE=1 scales
+    // the thresholds to probe size so the probe demonstrates the SAME
+    // mechanism a 100 TB run gets for free at the default thresholds.
+    if (sys.env.get("SPARK_GRAFT_SKEWTUNE").contains("1")) {
+      builder
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,7 +79,7 @@ object SkewProbe {
 
     def p50(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
 
-    for (name <- names; q <- QueryCatalog.all.find(_.name == name)) {
+    for (sfDir <- sfDirs; name <- names; q <- QueryCatalog.all.find(_.name == name)) {
       // warmup rep pays codegen/scan-listing one-time costs
       q.fn(spark, sfDir).count()
       spark.catalog.clearCache()
@@ -74,13 +90,22 @@ object SkewProbe {
       val stages = stageTasks.synchronized(stageTasks.toMap)
       val all = stages.values.flatten.toSeq
       val worst = stages.maxBy { case (_, ts) => ts.max }
+      // top stages by slowest task: the join stage is the WIDE one
+      // (task count = shuffle partitions); narrow hot stages are scan
+      // parallelism artifacts of single-file probe fixtures, which a
+      // real multi-file/row-group layout splits for free.
+      val top = stages.toSeq.sortBy { case (_, ts) => -ts.max }.take(3)
+        .map { case (id, ts) =>
+          s"""{"stage":$id,"tasks":${ts.size},"max_ms":${ts.max},"p50_ms":${p50(ts.toSeq)}}"""
+        }.mkString("[", ",", "]")
       println(
         s"""{"query":"$name","dir":"$sfDir","no_broadcast":$noBroadcast,""" +
         s""""sec":${math.rint(sec * 1000) / 1000},"tasks":${all.size},""" +
         s""""task_max_ms":${all.max},"task_p50_ms":${p50(all)},""" +
         s""""worst_stage_tasks":${worst._2.size},""" +
         s""""worst_stage_max_ms":${worst._2.max},""" +
-        s""""worst_stage_p50_ms":${p50(worst._2.toSeq)}}""")
+        s""""worst_stage_p50_ms":${p50(worst._2.toSeq)},""" +
+        s""""top_stages":$top}""")
     }
     spark.stop()
   }

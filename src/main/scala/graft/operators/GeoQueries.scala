@@ -198,6 +198,37 @@ object GeoQueries {
       s"""SELECT c_custkey, c_nationkey, px, py,
          |       cx + dx AS kx, cy + dy AS ky
          |FROM (${ptsCellSql(customer)}) CROSS JOIN offs""".stripMargin
+
+    /** Salt factor for the blocked join key (default 1 = off, via
+      * SPARK_GRAFT_SPATIAL_SALT). Geometric concentration — a
+      * "downtown" where the same cells hold far more polygons AND
+      * points than average — skews BOTH sides of the (layer, kx, ky)
+      * key, which is the one shape AQE's skew-join split cannot
+      * repair: OptimizeSkewedJoin splits a skewed partition on one
+      * side and replicates the matching partition of the OTHER side,
+      * so it skips partitions skewed on both (measured on the probe
+      * corpus: downtown sf10 worst-stage max/p50 ~6x with tuned-down
+      * AQE thresholds, unchanged from untuned). Salting is the
+      * standard production answer: polygons replicate under S salts,
+      * each point probes exactly ONE salt (pmod of its key hash), so
+      * every candidate pair still meets exactly once — result sets
+      * are identical for any S — while a hot cell's residual work
+      * spreads over S shuffle keys. Off by default because at S>1 the
+      * build side shuffles S copies; turn it on for corpora with a
+      * known downtown (or pick S per-layer from stats in a planner
+      * pass — out of scope here).
+      */
+    def saltS: Int =
+      sys.props.get("graft.spatial.salt").orElse(sys.env.get("SPARK_GRAFT_SPATIAL_SALT"))
+        .map(_.toInt).filter(_ > 1).getOrElse(1)
+
+    /** Polygons replicated under the S salts ([[saltS]] > 1). */
+    def polysSalted(polys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      polys.withColumn("psalt", explode(typedLit((0 until saltS).toArray)))
+
+    /** Probe rows with their single salt ([[saltS]] > 1). */
+    def probeSalted(probe: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      probe.withColumn("salt", pmod(hash(col("c_custkey")), lit(saltS)))
   }
 
   // J3 — point-in-polygon join: grid-cell blocking (SpatialGrid
@@ -212,12 +243,18 @@ object GeoQueries {
     "j3_spatial_point_in_polygon",
     (s, d) => {
       import s.implicits._
-      val polys = SpatialGrid.withMinCornerCell(SpatialGrid.polysWithRings(s, d))
-      SpatialGrid.probe(s, d)
+      val polys0 = SpatialGrid.withMinCornerCell(SpatialGrid.polysWithRings(s, d))
+      val probe0 = SpatialGrid.probe(s, d)
+      // opt-in both-sides-skew salting; S=1 leaves the plan untouched
+      val salted = SpatialGrid.saltS > 1
+      val polys = if (salted) SpatialGrid.polysSalted(polys0) else polys0
+      val probe = if (salted) SpatialGrid.probeSalted(probe0) else probe0
+      probe
         .join(
           polys,
           $"c_layer" === $"p_layer" &&
             $"kx" === $"pcx" && $"ky" === $"pcy" &&
+            (if (salted) $"salt" === $"psalt" else lit(true)) &&
             $"px" >= $"x0" && $"px" <= $"x1" &&
             $"py" >= $"y0" && $"py" <= $"y1" &&
             st_contains($"rings", array($"px", $"py")),
@@ -405,15 +442,25 @@ object GeoQueries {
       // as the DataFrame j3 — one codepath, two surfaces. The oracle
       // stays UNBLOCKED (j3Spatial.oracle), so a blocking bug in this
       // text hash-mismatches instead of cancelling out.
+      // opt-in both-sides-skew salting, same shape as the DataFrame j3
+      val nSalt = SpatialGrid.saltS
+      val (saltCte, saltPolys, saltCond, saltProbe) =
+        if (nSalt > 1) (
+          s"salts AS (SELECT explode(sequence(0, ${nSalt - 1})) AS psalt),",
+          " CROSS JOIN salts",
+          " AND salt = psalt",
+          s", pmod(hash(c_custkey), $nSalt) AS salt",
+        ) else ("", "", "", "")
       s.sql(s"""
         WITH ${SpatialGrid.gridSql("graft_supplier")},
-        polys AS (${SpatialGrid.polysCellSql("graft_supplier")}),
+        $saltCte
+        polys AS (SELECT * FROM (${SpatialGrid.polysCellSql("graft_supplier")})$saltPolys),
         ${SpatialGrid.offsSql},
-        probe AS (${SpatialGrid.probeSql("graft_customer")})
+        probe AS (SELECT *$saltProbe FROM (${SpatialGrid.probeSql("graft_customer")}))
         SELECT c_custkey, s_suppkey
         FROM probe JOIN polys
           ON c_nationkey = s_nationkey
-         AND kx = pcx AND ky = pcy
+         AND kx = pcx AND ky = pcy$saltCond
          AND px >= x0 AND px <= x1 AND py >= y0 AND py <= y1
          AND st_contains(
                array(array(array(x0, y0), array(x1, y0), array(x1, y1),

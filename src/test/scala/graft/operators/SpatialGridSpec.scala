@@ -79,6 +79,28 @@ class SpatialGridSpec extends AnyFunSuite {
       s"blocked join diverged: ${got.length} vs ${naive.length} rows")
   }
 
+  test("salted join (graft.spatial.salt) is row-identical on both surfaces") {
+    // The both-sides-skew salt replicates polygons under S salts and
+    // routes each point to exactly one — every candidate pair must
+    // still meet exactly once, so any S gives the identical result
+    // set. Checked for both the DataFrame and spark.sql surfaces, and
+    // the salted plan must actually carry the salt equi key.
+    for (name <- Seq("j3_spatial_point_in_polygon", "sql_surface_spatial")) {
+      val q = graft.QueryCatalog.all.find(_.name == name).get
+      val unsalted = q.fn(spark, dir).collect().map(_.toString)
+      try {
+        sys.props("graft.spatial.salt") = "8"
+        val saltedDf = q.fn(spark, dir)
+        val salted = saltedDf.collect().map(_.toString)
+        assert(salted.nonEmpty && salted.sameElements(unsalted),
+          s"$name: salted result diverged (${salted.length} vs ${unsalted.length} rows)")
+        val joins = saltedDf.queryExecution.executedPlan.toString
+        assert(joins.contains("salt"),
+          s"$name: salted plan does not carry the salt key")
+      } finally sys.props.remove("graft.spatial.salt")
+    }
+  }
+
   /** The catalogue's j3 query run against the fixture dir. */
   private def QueryCatalog_j3(s: SparkSession, d: String) =
     graft.QueryCatalog.all.find(_.name == "j3_spatial_point_in_polygon").get.fn(s, d)
