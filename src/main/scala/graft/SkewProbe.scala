@@ -85,7 +85,7 @@ object SkewProbe {
       spark.catalog.clearCache()
       stageTasks.synchronized(stageTasks.clear())
       val t0 = System.nanoTime()
-      q.fn(spark, sfDir).count()
+      val rows = q.fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       val stages = stageTasks.synchronized(stageTasks.toMap)
       val all = stages.values.flatten.toSeq
@@ -100,7 +100,7 @@ object SkewProbe {
         }.mkString("[", ",", "]")
       println(
         s"""{"query":"$name","dir":"$sfDir","no_broadcast":$noBroadcast,""" +
-        s""""sec":${math.rint(sec * 1000) / 1000},"tasks":${all.size},""" +
+        s""""sec":${math.rint(sec * 1000) / 1000},"rows":$rows,"tasks":${all.size},""" +
         s""""task_max_ms":${all.max},"task_p50_ms":${p50(all)},""" +
         s""""worst_stage_tasks":${worst._2.size},""" +
         s""""worst_stage_max_ms":${worst._2.max},""" +

@@ -231,24 +231,44 @@ object DedupQueries {
   )
 
   // SimHash near-duplicate pairs at hamming distance <= 3, found via
-  // BAND BLOCKING: the 60-bit signature splits into 4 bands of 15
-  // bits, and by pigeonhole any pair within hamming 3 agrees exactly
-  // on at least one band — so candidates come from an EQUI-join on
-  // (band, band_value), never an all-pairs scan, and the final
-  // bit_count(xor) filter makes the result exact. The oracle runs the
-  // naive all-pairs formulation, which the pigeonhole theorem makes
-  // identical. Scale: shuffles on the band value (skew bounded by
-  // genuine duplicate clusters, AQE-handled); pairs matching several
-  // bands are deduped before the popcount.
+  /** Band count for [[simhashNearDup]]'s blocking (default 4 → 15-bit
+    * bands over the 60-bit signature). Any B with 60 % B == 0 and
+    * B ≥ 4 keeps the pigeonhole guarantee for hamming ≤ 3 (more
+    * generally ≤ B-1: B-1 differing bits cannot touch all B bands);
+    * raising B widens recall coverage at a candidate cost of
+    * n²·B/2^(60/B), lowering it (min 4) minimizes candidates. Knob:
+    * -Dgraft.simhash.bands / SPARK_GRAFT_SIMHASH_BANDS.
+    */
+  private[operators] def simhashBands: Int = {
+    val b = sys.props.get("graft.simhash.bands")
+      .orElse(sys.env.get("SPARK_GRAFT_SIMHASH_BANDS")).map(_.toInt).getOrElse(4)
+    require(b >= 4 && 60 % b == 0,
+      s"simhash bands $b: need >= 4 (hamming-3 pigeonhole) and a divisor of 60")
+    b
+  }
+
+  // BAND BLOCKING: the 60-bit signature splits into B bands of 60/B
+  // bits (B = simhashBands, default 4×15), and by pigeonhole any pair
+  // within hamming B-1 ⊇ 3 agrees exactly on at least one band — so
+  // candidates come from an EQUI-join on (band, band_value), never an
+  // all-pairs scan, and the final bit_count(xor) filter makes the
+  // result exact. The oracle runs the naive all-pairs formulation,
+  // which the pigeonhole theorem makes identical AT ANY B. Scale:
+  // shuffles on the band value (skew bounded by genuine duplicate
+  // clusters, AQE-handled); pairs matching several bands are deduped
+  // before the popcount.
   private val simhashNearDup = Q(
     "td_simhash_neardup",
     (s, d) => {
       import s.implicits._
+      val nb = simhashBands
+      val wb = 60 / nb
+      val mask = (1L << wb) - 1
       val sigs = simhashDf(s, d).localCheckpoint() // feeds both join sides
       val bands = sigs.select($"doc_id", $"simhash",
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until nb).map(b =>
           struct(lit(b).as("band"),
-            expr(s"shiftright(simhash, ${b * 15}) & 32767").as("bval"))): _*)).as("bb"))
+            expr(s"shiftright(simhash, ${b * wb}) & $mask").as("bval"))): _*)).as("bb"))
         .select($"doc_id", $"simhash", $"bb.band".as("band"), $"bb.bval".as("bval"))
       val lhs = bands.select($"doc_id".as("doc1"), $"simhash".as("h1"), $"band", $"bval")
       val rhs = bands.select($"doc_id".as("doc2"), $"simhash".as("h2"),

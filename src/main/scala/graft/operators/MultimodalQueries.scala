@@ -136,8 +136,24 @@ object Multimodal {
     * whose interpolation is platform/toolkit-dependent and would make
     * the hash non-reproducible across executors.
     */
-  def dHash(img: java.awt.image.BufferedImage): Long = {
-    val gw = 9; val gh = 8
+  def dHash(img: java.awt.image.BufferedImage): Long = dHashN(img, 64) match {
+    case bytes =>
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits = (bits << 8) | (bytes(i) & 0xffL); i += 1 }
+      bits
+  }
+
+  /** Generalized dHash: `totalBits/8` grid rows of 9 pooled cells →
+    * 8 comparison bits per row, streamed MSB-first into a byte array.
+    * totalBits = 64 reproduces [[dHash]] bit-for-bit; 128 doubles the
+    * vertical resolution (16 rows) for the wider production band
+    * geometry. Same explicit integer-block average pooling — no
+    * Graphics2D, reproducible across executors.
+    */
+  def dHashN(img: java.awt.image.BufferedImage, totalBits: Int): Array[Byte] = {
+    require(totalBits % 8 == 0 && totalBits > 0, s"totalBits $totalBits not a multiple of 8")
+    val gw = 9; val gh = totalBits / 8
     val w = img.getWidth; val h = img.getHeight
     val grid = Array.ofDim[Double](gh, gw)
     var gy = 0
@@ -165,38 +181,75 @@ object Multimodal {
       }
       gy += 1
     }
-    var bits = 0L
+    val out = new Array[Byte](gh)
     gy = 0
     while (gy < gh) {
+      var b = 0
       var gx = 0
       while (gx < 8) {
-        bits = (bits << 1) | (if (grid(gy)(gx + 1) > grid(gy)(gx)) 1L else 0L)
+        b = (b << 1) | (if (grid(gy)(gx + 1) > grid(gy)(gx)) 1 else 0)
         gx += 1
       }
+      out(gy) = b.toByte
       gy += 1
     }
-    bits
+    out
+  }
+
+  /** Band geometry for [[pHashBandValues]]: (bands, bitsPerBand).
+    * Default 4×16 over the 64-bit hash — the catalogue/oracle layout.
+    * Production widths raise bitsPerBand (e.g. 4×32 over a 128-bit
+    * hash: md5 has exactly 128 bits for the stub arm, [[dHashN]]
+    * doubles its grid for the image arm), which divides the
+    * uniform-hash candidate rate by 2^16 while keeping the pigeonhole
+    * guarantee (hamming ≤ bands-1 ⊇ threshold 3). Knobs:
+    * -Dgraft.phash.bands / -Dgraft.phash.bits or SPARK_GRAFT_PHASH_*.
+    */
+  def phashGeometry: (Int, Int) = {
+    def knob(prop: String, env: String, dflt: Int): Int =
+      sys.props.get(prop).orElse(sys.env.get(env)).map(_.toInt).getOrElse(dflt)
+    val bands = knob("graft.phash.bands", "SPARK_GRAFT_PHASH_BANDS", 4)
+    val bits = knob("graft.phash.bits", "SPARK_GRAFT_PHASH_BITS", 16)
+    require(bands >= 4, s"bands $bands < 4 cannot pigeonhole hamming <= 3")
+    require(bits >= 1 && bits <= 32, s"bitsPerBand $bits outside 1..32")
+    require(bands * bits <= 128 && (bands * bits) % 8 == 0,
+      s"geometry ${bands}x$bits: total must be <= 128 (md5 stub width) and byte-aligned")
+    (bands, bits)
+  }
+
+  /** Perceptual-hash band values at an arbitrary (bands × bits)
+    * geometry: the bit source is [[dHashN]] for decodable images and
+    * the first bands·bits bits of md5 otherwise; band i is the
+    * MSB-first slice [i·bits, (i+1)·bits). At 4×16 this is bit-exact
+    * with the historical layout (b_i = CAST('0x' || substr(md5(text),
+    * 1+4i, 4) AS INT)), which is what keeps the DuckDB oracle replay
+    * valid at the default geometry.
+    */
+  def pHashBandValues(payload: Array[Byte], bands: Int, bits: Int): Array[Long] = {
+    val total = bands * bits
+    val src: Array[Byte] = readGuarded(payload) match {
+      case Some((_, img)) => dHashN(img, total)
+      case None => java.security.MessageDigest.getInstance("MD5").digest(payload)
+    }
+    def bit(j: Int): Long = (src(j >> 3) >> (7 - (j & 7))) & 1L
+    Array.tabulate(bands) { i =>
+      var v = 0L
+      var j = i * bits
+      val end = j + bits
+      while (j < end) { v = (v << 1) | bit(j); j += 1 }
+      v
+    }
   }
 
   /** 64-bit perceptual hash as four 16-bit bands (b0 = most
-    * significant). Real images get [[dHash]]; everything else the
-    * md5-derived stub (first 8 digest bytes big-endian), which keeps
-    * text-backed catalogue rows SQL-replayable:
+    * significant) — the default-geometry wrapper over
+    * [[pHashBandValues]]. Real images get [[dHash]]; everything else
+    * the md5-derived stub (first 8 digest bytes big-endian), which
+    * keeps text-backed catalogue rows SQL-replayable:
     * b_i = CAST('0x' || substr(md5(text), 1+4i, 4) AS INT).
     */
-  def pHashBands(payload: Array[Byte]): Array[Int] = {
-    val h: Long = readGuarded(payload) match {
-      case Some((_, img)) => dHash(img)
-      case None =>
-        val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
-        ((md5(0) & 0xffL) << 56) | ((md5(1) & 0xffL) << 48) |
-          ((md5(2) & 0xffL) << 40) | ((md5(3) & 0xffL) << 32) |
-          ((md5(4) & 0xffL) << 24) | ((md5(5) & 0xffL) << 16) |
-          ((md5(6) & 0xffL) << 8) | (md5(7) & 0xffL)
-    }
-    Array(((h >>> 48) & 0xffffL).toInt, ((h >>> 32) & 0xffffL).toInt,
-      ((h >>> 16) & 0xffffL).toInt, (h & 0xffffL).toInt)
-  }
+  def pHashBands(payload: Array[Byte]): Array[Int] =
+    pHashBandValues(payload, 4, 16).map(_.toInt)
 
   /** The batch-decode operator: per-partition iteration over typed
     * rows — the real codec initializes its ImageIO machinery once per
@@ -341,11 +394,15 @@ object MultimodalQueries {
   )
 
   // Image near-duplicate candidates via banded perceptual hashing: the
-  // 64-bit pHash (real dHash for decodable images, md5 stub otherwise —
-  // Multimodal.pHashBands) splits into four 16-bit bands; any pair
+  // pHash (real dHash for decodable images, md5 stub otherwise —
+  // Multimodal.pHashBandValues) splits into bands (geometry from
+  // Multimodal.phashGeometry, default 4×16 over 64 bits); any pair
   // within hamming ≤ 3 must share at least one EXACT band (pigeonhole:
-  // 3 differing bits cannot touch all 4 bands), so a per-band equi
-  // join finds every near-dup without an all-pairs comparison. The
+  // 3 differing bits cannot touch all 4+ bands), so a per-band equi
+  // join finds every near-dup without an all-pairs comparison. At the
+  // production geometry (4×32 over the full 128-bit md5/dHashN) the
+  // uniform-hash candidate rate drops by 2^16, making candidates ∝ n
+  // at corpus scale — measured in BASELINE.md round 6. The
   // query reports each candidate pair's exact hamming distance plus
   // the near-dup verdict; the DuckDB oracle replays it naively
   // all-pairs, which is identical by the pigeonhole bound. ORACLE
@@ -360,36 +417,39 @@ object MultimodalQueries {
     "mm_phash_neardup",
     (s, d) => {
       import s.implicits._
+      val (nb, wb) = Multimodal.phashGeometry
       // narrow projection BEFORE the opaque mapPartitions so the scan
       // prunes to (doc_id, text) — typed MediaRow would drag `source`
       // through the codec stage for nothing
+      val bandNames = (0 until nb).map(i => s"b$i")
       val bands = Tables.documents(s, d)
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
-            val b = Multimodal.pHashBands(payload)
-            (id, b(0), b(1), b(2), b(3))
+            (id, Multimodal.pHashBandValues(payload, nb, wb).toSeq)
           }
         }
-        .toDF("doc_id", "b0", "b1", "b2", "b3")
+        .toDF("doc_id", "bvals")
+        .select($"doc_id" +: (0 until nb).map(i => $"bvals"(i).as(s"b$i")): _*)
       val exploded = bands.select(
-        $"doc_id", $"b0", $"b1", $"b2", $"b3",
-        posexplode(array($"b0", $"b1", $"b2", $"b3"))
-          .as(Seq("band_idx", "band_val")),
+        ($"doc_id" +: bandNames.map(col)) :+
+          posexplode(array(bandNames.map(col): _*))
+            .as(Seq("band_idx", "band_val")): _*,
       )
       val left = exploded.select(
-        $"doc_id".as("doc1"), $"b0".as("a0"), $"b1".as("a1"),
-        $"b2".as("a2"), $"b3".as("a3"), $"band_idx", $"band_val")
+        ($"doc_id".as("doc1") +:
+          (0 until nb).map(i => col(s"b$i").as(s"a$i"))) :+
+          $"band_idx" :+ $"band_val": _*)
       val right = exploded.select(
-        $"doc_id".as("doc2"), $"b0".as("c0"), $"b1".as("c1"),
-        $"b2".as("c2"), $"b3".as("c3"), $"band_idx", $"band_val")
+        ($"doc_id".as("doc2") +:
+          (0 until nb).map(i => col(s"b$i").as(s"c$i"))) :+
+          $"band_idx" :+ $"band_val": _*)
       left.join(right, Seq("band_idx", "band_val"))
         .filter($"doc1" < $"doc2")
         .select($"doc1", $"doc2",
-          (expr("bit_count(a0 ^ c0)") + expr("bit_count(a1 ^ c1)") +
-            expr("bit_count(a2 ^ c2)") + expr("bit_count(a3 ^ c3)"))
-            .cast("int").as("hamming"))
+          (0 until nb).map(i => expr(s"bit_count(a$i ^ c$i)"))
+            .reduce(_ + _).cast("int").as("hamming"))
         .distinct()
         .select($"doc1", $"doc2", $"hamming",
           ($"hamming" <= 3).as("is_near_dup"))

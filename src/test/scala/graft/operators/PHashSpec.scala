@@ -69,6 +69,60 @@ class PHashSpec extends AnyFunSuite {
     assert(Multimodal.pHashBands(payload).toSeq == expected)
   }
 
+  test("pHashBandValues at 4x16 is bit-exact with the historical layout") {
+    for (payload <- Seq("plain text".getBytes("UTF-8"), png(gradient()))) {
+      val hist = Multimodal.pHashBands(payload).map(_.toLong)
+      assert(Multimodal.pHashBandValues(payload, 4, 16).toSeq == hist.toSeq)
+    }
+  }
+
+  test("pigeonhole completeness holds at every supported geometry") {
+    // For (bands, bits): flip any <= bands-1 bits of a bands*bits-wide
+    // source; the banded values must still agree on >= 1 band. Checked
+    // exhaustively-ish with a seeded sweep of flip sets at the default
+    // (4x16), the production width (4x32 over full md5), and an
+    // intermediate (8x8).
+    val rnd = new scala.util.Random(42)
+    for ((nb, wb) <- Seq((4, 16), (4, 32), (8, 8))) {
+      val total = nb * wb
+      for (trial <- 0 until 200) {
+        val src = new Array[Byte]((total + 7) / 8)
+        rnd.nextBytes(src)
+        val flipped = src.clone()
+        val nFlips = 1 + rnd.nextInt(3) // hamming 1..3 <= bands-1
+        val positions = rnd.shuffle((0 until total).toList).take(nFlips)
+        for (p <- positions)
+          flipped(p >> 3) = (flipped(p >> 3) ^ (1 << (7 - (p & 7)))).toByte
+        def bandsOf(bytes: Array[Byte]): Seq[Long] = {
+          def bit(j: Int): Long = (bytes(j >> 3) >> (7 - (j & 7))) & 1L
+          (0 until nb).map { i =>
+            var v = 0L
+            for (j <- i * wb until (i + 1) * wb) v = (v << 1) | bit(j)
+            v
+          }
+        }
+        val a = bandsOf(src); val b = bandsOf(flipped)
+        assert((0 until nb).exists(i => a(i) == b(i)),
+          s"geometry ${nb}x$wb trial $trial: hamming $nFlips pair shares no band")
+      }
+    }
+  }
+
+  test("dHashN(_, 128) doubles the grid and stays deterministic") {
+    val bytes = png(gradient())
+    val img = Multimodal.readGuarded(bytes).get._2
+    val h128a = Multimodal.dHashN(img, 128)
+    val h128b = Multimodal.dHashN(img, 128)
+    assert(h128a.length == 16 && h128a.sameElements(h128b))
+    // gradient => every row's comparisons all fire at any vertical
+    // resolution: all 16 bytes are 0xff, same invariant as the 64-bit
+    // arm — proves the pooled-grid generalization kept the semantics
+    assert(h128a.forall(_ == 0xff.toByte))
+    // and the production 4x32 geometry derives from it bit-for-bit
+    val b32 = Multimodal.pHashBandValues(bytes, 4, 32)
+    assert(b32.toSeq == Seq(0xffffffffL, 0xffffffffL, 0xffffffffL, 0xffffffffL))
+  }
+
   // mm_phash_neardup's oracle replays the md5-stub arm for EVERY row,
   // while the Spark side would use the real dHash for any payload that
   // decodes as an image. Oracle parity therefore rests on the corpus

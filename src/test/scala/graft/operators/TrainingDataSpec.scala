@@ -18,6 +18,49 @@ class TrainingDataSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("simhash near-dup result is invariant under the band-count knob") {
+    // Pigeonhole holds at every B >= 4 dividing 60, so the FILTERED
+    // result (hamming <= 3) must be identical — more bands only widen
+    // the candidate set. This is the safety proof for the geometry
+    // knob: a B that broke completeness would LOSE pairs here.
+    val q = DedupQueries.all.find(_.name == "td_simhash_neardup").get
+    val base = q.fn(spark, sf).collect().map(_.toString).toSeq
+    for (b <- Seq(5, 6)) {
+      try {
+        sys.props("graft.simhash.bands") = b.toString
+        val got = q.fn(spark, sf).collect().map(_.toString).toSeq
+        assert(got == base, s"band count $b changed the near-dup result")
+      } finally sys.props.remove("graft.simhash.bands")
+    }
+    // and the guard rejects geometries that cannot pigeonhole
+    intercept[IllegalArgumentException] {
+      try {
+        sys.props("graft.simhash.bands") = "3"
+        q.fn(spark, sf).collect()
+      } finally sys.props.remove("graft.simhash.bands")
+    }
+  }
+
+  test("phash near-dup verdicts at the production width keep every default-width near-dup") {
+    // At 4x32 the hash doubles, so hamming values differ — but a pair
+    // the 64-bit hash calls a near-dup (identical text => identical
+    // md5 prefix) stays a near-dup at 128 bits: identical payloads
+    // hash identically at any width.
+    import org.apache.spark.sql.functions._
+    val q = MultimodalQueries.all.find(_.name == "mm_phash_neardup").get
+    val dupsAt = { () =>
+      q.fn(spark, sf).filter(col("is_near_dup"))
+        .select("doc1", "doc2").collect().map(_.toString).toSet
+    }
+    val d64 = dupsAt()
+    val d128 = try {
+      sys.props("graft.phash.bits") = "32"
+      dupsAt()
+    } finally sys.props.remove("graft.phash.bits")
+    assert(d64.subsetOf(d128) || d64 == d128,
+      s"production width lost near-dups: ${(d64 -- d128).take(5)}")
+  }
+
   test("LSH ANN candidates are genuine same-bucket neighbours with decent recall") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
