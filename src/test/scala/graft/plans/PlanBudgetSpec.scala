@@ -222,6 +222,8 @@ class PlanBudgetSpec extends AnyFunSuite {
       .filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
     assert(containJoins.contains("widx"),
       s"containment join lost its prefix-word key:\n$containJoins")
+    assert(exchanges(containNodes) <= 12,
+      s"td_containment_join plans ${exchanges(containNodes)} exchanges, budget 12")
     // gr_triangle_count: the wedge-close joins must stay equi joins on
     // node ids; the only nested-loops are the three 1-row stat
     // crossJoins at the very top. Verify no nested-loop has a
@@ -246,6 +248,42 @@ class PlanBudgetSpec extends AnyFunSuite {
     val paraBudget = exchanges(planOf("td_paragraph_dedup"))
     assert(paraBudget <= 8,
       s"td_paragraph_dedup plans $paraBudget exchanges, budget 8")
+  }
+
+  test("top-cost-tier queries keep their join shapes (round 6)") {
+    // td_dedup_clusters: the connected-components iteration must stay
+    // equi-join-only on content-hash/cluster ids — a nested loop would
+    // be an all-pairs comparison per iteration; and nothing in it may
+    // funnel the corpus through a SinglePartition exchange.
+    val dcNodes = planOf("td_dedup_clusters")
+    assert(!dcNodes.exists(_.nodeName.contains("NestedLoop")),
+      "td_dedup_clusters regressed to a nested-loop join")
+    val dcSingles = dcNodes.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+    assert(dcSingles.isEmpty,
+      s"td_dedup_clusters has SinglePartition exchanges: $dcSingles")
+    // gr_triangle_count: bounded exchanges on top of its wedge pins
+    // (the sparsification exists to bound the wedge join, and the
+    // exchange count is the cheap proxy that the per-iteration plan
+    // didn't grow an extra data-scale shuffle).
+    assert(exchanges(planOf("gr_triangle_count")) <= 14,
+      s"gr_triangle_count plans ${exchanges(planOf("gr_triangle_count"))} exchanges, budget 14")
+    // mm_phash_neardup stays banded after the geometry
+    // parameterization: candidate join still an equi join carrying the
+    // band keys at a NON-default geometry too.
+    try {
+      sys.props("graft.phash.bits") = "32"
+      val wide = planOf("mm_phash_neardup")
+      assert(!wide.exists(_.nodeName.contains("NestedLoop")),
+        "mm_phash_neardup (4x32) regressed to a nested loop")
+      val wideJoins = wide.filter(_.nodeName.contains("Join"))
+        .map(_.toString).mkString("\n")
+      assert(wideJoins.contains("band_val"),
+        s"mm_phash_neardup (4x32) lost its band blocking key:\n$wideJoins")
+    } finally sys.props.remove("graft.phash.bits")
   }
 
   test("round-5 session-2 additions keep their scale shapes") {
