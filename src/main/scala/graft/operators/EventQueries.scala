@@ -271,6 +271,57 @@ object EventQueries {
     }
   }
 
+  /** Gate-scoped streaming confs, applied around every stream-parity
+    * body and restored after: (1) checkpoint root on tmpfs (/dev/shm)
+    * when present — the offset/commit/state-store logs are pure gate
+    * overhead and fsync-bound on a real disk; each gate gets a fresh
+    * root (no stale-checkpoint resume) deleted recursively on exit;
+    * (2) shuffle partitions pinned to 8 — every stateful operator
+    * runs one state store PER partition PER batch, so the 32-partition
+    * default spends more on store setup than on the bounded fixture's
+    * data (measured 5.1 → 2.5 s on the stream-stream join alone). A
+    * production deployment wants MANY partitions precisely to shard
+    * that state across executors; this pin is gate-fixture economics,
+    * not a scale recommendation.
+    */
+  /** A transient gate-fixture dir on tmpfs when the host has one —
+    * gate parquet/NDJSON/checkpoint I/O is pure overhead on a disk.
+    */
+  private[operators] def gateTempDir(prefix: String): java.nio.file.Path = {
+    val tmpfs = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(tmpfs))
+      java.nio.file.Files.createTempDirectory(tmpfs, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  private[operators] def withStreamGateConfs[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val ckRoot = Some(gateTempDir("graft-ckpt"))
+    val ckKey = "spark.sql.streaming.checkpointLocation"
+    val prevCk = s.conf.getOption(ckKey)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    ckRoot.foreach(p => s.conf.set(ckKey, p.toString))
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
+      ckRoot.foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   private def deleteStreamDir(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val listing = java.nio.file.Files.list(dir)
@@ -281,7 +332,7 @@ object EventQueries {
 
   private val streamParity = Q(
     "ev_stream_tumbling_parity",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       // Batch read first: fixes the nanosAsLong conf and provides the
       // schema the streaming source needs.
@@ -313,7 +364,7 @@ object EventQueries {
   // oracle as the batch `ev_hopping_window`.
   private val hoppingStreamParity = Q(
     "ev_stream_hopping_parity",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val schema = Tables.events(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -355,7 +406,7 @@ object EventQueries {
   // ns//1e6 in the oracle) with a 30-min gap and 10-min watermark.
   private val sessionStreamParity = Q(
     "ev_stream_session_parity",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val schema = Tables.events(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -434,7 +485,7 @@ object EventQueries {
   // first-seen result regardless of batch layout.
   private val dedupStreamParity = Q(
     "ev_stream_dedup_parity",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val schema = Tables.events(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -537,7 +588,7 @@ object EventQueries {
   // 14d) keep every key a full day away from an eviction boundary.
   private val dedupCrossBatch = Q(
     "ev_stream_dedup_xbatch",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val DayMs = 86400000L
       val ev = Tables.events(s, d) // ts: epoch-nanos BIGINT
@@ -631,7 +682,7 @@ object EventQueries {
   // window boundaries cannot drift by a floor.
   private val streamStreamJoin = Q(
     "ev_stream_stream_join",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val schema = Tables.events(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -652,18 +703,11 @@ object EventQueries {
             $"pt" >= $"ct" && $"pt" <= $"ct" + expr("INTERVAL 30 MINUTES"))
         val sink = "ev_stream_stream_sink"
         // A stream-stream join runs FOUR state stores per shuffle
-        // partition; on this bounded gate fixture the 32-partition
-        // default spends ~2x the query's whole runtime on store
-        // setup (measured 5.1 -> 2.5 s at 8). Partition count is
-        // pinned for the gate's fresh checkpoint only and restored —
-        // a production deployment wants MANY partitions precisely to
-        // shard that state across executors.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q =
-          try joined.writeStream
-            .outputMode("append").format("memory").queryName(sink).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // partition (the 32-partition default spent ~2x the query's
+        // runtime on store setup, measured 5.1 -> 2.5 s at 8) — the
+        // partition pin now comes from withStreamGateConfs.
+        val q = joined.writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
         try {
           q.processAllAvailable()
           // single-batch pin, same rationale as the dedup gate: a
@@ -748,7 +792,7 @@ object EventQueries {
   // bit-identical to the batch merge.
   private val cdcStreamParity = Q(
     "ev_stream_cdc_parity",
-    (s, d) => {
+    (s, d) => withStreamGateConfs(s) {
       import s.implicits._
       val schema = Tables.events(s, d).schema
       val streamDir = makeStreamDir(d)

@@ -477,10 +477,10 @@ object PipelineQueries {
     */
   private val ndjsonStream = Q(
     "pipe_ndjson_stream",
-    (s, d) => {
+    (s, d) => EventQueries.withStreamGateConfs(s) {
       import s.implicits._
       val records = pipelineRecords(s, d)
-      val base = java.nio.file.Files.createTempDirectory("graft-ndjson-stream-gate")
+      val base = EventQueries.gateTempDir("graft-ndjson-stream-gate")
       def rm(p: java.nio.file.Path): Unit = {
         if (java.nio.file.Files.isDirectory(p)) {
           val listing = java.nio.file.Files.list(p)
@@ -527,7 +527,7 @@ object PipelineQueries {
     */
   private val geojsonStreamParity = Q(
     "s4_stream_parity",
-    (s, d) => {
+    (s, d) => EventQueries.withStreamGateConfs(s) {
       import s.implicits._
       val rows = Tables.supplier(s, d)
         .select($"s_suppkey", $"s_nationkey".cast("long").as("nk"),
