@@ -72,6 +72,42 @@ class GeoJsonV2Spec extends AnyFunSuite {
     } finally f.delete()
   }
 
+  test("byte-range splits survive multi-byte UTF-8 boundaries and ']' inside strings") {
+    // Adversarial fixture for the splitter: every feature's name is a
+    // long run of 2- and 3-byte UTF-8 sequences (é = C3 A9, 中 = E4 B8
+    // AD) so a 512-byte chunk boundary lands INSIDE a multi-byte
+    // sequence with near-certainty, plus the exact character sequences
+    // a naive resync would mistake for structure: "]}", "]}]", and a
+    // lone "]" — the features-array terminator — inside string values.
+    val n = 60
+    val features = (0 until n).map { i =>
+      val multibyte = ("é中" * 40) + s"]}] $i ] \\\" }]"
+      s"""{"type":"Feature","properties":{"id":"f$i","name":${jsonStr(multibyte)},"idx":$i},""" +
+        s""""geometry":{"type":"Point","coordinates":[${i % 180}.5,40.$i]}}"""
+    }
+    val doc =
+      s"""{"type":"FeatureCollection","features":[${features.mkString(",")}]}"""
+    val f = java.io.File.createTempFile("graft-utf8", ".geojson")
+    try {
+      java.nio.file.Files.writeString(f.toPath, doc)
+      val whole = spark.read.format("geojson").load(f.getPath)
+      val split = spark.read.format("geojson")
+        .option("chunkBytes", "512").load(f.getPath)
+      assert(split.rdd.getNumPartitions > 8,
+        s"fixture too small to force splits: ${split.rdd.getNumPartitions} tasks")
+      val a = whole.orderBy("ingest_order").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      val b = split.orderBy("ingest_order").collect()
+        .map(r => (r.getLong(1), r.getString(2)))
+      assert(a.length == n && b.sameElements(a),
+        s"split parse diverged from whole-file parse: ${b.length} vs ${a.length} rows")
+      // the multi-byte payload round-trips intact through the split
+      // reader (no replacement chars, no truncated sequences)
+      assert(b.forall(_._2.contains("é中")), "multi-byte text corrupted by a split")
+      assert(b.head._2.contains("]}]"), "string-literal ']' content lost")
+    } finally f.delete()
+  }
+
   test("streaming source ingests newly-landed files incrementally, in order") {
     def collection(ids: Seq[Int]): String = {
       val fs = ids.map(i =>
