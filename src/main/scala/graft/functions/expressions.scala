@@ -341,18 +341,55 @@ object exprs {
   def morton_interleave(x: Column, y: Column): Column =
     c(MortonInterleave(e(x), e(y)))
 
+  /** One row per SQL-callable scalar expression: (name, usage,
+    * builder). Single source of truth for BOTH registration surfaces —
+    * the config-time `spark.sql.extensions=graft.plans.GraftExtensions`
+    * hook and the runtime `register(spark)` below — so the two SQL
+    * surfaces cannot drift apart (they had: js_parse_int was
+    * runtime-only; rolling_hash, the cosine kernels, lsh_bucket,
+    * sorted_intersect_count and morton_interleave extensions-only).
+    */
+  val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("js_coord_join",
+      "js_coord_join(array<double>) - ECMAScript Array.join(',')",
+      es => JsCoordJoin(es.head)),
+    ("js_coord_join_raw",
+      "js_coord_join_raw(json) - ECMAScript join over a raw GeoJSON coordinates subtree",
+      es => JsCoordJoinRaw(es.head)),
+    ("base62_encode_hex",
+      "base62_encode_hex(hex) - base-62 encoding of a hex digest",
+      es => Base62EncodeHex(es.head)),
+    ("js_parse_int",
+      "js_parse_int(str) - ECMAScript parseInt: tolerant prefix parse ('12abc' -> 12)",
+      es => JsParseInt(es.head)),
+    ("st_contains",
+      "st_contains(rings, point) - point-in-polygon with holes, boundary-inclusive",
+      es => StContains(es(0), es(1))),
+    ("rolling_hash",
+      "rolling_hash(str) - Karp-Rabin fingerprint mod 2^31-1",
+      es => RollingHash(es.head)),
+    ("cosine_e9",
+      "cosine_e9(array<float>, array<float>) - round(cosine*1e9), decimal-exact",
+      es => CosineE9(es(0), es(1))),
+    ("cosine_approx",
+      "cosine_approx(array<float>, array<float>) - double-precision cosine prefilter",
+      es => CosineApprox(es(0), es(1))),
+    ("lsh_bucket",
+      "lsh_bucket(array<float>) - 6-plane random-hyperplane LSH bucket id",
+      es => LshBucket(es.head)),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays",
+      es => SortedIntersectCount(es(0), es(1))),
+    ("morton_interleave",
+      "morton_interleave(x, y) - Z-order curve key of two non-negative cell coordinates",
+      es => MortonInterleave(es(0), es(1))),
+  )
+
   /** Register the expressions for the `spark.sql` surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "js_coord_join", es => JsCoordJoin(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "js_coord_join_raw", es => JsCoordJoinRaw(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "base62_encode_hex", es => Base62EncodeHex(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "js_parse_int", es => JsParseInt(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "st_contains", es => StContains(es(0), es(1)), "built-in")
+    sqlFunctions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.scalatest.funsuite.AnyFunSuite
 
 /** spark.sql.extensions=graft.plans.GraftExtensions must register the
@@ -51,6 +52,24 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row2.getDouble(1) == 0.0)
       assert(row2.getLong(2) >= 0 && row2.getLong(2) < 64)
       assert(row2.getInt(3) == 2)
+      // Functions previously exposed on only one of the two surfaces
+      val row3 = spark.sql(
+        """SELECT
+          |  js_parse_int('12abc') AS jsi,
+          |  js_coord_join_raw('[-73.25, 40.5]') AS raw,
+          |  morton_interleave(3L, 5L) AS z
+          |""".stripMargin).collect().head
+      assert(row3.getLong(0) == 12L)
+      assert(row3.getString(1) == "-73.25,40.5")
+      assert(row3.getLong(2) == 39L) // interleave(011, 101) = 100111
+      // Every sqlFunctions row resolves through the extensions hook, so
+      // the config-time and runtime registration surfaces cannot drift
+      graft.functions.exprs.sqlFunctions.foreach { case (name, _, _) =>
+        assert(
+          spark.sessionState.functionRegistry
+            .functionExists(FunctionIdentifier(name)),
+          s"extensions hook did not register $name")
+      }
       assert(spark.sessionState.planner.strategies.contains(SpatialJoinStrategy))
     } finally {
       SparkSession.clearActiveSession()
