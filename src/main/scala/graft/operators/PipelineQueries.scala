@@ -477,7 +477,7 @@ object PipelineQueries {
     */
   private val ndjsonStream = Q(
     "pipe_ndjson_stream",
-    (s, d) => EventQueries.withStreamGateConfs(s) {
+    (s, d) => {
       import s.implicits._
       val records = pipelineRecords(s, d)
       val base = EventQueries.gateTempDir("graft-ndjson-stream-gate")
@@ -493,13 +493,19 @@ object PipelineQueries {
       }
       try {
         val fixture = s"$base/records"
+        // Render the fixture OUTSIDE the gate confs: pipelineRecords is
+        // the full batch inspector dataflow and wants the session's
+        // full shuffle parallelism — the 8-partition pin is for the
+        // state-store-bound streaming leg only.
         records.write.parquet(fixture)
         val out = s"$base/out"
-        val q = graft.streaming.StreamingOps.writeNdjsonStream(
-          s.readStream.schema(s.read.parquet(fixture).schema).parquet(fixture),
-          out, s"$base/ckpt")
-        try q.processAllAvailable()
-        finally q.stop()
+        EventQueries.withStreamGateConfs(s) {
+          val q = graft.streaming.StreamingOps.writeNdjsonStream(
+            s.readStream.schema(s.read.parquet(fixture).schema).parquet(fixture),
+            out, s"$base/ckpt")
+          try q.processAllAvailable()
+          finally q.stop()
+        }
         // GATE-ONLY canonicalization: the global sort exists so the
         // byte oracle can hash a deterministic order — a production
         // sink stops at the committed text files above; do not copy
