@@ -925,9 +925,97 @@ object EventQueries {
             |ORDER BY user_id, hr""".stripMargin),
   )
 
+  // ORDERED funnel: signup -> first click AFTER it -> first purchase
+  // AFTER that, per user (the sequence constraint is what distinguishes
+  // a funnel from the type-count pivot above — a purchase before the
+  // click must not count). Three min-aggregates chained by
+  // strictly-later joins, every stage keyed on user_id: at 100 TB one
+  // hash partitioning by user is produced once and reused by all three
+  // aggregations and both left joins (Exchange reuse), so the whole
+  // funnel costs a single shuffle of the events table; nothing is
+  // ordered or windowed, so no per-user sort materializes.
+  private val orderedFunnel = Q(
+    "ev_funnel_steps",
+    (s, d) => {
+      import s.implicits._
+      // All time math in integer MICROseconds: DuckDB stores TIMESTAMP
+      // at us precision, so comparing at ns would tie-break differently
+      // on sub-us neighbors. Dividing FIRST makes both engines see the
+      // same timeline, ties included.
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", expr("ts div 1000").as("ts"))
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t_signup"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t_signup")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select($"user_id", $"t_signup", $"t_click", $"t_purchase",
+          when($"t_purchase".isNotNull, 3)
+            .when($"t_click".isNotNull, 2).otherwise(1).as("steps_completed"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts FROM events),
+           |s1 AS (SELECT user_id, min(ts) AS t_signup
+           |       FROM e WHERE event_type = 'signup' GROUP BY user_id),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           |       FROM e JOIN s1 USING (user_id)
+           |       WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+           |       GROUP BY e.user_id),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           |       FROM e JOIN s2 USING (user_id)
+           |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           |       GROUP BY e.user_id)
+           |SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           |       CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+           |            WHEN s2.t_click IS NOT NULL THEN 2
+           |            ELSE 1 END AS steps_completed
+           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+           |ORDER BY user_id""".stripMargin),
+  )
+
+  // Cohort retention matrix: users bucketed by the epoch-week of their
+  // first signup; each later activity week becomes a (cohort_week,
+  // week_offset) cell counting distinct active users — the standard
+  // retention triangle. One aggregate builds the cohort table, one
+  // distinct-count builds the matrix; both key on user/cohort so the
+  // events shuffle happens once and the distinct is a partial-agg
+  // pipeline, never a collect. Weeks are exact integer ns division
+  // (epoch-aligned, not calendar), replayed by DuckDB verbatim.
+  private val retention = Q(
+    "ev_retention_cohorts",
+    (s, d) => {
+      import s.implicits._
+      val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(expr(s"min(ts) div $WeekNs").as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select($"user_id", $"cohort_week",
+          (expr(s"ts div $WeekNs") - $"cohort_week").as("week_offset"))
+        .filter($"week_offset" >= 0)
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some(s"""WITH c AS (SELECT user_id, min(epoch_ns(ts)) // ${7L * 86400 * 1000 * 1000 * 1000} AS cohort_week
+            |           FROM events WHERE event_type = 'signup' GROUP BY user_id)
+            |SELECT cohort_week,
+            |       (epoch_ns(e.ts) // ${7L * 86400 * 1000 * 1000 * 1000}) - cohort_week AS week_offset,
+            |       count(DISTINCT e.user_id) AS n_users
+            |FROM events e JOIN c USING (user_id)
+            |WHERE (epoch_ns(e.ts) // ${7L * 86400 * 1000 * 1000 * 1000}) - cohort_week >= 0
+            |GROUP BY cohort_week, week_offset
+            |ORDER BY cohort_week, week_offset""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
-      dedupStreamParity, dedupCrossBatch, streamStreamJoin)
+      dedupStreamParity, dedupCrossBatch, streamStreamJoin,
+      orderedFunnel, retention)
 }

@@ -497,8 +497,123 @@ object TextQueries {
            |LIMIT 100""".stripMargin),
   )
 
+  // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, the
+  // MOSS algorithm): hash every word 3-gram, then keep the minimum
+  // hash of each sliding window of 4 consecutive gram hashes. The
+  // selected set is position-independent and guarantees any shared run
+  // of >= k+w-1 = 6 words between two documents contributes at least
+  // one COMMON fingerprint — the property plagiarism/near-dup index
+  // builders rely on — while storing only ~2/(w+1) of all gram hashes.
+  // Everything is per-row higher-order-function work inside whole-stage
+  // codegen (transform/slice/array_min over the words array — no
+  // explode of the gram stream, no shuffle until the final sort), so at
+  // 100 TB this is a map-only pass producing the (doc, fingerprint)
+  // pairs an index or LSH stage groups downstream. The md5-based gram
+  // hash replays bit-identically in the oracle.
+  private val winnow = Q(
+    "ta_winnow_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      val k = 3; val w = 4
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .filter(size($"words") >= k + w - 1)
+        .withColumn("grams",
+          expr(s"""transform(sequence(1, size(words) - ${k - 1}),
+                  |  i -> cast(conv(substr(md5(concat_ws(' ', slice(words, i, $k))), 1, 8), 16, 10) as bigint))""".stripMargin))
+        .withColumn("fps",
+          expr(s"array_distinct(transform(sequence(1, size(grams) - ${w - 1}), j -> array_min(slice(grams, j, $w))))"))
+        .select($"doc_id", explode($"fps").as("fingerprint"))
+        .orderBy($"doc_id", $"fingerprint")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words,
+           |         len(string_split(text, ' ')) AS n
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 6),
+           |h AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, n - 1), i ->
+           |           CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8) AS BIGINT)) AS grams
+           |  FROM g),
+           |m AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(1, len(grams) - 2), j ->
+           |           list_min(grams[j:j+3]))) AS fps
+           |  FROM h)
+           |SELECT doc_id, unnest(fps) AS fingerprint
+           |FROM m
+           |ORDER BY doc_id, fingerprint""".stripMargin),
+  )
+
+  // Sparse tf-idf cosine similarity via a POSTING-LIST self-join — the
+  // inverted-index counterpart of the dense-embedding ANN suite: pairs
+  // are generated only through terms the docs actually share (equi join
+  // on the token, never a cross join), weights are integer centi-idf
+  // (idf_c = 100·N div df — the log-free 1/df idf variant) so dot
+  // products and norms hash-gate exactly; the final cosine is one
+  // IEEE-deterministic double expression over those integers. A
+  // stop-term cutoff drops tokens present in > 90% of the slice — the
+  // standard IR pruning that bounds per-term join fanout at df², which
+  // at 100 TB is THE knob that keeps candidate pairs ~linear (rare
+  // terms dominate under Heaps/Zipf vocabulary growth; this fixed
+  // 31-word corpus caps at df = 80% so the catalogue point exercises
+  // the dense worst case). Top-100 is TakeOrderedAndProject.
+  private val tfidfCosine = Q(
+    "ta_tfidf_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter($"doc_id" < 200)
+      val ndocs = docs.agg(count(lit(1)).as("n"))
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val weights = tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(ndocs))
+        .filter($"df" * 10 <= $"n" * 9)
+        .withColumn("w", expr("tf * ((n * 100) div df)"))
+        .select($"word", $"doc_id", $"w")
+      val norms = weights.groupBy($"doc_id").agg(sum($"w" * $"w").as("norm2"))
+      weights.as("a").join(weights.as("b"), "word")
+        .filter($"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(sum($"a.w" * $"b.w").as("dot"))
+        .join(norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("norm2", "na"), "doc_a")
+        .join(norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("norm2", "nb"), "doc_b")
+        .select($"doc_a", $"doc_b", $"dot",
+          ($"dot".cast("double") / (sqrt($"na") * sqrt($"nb"))).as("cos_sim"))
+        .orderBy($"cos_sim".desc, $"doc_a", $"doc_b")
+        .limit(100)
+    },
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+           |nd AS (SELECT count(*) AS n FROM docs),
+           |tf AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs)
+           |  GROUP BY doc_id, word),
+           |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+           |w AS (
+           |  SELECT word, doc_id, tf * ((n * 100) // df) AS w
+           |  FROM tf JOIN df USING (word) CROSS JOIN nd
+           |  WHERE df * 10 <= n * 9),
+           |norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY doc_id),
+           |dots AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+           |  FROM w a JOIN w b USING (word)
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           |       CAST(dot AS DOUBLE) / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos_sim
+           |FROM dots
+           |JOIN norms na ON na.doc_id = doc_a
+           |JOIN norms nb ON nb.doc_id = doc_b
+           |ORDER BY cos_sim DESC, doc_a, doc_b
+           |LIMIT 100""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
-      invertedPostings, bm25)
+      invertedPostings, bm25, winnow, tfidfCosine)
 }

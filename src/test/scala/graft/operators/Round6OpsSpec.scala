@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-6 catalogue additions: each checked against an
+  * independently-computed naive baseline (plain in-memory Scala over
+  * the same raw rows), so an algorithmic bug fails here with a value
+  * diff, not as an opaque oracle hash mismatch.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q(name: String) =
+    graft.QueryCatalog.all.find(_.name == name).get
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def docs(): Array[(Long, String)] = {
+    import spark.implicits._
+    graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+  }
+
+  // Winnowing re-derived with sliding windows over the word stream:
+  // k=3 grams hashed via the first 8 md5 hex chars, min of each
+  // 4-window, distinct per doc. Also asserts the coverage guarantee
+  // winnowing exists for: two docs sharing a >= 6-word run share a
+  // fingerprint.
+  test("ta_winnow_fingerprint matches an in-memory winnow; shared runs share a fingerprint") {
+    import spark.implicits._
+    def winnow(text: String): Seq[Long] = {
+      val words = text.split(" ", -1).toSeq
+      if (words.length < 6) Seq.empty
+      else {
+        val grams = words.sliding(3).map(g =>
+          java.lang.Long.parseLong(md5hex(g.mkString(" ")).substring(0, 8), 16)).toVector
+        grams.sliding(4).map(_.min).toVector.distinct
+      }
+    }
+    val expected = docs().flatMap { case (id, t) => winnow(t).map(id -> _) }
+      .sortBy(identity).toSeq
+    val got = q("ta_winnow_fingerprint").fn(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.sorted == expected, "winnow fingerprint mismatch")
+
+    // Coverage property on a synthetic pair sharing a 6-word run.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val a = winnow(s"one two three $shared x y z")
+    val b = winnow(s"$shared p q r s t u v")
+    assert(a.toSet.intersect(b.toSet).nonEmpty, "shared 6-word run must share a fingerprint")
+  }
+
+  // Sparse tf-idf cosine re-derived naively: all-pairs over explicit
+  // term maps, integer centi-idf weights, stop-term cutoff at 90% df.
+  test("ta_tfidf_cosine_topk matches a naive all-pairs re-derivation") {
+    import spark.implicits._
+    val slice = docs().filter(_._1 < 200)
+    val n = slice.length.toLong
+    val tf: Map[Long, Map[String, Long]] = slice.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    }.toMap
+    val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val kept = df.filter { case (_, d) => d * 10 <= n * 9 }.keySet
+    val w: Map[Long, Map[String, Long]] = tf.map { case (id, m) =>
+      id -> m.filter(kept contains _._1).map { case (t, f) => t -> f * ((n * 100) / df(t)) }
+    }
+    val norm2 = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+    val ids = slice.map(_._1).sorted
+    val pairs = for {
+      i <- ids; j <- ids if i < j
+      dot = w(i).keySet.intersect(w(j).keySet).toSeq.map(t => w(i)(t) * w(j)(t)).sum
+      if dot > 0
+    } yield (i, j, dot, dot.toDouble / (math.sqrt(norm2(i).toDouble) * math.sqrt(norm2(j).toDouble)))
+    val expected = pairs.sortBy { case (a, b, _, c) => (-c, a, b) }.take(100)
+    val got = q("ta_tfidf_cosine_topk").fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"pair/dot mismatch: $g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-12, s"cosine mismatch: $g vs $e")
+    }
+  }
+
+  private def events(): Array[(Long, String, Long)] = {
+    import spark.implicits._
+    graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts").as[(Long, String, Long)].collect()
+  }
+
+  // Funnel re-derived per user with explicit ordering: first signup,
+  // first click strictly after it, first purchase strictly after that.
+  // The corpus interleaves types freely, so the strictly-after
+  // constraint is exercised (a purchase before the click is ignored).
+  test("ev_funnel_steps matches a per-user ordered re-derivation") {
+    import spark.implicits._
+    val byUser = events().map { case (u, t, ns) => (u, t, ns / 1000) }.groupBy(_._1)
+    val expected = byUser.toSeq.flatMap { case (u, evs) =>
+      val ts = (t: String) => evs.filter(_._2 == t).map(_._3)
+      val signup = ts("signup")
+      if (signup.isEmpty) None
+      else {
+        val t1 = signup.min
+        val t2 = ts("click").filter(_ > t1) match { case a if a.isEmpty => None; case a => Some(a.min) }
+        val t3 = t2.flatMap(c => ts("purchase").filter(_ > c) match { case a if a.isEmpty => None; case a => Some(a.min) })
+        val steps = if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1
+        Some((u, t1, t2, t3, steps))
+      }
+    }.sortBy(_._1)
+    val got = q("ev_funnel_steps").fn(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSeq
+    assert(got == expected, "funnel mismatch")
+  }
+
+  // Hand fixture with every ordering edge worked out by hand: the
+  // sf0.001 corpus is dense enough that all users complete the funnel,
+  // so the strictly-after branches need explicit rows. `ts` is written
+  // as BIGINT nanos directly (the shape Tables.events normalizes to).
+  test("ev_funnel_steps ordering edges: out-of-order events don't count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val us = 1000L // fixture ts is ns; the query works in us
+    Seq(
+      (1L, "signup", 10 * us), (1L, "click", 20 * us), (1L, "purchase", 30 * us), // complete
+      (2L, "signup", 10 * us), (2L, "purchase", 5 * us),                          // purchase pre-signup
+      (2L, "purchase", 15 * us), (2L, "click", 20 * us),                          // purchase pre-click: both ignored
+      (3L, "signup", 10 * us),                                                    // signup only
+      (4L, "click", 5 * us), (4L, "purchase", 6 * us), (4L, "signup", 10 * us),   // all action pre-signup
+      (5L, "click", 1 * us),                                                      // never signed up
+    ).toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val got = q("ev_funnel_steps").fn(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 10L, Some(20L), Some(30L), 3),
+      (2L, 10L, Some(20L), None, 2),
+      (3L, 10L, None, None, 1),
+      (4L, 10L, None, None, 1),
+    ), s"funnel edge-case mismatch: $got")
+  }
+
+  // Retention matrix re-derived from (cohort epoch-week of first
+  // signup) x (distinct active users per later week).
+  test("ev_retention_cohorts matches an in-memory cohort matrix") {
+    import spark.implicits._
+    val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+    val evs = events()
+    val cohort = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, e) => u -> e.map(_._3).min / WeekNs }
+    val cells = evs.flatMap { case (u, _, t) =>
+      cohort.get(u).map(cw => (cw, t / WeekNs - cw, u)).filter(_._2 >= 0)
+    }.distinct
+    val expected = cells.groupBy(c => (c._1, c._2))
+      .map { case ((cw, off), g) => (cw, off, g.map(_._3).distinct.length.toLong) }
+      .toSeq.sortBy(c => (c._1, c._2))
+    val got = q("ev_retention_cohorts").fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected, "retention matrix mismatch")
+  }
+}
