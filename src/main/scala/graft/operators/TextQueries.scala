@@ -574,6 +574,7 @@ object TextQueries {
         .filter($"df" * 10 <= $"n" * 9)
         .withColumn("w", expr("tf * ((n * 100) div df)"))
         .select($"word", $"doc_id", $"w")
+        .localCheckpoint() // feeds norms + BOTH sides of the posting join
       val norms = weights.groupBy($"doc_id").agg(sum($"w" * $"w").as("norm2"))
       weights.as("a").join(weights.as("b"), "word")
         .filter($"a.doc_id" < $"b.doc_id")
