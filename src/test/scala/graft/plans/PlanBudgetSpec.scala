@@ -357,4 +357,44 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(exchanges(hqNodes) <= 8,
       s"qa_histogram_quantile plans ${exchanges(hqNodes)} exchanges, budget 8")
   }
+
+  test("round-6 additions keep their scale shapes") {
+    // ta_winnow_fingerprint: a pure map pass — higher-order functions
+    // over the words array, NO join and NO explode of the gram stream
+    // before the final presentation sort. A join or a second exchange
+    // means the per-row formulation regressed to an exploded one.
+    val wnNodes = planOf("ta_winnow_fingerprint")
+    assert(!wnNodes.exists(_.nodeName.contains("Join")),
+      "winnow planned a join; it must be a per-row map pass")
+    assert(exchanges(wnNodes) <= 2,
+      s"ta_winnow_fingerprint plans ${exchanges(wnNodes)} exchanges, budget 2")
+    // ta_tfidf_cosine_topk: the posting self-join must stay an equi
+    // join on the token (pairs only through shared words — never a
+    // cross of the doc sets), with the top-100 as a heap. The shared
+    // weights table is checkpointed, so the 1-row ndocs cross lives
+    // before the checkpoint cut and no nested loop may appear here.
+    val tcNodes = planOf("ta_tfidf_cosine_topk")
+    assert(!tcNodes.exists(_.nodeName.contains("NestedLoop")),
+      "tfidf posting join regressed to a nested loop")
+    val tcJoins = tcNodes.filter(_.nodeName.contains("Join"))
+      .map(_.toString).mkString("\n")
+    assert(tcJoins.contains("word"),
+      s"tfidf posting join lost its token key:\n$tcJoins")
+    assert(tcNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "tfidf top-100 is not a TakeOrderedAndProject")
+    assert(exchanges(tcNodes) <= 10,
+      s"ta_tfidf_cosine_topk plans ${exchanges(tcNodes)} exchanges, budget 10")
+    // ev_funnel_steps / ev_retention_cohorts: every join keyed on
+    // user_id (equi only — AQE may pick broadcast or sort-merge, both
+    // fine; a nested loop would scan events per user).
+    for ((name, budget) <- Seq("ev_funnel_steps" -> 16, "ev_retention_cohorts" -> 8)) {
+      val nodes = planOf(name)
+      assert(!nodes.exists(_.nodeName.contains("NestedLoop")),
+        s"$name planned a nested-loop join")
+      val joins = nodes.filter(_.nodeName.contains("Join")).map(_.toString).mkString("\n")
+      assert(joins.contains("user_id"), s"$name join lost its user_id key:\n$joins")
+      assert(exchanges(nodes) <= budget,
+        s"$name plans ${exchanges(nodes)} exchanges, budget $budget")
+    }
+  }
 }
