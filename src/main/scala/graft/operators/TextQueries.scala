@@ -514,21 +514,13 @@ object TextQueries {
     "ta_winnow_fingerprint",
     (s, d) => {
       import s.implicits._
-      val k = 3; val w = 4
+      // One codegen'd kernel call per row (WinnowFingerprints); the
+      // equivalent higher-order-function formulation is interpreted
+      // and — if the gram array is a derived column — CollapseProject
+      // inlines the md5 pipeline into every sliding window, O(m²)
+      // hash evaluations per doc (measured 100+ s at sf0.1).
       Tables.documents(s, d)
-        .select($"doc_id", split($"text", " ").as("words"))
-        .filter(size($"words") >= k + w - 1)
-        // The gram array is bound ONCE as a lambda variable (the
-        // singleton-array transform idiom): referencing it as a plain
-        // derived column would let CollapseProject inline the md5
-        // pipeline into every sliding window — O(m²) hash evaluations
-        // per doc (measured 100+ s at sf0.1 for exactly that plan).
-        .withColumn("fps",
-          expr(s"""flatten(transform(
-                  |  array(transform(sequence(1, size(words) - ${k - 1}),
-                  |    i -> cast(conv(substr(md5(concat_ws(' ', slice(words, i, $k))), 1, 8), 16, 10) as bigint))),
-                  |  g -> array_distinct(transform(sequence(1, size(g) - ${w - 1}), j -> array_min(slice(g, j, $w))))))""".stripMargin))
-        .select($"doc_id", explode($"fps").as("fingerprint"))
+        .select($"doc_id", explode(winnow_fingerprints($"text", 3, 4)).as("fingerprint"))
         .orderBy($"doc_id", $"fingerprint")
     },
     Some("""WITH g AS (
