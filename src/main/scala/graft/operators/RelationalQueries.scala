@@ -750,8 +750,9 @@ object RelationalQueries {
   )
 
   // Custom KMV sketch vs exact distinct: the md5-based k-minimum-values
-  // estimator is fully replayable in SQL (unlike HLL), so even the
-  // APPROXIMATE answer is oracle-checked exactly.
+  // estimator is fully replayable in SQL, so even the APPROXIMATE
+  // answer is oracle-checked exactly. (qa_hll_distinct_sketch below
+  // replays HyperLogLog the same way via integer-only register math.)
   private val qKmv = Q(
     "qa_kmv_distinct_sketch",
     (s, d) => {
@@ -791,11 +792,102 @@ object RelationalQueries {
            |ORDER BY r.g""".stripMargin),
   )
 
+  // HYPERLOGLOG distinct sketch, oracle-replayed exactly: md5-derived
+  // 48-bit hash split into an 8-bit register index and a 40-bit
+  // suffix; the leading-zero rank comes from an integer CASE ladder
+  // (floor-log2 by successive shifts — no floating log, so both
+  // engines agree bit-for-bit), registers keep max(rank), and the
+  // harmonic sum is computed as exact integers 2^(41-rank) (upper
+  // bound 256·2^41 < 2^63) with ONE final IEEE division producing
+  // the estimate. Scale story: the register table is the mergeable
+  // summary — the groupBy (group, register) partial-aggregates
+  // map-side to ≤ m=256 rows per group per task regardless of input
+  // size, exactly the property that makes HLL the industry-standard
+  // distinct counter at 100 TB (KMV above ships k rows; HLL ships m
+  // 6-bit registers and unions by max). No small-range linear-counting
+  // branch: that correction needs ln(), which is not
+  // correctly-rounded-guaranteed across engines — the raw estimator
+  // is the oracle-stable choice and its error is the documented
+  // 1.04/√m ≈ 6.5% at m=256 — and m=256 keeps every gate scale
+  // (≥1081 distinct orderkeys per flag at sf0.001) above the 2.5·m
+  // small-range threshold where the raw estimator is unbiased.
+  private val qHll = Q(
+    "qa_hll_distinct_sketch",
+    (s, d) => {
+      import s.implicits._
+      val ranked = Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 12), 16, 10) AS BIGINT)").as("h"))
+        .withColumn("reg", expr("h % 256"))
+        .withColumn("w", expr("h div 256"))
+        .withColumn("a5", expr("CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END"))
+        .withColumn("v5", expr("CASE WHEN w >= 4294967296 THEN w div 4294967296 ELSE w END"))
+        .withColumn("a4", expr("CASE WHEN v5 >= 65536 THEN 16 ELSE 0 END"))
+        .withColumn("v4", expr("CASE WHEN v5 >= 65536 THEN v5 div 65536 ELSE v5 END"))
+        .withColumn("a3", expr("CASE WHEN v4 >= 256 THEN 8 ELSE 0 END"))
+        .withColumn("v3", expr("CASE WHEN v4 >= 256 THEN v4 div 256 ELSE v4 END"))
+        .withColumn("a2", expr("CASE WHEN v3 >= 16 THEN 4 ELSE 0 END"))
+        .withColumn("v2", expr("CASE WHEN v3 >= 16 THEN v3 div 16 ELSE v3 END"))
+        .withColumn("a1", expr("CASE WHEN v2 >= 4 THEN 2 ELSE 0 END"))
+        .withColumn("v1", expr("CASE WHEN v2 >= 4 THEN v2 div 4 ELSE v2 END"))
+        .withColumn("rnk", expr(
+          "CASE WHEN w = 0 THEN 41 ELSE 40 - (a5 + a4 + a3 + a2 + a1 + CASE WHEN v1 >= 2 THEN 1 ELSE 0 END) END"))
+      val regs = ranked.groupBy($"l_returnflag", $"reg")
+        .agg(max($"rnk").as("mr"))
+      val sketch = regs.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("np"),
+          sum(expr("shiftright(2199023255552, CAST(mr AS INT))")).as("sp"))
+        .withColumn("approx_orders_hll", expr(
+          "CAST(floor((0.7213 / (1 + 1.079 / 256)) * 65536 * 2199023255552 / (sp + (256 - np) * 2199023255552)) AS BIGINT)"))
+      val exact = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("exact_orders"))
+      sketch.join(exact, "l_returnflag")
+        .select($"l_returnflag", $"approx_orders_hll", $"exact_orders")
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH h AS (
+           |  SELECT l_returnflag AS g,
+           |         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)
+           |              AS BIGINT) AS h
+           |  FROM lineitem),
+           |b AS (SELECT g, h % 256 AS reg, h // 256 AS w FROM h),
+           |r5 AS (SELECT g, reg, w,
+           |              CASE WHEN w >= 4294967296 THEN 32 ELSE 0 END AS a5,
+           |              CASE WHEN w >= 4294967296 THEN w // 4294967296 ELSE w END AS v5
+           |       FROM b),
+           |r4 AS (SELECT *, CASE WHEN v5 >= 65536 THEN 16 ELSE 0 END AS a4,
+           |              CASE WHEN v5 >= 65536 THEN v5 // 65536 ELSE v5 END AS v4 FROM r5),
+           |r3 AS (SELECT *, CASE WHEN v4 >= 256 THEN 8 ELSE 0 END AS a3,
+           |              CASE WHEN v4 >= 256 THEN v4 // 256 ELSE v4 END AS v3 FROM r4),
+           |r2 AS (SELECT *, CASE WHEN v3 >= 16 THEN 4 ELSE 0 END AS a2,
+           |              CASE WHEN v3 >= 16 THEN v3 // 16 ELSE v3 END AS v2 FROM r3),
+           |r1 AS (SELECT *, CASE WHEN v2 >= 4 THEN 2 ELSE 0 END AS a1,
+           |              CASE WHEN v2 >= 4 THEN v2 // 4 ELSE v2 END AS v1 FROM r2),
+           |rk AS (SELECT g, reg,
+           |              CASE WHEN w = 0 THEN 41
+           |                   ELSE 40 - (a5 + a4 + a3 + a2 + a1 +
+           |                              CASE WHEN v1 >= 2 THEN 1 ELSE 0 END) END AS rnk
+           |       FROM r1),
+           |regs AS (SELECT g, reg, max(rnk) AS mr FROM rk GROUP BY g, reg),
+           |s AS (SELECT g, count(*) AS np,
+           |             CAST(sum(2199023255552 >> mr) AS BIGINT) AS sp
+           |      FROM regs GROUP BY g),
+           |x AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS exact_orders
+           |      FROM lineitem GROUP BY 1)
+           |SELECT s.g AS l_returnflag,
+           |       CAST(floor((0.7213 / (1 + 1.079 / 256)) * 65536 * 2199023255552
+           |            / (sp + (256 - np) * 2199023255552)) AS BIGINT) AS approx_orders_hll,
+           |       x.exact_orders
+           |FROM s JOIN x ON s.g = x.g
+           |ORDER BY l_returnflag""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f1JsParseInt,
     f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
-    qRollup, qGroupingSets, qQuantiles, qHistQuantile, qSalted, qKmv,
+    qRollup, qGroupingSets, qQuantiles, qHistQuantile, qSalted, qKmv, qHll,
   )
 }

@@ -150,6 +150,45 @@ class Round6OpsSpec extends AnyFunSuite {
     ), s"funnel edge-case mismatch: $got")
   }
 
+  // HyperLogLog re-derived with BigInt/Long arithmetic straight from
+  // the definition (48-bit md5 hash, p=10 registers, leading-zero
+  // rank via Java numberOfLeadingZeros, integer harmonic sum) — an
+  // independent path that catches a ladder or scaling bug as a value
+  // diff. Also pins the estimator's documented accuracy on real data.
+  test("qa_hll_distinct_sketch matches a from-definition re-derivation; error within 4 sigma") {
+    import spark.implicits._
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_orderkey".cast("string"))
+      .as[(String, String)].collect()
+    val expected = rows.groupBy(_._1).toSeq.map { case (g, rs) =>
+      val regs = new Array[Int](256)
+      rs.foreach { case (_, ok) =>
+        val h = java.lang.Long.parseLong(md5hex(ok).substring(0, 12), 16)
+        val reg = (h % 256).toInt
+        val w = h / 256
+        // 40-bit suffix: leading zeros within the field + 1
+        val rank = if (w == 0) 41 else java.lang.Long.numberOfLeadingZeros(w) - 24 + 1
+        if (rank > regs(reg)) regs(reg) = rank
+      }
+      val sum = regs.map(r => 2199023255552L >> r).sum
+      val est = math.floor(
+        (0.7213 / (1 + 1.079 / 256)) * 65536 * 2199023255552L.toDouble / sum).toLong
+      val exact = rs.map(_._2).distinct.size.toLong
+      (g, est, exact)
+    }.sortBy(_._1)
+    val got = q("qa_hll_distinct_sketch").fn(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected, s"HLL mismatch: $got vs $expected")
+    // All gate scales sit above the 2.5m small-range threshold, so the
+    // raw estimator is unbiased and 4·(1.04/√m) bounds the error.
+    got.foreach { case (g, est, exact) =>
+      assert(exact > 640, s"group $g: exact $exact below 2.5m — wrong regime for this entry")
+      val sigma = 1.04 / math.sqrt(256)
+      assert(math.abs(est - exact) <= 4 * sigma * exact,
+        s"group $g: estimate $est vs exact $exact outside 4 sigma")
+    }
+  }
+
   // Retention matrix re-derived from (cohort epoch-week of first
   // signup) x (distinct active users per later week).
   test("ev_retention_cohorts matches an in-memory cohort matrix") {
