@@ -560,15 +560,39 @@ object TextQueries {
     "ta_tfidf_cosine_topk",
     (s, d) => {
       import s.implicits._
-      val docs = Tables.documents(s, d).filter($"doc_id" < 200)
+      // Slice bound is a knob (catalogue/oracle default 200) so the
+      // grown-corpus probe can run the UNBOUNDED corpus and measure
+      // the df-cutoff doing its job: -Dgraft.tfidf.maxdoc or
+      // SPARK_GRAFT_TFIDF_MAXDOC.
+      val maxDoc: Long = sys.props.get("graft.tfidf.maxdoc")
+        .orElse(sys.env.get("SPARK_GRAFT_TFIDF_MAXDOC"))
+        .map(_.toLong).getOrElse(200L)
+      val docs = Tables.documents(s, d).filter($"doc_id" < maxDoc)
       val ndocs = docs.agg(count(lit(1)).as("n"))
       val tf = docs
         .select($"doc_id", explode(split($"text", " ")).as("word"))
         .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      // Stop-term cutoff percent (default 90 = the catalogue/oracle
+      // contract df*100 <= n*90): the production knob. Sparse-cosine
+      // fanout is Σdf², so at real corpus sizes the cutoff drops to a
+      // few percent (classic stop-term pruning) and bounds candidates
+      // by cutoff·n·corpus_tokens — the grown-corpus probe measures
+      // exactly that (BASELINE.md).
+      val dfPct: Long = sys.props.get("graft.tfidf.dfpct")
+        .orElse(sys.env.get("SPARK_GRAFT_TFIDF_DFPCT"))
+        .map(_.toLong).getOrElse(90L)
+      // Absolute posting-length cap (0 = off): the probe showed a
+      // FRACTIONAL cutoff keeps Σdf² superlinear as the corpus grows
+      // (grow_sf1 at df<=5% ran away); production sparse top-k
+      // truncates posting lists at an absolute df, bounding candidates
+      // by maxdf · corpus_tokens — linear at any scale.
+      val maxDf: Long = sys.props.get("graft.tfidf.maxdf")
+        .orElse(sys.env.get("SPARK_GRAFT_TFIDF_MAXDF"))
+        .map(_.toLong).getOrElse(0L)
       val weights = tf.join(broadcast(df), "word")
         .crossJoin(broadcast(ndocs))
-        .filter($"df" * 10 <= $"n" * 9)
+        .filter(if (maxDf > 0) $"df" <= maxDf else $"df" * 100 <= $"n" * dfPct)
         .withColumn("w", expr("tf * ((n * 100) div df)"))
         .select($"word", $"doc_id", $"w")
         .localCheckpoint() // feeds norms + BOTH sides of the posting join
