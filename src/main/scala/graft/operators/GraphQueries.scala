@@ -162,5 +162,82 @@ object GraphQueries {
            |     JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(pagerank, triangles)
+  // LABEL PROPAGATION community detection (Raghavan et al. 2007) over
+  // the same symmetrized part↔supplier graph: every node starts in its
+  // own community; each synchronous round it adopts the most frequent
+  // label among its neighbors PLUS its own (the self-vote is the
+  // standard damping — without it a bipartite graph oscillates
+  // two-colorings forever), ties broken by the smallest label so the
+  // fixed iteration is fully deterministic and oracle-replayable.
+  // Scale shape: identical to PageRank's Pregel-as-joins layout — the
+  // checkpointed edge list is joined once per round with the compact
+  // (node, label) table, votes partial-aggregate on (node, label),
+  // and the argmax is max(struct(cnt, -lbl)) — a second partial agg,
+  // never a per-node window sort. Per-round cost is O(|E|) shuffled
+  // bytes regardless of round count.
+  private val labelProp = Q(
+    "gr_label_propagation",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      // Unlike PageRank (whose per-round aggregate has |V| groups),
+      // the vote count groups on (node, label) — ~2|E| mostly-unique
+      // keys per round, so a fixed 32-partition hash aggregate holds
+      // the whole vote stream in 32 task-local maps and OOMs at
+      // grow_sf10 (measured). Partitioning the votes by the agg key
+      // with a DATA-PROPORTIONAL partition count (|E| is known — the
+      // edge list was just checkpointed) bounds every task's map to
+      // ~1M keys at any scale; the groupBy then reuses that exchange
+      // (no second shuffle), which is exactly how the round behaves
+      // on a real cluster with per-executor memory bounds.
+      val voteParts = math.max(
+        s.sessionState.conf.numShufflePartitions,
+        math.min(20000, (edges.count() * 22 / 10 / 1000000L).toInt + 1))
+      var labels = sym.select($"src".as("node")).distinct()
+        .withColumn("lbl", $"node")
+      for (_ <- 1 to Iters) {
+        val nbr = sym.join(labels, $"dst" === $"node")
+          .select($"src".as("v"), $"lbl")
+        val votes = nbr.unionByName(labels.select($"node".as("v"), $"lbl"))
+        labels = votes.repartition(voteParts, $"v", $"lbl")
+          .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+          .groupBy($"v")
+          .agg(max(struct($"cnt", ($"lbl" * -1).as("neg"))).as("m"))
+          .select($"v".as("node"), ($"m.neg" * -1).as("lbl"))
+      }
+      labels.orderBy($"node")
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT v AS node, lbl FROM (
+           |    SELECT v, lbl, row_number() OVER (
+           |      PARTITION BY v ORDER BY cnt DESC, lbl) AS rk
+           |    FROM (
+           |      SELECT v, lbl, count(*) AS cnt FROM (
+           |        SELECT s.src AS v, r.lbl
+           |        FROM sym s JOIN $prev r ON s.dst = r.node
+           |        UNION ALL
+           |        SELECT node AS v, lbl FROM $prev)
+           |      GROUP BY v, lbl))
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst, src FROM edges),
+         |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, lbl FROM r3 ORDER BY node""".stripMargin
+    },
+  )
+
+  def all: Seq[Q] = Seq(pagerank, triangles, labelProp)
 }

@@ -189,6 +189,49 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  // Synchronous label propagation simulated independently in plain
+  // Scala (adjacency maps, 3 rounds, self-vote, (count desc, label
+  // asc) tie-break) — checks the join/argmax formulation; plus a
+  // hand-worked two-biclique fixture with known final communities.
+  private def simulateLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.map { case (v, nbrs) =>
+        val votes = (nbrs.map(lbl) :+ lbl(v)).groupBy(identity)
+          .map { case (l, g) => (l, g.size) }
+        v -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("gr_label_propagation matches an independent simulation; disjoint cliques keep distinct labels") {
+    import spark.implicits._
+    val corpus = graft.model.Tables.lineitem(spark, sf)
+      .select(($"l_partkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val expected = simulateLpa(corpus, 3).toSeq.sorted
+    val got = q("gr_label_propagation").fn(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected, "LPA mismatch vs simulation on the corpus graph")
+
+    // Two disjoint 2x2 bicliques: every node must adopt its
+    // component's minimum id; no cross-component label leaks.
+    val dir = java.nio.file.Files.createTempDirectory("lpa").toString
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (10L, 10L), (10L, 11L), (11L, 10L), (11L, 11L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val fx = q("gr_label_propagation").fn(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(2L, 3L, 4L, 5L).forall(fx(_) == 2L),
+      s"clique A did not converge to label 2: $fx")
+    assert(Seq(20L, 21L, 22L, 23L).forall(fx(_) == 20L),
+      s"clique B did not converge to label 20: $fx")
+  }
+
   // Retention matrix re-derived from (cohort epoch-week of first
   // signup) x (distinct active users per later week).
   test("ev_retention_cohorts matches an in-memory cohort matrix") {

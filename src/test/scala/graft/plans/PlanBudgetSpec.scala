@@ -396,5 +396,21 @@ class PlanBudgetSpec extends AnyFunSuite {
       assert(exchanges(nodes) <= budget,
         s"$name plans ${exchanges(nodes)} exchanges, budget $budget")
     }
+    // qa_hll_distinct_sketch: register partials + the 3-row exact join
+    // (broadcast) — bounded exchanges, no nested loop, and no
+    // SinglePartition carrying more than the per-group sketch rows.
+    val hllNodes = planOf("qa_hll_distinct_sketch")
+    assert(!hllNodes.exists(_.nodeName.contains("NestedLoop")),
+      "hll sketch planned a nested-loop join")
+    assert(exchanges(hllNodes) <= 8,
+      s"qa_hll_distinct_sketch plans ${exchanges(hllNodes)} exchanges, budget 8")
+    // gr_label_propagation: every per-round join must stay an equi
+    // join (nested loop = per-node neighbor rescan), bounded exchange
+    // count across the 3 unrolled rounds.
+    val lpaNodes = planOf("gr_label_propagation")
+    assert(!lpaNodes.exists(_.nodeName.contains("NestedLoop")),
+      "label propagation planned a nested-loop join")
+    assert(exchanges(lpaNodes) <= 36,
+      s"gr_label_propagation plans ${exchanges(lpaNodes)} exchanges, budget 36")
   }
 }
