@@ -684,7 +684,64 @@ object SimilarityQueries {
   // larger codebook proof that PQ encode/ADC/oracle are codes-generic
   private val pqTopKC16 = pqTopKQ("sim_pq_topk_c16", 16)
 
+  // SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540): semantic
+  // deduplication by clustering — assign every embedding to its
+  // trained IVF cell, compare pairs ONLY within a cell, and drop any
+  // vector with a lower-id near-duplicate (exact-decimal cosine >=
+  // the corpus threshold) in its cell. This is the embedding-space
+  // dual of the MinHash/LSH text dedup chain: the cluster assignment
+  // is the blocking stage (pairs per cell = cellsize², never n²), and
+  // at 100 TB k grows with the corpus to hold cell populations
+  // bounded — the paper's own scaling knob. Reuses the verified
+  // training/assignment path (same memoized centroids as sim_ivf_*)
+  // and the same double-prefilter + decimal-exact admit as
+  // td_embedding_neardup, so the oracle replays every stage.
+  private val semDedup = Q(
+    "td_semdedup",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.{cosine_approx, cosine_e9}
+      val cents = trainedCentroids(s, d, iters = 2, k = 8)
+      val assigned =
+        rowLocalAssign(graft.util.Cols.fanout(Tables.embeddings(s, d)), cents)
+          .select($"vec_id", $"embedding", $"cent_id".as("cell"))
+          .localCheckpoint() // feeds both pair-join sides + the output
+      val a = assigned
+        .select($"vec_id".as("va"), $"cell", $"embedding".as("ea"))
+      val b = assigned
+        .select($"vec_id".as("vb"), $"cell".as("cellb"), $"embedding".as("eb"))
+      val dropped = a
+        .join(b, $"cell" === $"cellb" && $"va" < $"vb")
+        .filter(cosine_approx($"ea", $"eb") >= 0.4 - 1e-6)
+        .filter(cosine_e9($"ea", $"eb") >= 400000000L)
+        .select($"vb".as("vec_id")).distinct()
+      assigned.select($"vec_id", $"cell")
+        .join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cell", coalesce($"d", lit(0)).as("is_dup"))
+        .orderBy($"vec_id")
+    },
+    Some(kmCtes(8) + """,
+           |sims AS (
+           |  SELECT ca.vec_id AS va, cb.vec_id AS vb,
+           |         CAST(round(CAST(SUM(CAST(CAST(a.embedding[t.k] AS DOUBLE) *
+           |                  CAST(b.embedding[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
+           |              sqrt(CAST(SUM(CAST(CAST(a.embedding[t.k] AS DOUBLE) *
+           |                   CAST(a.embedding[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) *
+           |                   CAST(SUM(CAST(CAST(b.embedding[t.k] AS DOUBLE) *
+           |                   CAST(b.embedding[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE))
+           |              * 1e9) AS BIGINT) AS cos_e9
+           |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+           |  JOIN embeddings a ON a.vec_id = ca.vec_id
+           |  JOIN embeddings b ON b.vec_id = cb.vec_id, range(1, 65) t(k)
+           |  GROUP BY ca.vec_id, cb.vec_id),
+           |dropped AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE cos_e9 >= 400000000)
+           |SELECT c.vec_id, c.cell,
+           |       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+           |FROM cells c LEFT JOIN dropped d USING (vec_id)
+           |ORDER BY c.vec_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
-      ivfProbe, pqTopK, pqTopKC16)
+      ivfProbe, pqTopK, pqTopKC16, semDedup)
 }

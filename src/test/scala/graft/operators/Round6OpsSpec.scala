@@ -232,6 +232,43 @@ class Round6OpsSpec extends AnyFunSuite {
       s"clique B did not converge to label 20: $fx")
   }
 
+  // SemDeDup checked against its definition using the independently
+  // verified cell assignment (sim_ivf_cell_assign, oracle-gated) and
+  // plain-double cosines: a vector is dropped iff a lower-id vector
+  // in its cell clears the threshold. Pairs within 1e-6 of the
+  // threshold are excluded from the cross-check (double vs the
+  // decimal-exact kernel may legitimately disagree there; the oracle
+  // pins those exactly).
+  test("td_semdedup drops exactly the vectors with a lower-id in-cell near-duplicate") {
+    import spark.implicits._
+    val cells = q("sim_ivf_cell_assign").fn(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val embs = graft.model.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val got = q("td_semdedup").fn(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(_._1).toSeq.sorted == embs.keys.toSeq.sorted,
+      "semdedup must emit every vector exactly once")
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
+      "fixture must exercise both kept and dropped arms")
+    got.foreach { case (v, cell, isDup) =>
+      assert(cells(v) == cell, s"vec $v cell mismatch vs sim_ivf_cell_assign")
+      val near = embs.keys.filter(u => u < v && cells(u) == cell)
+        .map(u => cos(embs(u), embs(v))).filter(c => math.abs(c - 0.4) > 1e-6)
+      val expectDup = near.exists(_ > 0.4)
+      val boundary = embs.keys.exists(u =>
+        u < v && cells(u) == cell && math.abs(cos(embs(u), embs(v)) - 0.4) <= 1e-6)
+      if (!boundary)
+        assert(isDup == (if (expectDup) 1 else 0),
+          s"vec $v: is_dup=$isDup but double-cosine says $expectDup")
+    }
+  }
+
   // Retention matrix re-derived from (cohort epoch-week of first
   // signup) x (distinct active users per later week).
   test("ev_retention_cohorts matches an in-memory cohort matrix") {
