@@ -126,10 +126,13 @@ object JsNumber {
   def parseIntJs(s: String): java.lang.Long = {
     val n = s.length
     var i = 0
-    // ECMA StrWhiteSpaceChar: TAB LF VT FF CR SP NBSP ZWNBSP + Zs
+    // ECMA StrWhiteSpaceChar: TAB LF VT FF CR SP NBSP ZWNBSP + Zs,
+    // plus the LineTerminator chars LS/PS (U+2028/U+2029) — parseInt
+    // trims StrWhiteSpace = WhiteSpace | LineTerminator
     def isWs(c: Char): Boolean =
       c == '\t' || c == '\n' || c == 0x0b.toChar || c == '\f' ||
         c == '\r' || c == ' ' || c == 0xa0.toChar || c == 0xfeff.toChar ||
+        c == 0x2028.toChar || c == 0x2029.toChar ||
         Character.getType(c) == Character.SPACE_SEPARATOR
     while (i < n && isWs(s.charAt(i))) i += 1
     var neg = false

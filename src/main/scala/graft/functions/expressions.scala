@@ -463,8 +463,31 @@ object exprs {
       es => MortonInterleave(es(0), es(1))),
     ("winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - distinct MOSS winnowing fingerprints (md5 k-gram window minima)",
-      es => WinnowFingerprints(es(0),
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      es => {
+        // k and w shape the generated kernel, so they must be
+        // compile-time integer literals — validate here and fail with
+        // the usage string instead of a raw ClassCastException/NPE.
+        def intLit(e: Expression, name: String): Int = {
+          if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332",
+            Map("errorMessage" ->
+              s"winnow_fingerprints(text, k, w): $name must be a constant integer literal"))
+          e.eval() match {
+            case i: Int => i
+            case i: java.lang.Integer => i.intValue()
+            case l: Long if l == l.toInt => l.toInt
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              "_LEGACY_ERROR_TEMP_1332",
+              Map("errorMessage" ->
+                s"winnow_fingerprints(text, k, w): $name must be a constant INT, got $other"))
+          }
+        }
+        if (es.length != 3) throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_1332",
+          Map("errorMessage" ->
+            s"winnow_fingerprints(text, k, w) takes 3 arguments, got ${es.length}"))
+        WinnowFingerprints(es(0), intLit(es(1), "k"), intLit(es(2), "w"))
+      }),
   )
 
   /** Register the expressions for the `spark.sql` surface. */

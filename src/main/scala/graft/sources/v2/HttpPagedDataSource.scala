@@ -63,15 +63,18 @@ class HttpPagedDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val base = Option(properties.get("base")).getOrElse(
+    // Spark hands getTable a case-PRESERVING map; normalize so
+    // .option("timeoutMs", …) and .option("timeoutms", …) both land.
+    val ci = new CaseInsensitiveStringMap(properties)
+    val base = Option(ci.get("base")).getOrElse(
       throw new IllegalArgumentException(
         "http-paged requires .option(\"base\", url) — pages are GET {base}/page/{n}"))
     val opts = Ingest.Options(
-      timeoutMs = Option(properties.get("timeoutms")).map(_.toLong).getOrElse(25000L),
-      retries = Option(properties.get("retries")).map(_.toInt).getOrElse(5),
-      pageSleepMs = Option(properties.get("sleepms")).map(_.toLong).getOrElse(0L),
+      timeoutMs = Option(ci.get("timeoutms")).map(_.toLong).getOrElse(25000L),
+      retries = Option(ci.get("retries")).map(_.toInt).getOrElse(5),
+      pageSleepMs = Option(ci.get("sleepms")).map(_.toLong).getOrElse(0L),
     )
-    val pages = Option(properties.get("pages")).map(_.toInt)
+    val pages = Option(ci.get("pages")).map(_.toInt)
     new HttpPagedTable(base, pages, opts)
   }
 }
@@ -95,6 +98,14 @@ object HttpPagedDataSource {
     else arr.elements().asScala.map(mapper.writeValueAsString).toSeq
   }
 
+  /** Hard ceiling on the exponential page probe: an API that never
+    * returns an empty `features` array would otherwise double `hi`
+    * into Int overflow (negative page URLs, infinite loop). 2^24
+    * pages ≈ 16M — far past any real paginated API; callers with a
+    * genuinely larger corpus pass `pages` explicitly.
+    */
+  val MaxProbePage: Int = 1 << 24
+
   /** First empty page via exponential probe + binary search: O(log E)
     * GETs. Invariant: lo is a known non-empty page (0 = virtual), hi
     * a known empty one; pages are non-empty exactly on 1..E-1 (the
@@ -105,7 +116,13 @@ object HttpPagedDataSource {
       features(Ingest.fetch(s"$base/page/$page", o)).isEmpty
     var lo = 0 // greatest known non-empty
     var hi = 1
-    while (!isEmpty(hi)) { lo = hi; hi *= 2 }
+    while (!isEmpty(hi)) {
+      lo = hi
+      if (hi > MaxProbePage) throw new IllegalStateException(
+        s"http-paged: no empty page found up to page $hi — the API never " +
+          "terminates its page sequence; pass .option(\"pages\", n) explicitly")
+      hi *= 2
+    }
     // binary search in (lo, hi]: first empty page
     while (hi - lo > 1) {
       val mid = lo + (hi - lo) / 2

@@ -53,6 +53,10 @@ class JsNumberSpec extends AnyFunSuite {
       "0" -> 0L,
       "007" -> 7L,
       "9007199254740991end" -> 9007199254740991L,
+      // ECMA LineTerminator chars LS/PS are StrWhiteSpace to parseInt:
+      // node -e 'parseInt("  5")' → 5
+      "  5" -> 5L,
+      "  -8" -> -8L,
     )
     vectors.foreach { case (s, want) =>
       assert(JsNumber.parseIntJs(s) == want, s"for '$s'")
