@@ -199,36 +199,184 @@ object GeoQueries {
          |       cx + dx AS kx, cy + dy AS ky
          |FROM (${ptsCellSql(customer)}) CROSS JOIN offs""".stripMargin
 
-    /** Salt factor for the blocked join key (default 1 = off, via
-      * SPARK_GRAFT_SPATIAL_SALT). Geometric concentration — a
-      * "downtown" where the same cells hold far more polygons AND
-      * points than average — skews BOTH sides of the (layer, kx, ky)
-      * key, which is the one shape AQE's skew-join split cannot
-      * repair: OptimizeSkewedJoin splits a skewed partition on one
-      * side and replicates the matching partition of the OTHER side,
-      * so it skips partitions skewed on both (measured on the probe
-      * corpus: downtown sf10 worst-stage max/p50 ~6x with tuned-down
-      * AQE thresholds, unchanged from untuned). Salting is the
-      * standard production answer: polygons replicate under S salts,
-      * each point probes exactly ONE salt (pmod of its key hash), so
-      * every candidate pair still meets exactly once — result sets
-      * are identical for any S — while a hot cell's residual work
-      * spreads over S shuffle keys. Off by default because at S>1 the
-      * build side shuffles S copies; turn it on for corpora with a
-      * known downtown (or pick S per-layer from stats in a planner
-      * pass — out of scope here).
+    /** Salt factor for the blocked join key (manual override via
+      * SPARK_GRAFT_SPATIAL_SALT / -Dgraft.spatial.salt). Geometric
+      * concentration — a "downtown" where the same cells hold far
+      * more polygons AND points than average — skews BOTH sides of
+      * the (layer, kx, ky) key, which is the one shape AQE's
+      * skew-join split cannot repair: OptimizeSkewedJoin splits a
+      * skewed partition on one side and replicates the matching
+      * partition of the OTHER side, so it skips partitions skewed on
+      * both (measured on the probe corpus: downtown sf10 worst-stage
+      * max/p50 ~6x with tuned-down AQE thresholds, unchanged from
+      * untuned). Salting is the standard production answer: polygons
+      * replicate under S salts, each point probes exactly ONE salt
+      * (pmod of its key hash), so every candidate pair still meets
+      * exactly once — result sets are identical for any S.
+      *
+      * Since round 7 the default is PLANNER-CHOSEN ([[saltPlan]]): a
+      * sampled per-cell histogram of the build side decides, per
+      * corpus, whether to salt and picks S — and salts ONLY the hot
+      * cells, so a uniform corpus pays nothing and a skewed one does
+      * not replicate its entire build side S×. The env/prop knob
+      * remains as a manual override: >1 forces the original global
+      * salt everywhere, 0/1 forces salting fully off (auto included).
       */
     def saltS: Int =
       sys.props.get("graft.spatial.salt").orElse(sys.env.get("SPARK_GRAFT_SPATIAL_SALT"))
         .map(_.toInt).filter(_ > 1).getOrElse(1)
 
-    /** Polygons replicated under the S salts ([[saltS]] > 1). */
+    /** Polygons replicated under the S salts (global manual mode). */
     def polysSalted(polys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       polys.withColumn("psalt", explode(typedLit((0 until saltS).toArray)))
 
-    /** Probe rows with their single salt ([[saltS]] > 1). */
+    /** Probe rows with their single salt (global manual mode). */
     def probeSalted(probe: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       probe.withColumn("salt", pmod(hash(col("c_custkey")), lit(saltS)))
+
+    // ----- planner-chosen selective salt (round 7) -----
+
+    /** The salt decision for one corpus dir. */
+    sealed trait SaltMode
+    /** No salting: uniform key population (or forced off). */
+    case object SaltOff extends SaltMode
+    /** Manual global salt: every polygon replicated under S salts. */
+    final case class SaltGlobal(s: Int) extends SaltMode
+    /** Planner-chosen selective salt: only the listed hot
+      * (layer, cellX, cellY) keys are salted under S; every other key
+      * keeps salt 0 on both sides, so the replication cost is
+      * |hot polygons| × S, not |build| × S.
+      */
+    final case class SaltCells(s: Int, hot: Seq[(Long, Long, Long)]) extends SaltMode
+
+    /** Build-side rows the histogram scans before grouping: past this
+      * the histogram samples (counts scale uniformly, so the max/mean
+      * RATIO the decision uses is unbiased). local[32] probes never
+      * hit it; a 100 TB build side reads ~one partition's worth.
+      */
+    val SaltSampleCap = 262144L
+    /** Engage when the hottest cell holds ≥ 8× the mean population… */
+    val SaltHotRatio = 8.0
+    /** …and at least this many (sampled) rows — tiny corpora where
+      * max=8/mean=1 are noise, not a downtown.
+      */
+    val SaltMinHotCount = 32L
+    /** Driver-side bound on the collected hot-key list (a real city
+      * has a bounded downtown; past this the top keys by population
+      * still cover the stragglers).
+      */
+    val SaltMaxHotKeys = 4096
+    /** S caps at 16: the straggler ratio target is ~≤1.5× and the
+      * measured downtown needs S=8; 16 covers a decade more
+      * concentration without unbounded replication of hot polygons.
+      */
+    val SaltMaxS = 16
+
+    private val saltPlanCache =
+      new java.util.concurrent.ConcurrentHashMap[String, SaltMode]()
+
+    /** The per-dir salt decision: manual knob if set, else the
+      * memoized stats-derived plan. Called at query-BUILD time on the
+      * driver — the histogram is one sampled two-column aggregation
+      * per corpus, the same cost class as the moduli count.
+      */
+    def saltPlan(s: org.apache.spark.sql.SparkSession, d: String): SaltMode = {
+      val manual = sys.props.get("graft.spatial.salt")
+        .orElse(sys.env.get("SPARK_GRAFT_SPATIAL_SALT")).map(_.toInt)
+      manual match {
+        case Some(v) if v > 1 => SaltGlobal(v)
+        case Some(_)          => SaltOff // explicit 0/1 = force off, auto too
+        case None => saltPlanCache.computeIfAbsent(d, _ => autoSaltPlan(s, d))
+      }
+    }
+
+    /** Sampled per-cell histogram of the BUILD side → SaltMode.
+      * Decision rule: engage iff max/mean ≥ [[SaltHotRatio]] and the
+      * hot cell is big enough to matter; S = the power of two nearest
+      * to (max/mean)/4, clamped to [2, [[SaltMaxS]]] — after salting,
+      * a hot key's residual population is within ~4× of the mean,
+      * under the straggler threshold AQE handles.
+      */
+    private def autoSaltPlan(s: org.apache.spark.sql.SparkSession, d: String): SaltMode = {
+      val n = Tables.supplier(s, d).count() // parquet metadata-only
+      val polyCells = withMinCornerCell(rects(s, d)).select(
+        col("p_layer").cast("long").as("h_layer"),
+        col("pcx").as("h_cx"), col("pcy").as("h_cy"))
+      val f = math.min(1.0, SaltSampleCap.toDouble / math.max(1L, n))
+      val sampled = if (f < 1.0) polyCells.sample(withReplacement = false, f, seed = 42L)
+                    else polyCells
+      val hist = sampled.groupBy("h_layer", "h_cx", "h_cy")
+        .agg(count(lit(1)).as("cnt"))
+      hist.persist()
+      try {
+        val stats = hist.agg(max(col("cnt")), avg(col("cnt"))).head()
+        if (stats.isNullAt(0)) return SaltOff
+        val mx = stats.getLong(0)
+        val mean = stats.getDouble(1)
+        val ratio = mx / math.max(mean, 1e-9)
+        if (mx < SaltMinHotCount || ratio < SaltHotRatio) {
+          System.err.println(f"[graft] spatial-salt plan $d: OFF " +
+            f"(maxCell=$mx meanCell=$mean%.2f ratio=$ratio%.1f)")
+          SaltOff
+        } else {
+          val sRaw = math.pow(2, math.round(math.log(ratio / 4.0) / math.log(2)).toDouble)
+          val saltN = math.min(SaltMaxS, math.max(2, sRaw.toInt))
+          val hot = hist.filter(col("cnt") >= lit(SaltHotRatio * mean))
+            .orderBy(col("cnt").desc)
+            .limit(SaltMaxHotKeys)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSeq
+          System.err.println(f"[graft] spatial-salt plan $d: S=$saltN " +
+            f"hotKeys=${hot.size} (maxCell=$mx meanCell=$mean%.2f ratio=$ratio%.1f)")
+          SaltCells(saltN, hot)
+        }
+      } finally hist.unpersist()
+    }
+
+    /** The collected hot-key set as a broadcastable 3-column frame. */
+    def hotCellsDf(s: org.apache.spark.sql.SparkSession,
+        hot: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      hot.toDF("h_layer", "h_cx", "h_cy")
+    }
+
+    /** Polygons with per-key salt fanout: hot keys explode to S
+      * copies, everything else keeps the single psalt=0 row. The hot
+      * lookup is a broadcast left join — no shuffle added.
+      */
+    def polysSaltedCells(s: org.apache.spark.sql.SparkSession,
+        polys: org.apache.spark.sql.DataFrame, saltN: Int,
+        hot: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame = {
+      val hk = broadcast(hotCellsDf(s, hot))
+      polys.join(hk,
+          polys("p_layer").cast("long") === hk("h_layer") &&
+            polys("pcx") === hk("h_cx") && polys("pcy") === hk("h_cy"),
+          "left_outer")
+        .withColumn("psalt", explode(
+          when(col("h_layer").isNotNull, typedLit((0 until saltN).toArray))
+            .otherwise(typedLit(Array(0)))))
+        .drop("h_layer", "h_cx", "h_cy")
+    }
+
+    /** Probe rows with their per-key salt: pmod of the point key for
+      * hot probe cells, 0 elsewhere — mirrors [[polysSaltedCells]] on
+      * the (c_layer, kx, ky) side of the same key, so every candidate
+      * pair still meets exactly once.
+      */
+    def probeSaltedCells(s: org.apache.spark.sql.SparkSession,
+        probe: org.apache.spark.sql.DataFrame, saltN: Int,
+        hot: Seq[(Long, Long, Long)]): org.apache.spark.sql.DataFrame = {
+      val hk = broadcast(hotCellsDf(s, hot))
+      probe.join(hk,
+          probe("c_layer").cast("long") === hk("h_layer") &&
+            probe("kx") === hk("h_cx") && probe("ky") === hk("h_cy"),
+          "left_outer")
+        .withColumn("salt",
+          when(col("h_layer").isNotNull, pmod(hash(col("c_custkey")), lit(saltN)))
+            .otherwise(lit(0)))
+        .drop("h_layer", "h_cx", "h_cy")
+    }
   }
 
   // J3 — point-in-polygon join: grid-cell blocking (SpatialGrid
@@ -245,10 +393,16 @@ object GeoQueries {
       import s.implicits._
       val polys0 = SpatialGrid.withMinCornerCell(SpatialGrid.polysWithRings(s, d))
       val probe0 = SpatialGrid.probe(s, d)
-      // opt-in both-sides-skew salting; S=1 leaves the plan untouched
-      val salted = SpatialGrid.saltS > 1
-      val polys = if (salted) SpatialGrid.polysSalted(polys0) else polys0
-      val probe = if (salted) SpatialGrid.probeSalted(probe0) else probe0
+      // both-sides-skew salting: manual knob forces global; otherwise
+      // the planner's sampled histogram decides (hot cells only)
+      val (polys, probe, salted) = SpatialGrid.saltPlan(s, d) match {
+        case SpatialGrid.SaltOff => (polys0, probe0, false)
+        case SpatialGrid.SaltGlobal(_) =>
+          (SpatialGrid.polysSalted(polys0), SpatialGrid.probeSalted(probe0), true)
+        case SpatialGrid.SaltCells(n, hot) =>
+          (SpatialGrid.polysSaltedCells(s, polys0, n, hot),
+            SpatialGrid.probeSaltedCells(s, probe0, n, hot), true)
+      }
       probe
         .join(
           polys,
@@ -442,21 +596,47 @@ object GeoQueries {
       // as the DataFrame j3 — one codepath, two surfaces. The oracle
       // stays UNBLOCKED (j3Spatial.oracle), so a blocking bug in this
       // text hash-mismatches instead of cancelling out.
-      // opt-in both-sides-skew salting, same shape as the DataFrame j3
-      val nSalt = SpatialGrid.saltS
-      val (saltCte, saltPolys, saltCond, saltProbe) =
-        if (nSalt > 1) (
-          s"salts AS (SELECT explode(sequence(0, ${nSalt - 1})) AS psalt),",
-          " CROSS JOIN salts",
+      // both-sides-skew salting, same shape and same decision as the
+      // DataFrame j3: manual global, planner-chosen hot cells, or off
+      val (saltCte, polysCte, probeCte, saltCond) = SpatialGrid.saltPlan(s, d) match {
+        case SpatialGrid.SaltGlobal(n) => (
+          s"salts AS (SELECT explode(sequence(0, ${n - 1})) AS psalt),",
+          s"SELECT * FROM (${SpatialGrid.polysCellSql("graft_supplier")}) CROSS JOIN salts",
+          s"SELECT *, pmod(hash(c_custkey), $n) AS salt" +
+            s" FROM (${SpatialGrid.probeSql("graft_customer")})",
           " AND salt = psalt",
-          s", pmod(hash(c_custkey), $nSalt) AS salt",
-        ) else ("", "", "", "")
+        )
+        case SpatialGrid.SaltCells(n, hot) =>
+          SpatialGrid.hotCellsDf(s, hot).createOrReplaceTempView("graft_hot_cells")
+          (
+            "",
+            s"""SELECT p.*, explode(CASE WHEN h.h_layer IS NOT NULL
+               |         THEN sequence(0, ${n - 1}) ELSE array(0) END) AS psalt
+               |FROM (${SpatialGrid.polysCellSql("graft_supplier")}) p
+               |LEFT JOIN graft_hot_cells h
+               |  ON CAST(p.s_nationkey AS BIGINT) = h.h_layer
+               | AND p.pcx = h.h_cx AND p.pcy = h.h_cy""".stripMargin,
+            s"""SELECT p.*, CASE WHEN h.h_layer IS NOT NULL
+               |       THEN pmod(hash(p.c_custkey), $n) ELSE 0 END AS salt
+               |FROM (${SpatialGrid.probeSql("graft_customer")}) p
+               |LEFT JOIN graft_hot_cells h
+               |  ON CAST(p.c_nationkey AS BIGINT) = h.h_layer
+               | AND p.kx = h.h_cx AND p.ky = h.h_cy""".stripMargin,
+            " AND salt = psalt",
+          )
+        case SpatialGrid.SaltOff => (
+          "",
+          s"SELECT * FROM (${SpatialGrid.polysCellSql("graft_supplier")})",
+          s"SELECT * FROM (${SpatialGrid.probeSql("graft_customer")})",
+          "",
+        )
+      }
       s.sql(s"""
         WITH ${SpatialGrid.gridSql("graft_supplier")},
         $saltCte
-        polys AS (SELECT * FROM (${SpatialGrid.polysCellSql("graft_supplier")})$saltPolys),
+        polys AS ($polysCte),
         ${SpatialGrid.offsSql},
-        probe AS (SELECT *$saltProbe FROM (${SpatialGrid.probeSql("graft_customer")}))
+        probe AS ($probeCte)
         SELECT c_custkey, s_suppkey
         FROM probe JOIN polys
           ON c_nationkey = s_nationkey

@@ -701,7 +701,24 @@ object SimilarityQueries {
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.{cosine_approx, cosine_e9}
-      val cents = trainedCentroids(s, d, iters = 2, k = 8)
+      // k SCALES WITH THE CORPUS (round 7): the paper's own knob —
+      // hold the target cell population (default 1024 vectors) fixed
+      // and let the cell count grow, so within-cell pairs stay
+      // ~cellsize²·k ∝ n at any scale. Every catalogue point
+      // (n ≤ 8192) resolves to the floor k=8, which is what the
+      // DuckDB oracle replays; -Dgraft.semdedup.k pins k outright and
+      // -Dgraft.semdedup.cellsize moves the target population.
+      val targetCell: Long = sys.props.get("graft.semdedup.cellsize")
+        .orElse(sys.env.get("SPARK_GRAFT_SEMDEDUP_CELL"))
+        .map(_.toLong).getOrElse(1024L)
+      val k: Int = sys.props.get("graft.semdedup.k")
+        .orElse(sys.env.get("SPARK_GRAFT_SEMDEDUP_K"))
+        .map(_.toInt)
+        .getOrElse {
+          val n = Tables.embeddings(s, d).count() // parquet metadata-only
+          math.max(8L, n / targetCell).toInt
+        }
+      val cents = trainedCentroids(s, d, iters = 2, k = k)
       val assigned =
         rowLocalAssign(graft.util.Cols.fanout(Tables.embeddings(s, d)), cents)
           .select($"vec_id", $"embedding", $"cent_id".as("cell"))

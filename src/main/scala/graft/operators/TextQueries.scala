@@ -586,10 +586,15 @@ object TextQueries {
       // FRACTIONAL cutoff keeps Σdf² superlinear as the corpus grows
       // (grow_sf1 at df<=5% ran away); production sparse top-k
       // truncates posting lists at an absolute df, bounding candidates
-      // by maxdf · corpus_tokens — linear at any scale.
+      // by maxdf · corpus_tokens — linear at any scale. SCALE DEFAULT
+      // (round 7): above a 10k-doc slice the measured-linear cap (100,
+      // BASELINE.md round-6 cutoff table) engages on its own — the
+      // catalogue/oracle point (200-doc slice) is untouched, and an
+      // explicit maxdf=0 still forces the cap off at any size.
       val maxDf: Long = sys.props.get("graft.tfidf.maxdf")
         .orElse(sys.env.get("SPARK_GRAFT_TFIDF_MAXDF"))
-        .map(_.toLong).getOrElse(0L)
+        .map(_.toLong)
+        .getOrElse(if (maxDoc > 10000L) 100L else 0L)
       val weights = tf.join(broadcast(df), "word")
         .crossJoin(broadcast(ndocs))
         .filter(if (maxDf > 0) $"df" <= maxDf else $"df" * 100 <= $"n" * dfPct)

@@ -101,6 +101,69 @@ class SpatialGridSpec extends AnyFunSuite {
     }
   }
 
+  /** Skewed fixture: every 4th supplier/customer key is remapped onto
+    * a handful of diagonal positions inside cell (0,0) — the
+    * gen_skew.py "downtown" trick in miniature (k = HI + j + m·lcm
+    * pins grid position j for any m, and HI ≡ 0 mod lcm keeps moved
+    * keys disjoint from kept ones). Hot (layer, 0, 0) keys hold ~40
+    * polygons against a ~1.2 mean, so the planner must engage.
+    */
+  private lazy val skewDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-gridskew").toString
+    // moduli at 4000 suppliers: gw=194, gh=178 -> lcm 17266
+    val sLcm = 17266L
+    val sHi = sLcm * 1000
+    spark.range(4000)
+      .select(
+        when($"id" % 4 === 0, lit(sHi) + ($"id" / 4) % 8).otherwise($"id").as("s_suppkey"),
+        ($"id" % 25).cast("int").as("s_nationkey"),
+        concat(lit("Supplier#"), $"id").as("s_name"), lit(0.0).as("s_acctbal"))
+      .write.parquet(s"$d/supplier.parquet")
+    // pw=190, ph=174 -> lcm 16530
+    val cLcm = 16530L
+    val cHi = cLcm * 1000
+    spark.range(20000)
+      .select(
+        when($"id" % 4 === 0, lit(cHi) + ($"id" / 4) % 8).otherwise($"id").as("c_custkey"),
+        ($"id" % 25).cast("int").as("c_nationkey"),
+        concat(lit("Customer#"), $"id").as("c_name"), lit(0.0).as("c_acctbal"),
+        lit("BUILDING").as("c_mktsegment"))
+      .write.parquet(s"$d/customer.parquet")
+    d
+  }
+
+  test("planner-chosen salt engages on the skewed fixture and is row-identical") {
+    // the planner must pick selective salting from the histogram alone
+    val plan = SpatialGrid.saltPlan(spark, skewDir)
+    plan match {
+      case SpatialGrid.SaltCells(n, hot) =>
+        assert(n >= 2 && n <= SpatialGrid.SaltMaxS, s"unexpected S=$n")
+        assert(hot.nonEmpty && hot.size <= SpatialGrid.SaltMaxHotKeys)
+        // the hot keys are the downtown cell (0, 0) across layers
+        assert(hot.forall { case (_, cx, cy) => cx == 0L && cy == 0L },
+          s"unexpected hot keys: ${hot.take(5)}")
+      case other => fail(s"planner chose $other on a 30x-skewed fixture")
+    }
+    for (name <- Seq("j3_spatial_point_in_polygon", "sql_surface_spatial")) {
+      val q = graft.QueryCatalog.all.find(_.name == name).get
+      val baseline = try {
+        sys.props("graft.spatial.salt") = "1" // force OFF (auto included)
+        q.fn(spark, skewDir).collect().map(_.toString)
+      } finally sys.props.remove("graft.spatial.salt")
+      val autoDf = q.fn(spark, skewDir) // planner decides: selective salt
+      val auto = autoDf.collect().map(_.toString)
+      assert(auto.nonEmpty && auto.sameElements(baseline),
+        s"$name: planner-salted result diverged (${auto.length} vs ${baseline.length} rows)")
+      assert(autoDf.queryExecution.executedPlan.toString.contains("psalt"),
+        s"$name: planner-salted plan does not carry the salt key")
+    }
+  }
+
+  test("planner salt stays off on the uniform fixture") {
+    assert(SpatialGrid.saltPlan(spark, dir) == SpatialGrid.SaltOff)
+  }
+
   /** The catalogue's j3 query run against the fixture dir. */
   private def QueryCatalog_j3(s: SparkSession, d: String) =
     graft.QueryCatalog.all.find(_.name == "j3_spatial_point_in_polygon").get.fn(s, d)
