@@ -639,8 +639,84 @@ object TextQueries {
            |LIMIT 100""".stripMargin),
   )
 
+  // WINNOWING near-dup — the end-to-end MOSS use-case the kernel's
+  // >= k+w-1 = 6-word-run guarantee exists for: fingerprints
+  // ([[winnow]]) → inverted fingerprint index → candidate pairs
+  // generated ONLY through a shared fingerprint (equi join on the
+  // fingerprint, never all-pairs) → exact fingerprint-set Jaccard on
+  // the candidates (the shared count IS the intersection size — the
+  // kernel emits distinct fingerprints). Pairs sharing any >= 6-word
+  // run are guaranteed candidates; the Jaccard threshold (>= 50%,
+  // integer percent) then keeps true near-dups. At 100 TB the
+  // candidate volume is Σ df² over fingerprint posting lists —
+  // winnowing keeps ~2/(w+1) of gram hashes and an absolute posting
+  // cap (engaged by default above a 100k-doc corpus, the same scale
+  // pattern as [[tfidfCosine]]'s maxdf) drops the boilerplate
+  // fingerprints that would otherwise go quadratic; the catalogue
+  // point runs uncapped and the ORACLE is the UNBLOCKED all-pairs
+  // list_intersect, so a missed candidate is a hash mismatch, not a
+  // silently-agreeing replay.
+  private val winnowNearDup = Q(
+    "td_winnow_neardup",
+    (s, d) => {
+      import s.implicits._
+      // Posting-list cap (0 = off): fingerprints held by more docs
+      // than this are boilerplate, not evidence of pairwise identity;
+      // capped out above 100k docs by default, knob-forced either way.
+      val docCount = Tables.documents(s, d).count() // parquet metadata-only
+      val maxDf: Long = sys.props.get("graft.winnow.maxdf")
+        .orElse(sys.env.get("SPARK_GRAFT_WINNOW_MAXDF"))
+        .map(_.toLong)
+        .getOrElse(if (docCount > 100000L) 128L else 0L)
+      val fps0 = Tables.documents(s, d)
+        .select($"doc_id", explode(winnow_fingerprints($"text", 3, 4)).as("fp"))
+        .localCheckpoint() // feeds df, sizes, and BOTH sides of the index join
+      val fps =
+        if (maxDf > 0) {
+          val df = fps0.groupBy($"fp").agg(count(lit(1)).as("df"))
+          fps0.join(df.filter($"df" <= maxDf), "fp").select($"doc_id", $"fp")
+        } else fps0
+      val sizes = fps.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+      fps.as("a").join(fps.as("b"), "fp")
+        .filter($"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"m".as("ma")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"m".as("mb")), "doc_b")
+        .withColumn("jac_pct", expr("n_shared * 100 div (ma + mb - n_shared)"))
+        .filter($"n_shared" >= 2 && $"jac_pct" >= 50)
+        .select($"doc_a", $"doc_b", $"n_shared", $"jac_pct")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words,
+           |         len(string_split(text, ' ')) AS n
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 6),
+           |h AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, n - 1), i ->
+           |           CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8) AS BIGINT)) AS grams
+           |  FROM g),
+           |m AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(1, len(grams) - 2), j ->
+           |           list_min(grams[j:j+3]))) AS fps
+           |  FROM h),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         len(list_intersect(a.fps, b.fps)) AS ns,
+           |         len(a.fps) AS ma, len(b.fps) AS mb
+           |  FROM m a JOIN m b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared,
+           |       CAST(ns * 100 // (ma + mb - ns) AS BIGINT) AS jac_pct
+           |FROM p
+           |WHERE ns >= 2 AND ns * 100 // (ma + mb - ns) >= 50
+           |ORDER BY doc_a, doc_b""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
-      invertedPostings, bm25, winnow, tfidfCosine)
+      invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup)
 }

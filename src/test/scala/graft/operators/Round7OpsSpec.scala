@@ -55,4 +55,69 @@ class Round7OpsSpec extends AnyFunSuite {
     ).collect()
     assert(rows.head.getInt(0) > 0)
   }
+
+  // ---- td_winnow_neardup (round-7 #2): composed MOSS near-dup ----
+
+  /** Distinct winnow fingerprints of a word list, straight from the
+    * SIGMOD'03 definition (k=3, w=4): md5-prefix hash of every word
+    * 3-gram, minimum of each sliding 4-window.
+    */
+  private def winnowRef(words: Seq[String]): Set[Long] = {
+    if (words.length < 6) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = words.sliding(3).map { g =>
+      val hex = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }.toVector
+    grams.sliding(4).map(_.min).toSet
+  }
+
+  test("winnow guarantee: any shared >= 6-word run yields a common fingerprint") {
+    // k+w-1 = 6: a 6-word run contains 4 consecutive 3-grams — one full
+    // window — whose minimum both documents select, wherever the run
+    // sits and whatever surrounds it.
+    val run = "alpha bravo charlie delta echo foxtrot".split(" ").toSeq
+    val pads = Seq(
+      Seq.empty[String],
+      "one two".split(" ").toSeq,
+      "x y z w v u t s r q p o n m".split(" ").toSeq)
+    for (pre1 <- pads; post1 <- pads; pre2 <- pads; post2 <- pads) {
+      val d1 = pre1 ++ run ++ post1
+      val d2 = pre2 ++ run ++ post2
+      assert(winnowRef(d1).intersect(winnowRef(d2)).nonEmpty,
+        s"no shared fingerprint for padding (${pre1.length},${post1.length}) vs (${pre2.length},${post2.length})")
+    }
+  }
+
+  test("td_winnow_neardup matches an in-memory all-pairs re-derivation") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val fps = docs.map { case (id, t) =>
+      id -> winnowRef(t.split(" ").toSeq)
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      ns = fa.intersect(fb).size if ns >= 2
+      jac = ns.toLong * 100 / (fa.size + fb.size - ns) if jac >= 50
+    } yield (a, b, ns.toLong, jac)).sortBy(t => (t._1, t._2)).toSeq
+    val got = q("td_winnow_neardup").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"got ${got.take(5)}... expected ${expected.take(5)}...")
+    assert(got.nonEmpty, "fixture produced no near-dup pairs — threshold too strict")
+  }
+
+  test("td_winnow_neardup posting cap keeps the fixture result (boilerplate-free)") {
+    // The scale default (maxdf=128 above 100k docs) must not change
+    // corpora whose fingerprints are rarer than the cap — pin that on
+    // the fixture by forcing the cap on.
+    import spark.implicits._
+    val base = q("td_winnow_neardup").fn(spark, sf).collect().map(_.toString)
+    val capped = try {
+      sys.props("graft.winnow.maxdf") = "128"
+      q("td_winnow_neardup").fn(spark, sf).collect().map(_.toString)
+    } finally sys.props.remove("graft.winnow.maxdf")
+    assert(capped.sameElements(base))
+  }
 }
