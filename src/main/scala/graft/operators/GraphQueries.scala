@@ -175,14 +175,48 @@ object GraphQueries {
   // and the argmax is max(struct(cnt, -lbl)) — a second partial agg,
   // never a per-node window sort. Per-round cost is O(|E|) shuffled
   // bytes regardless of round count.
+  /** One synchronous LPA round: neighbor labels + self-vote,
+    * partial-aggregated vote counts on (node, label), argmax by
+    * (count, smallest label) as a second partial agg. The PREVIOUS
+    * label rides the aggregate as a third column (only the self-vote
+    * row carries it non-null, so `max` recovers it per node) — the
+    * convergence check is then a filter on this frame, not a second
+    * |V|-to-|V| join pipeline racing the vote shuffle for executor
+    * memory.
+    */
+  private def votesStep(sym: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      voteParts: Int): org.apache.spark.sql.DataFrame = {
+    val nbr = sym.join(labels, col("dst") === col("node"))
+      .select(col("src").as("v"), col("lbl"),
+        lit(null).cast("long").as("self"))
+    val votes = nbr.unionByName(
+      labels.select(col("node").as("v"), col("lbl"), col("lbl").as("self")))
+    votes.repartition(voteParts, col("v"), col("lbl"))
+      .groupBy(col("v"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"), max(col("self")).as("self"))
+      .groupBy(col("v"))
+      .agg(max(struct(col("cnt"), (col("lbl") * -1).as("neg"))).as("m"),
+        max(col("self")).as("prev"))
+      .select(col("v").as("node"), (col("m.neg") * -1).as("lbl"), col("prev"))
+  }
+
   private val labelProp = Q(
     "gr_label_propagation",
     (s, d) => {
       import s.implicits._
+      // The edge checkpoint is SERIALIZED (MEMORY_AND_DISK_SER):
+      // the default deserialized level unrolls ~7× the on-wire size
+      // (measured 4.6 GB for a 630 MB edge list at grow_sf10), and
+      // the unroll borrowing races the per-round aggregates for the
+      // unified pool — serialized blocks keep the checkpoint at its
+      // compact UnsafeRow size, which is what a real cluster's
+      // storage-fraction sizing assumes.
       val edges = Tables.lineitem(s, d)
         .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sym = edges
         .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       // Unlike PageRank (whose per-round aggregate has |V| groups),
@@ -191,24 +225,58 @@ object GraphQueries {
       // the whole vote stream in 32 task-local maps and OOMs at
       // grow_sf10 (measured). Partitioning the votes by the agg key
       // with a DATA-PROPORTIONAL partition count (|E| is known — the
-      // edge list was just checkpointed) bounds every task's map to
-      // ~1M keys at any scale; the groupBy then reuses that exchange
-      // (no second shuffle), which is exactly how the round behaves
-      // on a real cluster with per-executor memory bounds.
+      // edge list was just checkpointed) bounds every task's hash map
+      // at any scale; the groupBy then reuses that exchange (no
+      // second shuffle), which is exactly how the round behaves on a
+      // real cluster with per-executor memory bounds. The per-task
+      // target is ~250k keys, NOT ~1M: with C concurrent tasks the
+      // aggregate's fair share of the unified pool is pool/C (~145 MB
+      // at local[32] on the 8 g default heap), and a ~1M-key map plus
+      // its growth spike measurably trips UNABLE_TO_ACQUIRE_MEMORY at
+      // grow_sf10 while ~250k keys (~25 MB) leaves headroom for the
+      // checkpointed edge blocks sharing the pool (round-7 probe; the
+      // extra partitions cost scheduling only, the shuffled bytes are
+      // identical).
       val voteParts = math.max(
         s.sessionState.conf.numShufflePartitions,
-        math.min(20000, (edges.count() * 22 / 10 / 1000000L).toInt + 1))
+        math.min(65536, (edges.count() * 22 / 10 / 250000L).toInt + 1))
+      // The same stat that sizes the vote shuffle picks the LOOP
+      // SHAPE: when the vote stream exceeds the default parallelism's
+      // memory budget (voteParts grew past numShufflePartitions), the
+      // robust loop engages — each round localCheckpoint'ed (the
+      // node-sized table is cheap to materialize, the plan stays O(1)
+      // deep, and rounds never race each other's aggregates for the
+      // pool) with convergence early-exit: synchronous LPA with a
+      // deterministic tie-break is a fixed-point iteration, so once a
+      // round changes NO label every later round reproduces it and
+      // stopping early returns exactly the Iters-round result the
+      // oracle replays (the cap keeps the other direction
+      // replayable). Below the threshold the whole Iters-round chain
+      // stays ONE declarative plan (lineage depth Iters is harmless,
+      // and the per-round checkpoint+scan jobs measurably cost ~35%
+      // at the catalogue point). The seed distinct is checkpointed in
+      // the robust path for the same reason as the edges: left as a
+      // plan it is re-planned inside round 1 and AQE materializes it
+      // CONCURRENTLY with the vote shuffle's map stage — two full-
+      // edge-list hash aggregates racing for one pool (measured
+      // UNABLE_TO_ACQUIRE_MEMORY at grow_sf10 on the 8 g heap).
+      // (-Dgraft.lpa.robust=1/0 pins the path for parity tests.)
+      val robust = sys.props.get("graft.lpa.robust").map(_ == "1")
+        .getOrElse(voteParts > s.sessionState.conf.numShufflePartitions)
       var labels = sym.select($"src".as("node")).distinct()
         .withColumn("lbl", $"node")
-      for (_ <- 1 to Iters) {
-        val nbr = sym.join(labels, $"dst" === $"node")
-          .select($"src".as("v"), $"lbl")
-        val votes = nbr.unionByName(labels.select($"node".as("v"), $"lbl"))
-        labels = votes.repartition(voteParts, $"v", $"lbl")
-          .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
-          .groupBy($"v")
-          .agg(max(struct($"cnt", ($"lbl" * -1).as("neg"))).as("m"))
-          .select($"v".as("node"), ($"m.neg" * -1).as("lbl"))
+      if (robust) labels = labels.localCheckpoint()
+      var round = 0
+      var converged = false
+      while (round < Iters && !converged) {
+        if (robust) {
+          val next = votesStep(sym, labels, voteParts).localCheckpoint()
+          converged = next.filter($"lbl" =!= $"prev").isEmpty
+          labels = next.drop("prev")
+        } else {
+          labels = votesStep(sym, labels, voteParts).drop("prev")
+        }
+        round += 1
       }
       labels.orderBy($"node")
     },

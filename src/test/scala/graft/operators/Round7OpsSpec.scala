@@ -108,6 +108,20 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no near-dup pairs — threshold too strict")
   }
 
+  // ---- gr_label_propagation robust loop (round-7 #5) ----
+
+  test("LPA robust path (checkpoint + early-exit) is row-identical to the single-plan path") {
+    val fast = try {
+      sys.props("graft.lpa.robust") = "0"
+      q("gr_label_propagation").fn(spark, sf).collect().map(_.toString)
+    } finally sys.props.remove("graft.lpa.robust")
+    val robust = try {
+      sys.props("graft.lpa.robust") = "1"
+      q("gr_label_propagation").fn(spark, sf).collect().map(_.toString)
+    } finally sys.props.remove("graft.lpa.robust")
+    assert(fast.nonEmpty && robust.sameElements(fast))
+  }
+
   test("td_winnow_neardup posting cap keeps the fixture result (boilerplate-free)") {
     // The scale default (maxdf=128 above 100k docs) must not change
     // corpora whose fingerprints are rarer than the cap — pin that on
