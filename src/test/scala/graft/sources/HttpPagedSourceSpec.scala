@@ -104,6 +104,76 @@ class HttpPagedSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** Like withServer, but the number of non-empty pages is mutable —
+    * the growing-API fixture for the streaming source. Pages are
+    * immutable once published (the source's contract): page p always
+    * serves the same p features, growth only adds pages.
+    */
+  private def withGrowingServer(test: (String, AtomicInteger) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val published = new AtomicInteger(2)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val m = ".*/consolidated/page/(\\d+)".r
+        val body = ex.getRequestURI.getPath match {
+          case m(n) if n.toInt <= published.get() =>
+            val p = n.toInt
+            (1 to p).map(feature(p, _)).mkString("""{"features": [""", ",", "]}")
+          case m(_) => """{"features": []}"""
+          case _ => """{"error": "nope"}"""
+        }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}/api/consolidated", published)
+    finally server.stop(0)
+  }
+
+  test("streaming source tails new pages; parity with the batch table; exactly-once across restart") {
+    withGrowingServer { (base, published) =>
+      val out = Files.createTempDirectory("http-stream-out").toString
+      val ckpt = Files.createTempDirectory("http-stream-ckpt").toString
+      def startQuery() = spark.readStream.format("http-paged")
+        .option("base", base).option("timeoutMs", 5000).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+
+      // run 1: 2 published pages, then 2 more land mid-run
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == (1 to 2).sum)
+      published.set(4)
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == (1 to 4).sum)
+      q1.stop()
+
+      // pages 5..6 land while the query is DOWN; the restart must
+      // ingest exactly those (checkpointed offset 4, not page 1)
+      published.set(6)
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val streamed = spark.read.parquet(out)
+        .orderBy("page", "ingest_order")
+        .select("page", "ingest_order", "feature_json")
+        .collect().map(_.toString).toSeq
+      assert(streamed.size == (1 to 6).sum, "each page ingested exactly once")
+
+      // parity: the batch table over the same final server state
+      val viaBatch = spark.read.format("http-paged")
+        .option("base", base).option("timeoutMs", 5000).load()
+        .orderBy("page", "ingest_order")
+        .select("page", "ingest_order", "feature_json")
+        .collect().map(_.toString).toSeq
+      assert(streamed == viaBatch)
+    }
+  }
+
   test("catalogue-style gate over the landed table (agg + json extraction)") {
     withServer { (base, _) =>
       val df = spark.read.format("http-paged")
