@@ -375,10 +375,11 @@ object EventQueries {
       import s.implicits._
       // Batch read first: fixes the nanosAsLong conf and provides the
       // schema the streaming source needs.
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val stream = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
         val agg = stream
           .groupBy(expr(s"ts div $HourNs").as("hour_bucket"), $"event_type")
           .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
@@ -405,10 +406,11 @@ object EventQueries {
     "ev_stream_hopping_parity",
     (s, d) => withStreamGateConfs(s) {
       import s.implicits._
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val stream = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
         val agg = stream
           .withColumn("tus", timestamp_micros(expr("ts div 1000")))
           .groupBy(window($"tus", "10 minutes", "5 minutes"), $"event_type")
@@ -449,10 +451,11 @@ object EventQueries {
     // (path (b) below) fires IN a watermark-advance no-data batch
     (s, d) => withStreamGateConfs(s, noDataBatches = true) {
       import s.implicits._
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val events = s.readStream.schema(schema).parquet(streamDir.toString)
+        val events = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .select(
             $"event_id",
             // epoch-nanos BIGINT → TimestampType (micros); ms flooring
@@ -528,10 +531,11 @@ object EventQueries {
     "ev_stream_dedup_parity",
     (s, d) => withStreamGateConfs(s) {
       import s.implicits._
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val events = s.readStream.schema(schema).parquet(streamDir.toString)
+        val events = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .select(
             $"event_id",
             timestamp_micros(expr("ts div 1000")).as("ts"),
@@ -725,10 +729,11 @@ object EventQueries {
     "ev_stream_stream_join",
     (s, d) => withStreamGateConfs(s) {
       import s.implicits._
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val ev = s.readStream.schema(schema).parquet(streamDir.toString)
+        val ev = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .select(
             $"event_id",
             timestamp_micros(expr("ts div 1000")).as("ts"),
@@ -835,10 +840,11 @@ object EventQueries {
     "ev_stream_cdc_parity",
     (s, d) => withStreamGateConfs(s) {
       import s.implicits._
-      val schema = Tables.events(s, d).schema
+      val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
       try {
-        val snapshot = s.readStream.schema(schema).parquet(streamDir.toString)
+        val snapshot = Tables.normalizeEvents(
+          s.readStream.schema(schema).parquet(streamDir.toString))
           .select($"user_id", $"event_id", $"event_type",
             expr("ts div 1000").as("ts_us"), cents($"value").as("value_cents"))
           .groupBy($"user_id")
