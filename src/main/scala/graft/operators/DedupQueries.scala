@@ -746,7 +746,171 @@ object DedupQueries {
            |ORDER BY doc1, doc2""".stripMargin),
   )
 
+  // GREEDY BIN-PACKING sequence packer — the other pretraining packer
+  // (td_concat_chunks above is the concat-and-split one): documents
+  // are packed WHOLE into fixed-capacity bins (no doc straddles a
+  // boundary — the shape used when cross-document attention
+  // contamination matters), greedily in doc_id order: a doc joins the
+  // current bin if it fits, else opens a new one. A GLOBAL greedy fold
+  // is inherently serial, so the corpus shards into fixed-size ranges
+  // of R=100 docs (rng = doc_id div R) packed independently — at any
+  // scale each shard's fold is a constant-size task and shard count
+  // grows with the data, which is exactly how a 1000-executor packer
+  // runs. The per-shard fold itself is a native `aggregate`
+  // higher-order function over the shard's collect_list (bounded at R
+  // structs — never a driver loop, never a window sort); the DuckDB
+  // oracle replays the same fold as a recursive CTE stepping rn→rn+1
+  // within every shard simultaneously.
+  private val sequencePack = Q(
+    "td_sequence_pack",
+    (s, d) => {
+      import s.implicits._
+      val C = 256L // bin capacity in whitespace tokens (max doc = 99)
+      val R = 100L // docs per independently-packed shard
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+        .withColumn("rng", expr(s"doc_id div $R"))
+      docs
+        .groupBy($"rng")
+        .agg(array_sort(collect_list(struct($"doc_id", $"n_tok"))).as("ds"))
+        .select($"rng", expr(s"""
+          aggregate(
+            ds,
+            named_struct(
+              'out', cast(array() as array<struct<doc_id:bigint,n_tok:bigint,bin:bigint>>),
+              'bin', cast(0 as bigint), 'used', cast(0 as bigint)),
+            (st, x) -> if(size(st.out) > 0 and st.used + x.n_tok <= $C,
+              named_struct(
+                'out', array_append(st.out, named_struct(
+                  'doc_id', x.doc_id, 'n_tok', x.n_tok, 'bin', st.bin)),
+                'bin', st.bin, 'used', st.used + x.n_tok),
+              named_struct(
+                'out', array_append(st.out, named_struct(
+                  'doc_id', x.doc_id, 'n_tok', x.n_tok,
+                  'bin', if(size(st.out) = 0, cast(0 as bigint), st.bin + 1))),
+                'bin', if(size(st.out) = 0, cast(0 as bigint), st.bin + 1),
+                'used', x.n_tok))).out""").as("packed"))
+        .select($"rng", explode($"packed").as("e"))
+        .select($"e.doc_id".as("doc_id"), $"e.n_tok".as("n_tok"),
+          $"rng", $"e.bin".as("bin"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |         doc_id // 100 AS rng,
+           |         row_number() OVER (PARTITION BY doc_id // 100
+           |                            ORDER BY doc_id) AS rn
+           |  FROM documents),
+           |pack AS (
+           |  SELECT rng, rn, doc_id, n_tok,
+           |         CAST(0 AS BIGINT) AS bin, n_tok AS used
+           |  FROM t WHERE rn = 1
+           |  UNION ALL
+           |  SELECT t.rng, t.rn, t.doc_id, t.n_tok,
+           |         CASE WHEN p.used + t.n_tok <= 256 THEN p.bin
+           |              ELSE p.bin + 1 END,
+           |         CASE WHEN p.used + t.n_tok <= 256 THEN p.used + t.n_tok
+           |              ELSE t.n_tok END
+           |  FROM pack p JOIN t ON t.rng = p.rng AND t.rn = p.rn + 1)
+           |SELECT doc_id, n_tok, rng, bin FROM pack
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // DUPLICATE-SPAN detection (the ExactSubstr dedup of Lee et al.
+  // 2022, arXiv:2107.06499, at token granularity): an L=8-token span
+  // appearing in >= 2 DISTINCT documents is a cross-corpus duplicate,
+  // and every token position it covers is "duplicated text" a span
+  // deduper would cut. Per document this reports the number of
+  // flagged spans and the exact union coverage of their [pos, pos+L)
+  // intervals — the interval union is the gaps-and-islands running
+  // max, done per doc under a parallel window (each partition is one
+  // doc's flagged spans, bounded by its token count). Span identity
+  // is the md5 of the joined tokens, so the flagging groupBy shuffles
+  // 128-bit keys, not text — the same linear token→stats→join-back
+  // layout as td_paragraph_dedup, with OVERLAPPING spans (positions,
+  // not fixed segments), which is what makes the coverage union
+  // necessary and the guarantee exact: any duplicated run of >= L
+  // tokens is fully covered.
+  private val spanDedup = Q(
+    "td_span_dedup",
+    (s, d) => {
+      import s.implicits._
+      val L = 8
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+      val grams = toks
+        .select($"doc_id",
+          explode(sequence(lit(1), greatest(size($"w") - (L - 1), lit(0)))).as("pos"),
+          $"w")
+        .select($"doc_id", $"pos",
+          md5(array_join(slice($"w", $"pos", lit(L)), " ")).as("g"))
+      val dup = grams.groupBy($"g")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"g")
+      val flagged = grams.join(dup, "g")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val cover = flagged
+        .withColumn("prev_end",
+          max($"pos" + (L - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("a"), max($"pos" + (L - 1)).as("b"),
+          count(lit(1)).as("spans"))
+        .groupBy($"doc_id")
+        .agg(sum($"spans").as("dup_spans"), sum($"b" - $"a" + 1).as("dup_tokens"))
+      toks.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+        .join(cover, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_spans", lit(0L)).as("dup_spans"),
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |grams AS (
+           |  SELECT doc_id, CAST(unnest(range(1, len(w) - 6)) AS BIGINT) AS pos, w
+           |  FROM toks),
+           |hashed AS (
+           |  SELECT doc_id, pos,
+           |         md5(array_to_string(list_slice(w, pos, pos + 7), ' ')) AS g
+           |  FROM grams),
+           |dup AS (
+           |  SELECT g FROM hashed GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+           |flagged AS (SELECT doc_id, pos FROM hashed JOIN dup USING (g)),
+           |marked AS (
+           |  SELECT doc_id, pos,
+           |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM flagged),
+           |islands AS (
+           |  SELECT doc_id, pos,
+           |         CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+           |                       THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY pos
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS island
+           |  FROM marked),
+           |per_island AS (
+           |  SELECT doc_id, island, min(pos) AS a, max(pos + 7) AS b,
+           |         count(*) AS spans
+           |  FROM islands GROUP BY doc_id, island),
+           |cover AS (
+           |  SELECT doc_id, CAST(sum(spans) AS BIGINT) AS dup_spans,
+           |         CAST(sum(b - a + 1) AS BIGINT) AS dup_tokens
+           |  FROM per_island GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           |       COALESCE(c.dup_spans, 0) AS dup_spans,
+           |       COALESCE(c.dup_tokens, 0) AS dup_tokens
+           |FROM toks t LEFT JOIN cover c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
-      dedupClusters, decontaminate, concatChunks, paragraphDedup, containment)
+      dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
+      sequencePack, spanDedup)
 }
