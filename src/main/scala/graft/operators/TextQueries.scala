@@ -715,8 +715,114 @@ object TextQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
   )
 
+  // BOILERPLATE STRIP (the CCNet/RefinedWeb template-removal pass,
+  // adapted to a corpus with no line structure): a bigram is
+  // boilerplate FOR A SOURCE when it appears in >= 20% of that
+  // source's documents — template text repeats across a crawl
+  // domain's pages, which per-source document frequency captures and
+  // a global threshold would dilute. Per document this reports the
+  // flagged bigram count and the exact token coverage of their
+  // overlapping [pos, pos+1] intervals (the same gaps-and-islands
+  // union as td_span_dedup — with L=2 adjacent flagged bigrams chain
+  // into runs, so naive 2·count would overcount). Scale story: the
+  // df pass is one (source, bigram-md5) partial agg; the boilerplate
+  // set per source is bounded by the df threshold (few hundred grams
+  // here), so the flag-back join broadcasts; the coverage window
+  // partitions per doc. All counts integer, hash-exact.
+  private val boilerplateStrip = Q(
+    "ta_boilerplate_strip",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"source", split($"text", " ").as("w"))
+      val grams = toks
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1), greatest(size($"w") - 1, lit(0)))).as("pos"),
+          $"w")
+        .select($"doc_id", $"source", $"pos",
+          md5(array_join(slice($"w", $"pos", lit(2)), " ")).as("g"))
+      val nd = Tables.documents(s, d)
+        .groupBy($"source").agg(count(lit(1)).as("nd"))
+      val boiler = grams.select($"source", $"g", $"doc_id").distinct()
+        .groupBy($"source", $"g").agg(count(lit(1)).as("df"))
+        .join(nd, "source")
+        .filter($"df" * 5 >= $"nd")
+        .select($"source", $"g")
+      val flagged = grams.join(broadcast(boiler), Seq("source", "g"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      import org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val cover = flagged
+        .withColumn("prev_end",
+          max($"pos" + 1).over(w.rowsBetween(unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"new_island").over(w.rowsBetween(unboundedPreceding, 0)))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("a"), max($"pos" + 1).as("b"),
+          count(lit(1)).as("grams"))
+        .groupBy($"doc_id")
+        .agg(sum($"grams").as("boiler_bigrams"),
+          sum($"b" - $"a" + 1).as("boiler_tokens"))
+      toks.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+        .join(cover, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"boiler_bigrams", lit(0L)).as("boiler_bigrams"),
+          coalesce($"boiler_tokens", lit(0L)).as("boiler_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+           |grams AS (
+           |  SELECT doc_id, source,
+           |         CAST(unnest(range(1, len(w))) AS BIGINT) AS pos, w
+           |  FROM toks),
+           |hashed AS (
+           |  SELECT doc_id, source, pos,
+           |         md5(array_to_string(list_slice(w, pos, pos + 1), ' ')) AS g
+           |  FROM grams),
+           |nd AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+           |boiler AS (
+           |  SELECT d.source, d.g
+           |  FROM (SELECT source, g, count(DISTINCT doc_id) AS df
+           |        FROM hashed GROUP BY 1, 2) d
+           |  JOIN nd USING (source)
+           |  WHERE d.df * 5 >= nd.nd),
+           |flagged AS (
+           |  SELECT h.doc_id, h.pos FROM hashed h
+           |  JOIN boiler b ON h.source = b.source AND h.g = b.g),
+           |marked AS (
+           |  SELECT doc_id, pos,
+           |         max(pos + 1) OVER (PARTITION BY doc_id ORDER BY pos
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM flagged),
+           |islands AS (
+           |  SELECT doc_id, pos,
+           |         CAST(sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+           |                       THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY pos
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS BIGINT) AS island
+           |  FROM marked),
+           |per_island AS (
+           |  SELECT doc_id, island, min(pos) AS a, max(pos + 1) AS b,
+           |         count(*) AS grams
+           |  FROM islands GROUP BY doc_id, island),
+           |cover AS (
+           |  SELECT doc_id, CAST(sum(grams) AS BIGINT) AS boiler_bigrams,
+           |         CAST(sum(b - a + 1) AS BIGINT) AS boiler_tokens
+           |  FROM per_island GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           |       COALESCE(c.boiler_bigrams, 0) AS boiler_bigrams,
+           |       COALESCE(c.boiler_tokens, 0) AS boiler_tokens
+           |FROM toks t LEFT JOIN cover c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
-      invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup)
+      invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
+      boilerplateStrip)
 }

@@ -134,4 +134,114 @@ class Round7OpsSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.winnow.maxdf")
     assert(capped.sameElements(base))
   }
+
+  // ---- round-7 session-2 additions: packing, span/boilerplate
+  //      coverage, count-min sketch ----
+
+  private def docTokens(): Seq[(Long, Array[String])] = {
+    import spark.implicits._
+    graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t.split(" ")) }
+  }
+
+  test("td_sequence_pack matches an in-memory greedy fold per shard") {
+    import spark.implicits._
+    val expected = docTokens()
+      .map { case (id, w) => (id, w.length.toLong, id / 100) }
+      .groupBy(_._3).toSeq.flatMap { case (rng, ds) =>
+        var bin = -1L; var used = 0L
+        ds.sortBy(_._1).map { case (id, n, _) =>
+          if (bin < 0 || used + n > 256) { bin += 1; used = n }
+          else used += n
+          (id, n, rng, bin)
+        }
+      }.sortBy(_._1)
+    val got = q("td_sequence_pack").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "greedy packing mismatch")
+    // every bin respects capacity (no doc here exceeds it alone)
+    val fill = got.groupBy(g => (g._3, g._4)).values.map(_.map(_._2).sum)
+    assert(fill.forall(_ <= 256), "bin over capacity")
+  }
+
+  /** Union coverage of length-L intervals starting at `starts`. */
+  private def coverage(starts: Seq[Long], L: Int): Long = {
+    var covered = 0L; var end = 0L // last covered position (1-based)
+    starts.sorted.foreach { p =>
+      val a = math.max(p, end + 1); val b = p + L - 1
+      if (b >= a) covered += b - a + 1
+      end = math.max(end, b)
+    }
+    covered
+  }
+
+  test("td_span_dedup matches naive cross-doc L-gram coverage") {
+    import spark.implicits._
+    val L = 8
+    val docs = docTokens()
+    val grams = docs.flatMap { case (id, w) =>
+      (0 to w.length - L).map(i => (id, i + 1L, w.slice(i, i + L).mkString(" ")))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val flagged = grams.filter(g => dup.contains(g._3))
+    val byDoc = flagged.groupBy(_._1)
+    val expected = docs.map { case (id, w) =>
+      val starts = byDoc.getOrElse(id, Seq.empty).map(_._2)
+      (id, w.length.toLong, starts.size.toLong, coverage(starts, L))
+    }.sortBy(_._1)
+    val got = q("td_span_dedup").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "span coverage mismatch")
+    assert(expected.exists(_._4 > 0), "fixture has no duplicated spans — gate is vacuous")
+  }
+
+  test("ta_boilerplate_strip matches naive per-source bigram-df coverage") {
+    import spark.implicits._
+    val bySource = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq.map { case (id, src, t) => (id, src, t.split(" ")) }
+      .groupBy(_._2)
+    val expected = bySource.toSeq.flatMap { case (_, docs) =>
+      val nd = docs.size
+      val grams = docs.flatMap { case (id, _, w) =>
+        (0 until w.length - 1).map(i => (id, i + 1L, w.slice(i, i + 2).mkString(" ")))
+      }
+      val boiler = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size * 5 >= nd).keySet
+      val byDoc = grams.filter(g => boiler.contains(g._3)).groupBy(_._1)
+      docs.map { case (id, _, w) =>
+        val starts = byDoc.getOrElse(id, Seq.empty).map(_._2)
+        (id, w.length.toLong, starts.size.toLong, coverage(starts, 2))
+      }
+    }.sortBy(_._1)
+    val got = q("ta_boilerplate_strip").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, "boilerplate coverage mismatch")
+    assert(expected.exists(_._3 > 0), "fixture has no boilerplate — gate is vacuous")
+  }
+
+  test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
+    import spark.implicits._
+    val got = q("qa_cms_heavy_hitters").fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 30)
+    assert(got.forall { case (_, cms, exact) => cms >= exact },
+      "CMS estimate below truth — sketch broken")
+    // naive re-derivation: same md5 hash family, full matrix in memory
+    val keys = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_partkey").as[Long].collect().toSeq
+    def bucket(i: Long, k: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((i * 1000003 + k).toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 12)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val sketch = Array.ofDim[Long](4, 256)
+    keys.foreach(k => (0 until 4).foreach(i => sketch(i)(bucket(i.toLong, k)) += 1))
+    got.foreach { case (k, cms, _) =>
+      val naive = (0 until 4).map(i => sketch(i)(bucket(i.toLong, k))).min
+      assert(cms == naive, s"key $k: engine cms=$cms naive=$naive")
+    }
+  }
 }
