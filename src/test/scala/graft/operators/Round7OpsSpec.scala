@@ -231,11 +231,13 @@ class Round7OpsSpec extends AnyFunSuite {
     // naive re-derivation: same md5 hash family, full matrix in memory
     val keys = graft.model.Tables.lineitem(spark, sf)
       .select($"l_partkey").as[Long].collect().toSeq
+    val P = 281474976710597L
     def bucket(i: Long, k: Long): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest((i * 1000003 + k).toString.getBytes("UTF-8"))
+        .digest(k.toString.getBytes("UTF-8"))
       val hex = md.map("%02x".format(_)).mkString.substring(0, 12)
-      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+      val h = java.lang.Long.parseLong(hex, 16)
+      ((((2 * i + 3) * (h % P) + (5 * i + 7)) % P) % 256).toInt
     }
     val sketch = Array.ofDim[Long](4, 256)
     keys.foreach(k => (0 until 4).foreach(i => sketch(i)(bucket(i.toLong, k)) += 1))
