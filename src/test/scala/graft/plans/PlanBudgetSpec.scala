@@ -413,4 +413,41 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(exchanges(lpaNodes) <= 36,
       s"gr_label_propagation plans ${exchanges(lpaNodes)} exchanges, budget 36")
   }
+
+  test("round-7 session-2 additions keep their scale shapes") {
+    // td_sequence_pack: shard groupBy + higher-order fold + explode —
+    // NO join anywhere (a join means the fold regressed to a
+    // self-correlation), one shard shuffle + the presentation sort.
+    val packNodes = planOf("td_sequence_pack")
+    assert(!packNodes.exists(_.nodeName.contains("Join")),
+      "sequence packer planned a join; it must be a per-shard fold")
+    assert(exchanges(packNodes) <= 3,
+      s"td_sequence_pack plans ${exchanges(packNodes)} exchanges, budget 3")
+    // td_span_dedup / ta_boilerplate_strip: the flag-back joins must
+    // stay equi joins on the md5 gram key (nested loop = all-pairs
+    // text comparison), bounded exchanges.
+    for ((name, budget) <- Seq("td_span_dedup" -> 12,
+        "ta_boilerplate_strip" -> 14)) {
+      val nodes = planOf(name)
+      assert(!nodes.exists(_.nodeName.contains("NestedLoop")),
+        s"$name planned a nested-loop join")
+      val joins = nodes.filter(_.nodeName.contains("Join")).map(_.toString)
+      assert(joins.exists(_.contains("g#")),
+        s"$name flag join lost its gram key:\n${joins.mkString("\n")}")
+      assert(exchanges(nodes) <= budget,
+        s"$name plans ${exchanges(nodes)} exchanges, budget $budget")
+    }
+    // qa_cms_heavy_hitters: the 1024-row sketch must BROADCAST to the
+    // probe side (a shuffled join of a 1024-row table is the wrong
+    // shape), the top-30 must be a heap, and no nested loop.
+    val cmsNodes = planOf("qa_cms_heavy_hitters")
+    assert(!cmsNodes.exists(_.nodeName.contains("NestedLoop")),
+      "CMS planned a nested-loop join")
+    assert(cmsNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "CMS sketch probe is not a broadcast hash join")
+    assert(cmsNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "CMS exact top-30 is not a TakeOrderedAndProject heap")
+    assert(exchanges(cmsNodes) <= 8,
+      s"qa_cms_heavy_hitters plans ${exchanges(cmsNodes)} exchanges, budget 8")
+  }
 }
