@@ -816,6 +816,60 @@ object DedupQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // OVERLAPPING sliding-window chunking — the RAG/retrieval chunker
+  // (fixed window, fixed stride, stride < window so context straddles
+  // chunk boundaries), the third packing discipline next to
+  // concat-and-chunk (split the global stream) and the bin packer
+  // (whole docs, no straddle). Per doc: windows of 64 tokens at
+  // stride 48, the last window clipped to the doc end; emitted as
+  // (start, end, md5 of the chunk text) so rows stay narrow whatever
+  // the chunk size. Pure per-row explode arithmetic — no shuffle
+  // before the presentation sort, chunk count ∝ corpus tokens. The
+  // extra-chunk count is greatest(n−17, 0) div 48 = ceil((n−64)/48)
+  // clamped at 0, written with the subtraction INSIDE greatest so
+  // Spark's truncating div and DuckDB's flooring // agree (they
+  // diverge on negatives).
+  private val chunkOverlap = Q(
+    "td_chunk_overlap",
+    (s, d) => {
+      import s.implicits._
+      val Size = 64; val Stride = 48
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", $"w", size($"w").as("n"),
+          explode(sequence(lit(0),
+            expr(s"greatest(size(w) - ${Size - Stride + 1}, 0) div $Stride"))).as("chunk_no"))
+        .select($"doc_id", $"chunk_no".cast("int").as("chunk_no"),
+          ($"chunk_no" * Stride + 1).cast("int").as("start_tok"),
+          least($"chunk_no" * Stride + Size, $"n").as("end_tok"),
+          $"w")
+        .select($"doc_id", $"chunk_no", $"start_tok",
+          $"end_tok".cast("int").as("end_tok"),
+          ($"end_tok" - $"start_tok" + 1).cast("int").as("n_chunk_tokens"),
+          md5(array_join(
+            slice($"w", $"start_tok", $"end_tok" - $"start_tok" + 1), " "))
+            .as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_no")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |chunks AS (
+           |  SELECT doc_id, w, len(w) AS n,
+           |         CAST(unnest(range(0, greatest(len(w) - 17, 0) // 48 + 1))
+           |              AS INT) AS chunk_no
+           |  FROM toks)
+           |SELECT doc_id, chunk_no,
+           |       CAST(chunk_no * 48 + 1 AS INT) AS start_tok,
+           |       CAST(least(chunk_no * 48 + 64, n) AS INT) AS end_tok,
+           |       CAST(least(chunk_no * 48 + 64, n) - (chunk_no * 48 + 1) + 1
+           |            AS INT) AS n_chunk_tokens,
+           |       md5(array_to_string(
+           |         list_slice(w, chunk_no * 48 + 1, least(chunk_no * 48 + 64, n)),
+           |         ' ')) AS chunk_md5
+           |FROM chunks
+           |ORDER BY doc_id, chunk_no""".stripMargin),
+  )
+
   // DUPLICATE-SPAN detection (the ExactSubstr dedup of Lee et al.
   // 2022, arXiv:2107.06499, at token granularity): an L=8-token span
   // appearing in >= 2 DISTINCT documents is a cross-corpus duplicate,
@@ -912,5 +966,5 @@ object DedupQueries {
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
-      sequencePack, spanDedup)
+      sequencePack, spanDedup, chunkOverlap)
 }

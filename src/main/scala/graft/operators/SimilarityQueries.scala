@@ -862,7 +862,73 @@ object SimilarityQueries {
            |ORDER BY c.vec_id""".stripMargin),
   )
 
+  // HARD-NEGATIVE mining for contrastive embedding training: for each
+  // query vector, the top-3 most-similar vectors with a DIFFERENT
+  // label — the "semantically close but wrong" examples that make
+  // triplet/contrastive losses learn, and the standard mining pass a
+  // training-data pipeline runs over its embedding store. Exact
+  // decimal cosine (same kernel + oracle formulation as the other
+  // sim_ entries), 5 query vectors broadcast against the corpus —
+  // linear in corpus size. The per-query top-3 is TWO-PHASE: a
+  // partial top-3 per (query, vec_id%64 bucket) under parallel
+  // windows, then the final top-3 over the ≤192 survivors — a single
+  // per-query window would funnel the whole corpus through 5
+  // partitions, the classic top-k-per-group skew. At scale the query
+  // set is the batch being mined (thousands of rows) and the
+  // candidate restriction runs through the IVF cells (sim_ivf_probe);
+  // the catalogue point pins the exact-scoring contract.
+  private val hardNegatives = Q(
+    "sim_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.exprs.cosine_e9
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val queries = Tables.embeddings(s, d).filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qe"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .filter($"label" =!= $"qlabel" && $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", $"label".as("neg_label"),
+          cosine_e9($"embedding", $"qe").as("cosine_e9"))
+      val partial = scored
+        .withColumn("rnb", row_number().over(
+          Window.partitionBy($"qid", expr("vec_id % 64"))
+            .orderBy($"cosine_e9".desc, $"vec_id")))
+        .filter($"rnb" <= 3).drop("rnb")
+      partial
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cosine_e9".desc, $"vec_id")))
+        .filter($"neg_rank" <= 3)
+        .select($"qid", $"neg_rank", $"vec_id", $"neg_label", $"cosine_e9")
+        .orderBy($"qid", $"neg_rank")
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+           |  FROM embeddings WHERE vec_id < 5),
+           |sims AS (
+           |  SELECT q.qid, e.vec_id, e.label AS neg_label,
+           |         CAST(round(CAST(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE) *
+           |                  CAST(q.qe[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) /
+           |              sqrt(CAST(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE) *
+           |                   CAST(e.embedding[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) *
+           |                   CAST(SUM(CAST(CAST(q.qe[t.k] AS DOUBLE) *
+           |                   CAST(q.qe[t.k] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE))
+           |              * 1e9) AS BIGINT) AS cosine_e9
+           |  FROM embeddings e CROSS JOIN q, range(1, 65) t(k)
+           |  WHERE e.label <> q.qlabel AND e.vec_id <> q.qid
+           |  GROUP BY q.qid, e.vec_id, e.label),
+           |ranked AS (
+           |  SELECT qid, vec_id, neg_label, cosine_e9,
+           |         CAST(row_number() OVER (PARTITION BY qid
+           |           ORDER BY cosine_e9 DESC, vec_id) AS INT) AS neg_rank
+           |  FROM sims)
+           |SELECT qid, neg_rank, vec_id, neg_label, cosine_e9
+           |FROM ranked WHERE neg_rank <= 3
+           |ORDER BY qid, neg_rank""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
-      ivfProbe, pqTopK, pqTopKC16, semDedup)
+      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives)
 }

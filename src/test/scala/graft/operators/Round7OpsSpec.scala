@@ -221,6 +221,62 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0), "fixture has no boilerplate — gate is vacuous")
   }
 
+  test("td_chunk_overlap matches naive sliding windows and covers every token") {
+    import spark.implicits._
+    val Size = 64; val Stride = 48
+    val expected = docTokens().flatMap { case (id, w) =>
+      val n = w.length
+      val extra = math.max(n - (Size - Stride + 1), 0) / Stride
+      (0 to extra).map { i =>
+        val start = i * Stride + 1
+        val end = math.min(i * Stride + Size, n)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.slice(start - 1, end).mkString(" ").getBytes("UTF-8"))
+        (id, i, start, end, end - start + 1, md.map("%02x".format(_)).mkString)
+      }
+    }.sortBy(c => (c._1, c._2))
+    val got = q("td_chunk_overlap").fn(spark, sf)
+      .as[(Long, Int, Int, Int, Int, String)].collect().toSeq
+    assert(got == expected, "chunking mismatch")
+    // coverage: chunks tile the doc — first starts at 1, each next
+    // chunk starts inside or adjacent to the previous one's span,
+    // the last ends at n
+    docTokens().foreach { case (id, w) =>
+      val chunks = got.filter(_._1 == id)
+      assert(chunks.head._3 == 1 && chunks.last._4 == w.length)
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 <= a._4 + 1, s"gap in doc $id")
+        case _ =>
+      }
+    }
+  }
+
+  test("sim_hard_negatives: negatives are cross-label and match exact re-ranking") {
+    import spark.implicits._
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect().toSeq
+    def cosE9(a: Array[Float], b: Array[Float]): Long = {
+      def s(f: Int => Double): Double =
+        (0 until 64).map(i => BigDecimal(f(i))).sum.toDouble
+      val dot = s(i => a(i).toDouble * b(i).toDouble)
+      val na = s(i => a(i).toDouble * a(i).toDouble)
+      val nb = s(i => b(i).toDouble * b(i).toDouble)
+      math.round(dot / math.sqrt(na * nb) * 1e9)
+    }
+    val expected = emb.filter(_._1 < 5).sortBy(_._1).flatMap { case (qid, ql, qe) =>
+      emb.filter(e => e._2 != ql && e._1 != qid)
+        .map(e => (e._1, e._2, cosE9(e._3, qe)))
+        .sortBy(e => (-e._3, e._1)).take(3).zipWithIndex
+        .map { case ((vid, l, c), r) => (qid, r + 1, vid, l, c) }
+    }
+    val got = q("sim_hard_negatives").fn(spark, sf)
+      .as[(Long, Int, Long, Int, Long)].collect().toSeq
+    assert(got == expected, s"hard-negative mismatch:\n$got\nvs\n$expected")
+    val labels = emb.filter(_._1 < 5).map(e => e._1 -> e._2).toMap
+    assert(got.forall { case (qid, _, _, nl, _) => nl != labels(qid) })
+  }
+
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
     import spark.implicits._
     val got = q("qa_cms_heavy_hitters").fn(spark, sf)
