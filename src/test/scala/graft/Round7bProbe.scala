@@ -77,6 +77,9 @@ object Round7bProbe {
 
       val nLine = graft.model.Tables.lineitem(spark, d).count()
       val (cmsRows, cmsSec) = run("qa_cms_heavy_hitters", d)
+      val (chunkRows, chunkSec) = run("td_chunk_overlap", d)
+      val nVecs = graft.model.Tables.embeddings(spark, d).count()
+      val (hnRows, hnSec) = run("sim_hard_negatives", d)
 
       println(
         s"""{"probe":"round7b","dir":"$d","n_docs":$nDocs,"n_tokens":$nTokens,""" +
@@ -85,7 +88,9 @@ object Round7bProbe {
         s""""boiler_set":$boilerSet,"boiler_rows":$boilRows,""" +
         f""""boiler_sec":$boilSec%.3f,""" +
         f""""pack_rows":$packRows,"pack_sec":$packSec%.3f,""" +
-        f""""lineitem_rows":$nLine,"cms_rows":$cmsRows,"cms_sec":$cmsSec%.3f}""")
+        f""""lineitem_rows":$nLine,"cms_rows":$cmsRows,"cms_sec":$cmsSec%.3f,""" +
+        f""""chunk_rows":$chunkRows,"chunk_sec":$chunkSec%.3f,""" +
+        f""""n_vecs":$nVecs,"hn_rows":$hnRows,"hn_sec":$hnSec%.3f}""")
     }
     spark.stop()
   }

@@ -449,5 +449,25 @@ class PlanBudgetSpec extends AnyFunSuite {
       "CMS exact top-30 is not a TakeOrderedAndProject heap")
     assert(exchanges(cmsNodes) <= 8,
       s"qa_cms_heavy_hitters plans ${exchanges(cmsNodes)} exchanges, budget 8")
+    // td_chunk_overlap: a pure per-row explode — NO join, no
+    // aggregation shuffle, just the presentation sort.
+    val chNodes = planOf("td_chunk_overlap")
+    assert(!chNodes.exists(_.nodeName.contains("Join")),
+      "chunker planned a join; it must be a per-row explode")
+    assert(exchanges(chNodes) <= 1,
+      s"td_chunk_overlap plans ${exchanges(chNodes)} exchanges, budget 1")
+    // sim_hard_negatives: the query set must BROADCAST (a shuffled
+    // join against 5 rows is the wrong shape) and no per-query window
+    // may receive the whole corpus in one partition — the bucketed
+    // partial window keys on (qid, vec_id % 64).
+    val hnNodes = planOf("sim_hard_negatives")
+    assert(hnNodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")) ||
+      hnNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "hard negatives did not broadcast the query set")
+    val hnWindows = hnNodes.filter(_.nodeName.contains("Window")).map(_.toString)
+    assert(hnWindows.exists(_.contains("%")),
+      s"hard negatives lost the bucketed partial top-k:\n${hnWindows.mkString("\n")}")
+    assert(exchanges(hnNodes) <= 6,
+      s"sim_hard_negatives plans ${exchanges(hnNodes)} exchanges, budget 6")
   }
 }
