@@ -659,8 +659,84 @@ object ExtraQueries {
            |ORDER BY c_mktsegment""".stripMargin),
   )
 
+  // ROBUST outlier detection via median/MAD — the data-cleaning pass
+  // that survives the outliers it hunts (mean/stddev clipping moves
+  // with the contamination; the median and the median absolute
+  // deviation have a 50% breakdown point). Per event_type over
+  // integer cents: med = the ceil(n/2)-th order statistic (the
+  // qa_quantile_disc discrete-index device — both engines select the
+  // identical row, no interpolation ulp), MAD = the same statistic of
+  // |x − med|, outliers = |x − med| > 3·MAD. All integer compares, so
+  // the counts hash-gate. Two grouped window sorts (value, then
+  // deviation) + one conditional aggregate; at 100 TB the same
+  // numbers come from the histogram/KMV sketch family when exactness
+  // can be traded, exactly as documented on qa_quantile_disc.
+  private val madOutliers = Q(
+    "qa_mad_outliers",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+      val vals = Tables.events(s, d)
+        .select($"event_type", $"event_id", cents($"value").as("v"))
+      val med = vals
+        .withColumn("rn", row_number().over(w.orderBy($"v", $"event_id")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"event_type")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"v")).as("med"))
+      val dev = vals.join(med, "event_type")
+        .withColumn("ad", abs($"v" - $"med"))
+      val mad = dev
+        .withColumn("rn", row_number().over(w.orderBy($"ad", $"event_id")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"event_type")
+        .agg(max($"med").as("med_cents"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"ad")).as("mad_cents"),
+          count(lit(1)).as("n"))
+      dev.join(mad.select($"event_type", $"mad_cents"), "event_type")
+        .groupBy($"event_type")
+        .agg(sum(when($"ad" > $"mad_cents" * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .join(mad, "event_type")
+        .select($"event_type", $"n", $"med_cents", $"mad_cents", $"n_outliers")
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH vals AS (
+            |  SELECT event_type, event_id, ${centsSql("value")} AS v
+            |  FROM events),
+            |med AS (
+            |  SELECT event_type,
+            |         max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+            |  FROM (SELECT event_type, v,
+            |               row_number() OVER (PARTITION BY event_type
+            |                 ORDER BY v, event_id) AS rn,
+            |               count(*) OVER (PARTITION BY event_type) AS n
+            |        FROM vals)
+            |  GROUP BY event_type),
+            |dev AS (
+            |  SELECT v.event_type, v.event_id, abs(v.v - m.med) AS ad, m.med
+            |  FROM vals v JOIN med m USING (event_type)),
+            |mad AS (
+            |  SELECT event_type, max(med) AS med_cents,
+            |         max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad_cents,
+            |         CAST(count(*) AS BIGINT) AS n
+            |  FROM (SELECT event_type, ad, med,
+            |               row_number() OVER (PARTITION BY event_type
+            |                 ORDER BY ad, event_id) AS rn,
+            |               count(*) OVER (PARTITION BY event_type) AS n
+            |        FROM dev)
+            |  GROUP BY event_type)
+            |SELECT d.event_type, any_value(m.n) AS n,
+            |       any_value(m.med_cents) AS med_cents,
+            |       any_value(m.mad_cents) AS mad_cents,
+            |       CAST(sum(CASE WHEN d.ad > m.mad_cents * 3 THEN 1 ELSE 0 END)
+            |            AS BIGINT) AS n_outliers
+            |FROM dev d JOIN mad m USING (event_type)
+            |GROUP BY d.event_type
+            |ORDER BY d.event_type""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
-    bloomPrefilter)
+    bloomPrefilter, madOutliers)
 }

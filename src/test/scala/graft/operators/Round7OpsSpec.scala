@@ -277,6 +277,62 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.forall { case (qid, _, _, nl, _) => nl != labels(qid) })
   }
 
+  test("td_sequence_pack randomized fixture: capacity and eagerness invariants") {
+    import spark.implicits._
+    // seeded random corpus hitting the edges the real corpus can't:
+    // docs LARGER than the bin capacity, shard-boundary straddles,
+    // token counts from 1 to 400 (capacity is 256)
+    val rng = new scala.util.Random(42)
+    val docs = (0L until 350L).map { id =>
+      val n = 1 + rng.nextInt(400)
+      (id, Array.fill(n)("w").mkString(" "), "en", s"src${id % 3}", n.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("packrand").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = q("td_sequence_pack").fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 350)
+    got.groupBy(g => (g._3, g._4)).foreach { case ((rng_, bin), members) =>
+      val fill = members.map(_._2).sum
+      // a bin only exceeds capacity when a single oversized doc owns it
+      assert(fill <= 256 || members.size == 1,
+        s"shard $rng_ bin $bin over capacity with ${members.size} docs")
+    }
+    // eagerness: within a shard, a doc opens a new bin ONLY when it
+    // would not fit in the current one
+    got.groupBy(_._3).values.foreach { shard =>
+      var used = -1L; var bin = -1L
+      shard.sortBy(_._1).foreach { case (id, n, _, b) =>
+        if (b == bin) { used += n; assert(used <= 256, s"doc $id overfilled") }
+        else {
+          assert(b == bin + 1, s"doc $id skipped a bin")
+          if (bin >= 0) assert(used + n > 256, s"doc $id opened a bin it did not need")
+          bin = b; used = n
+        }
+      }
+    }
+  }
+
+  test("qa_mad_outliers matches an in-memory median/MAD re-derivation") {
+    import spark.implicits._
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"value")
+      .as[(String, Long, Double)].collect().toSeq
+    def orderStat(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, es) =>
+      val cents = es.map(e => (e._2, math.round(e._3 * 100)))
+      val med = orderStat(cents.map(_._2))
+      val ads = cents.map { case (_, v) => math.abs(v - med) }
+      val mad = orderStat(ads)
+      (t, es.size.toLong, med, mad, ads.count(_ > mad * 3).toLong)
+    }.sortBy(_._1)
+    val got = q("qa_mad_outliers").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"median/MAD mismatch:\n$got\nvs\n$expected")
+    assert(expected.exists(_._5 > 0), "fixture has no outliers — gate is vacuous")
+  }
+
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
     import spark.implicits._
     val got = q("qa_cms_heavy_hitters").fn(spark, sf)
