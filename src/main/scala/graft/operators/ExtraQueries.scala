@@ -684,7 +684,7 @@ object ExtraQueries {
         .withColumn("n", count(lit(1)).over(w))
         .groupBy($"event_type")
         .agg(max(when($"rn" === expr("(n + 1) div 2"), $"v")).as("med"))
-      val dev = vals.join(med, "event_type")
+      val dev = vals.join(broadcast(med), "event_type")
         .withColumn("ad", abs($"v" - $"med"))
       val mad = dev
         .withColumn("rn", row_number().over(w.orderBy($"ad", $"event_id")))
@@ -693,10 +693,10 @@ object ExtraQueries {
         .agg(max($"med").as("med_cents"),
           max(when($"rn" === expr("(n + 1) div 2"), $"ad")).as("mad_cents"),
           count(lit(1)).as("n"))
-      dev.join(mad.select($"event_type", $"mad_cents"), "event_type")
+      dev.join(broadcast(mad.select($"event_type", $"mad_cents")), "event_type")
         .groupBy($"event_type")
         .agg(sum(when($"ad" > $"mad_cents" * 3, 1L).otherwise(0L)).as("n_outliers"))
-        .join(mad, "event_type")
+        .join(broadcast(mad), "event_type")
         .select($"event_type", $"n", $"med_cents", $"mad_cents", $"n_outliers")
         .orderBy($"event_type")
     },

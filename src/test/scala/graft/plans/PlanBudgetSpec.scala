@@ -469,5 +469,18 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"hard negatives lost the bucketed partial top-k:\n${hnWindows.mkString("\n")}")
     assert(exchanges(hnNodes) <= 6,
       s"sim_hard_negatives plans ${exchanges(hnNodes)} exchanges, budget 6")
+    // qa_mad_outliers: the DATA cost is the two grouped window sorts
+    // (value rank for the median, deviation rank for the MAD — the
+    // exact-two-level-order-statistic floor); everything else is
+    // 5-row med/mad BROADCASTS, which this helper also counts, hence
+    // the 12 (measured exactly). A shuffle JOIN of the 5-row stats
+    // would be the regression this pin catches.
+    val madNodes = planOf("qa_mad_outliers")
+    assert(!madNodes.exists(_.nodeName.contains("NestedLoop")),
+      "mad outliers planned a nested-loop join")
+    assert(madNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "mad outliers stat joins are not broadcasts")
+    assert(exchanges(madNodes) <= 12,
+      s"qa_mad_outliers plans ${exchanges(madNodes)} exchanges, budget 12")
   }
 }
