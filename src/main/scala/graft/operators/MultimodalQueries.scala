@@ -25,6 +25,36 @@ object Multimodal {
   /** A media record: opaque payload + whatever metadata the lake has. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], source: String)
 
+  /** One fixed-size audio frame: exact integer energy Σ|sample − 100|
+    * over the frame's PCM-U8 samples (100 per frame, last frame
+    * clipped). */
+  final case class AudioFrame(
+    doc_id: Long, frame: Int, n_samples: Int, energy: Long)
+
+  /** Frame-and-energy pass over the payload interpreted as unsigned
+    * 8-bit PCM — the audio half of the decode family: real byte-level
+    * parsing per partition (the shape a libsndfile/ffmpeg decode
+    * feeds), with the text-backed payloads keeping every frame energy
+    * SQL-replayable (ASCII byte i == codepoint of char i).
+    */
+  def audioFrames(rows: Dataset[MediaRow]): Dataset[AudioFrame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val frames = (b.length + 99) / 100
+        (0 until frames).iterator.map { f =>
+          val start = f * 100
+          val end = math.min(start + 100, b.length)
+          var e = 0L
+          var i = start
+          while (i < end) { e += math.abs((b(i) & 0xff) - 100); i += 1 }
+          AudioFrame(r.doc_id, f, end - start, e)
+        }
+      }
+    }
+  }
+
   /** Decoded output: metadata + a fixed-shape feature vector. */
   final case class MediaDecoded(
       doc_id: Long,
@@ -476,5 +506,50 @@ object MultimodalQueries {
            |ORDER BY doc1, doc2""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(metadata, decode, resize, frameSample, phashNearDup)
+  // AUDIO framing + energy + silence detection — the audio member of
+  // the decode family (image decode/resize, video frame-sample, image
+  // pHash are above): payload bytes as unsigned 8-bit PCM, 100-sample
+  // frames, exact integer energy Σ|s − 100| per frame, silence when
+  // the frame's MEAN deviation is below 15 (energy < n·15 — the VAD
+  // primitive an audio pipeline segments on). The parse is a real
+  // per-partition byte loop behind the same narrow projection as the
+  // image decode; the text-backed payloads are pure ASCII, so the
+  // oracle replays each byte as ascii(substr(text, i, 1)) and the
+  // energies hash-gate exactly. Scale: frames ∝ corpus bytes, no
+  // shuffle before the presentation sort.
+  private val audioEnergy = Q(
+    "mm_audio_energy",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.audioFrames(Multimodal.asMedia(s, d))
+        .toDF()
+        .select($"doc_id", $"frame", $"n_samples", $"energy",
+          when($"energy" < $"n_samples" * 15L, 1).otherwise(0).as("is_silence"))
+        .orderBy($"doc_id", $"frame")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id, text, length(text) AS n FROM documents),
+           |frames AS (
+           |  SELECT doc_id, text, n,
+           |         CAST(unnest(range(0, (n + 99) // 100)) AS INT) AS frame
+           |  FROM b),
+           |samples AS (
+           |  SELECT doc_id, frame,
+           |         CAST(unnest(range(frame * 100 + 1,
+           |                           least(frame * 100 + 100, n) + 1)) AS INT) AS i,
+           |         text
+           |  FROM frames),
+           |e AS (
+           |  SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples,
+           |         CAST(sum(abs(ascii(substr(text, i, 1)) - 100)) AS BIGINT)
+           |           AS energy
+           |  FROM samples GROUP BY doc_id, frame)
+           |SELECT doc_id, frame, n_samples, energy,
+           |       CASE WHEN energy < n_samples * 15 THEN 1 ELSE 0 END AS is_silence
+           |FROM e
+           |ORDER BY doc_id, frame""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy)
 }

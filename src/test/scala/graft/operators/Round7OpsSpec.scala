@@ -333,6 +333,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(expected.exists(_._5 > 0), "fixture has no outliers — gate is vacuous")
   }
 
+  test("mm_audio_energy matches byte-level re-derivation; silence mix non-trivial") {
+    import spark.implicits._
+    val expected = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .flatMap { case (id, t) =>
+        val b = t.getBytes("UTF-8")
+        b.grouped(100).zipWithIndex.map { case (fr, i) =>
+          val e = fr.map(x => math.abs((x & 0xff) - 100).toLong).sum
+          (id, i, fr.length, e, if (e < fr.length * 15L) 1 else 0)
+        }
+      }.sortBy(x => (x._1, x._2))
+    val got = q("mm_audio_energy").fn(spark, sf)
+      .as[(Long, Int, Int, Long, Int)].collect().toSeq
+    assert(got == expected, "audio frame energy mismatch")
+    val flags = got.map(_._5).toSet
+    assert(flags == Set(0, 1), s"silence flag is constant ($flags) — gate is vacuous")
+  }
+
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
     import spark.implicits._
     val got = q("qa_cms_heavy_hitters").fn(spark, sf)
