@@ -309,9 +309,40 @@ object EventQueries {
     * stateful operator runs one state store per partition per batch);
     * a production deployment wants many partitions to SHARD state.
     */
+  /** Data-proportional gate partition count from the events fixture's
+    * on-disk size — no Spark job, just file metadata. The 2-partition
+    * floor is the measured sf0.1 fixture optimum (state-store setup
+    * dominates tiny state); each +16 MiB of fixture adds a partition
+    * up to 32, because at grown scale the state itself dominates and
+    * wants sharding (measured at grow_sf10, 10M events:
+    * ev_stream_dedup_xbatch 252.8 s at the old fixed 2, 199.4 s at
+    * the derived 13, 171.3 s at a hand-picked 16 — the "production
+    * wants many partitions" doc note, now the default instead of a
+    * knob; sf ≤ 0.1 fixtures stay below the 16 MiB step, so the
+    * catalogue keeps the measured 2 bit-identically).
+    * SPARK_GRAFT_STREAM_CONF still overrides (applied last).
+    */
+  private def gateParts(eventsDir: Option[String]): Int = {
+    val bytes = eventsDir.flatMap { d =>
+      try {
+        val p = java.nio.file.Paths.get(s"$d/events.parquet")
+        if (java.nio.file.Files.isDirectory(p)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(p)
+          try Some(walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum)
+          finally walk.close()
+        } else Some(java.nio.file.Files.size(p))
+      } catch { case _: Exception => None }
+    }.getOrElse(0L)
+    math.max(2, math.min(32, (bytes / (16L << 20)).toInt))
+  }
+
   private[operators] def withStreamGateConfs[T](
       s: org.apache.spark.sql.SparkSession,
-      noDataBatches: Boolean = false)(body: => T): T = {
+      noDataBatches: Boolean = false,
+      eventsDir: Option[String] = None)(body: => T): T = {
     val ckRoot = Some(gateTempDir("graft-ckpt"))
     val ckKey = "spark.sql.streaming.checkpointLocation"
     val prevCk = s.conf.getOption(ckKey)
@@ -328,7 +359,7 @@ object EventQueries {
         .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) })
       .getOrElse(Seq.empty)
     val prevExtra = extra.map { case (k, _) => (k, s.conf.getOption(k)) }
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.shuffle.partitions", gateParts(eventsDir).toString)
     s.conf.set(noDataKey, noDataBatches.toString)
     extra.foreach { case (k, v) => s.conf.set(k, v) }
     ckRoot.foreach(p => s.conf.set(ckKey, p.toString))
@@ -371,7 +402,7 @@ object EventQueries {
 
   private val streamParity = Q(
     "ev_stream_tumbling_parity",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       // Batch read first: fixes the nanosAsLong conf and provides the
       // schema the streaming source needs.
@@ -404,7 +435,7 @@ object EventQueries {
   // oracle as the batch `ev_hopping_window`.
   private val hoppingStreamParity = Q(
     "ev_stream_hopping_parity",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -449,7 +480,7 @@ object EventQueries {
     "ev_stream_session_parity",
     // noDataBatches: the timeout-emission half of this gate's contract
     // (path (b) below) fires IN a watermark-advance no-data batch
-    (s, d) => withStreamGateConfs(s, noDataBatches = true) {
+    (s, d) => withStreamGateConfs(s, noDataBatches = true, eventsDir = Some(d)) {
       import s.implicits._
       val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -529,7 +560,7 @@ object EventQueries {
   // first-seen result regardless of batch layout.
   private val dedupStreamParity = Q(
     "ev_stream_dedup_parity",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -633,7 +664,7 @@ object EventQueries {
   // 14d) keep every key a full day away from an eviction boundary.
   private val dedupCrossBatch = Q(
     "ev_stream_dedup_xbatch",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       val DayMs = 86400000L
       val ev = Tables.events(s, d) // ts: epoch-nanos BIGINT
@@ -727,7 +758,7 @@ object EventQueries {
   // window boundaries cannot drift by a floor.
   private val streamStreamJoin = Q(
     "ev_stream_stream_join",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
@@ -838,7 +869,7 @@ object EventQueries {
   // bit-identical to the batch merge.
   private val cdcStreamParity = Q(
     "ev_stream_cdc_parity",
-    (s, d) => withStreamGateConfs(s) {
+    (s, d) => withStreamGateConfs(s, eventsDir = Some(d)) {
       import s.implicits._
       val schema = Tables.eventsRaw(s, d).schema
       val streamDir = makeStreamDir(d)
