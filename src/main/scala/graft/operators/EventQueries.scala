@@ -276,13 +276,13 @@ object EventQueries {
     * when present — the offset/commit/state-store logs are pure gate
     * overhead and fsync-bound on a real disk; each gate gets a fresh
     * root (no stale-checkpoint resume) deleted recursively on exit;
-    * (2) shuffle partitions pinned to 8 — every stateful operator
-    * runs one state store PER partition PER batch, so the 32-partition
-    * default spends more on store setup than on the bounded fixture's
-    * data (measured 5.1 → 2.5 s on the stream-stream join alone). A
-    * production deployment wants MANY partitions precisely to shard
-    * that state across executors; this pin is gate-fixture economics,
-    * not a scale recommendation.
+    * (2) shuffle partitions set DATA-PROPORTIONALLY by [[gateParts]]
+    * — every stateful operator runs one state store PER partition PER
+    * batch, so the 32-partition default spends more on store setup
+    * than on a bounded fixture's data (measured 5.1 → 2.5 s on the
+    * stream-stream join alone at the old fixed pin), while grown
+    * fixtures want the state SHARDED (gateParts' scaladoc has the
+    * grow_sf10 measurements).
     */
   /** A transient gate-fixture dir on tmpfs when the host has one —
     * gate parquet/NDJSON/checkpoint I/O is pure overhead on a disk.
@@ -304,10 +304,9 @@ object EventQueries {
     * the no-data batch is a second full state-store round — pure
     * overhead (round-7 floor probe: ~0.75 s per warm trivial stateful
     * query; dropping no-data batches + the 8→2 partition pin cut the
-    * nine-gate suite 19.8 → 14.8 s like-for-like). The 2-partition
-    * pin is gate-fixture economics exactly like the old 8 (each
-    * stateful operator runs one state store per partition per batch);
-    * a production deployment wants many partitions to SHARD state.
+    * nine-gate suite 19.8 → 14.8 s like-for-like; the pin has since
+    * become the [[gateParts]] data-proportional floor — 2 at every
+    * sf ≤ 0.1 fixture, sharded upward as the fixture grows).
     */
   /** Data-proportional gate partition count from the events fixture's
     * on-disk size — no Spark job, just file metadata. The 2-partition
