@@ -963,8 +963,71 @@ object DedupQueries {
            |ORDER BY t.doc_id""".stripMargin),
   )
 
+  // SOFT deduplication (SoftDeDup, arXiv:2401.00588): instead of
+  // DROPPING near-duplicates, keep them all and shrink each one's
+  // sampling weight to 1/m where m is its duplicate-cluster size —
+  // the epoch then sees each duplicated CONTENT once in expectation
+  // while no individual document is discarded. Composed entirely from
+  // proven scale paths: cluster labels come from the bucketed
+  // MinHash-LSH + pointer-jumping connected components above (never
+  // all-pairs), cluster sizes are a count over those ≤|dup-docs|
+  // labels, the weight join keys on doc_id, and the roll-up is a tiny
+  // per-source aggregate — the numbers a mixture sampler needs to
+  // draw a soft-deduplicated epoch (effective docs / effective chars
+  // per source). Weights are exact integer micro-units (1e6 div m);
+  // docs in no candidate pair keep weight 1.0 via the left join.
+  private val softDedupWeights = Q(
+    "td_softdedup_weights",
+    (s, d) => {
+      import s.implicits._
+      val clusters = dedupClusters.fn(s, d) // (doc_id, cluster_rep)
+      val sizes = clusters.groupBy($"cluster_rep").agg(count(lit(1)).as("m"))
+      val weights = clusters.join(sizes, "cluster_rep")
+        .select($"doc_id", expr("1000000 div m").as("w_micro"))
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", $"n_chars")
+        .join(weights, Seq("doc_id"), "left_outer")
+        .select($"source", $"n_chars",
+          coalesce($"w_micro", lit(1000000L)).as("w_micro"))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars_sum"),
+          sum($"w_micro").as("eff_docs_micro"),
+          sum($"n_chars" * $"w_micro").as("eff_chars_micro"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH RECURSIVE $minhashCandidatesCtes,
+            |sym AS (
+            |  SELECT doc1, doc2 FROM candidates
+            |  UNION
+            |  SELECT doc2, doc1 FROM candidates),
+            |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
+            |reach(src, dst) AS (
+            |  SELECT node, node FROM nodes
+            |  UNION
+            |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst),
+            |clusters AS (
+            |  SELECT src AS doc_id, min(dst) AS cluster_rep
+            |  FROM reach GROUP BY src),
+            |sizes AS (
+            |  SELECT cluster_rep, count(*) AS m FROM clusters GROUP BY cluster_rep),
+            |wts AS (
+            |  SELECT c.doc_id, 1000000 // s.m AS w_micro
+            |  FROM clusters c JOIN sizes s USING (cluster_rep))
+            |SELECT d.source,
+            |       count(*) AS n_docs,
+            |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_sum,
+            |       CAST(sum(coalesce(w.w_micro, 1000000)) AS BIGINT) AS eff_docs_micro,
+            |       CAST(sum(d.n_chars * coalesce(w.w_micro, 1000000)) AS BIGINT)
+            |         AS eff_chars_micro
+            |FROM documents d LEFT JOIN wts w USING (doc_id)
+            |GROUP BY d.source
+            |ORDER BY d.source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
-      sequencePack, spanDedup, chunkOverlap)
+      sequencePack, spanDedup, chunkOverlap, softDedupWeights)
 }

@@ -820,9 +820,83 @@ object TextQueries {
            |ORDER BY t.doc_id""".stripMargin),
   )
 
+  // DSIR-style importance ranking (Xie et al., NeurIPS'23 — "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // each document by how much more likely its hashed-bigram features
+  // are under a target-domain bag-of-ngrams model than under the
+  // raw-corpus model, then keep the top-k. Features are word bigrams
+  // (the native NGrams generator) hashed into B = 256 buckets; both
+  // models are add-one-smoothed bucket counts. Determinism moves, in
+  // the BM25 tradition above:
+  //   - the per-bucket likelihood ratio is EXACT integer micro-units,
+  //     (c_t+1)·1e6 div (c_r+1), bounded by 1e6 because the target
+  //     corpus is a SUBSET of the raw corpus (c_r ≥ c_t bucket-wise);
+  //   - a document's score is the MEAN ratio over its bigram
+  //     occurrences (the paper's per-token average log-ratio,
+  //     log-free: the shared normalizer (n_r+B)/(n_t+B) multiplies
+  //     every document identically, so the integer ratio ranks the
+  //     same and never leaves int64).
+  // Scale shape: the model is ≤ B = 256 rows — two tiny aggregations
+  // whose results BROADCAST; scoring is a map-side bucket hash joined
+  // against that broadcast, and the only data-scale shuffle is the
+  // partial-aggregated groupBy(doc_id) carrying one row per document;
+  // top-100 is TakeOrderedAndProject. The gram stream is recomputed
+  // for each of its three consumers rather than materialized — it is
+  // map-only (explode + hash, no exchange), which is the right trade
+  // at 100 TB where caching the token stream would dwarf the input.
+  private val dsirImportance = Q(
+    "td_dsir_importance",
+    (s, d) => {
+      import s.implicits._
+      val grams = Tables.documents(s, d)
+        .select($"doc_id", $"source", ngrams($"text", 2).as(Seq("pos", "g")))
+        .select($"doc_id", $"source",
+          (expr("CAST(conv(substring(md5(concat('dsir:', g)), 1, 6), 16, 10) AS BIGINT)") % 256)
+            .as("bucket"))
+      val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("c_r"))
+      val tgt = grams.filter($"source".isin("src1", "src3", "src5"))
+        .groupBy($"bucket").agg(count(lit(1)).as("c_t"))
+      val model = raw.join(tgt, Seq("bucket"), "left_outer")
+        .select($"bucket",
+          expr("(coalesce(c_t, 0) + 1) * 1000000 div (c_r + 1)").as("ratio_micro"))
+      grams.join(broadcast(model), "bucket")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_grams"), sum($"ratio_micro").as("rsum"))
+        .select($"doc_id", $"source", $"n_grams",
+          expr("rsum div n_grams").as("score_micro"))
+        .orderBy($"score_micro".desc, $"doc_id")
+        .limit(100)
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, source, word, lead(word, 1) OVER win AS w1
+           |  FROM (SELECT doc_id, source,
+           |               unnest(string_split(text, ' ')) AS word,
+           |               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |        FROM documents)
+           |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           |g AS (
+           |  SELECT doc_id, source,
+           |         CAST('0x' || substr(md5('dsir:' || word || ' ' || w1), 1, 6)
+           |              AS BIGINT) % 256 AS bucket
+           |  FROM w WHERE w1 IS NOT NULL),
+           |raw AS (SELECT bucket, count(*) AS c_r FROM g GROUP BY bucket),
+           |tgt AS (SELECT bucket, count(*) AS c_t FROM g
+           |        WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
+           |model AS (
+           |  SELECT r.bucket,
+           |         ((coalesce(t.c_t, 0) + 1) * 1000000) // (r.c_r + 1) AS ratio_micro
+           |  FROM raw r LEFT JOIN tgt t USING (bucket))
+           |SELECT doc_id, source, count(*) AS n_grams,
+           |       CAST(sum(ratio_micro) // count(*) AS BIGINT) AS score_micro
+           |FROM g JOIN model USING (bucket)
+           |GROUP BY doc_id, source
+           |ORDER BY score_micro DESC, doc_id
+           |LIMIT 100""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
-      boilerplateStrip)
+      boilerplateStrip, dsirImportance)
 }

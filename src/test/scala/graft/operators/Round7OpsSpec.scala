@@ -351,6 +351,69 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(flags == Set(0, 1), s"silence flag is constant ($flags) — gate is vacuous")
   }
 
+  // ---- round-7 session-3 additions: DSIR importance, soft dedup ----
+
+  test("td_dsir_importance matches an in-memory hashed-bigram re-derivation") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq
+    def md5int6(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.substring(0, 6), 16)
+    }
+    val target = Set("src1", "src3", "src5")
+    val grams = docs.flatMap { case (id, src, t) =>
+      val w = t.split(" ")
+      (0 until w.length - 1)
+        .map(i => (id, src, md5int6("dsir:" + w(i) + " " + w(i + 1)) % 256))
+    }
+    val cR = grams.groupBy(_._3).map { case (b, g) => b -> g.size.toLong }
+    val cT = grams.filter(g => target(g._2)).groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val ratio = cR.map { case (b, cr) =>
+      b -> (cT.getOrElse(b, 0L) + 1) * 1000000L / (cr + 1)
+    }
+    val expected = grams.groupBy(g => (g._1, g._2)).toSeq.map { case ((id, src), gs) =>
+      val n = gs.size.toLong
+      (id, src, n, gs.map(g => ratio(g._3)).sum / n)
+    }.sortBy(x => (-x._4, x._1)).take(100)
+    val got = q("td_dsir_importance").fn(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == expected, s"DSIR mismatch:\n${got.take(5)}\nvs\n${expected.take(5)}")
+    // target ⊆ raw ⇒ every per-bucket ratio ≤ 1e6, so mean scores too
+    assert(got.forall(x => x._4 > 0 && x._4 <= 1000000L))
+    // self-bias: target-domain docs contribute their own grams to c_t,
+    // so the target sources must rank at least proportionally high
+    val targetShareTop = got.take(25).count(x => target(x._2))
+    val targetShareAll = docs.count(x => target(x._2)) * 25 / docs.size
+    assert(targetShareTop >= targetShareAll,
+      s"importance ranking inverted: $targetShareTop target docs in top-25, corpus-proportional is $targetShareAll")
+  }
+
+  test("td_softdedup_weights matches a roll-up over the cluster assignment") {
+    import spark.implicits._
+    val clusters = q("td_dedup_clusters").fn(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val mSize = clusters.groupBy(_._2).map { case (rep, ms) => rep -> ms.size.toLong }
+    val w = clusters.map { case (id, rep) => id -> 1000000L / mSize(rep) }.toMap
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)]
+      .collect().toSeq
+    val expected = docs.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val ws = ds.map(x => w.getOrElse(x._1, 1000000L))
+      (src, ds.size.toLong, ds.map(_._3).sum, ws.sum,
+        ds.zip(ws).map { case ((_, _, nc), wi) => nc * wi }.sum)
+    }.sortBy(_._1)
+    val got = q("td_softdedup_weights").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"soft-dedup roll-up mismatch:\n$got\nvs\n$expected")
+    // non-vacuous: the fixture must actually discount something
+    assert(expected.exists(e => e._4 < e._2 * 1000000L),
+      "no duplicate clusters in fixture — gate is vacuous")
+  }
+
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
     import spark.implicits._
     val got = q("qa_cms_heavy_hitters").fn(spark, sf)

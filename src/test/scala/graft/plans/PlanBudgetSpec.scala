@@ -483,4 +483,37 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(exchanges(madNodes) <= 12,
       s"qa_mad_outliers plans ${exchanges(madNodes)} exchanges, budget 12")
   }
+
+  test("round-7 session-3 additions keep their scale shapes") {
+    // td_dsir_importance: the ≤256-row model must BROADCAST to the
+    // gram stream (a shuffled join keyed on a 256-value bucket would
+    // put the whole corpus through 256 reducers), the top-100 must be
+    // a TakeOrderedAndProject heap, and the only data-scale shuffle is
+    // the groupBy(doc_id) partial aggregate.
+    val dsirNodes = planOf("td_dsir_importance")
+    assert(dsirNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "DSIR model join is not a broadcast hash join")
+    assert(!dsirNodes.exists(_.nodeName.contains("NestedLoop")),
+      "DSIR planned a nested-loop join")
+    assert(dsirNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "DSIR top-100 is not a TakeOrderedAndProject heap")
+    assert(exchanges(dsirNodes) <= 10,
+      s"td_dsir_importance plans ${exchanges(dsirNodes)} exchanges, budget 10")
+    // td_softdedup_weights: everything downstream of the checkpointed
+    // cluster labels is doc_id-keyed equi joins + a tiny per-source
+    // aggregate — no nested loop, no SinglePartition carrying corpus
+    // rows (the presentation sort's range partitioning excepted).
+    val sdNodes = planOf("td_softdedup_weights")
+    assert(!sdNodes.exists(_.nodeName.contains("NestedLoop")),
+      "soft-dedup planned a nested-loop join")
+    val sdSingles = sdNodes.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+    assert(sdSingles.isEmpty,
+      s"td_softdedup_weights has SinglePartition exchanges: $sdSingles")
+    assert(exchanges(sdNodes) <= 10,
+      s"td_softdedup_weights plans ${exchanges(sdNodes)} exchanges, budget 10")
+  }
 }
