@@ -735,8 +735,101 @@ object ExtraQueries {
             |ORDER BY d.event_type""".stripMargin),
   )
 
+  // TWO-SAMPLE KOLMOGOROV-SMIRNOV drift detection — the data-quality
+  // monitor a training pipeline runs between corpus snapshots ("did
+  // the value distribution shift?"). Per event type, the stream is
+  // split at its MEDIAN timestamp (exact discrete order statistic,
+  // the qa_mad_outliers device) into an early and a late sample, and
+  // the KS statistic D = max |F_a(v) − F_b(v)| is computed WITHOUT
+  // DIVISION: over the per-(type, value) histogram's cumulative
+  // counts, D_scaled = max |cum_a·n_b − cum_b·n_a| in exact integer
+  // units of n_a·n_b (ks_micro = D·1e6 is derived once at the end by
+  // integer division). Scale shape: the cumulative window orders by
+  // value WITHIN an event type but carries only histogram rows
+  // (distinct cents values), never events; the n_a/n_b and median
+  // tables broadcast. Overflow: cum·n stays under 2^63 through ~3e9
+  // events per type (√(2^63) ≈ 3e9); past that the same expressions
+  // widen to DECIMAL(38,0).
+  private val ksDrift = Q(
+    "qa_ks_drift",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+      val vals = Tables.events(s, d)
+        .select($"event_type", $"event_id", $"ts", cents($"value").as("v"))
+      val medts = vals
+        .withColumn("rn", row_number().over(w.orderBy($"ts", $"event_id")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"event_type")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"ts")).as("med_ts"))
+      val tagged = vals.join(broadcast(medts), "event_type")
+        .withColumn("early", ($"ts" <= $"med_ts").cast("int"))
+      val hist = tagged.groupBy($"event_type", $"v")
+        .agg(sum($"early").cast("long").as("ca"),
+          sum(lit(1) - $"early").cast("long").as("cb"))
+      val sides = tagged.groupBy($"event_type")
+        .agg(sum($"early").cast("long").as("n_a"),
+          sum(lit(1) - $"early").cast("long").as("n_b"))
+      val wv = Window.partitionBy($"event_type").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum_a", sum($"ca").over(wv))
+        .withColumn("cum_b", sum($"cb").over(wv))
+        .join(broadcast(sides), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+          max(abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a")).as("d_scaled"))
+        .select($"event_type", $"n_a", $"n_b", $"d_scaled",
+          expr("d_scaled * 1000000 div (n_a * n_b)").as("ks_micro"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH vals AS (
+            |  SELECT event_type, event_id, epoch_ns(ts) AS tns,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |medts AS (
+            |  SELECT event_type,
+            |         max(CASE WHEN rn = (n + 1) // 2 THEN tns END) AS med_ts
+            |  FROM (SELECT event_type, tns,
+            |               row_number() OVER (PARTITION BY event_type
+            |                 ORDER BY tns, event_id) AS rn,
+            |               count(*) OVER (PARTITION BY event_type) AS n
+            |        FROM vals)
+            |  GROUP BY event_type),
+            |tagged AS (
+            |  SELECT v.event_type, v.v,
+            |         CASE WHEN v.tns <= m.med_ts THEN 1 ELSE 0 END AS early
+            |  FROM vals v JOIN medts m USING (event_type)),
+            |hist AS (
+            |  SELECT event_type, v,
+            |         CAST(sum(early) AS BIGINT) AS ca,
+            |         CAST(sum(1 - early) AS BIGINT) AS cb
+            |  FROM tagged GROUP BY event_type, v),
+            |cum AS (
+            |  SELECT event_type, v,
+            |         CAST(sum(ca) OVER win AS BIGINT) AS cum_a,
+            |         CAST(sum(cb) OVER win AS BIGINT) AS cum_b
+            |  FROM hist
+            |  WINDOW win AS (PARTITION BY event_type ORDER BY v
+            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            |sides AS (
+            |  SELECT event_type, CAST(sum(early) AS BIGINT) AS n_a,
+            |         CAST(sum(1 - early) AS BIGINT) AS n_b
+            |  FROM tagged GROUP BY event_type)
+            |SELECT c.event_type, any_value(s.n_a) AS n_a, any_value(s.n_b) AS n_b,
+            |       CAST(max(abs(c.cum_a * s.n_b - c.cum_b * s.n_a)) AS BIGINT)
+            |         AS d_scaled,
+            |       CAST(max(abs(c.cum_a * s.n_b - c.cum_b * s.n_a)) * 1000000
+            |            // (any_value(s.n_a) * any_value(s.n_b)) AS BIGINT)
+            |         AS ks_micro
+            |FROM cum c JOIN sides s USING (event_type)
+            |GROUP BY c.event_type
+            |ORDER BY c.event_type""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
-    bloomPrefilter, madOutliers)
+    bloomPrefilter, madOutliers, ksDrift)
 }

@@ -894,9 +894,125 @@ object TextQueries {
            |LIMIT 100""".stripMargin),
   )
 
+  // CCNet-style quality bucketing (Wenzek et al., LREC'20): score
+  // every document under a reference-domain language model, then
+  // split each language into head/middle/tail terciles — the
+  // coarse-grained quality tiers the CommonCrawl pipelines feed to
+  // training-data mixers. Differences from the paper, made exact and
+  // engine-portable:
+  //   - the model is hashed-UNIGRAM (B = 256 buckets, add-one
+  //     smoothing) over the target sources, and a document's score is
+  //     the MEAN smoothed bucket frequency in integer micro-units —
+  //     an arithmetic-mean-likelihood surrogate for (inverse)
+  //     perplexity's geometric mean: monotone in "how reference-like",
+  //     integer-exact, log-free;
+  //   - tercile cutpoints are EXACT DISCRETE ORDER STATISTICS derived
+  //     from a per-(lang, score) histogram with a cumulative count —
+  //     never a per-language full sort. The histogram is ≤ distinct
+  //     scores per language; the cutpoint table is 1 row per language
+  //     and BROADCASTS back to the doc stream. Ties at a cutpoint all
+  //     land in the higher bucket (deterministic; bucket populations
+  //     may exceed n/3 exactly as CCNet's fixed ppl thresholds do).
+  // Scale shape: model ≤ 256 rows (broadcast), histogram ∝ distinct
+  // scores (its window sort keys on lang — a handful of values — but
+  // carries only histogram rows, not docs), cutpoints ∝ languages
+  // (broadcast); the data-scale shuffles are the doc-keyed score
+  // aggregate and the presentation sort.
+  private val ccnetBucket = Q(
+    "ta_ccnet_bucket",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source",
+          explode(split($"text", " ")).as("word"))
+        .select($"doc_id", $"lang", $"source",
+          (expr("CAST(conv(substring(md5(concat('ccnet:', word)), 1, 6), 16, 10) AS BIGINT)") % 256)
+            .as("bucket"))
+      val tgtWords = words.filter($"source".isin("src1", "src3", "src5"))
+      val tgt = tgtWords.groupBy($"bucket").agg(count(lit(1)).as("c_t"))
+      val nT = tgtWords.agg(count(lit(1)).as("n_t")) // 1 row, broadcasts
+      val model = tgt.crossJoin(broadcast(nT))
+        .select($"bucket",
+          expr("(c_t + 1) * 1000000 div (n_t + 256)").as("freq_micro"))
+      val scored = words.join(broadcast(model), Seq("bucket"), "left_outer")
+        .crossJoin(broadcast(nT))
+        .select($"doc_id", $"lang",
+          coalesce($"freq_micro", expr("1000000 div (n_t + 256)")).as("f"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"f").as("fsum"))
+        .select($"doc_id", $"lang", $"n_tokens",
+          expr("fsum div n_tokens").as("score_micro"))
+        // three consumers (histogram, per-lang n, final bucket join)
+        // would each replay the token scan + score aggregate; the
+        // doc-level score table is one row per document, so
+        // materialize it once (the ta_tfidf_cosine_topk device)
+        .localCheckpoint()
+      val hist = scored.groupBy($"lang", $"score_micro")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(
+          Window.partitionBy($"lang").orderBy($"score_micro".desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nLang = scored.groupBy($"lang").agg(count(lit(1)).as("n"))
+      val cutpoints = hist.join(broadcast(nLang), "lang")
+        .groupBy($"lang")
+        .agg(
+          max(when($"cum" >= expr("(n + 2) div 3"), $"score_micro")).as("c1"),
+          max(when($"cum" >= expr("(2 * n + 2) div 3"), $"score_micro")).as("c2"))
+      scored.join(broadcast(cutpoints), "lang")
+        .select($"doc_id", $"lang", $"n_tokens", $"score_micro",
+          when($"score_micro" >= $"c1", "head")
+            .when($"score_micro" >= $"c2", "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id, lang, source,
+           |         CAST('0x' || substr(md5('ccnet:' || word), 1, 6) AS BIGINT) % 256
+           |           AS bucket
+           |  FROM (SELECT doc_id, lang, source,
+           |               unnest(string_split(text, ' ')) AS word
+           |        FROM documents)),
+           |tgt AS (
+           |  SELECT bucket, count(*) AS c_t FROM words
+           |  WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
+           |nt AS (
+           |  SELECT count(*) AS n_t FROM words
+           |  WHERE source IN ('src1', 'src3', 'src5')),
+           |model AS (
+           |  SELECT bucket, ((c_t + 1) * 1000000) // (n_t + 256) AS freq_micro
+           |  FROM tgt CROSS JOIN nt),
+           |scored AS (
+           |  SELECT doc_id, lang, count(*) AS n_tokens,
+           |         CAST(sum(coalesce(m.freq_micro,
+           |                  1000000 // (nt.n_t + 256))) // count(*) AS BIGINT)
+           |           AS score_micro
+           |  FROM words w
+           |  LEFT JOIN model m USING (bucket) CROSS JOIN nt
+           |  GROUP BY doc_id, lang),
+           |hist AS (
+           |  SELECT lang, score_micro, count(*) AS c,
+           |         sum(count(*)) OVER (PARTITION BY lang ORDER BY score_micro DESC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM scored GROUP BY lang, score_micro),
+           |nlang AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+           |cutpoints AS (
+           |  SELECT lang,
+           |         max(CASE WHEN cum >= (n + 2) // 3 THEN score_micro END) AS c1,
+           |         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_micro END) AS c2
+           |  FROM hist JOIN nlang USING (lang)
+           |  GROUP BY lang)
+           |SELECT doc_id, lang, n_tokens, score_micro,
+           |       CASE WHEN score_micro >= c1 THEN 'head'
+           |            WHEN score_micro >= c2 THEN 'middle'
+           |            ELSE 'tail' END AS bucket
+           |FROM scored JOIN cutpoints USING (lang)
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
-      boilerplateStrip, dsirImportance)
+      boilerplateStrip, dsirImportance, ccnetBucket)
 }

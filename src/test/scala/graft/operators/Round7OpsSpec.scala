@@ -392,6 +392,55 @@ class Round7OpsSpec extends AnyFunSuite {
       s"importance ranking inverted: $targetShareTop target docs in top-25, corpus-proportional is $targetShareAll")
   }
 
+  test("ta_ccnet_bucket matches an in-memory model/score/tercile re-derivation") {
+    import spark.implicits._
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"text")
+      .as[(Long, String, String, String)].collect().toSeq
+    def md5int6(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.substring(0, 6), 16)
+    }
+    val target = Set("src1", "src3", "src5")
+    val words = docs.flatMap { case (id, lang, src, t) =>
+      t.split(" ").map(w => (id, lang, src, md5int6("ccnet:" + w) % 256))
+    }
+    val tgtW = words.filter(w => target(w._3))
+    val nT = tgtW.size.toLong
+    val cT = tgtW.groupBy(_._4).map { case (b, g) => b -> g.size.toLong }
+    def freq(b: Long): Long = (cT.getOrElse(b, 0L) + 1) * 1000000L / (nT + 256)
+    val scored = words.groupBy(w => (w._1, w._2)).toSeq.map { case ((id, lang), ws) =>
+      val n = ws.size.toLong
+      (id, lang, n, ws.map(w => freq(w._4)).sum / n)
+    }
+    val cutpoints = scored.groupBy(_._2).map { case (lang, ds) =>
+      val n = ds.size.toLong
+      val desc = ds.map(_._4).sorted.reverse
+      // c1/c2 = score of the ceil(n/3)-th / ceil(2n/3)-th doc in
+      // descending score order (exact discrete order statistics)
+      lang -> (desc(((n + 2) / 3 - 1).toInt), desc(((2 * n + 2) / 3 - 1).toInt))
+    }
+    val expected = scored.map { case (id, lang, n, sc) =>
+      val (c1, c2) = cutpoints(lang)
+      (id, lang, n, sc,
+        if (sc >= c1) "head" else if (sc >= c2) "middle" else "tail")
+    }.sortBy(_._1)
+    val got = q("ta_ccnet_bucket").fn(spark, sf)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(got == expected,
+      s"ccnet bucket mismatch:\n${got.take(5)}\nvs\n${expected.take(5)}")
+    // every language has all three buckets (n >= 3 per lang in the
+    // fixture) and head scores dominate tail scores within a lang
+    got.groupBy(_._2).foreach { case (lang, ds) =>
+      val byBucket = ds.groupBy(_._5)
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a bucket: ${byBucket.keySet}")
+      assert(byBucket("head").map(_._4).min >= byBucket("tail").map(_._4).max,
+        s"$lang head/tail score inversion")
+    }
+  }
+
   test("td_softdedup_weights matches a roll-up over the cluster assignment") {
     import spark.implicits._
     val clusters = q("td_dedup_clusters").fn(spark, sf)
@@ -412,6 +461,39 @@ class Round7OpsSpec extends AnyFunSuite {
     // non-vacuous: the fixture must actually discount something
     assert(expected.exists(e => e._4 < e._2 * 1000000L),
       "no duplicate clusters in fixture — gate is vacuous")
+  }
+
+  test("qa_ks_drift matches an in-memory two-sample KS re-derivation") {
+    import spark.implicits._
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"ts", $"value")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    def orderStat(xs: Seq[(Long, Long)]): Long = // (sortKey1, sortKey2) pairs
+      xs.sortBy(identity).apply((xs.size + 1) / 2 - 1)._1
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, es) =>
+      val medTs = orderStat(es.map(e => (e._3, e._2)))
+      val cents = es.map(e => (math.round(e._4 * 100), e._3 <= medTs))
+      val (a, b) = cents.partition(_._2)
+      val na = a.size.toLong; val nb = b.size.toLong
+      val values = cents.map(_._1).distinct.sorted
+      var cumA = 0L; var cumB = 0L; var dScaled = 0L
+      values.foreach { v =>
+        cumA += a.count(_._1 == v); cumB += b.count(_._1 == v)
+        dScaled = math.max(dScaled, math.abs(cumA * nb - cumB * na))
+      }
+      (t, na, nb, dScaled, dScaled * 1000000L / (na * nb))
+    }.sortBy(_._1)
+    val got = q("qa_ks_drift").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"KS drift mismatch:\n$got\nvs\n$expected")
+    // non-vacuous: finite samples always differ somewhere
+    assert(expected.forall(_._4 > 0), "zero D on every type — gate is vacuous")
+    // the median split must be balanced to within the tie run at the
+    // median (otherwise the order statistic is wrong)
+    expected.foreach { case (t, na, nb, _, _) =>
+      assert(na >= nb && na <= nb + 1 + rows.count(r => r._1 == t) / 2,
+        s"$t split degenerate: na=$na nb=$nb")
+    }
   }
 
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {

@@ -515,5 +515,34 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"td_softdedup_weights has SinglePartition exchanges: $sdSingles")
     assert(exchanges(sdNodes) <= 10,
       s"td_softdedup_weights plans ${exchanges(sdNodes)} exchanges, budget 10")
+    // ta_ccnet_bucket: the unigram model and the per-lang cutpoint
+    // table must BROADCAST (both are tiny by construction); the only
+    // nested loops allowed are the 1-row n_t crossJoins; the only
+    // SinglePartition exchanges allowed are the benign global scalar
+    // aggregates (n_t — a keyless partial_count's one-row merge),
+    // never corpus rows.
+    val ccNodes = planOf("ta_ccnet_bucket")
+    assert(ccNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "ccnet model/cutpoint joins are not broadcast hash joins")
+    val ccSingles = ccNodes.collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition &&
+            !s.child.toString.startsWith("HashAggregate(keys=[]") => s
+    }
+    assert(ccSingles.isEmpty,
+      s"ta_ccnet_bucket funnels non-scalar rows through SinglePartition: $ccSingles")
+    assert(exchanges(ccNodes) <= 16,
+      s"ta_ccnet_bucket plans ${exchanges(ccNodes)} exchanges, budget 16")
+    // qa_ks_drift: the median-ts and n_a/n_b side tables must
+    // BROADCAST back to the event stream (the qa_mad_outliers
+    // contract), no nested loop, bounded exchanges.
+    val ksNodes = planOf("qa_ks_drift")
+    assert(!ksNodes.exists(_.nodeName.contains("NestedLoop")),
+      "ks drift planned a nested-loop join")
+    assert(ksNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "ks drift side tables are not broadcasts")
+    assert(exchanges(ksNodes) <= 12,
+      s"qa_ks_drift plans ${exchanges(ksNodes)} exchanges, budget 12")
   }
 }
