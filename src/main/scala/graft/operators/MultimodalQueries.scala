@@ -247,6 +247,36 @@ object Multimodal {
     (bands, bits)
   }
 
+  /** DATA-PROPORTIONAL band geometry (the winnow-maxdf scale-default
+    * pattern): explicit knobs always win; corpora at or below 100k
+    * docs keep the catalogue's 4×16 layout (every oracle-gated
+    * fixture — the SQL replay stays bit-identical); above it, the
+    * band width is derived from the corpus so uniform-hash candidate
+    * volume stays ∝ n instead of n²/2^bits:
+    *
+    *   expected candidates ≈ bands·n²/2^(bits+1), so candidates ≤
+    *   bands·n  ⇔  bits ≥ log2(n/2);  bits = clamp(even-ceil(log2(n/2)),
+    *   16, 32) — rounded up to even so 4·bits stays byte-aligned,
+    *   capped at 32 by the 128-bit md5/dHashN source width.
+    *
+    * At n = 500k that is 4×18 (4× fewer uniform collisions than the
+    * default); by n ≈ 10^10 the cap 4×32 holds — the production
+    * geometry round 6 measured candidates ∝ n at.
+    */
+  def phashGeometry(nDocs: Long): (Int, Int) = {
+    val knobbed = sys.props.contains("graft.phash.bands") ||
+      sys.props.contains("graft.phash.bits") ||
+      sys.env.contains("SPARK_GRAFT_PHASH_BANDS") ||
+      sys.env.contains("SPARK_GRAFT_PHASH_BITS")
+    if (knobbed || nDocs <= 100000L) phashGeometry
+    else {
+      val needed = math.ceil(
+        math.log(nDocs / 2.0) / math.log(2.0)).toInt
+      val bits = math.min(32, math.max(16, needed + (needed & 1)))
+      (4, bits)
+    }
+  }
+
   /** Perceptual-hash band values at an arbitrary (bands × bits)
     * geometry: the bit source is [[dHashN]] for decodable images and
     * the first bands·bits bits of md5 otherwise; band i is the
@@ -447,7 +477,9 @@ object MultimodalQueries {
     "mm_phash_neardup",
     (s, d) => {
       import s.implicits._
-      val (nb, wb) = Multimodal.phashGeometry
+      // geometry scales with the corpus (metadata-only count); knobs
+      // and every ≤100k-doc oracle fixture keep the 4×16 layout
+      val (nb, wb) = Multimodal.phashGeometry(Tables.documents(s, d).count())
       // narrow projection BEFORE the opaque mapPartitions so the scan
       // prunes to (doc_id, text) — typed MediaRow would drag `source`
       // through the codec stage for nothing

@@ -463,6 +463,31 @@ class Round7OpsSpec extends AnyFunSuite {
       "no duplicate clusters in fixture — gate is vacuous")
   }
 
+  test("phash geometry scale-default: knob wins, fixtures keep 4x16, width grows with n") {
+    import graft.operators.Multimodal
+    // every oracle fixture is <= 100k docs: layout must stay 4x16
+    assert(Multimodal.phashGeometry(500L) == ((4, 16)))
+    assert(Multimodal.phashGeometry(100000L) == ((4, 16)))
+    // above the threshold the width follows ceil(log2(n/2)) rounded
+    // to even: candidates stay ∝ n instead of n²/2^bits
+    assert(Multimodal.phashGeometry(500000L) == ((4, 18)))
+    assert(Multimodal.phashGeometry(100000000L) == ((4, 26)))
+    // the md5/dHashN source caps the width at 32
+    assert(Multimodal.phashGeometry(1000000000000L) == ((4, 32)))
+    // an explicit knob always wins, at any corpus size
+    try {
+      sys.props("graft.phash.bits") = "16"
+      assert(Multimodal.phashGeometry(500000L) == ((4, 16)))
+    } finally sys.props.remove("graft.phash.bits")
+    // derived geometries keep the byte-alignment/width invariants the
+    // no-arg validator enforces
+    for (n <- Seq(200000L, 3000000L, 50000000L, 900000000L)) {
+      val (bands, bits) = Multimodal.phashGeometry(n)
+      assert(bands == 4 && bits >= 16 && bits <= 32 && (bands * bits) % 8 == 0,
+        s"n=$n derived invalid geometry ${bands}x$bits")
+    }
+  }
+
   test("qa_ks_drift matches an in-memory two-sample KS re-derivation") {
     import spark.implicits._
     val rows = graft.model.Tables.events(spark, sf)
