@@ -976,14 +976,49 @@ object DedupQueries {
   // draw a soft-deduplicated epoch (effective docs / effective chars
   // per source). Weights are exact integer micro-units (1e6 div m);
   // docs in no candidate pair keep weight 1.0 via the left join.
+  /** Per-doc soft-dedup weights for docs in SOME duplicate cluster —
+    * (doc_id, w_micro = 1e6 div cluster-size); consumers left-join and
+    * coalesce absent docs to 1e6. Shared by the catalogue entry and
+    * the composed data-selection gate (PipelineQueries).
+    */
+  private[operators] def softDedupDocWeights(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters.fn(s, d) // (doc_id, cluster_rep)
+    val sizes = clusters.groupBy($"cluster_rep").agg(count(lit(1)).as("m"))
+    clusters.join(sizes, "cluster_rep")
+      .select($"doc_id", expr("1000000 div m").as("w_micro"))
+  }
+
+  /** Oracle CTE chain (RECURSIVE — place under `WITH RECURSIVE`)
+    * ending in `sd_weights(doc_id, w_micro)` — the SQL twin of
+    * [[softDedupDocWeights]], shared by the catalogue entry and the
+    * composed data-selection gate.
+    */
+  private[operators] val softDedupCtes = s"""$minhashCandidatesCtes,
+    |sd_sym AS (
+    |  SELECT doc1, doc2 FROM candidates
+    |  UNION
+    |  SELECT doc2, doc1 FROM candidates),
+    |sd_nodes AS (SELECT DISTINCT doc1 AS node FROM sd_sym),
+    |sd_reach(src, dst) AS (
+    |  SELECT node, node FROM sd_nodes
+    |  UNION
+    |  SELECT r.src, e.doc2 FROM sd_reach r JOIN sd_sym e ON e.doc1 = r.dst),
+    |sd_clusters AS (
+    |  SELECT src AS doc_id, min(dst) AS cluster_rep
+    |  FROM sd_reach GROUP BY src),
+    |sd_sizes AS (
+    |  SELECT cluster_rep, count(*) AS m FROM sd_clusters GROUP BY cluster_rep),
+    |sd_weights AS (
+    |  SELECT c.doc_id, 1000000 // s.m AS w_micro
+    |  FROM sd_clusters c JOIN sd_sizes s USING (cluster_rep))""".stripMargin
+
   private val softDedupWeights = Q(
     "td_softdedup_weights",
     (s, d) => {
       import s.implicits._
-      val clusters = dedupClusters.fn(s, d) // (doc_id, cluster_rep)
-      val sizes = clusters.groupBy($"cluster_rep").agg(count(lit(1)).as("m"))
-      val weights = clusters.join(sizes, "cluster_rep")
-        .select($"doc_id", expr("1000000 div m").as("w_micro"))
+      val weights = softDedupDocWeights(s, d)
       Tables.documents(s, d)
         .select($"doc_id", $"source", $"n_chars")
         .join(weights, Seq("doc_id"), "left_outer")
@@ -997,31 +1032,14 @@ object DedupQueries {
           sum($"n_chars" * $"w_micro").as("eff_chars_micro"))
         .orderBy($"source")
     },
-    Some(s"""WITH RECURSIVE $minhashCandidatesCtes,
-            |sym AS (
-            |  SELECT doc1, doc2 FROM candidates
-            |  UNION
-            |  SELECT doc2, doc1 FROM candidates),
-            |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
-            |reach(src, dst) AS (
-            |  SELECT node, node FROM nodes
-            |  UNION
-            |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst),
-            |clusters AS (
-            |  SELECT src AS doc_id, min(dst) AS cluster_rep
-            |  FROM reach GROUP BY src),
-            |sizes AS (
-            |  SELECT cluster_rep, count(*) AS m FROM clusters GROUP BY cluster_rep),
-            |wts AS (
-            |  SELECT c.doc_id, 1000000 // s.m AS w_micro
-            |  FROM clusters c JOIN sizes s USING (cluster_rep))
+    Some(s"""WITH RECURSIVE $softDedupCtes
             |SELECT d.source,
             |       count(*) AS n_docs,
             |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_sum,
             |       CAST(sum(coalesce(w.w_micro, 1000000)) AS BIGINT) AS eff_docs_micro,
             |       CAST(sum(d.n_chars * coalesce(w.w_micro, 1000000)) AS BIGINT)
             |         AS eff_chars_micro
-            |FROM documents d LEFT JOIN wts w USING (doc_id)
+            |FROM documents d LEFT JOIN sd_weights w USING (doc_id)
             |GROUP BY d.source
             |ORDER BY d.source""".stripMargin),
   )

@@ -696,6 +696,62 @@ object PipelineQueries {
             |ORDER BY d.doc_id""".stripMargin),
   )
 
+  // COMPOSED DATA-SELECTION gate — the round-7 session-3 additions
+  // chained end-to-end the way a corpus curation run uses them
+  // (quality-gate, then duplicate-discount, then domain-importance
+  // rank — the CCNet → SoftDeDup → DSIR order of a real pipeline):
+  //   1. CCNet tiers (TextQueries.ccnetBuckets): drop the per-language
+  //      'tail' tercile;
+  //   2. soft-dedup weights (DedupQueries.softDedupDocWeights):
+  //      1/cluster-size in micro-units, absent docs = 1.0;
+  //   3. DSIR importance (TextQueries.dsirScores): hashed-bigram
+  //      target/raw likelihood ratio (docs with no bigram feature
+  //      have no importance score and are excluded — both engines);
+  //   4. final rank: combined_micro = dsir · weight (micro-rescaled),
+  //      top-200 heap with doc_id tie-break.
+  // Every stage is the SAME code/SQL its own catalogue entry gates —
+  // the composition adds only doc_id-keyed joins, a filter, and one
+  // integer product, so a mismatch here isolates to the glue. Scale
+  // shape: stages keep their individually-pinned plans; the glue
+  // joins key on doc_id and the top-200 is TakeOrderedAndProject.
+  private val dataSelection = Q(
+    "pipe_data_selection",
+    (s, d) => {
+      import s.implicits._
+      val quality = TextQueries.ccnetBuckets(s, d)
+        .filter($"bucket" =!= "tail")
+        .select($"doc_id", $"lang", $"bucket")
+      val dsir = TextQueries.dsirScores(s, d)
+        .select($"doc_id", $"source", $"score_micro".as("dsir_micro"))
+      val weights = DedupQueries.softDedupDocWeights(s, d)
+      quality.join(dsir, "doc_id")
+        .join(weights, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"source", $"lang", $"bucket",
+          coalesce($"w_micro", lit(1000000L)).as("w_micro"), $"dsir_micro")
+        .withColumn("combined_micro", expr("dsir_micro * w_micro div 1000000"))
+        .orderBy($"combined_micro".desc, $"doc_id")
+        .limit(200)
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.softDedupCtes},
+            |${TextQueries.dsirCtes},
+            |${TextQueries.ccnetCtes}
+            |SELECT doc_id, source, lang, bucket, w_micro, dsir_micro,
+            |       combined_micro
+            |FROM (
+            |  SELECT c.doc_id, ds.source, c.lang, c.bucket,
+            |         coalesce(w.w_micro, 1000000) AS w_micro,
+            |         ds.score_micro AS dsir_micro,
+            |         ds.score_micro * coalesce(w.w_micro, 1000000) // 1000000
+            |           AS combined_micro
+            |  FROM ccnet c
+            |  JOIN dsir ds USING (doc_id)
+            |  LEFT JOIN sd_weights w USING (doc_id)
+            |  WHERE c.bucket <> 'tail')
+            |ORDER BY combined_micro DESC, doc_id
+            |LIMIT 200""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData)
+    Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
+      dataSelection)
 }

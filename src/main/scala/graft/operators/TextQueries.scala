@@ -844,54 +844,74 @@ object TextQueries {
   // for each of its three consumers rather than materialized — it is
   // map-only (explode + hash, no exchange), which is the right trade
   // at 100 TB where caching the token stream would dwarf the input.
+  /** Doc-level DSIR scores for EVERY document — (doc_id, source,
+    * n_grams, score_micro); the catalogue entry below is this plus
+    * the top-100 heap, and the composed data-selection gate
+    * (PipelineQueries) consumes it untruncated.
+    */
+  private[operators] def dsirScores(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"source", ngrams($"text", 2).as(Seq("pos", "g")))
+      .select($"doc_id", $"source",
+        (expr("CAST(conv(substring(md5(concat('dsir:', g)), 1, 6), 16, 10) AS BIGINT)") % 256)
+          .as("bucket"))
+    val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("c_r"))
+    val tgt = grams.filter($"source".isin("src1", "src3", "src5"))
+      .groupBy($"bucket").agg(count(lit(1)).as("c_t"))
+    val model = raw.join(tgt, Seq("bucket"), "left_outer")
+      .select($"bucket",
+        expr("(coalesce(c_t, 0) + 1) * 1000000 div (c_r + 1)").as("ratio_micro"))
+    grams.join(broadcast(model), "bucket")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_grams"), sum($"ratio_micro").as("rsum"))
+      .select($"doc_id", $"source", $"n_grams",
+        expr("rsum div n_grams").as("score_micro"))
+  }
+
+  /** Oracle CTE chain ending in `dsir(doc_id, source, n_grams,
+    * score_micro)` — the SQL twin of [[dsirScores]], shared by the
+    * catalogue entry and the composed data-selection gate.
+    */
+  private[operators] val dsirCtes = """dsir_w AS (
+    |  SELECT doc_id, source, word, lead(word, 1) OVER win AS w1
+    |  FROM (SELECT doc_id, source,
+    |               unnest(string_split(text, ' ')) AS word,
+    |               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    |        FROM documents)
+    |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    |dsir_g AS (
+    |  SELECT doc_id, source,
+    |         CAST('0x' || substr(md5('dsir:' || word || ' ' || w1), 1, 6)
+    |              AS BIGINT) % 256 AS bucket
+    |  FROM dsir_w WHERE w1 IS NOT NULL),
+    |dsir_raw AS (SELECT bucket, count(*) AS c_r FROM dsir_g GROUP BY bucket),
+    |dsir_tgt AS (SELECT bucket, count(*) AS c_t FROM dsir_g
+    |             WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
+    |dsir_model AS (
+    |  SELECT r.bucket,
+    |         ((coalesce(t.c_t, 0) + 1) * 1000000) // (r.c_r + 1) AS ratio_micro
+    |  FROM dsir_raw r LEFT JOIN dsir_tgt t USING (bucket)),
+    |dsir AS (
+    |  SELECT doc_id, source, count(*) AS n_grams,
+    |         CAST(sum(ratio_micro) // count(*) AS BIGINT) AS score_micro
+    |  FROM dsir_g JOIN dsir_model USING (bucket)
+    |  GROUP BY doc_id, source)""".stripMargin
+
   private val dsirImportance = Q(
     "td_dsir_importance",
     (s, d) => {
       import s.implicits._
-      val grams = Tables.documents(s, d)
-        .select($"doc_id", $"source", ngrams($"text", 2).as(Seq("pos", "g")))
-        .select($"doc_id", $"source",
-          (expr("CAST(conv(substring(md5(concat('dsir:', g)), 1, 6), 16, 10) AS BIGINT)") % 256)
-            .as("bucket"))
-      val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("c_r"))
-      val tgt = grams.filter($"source".isin("src1", "src3", "src5"))
-        .groupBy($"bucket").agg(count(lit(1)).as("c_t"))
-      val model = raw.join(tgt, Seq("bucket"), "left_outer")
-        .select($"bucket",
-          expr("(coalesce(c_t, 0) + 1) * 1000000 div (c_r + 1)").as("ratio_micro"))
-      grams.join(broadcast(model), "bucket")
-        .groupBy($"doc_id", $"source")
-        .agg(count(lit(1)).as("n_grams"), sum($"ratio_micro").as("rsum"))
-        .select($"doc_id", $"source", $"n_grams",
-          expr("rsum div n_grams").as("score_micro"))
+      dsirScores(s, d)
         .orderBy($"score_micro".desc, $"doc_id")
         .limit(100)
     },
-    Some("""WITH w AS (
-           |  SELECT doc_id, source, word, lead(word, 1) OVER win AS w1
-           |  FROM (SELECT doc_id, source,
-           |               unnest(string_split(text, ' ')) AS word,
-           |               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-           |        FROM documents)
-           |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-           |g AS (
-           |  SELECT doc_id, source,
-           |         CAST('0x' || substr(md5('dsir:' || word || ' ' || w1), 1, 6)
-           |              AS BIGINT) % 256 AS bucket
-           |  FROM w WHERE w1 IS NOT NULL),
-           |raw AS (SELECT bucket, count(*) AS c_r FROM g GROUP BY bucket),
-           |tgt AS (SELECT bucket, count(*) AS c_t FROM g
-           |        WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
-           |model AS (
-           |  SELECT r.bucket,
-           |         ((coalesce(t.c_t, 0) + 1) * 1000000) // (r.c_r + 1) AS ratio_micro
-           |  FROM raw r LEFT JOIN tgt t USING (bucket))
-           |SELECT doc_id, source, count(*) AS n_grams,
-           |       CAST(sum(ratio_micro) // count(*) AS BIGINT) AS score_micro
-           |FROM g JOIN model USING (bucket)
-           |GROUP BY doc_id, source
-           |ORDER BY score_micro DESC, doc_id
-           |LIMIT 100""".stripMargin),
+    Some(s"""WITH $dsirCtes
+            |SELECT doc_id, source, n_grams, score_micro
+            |FROM dsir
+            |ORDER BY score_micro DESC, doc_id
+            |LIMIT 100""".stripMargin),
   )
 
   // CCNet-style quality bucketing (Wenzek et al., LREC'20): score
@@ -918,9 +938,13 @@ object TextQueries {
   // carries only histogram rows, not docs), cutpoints ∝ languages
   // (broadcast); the data-scale shuffles are the doc-keyed score
   // aggregate and the presentation sort.
-  private val ccnetBucket = Q(
-    "ta_ccnet_bucket",
-    (s, d) => {
+  /** Doc-level CCNet quality tiers for EVERY document — (doc_id,
+    * lang, n_tokens, score_micro, bucket); the catalogue entry below
+    * adds only the presentation sort, and the composed data-selection
+    * gate (PipelineQueries) consumes this directly.
+    */
+  private[operators] def ccnetBuckets(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val words = Tables.documents(s, d)
@@ -964,51 +988,67 @@ object TextQueries {
           when($"score_micro" >= $"c1", "head")
             .when($"score_micro" >= $"c2", "middle")
             .otherwise("tail").as("bucket"))
-        .orderBy($"doc_id")
+  }
+
+  /** Oracle CTE chain ending in `ccnet(doc_id, lang, n_tokens,
+    * score_micro, bucket)` — the SQL twin of [[ccnetBuckets]], shared
+    * by the catalogue entry and the composed data-selection gate.
+    */
+  private[operators] val ccnetCtes = """cc_words AS (
+    |  SELECT doc_id, lang, source,
+    |         CAST('0x' || substr(md5('ccnet:' || word), 1, 6) AS BIGINT) % 256
+    |           AS bucket
+    |  FROM (SELECT doc_id, lang, source,
+    |               unnest(string_split(text, ' ')) AS word
+    |        FROM documents)),
+    |cc_tgt AS (
+    |  SELECT bucket, count(*) AS c_t FROM cc_words
+    |  WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
+    |cc_nt AS (
+    |  SELECT count(*) AS n_t FROM cc_words
+    |  WHERE source IN ('src1', 'src3', 'src5')),
+    |cc_model AS (
+    |  SELECT bucket, ((c_t + 1) * 1000000) // (n_t + 256) AS freq_micro
+    |  FROM cc_tgt CROSS JOIN cc_nt),
+    |cc_scored AS (
+    |  SELECT doc_id, lang, count(*) AS n_tokens,
+    |         CAST(sum(coalesce(m.freq_micro,
+    |                  1000000 // (nt.n_t + 256))) // count(*) AS BIGINT)
+    |           AS score_micro
+    |  FROM cc_words w
+    |  LEFT JOIN cc_model m USING (bucket) CROSS JOIN cc_nt nt
+    |  GROUP BY doc_id, lang),
+    |cc_hist AS (
+    |  SELECT lang, score_micro, count(*) AS c,
+    |         sum(count(*)) OVER (PARTITION BY lang ORDER BY score_micro DESC
+    |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    |  FROM cc_scored GROUP BY lang, score_micro),
+    |cc_nlang AS (SELECT lang, count(*) AS n FROM cc_scored GROUP BY lang),
+    |cc_cuts AS (
+    |  SELECT lang,
+    |         max(CASE WHEN cum >= (n + 2) // 3 THEN score_micro END) AS c1,
+    |         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_micro END) AS c2
+    |  FROM cc_hist JOIN cc_nlang USING (lang)
+    |  GROUP BY lang),
+    |ccnet AS (
+    |  SELECT doc_id, lang, n_tokens, score_micro,
+    |         CASE WHEN score_micro >= c1 THEN 'head'
+    |              WHEN score_micro >= c2 THEN 'middle'
+    |              ELSE 'tail' END AS bucket
+    |  FROM cc_scored JOIN cc_cuts USING (lang))""".stripMargin
+
+  private val ccnetBucket = Q(
+    "ta_ccnet_bucket",
+    (s, d) => {
+      import s.implicits._
+      ccnetBuckets(s, d).orderBy($"doc_id")
     },
-    Some("""WITH words AS (
-           |  SELECT doc_id, lang, source,
-           |         CAST('0x' || substr(md5('ccnet:' || word), 1, 6) AS BIGINT) % 256
-           |           AS bucket
-           |  FROM (SELECT doc_id, lang, source,
-           |               unnest(string_split(text, ' ')) AS word
-           |        FROM documents)),
-           |tgt AS (
-           |  SELECT bucket, count(*) AS c_t FROM words
-           |  WHERE source IN ('src1', 'src3', 'src5') GROUP BY bucket),
-           |nt AS (
-           |  SELECT count(*) AS n_t FROM words
-           |  WHERE source IN ('src1', 'src3', 'src5')),
-           |model AS (
-           |  SELECT bucket, ((c_t + 1) * 1000000) // (n_t + 256) AS freq_micro
-           |  FROM tgt CROSS JOIN nt),
-           |scored AS (
-           |  SELECT doc_id, lang, count(*) AS n_tokens,
-           |         CAST(sum(coalesce(m.freq_micro,
-           |                  1000000 // (nt.n_t + 256))) // count(*) AS BIGINT)
-           |           AS score_micro
-           |  FROM words w
-           |  LEFT JOIN model m USING (bucket) CROSS JOIN nt
-           |  GROUP BY doc_id, lang),
-           |hist AS (
-           |  SELECT lang, score_micro, count(*) AS c,
-           |         sum(count(*)) OVER (PARTITION BY lang ORDER BY score_micro DESC
-           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           |  FROM scored GROUP BY lang, score_micro),
-           |nlang AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
-           |cutpoints AS (
-           |  SELECT lang,
-           |         max(CASE WHEN cum >= (n + 2) // 3 THEN score_micro END) AS c1,
-           |         max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_micro END) AS c2
-           |  FROM hist JOIN nlang USING (lang)
-           |  GROUP BY lang)
-           |SELECT doc_id, lang, n_tokens, score_micro,
-           |       CASE WHEN score_micro >= c1 THEN 'head'
-           |            WHEN score_micro >= c2 THEN 'middle'
-           |            ELSE 'tail' END AS bucket
-           |FROM scored JOIN cutpoints USING (lang)
-           |ORDER BY doc_id""".stripMargin),
+    Some(s"""WITH $ccnetCtes
+            |SELECT doc_id, lang, n_tokens, score_micro, bucket
+            |FROM ccnet
+            |ORDER BY doc_id""".stripMargin),
   )
+
 
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,

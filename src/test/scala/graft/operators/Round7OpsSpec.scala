@@ -521,6 +521,57 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_data_selection composes its three gated stages exactly") {
+    import spark.implicits._
+    // each stage is independently oracle/spec-gated; re-derive the
+    // COMPOSITION from the engine's own stage outputs so a mismatch
+    // isolates to the glue (joins, tail filter, combined product)
+    val ccnet = q("ta_ccnet_bucket").fn(spark, sf)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+      .map(r => r._1 -> (r._2, r._5)).toMap
+    val clusters = q("td_dedup_clusters").fn(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val mSize = clusters.groupBy(_._2).map { case (rep, ms) => rep -> ms.size.toLong }
+    val w = clusters.map { case (id, rep) => id -> 1000000L / mSize(rep) }.toMap
+    // full (untruncated) DSIR scores via the in-memory model
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq
+    def md5int6b(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.substring(0, 6), 16)
+    }
+    val target = Set("src1", "src3", "src5")
+    val grams = docs.flatMap { case (id, src, t) =>
+      val ws = t.split(" ")
+      (0 until ws.length - 1)
+        .map(i => (id, src, md5int6b("dsir:" + ws(i) + " " + ws(i + 1)) % 256))
+    }
+    val cR = grams.groupBy(_._3).map { case (b, g) => b -> g.size.toLong }
+    val cT = grams.filter(g => target(g._2)).groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    val ratio = cR.map { case (b, cr) =>
+      b -> (cT.getOrElse(b, 0L) + 1) * 1000000L / (cr + 1)
+    }
+    val dsir = grams.groupBy(g => (g._1, g._2)).map { case ((id, src), gs) =>
+      id -> (src, gs.map(g => ratio(g._3)).sum / gs.size)
+    }
+    val expected = dsir.toSeq.flatMap { case (id, (src, ds)) =>
+      val (lang, bucket) = ccnet(id)
+      if (bucket == "tail") None
+      else {
+        val wm = w.getOrElse(id, 1000000L)
+        Some((id, src, lang, bucket, wm, ds, ds * wm / 1000000L))
+      }
+    }.sortBy(x => (-x._7, x._1)).take(200)
+    val got = q("pipe_data_selection").fn(spark, sf)
+      .as[(Long, String, String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected,
+      s"composition mismatch:\n${got.take(5)}\nvs\n${expected.take(5)}")
+    assert(got.nonEmpty && got.forall(_._4 != "tail"))
+  }
+
   test("qa_cms_heavy_hitters: estimates dominate truth and match a naive sketch") {
     import spark.implicits._
     val got = q("qa_cms_heavy_hitters").fn(spark, sf)
