@@ -307,5 +307,74 @@ object GraphQueries {
     },
   )
 
-  def all: Seq[Q] = Seq(pagerank, triangles, labelProp)
+  // MULTI-SOURCE BFS hop distance — "how far is every node from the
+  // nation-0 supplier fleet", the reachability/radius primitive under
+  // lineage tracing and influence propagation. Unlike PageRank/LPA
+  // (whose per-round work is O(|E|) regardless of progress), BFS gets
+  // the FRONTIER optimization: round r joins the edge list only with
+  // the nodes first reached in round r-1, and an anti-join against the
+  // visited set keeps the frontier strictly shrinking once the
+  // component saturates — with early exit when it empties, so the
+  // round cap is a replayability bound, not a cost floor. Per-round
+  // cost is O(edges incident to the frontier) shuffled bytes; the
+  // visited set is a lazy union of the ≤Rounds checkpointed layers
+  // (each already materialized, so the anti-join build side needs no
+  // recompute). Hop values are first-reach round numbers — integers,
+  // order-independent, exactly the min-hop the oracle's UNION-dedup
+  // recursive CTE computes, so the iterative result is hash-gated.
+  private val BfsRounds = 4
+
+  private val bfsHops = Q(
+    "gr_bfs_hops",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables.supplier(s, d)
+        .filter($"s_nationkey" === 0)
+        .select(($"s_suppkey" * 2 + 1).as("node"), lit(0).as("hops"))
+        .localCheckpoint()
+      var layers = List(seeds)
+      var frontier = seeds
+      var round = 1
+      while (round <= BfsRounds && !frontier.isEmpty) {
+        val visited = layers.map(_.select($"node")).reduce(_ unionByName _)
+        val next = sym
+          .join(frontier.select($"node".as("fnode")), $"src" === $"fnode")
+          .select($"dst".as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(round))
+          .localCheckpoint()
+        layers ::= next
+        frontier = next
+        round += 1
+      }
+      layers.reduce(_ unionByName _).orderBy($"node")
+    },
+    Some(
+      // UNION (not UNION ALL) recursion: DuckDB dedups each produced
+      // row against everything seen, so the walk is bounded by
+      // |V|·Rounds rows, not path counts; min(hops) is then exactly
+      // the BFS first-reach round.
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst, src FROM edges),
+         |walk(node, hops) AS (
+         |  SELECT s_suppkey * 2 + 1 AS node, 0 AS hops
+         |  FROM supplier WHERE s_nationkey = 0
+         |  UNION
+         |  SELECT e.dst, w.hops + 1
+         |  FROM walk w JOIN sym e ON e.src = w.node
+         |  WHERE w.hops < $BfsRounds)
+         |SELECT node, min(hops) AS hops FROM walk GROUP BY node
+         |ORDER BY node""".stripMargin),
+  )
+
+  def all: Seq[Q] = Seq(pagerank, triangles, labelProp, bfsHops)
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-7 session-4 additions, each checked against an
+  * independently-computed naive baseline over the same raw rows (the
+  * oracle gate hashes values; these fail with a value diff instead).
+  */
+class Round7dOpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.exprs.register(s)
+    s
+  }
+
+  private def q(name: String) =
+    graft.QueryCatalog.all.find(_.name == name).get
+
+  // ---- gr_bfs_hops: frontier BFS vs naive queue BFS ----
+
+  test("gr_bfs_hops matches a naive in-memory BFS, including early exit") {
+    import spark.implicits._
+    val got = q("gr_bfs_hops").fn(spark, sf)
+      .as[(Long, Int)].collect().toMap
+
+    val edges = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey").as[(Long, Long)].collect()
+      .flatMap { case (p, sup) =>
+        val (a, b) = (p * 2, sup * 2 + 1)
+        Seq(a -> b, b -> a)
+      }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = graft.model.Tables.supplier(spark, sf)
+      .filter($"s_nationkey" === 0)
+      .select($"s_suppkey").as[Long].collect().map(_ * 2 + 1).toSet
+
+    val dist = collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)
+    var frontier = seeds
+    var round = 1
+    while (round <= 4 && frontier.nonEmpty) {
+      val next = frontier.flatMap(n => edges.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      next.foreach(n => dist(n) = round)
+      frontier = next
+      round += 1
+    }
+    assert(got.size == dist.size, s"node count ${got.size} vs ${dist.size}")
+    dist.foreach { case (n, h) =>
+      assert(got.get(n).contains(h), s"node $n: engine=${got.get(n)} naive=$h")
+    }
+  }
+}
