@@ -1050,9 +1050,89 @@ object TextQueries {
   )
 
 
+  // CONDITIONAL char-trigram language-model scoring — the KenLM-style
+  // mechanism behind CCNet's actual perplexity filter, upgraded from
+  // the hashed-UNIGRAM surrogate above to a real conditional model:
+  // p(c | ab) ≈ (count(abc) + 1) / (count(ab·) + B) with hashed
+  // trigram/bigram contexts (B = 4096 buckets each) trained on the
+  // reference sources (src1/src3/src5), scoring EVERY document by its
+  // mean conditional likelihood in integer micro-units (the same
+  // arithmetic-mean, division-free, log-free surrogate the CCNet
+  // entry documents: monotone in "how reference-like", integer-exact
+  // so the oracle hash-gates it — a float log-prob sum would drift by
+  // aggregation order).
+  //
+  // Text is pinned to the printable-ASCII projection first: Spark
+  // indexes strings by UTF-16 unit and DuckDB by code point, so
+  // substring-based trigram windows only agree on a corpus where the
+  // two coincide — the sanitize step makes that an invariant instead
+  // of a hope. Docs with < 3 surviving chars are excluded in BOTH
+  // engines (Spark's sequence(1, 0) counts DOWN — the guard is
+  // load-bearing, not cosmetic).
+  //
+  // Scale shape: the model is ≤ 2×4096 rows (broadcast both ways);
+  // the trigram stream is exploded once for training (partial-agg to
+  // ≤ 4096 rows map-side before the shuffle — bounded-key count) and
+  // once for scoring (two broadcast joins, then a doc_id-keyed
+  // partial agg). No data-sized shuffle except the per-doc aggregate,
+  // the same shape as ta_ccnet_bucket.
+  private val trigramLm = Q(
+    "ta_trigram_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          regexp_replace($"text", "[^ -~]", "").as("t"))
+        .filter(length($"t") >= 3)
+      val tris = docs.select($"doc_id", $"source",
+        explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("tri"))
+        .select($"doc_id", $"source",
+          (expr("CAST(conv(substring(md5(concat('lm3:', tri)), 1, 6), 16, 10) AS BIGINT)") % 4096)
+            .as("b3"),
+          (expr("CAST(conv(substring(md5(concat('lm2:', substring(tri, 1, 2))), 1, 6), 16, 10) AS BIGINT)") % 4096)
+            .as("b2"))
+      val ref = tris.filter($"source".isin("src1", "src3", "src5"))
+      val c3 = ref.groupBy($"b3").agg(count(lit(1)).as("c3"))
+      val c2 = ref.groupBy($"b2").agg(count(lit(1)).as("c2"))
+      tris
+        .join(broadcast(c3), Seq("b3"), "left_outer")
+        .join(broadcast(c2), Seq("b2"), "left_outer")
+        .select($"doc_id",
+          expr("((coalesce(c3, 0) + 1) * 1000000) div (coalesce(c2, 0) + 4096)").as("f"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum($"f").as("fsum"))
+        .select($"doc_id", $"n_tri", expr("fsum div n_tri").as("score_micro"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH lm_docs AS (
+      |  SELECT doc_id, source, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      |  FROM documents),
+      |lm_b AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5('lm3:' || tri), 1, 6) AS BIGINT) % 4096 AS b3,
+      |         CAST('0x' || substr(md5('lm2:' || substr(tri, 1, 2)), 1, 6) AS BIGINT) % 4096 AS b2
+      |  FROM (SELECT doc_id, source, substr(t, CAST(i AS INT), 3) AS tri
+      |        FROM lm_docs,
+      |             LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i)
+      |        WHERE length(t) >= 3)),
+      |lm_c3 AS (SELECT b3, count(*) AS c3 FROM lm_b
+      |          WHERE source IN ('src1', 'src3', 'src5') GROUP BY b3),
+      |lm_c2 AS (SELECT b2, count(*) AS c2 FROM lm_b
+      |          WHERE source IN ('src1', 'src3', 'src5') GROUP BY b2)
+      |SELECT doc_id, count(*) AS n_tri,
+      |       CAST(sum(((coalesce(c3, 0) + 1) * 1000000) // (coalesce(c2, 0) + 4096))
+      |            AS BIGINT) // count(*) AS score_micro
+      |FROM lm_b
+      |LEFT JOIN lm_c3 USING (b3)
+      |LEFT JOIN lm_c2 USING (b2)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
-      boilerplateStrip, dsirImportance, ccnetBucket)
+      boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

@@ -57,4 +57,44 @@ class Round7dOpsSpec extends AnyFunSuite {
       assert(got.get(n).contains(h), s"node $n: engine=${got.get(n)} naive=$h")
     }
   }
+
+  // ---- ta_trigram_lm_score: conditional LM vs naive counts ----
+
+  test("ta_trigram_lm_score matches a naive conditional trigram model") {
+    import spark.implicits._
+    val got = q("ta_trigram_lm_score").fn(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, sc) => id -> ((n, sc)) }.toMap
+
+    def bucket(prefix: String, k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((prefix + k).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+      .map { case (id, src, txt) =>
+        (id, src, txt.filter(c => c >= ' ' && c <= '~'))
+      }
+      .filter(_._3.length >= 3)
+    val tris = docs.flatMap { case (id, src, t) =>
+      t.sliding(3).map(tri =>
+        (id, src, bucket("lm3:", tri), bucket("lm2:", tri.take(2))))
+    }
+    val ref = tris.filter(r => Set("src1", "src3", "src5")(r._2))
+    val c3 = ref.groupBy(_._3).map { case (b, v) => b -> v.size.toLong }
+    val c2 = ref.groupBy(_._4).map { case (b, v) => b -> v.size.toLong }
+    val naive = tris.groupBy(_._1).map { case (id, v) =>
+      val fs = v.map { case (_, _, b3, b2) =>
+        (c3.getOrElse(b3, 0L) + 1) * 1000000L / (c2.getOrElse(b2, 0L) + 4096)
+      }
+      id -> ((fs.size.toLong, fs.sum / fs.size))
+    }
+    assert(got.size == naive.size)
+    naive.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: engine=${got(id)} naive=$exp")
+    }
+  }
 }
