@@ -1089,10 +1089,63 @@ object EventQueries {
             |ORDER BY cohort_week, week_offset""".stripMargin),
   )
 
+  // EXPONENTIAL smoothing (EWMA, α = 1/4) of each user's value
+  // series in event-time order — the metric-smoothing / anomaly-
+  // baseline primitive. EWMA is a genuine RECURSION (each output
+  // depends on the previous output), which no window frame can
+  // express; the distributed shape is the per-key ordered fold:
+  // one shuffle groups each user's events, an in-row sort_array puts
+  // them in (ts, event_id) order, and a codegen'd aggregate() lambda
+  // folds the smoothed series left-to-right. Integer cents with
+  // truncating division keep every step exact and order-independent
+  // across engines — the float recursion would compound ulp drift
+  // per step. Per-key state is the user's own event list, the same
+  // documented bound as sessionize/collect-based ops (a 100 TB
+  // deployment shards long-lived users by session or time slice
+  // first); values are non-negative by schema so Spark's toward-zero
+  // `div` and DuckDB's `//` agree at every step.
+  private val ewmaSmooth = Q(
+    "ev_ewma_smooth",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          struct($"ts", $"event_id", cents($"value").as("cents")).as("e"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list($"e")).as("es"))
+        .select($"user_id", explode(expr(
+          """aggregate(
+            |  es,
+            |  cast(array() as array<struct<ts:bigint,event_id:bigint,ewma:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'ts', x.ts, 'event_id', x.event_id,
+            |    'ewma', CASE WHEN size(acc) = 0 THEN x.cents
+            |                 ELSE (x.cents + 3 * element_at(acc, -1).ewma) div 4
+            |            END))))""".stripMargin)).as("o"))
+        .select($"user_id", $"o.ts".as("ts"), $"o.event_id".as("event_id"),
+          $"o.ewma".as("ewma_cents"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+    Some(s"""WITH RECURSIVE e AS (
+            |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+            |         ${centsSql("value")} AS cents,
+            |         row_number() OVER (PARTITION BY user_id
+            |                            ORDER BY epoch_ns(ts), event_id) AS rn
+            |  FROM events),
+            |w(user_id, rn, ts, event_id, ewma_cents) AS (
+            |  SELECT user_id, rn, ts, event_id, cents FROM e WHERE rn = 1
+            |  UNION ALL
+            |  SELECT e.user_id, e.rn, e.ts, e.event_id,
+            |         (e.cents + 3 * w.ewma_cents) // 4
+            |  FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+            |SELECT user_id, ts, event_id, ewma_cents
+            |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
-      orderedFunnel, retention)
+      orderedFunnel, retention, ewmaSmooth)
 }

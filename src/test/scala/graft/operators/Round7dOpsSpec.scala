@@ -97,4 +97,26 @@ class Round7dOpsSpec extends AnyFunSuite {
       assert(got(id) == exp, s"doc $id: engine=${got(id)} naive=$exp")
     }
   }
+
+  // ---- ev_ewma_smooth: recursive fold vs naive sequential EWMA ----
+
+  test("ev_ewma_smooth matches a naive per-user sequential fold") {
+    import spark.implicits._
+    val got = q("ev_ewma_smooth").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val naive = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      var prev = -1L
+      evs.sortBy(e => (e._2, e._3)).map { case (_, ts, id, v) =>
+        val c = math.round(v * 100)
+        prev = if (prev < 0) c else (c + 3 * prev) / 4
+        (u, ts, id, prev)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got.toSeq == naive,
+      s"first diff: ${got.toSeq.zip(naive).find(p => p._1 != p._2)}")
+  }
 }
