@@ -1044,8 +1044,126 @@ object DedupQueries {
             |ORDER BY d.source""".stripMargin),
   )
 
+  // CORPUS-LEVEL source overlap via KMV set sketches — "how much of
+  // source A is also in source B", the cross-corpus contamination /
+  // provenance-audit question, answered WITHOUT an all-pairs content
+  // join. Each source's sketch is its k smallest distinct 48-bit
+  // content hashes (k = 128); for a pair, the k smallest of the
+  // sketch UNION is a uniform sample of A∪B, so the fraction of that
+  // sample present in both sketches estimates Jaccard(A, B) (Beyer et
+  // al.'s KMV set-operation estimator). When |A∪B| ≤ k the sample IS
+  // the union and the estimate is exact by construction. Everything
+  // is md5-derived integers, so the oracle replays the ESTIMATE
+  // bit-for-bit, and the exact_* columns (the qa_kmv device) carry
+  // the ground truth next to it.
+  //
+  // Scale shape: sketches are ≤ k rows per source (a window over the
+  // per-source distinct hashes — at 100 TB the same k-min is a
+  // mergeable partial aggregate shipping k longs per task, the
+  // KmvDistinct buffer); pair work is windows over ≤ 2k broadcast
+  // rows per pair — independent of corpus size. The pair generator is
+  // a < self-join of the source LIST (a handful of rows, broadcast
+  // nested loop by design). Only the distinct (source, hash)
+  // projection and the exact-audit join touch data-scale rows; the
+  // audit columns are what a production run drops first.
+  private val corpusOverlapKmv = Q(
+    "td_corpus_overlap_kmv",
+    (s, d) => {
+      import s.implicits._
+      val k = 128
+      val h = Tables.documents(s, d)
+        .select($"source",
+          expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+        .localCheckpoint()
+      val sk = h
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"source").orderBy($"h")))
+        .filter($"rn" <= k)
+        .drop("rn")
+      val srcs = h.select($"source").distinct()
+      val pairs = srcs.select($"source".as("sa"))
+        .join(srcs.select($"source".as("sb")), $"sa" < $"sb")
+      val merged = pairs
+        .join(broadcast(sk), $"source" === $"sa" || $"source" === $"sb")
+        .groupBy($"sa", $"sb", $"h")
+        .agg(
+          max(($"source" === $"sa").cast("int")).as("ina"),
+          max(($"source" === $"sb").cast("int")).as("inb"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"sa", $"sb").orderBy($"h")))
+        .filter($"rn" <= k)
+      val est = merged.groupBy($"sa", $"sb")
+        .agg(count(lit(1)).as("m"), sum(expr("ina * inb")).as("shared"))
+      val n = h.groupBy($"source").agg(count(lit(1)).as("n"))
+      val inter = h.select($"source".as("xa"), $"h")
+        .join(h.select($"source".as("xb"), $"h"), Seq("h"))
+        .filter($"xa" < $"xb")
+        .groupBy($"xa", $"xb").agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(inter, $"sa" === $"xa" && $"sb" === $"xb", "left_outer")
+        .join(broadcast(n.select($"source".as("nsa"), $"n".as("na"))), $"sa" === $"nsa")
+        .join(broadcast(n.select($"source".as("nsb"), $"n".as("nb"))), $"sb" === $"nsb")
+        .select(
+          $"sa".as("source_a"), $"sb".as("source_b"), $"m", $"shared",
+          expr("shared * 1000000 div m").as("jaccard_micro"),
+          coalesce($"exact_inter", lit(0L)).as("exact_inter"),
+          (($"na" + $"nb") - coalesce($"exact_inter", lit(0L))).as("exact_union"),
+          expr("coalesce(exact_inter, 0) * 1000000 div (na + nb - coalesce(exact_inter, 0))")
+            .as("exact_jaccard_micro"))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some("""WITH ko_h AS (
+      |  SELECT DISTINCT source,
+      |         CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) AS h
+      |  FROM documents),
+      |ko_sk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h,
+      |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |    FROM ko_h)
+      |  WHERE rn <= 128),
+      |ko_p AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM (SELECT DISTINCT source FROM ko_h) a,
+      |       (SELECT DISTINCT source FROM ko_h) b
+      |  WHERE a.source < b.source),
+      |ko_m AS (
+      |  SELECT sa, sb, h,
+      |         max(CASE WHEN source = sa THEN 1 ELSE 0 END) AS ina,
+      |         max(CASE WHEN source = sb THEN 1 ELSE 0 END) AS inb
+      |  FROM ko_p JOIN ko_sk ON source = sa OR source = sb
+      |  GROUP BY sa, sb, h),
+      |ko_mk AS (
+      |  SELECT sa, sb, ina, inb FROM (
+      |    SELECT sa, sb, ina, inb,
+      |           row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      |    FROM ko_m)
+      |  WHERE rn <= 128),
+      |ko_est AS (
+      |  SELECT sa, sb, count(*) AS m,
+      |         CAST(sum(ina * inb) AS BIGINT) AS shared
+      |  FROM ko_mk GROUP BY sa, sb),
+      |ko_n AS (SELECT source, count(*) AS n FROM ko_h GROUP BY source),
+      |ko_i AS (
+      |  SELECT a.source AS sa, b.source AS sb, count(*) AS exact_inter
+      |  FROM ko_h a JOIN ko_h b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT e.sa AS source_a, e.sb AS source_b, e.m, e.shared,
+      |       e.shared * 1000000 // e.m AS jaccard_micro,
+      |       coalesce(i.exact_inter, 0) AS exact_inter,
+      |       na.n + nb.n - coalesce(i.exact_inter, 0) AS exact_union,
+      |       coalesce(i.exact_inter, 0) * 1000000
+      |         // (na.n + nb.n - coalesce(i.exact_inter, 0)) AS exact_jaccard_micro
+      |FROM ko_est e
+      |LEFT JOIN ko_i i ON e.sa = i.sa AND e.sb = i.sb
+      |JOIN ko_n na ON na.source = e.sa
+      |JOIN ko_n nb ON nb.source = e.sb
+      |ORDER BY source_a, source_b""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
-      sequencePack, spanDedup, chunkOverlap, softDedupWeights)
+      sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv)
 }

@@ -119,4 +119,31 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(got.toSeq == naive,
       s"first diff: ${got.toSeq.zip(naive).find(p => p._1 != p._2)}")
   }
+
+  // ---- td_corpus_overlap_kmv: estimator quality on known overlap ----
+
+  test("td_corpus_overlap_kmv estimates a planted 1/3 Jaccard within 3 sigma") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmv_overlap").toFile
+    try {
+      // srcA = docs 0..399, srcB = docs 200..599: |A∩B| = 200,
+      // |A∪B| = 600, Jaccard = 1/3. k = 128 ⇒ σ ≈ sqrt(J(1-J)/k) ≈ 0.042.
+      val rows =
+        (0 until 400).map(i => (i.toLong, s"doc body $i", "en", "srcA", 10L)) ++
+        (200 until 600).map(i => (i.toLong + 1000, s"doc body $i", "en", "srcB", 10L))
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = q("td_corpus_overlap_kmv").fn(spark, dir.getPath).collect()
+      assert(out.length == 1)
+      val r = out.head
+      val est = r.getAs[Long]("jaccard_micro") / 1e6
+      val exact = r.getAs[Long]("exact_jaccard_micro") / 1e6
+      assert(math.abs(exact - 1.0 / 3) < 1e-3, s"fixture exact=$exact")
+      assert(math.abs(est - exact) < 0.13, s"est=$est exact=$exact")
+      assert(r.getAs[Long]("exact_inter") == 200)
+      assert(r.getAs[Long]("exact_union") == 600)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }
