@@ -582,6 +582,70 @@ object MultimodalQueries {
            |ORDER BY doc_id, frame""".stripMargin),
   )
 
+  // VIDEO scene-cut detection — the shot-segmentation primitive a
+  // video pipeline runs before per-scene sampling/captioning: hash
+  // every frame perceptually, compare CONSECUTIVE frames (lag window
+  // per video, frame order), and emit a cut wherever the hamming
+  // distance jumps. The deterministic fake decode models real shot
+  // structure: frames share a per-scene 48-bit base hash (scenes are
+  // 7 frames long, base = md5(doc:scene)) plus a 1-bit per-frame
+  // perturbation, so within-scene consecutive distance is exactly 2
+  // and across-scene distance is ~24 — the threshold (> 8) separates
+  // them with deterministic, oracle-replayed margins. A real pHash
+  // would slot into the same (doc_id, frame_idx, h) contract via the
+  // decode family's mapPartitions arm.
+  //
+  // Scale shape: frames explode in-row (no shuffle), the lag window
+  // shuffles once on doc_id — each partition holds whole videos, the
+  // same per-key bound as every sessionize-family op; detection is a
+  // codegen'd filter. Cuts ∝ scenes, frames never leave their task
+  // except the presentation sort.
+  private val sceneCut = Q(
+    "mm_scene_cut",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select($"doc_id", $"text",
+          (expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)") + 10)
+            .as("n_frames"))
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"))
+        .select($"doc_id", $"frame_idx",
+          expr("""CAST(conv(substring(md5(concat(text, ':',
+                 |  CAST(frame_idx div 7 AS STRING))), 1, 12), 16, 10) AS BIGINT)
+                 |  ^ shiftleft(CAST(1 AS BIGINT), frame_idx % 16)""".stripMargin)
+            .as("h"))
+        .withColumn("prev_h",
+          lag($"h", 1).over(Window.partitionBy($"doc_id").orderBy($"frame_idx")))
+        .filter($"prev_h".isNotNull)
+        .select($"doc_id", $"frame_idx", ($"frame_idx" * 40L).as("ts_ms"),
+          expr("CAST(bit_count(h ^ prev_h) AS INT)").as("hamming"))
+        .filter($"hamming" > 8)
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""WITH sc_f AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substr(md5(text), 7, 2) AS INT) + 10 AS n_frames
+      |  FROM documents),
+      |sc_h AS (
+      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |         xor(CAST('0x' || substr(md5(text || ':' ||
+      |                 CAST(frame_idx // 7 AS VARCHAR)), 1, 12) AS BIGINT),
+      |             CAST(1 AS BIGINT) << CAST(frame_idx % 16 AS INT)) AS h
+      |  FROM sc_f,
+      |       LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS frame_idx)),
+      |sc_d AS (
+      |  SELECT doc_id, frame_idx,
+      |         CAST(bit_count(xor(h, lag(h) OVER (
+      |           PARTITION BY doc_id ORDER BY frame_idx))) AS INT) AS hamming
+      |  FROM sc_h)
+      |SELECT doc_id, frame_idx, CAST(frame_idx AS BIGINT) * 40 AS ts_ms, hamming
+      |FROM sc_d WHERE hamming > 8
+      |ORDER BY doc_id, frame_idx""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy)
+    Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
+      sceneCut)
 }

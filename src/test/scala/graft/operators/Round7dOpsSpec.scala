@@ -146,4 +146,32 @@ class Round7dOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  // ---- mm_scene_cut: detected cuts vs planted scene boundaries ----
+
+  test("mm_scene_cut finds exactly the planted 7-frame scene boundaries") {
+    import spark.implicits._
+    val cuts = q("mm_scene_cut").fn(spark, sf)
+      .select($"doc_id", $"frame_idx").as[(Long, Int)].collect()
+    assert(cuts.nonEmpty)
+    // every detection sits on a scene boundary (frame_idx % 7 == 0) —
+    // within-scene consecutive hamming is exactly 2 by construction
+    assert(cuts.forall(_._2 % 7 == 0), s"off-boundary cut: ${cuts.find(_._2 % 7 != 0)}")
+    // and ~all boundaries are detected (an across-scene miss needs two
+    // independent 48-bit hashes within hamming 8 — p ≈ 1e-6 per cut)
+    val expected = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(txt.getBytes("UTF-8"))
+        val n = java.lang.Integer.parseInt(
+          md.slice(3, 4).map("%02x".format(_)).mkString, 16) + 10
+        id -> (n - 1) / 7 // boundaries at 7, 14, … < n
+      }.toMap
+    val detected = cuts.groupBy(_._1).map { case (id, v) => id -> v.length }
+    val totalExpected = expected.values.sum
+    val totalDetected = detected.values.sum
+    assert(totalDetected >= totalExpected - 1 && totalDetected <= totalExpected,
+      s"detected=$totalDetected expected=$totalExpected")
+  }
 }
