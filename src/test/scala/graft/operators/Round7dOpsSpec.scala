@@ -174,4 +174,121 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(totalDetected >= totalExpected - 1 && totalDetected <= totalExpected,
       s"detected=$totalDetected expected=$totalExpected")
   }
+
+  // ---- gr_link_predict: wedge-join scores vs naive all-pairs ----
+
+  test("gr_link_predict matches a naive all-pairs common-neighbor scorer") {
+    import spark.implicits._
+    val got = q("gr_link_predict").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    // rebuild the sparsified graph exactly as the engine defines it
+    val baskets = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val wts = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val symW = wts.toSeq.flatMap { case ((u, v), w) => Seq((u, v, w), (v, u, w)) }
+    val kept = symW.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(10)
+        .map(r => (math.min(r._1, r._2), math.max(r._1, r._2)))
+    }.toSet
+    val adj = kept.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val naive = (for {
+      a <- adj.keys; c <- adj.keys if a < c && !kept((a, c))
+      cn = (adj(a) & adj(c)).size.toLong if cn > 0
+    } yield (a, c, cn, cn * 1000000L / (adj(a).size + adj(c).size - cn)))
+      .toSeq.sortBy(r => (-r._3, r._1, r._2)).take(100)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+  }
+
+  // ---- td_shard_assign: rendezvous hashing vs naive argmax ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("td_shard_assign matches naive HRW argmax; removal moves ~1/16") {
+    import spark.implicits._
+    val got = q("td_shard_assign").fn(spark, sf)
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+
+    val ids = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().sorted
+    val naive = ids.toSeq.map { id =>
+      val ws = (0 to 15).map(sh =>
+        java.lang.Long.parseLong(md5hex(s"$id#$sh").take(12), 16) -> sh)
+      val a16 = ws.max._2
+      val a15 = ws.take(15).max._2
+      (id, a16, a15, a16 != a15)
+    }
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the HRW stability property: a doc moves iff its argmax was the
+    // removed shard, so the moved fraction is ~1/16 of the corpus
+    assert(got.forall(r => r._4 == (r._2 == 15)))
+    val frac = got.count(_._4).toDouble / got.size
+    assert(frac > 0.01 && frac < 0.15, s"moved fraction $frac")
+  }
+
+  // ---- td_temperature_mix: α=1/2 source rebalancing vs naive ----
+
+  test("td_temperature_mix matches a naive isqrt-weighted sampler") {
+    import spark.implicits._
+    val got = q("td_temperature_mix").fn(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    def isqrt(n: Long): Long = {
+      val r0 = math.floor(math.sqrt(n.toDouble)).toLong
+      if ((r0 + 1) * (r0 + 1) <= n) r0 + 1
+      else if (r0 * r0 > n) r0 - 1 else r0
+    }
+    val n = docs.groupBy(_._2).map { case (src, v) => src -> v.length.toLong }
+    val w = n.map { case (src, c) => src -> isqrt(c) }
+    val tw = w.values.sum
+    val rate = n.map { case (src, c) =>
+      src -> math.min(1000000L, 1000000L * 200 * w(src) / (tw * c))
+    }
+    val naive = docs.toSeq.flatMap { case (id, src) =>
+      val b = java.lang.Long.parseLong(md5hex(s"tmix:$id").take(6), 16) % 1000000L
+      if (b < rate(src)) Some((id, src, rate(src))) else None
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"sizes ${got.size}/${naive.size}; first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty)
+    // equal-size sources get identical rates (rate depends only on n_s)
+    assert(n.groupBy(_._2).values.forall(srcs =>
+      srcs.keys.map(rate).toSet.size == 1))
+  }
+
+  // ---- mm_patch_grid: ViT patchify vs naive per-byte buckets ----
+
+  test("mm_patch_grid matches a naive per-byte patch bucketing and tiles exactly") {
+    import spark.implicits._
+    val got = q("mm_patch_grid").fn(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val naive = docs.toSeq.filter(_._2.nonEmpty).flatMap { case (id, txt) =>
+      val b = txt.getBytes("UTF-8")
+      b.indices.groupBy(i => ((i / 16 / 4), (i % 16) / 4)).toSeq
+        .map { case ((pr, pc), is) =>
+          val sum = is.map(i => (b(i) & 0xff).toLong).sum
+          (id, pr, pc, is.size, sum, 100L * sum / is.size)
+        }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the tiling is a partition of the bytes: per-doc Σ n_px == len
+    val lens = docs.map { case (id, t) => id -> t.getBytes("UTF-8").length }.toMap
+    got.groupBy(_._1).foreach { case (id, ps) =>
+      assert(ps.map(_._4).sum == lens(id), s"doc $id tiling mismatch")
+    }
+  }
 }
