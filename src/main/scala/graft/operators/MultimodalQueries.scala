@@ -55,6 +55,46 @@ object Multimodal {
     }
   }
 
+  /** One ViT-style patch: exact integer intensity sum over the
+    * patch's pixels (bytes), count of pixels actually present (edge
+    * patches clip), and the centi-scaled integer mean. */
+  final case class PatchRow(
+    doc_id: Long, prow: Int, pcol: Int, n_px: Int, sum_i: Long, mean_centi: Long)
+
+  /** PATCHIFY pass: the payload as a row-major W=16 raster of unsigned
+    * bytes, split into 4×4 patches with per-patch intensity stats —
+    * the ViT patch-embedding input prep (an image pipeline feeds the
+    * decoded raster through the same contract). One sequential pass
+    * per payload accumulating into the patch-row buckets; bytes never
+    * leave the task, only the ~len/16 patch rows do.
+    */
+  def patchGrid(rows: Dataset[MediaRow]): Dataset[PatchRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        if (b.isEmpty) Iterator.empty
+        else {
+          val nRows = (b.length + 15) / 16
+          val nPRows = (nRows + 3) / 4
+          val sums = new Array[Long](nPRows * 4)
+          val cnts = new Array[Int](nPRows * 4)
+          var i = 0
+          while (i < b.length) {
+            val p = (i / 16 / 4) * 4 + (i % 16) / 4
+            sums(p) += (b(i) & 0xff)
+            cnts(p) += 1
+            i += 1
+          }
+          (0 until nPRows * 4).iterator.filter(cnts(_) > 0).map { p =>
+            PatchRow(r.doc_id, p / 4, p % 4, cnts(p), sums(p),
+              100L * sums(p) / cnts(p))
+          }
+        }
+      }
+    }
+  }
+
   /** Decoded output: metadata + a fixed-shape feature vector. */
   final case class MediaDecoded(
       doc_id: Long,
@@ -645,7 +685,41 @@ object MultimodalQueries {
       |ORDER BY doc_id, frame_idx""".stripMargin),
   )
 
+  // ViT-style PATCHIFY — the patch-embedding input prep every vision
+  // transformer runs: the payload as a row-major 16-wide raster of
+  // unsigned bytes, 4×4 patches, exact integer intensity sum / count /
+  // centi-mean per patch (edge patches clip, so the counts prove the
+  // tiling partitions the bytes exactly). Real per-partition byte loop
+  // behind the decode family's narrow projection; the ASCII payloads
+  // make every patch stat SQL-replayable byte by byte. Scale: output
+  // ∝ corpus bytes / 16, no shuffle before the presentation sort —
+  // the same cost class as the audio framer above.
+  private val patchGrid16 = Q(
+    "mm_patch_grid",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.patchGrid(Multimodal.asMedia(s, d))
+        .toDF()
+        .orderBy($"doc_id", $"prow", $"pcol")
+    },
+    Some("""WITH px AS (
+           |  SELECT doc_id,
+           |         CAST(unnest(range(1, length(text) + 1)) AS INT) AS i,
+           |         text
+           |  FROM documents WHERE length(text) > 0),
+           |p AS (
+           |  SELECT doc_id,
+           |         CAST(((i - 1) // 16) // 4 AS INT) AS prow,
+           |         CAST(((i - 1) % 16) // 4 AS INT) AS pcol,
+           |         CAST(count(*) AS INT) AS n_px,
+           |         CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS sum_i
+           |  FROM px GROUP BY 1, 2, 3)
+           |SELECT doc_id, prow, pcol, n_px, sum_i,
+           |       100 * sum_i // n_px AS mean_centi
+           |FROM p ORDER BY doc_id, prow, pcol""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
-      sceneCut)
+      sceneCut, patchGrid16)
 }

@@ -751,7 +751,63 @@ object PipelineQueries {
             |LIMIT 200""".stripMargin),
   )
 
+  // RENDEZVOUS-HASH shard assignment (Thaler & Ravishankar '98, HRW):
+  // every doc scores each of the 16 shards with an independent 48-bit
+  // md5 weight and lands on the argmax — the data-PLACEMENT primitive
+  // for sharded corpus storage. The property that matters at 100 TB
+  // (and that `hash(doc) % n` lacks): when a shard is removed, ONLY
+  // the docs whose argmax was that shard move — re-sharding 16 → 15
+  // relocates ~1/16 of the corpus instead of 15/16. Both assignments
+  // are computed side by side (shard15 = argmax over shards 0-14) so
+  // the `moved` flag IS that proof, row by row. The whole operator is
+  // one in-row codegen'd pass — a 16-element transform + array_max
+  // argmax (struct compares (w, sh) lexicographically, the exact
+  // (w DESC, sh DESC) tie-break the oracle's window replays) — zero
+  // shuffles, zero joins: placement cost scales with bytes scanned,
+  // never with cluster coordination.
+  private val shardAssign = Q(
+    "td_shard_assign",
+    (s, d) => {
+      import s.implicits._
+      val weights = expr(
+        """transform(sequence(0, 15), i -> named_struct(
+          |  'w', CAST(conv(substring(md5(concat(
+          |         CAST(doc_id AS STRING), '#', CAST(i AS STRING))),
+          |         1, 12), 16, 10) AS BIGINT),
+          |  'sh', i))""".stripMargin)
+      Tables.documents(s, d)
+        .select($"doc_id", weights.as("ws"))
+        .select($"doc_id",
+          expr("array_max(ws).sh").as("shard16"),
+          expr("array_max(slice(ws, 1, 15)).sh").as("shard15"))
+        .select($"doc_id", $"shard16", $"shard15",
+          ($"shard16" =!= $"shard15").as("moved"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, i.sh,
+           |         CAST('0x' || substr(md5(
+           |           CAST(doc_id AS VARCHAR) || '#' || CAST(i.sh AS VARCHAR)),
+           |           1, 12) AS BIGINT) AS w
+           |  FROM documents CROSS JOIN range(16) i(sh)),
+           |a16 AS (
+           |  SELECT doc_id, sh FROM (
+           |    SELECT doc_id, sh, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY w DESC, sh DESC) AS rn
+           |    FROM w) WHERE rn = 1),
+           |a15 AS (
+           |  SELECT doc_id, sh FROM (
+           |    SELECT doc_id, sh, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY w DESC, sh DESC) AS rn
+           |    FROM w WHERE sh < 15) WHERE rn = 1)
+           |SELECT a16.doc_id, CAST(a16.sh AS INTEGER) AS shard16,
+           |       CAST(a15.sh AS INTEGER) AS shard15,
+           |       a16.sh <> a15.sh AS moved
+           |FROM a16 JOIN a15 ON a16.doc_id = a15.doc_id
+           |ORDER BY a16.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection)
+      dataSelection, shardAssign)
 }

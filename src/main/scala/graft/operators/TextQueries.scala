@@ -427,6 +427,64 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // TEMPERATURE-scaled source mixing: per-source sampling rates
+  // p_s ∝ n_s^α with α = 1/2 — the multilingual/multi-corpus
+  // rebalancing rule (upsample small sources, downsample large ones)
+  // used when a raw proportional mix would drown the tail. Everything
+  // hash-gates: n_s^(1/2) is an EXACT integer square root (floor(sqrt)
+  // in doubles, then a ±1 integer correction, so engine libm rounding
+  // can never shift a weight), the per-doc keep rate is ppm integer
+  // arithmetic with truncating div against a stable md5 bucket, and
+  // the target draw T=200 docs. Scale shape: the only aggregates are
+  // source-cardinality-sized (one per-source count + one 1-row total,
+  // both broadcast); the corpus pass itself is a broadcast-joined
+  // per-row filter — one partial agg and a map-side filter at 100 TB,
+  // never a shuffle of the documents. α and T are literals here so the
+  // oracle replays them; a deployment would thread them as knobs.
+  private val temperatureMix = Q(
+    "td_temperature_mix",
+    (s, d) => {
+      import s.implicits._
+      val cnts = Tables.documents(s, d)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      val wts = cnts
+        .withColumn("r0", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+        .withColumn("w", expr(
+          """CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+            |     WHEN r0 * r0 > n THEN r0 - 1
+            |     ELSE r0 END""".stripMargin))
+      val tot = wts.agg(sum($"w").as("tw"))
+      val rates = wts.crossJoin(broadcast(tot))
+        .select($"source",
+          expr("least(1000000L, (1000000L * 200 * w) div (tw * n))").as("rate_ppm"))
+      Tables.documents(s, d)
+        .join(broadcast(rates), Seq("source"))
+        .filter(expr(
+          """CAST(conv(substring(md5(concat('tmix:', CAST(doc_id AS STRING))),
+            |     1, 6), 16, 10) AS BIGINT) % 1000000""".stripMargin) < $"rate_ppm")
+        .select($"doc_id", $"source", $"rate_ppm")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |w AS (
+           |  SELECT source, n,
+           |         CASE WHEN (r0 + 1) * (r0 + 1) <= n THEN r0 + 1
+           |              WHEN r0 * r0 > n THEN r0 - 1
+           |              ELSE r0 END AS w
+           |  FROM (SELECT source, n,
+           |               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+           |        FROM n)),
+           |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+           |r AS (SELECT source,
+           |             least(1000000, (1000000 * 200 * w) // (tw * n)) AS rate_ppm
+           |      FROM w CROSS JOIN t)
+           |SELECT d.doc_id, d.source, r.rate_ppm
+           |FROM documents d JOIN r USING (source)
+           |WHERE CAST('0x' || substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)),
+           |           1, 6) AS BIGINT) % 1000000 < r.rate_ppm
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
   // BM25 ranking (k1 = 1.2, b = 0.75) for a fixed 3-term query, in
   // EXACT integer micro-units so both engines hash-agree on the SCORE,
   // not just the ordering. Two determinism moves:
@@ -1132,7 +1190,7 @@ object TextQueries {
 
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
-      split3, bigramsUdtf, piiScrub, repetition, weightedMix,
+      split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }
