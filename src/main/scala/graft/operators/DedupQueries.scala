@@ -1162,8 +1162,102 @@ object DedupQueries {
       |ORDER BY source_a, source_b""".stripMargin),
   )
 
+  // T5/UL2-style SPAN CORRUPTION (Raffel et al. JMLR'20 §3.1.4): mask
+  // ~15% of token positions by a stable per-(doc, pos) hash, collapse
+  // each CONSECUTIVE masked run to one sentinel <extra_id_K> in the
+  // input and emit "<extra_id_K> tokens…" runs plus </s> as the
+  // target — the denoising-objective pair construction, fourth member
+  // of the packing/chunking family. Spans come from the gaps-and-
+  // islands device (first-of-run flag + running span count) under ONE
+  // doc-keyed window shuffle; both sequences assemble in-row from
+  // conditional piece collects and travel as md5 so rows stay narrow
+  // whatever the doc length. Every piece is a deterministic string, so
+  // the md5s hash-gate across engines. Scale: tokens shuffle once on
+  // doc_id (sessionize-class per-key bound), everything after is
+  // partition-local.
+  private val spanCorrupt = Q(
+    "td_span_corrupt",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i", "tok")))
+        .select($"doc_id", ($"i" + 1).as("pos"), $"tok",
+          (expr("""CAST(conv(substring(md5(concat('mask:',
+                  |  CAST(doc_id AS STRING), ':', CAST(i + 1 AS STRING))),
+                  |  1, 6), 16, 10) AS BIGINT) % 100""".stripMargin) < 15).as("m"))
+      val pieces = toks
+        .withColumn("first", $"m" && !coalesce(lag($"m", 1).over(win), lit(false)))
+        .withColumn("k", sum(when($"first", 1L).otherwise(0L)).over(cum))
+        .select($"doc_id", $"pos", $"m", $"first",
+          expr("""CASE WHEN NOT m THEN tok
+                 |     WHEN first THEN '<extra_id_' || (k - 1) || '>' END""".stripMargin)
+            .as("in_piece"),
+          expr("""CASE WHEN m AND first
+                 |       THEN '<extra_id_' || (k - 1) || '> ' || tok
+                 |     WHEN m THEN tok END""".stripMargin).as("tg_piece"))
+      pieces.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"m", 1L).otherwise(0L)).as("n_masked"),
+          sum(when($"first", 1L).otherwise(0L)).as("n_spans"),
+          expr("""array_join(transform(sort_array(collect_list(
+                 |  CASE WHEN in_piece IS NOT NULL THEN struct(pos, in_piece) END)),
+                 |  x -> x.in_piece), ' ')""".stripMargin).as("in_str"),
+          expr("""array_join(transform(sort_array(collect_list(
+                 |  CASE WHEN tg_piece IS NOT NULL THEN struct(pos, tg_piece) END)),
+                 |  x -> x.tg_piece), ' ')""".stripMargin).as("tg_core"))
+        .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+          md5($"in_str").as("input_md5"),
+          md5(when($"n_spans" === 0, lit("</s>"))
+            .otherwise(concat($"tg_core", lit(" </s>")))).as("target_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH sc_t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           |         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+           |  FROM documents),
+           |sc_m AS (
+           |  SELECT doc_id, pos, tok,
+           |         CAST('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+           |           || ':' || CAST(pos AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 15 AS m
+           |  FROM sc_t),
+           |sc_f AS (
+           |  SELECT *, m AND NOT coalesce(lag(m) OVER (
+           |    PARTITION BY doc_id ORDER BY pos), false) AS first
+           |  FROM sc_m),
+           |sc_k AS (
+           |  SELECT *, sum(CASE WHEN first THEN 1 ELSE 0 END) OVER (
+           |    PARTITION BY doc_id ORDER BY pos
+           |    ROWS UNBOUNDED PRECEDING) AS k
+           |  FROM sc_f),
+           |sc_p AS (
+           |  SELECT doc_id, pos, m, first,
+           |         CASE WHEN NOT m THEN tok
+           |              WHEN first THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+           |         END AS in_piece,
+           |         CASE WHEN m AND first
+           |                THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || tok
+           |              WHEN m THEN tok END AS tg_piece
+           |  FROM sc_k),
+           |sc_a AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |         CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           |         CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           |         coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS in_str,
+           |         string_agg(tg_piece, ' ' ORDER BY pos) AS tg_core
+           |  FROM sc_p GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, n_masked, n_spans,
+           |       md5(in_str) AS input_md5,
+           |       md5(CASE WHEN n_spans = 0 THEN '</s>'
+           |                ELSE tg_core || ' </s>' END) AS target_md5
+           |FROM sc_a ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
-      sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv)
+      sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
+      spanCorrupt)
 }

@@ -427,6 +427,56 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // OOV rate against the corpus top-k vocabulary — the tokenizer-
+  // coverage diagnostic run before committing a vocab: which fraction
+  // of each doc's tokens would a top-20-by-frequency vocabulary miss.
+  // The vocab is trained like the IVF centroids/PQ codebooks: one
+  // token-frequency partial agg + a TakeOrdered top-k, collected as a
+  // ≤k-row published artifact (loudly bounded), then the corpus pass
+  // is a ZERO-JOIN in-row filter against the array literal — no
+  // shuffle of the documents, exact integer ppm. Ties in the vocab
+  // break on (count DESC, token ASC), a total order, so the trained
+  // artifact is deterministic across engines and partitionings.
+  private val oovRate = Q(
+    "ta_oov_rate",
+    (s, d) => {
+      import s.implicits._
+      val VocabK = 20
+      val vocab = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"tok").limit(VocabK)
+        .collect().map(_.getString(0)).toSeq
+      require(vocab.size <= VocabK, s"vocab artifact grew past $VocabK")
+      require(vocab.forall(!_.contains("'")), "vocab token would break the literal")
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+          expr(s"""CAST(size(filter(w, x -> NOT array_contains(
+                  |  array(${vocab.map(t => s"'$t'").mkString(",")}), x)))
+                  |  AS BIGINT)""".stripMargin).as("oov_tokens"))
+        .select($"doc_id", $"n_tokens", $"oov_tokens",
+          expr("1000000 * oov_tokens div n_tokens").as("oov_ppm"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH ov_t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |ov_v AS (
+           |  SELECT tok FROM (
+           |    SELECT tok, count(*) AS c FROM ov_t GROUP BY tok
+           |    ORDER BY c DESC, tok LIMIT 20)),
+           |ov_a AS (
+           |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS oov_tokens
+           |  FROM ov_t t LEFT JOIN ov_v v ON t.tok = v.tok
+           |  GROUP BY t.doc_id)
+           |SELECT doc_id, n_tokens, oov_tokens,
+           |       1000000 * oov_tokens // n_tokens AS oov_ppm
+           |FROM ov_a ORDER BY doc_id""".stripMargin),
+  )
+
   // TEMPERATURE-scaled source mixing: per-source sampling rates
   // p_s ∝ n_s^α with α = 1/2 — the multilingual/multi-corpus
   // rebalancing rule (upsample small sources, downsample large ones)
@@ -1191,6 +1241,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
+      oovRate,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

@@ -291,4 +291,68 @@ class Round7dOpsSpec extends AnyFunSuite {
       assert(ps.map(_._4).sum == lens(id), s"doc $id tiling mismatch")
     }
   }
+
+  // ---- td_span_corrupt: T5 masking vs a naive sequential builder ----
+
+  test("td_span_corrupt matches a naive sequential span-corruption builder") {
+    import spark.implicits._
+    val got = q("td_span_corrupt").fn(spark, sf)
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val naive = docs.toSeq.map { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      val masked = toks.indices.map(i =>
+        java.lang.Long.parseLong(md5hex(s"mask:$id:${i + 1}").take(6), 16) % 100 < 15)
+      val in = new StringBuilder; val tg = new StringBuilder
+      var k = 0; var prev = false
+      var nMasked = 0; var nSpans = 0
+      toks.indices.foreach { i =>
+        def app(sb: StringBuilder, s: String): Unit = {
+          if (sb.nonEmpty) sb.append(' '); sb.append(s)
+        }
+        if (!masked(i)) app(in, toks(i))
+        else {
+          nMasked += 1
+          if (!prev) {
+            app(in, s"<extra_id_$k>"); app(tg, s"<extra_id_$k> ${toks(i)}")
+            k += 1; nSpans += 1
+          } else app(tg, toks(i))
+        }
+        prev = masked(i)
+      }
+      val target = if (nSpans == 0) "</s>" else tg.toString + " </s>"
+      (id, toks.length.toLong, nMasked.toLong, nSpans.toLong,
+        md5hex(in.toString), md5hex(target))
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // non-vacuous: some docs have spans, some multi-token spans exist
+    assert(got.exists(_._4 > 0))
+    assert(got.exists(r => r._3 > r._4), "no multi-token span in fixture")
+  }
+
+  // ---- ta_oov_rate: vocab artifact + in-row filter vs naive ----
+
+  test("ta_oov_rate matches a naive top-20-vocab OOV count") {
+    import spark.implicits._
+    val got = q("ta_oov_rate").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val freq = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (t, v) => t -> v.length }
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .map(_._1).toSet
+    val naive = docs.toSeq.map { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      val oov = toks.count(!vocab(_)).toLong
+      (id, toks.length.toLong, oov, 1000000L * oov / toks.length)
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.exists(_._3 > 0), "vacuous: no OOV tokens at all")
+  }
 }
