@@ -427,6 +427,121 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // BPE MERGE LEARNING (Sennrich et al. ACL'16) — tokenizer training
+  // as a catalogue operator: start from characters (+ the '</w>'
+  // end-of-word marker), then 6 rounds of count-adjacent-pairs →
+  // adopt the most frequent pair (ties (count DESC, lhs, rhs) — a
+  // total order, so training is deterministic) → merge every
+  // occurrence greedily left-to-right. The trainer runs on the
+  // WORD-FREQUENCY DICTIONARY, not corpus positions — the corpus is
+  // touched exactly once to build it (one partial agg), after which
+  // every round is a vocabulary-sized pair count plus an in-row fold;
+  // that dictionary-not-corpus shape is why production BPE trainers
+  // scale, and it holds verbatim at 100 TB (the dict is ~vocab-sized).
+  // Each round's winning pair is a 1-row collected artifact (the
+  // IVF-centroid pattern) spliced into the next round's merge fold as
+  // literals. The merge itself is a left-to-right aggregate() fold —
+  // a genuine recursion like EWMA; the ORACLE can't fold, so it
+  // replays the merge with windows: for lhs ≠ rhs adjacent matches
+  // never overlap, and for lhs == rhs a match chain is a RUN of equal
+  // symbols merged at even offsets — the gaps-and-islands parity
+  // device, replayed per round.
+  private val BpeRounds = 6
+
+  private val bpeMerges = Q(
+    "ta_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      var dict = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .withColumn("pieces", expr(
+          """concat(transform(sequence(1, length(word)),
+            |  i -> substring(word, i, 1)), array('</w>'))""".stripMargin))
+        .localCheckpoint() // the dict is the loop state; cut lineage once
+      val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (round <- 1 to BpeRounds) {
+        val best = dict
+          .select($"freq", explode(expr(
+            """transform(slice(pieces, 1, size(pieces) - 1),
+              |  (x, i) -> named_struct('l', x, 'r', element_at(pieces, i + 2)))"""
+              .stripMargin)).as("p"))
+          .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"l", $"r").limit(1)
+          .head()
+        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        require(!l.contains("'") && !r.contains("'"), "symbol would break literal")
+        merges += ((round, l, r, cnt))
+        dict = dict.withColumn("pieces", expr(
+          s"""aggregate(pieces, cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) = 0 THEN array(x)
+             |    WHEN element_at(acc, -1) = '$l' AND x = '$r'
+             |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .localCheckpoint()
+      }
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+        .orderBy($"merge_rank")
+    },
+    Some {
+      // One CTE group per round: pair count + 1-row best + the
+      // window-replayed greedy merge (run-parity for lhs == rhs).
+      // Every CTE is MATERIALIZED: round j references round j-1 twice
+      // and each 1-row best ~8 times, so DuckDB's default inlining
+      // grows the plan (and the re-opened parquet scans) EXPONENTIALLY
+      // across 6 rounds — measured "Too many open files" at sf0.01.
+      def step(prev: String, j: Int): String =
+        s"""bp${j}_p AS MATERIALIZED (
+           |  SELECT pieces[i] AS l, pieces[i + 1] AS r,
+           |         CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, pieces,
+           |               unnest(generate_series(1, len(pieces) - 1)) AS i
+           |        FROM $prev)
+           |  GROUP BY 1, 2),
+           |bp${j}_b AS MATERIALIZED (
+           |  SELECT l, r, cnt FROM bp${j}_p ORDER BY cnt DESC, l, r LIMIT 1),
+           |bp${j}_e AS MATERIALIZED (
+           |  SELECT word, freq, i, piece,
+           |         piece = (SELECT l FROM bp${j}_b) AND
+           |         lead(piece) OVER w = (SELECT r FROM bp${j}_b) AS elig,
+           |         count(CASE WHEN piece <> (SELECT l FROM bp${j}_b)
+           |               THEN 1 END) OVER w AS runid
+           |  FROM (SELECT word, freq, unnest(pieces) AS piece,
+           |               unnest(generate_series(1, len(pieces))) AS i
+           |        FROM $prev)
+           |  WINDOW w AS (PARTITION BY word ORDER BY i)),
+           |bp${j}_m AS MATERIALIZED (
+           |  SELECT *, elig AND (
+           |           (SELECT l FROM bp${j}_b) <> (SELECT r FROM bp${j}_b)
+           |           OR (i - min(i) OVER (PARTITION BY word, runid,
+           |                 piece = (SELECT l FROM bp${j}_b))) % 2 = 0) AS ms
+           |  FROM bp${j}_e),
+           |bp$j AS MATERIALIZED (
+           |  SELECT word, freq, list(np ORDER BY i) AS pieces FROM (
+           |    SELECT word, freq, i,
+           |           CASE WHEN ms THEN (SELECT l || r FROM bp${j}_b)
+           |                WHEN coalesce(lag(ms) OVER (
+           |                  PARTITION BY word ORDER BY i), false) THEN NULL
+           |                ELSE piece END AS np
+           |    FROM bp${j}_m)
+           |  WHERE np IS NOT NULL GROUP BY word, freq)""".stripMargin
+      val steps = (1 to BpeRounds).map(j => step(s"bp${j - 1}", j)).mkString(",\n")
+      val outs = (1 to BpeRounds).map(j =>
+        s"SELECT $j AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bp${j}_b")
+        .mkString("\nUNION ALL\n")
+      s"""WITH bp0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         list_transform(generate_series(1, length(word)),
+         |                        i -> substr(word, i, 1)) || ['</w>'] AS pieces
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |$steps
+         |$outs
+         |ORDER BY merge_rank""".stripMargin
+    },
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -1241,7 +1356,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
-      oovRate,
+      oovRate, bpeMerges,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

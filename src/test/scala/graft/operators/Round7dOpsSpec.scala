@@ -355,4 +355,47 @@ class Round7dOpsSpec extends AnyFunSuite {
       s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
     assert(got.exists(_._3 > 0), "vacuous: no OOV tokens at all")
   }
+
+  // ---- ta_bpe_merges: dictionary BPE trainer vs naive trainer ----
+
+  test("ta_bpe_merges matches a naive BPE trainer over the word dictionary") {
+    import spark.implicits._
+    val got = q("ta_bpe_merges").fn(spark, sf)
+      .as[(Int, String, String, Long)].collect().toSeq
+
+    val words = graft.model.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1))
+    var dict: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, v) =>
+        (w.map(_.toString).toVector :+ "</w>") -> v.length.toLong
+      }
+    val naive = (1 to 6).map { round =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (ps, f) =>
+        ps.zip(ps.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      dict = dict.groupBy { case (ps, _) =>
+        // greedy left-to-right merge of (l, r) within each word
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        ps.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        out.toVector
+      }.map { case (ps, m) => ps -> m.values.sum }
+      (round, l, r, cnt)
+    }
+    assert(got == naive,
+      s"engine=$got\nnaive=$naive")
+    // non-vacuous: later rounds must build on earlier merges at least
+    // once (a learned multi-char symbol — not the '</w>' marker —
+    // appears as lhs or rhs of a later merge)
+    assert(naive.exists(m =>
+      (m._2.length > 1 && m._2 != "</w>") ||
+      (m._3.length > 1 && m._3 != "</w>")),
+      s"fixture never chains merges: $naive")
+  }
 }
