@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -448,49 +449,73 @@ object TextQueries {
   // device, replayed per round.
   private val BpeRounds = 6
 
+  /** The BPE training loop shared by ta_bpe_merges / ta_bpe_encode:
+    * returns the fully-merged dictionary (word, freq, pieces) and the
+    * learned merge table. The dict is the loop state, checkpointed per
+    * round; each winner is a 1-row collected artifact spliced into the
+    * next round's fold as literals.
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long)]) = {
+    import s.implicits._
+    var dict = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .withColumn("pieces", expr(
+        """concat(transform(sequence(1, length(word)),
+          |  i -> substring(word, i, 1)), array('</w>'))""".stripMargin))
+      .localCheckpoint() // the dict is the loop state; cut lineage once
+    val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (round <- 1 to BpeRounds) {
+      val best = dict
+        .select($"freq", explode(expr(
+          """transform(slice(pieces, 1, size(pieces) - 1),
+            |  (x, i) -> named_struct('l', x, 'r', element_at(pieces, i + 2)))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .head()
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      require(!l.contains("'") && !r.contains("'"), "symbol would break literal")
+      merges += ((round, l, r, cnt))
+      dict = dict.withColumn("pieces", expr(
+        s"""aggregate(pieces, cast(array() as array<string>),
+           |  (acc, x) -> CASE
+           |    WHEN size(acc) = 0 THEN array(x)
+           |    WHEN element_at(acc, -1) = '$l' AND x = '$r'
+           |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .localCheckpoint()
+    }
+    (dict, merges.toSeq)
+  }
+
   private val bpeMerges = Q(
     "ta_bpe_merges",
     (s, d) => {
       import s.implicits._
-      var dict = Tables.documents(s, d)
-        .select(explode(split($"text", " ")).as("word"))
-        .groupBy($"word").agg(count(lit(1)).as("freq"))
-        .withColumn("pieces", expr(
-          """concat(transform(sequence(1, length(word)),
-            |  i -> substring(word, i, 1)), array('</w>'))""".stripMargin))
-        .localCheckpoint() // the dict is the loop state; cut lineage once
-      val merges = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (round <- 1 to BpeRounds) {
-        val best = dict
-          .select($"freq", explode(expr(
-            """transform(slice(pieces, 1, size(pieces) - 1),
-              |  (x, i) -> named_struct('l', x, 'r', element_at(pieces, i + 2)))"""
-              .stripMargin)).as("p"))
-          .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
-          .orderBy($"cnt".desc, $"l", $"r").limit(1)
-          .head()
-        val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-        require(!l.contains("'") && !r.contains("'"), "symbol would break literal")
-        merges += ((round, l, r, cnt))
-        dict = dict.withColumn("pieces", expr(
-          s"""aggregate(pieces, cast(array() as array<string>),
-             |  (acc, x) -> CASE
-             |    WHEN size(acc) = 0 THEN array(x)
-             |    WHEN element_at(acc, -1) = '$l' AND x = '$r'
-             |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-             |    ELSE concat(acc, array(x)) END)""".stripMargin))
-          .localCheckpoint()
-      }
-      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      bpeTrain(s, d)._2.toDF("merge_rank", "lhs", "rhs", "pair_count")
         .orderBy($"merge_rank")
     },
     Some {
-      // One CTE group per round: pair count + 1-row best + the
-      // window-replayed greedy merge (run-parity for lhs == rhs).
-      // Every CTE is MATERIALIZED: round j references round j-1 twice
-      // and each 1-row best ~8 times, so DuckDB's default inlining
-      // grows the plan (and the re-opened parquet scans) EXPONENTIALLY
-      // across 6 rounds — measured "Too many open files" at sf0.01.
+      val outs = (1 to BpeRounds).map(j =>
+        s"SELECT $j AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bp${j}_b")
+        .mkString("\nUNION ALL\n")
+      s"""$bpeOracleCtes
+         |$outs
+         |ORDER BY merge_rank""".stripMargin
+    },
+  )
+
+  /** The DuckDB replay of [[bpeTrain]], shared by both BPE oracles:
+    * one CTE group per round — pair count + 1-row best + the
+    * window-replayed greedy merge (run-parity for lhs == rhs).
+    * Every CTE is MATERIALIZED: round j references round j-1 twice
+    * and each 1-row best ~8 times, so DuckDB's default inlining grows
+    * the plan (and the re-opened parquet scans) EXPONENTIALLY across
+    * 6 rounds — measured "Too many open files" at sf0.01.
+    */
+  private lazy val bpeOracleCtes: String = {
       def step(prev: String, j: Int): String =
         s"""bp${j}_p AS MATERIALIZED (
            |  SELECT pieces[i] AS l, pieces[i + 1] AS r,
@@ -527,19 +552,54 @@ object TextQueries {
            |    FROM bp${j}_m)
            |  WHERE np IS NOT NULL GROUP BY word, freq)""".stripMargin
       val steps = (1 to BpeRounds).map(j => step(s"bp${j - 1}", j)).mkString(",\n")
-      val outs = (1 to BpeRounds).map(j =>
-        s"SELECT $j AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM bp${j}_b")
-        .mkString("\nUNION ALL\n")
       s"""WITH bp0 AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
          |         list_transform(generate_series(1, length(word)),
          |                        i -> substr(word, i, 1)) || ['</w>'] AS pieces
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          |  GROUP BY word),
-         |$steps
-         |$outs
-         |ORDER BY merge_rank""".stripMargin
+         |$steps""".stripMargin
+  }
+
+  // BPE ENCODING + compression accounting — the companion pass that
+  // APPLIES the learned merges: because training merges cumulatively,
+  // the trainer's final dictionary state IS the BPE encoding of every
+  // corpus word, so encoding is a dictionary JOIN, not a re-fold —
+  // the corpus pass explodes tokens once and joins the vocab-sized
+  // (word → piece-count) table (broadcast-scale at any corpus: it is
+  // the tokenizer artifact). Per doc: whitespace tokens, char-level
+  // piece count (chars + one '</w>' per word — the round-0 baseline),
+  // BPE piece count, and the exact ppm compression the 6 merges buy.
+  private val bpeEncode = Q(
+    "ta_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val enc = bpeTrain(s, d)._1
+        .select($"word", size($"pieces").cast("long").as("np"))
+      Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .join(enc, Seq("word"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length($"word") + 1).as("n_char_pieces"),
+          sum($"np").as("n_bpe_pieces"))
+        .select($"doc_id", $"n_tokens", $"n_char_pieces", $"n_bpe_pieces",
+          expr("1000000 * n_bpe_pieces div n_char_pieces").as("compression_ppm"))
+        .orderBy($"doc_id")
     },
+    Some(s"""$bpeOracleCtes,
+            |enc AS MATERIALIZED (
+            |  SELECT word, len(pieces) AS np FROM bp$BpeRounds),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            |  FROM documents)
+            |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            |       CAST(sum(length(t.word) + 1) AS BIGINT) AS n_char_pieces,
+            |       CAST(sum(e.np) AS BIGINT) AS n_bpe_pieces,
+            |       1000000 * CAST(sum(e.np) AS BIGINT)
+            |         // CAST(sum(length(t.word) + 1) AS BIGINT) AS compression_ppm
+            |FROM tok t JOIN enc e USING (word)
+            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
   )
 
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
@@ -1356,7 +1416,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
-      oovRate, bpeMerges,
+      oovRate, bpeMerges, bpeEncode,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

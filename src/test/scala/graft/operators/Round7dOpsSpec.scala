@@ -398,4 +398,53 @@ class Round7dOpsSpec extends AnyFunSuite {
       (m._3.length > 1 && m._3 != "</w>")),
       s"fixture never chains merges: $naive")
   }
+
+  // ---- ta_bpe_encode: dictionary-join encoding vs naive re-fold ----
+
+  test("ta_bpe_encode matches a naive merge-application over every doc") {
+    import spark.implicits._
+    val got = q("ta_bpe_encode").fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // learn the merges naively (already cross-checked by the trainer
+    // spec), then apply them token by token, doc by doc
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    var dict: Map[Vector[String], Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity)
+      .map { case (w, v) => (w.map(_.toString).toVector :+ "</w>") -> v.length.toLong }
+    def merge(ps: Vector[String], l: String, r: String): Vector[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      ps.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+        else out += x
+      }
+      out.toVector
+    }
+    val merges = (1 to 6).map { _ =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (ps, f) =>
+        ps.zip(ps.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), _) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      dict = dict.groupBy { case (ps, _) => merge(ps, l, r) }
+        .map { case (ps, m) => ps -> m.values.sum }
+      (l, r)
+    }
+    val naive = docs.toSeq.map { case (id, txt) =>
+      val toks = txt.split(" ", -1)
+      val pieceCounts = toks.map { w =>
+        var ps = w.map(_.toString).toVector :+ "</w>"
+        merges.foreach { case (l, r) => ps = merge(ps, l, r) }
+        (w.length + 1).toLong -> ps.length.toLong
+      }
+      val nChar = pieceCounts.map(_._1).sum
+      val nBpe = pieceCounts.map(_._2).sum
+      (id, toks.length.toLong, nChar, nBpe, 1000000L * nBpe / nChar)
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the merges actually compress: some doc is below 1.0 ratio
+    assert(got.exists(_._5 < 1000000L), "no compression anywhere")
+  }
 }
