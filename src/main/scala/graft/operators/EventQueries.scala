@@ -1142,10 +1142,98 @@ object EventQueries {
             |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
   )
 
+  // EWMA-RESIDUAL ANOMALY DETECTION — the composed metric monitor:
+  // each event's PREDICTION RESIDUAL |value − previous smoothed state|
+  // (the EWMA fold above, now also emitting the pre-update baseline)
+  // is compared against a ROBUST per-type threshold, 3× the median
+  // residual (the qa_mad_outliers discrete-order-statistic device —
+  // a mean/σ threshold would let the anomalies poison their own
+  // gate). Every stage is exact integers, so the flagged set
+  // hash-gates. Scale shape: one user-keyed fold shuffle (the EWMA
+  // bound), one histogram-rows-only median window per type, the
+  // ≤|types|-row threshold table broadcasts back — no corpus
+  // self-join anywhere. First events per user have no baseline and
+  // are never flagged.
+  private val ewmaAnomaly = Q(
+    "ev_ewma_anomaly",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type")
+      val resid = Tables.events(s, d)
+        .select($"user_id",
+          struct($"ts", $"event_id", cents($"value").as("cents"),
+            $"event_type".as("et")).as("e"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list($"e")).as("es"))
+        .select($"user_id", explode(expr(
+          """aggregate(
+            |  es,
+            |  cast(array() as array<struct<ts:bigint,event_id:bigint,
+            |       cents:bigint,et:string,ewma:bigint,prev:bigint>>),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'ts', x.ts, 'event_id', x.event_id, 'cents', x.cents,
+            |    'et', x.et,
+            |    'ewma', CASE WHEN size(acc) = 0 THEN x.cents
+            |                 ELSE (x.cents + 3 * element_at(acc, -1).ewma) div 4
+            |            END,
+            |    'prev', CASE WHEN size(acc) = 0 THEN CAST(NULL AS BIGINT)
+            |                 ELSE element_at(acc, -1).ewma END))))"""
+            .stripMargin)).as("o"))
+        .select($"user_id", $"o.ts".as("ts"), $"o.event_id".as("event_id"),
+          $"o.et".as("event_type"), $"o.cents".as("cents"),
+          abs($"o.cents" - $"o.prev").as("residual"))
+      val med = resid.filter($"residual".isNotNull)
+        .withColumn("rn", row_number().over(w.orderBy($"residual", $"event_id")))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"event_type")
+        .agg(max(when($"rn" === expr("(n + 1) div 2"), $"residual"))
+          .as("med_residual"))
+      resid.join(broadcast(med), "event_type")
+        .filter($"residual" > $"med_residual" * 3)
+        .select($"user_id", $"ts", $"event_id", $"event_type", $"cents",
+          $"residual", $"med_residual")
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+    Some(s"""WITH RECURSIVE an_e AS (
+            |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+            |         ${centsSql("value")} AS cents,
+            |         row_number() OVER (PARTITION BY user_id
+            |                            ORDER BY epoch_ns(ts), event_id) AS rn
+            |  FROM events),
+            |an_w(user_id, rn, ewma) AS (
+            |  SELECT user_id, rn, cents FROM an_e WHERE rn = 1
+            |  UNION ALL
+            |  SELECT e.user_id, e.rn, (e.cents + 3 * w.ewma) // 4
+            |  FROM an_w w JOIN an_e e
+            |    ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+            |an_r AS (
+            |  SELECT e.user_id, e.ts, e.event_id, e.event_type, e.cents,
+            |         abs(e.cents - lag(w.ewma) OVER (
+            |           PARTITION BY e.user_id ORDER BY e.rn)) AS residual
+            |  FROM an_e e JOIN an_w w
+            |    ON w.user_id = e.user_id AND w.rn = e.rn),
+            |an_m AS (
+            |  SELECT event_type,
+            |         max(CASE WHEN rn2 = (n + 1) // 2 THEN residual END)
+            |           AS med_residual
+            |  FROM (SELECT event_type, residual,
+            |               row_number() OVER (PARTITION BY event_type
+            |                 ORDER BY residual, event_id) AS rn2,
+            |               count(*) OVER (PARTITION BY event_type) AS n
+            |        FROM an_r WHERE residual IS NOT NULL)
+            |  GROUP BY event_type)
+            |SELECT r.user_id, r.ts, r.event_id, r.event_type, r.cents,
+            |       r.residual, m.med_residual
+            |FROM an_r r JOIN an_m m USING (event_type)
+            |WHERE r.residual > 3 * m.med_residual
+            |ORDER BY r.user_id, r.ts, r.event_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
-      orderedFunnel, retention, ewmaSmooth)
+      orderedFunnel, retention, ewmaSmooth, ewmaAnomaly)
 }

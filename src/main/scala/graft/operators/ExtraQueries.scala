@@ -828,6 +828,49 @@ object ExtraQueries {
             |ORDER BY c.event_type""".stripMargin),
   )
 
+  // PERCENTILE-RANK / CDF TRANSFORM — the normalization dual of the
+  // quantile entries: for every distinct (type, value) the exact
+  // cume_dist in integer per-mille, computed DIVISION-FREE until one
+  // final truncating div (the ks-drift discipline). The windows carry
+  // HISTOGRAM rows only (distinct cents values per type), never
+  // events: one partial agg builds the histogram, the cumulative sum
+  // and the per-type total are windows over those compact rows — the
+  // shape that survives a 100 TB event stream with a bounded value
+  // domain.
+  private val percentileRank = Q(
+    "qa_percentile_rank",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy($"event_type")
+      val hist = Tables.events(s, d)
+        .select($"event_type", cents($"value").as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("cnt"))
+      hist
+        .withColumn("cume", sum($"cnt").over(
+          byType.orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"cnt").over(byType))
+        .select($"event_type", $"v".as("value_cents"), $"cnt", $"cume",
+          expr("1000 * cume div n").as("permille"))
+        .orderBy($"event_type", $"value_cents")
+    },
+    Some(s"""WITH pr_h AS (
+            |  SELECT event_type, ${centsSql("value")} AS v,
+            |         CAST(count(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2)
+            |SELECT event_type, v AS value_cents, cnt,
+            |       CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+            |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            |         AS cume,
+            |       1000 * CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+            |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            |         // CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+            |         AS permille
+            |FROM pr_h
+            |ORDER BY event_type, value_cents""".stripMargin),
+  )
+
   // INTERVAL-OVERLAP JOIN with time-grid blocking — the temporal dual
   // of the spatial grid join: user sessions (the ev_sessionize 30-min
   // gap rule, intervals [first, last] event-time) against per-(type,
@@ -908,5 +951,5 @@ object ExtraQueries {
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
-    bloomPrefilter, madOutliers, ksDrift, intervalOverlap)
+    bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank)
 }

@@ -516,4 +516,67 @@ class Round7dOpsSpec extends AnyFunSuite {
       s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
     assert(got.exists(_._3 == "cw") && got.exists(_._3 == "ccw"))
   }
+
+  // ---- ev_ewma_anomaly: composed detector vs naive sequential ----
+
+  test("ev_ewma_anomaly matches a naive EWMA-residual + median-threshold pass") {
+    import spark.implicits._
+    val got = q("ev_ewma_anomaly").fn(spark, sf)
+      .as[(Long, Long, Long, String, Long, Long, Long)].collect().toSeq
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    // residuals via the sequential EWMA fold
+    val resid = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      var prev = -1L
+      evs.sortBy(e => (e._2, e._3)).map { case (_, ts, id, et, v) =>
+        val c = math.round(v * 100)
+        val r = if (prev < 0) None else Some(math.abs(c - prev))
+        prev = if (prev < 0) c else (c + 3 * prev) / 4
+        (u, ts, id, et, c, r)
+      }
+    }
+    // per-type discrete median of the non-null residuals
+    val med = resid.flatMap(r => r._6.map(r._4 -> _)).groupBy(_._1)
+      .map { case (t, v) =>
+        val sorted = v.map(_._2).sorted
+        t -> sorted((sorted.length + 1) / 2 - 1)
+      }
+    val naive = resid.collect {
+      case (u, ts, id, et, c, Some(r)) if r > 3 * med(et) =>
+        (u, ts, id, et, c, r, med(et))
+    }.sortBy(x => (x._1, x._2, x._3))
+    assert(got == naive,
+      s"sizes ${got.size}/${naive.size}; first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty, "vacuous: no anomalies flagged")
+    assert(got.size < resid.size / 4, "threshold flags too much to be a gate")
+  }
+
+  // ---- qa_percentile_rank: histogram CDF vs naive counting ----
+
+  test("qa_percentile_rank matches a naive per-type CDF") {
+    import spark.implicits._
+    val got = q("qa_percentile_rank").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.round(v * 100)) }
+    val naive = rows.groupBy(_._1).toSeq.flatMap { case (t, vs) =>
+      val n = vs.length.toLong
+      vs.groupBy(_._2).toSeq.sortBy(_._1).scanLeft(("", 0L, 0L, 0L, 0L)) {
+        case ((_, _, _, cume, _), (v, g)) =>
+          (t, v, g.length.toLong, cume + g.length, 0L)
+      }.drop(1).map { case (t, v, c, cume, _) =>
+        (t, v, c, cume, 1000L * cume / n)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // CDF sanity: last value of each type reaches exactly 1000
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.maxBy(_._2)._5 == 1000L)
+    }
+  }
 }

@@ -545,4 +545,47 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(exchanges(ksNodes) <= 12,
       s"qa_ks_drift plans ${exchanges(ksNodes)} exchanges, budget 12")
   }
+
+  test("round-7 session-5 additions keep their scale shapes") {
+    // gr_link_predict: the wedge pipeline must stay in-row — no
+    // nested loop anywhere, the top-100 a TakeOrderedAndProject heap,
+    // and the Σdeg² pair stream bounded to its repartition + agg
+    // exchanges (the decorate-after-limit joins ride on a 100-row
+    // broadcast).
+    val lpNodes = planOf("gr_link_predict")
+    assert(!lpNodes.exists(_.nodeName.contains("NestedLoop")),
+      "link predict planned a nested-loop join")
+    assert(lpNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "link predict top-100 is not a TakeOrderedAndProject heap")
+    assert(exchanges(lpNodes) <= 16,
+      s"gr_link_predict plans ${exchanges(lpNodes)} exchanges, budget 16")
+    // qj_interval_overlap: the entire point of the day-grid blocking
+    // is that the interval predicate NEVER plans as a nested loop —
+    // it must be a residual on a day-keyed equi join.
+    val ioNodes = planOf("qj_interval_overlap")
+    assert(!ioNodes.exists(_.nodeName.contains("NestedLoop")),
+      "interval overlap planned a nested-loop join — blocking lost")
+    assert(exchanges(ioNodes) <= 10,
+      s"qj_interval_overlap plans ${exchanges(ioNodes)} exchanges, budget 10")
+    // td_span_corrupt: one doc-keyed window shuffle + the
+    // presentation sort — no joins of any kind.
+    val scNodes = planOf("td_span_corrupt")
+    assert(!scNodes.exists(_.nodeName.contains("Join")),
+      "span corrupt grew a join")
+    assert(exchanges(scNodes) <= 6,
+      s"td_span_corrupt plans ${exchanges(scNodes)} exchanges, budget 6")
+    // ta_oov_rate: the vocab is a collected artifact, so the corpus
+    // pass is ZERO-JOIN by construction.
+    val ovNodes = planOf("ta_oov_rate")
+    assert(!ovNodes.exists(_.nodeName.contains("Join")),
+      "oov rate grew a join — the artifact pattern was lost")
+    // td_shard_assign / geo_poly_area_centroid: pure in-row passes —
+    // nothing but the presentation sort may shuffle.
+    for (name <- Seq("td_shard_assign", "geo_poly_area_centroid")) {
+      val nodes = planOf(name)
+      assert(!nodes.exists(_.nodeName.contains("Join")), s"$name grew a join")
+      assert(exchanges(nodes) <= 2,
+        s"$name plans ${exchanges(nodes)} exchanges, budget 2 (presentation sort)")
+    }
+  }
 }
