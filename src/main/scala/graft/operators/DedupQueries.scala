@@ -1255,9 +1255,53 @@ object DedupQueries {
            |FROM sc_a ORDER BY doc_id""".stripMargin),
   )
 
+  // SEQUENCE-LENGTH BUCKETING with padding-waste accounting — the
+  // batching-efficiency analysis run before training: docs grouped
+  // into power-of-two length buckets (the bucketed-batching scheme
+  // that bounds pad tokens at <50% instead of max-length padding's
+  // unbounded waste), with exact token/pad counts and ppm waste per
+  // bucket. The power-of-two ceiling is a GENERATED CASE ladder —
+  // byte-identical text in the Spark expression and the oracle SQL,
+  // so there is no float log2 to misround at a boundary. One per-doc
+  // map pass + a ≤17-row aggregate: nothing shuffles but bucket rows.
+  private val Pow2Ladder: String = {
+    val whens = (0 to 16).map(k => s"WHEN n <= ${1L << k} THEN ${1L << k}")
+      .mkString("\n  ")
+    s"CASE\n  $whens\n  ELSE 1048576 END"
+  }
+
+  private val lengthBuckets = Q(
+    "td_length_buckets",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(size(split($"text", " ")).cast("long").as("n"))
+        .select($"n", expr(Pow2Ladder).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n").as("n_tokens"),
+          sum(expr("bucket - n")).as("n_pad"))
+        .select($"bucket", $"n_docs", $"n_tokens", $"n_pad",
+          expr("1000000 * n_pad div (bucket * n_docs)").as("waste_ppm"))
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH lb_n AS (
+            |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            |  FROM documents),
+            |lb_b AS (
+            |  SELECT n, $Pow2Ladder AS bucket FROM lb_n)
+            |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+            |       CAST(sum(n) AS BIGINT) AS n_tokens,
+            |       CAST(sum(bucket - n) AS BIGINT) AS n_pad,
+            |       1000000 * CAST(sum(bucket - n) AS BIGINT)
+            |         // (bucket * CAST(count(*) AS BIGINT)) AS waste_ppm
+            |FROM lb_b GROUP BY bucket
+            |ORDER BY bucket""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
-      spanCorrupt)
+      spanCorrupt, lengthBuckets)
 }

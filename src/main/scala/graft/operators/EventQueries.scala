@@ -1142,6 +1142,50 @@ object EventQueries {
             |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
   )
 
+  // MARKOV TRANSITION MATRIX over per-user event sequences — the
+  // user-behavior model behind next-action prediction and funnel
+  // diagnosis: count consecutive (from_type → to_type) transitions in
+  // each user's event-time order, then normalize per from-state to
+  // exact ppm probabilities. One user-keyed window shuffle produces
+  // the transition pairs; everything after operates on the ≤|types|²
+  // matrix rows (the per-from totals are a window over those compact
+  // rows, not a second corpus pass). Row-stochastic by construction —
+  // the spec asserts each from-state's probabilities sum to ~1e6
+  // (short of it only by per-cell truncation).
+  private val markovTransitions = Q(
+    "ev_markov_transitions",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val matrix = Tables.events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(byUser))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("cnt"))
+      matrix
+        .withColumn("n_from",
+          sum($"cnt").over(Window.partitionBy($"from_type")))
+        .select($"from_type", $"to_type", $"cnt",
+          expr("1000000 * cnt div n_from").as("prob_ppm"))
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH mk_p AS (
+           |  SELECT event_type AS from_type,
+           |         lead(event_type) OVER (PARTITION BY user_id
+           |                                ORDER BY ts, event_id) AS to_type
+           |  FROM events),
+           |mk_m AS (
+           |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM mk_p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, cnt,
+           |       1000000 * cnt
+           |         // CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+           |         AS prob_ppm
+           |FROM mk_m
+           |ORDER BY from_type, to_type""".stripMargin),
+  )
+
   // EWMA-RESIDUAL ANOMALY DETECTION — the composed metric monitor:
   // each event's PREDICTION RESIDUAL |value − previous smoothed state|
   // (the EWMA fold above, now also emitting the pre-update baseline)
@@ -1235,5 +1279,5 @@ object EventQueries {
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
-      orderedFunnel, retention, ewmaSmooth, ewmaAnomaly)
+      orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions)
 }

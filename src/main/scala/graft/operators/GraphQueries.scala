@@ -500,5 +500,65 @@ object GraphQueries {
            |ORDER BY cand.cn DESC, u, v LIMIT 100""".stripMargin),
   )
 
-  def all: Seq[Q] = Seq(pagerank, triangles, labelProp, bfsHops, linkPredict)
+  // ASSOCIATION-RULE MINING (Apriori level 2 with LIFT): frequent
+  // co-purchase pairs with support ≥ 3 baskets, ranked by lift =
+  // P(u,v) / (P(u)·P(v)) — the market-basket statistic that separates
+  // "bought together because both are popular" from genuine affinity.
+  // Same in-row basket pair emission as the triangle count (cost
+  // Σ|basket|², linear for bounded baskets); item supports are one
+  // |items|-sized aggregate joined back BROADCAST; lift is exact ppm
+  // integer arithmetic — (cnt_uv · n_orders · 1e6) div (cnt_u ·
+  // cnt_v) stays under 2^63 through ~10^5 baskets per item pair and
+  // widens to DECIMAL(38,0) past that. The min-support filter is the
+  // Apriori prune: it bounds the ranked set BEFORE the top-k heap.
+  private val basketLift = Q(
+    "gr_basket_lift",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+        .localCheckpoint() // feeds pairs + item supports + basket count
+      val nOrders = li.select($"l_orderkey").distinct().count()
+      val itemSup = li.groupBy($"l_partkey".as("item"))
+        .agg(count(lit(1)).as("sup"))
+      val pairs = li
+        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("ps"))
+        .select(posexplode($"ps").as(Seq("i", "u")), $"ps")
+        .select($"u", explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 3)
+      pairs
+        .join(broadcast(itemSup.select($"item".as("iu"), $"sup".as("sup_u"))),
+          $"u" === $"iu")
+        .join(broadcast(itemSup.select($"item".as("iv"), $"sup".as("sup_v"))),
+          $"v" === $"iv")
+        .select($"u", $"v", $"cnt", $"sup_u", $"sup_v",
+          expr(s"(cnt * ${nOrders}L * 1000000L) div (sup_u * sup_v)")
+            .as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"u", $"v").limit(50)
+    },
+    Some("""WITH bl_li AS (
+           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |bl_n AS (
+           |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM bl_li),
+           |bl_s AS (
+           |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS sup
+           |  FROM bl_li GROUP BY 1),
+           |bl_p AS (
+           |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+           |         CAST(count(*) AS BIGINT) AS cnt
+           |  FROM bl_li a JOIN bl_li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT p.u, p.v, p.cnt, su.sup AS sup_u, sv.sup AS sup_v,
+           |       (p.cnt * bl_n.n * 1000000) // (su.sup * sv.sup) AS lift_ppm
+           |FROM bl_p p
+           |JOIN bl_s su ON su.item = p.u
+           |JOIN bl_s sv ON sv.item = p.v
+           |CROSS JOIN bl_n
+           |ORDER BY lift_ppm DESC, p.u, p.v LIMIT 50""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(pagerank, triangles, labelProp, bfsHops, linkPredict, basketLift)
 }

@@ -579,4 +579,83 @@ class Round7dOpsSpec extends AnyFunSuite {
       assert(g.maxBy(_._2)._5 == 1000L)
     }
   }
+
+  // ---- gr_basket_lift: association rules vs naive counting ----
+
+  test("gr_basket_lift matches a naive support/lift computation") {
+    import spark.implicits._
+    val got = q("gr_basket_lift").fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val baskets = li.groupBy(_._1).values.map(_.map(_._2).distinct.sorted).toSeq
+    val nOrders = baskets.size.toLong
+    val sup = li.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val pairCnt = baskets.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val naive = pairCnt.toSeq.collect {
+      case ((u, v), c) if c >= 3 =>
+        (u, v, c, sup(u), sup(v), c * nOrders * 1000000L / (sup(u) * sup(v)))
+    }.sortBy(r => (-r._6, r._1, r._2)).take(50)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.nonEmpty, "vacuous: no pairs at min support")
+    // lift separates affinity from popularity: top lift beats 1.0
+    assert(got.head._6 > 1000000L, "no pair with positive association")
+  }
+
+  // ---- ev_markov_transitions: transition matrix vs naive ----
+
+  test("ev_markov_transitions matches a naive per-user bigram count") {
+    import spark.implicits._
+    val got = q("ev_markov_transitions").fn(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val trans = rows.groupBy(_._1).values.toSeq.flatMap { evs =>
+      val o = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.tail)
+    }
+    val cnt = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val fromTot = trans.groupBy(_._1).map { case (t, v) => t -> v.length.toLong }
+    val naive = cnt.toSeq.map { case ((f, t), c) =>
+      (f, t, c, 1000000L * c / fromTot(f))
+    }.sortBy(r => (r._1, r._2))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // row-stochastic modulo per-cell truncation
+    got.groupBy(_._1).values.foreach { g =>
+      val s = g.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - g.size,
+        s"row ${g.head._1} sums to $s")
+    }
+  }
+
+  // ---- td_length_buckets: power-of-two ladder vs naive ----
+
+  test("td_length_buckets matches a naive pow2 bucketing with exact pad counts") {
+    import spark.implicits._
+    val got = q("td_length_buckets").fn(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+
+    val lens = graft.model.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .map(_.split(" ", -1).length.toLong)
+    def pow2(n: Long): Int = {
+      var p = 1L; while (p < n && p < 1048576L) p *= 2; p.toInt
+    }
+    val naive = lens.groupBy(pow2).toSeq.map { case (b, v) =>
+      val pad = v.map(b - _).sum
+      (b, v.length.toLong, v.sum, pad, 1000000L * pad / (b.toLong * v.length))
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"got=$got\nnaive=$naive")
+    // waste is bounded below 50% for every bucket except bucket 1
+    assert(got.filter(_._1 > 1).forall(_._5 < 500000L))
+  }
 }
