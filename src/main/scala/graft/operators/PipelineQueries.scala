@@ -807,7 +807,77 @@ object PipelineQueries {
            |ORDER BY a16.doc_id""".stripMargin),
   )
 
+  // CORPUS SNAPSHOT DIFF — the change-data-capture primitive between
+  // two corpus versions ("what did today's crawl add, drop, or
+  // rewrite"): snapshot B is synthesized deterministically from the
+  // same table (every 7th doc dropped, every 5th doc's text rewritten
+  // by an APPEND marker, every doc_id ≡ 3 mod 9 added fresh with a
+  // shifted id), then the diff is ONE full-outer join on doc_id
+  // comparing content md5 — added / removed / changed / unchanged,
+  // with per-status counts. The md5 comparison is the production
+  // shape: the join ships 128-bit digests, not documents, so the
+  // shuffle is O(|ids|), never O(corpus bytes). Output is the status
+  // summary plus the changed-id sample (bounded top-20 per status by
+  // id) so both the aggregate and row-level contracts hash-gate.
+  private val snapshotDiff = Q(
+    "td_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val a = Tables.documents(s, d)
+        .select($"doc_id", md5($"text").as("h_a"))
+      val b = Tables.documents(s, d)
+        .filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, md5(concat($"text", lit(" [rev2]"))))
+            .otherwise(md5($"text")).as("h_b"))
+        .unionByName(
+          Tables.documents(s, d)
+            .filter($"doc_id" % 9 === 3)
+            .select(($"doc_id" + 1000000L).as("doc_id"),
+              md5(concat(lit("new:"), $"text")).as("h_b")))
+      val diff = a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h_a".isNull, "added")
+            .when($"h_b".isNull, "removed")
+            .when($"h_a" =!= $"h_b", "changed")
+            .otherwise("unchanged").as("status"))
+      import org.apache.spark.sql.expressions.Window
+      diff
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"status").orderBy($"doc_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"status")))
+        .filter($"rk" <= 20)
+        .select($"status", $"n", $"rk".cast("long").as("rk"), $"doc_id")
+        .orderBy($"status", $"rk")
+    },
+    Some("""WITH sd_a AS (
+           |  SELECT doc_id, md5(text) AS h_a FROM documents),
+           |sd_b AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 5 = 0 THEN md5(text || ' [rev2]')
+           |              ELSE md5(text) END AS h_b
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, md5('new:' || text) AS h_b
+           |  FROM documents WHERE doc_id % 9 = 3),
+           |sd_d AS (
+           |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           |         CASE WHEN a.h_a IS NULL THEN 'added'
+           |              WHEN b.h_b IS NULL THEN 'removed'
+           |              WHEN a.h_a <> b.h_b THEN 'changed'
+           |              ELSE 'unchanged' END AS status
+           |  FROM sd_a a FULL OUTER JOIN sd_b b ON a.doc_id = b.doc_id)
+           |SELECT status, n, rk, doc_id FROM (
+           |  SELECT status, doc_id,
+           |         row_number() OVER (PARTITION BY status ORDER BY doc_id)
+           |           AS rk,
+           |         CAST(count(*) OVER (PARTITION BY status) AS BIGINT) AS n
+           |  FROM sd_d)
+           |WHERE rk <= 20
+           |ORDER BY status, rk""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection, shardAssign)
+      dataSelection, shardAssign, snapshotDiff)
 }

@@ -652,6 +652,49 @@ object TextQueries {
            |FROM ov_a ORDER BY doc_id""".stripMargin),
   )
 
+  // TRENDING TERMS — per-day top-5 tokens by document frequency with
+  // rank (the time × text composition behind "what changed in
+  // today's crawl"): docs are assigned deterministic ingest days
+  // (md5 bucket — the corpus table carries no timestamp), tokens
+  // count DISTINCT docs per (day, token), and the per-day top-5 is a
+  // rank window over the (day, token) aggregate — histogram-shaped
+  // rows, never raw token positions. Ties break (count DESC, token
+  // ASC), a total order.
+  private val trendingTerms = Q(
+    "ta_trending_terms",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val day =
+        expr("CAST(conv(substring(md5(concat('day:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 7")
+      val df = Tables.documents(s, d)
+        .select(day.as("day"), $"doc_id", explode(split($"text", " ")).as("tok"))
+        .distinct()
+        .groupBy($"day", $"tok").agg(count(lit(1)).as("df"))
+      df.withColumn("rk", row_number().over(
+          Window.partitionBy($"day").orderBy($"df".desc, $"tok")))
+        .filter($"rk" <= 5)
+        .select($"day", $"rk".cast("long").as("rk"), $"tok", $"df")
+        .orderBy($"day", $"rk")
+    },
+    Some("""WITH tt_t AS (
+           |  SELECT DISTINCT
+           |         CAST('0x' || substr(md5('day:' || CAST(doc_id AS VARCHAR)),
+           |              1, 4) AS BIGINT) % 7 AS day,
+           |         doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |tt_d AS (
+           |  SELECT day, tok, CAST(count(*) AS BIGINT) AS df
+           |  FROM tt_t GROUP BY 1, 2)
+           |SELECT day, rk, tok, df FROM (
+           |  SELECT day, tok, df,
+           |         CAST(row_number() OVER (PARTITION BY day
+           |           ORDER BY df DESC, tok) AS BIGINT) AS rk
+           |  FROM tt_d)
+           |WHERE rk <= 5
+           |ORDER BY day, rk""".stripMargin),
+  )
+
   // TEMPERATURE-scaled source mixing: per-source sampling rates
   // p_s ∝ n_s^α with α = 1/2 — the multilingual/multi-corpus
   // rebalancing rule (upsample small sources, downsample large ones)
@@ -1416,7 +1459,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
-      oovRate, bpeMerges, bpeEncode,
+      oovRate, bpeMerges, bpeEncode, trendingTerms,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

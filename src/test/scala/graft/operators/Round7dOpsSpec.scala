@@ -658,4 +658,62 @@ class Round7dOpsSpec extends AnyFunSuite {
     // waste is bounded below 50% for every bucket except bucket 1
     assert(got.filter(_._1 > 1).forall(_._5 < 500000L))
   }
+
+  // ---- ta_trending_terms: per-day top-5 vs naive counting ----
+
+  test("ta_trending_terms matches a naive per-day document-frequency top-5") {
+    import spark.implicits._
+    val got = q("ta_trending_terms").fn(spark, sf)
+      .as[(Long, Long, String, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val df = docs.flatMap { case (id, txt) =>
+      val day = java.lang.Long.parseLong(md5hex(s"day:$id").take(4), 16) % 7
+      txt.split(" ", -1).distinct.map(t => (day, t))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val naive = df.groupBy(_._1._1).toSeq.flatMap { case (day, v) =>
+      v.toSeq.map { case ((_, t), c) => (t, c) }
+        .sortBy { case (t, c) => (-c, t) }.take(5).zipWithIndex
+        .map { case ((t, c), i) => (day, (i + 1).toLong, t, c) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.map(_._1).distinct.size > 1, "vacuous: only one day bucket")
+  }
+
+  // ---- td_snapshot_diff: full-outer diff vs naive set algebra ----
+
+  test("td_snapshot_diff matches a naive two-snapshot comparison") {
+    import spark.implicits._
+    val got = q("td_snapshot_diff").fn(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val a = docs.map { case (id, t) => id -> md5hex(t) }.toMap
+    val b = docs.filter(_._1 % 7 != 0).map { case (id, t) =>
+      id -> (if (id % 5 == 0) md5hex(t + " [rev2]") else md5hex(t))
+    }.toMap ++ docs.filter(_._1 % 9 == 3).map { case (id, t) =>
+      (id + 1000000L) -> md5hex("new:" + t)
+    }.toMap
+    val statuses = (a.keySet ++ b.keySet).toSeq.map { id =>
+      val st =
+        if (!a.contains(id)) "added"
+        else if (!b.contains(id)) "removed"
+        else if (a(id) != b(id)) "changed" else "unchanged"
+      id -> st
+    }
+    val naive = statuses.groupBy(_._2).toSeq.flatMap { case (st, v) =>
+      val n = v.size.toLong
+      v.map(_._1).sorted.take(20).zipWithIndex.map { case (id, i) =>
+        (st, n, (i + 1).toLong, id)
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // all four statuses are present (the fixture exercises every arm)
+    assert(got.map(_._1).distinct.sorted ==
+      Seq("added", "changed", "removed", "unchanged"))
+  }
 }
