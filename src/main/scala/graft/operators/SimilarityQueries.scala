@@ -268,7 +268,8 @@ object SimilarityQueries {
     */
   private def rowLocalAssign(
       emb: org.apache.spark.sql.DataFrame,
-      cents: Seq[(Long, Array[Float])]): org.apache.spark.sql.DataFrame = {
+      cents: Seq[(Long, Array[Float])],
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import emb.sparkSession.implicits._
     import graft.functions.exprs.{cosine_approx, cosine_e9}
     val capxs = cents.map { case (_, ce) =>
@@ -281,10 +282,10 @@ object SimilarityQueries {
           cosine_e9($"embedding", typedLit(ce)).as("cos_e9"),
           lit(-id).as("neg_cent")))
     }
-    emb.select($"vec_id", $"embedding")
+    emb.select($"vec_id" +: $"embedding" +: keep.map(col): _*)
       .withColumn("best", array_max(array(scored: _*)))
-      .select($"vec_id", $"embedding",
-        (-$"best.neg_cent").cast("long").as("cent_id"))
+      .select($"vec_id" +: $"embedding" +: keep.map(col) :+
+        (-$"best.neg_cent").cast("long").as("cent_id"): _*)
   }
 
   /** Stable-hash training seed: the k corpus vectors with the
@@ -928,7 +929,78 @@ object SimilarityQueries {
            |ORDER BY qid, neg_rank""".stripMargin),
   )
 
+  // NEAREST-CENTROID CLASSIFICATION (Rocchio) + confusion matrix —
+  // the label-propagation-free baseline classifier every embedding
+  // pipeline evaluates first: per-label centroids via the SAME
+  // decimal-exact Lloyd update device the IVF training uses (exact
+  // DECIMAL(30,15) per-dim sums — cosine is scale-invariant, so the
+  // un-normalized sum IS the mean direction — 1e-4 grid, integer-
+  // valued floats both engines represent exactly), then every vector
+  // classifies by max exact cosine against the ≤|labels| centroid
+  // LITERALS in one zero-shuffle [[rowLocalAssign]] projection (true
+  // label carried through), and the confusion matrix is one
+  // ≤|labels|²-row aggregate. Training is one posexplode partial agg;
+  // the corpus never joins itself.
+  private val centroidClassify = Q(
+    "sim_centroid_classify",
+    (s, d) => {
+      import s.implicits._
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .select($"vec_id", $"embedding", $"label")
+        .localCheckpoint() // feeds training + classification
+      val cents = emb
+        .select($"label", posexplode($"embedding").as(Seq("k", "x")))
+        .groupBy($"label", $"k")
+        .agg(sum($"x".cast("double").cast(Dec)).as("csum"))
+        .select($"label", $"k",
+          (round($"csum", 4).cast("decimal(20,4)") * lit(10000)).cast("long").as("ci"))
+        .groupBy($"label")
+        .agg(array_sort(collect_list(struct($"k", $"ci"))).as("kc"))
+        .select($"label",
+          transform($"kc", e => e.getField("ci").cast("float")).as("ce"))
+        .collect()
+        .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      rowLocalAssign(emb, cents, keep = Seq("label"))
+        .groupBy($"label", $"cent_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"label".cast("long").as("true_label"),
+          $"cent_id".as("pred_label"), $"n")
+        .orderBy($"true_label", $"pred_label")
+    },
+    Some("""WITH cc_c AS (
+           |  SELECT e.label, t.k,
+           |         CAST(round(SUM(CAST(CAST(e.embedding[t.k] AS DOUBLE)
+           |                             AS DECIMAL(30,15))), 4) * 10000
+           |              AS BIGINT) AS ci
+           |  FROM embeddings e, range(1, 65) t(k)
+           |  GROUP BY 1, 2),
+           |cc_s AS (
+           |  SELECT e.vec_id, e.label, c.label AS cand,
+           |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) * c.ci
+           |             AS DECIMAL(38,15))) AS dot,
+           |         SUM(CAST(CAST(e.embedding[c.k] AS DOUBLE) *
+           |                  CAST(e.embedding[c.k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)
+           |             AS DECIMAL(38,15))) AS nb
+           |  FROM embeddings e CROSS JOIN cc_c c
+           |  GROUP BY 1, 2, 3),
+           |cc_a AS (
+           |  SELECT vec_id, label, cand FROM (
+           |    SELECT vec_id, label, cand,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           |                      * 1e9) AS BIGINT) DESC, cand) AS rn
+           |    FROM cc_s) WHERE rn = 1)
+           |SELECT CAST(label AS BIGINT) AS true_label,
+           |       CAST(cand AS BIGINT) AS pred_label,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM cc_a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
-      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives)
+      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify)
 }

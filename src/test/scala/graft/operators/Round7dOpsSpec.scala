@@ -716,4 +716,43 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.sorted ==
       Seq("added", "changed", "removed", "unchanged"))
   }
+
+  // ---- sim_centroid_classify: Rocchio vs BigDecimal re-derivation ----
+
+  test("sim_centroid_classify matches a BigDecimal nearest-centroid pass") {
+    import spark.implicits._
+    val got = q("sim_centroid_classify").fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val emb = graft.model.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    // per-label centroids: exact decimal per-dim sums, 1e-4 grid, x1e4
+    val cents = emb.groupBy(_._3).map { case (lbl, vs) =>
+      val ci = (0 until 64).map { d =>
+        val s = vs.map(v => BigDecimal(v._2(d).toDouble)).sum
+        (s.setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+      }
+      lbl.toLong -> ci
+    }
+    val naive = emb.map { case (_, e, lbl) =>
+      val scored = cents.toSeq.map { case (cand, ci) =>
+        var dot = BigDecimal(0); var na = BigDecimal(0); var nb = BigDecimal(0)
+        (0 until 64).foreach { d =>
+          dot += BigDecimal(e(d).toDouble * ci(d))
+          na += BigDecimal(e(d).toDouble * e(d).toDouble)
+          nb += BigDecimal(ci(d).toDouble * ci(d).toDouble)
+        }
+        val cos = math.round(
+          dot.toDouble / (math.sqrt(na.toDouble * nb.toDouble)) * 1e9)
+        (cand, cos)
+      }
+      val pred = scored.minBy { case (cand, cos) => (-cos, cand) }._1
+      (lbl.toLong, pred)
+    }.groupBy(identity).map { case ((t, p), v) => (t, p, v.length.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got == naive,
+      s"got=$got\nnaive=$naive")
+    assert(got.map(_._3).sum == emb.length)
+  }
 }
