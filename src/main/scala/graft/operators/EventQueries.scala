@@ -1142,6 +1142,77 @@ object EventQueries {
             |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
   )
 
+  // TOKEN-BUCKET RATE-LIMIT REPLAY — the quota-enforcement audit
+  // ("which requests WOULD a 2-token / 1-per-6-hour limiter have
+  // dropped"): capacity and refill tracked in integer NANOSECONDS of
+  // credit (1 token = 21600e9 ns, cap = 2 tokens), so every step is
+  // exact — refill is just the elapsed ns clamped at cap, a spend is
+  // one token's worth. A genuine per-key recursion (state = credit
+  // after the previous event) like the EWMA fold: one shuffle groups
+  // each user, an in-row ordered aggregate() folds the bucket
+  // left-to-right. Buckets start FULL (the limiter's cold-start
+  // convention).
+  private val rateLimit = Q(
+    "ev_rate_limit",
+    (s, d) => {
+      import s.implicits._
+      val Tok = 21600L * 1000 * 1000 * 1000 // 1 token in ns of credit
+      val Cap = 2 * Tok
+      Tables.events(s, d)
+        .select($"user_id", struct($"ts", $"event_id").as("e"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list($"e")).as("es"))
+        .select($"user_id", explode(expr(
+          s"""aggregate(
+             |  es,
+             |  cast(array() as array<struct<ts:bigint,event_id:bigint,
+             |       allowed:boolean,credit:bigint>>),
+             |  (acc, x) -> concat(acc, array(
+             |    CASE WHEN size(acc) = 0 THEN
+             |      named_struct('ts', x.ts, 'event_id', x.event_id,
+             |        'allowed', true, 'credit', ${Cap}L - ${Tok}L)
+             |    ELSE
+             |      CASE WHEN least(${Cap}L, element_at(acc, -1).credit
+             |                 + (x.ts - element_at(acc, -1).ts)) >= ${Tok}L
+             |        THEN named_struct('ts', x.ts, 'event_id', x.event_id,
+             |          'allowed', true,
+             |          'credit', least(${Cap}L, element_at(acc, -1).credit
+             |                    + (x.ts - element_at(acc, -1).ts)) - ${Tok}L)
+             |        ELSE named_struct('ts', x.ts, 'event_id', x.event_id,
+             |          'allowed', false,
+             |          'credit', least(${Cap}L, element_at(acc, -1).credit
+             |                    + (x.ts - element_at(acc, -1).ts)))
+             |      END
+             |    END)))""".stripMargin)).as("o"))
+        .select($"user_id", $"o.ts".as("ts"), $"o.event_id".as("event_id"),
+          $"o.allowed".as("allowed"), $"o.credit".as("credit_ns"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+    Some("""WITH RECURSIVE rl_e AS (
+           |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+           |         row_number() OVER (PARTITION BY user_id
+           |                            ORDER BY epoch_ns(ts), event_id) AS rn
+           |  FROM events),
+           |rl_w(user_id, rn, ts, event_id, allowed, credit) AS (
+           |  SELECT user_id, rn, ts, event_id, true,
+           |         CAST(43200000000000 - 21600000000000 AS BIGINT)
+           |  FROM rl_e WHERE rn = 1
+           |  UNION ALL
+           |  SELECT e.user_id, e.rn, e.ts, e.event_id,
+           |         least(43200000000000, w.credit + (e.ts - w.ts))
+           |           >= 21600000000000,
+           |         CASE WHEN least(43200000000000, w.credit + (e.ts - w.ts))
+           |                   >= 21600000000000
+           |              THEN least(43200000000000, w.credit + (e.ts - w.ts))
+           |                   - 21600000000000
+           |              ELSE least(43200000000000, w.credit + (e.ts - w.ts))
+           |         END
+           |  FROM rl_w w JOIN rl_e e
+           |    ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+           |SELECT user_id, ts, event_id, allowed, credit AS credit_ns
+           |FROM rl_w ORDER BY user_id, ts, event_id""".stripMargin),
+  )
+
   // MARKOV TRANSITION MATRIX over per-user event sequences — the
   // user-behavior model behind next-action prediction and funnel
   // diagnosis: count consecutive (from_type → to_type) transitions in
@@ -1279,5 +1350,6 @@ object EventQueries {
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
-      orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions)
+      orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
+      rateLimit)
 }

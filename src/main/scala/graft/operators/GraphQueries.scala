@@ -515,16 +515,37 @@ object GraphQueries {
     "gr_basket_lift",
     (s, d) => {
       import s.implicits._
+      // SERIALIZED checkpoint (the LPA edge-list lesson): the default
+      // deserialized level unrolls the 60M-row distinct to ~7× its
+      // on-wire size at grow_sf10 and the unroll borrows from the same
+      // unified pool the downstream aggregates need — measured
+      // [AGGREGATE_OUT_OF_MEMORY] with the default level, green with
+      // serialized blocks.
       val li = Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_partkey").distinct()
-        .localCheckpoint() // feeds pairs + item supports + basket count
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val nOrders = li.select($"l_orderkey").distinct().count()
+      val nItems = li.count()
+      // The (u, v) pair agg has mostly-unique keys — the same bounded-
+      // hash-map shape as LPA's votes and link-predict's wedges, and it
+      // measurably OOMed ([AGGREGATE_OUT_OF_MEMORY]) at grow_sf10 on a
+      // fixed 32 partitions. Pair volume ≈ Σ|basket|² ≈ rows·(rows/
+      // orders) — both stats are already on the driver — so the
+      // partition count scales with the data and every task's map
+      // stays ~250k keys at any scale.
+      val pairParts = math.max(
+        s.sessionState.conf.numShufflePartitions,
+        math.min(65536,
+          (nItems * math.max(1L, nItems / math.max(1L, nOrders))
+            / 2 / 250000L).toInt + 1))
       val itemSup = li.groupBy($"l_partkey".as("item"))
         .agg(count(lit(1)).as("sup"))
       val pairs = li
         .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("ps"))
         .select(posexplode($"ps").as(Seq("i", "u")), $"ps")
         .select($"u", explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+        .repartition(pairParts, $"u", $"v")
         .groupBy($"u", $"v").agg(count(lit(1)).as("cnt"))
         .filter($"cnt" >= 3)
       pairs

@@ -755,4 +755,33 @@ class Round7dOpsSpec extends AnyFunSuite {
       s"got=$got\nnaive=$naive")
     assert(got.map(_._3).sum == emb.length)
   }
+
+  // ---- ev_rate_limit: token-bucket fold vs naive sequential ----
+
+  test("ev_rate_limit matches a naive sequential token bucket") {
+    import spark.implicits._
+    val got = q("ev_rate_limit").fn(spark, sf)
+      .as[(Long, Long, Long, Boolean, Long)].collect().toSeq
+
+    val Tok = 21600L * 1000 * 1000 * 1000; val Cap = 2 * Tok
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val naive = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      var credit = Cap; var prevTs = Long.MinValue
+      evs.sortBy(e => (e._2, e._3)).map { case (_, ts, id) =>
+        if (prevTs != Long.MinValue)
+          credit = math.min(Cap, credit + (ts - prevTs))
+        val allowed = credit >= Tok
+        if (allowed) credit -= Tok
+        prevTs = ts
+        (u, ts, id, allowed, credit)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the limiter actually bites somewhere AND lets most through
+    assert(got.exists(!_._4), "no event was ever rate-limited")
+    assert(got.count(_._4) > got.size / 2, "limiter rejects the majority")
+  }
 }
