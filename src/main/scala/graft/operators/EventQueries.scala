@@ -1142,6 +1142,60 @@ object EventQueries {
             |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
   )
 
+  // COHORT LTV CURVES — the monetary sibling of the retention
+  // triangle: per signup-week cohort, CUMULATIVE purchase revenue per
+  // week offset (the "how much has a week-N-old cohort spent by week
+  // k" curve growth teams plan against). Revenue is exact integer
+  // cents; the cumulative sum is a window over the ≤cohorts×weeks
+  // MATRIX rows, never events — the same histogram-shaped discipline
+  // as retention/percentile-rank. Cohort table is user-keyed (one
+  // aggregate) and joined back broadcast.
+  private val cohortLtv = Q(
+    "ev_cohort_ltv",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(expr(s"min(ts) div $WeekNs").as("cohort_week"))
+      val matrix = ev.filter($"event_type" === "purchase")
+        .join(broadcast(cohort), "user_id")
+        .select($"cohort_week",
+          (expr(s"ts div $WeekNs") - $"cohort_week").as("week_offset"),
+          cents($"value").as("cents"))
+        .filter($"week_offset" >= 0)
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(sum($"cents").as("week_revenue_cents"))
+      matrix
+        .withColumn("cum_revenue_cents", sum($"week_revenue_cents").over(
+          Window.partitionBy($"cohort_week").orderBy($"week_offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some {
+      val w = 7L * 86400 * 1000 * 1000 * 1000
+      s"""WITH lv_c AS (
+         |  SELECT user_id, min(epoch_ns(ts)) // $w AS cohort_week
+         |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         |lv_m AS (
+         |  SELECT cohort_week,
+         |         (epoch_ns(e.ts) // $w) - cohort_week AS week_offset,
+         |         CAST(sum(${centsSql("e.value")}) AS BIGINT)
+         |           AS week_revenue_cents
+         |  FROM events e JOIN lv_c USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND (epoch_ns(e.ts) // $w) - cohort_week >= 0
+         |  GROUP BY 1, 2)
+         |SELECT cohort_week, week_offset, week_revenue_cents,
+         |       CAST(sum(week_revenue_cents) OVER (
+         |         PARTITION BY cohort_week ORDER BY week_offset
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+         |FROM lv_m
+         |ORDER BY cohort_week, week_offset""".stripMargin
+    },
+  )
+
   // TOKEN-BUCKET RATE-LIMIT REPLAY — the quota-enforcement audit
   // ("which requests WOULD a 2-token / 1-per-6-hour limiter have
   // dropped"): capacity and refill tracked in integer NANOSECONDS of
@@ -1351,5 +1405,5 @@ object EventQueries {
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
-      rateLimit)
+      rateLimit, cohortLtv)
 }

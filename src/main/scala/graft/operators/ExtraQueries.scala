@@ -871,6 +871,42 @@ object ExtraQueries {
             |ORDER BY event_type, value_cents""".stripMargin),
   )
 
+  // GINI DIVERSITY INDEX per user — behavioral-diversity scoring
+  // ("does this user do one thing or many") via Gini impurity
+  // 1 − Σp², the LOG-FREE diversity measure: entropy needs ln (1-ulp
+  // libm, never hash-gates), while Gini is exact integer arithmetic
+  // cross-multiplied to ppm — (n² − Σc²)·1e6 div n². Two stacked
+  // partial aggregates: (user, type) counts, then per-user Σc²/n —
+  // both key-bounded; nothing but count rows shuffles.
+  private val giniDiversity = Q(
+    "qa_gini_diversity",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(sum($"c").as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum($"c" * $"c").as("sq"))
+        .select($"user_id", $"n_events", $"n_types",
+          expr("(n_events * n_events - sq) * 1000000 div (n_events * n_events)")
+            .as("gini_ppm"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH gd_c AS (
+           |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |gd_u AS (
+           |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+           |         CAST(count(*) AS BIGINT) AS n_types,
+           |         CAST(sum(c * c) AS BIGINT) AS sq
+           |  FROM gd_c GROUP BY 1)
+           |SELECT user_id, n_events, n_types,
+           |       (n_events * n_events - sq) * 1000000
+           |         // (n_events * n_events) AS gini_ppm
+           |FROM gd_u ORDER BY user_id""".stripMargin),
+  )
+
   // INTERVAL-OVERLAP JOIN with time-grid blocking — the temporal dual
   // of the spatial grid join: user sessions (the ev_sessionize 30-min
   // gap rule, intervals [first, last] event-time) against per-(type,
@@ -951,5 +987,6 @@ object ExtraQueries {
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
-    bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank)
+    bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
+    giniDiversity)
 }

@@ -784,4 +784,57 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(got.exists(!_._4), "no event was ever rate-limited")
     assert(got.count(_._4) > got.size / 2, "limiter rejects the majority")
   }
+
+  // ---- ev_cohort_ltv: cumulative revenue curves vs naive ----
+
+  test("ev_cohort_ltv matches a naive cohort revenue accumulation") {
+    import spark.implicits._
+    val got = q("ev_cohort_ltv").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[(Long, Long, String, Double)].collect()
+    val cohort = rows.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, v) => u -> v.map(_._2).min / WeekNs }
+    val weekly = rows.filter(_._3 == "purchase")
+      .flatMap { case (u, ts, _, v) =>
+        cohort.get(u).map { cw =>
+          ((cw, ts / WeekNs - cw), math.round(v * 100))
+        }
+      }
+      .filter(_._1._2 >= 0)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val naive = weekly.groupBy(_._1._1).toSeq.flatMap { case (cw, v) =>
+      var cum = 0L
+      v.toSeq.sortBy(_._1._2).map { case ((_, off), rev) =>
+        cum += rev; (cw, off, rev, cum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // the curve is non-decreasing per cohort by construction
+    assert(got.nonEmpty)
+  }
+
+  // ---- qa_gini_diversity: impurity vs naive counting ----
+
+  test("qa_gini_diversity matches a naive per-user impurity") {
+    import spark.implicits._
+    val got = q("qa_gini_diversity").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val naive = rows.groupBy(_._1).toSeq.map { case (u, v) =>
+      val cs = v.groupBy(_._2).values.map(_.length.toLong)
+      val n = cs.sum; val sq = cs.map(c => c * c).sum
+      (u, n, cs.size.toLong, (n * n - sq) * 1000000L / (n * n))
+    }.sortBy(_._1)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // diversity varies across users (not a constant fixture)
+    assert(got.map(_._4).distinct.size > 1)
+  }
 }

@@ -588,4 +588,51 @@ class PlanBudgetSpec extends AnyFunSuite {
         s"$name plans ${exchanges(nodes)} exchanges, budget 2 (presentation sort)")
     }
   }
+
+  test("round-7 session-6 additions keep their scale shapes") {
+    // gr_basket_lift: support joins must broadcast, top-50 is a heap,
+    // no nested loop, exchanges bounded (basket agg + pair
+    // repartition/agg + the tiny broadcasts).
+    val blNodes = planOf("gr_basket_lift")
+    assert(!blNodes.exists(_.nodeName.contains("NestedLoop")),
+      "basket lift planned a nested-loop join")
+    assert(blNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "basket lift support joins are not broadcasts")
+    assert(blNodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "basket lift top-50 is not a TakeOrderedAndProject heap")
+    assert(exchanges(blNodes) <= 12,
+      s"gr_basket_lift plans ${exchanges(blNodes)} exchanges, budget 12")
+    // histogram/matrix-shaped entries: no joins at all — their windows
+    // and aggregates run on compact derived rows.
+    for (name <- Seq("ev_markov_transitions", "qa_percentile_rank",
+        "ta_trending_terms")) {
+      val nodes = planOf(name)
+      assert(!nodes.exists(_.nodeName.contains("Join")), s"$name grew a join")
+      assert(exchanges(nodes) <= 6,
+        s"$name plans ${exchanges(nodes)} exchanges, budget 6")
+    }
+    // fold-family entries: one user-keyed shuffle (+ threshold
+    // broadcast for the anomaly pass); never a corpus self-join.
+    val rlNodes = planOf("ev_rate_limit")
+    assert(!rlNodes.exists(_.nodeName.contains("Join")),
+      "rate limit grew a join")
+    val eaNodes = planOf("ev_ewma_anomaly")
+    assert(!eaNodes.exists(_.nodeName.contains("NestedLoop")),
+      "ewma anomaly planned a nested-loop join")
+    assert(eaNodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "ewma anomaly threshold table is not a broadcast")
+    // td_snapshot_diff: the id-keyed full-outer join may sort-merge
+    // (both sides are corpus-scale) but must never nested-loop.
+    val sdNodes = planOf("td_snapshot_diff")
+    assert(!sdNodes.exists(_.nodeName.contains("NestedLoop")),
+      "snapshot diff planned a nested-loop join")
+    assert(exchanges(sdNodes) <= 8,
+      s"td_snapshot_diff plans ${exchanges(sdNodes)} exchanges, budget 8")
+    // sim_centroid_classify: after the (driver-side) training collect,
+    // the classification pass itself is ZERO-JOIN — centroids are
+    // literals inside one projection.
+    val ccNodes2 = planOf("sim_centroid_classify")
+    assert(!ccNodes2.exists(_.nodeName.contains("Join")),
+      "centroid classify grew a join — the literal-centroid shape was lost")
+  }
 }
