@@ -1142,6 +1142,66 @@ object EventQueries {
             |FROM w ORDER BY user_id, ts, event_id""".stripMargin),
   )
 
+  // DAU / WAU / MAU + STICKINESS — the product-analytics staple:
+  // distinct active users per day, per trailing 7-day window, per
+  // trailing 30-day window, and DAU/MAU in exact ppm. Trailing
+  // DISTINCT counts can't ride a window frame, so the exact
+  // formulation is the textbook contribution fanout: the DISTINCT
+  // (user, day) pairs (one corpus-pass aggregate) explode to the ≤7
+  // (resp. ≤30) target days their activity keeps alive, then one
+  // distinct-count per (window, day). Shuffle volume is user-days ×
+  // 37 — bounded by ACTIVITY, not events; at sketch-tolerant scale
+  // the HLL entry (qa_hll_distinct_sketch) is the mergeable
+  // alternative, this is the exact one. Days clip to the observed
+  // range so edge windows are partial (the standard dashboard
+  // convention).
+  private val activeUsers = Q(
+    "ev_active_users",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val userDays = Tables.events(s, d)
+        .select($"user_id", expr(s"ts div ${DayNs}L").as("day"))
+        .distinct()
+        .localCheckpoint() // feeds dau + both fanouts + the day range
+      val maxDay = userDays.agg(max($"day")).head().getLong(0)
+      def windowed(win: Int, name: String) = userDays
+        .select($"user_id", explode(sequence($"day",
+          least($"day" + (win - 1), lit(maxDay)))).as("day"))
+        .groupBy($"day").agg(countDistinct($"user_id").as(name))
+      val dau = userDays.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+      dau
+        .join(windowed(7, "wau"), "day")
+        .join(windowed(30, "mau"), "day")
+        .select($"day", $"dau", $"wau", $"mau",
+          expr("1000000 * dau div mau").as("stickiness_ppm"))
+        .orderBy($"day")
+    },
+    Some("""WITH au_ud AS (
+           |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+           |  FROM events),
+           |au_max AS (SELECT max(day) AS md FROM au_ud),
+           |au_d AS (
+           |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           |  FROM au_ud GROUP BY 1),
+           |au_w AS (
+           |  SELECT t.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+           |  FROM au_ud u CROSS JOIN au_max,
+           |       LATERAL (SELECT unnest(generate_series(
+           |         u.day, least(u.day + 6, au_max.md))) AS day) t
+           |  GROUP BY 1),
+           |au_m AS (
+           |  SELECT t.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+           |  FROM au_ud u CROSS JOIN au_max,
+           |       LATERAL (SELECT unnest(generate_series(
+           |         u.day, least(u.day + 29, au_max.md))) AS day) t
+           |  GROUP BY 1)
+           |SELECT d.day, d.dau, w.wau, m.mau,
+           |       1000000 * d.dau // m.mau AS stickiness_ppm
+           |FROM au_d d JOIN au_w w USING (day) JOIN au_m m USING (day)
+           |ORDER BY d.day""".stripMargin),
+  )
+
   // COHORT LTV CURVES — the monetary sibling of the retention
   // triangle: per signup-week cohort, CUMULATIVE purchase revenue per
   // week offset (the "how much has a week-N-old cohort spent by week
@@ -1405,5 +1465,5 @@ object EventQueries {
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
-      rateLimit, cohortLtv)
+      rateLimit, cohortLtv, activeUsers)
 }

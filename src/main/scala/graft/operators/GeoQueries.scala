@@ -837,7 +837,35 @@ object GeoQueries {
             |FROM pc_t ORDER BY s_suppkey""".stripMargin),
   )
 
+  // GRID DENSITY MAP — the heatmap/hotspot aggregation every spatial
+  // dashboard starts from, and the DIAGNOSTIC feeding the planner-
+  // chosen spatial salt (the same per-cell histogram
+  // [[SpatialGrid]]-keyed): points per 16×16 cell, per-layer, with
+  // the top-20 hottest cells by (count DESC, cell) — a
+  // TakeOrderedAndProject heap over the compact cell histogram, never
+  // a sort of points. One partial agg; density answers are
+  // answer-bound at any corpus size.
+  private val gridDensity = Q(
+    "geo_grid_density",
+    (s, d) => {
+      import s.implicits._
+      SpatialGrid.pointsWithCell(s, d)
+        .groupBy($"c_layer", $"cx", $"cy")
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy($"n_points".desc, $"c_layer", $"cx", $"cy")
+        .limit(20)
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |gd_p AS (${SpatialGrid.ptsCellSql("customer")})
+            |SELECT c_nationkey AS c_layer, cx, cy,
+            |       CAST(count(*) AS BIGINT) AS n_points
+            |FROM gd_p
+            |GROUP BY 1, 2, 3
+            |ORDER BY n_points DESC, c_layer, cx, cy
+            |LIMIT 20""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
-      zorderCluster, knnRadius, polyAreaCentroid)
+      zorderCluster, knnRadius, polyAreaCentroid, gridDensity)
 }

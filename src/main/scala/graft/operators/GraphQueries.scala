@@ -432,9 +432,9 @@ object GraphQueries {
       // partitions from the Σ deg² statistic the checkpointed nbrs
       // gives for free, so every task's map stays ~250k keys at any
       // scale and the groupBy reuses the exchange.
-      val wedges = nbrs.agg(
-        sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2"))
-        .head().getLong(0)
+      val wedgeRow = nbrs.agg(
+        sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2")).head()
+      val wedges = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
       val pairParts = math.max(
         s.sessionState.conf.numShufflePartitions,
         math.min(65536, (wedges / 2 / 250000L).toInt + 1))

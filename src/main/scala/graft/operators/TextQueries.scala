@@ -474,7 +474,10 @@ object TextQueries {
             .stripMargin)).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"freq").as("cnt"))
         .orderBy($"cnt".desc, $"l", $"r").limit(1)
-        .head()
+        .collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"BPE round $round: no adjacent pairs left to merge — " +
+            "corpus too small for the configured round count"))
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       require(!l.contains("'") && !r.contains("'"), "symbol would break literal")
       merges += ((round, l, r, cnt))

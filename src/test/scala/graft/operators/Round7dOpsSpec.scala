@@ -837,4 +837,48 @@ class Round7dOpsSpec extends AnyFunSuite {
     // diversity varies across users (not a constant fixture)
     assert(got.map(_._4).distinct.size > 1)
   }
+
+  // ---- ev_active_users: trailing distinct windows vs naive ----
+
+  test("ev_active_users matches a naive trailing-window distinct count") {
+    import spark.implicits._
+    val got = q("ev_active_users").fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val ud = graft.model.Tables.events(spark, sf)
+      .select($"user_id", $"ts").as[(Long, Long)].collect()
+      .map { case (u, ts) => (u, ts / DayNs) }.distinct
+    val days = ud.map(_._2).distinct.sorted
+    val naive = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(x => x._2 <= d && x._2 >= d - 6).map(_._1)
+        .distinct.length.toLong
+      val mau = ud.filter(x => x._2 <= d && x._2 >= d - 29).map(_._1)
+        .distinct.length.toLong
+      (d, dau, wau, mau, 1000000L * dau / mau)
+    }.toSeq
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    // windows nest: dau <= wau <= mau everywhere
+    assert(got.forall(r => r._2 <= r._3 && r._3 <= r._4))
+  }
+
+  // ---- geo_grid_density: hotspot heap vs naive counting ----
+
+  test("geo_grid_density matches a naive per-cell count top-20") {
+    import spark.implicits._
+    val got = q("geo_grid_density").fn(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+
+    val pts = graft.operators.GeoQueries.SpatialGrid.points(spark, sf)
+      .select($"c_layer", $"px", $"py")
+      .as[(Int, Double, Double)].collect()
+    val naive = pts.groupBy { case (l, px, py) =>
+      (l, math.floor(px / 16).toLong, math.floor(py / 16).toLong)
+    }.toSeq.map { case ((l, cx, cy), v) => (l, cx, cy, v.length.toLong) }
+      .sortBy(r => (-r._4, r._1, r._2, r._3)).take(20)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+  }
 }
