@@ -640,27 +640,36 @@ object MultimodalQueries {
   // same per-key bound as every sessionize-family op; detection is a
   // codegen'd filter. Cuts ∝ scenes, frames never leave their task
   // except the presentation sort.
+  /** Pre-threshold scene distances shared by mm_scene_cut and the
+    * media-QA composition: per (doc, frame>0) the hamming distance of
+    * consecutive frame hashes. */
+  private[operators] def sceneDistances(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        (expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)") + 10)
+          .as("n_frames"))
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        expr("""CAST(conv(substring(md5(concat(text, ':',
+               |  CAST(frame_idx div 7 AS STRING))), 1, 12), 16, 10) AS BIGINT)
+               |  ^ shiftleft(CAST(1 AS BIGINT), frame_idx % 16)""".stripMargin)
+          .as("h"))
+      .withColumn("prev_h",
+        lag($"h", 1).over(Window.partitionBy($"doc_id").orderBy($"frame_idx")))
+      .filter($"prev_h".isNotNull)
+      .select($"doc_id", $"frame_idx", ($"frame_idx" * 40L).as("ts_ms"),
+        expr("CAST(bit_count(h ^ prev_h) AS INT)").as("hamming"))
+  }
+
   private val sceneCut = Q(
     "mm_scene_cut",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, d)
-        .select($"doc_id", $"text",
-          (expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)") + 10)
-            .as("n_frames"))
-        .select($"doc_id", $"text",
-          explode(sequence(lit(0), $"n_frames" - 1)).as("frame_idx"))
-        .select($"doc_id", $"frame_idx",
-          expr("""CAST(conv(substring(md5(concat(text, ':',
-                 |  CAST(frame_idx div 7 AS STRING))), 1, 12), 16, 10) AS BIGINT)
-                 |  ^ shiftleft(CAST(1 AS BIGINT), frame_idx % 16)""".stripMargin)
-            .as("h"))
-        .withColumn("prev_h",
-          lag($"h", 1).over(Window.partitionBy($"doc_id").orderBy($"frame_idx")))
-        .filter($"prev_h".isNotNull)
-        .select($"doc_id", $"frame_idx", ($"frame_idx" * 40L).as("ts_ms"),
-          expr("CAST(bit_count(h ^ prev_h) AS INT)").as("hamming"))
+      sceneDistances(s, d)
         .filter($"hamming" > 8)
         .orderBy($"doc_id", $"frame_idx")
     },
@@ -719,7 +728,121 @@ object MultimodalQueries {
            |FROM p ORDER BY doc_id, prow, pcol""".stripMargin),
   )
 
+  // MEDIA-QA COMPOSITION — the multimodal sibling of pipe_end_to_end /
+  // pipe_training_data / pipe_data_selection: one quality row per
+  // media asset assembling FOUR separately-gated stages (typed decode,
+  // ViT patch stats, audio framing + silence, scene-cut count) on
+  // doc_id-keyed equi joins. Every stage is the same code its own
+  // catalogue entry gates ([[Multimodal.decode]], [[patchGrid]],
+  // [[audioFrames]], [[sceneDistances]]), so the composition adds
+  // only per-doc aggregation glue; all four legs partition on doc_id,
+  // so the joins co-locate.
+  private val mediaQa = Q(
+    "pipe_media_qa",
+    (s, d) => {
+      import s.implicits._
+      val media = Multimodal.asMedia(s, d)
+      val dec = Multimodal.decode(media).toDF()
+        .select($"doc_id", $"n_bytes", $"format", $"width", $"height")
+      val patch = Multimodal.patchGrid(media).toDF()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_patches"),
+          sum($"sum_i").as("isum"), sum($"n_px").cast("long").as("npx"))
+        .select($"doc_id", $"n_patches",
+          expr("100 * isum div npx").as("mean_centi"))
+      val audio = Multimodal.audioFrames(media).toDF()
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_audio_frames"),
+          sum(when($"energy" < $"n_samples" * 15L, 1L).otherwise(0L))
+            .as("n_silent"))
+      val scene = sceneDistances(s, d)
+        .groupBy($"doc_id")
+        .agg((count(lit(1)) + 1).as("n_video_frames"),
+          sum(when($"hamming" > 8, 1L).otherwise(0L)).as("n_cuts"))
+      dec.join(patch, "doc_id").join(audio, "doc_id").join(scene, "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH mq_h AS (
+      |  SELECT doc_id, text,
+      |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |         md5(text) AS m
+      |  FROM documents),
+      |mq_dec AS (
+      |  SELECT doc_id, n_bytes,
+      |         CASE WHEN CAST('0x' || substr(m, 1, 2) AS INT) < 86 THEN 'png'
+      |              WHEN CAST('0x' || substr(m, 1, 2) AS INT) < 171 THEN 'jpeg'
+      |              ELSE 'webp' END AS format,
+      |         64 + CAST('0x' || substr(m, 3, 2) AS INT) AS width,
+      |         64 + CAST('0x' || substr(m, 5, 2) AS INT) AS height
+      |  FROM mq_h),
+      |mq_px AS (
+      |  SELECT doc_id, CAST(unnest(range(1, length(text) + 1)) AS INT) AS i,
+      |         text
+      |  FROM documents WHERE length(text) > 0),
+      |mq_pt AS (
+      |  SELECT doc_id, ((i - 1) // 16) // 4 AS prow, ((i - 1) % 16) // 4 AS pcol,
+      |         CAST(count(*) AS BIGINT) AS n_px,
+      |         CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS sum_i
+      |  FROM mq_px GROUP BY 1, 2, 3),
+      |mq_patch AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_patches,
+      |         100 * CAST(sum(sum_i) AS BIGINT) // CAST(sum(n_px) AS BIGINT)
+      |           AS mean_centi
+      |  FROM mq_pt GROUP BY doc_id),
+      |mq_fr AS (
+      |  SELECT doc_id,
+      |         CAST(unnest(range(0, (length(text) + 99) // 100)) AS INT) AS frame,
+      |         text, length(text) AS n
+      |  FROM documents),
+      |mq_sm AS (
+      |  SELECT doc_id, frame,
+      |         CAST(unnest(range(frame * 100 + 1,
+      |                           least(frame * 100 + 100, n) + 1)) AS INT) AS i,
+      |         text
+      |  FROM mq_fr),
+      |mq_au AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_audio_frames,
+      |         CAST(sum(CASE WHEN energy < n_samples * 15 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_silent
+      |  FROM (SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples,
+      |               CAST(sum(abs(ascii(substr(text, i, 1)) - 100)) AS BIGINT)
+      |                 AS energy
+      |        FROM mq_sm GROUP BY doc_id, frame)
+      |  GROUP BY doc_id),
+      |mq_sf AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substr(md5(text), 7, 2) AS INT) + 10 AS n_frames
+      |  FROM documents),
+      |mq_sh AS (
+      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |         xor(CAST('0x' || substr(md5(text || ':' ||
+      |                 CAST(frame_idx // 7 AS VARCHAR)), 1, 12) AS BIGINT),
+      |             CAST(1 AS BIGINT) << CAST(frame_idx % 16 AS INT)) AS h
+      |  FROM mq_sf,
+      |       LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS frame_idx)),
+      |mq_sc AS (
+      |  SELECT doc_id, CAST(count(*) + 1 AS BIGINT) AS n_video_frames,
+      |         CAST(sum(CASE WHEN hamming > 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_cuts
+      |  FROM (SELECT doc_id,
+      |               CAST(bit_count(xor(h, lag(h) OVER (
+      |                 PARTITION BY doc_id ORDER BY frame_idx))) AS INT)
+      |                 AS hamming
+      |        FROM mq_sh)
+      |  WHERE hamming IS NOT NULL
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, d.n_bytes, d.format, d.width, d.height,
+      |       p.n_patches, p.mean_centi,
+      |       a.n_audio_frames, a.n_silent,
+      |       s.n_video_frames, s.n_cuts
+      |FROM mq_dec d
+      |JOIN mq_patch p USING (doc_id)
+      |JOIN mq_au a USING (doc_id)
+      |JOIN mq_sc s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
-      sceneCut, patchGrid16)
+      sceneCut, patchGrid16, mediaQa)
 }

@@ -864,6 +864,38 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 <= r._3 && r._3 <= r._4))
   }
 
+  // ---- pipe_media_qa: composition vs its own gated stages ----
+
+  test("pipe_media_qa equals a join of the separately-gated stage outputs") {
+    import spark.implicits._
+    val got = q("pipe_media_qa").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+    val dec = q("mm_decode_features").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val patch = q("mm_patch_grid").fn(spark, sf)
+      .as[(Long, Int, Int, Int, Long, Long)].collect().toSeq
+      .groupBy(_._1).map { case (id, ps) =>
+        val isum = ps.map(_._5).sum; val npx = ps.map(_._4.toLong).sum
+        id -> Seq(ps.length.toLong, 100L * isum / npx)
+      }
+    val audio = q("mm_audio_energy").fn(spark, sf)
+      .as[(Long, Int, Int, Long, Int)].collect().toSeq
+      .groupBy(_._1).map { case (id, fs) =>
+        id -> Seq(fs.length.toLong, fs.count(_._5 == 1).toLong)
+      }
+    val cuts = q("mm_scene_cut").fn(spark, sf)
+      .select($"doc_id").as[Long].collect()
+      .groupBy(identity).map { case (id, v) => id -> v.length.toLong }
+    got.foreach { case (id, row) =>
+      assert(row.take(4) == dec(id), s"doc $id decode leg")
+      assert(row.slice(4, 6) == patch(id), s"doc $id patch leg")
+      assert(row.slice(6, 8) == audio(id), s"doc $id audio leg")
+      assert(row(9) == cuts.getOrElse(id, 0L), s"doc $id cuts leg")
+    }
+    assert(got.size == dec.size)
+  }
+
   // ---- geo_grid_density: hotspot heap vs naive counting ----
 
   test("geo_grid_density matches a naive per-cell count top-20") {
