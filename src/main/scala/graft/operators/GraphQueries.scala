@@ -393,11 +393,25 @@ object GraphQueries {
   // and both scores are exact integers — raw common-neighbor count and
   // Jaccard in ppm via truncating div — so the ranking hash-gates.
   // Final top-100 is TakeOrderedAndProject, not a global sort.
+  //
+  // THE production scale lever is the sparsification cap k: wedge
+  // volume ∝ |V|·(2k)², so halving k quarters the wedge stream.
+  // Measured at grow_sf10: k=10 456 s → k=5 260 s (1.75× — the
+  // remaining floor is the cap-INDEPENDENT graph construction: basket
+  // pair counting + the per-node ranking window).
+  // -Dgraft.linkpredict.cap / SPARK_GRAFT_LINKPRED_CAP overrides;
+  // the default 10 is the catalogue/oracle contract.
+  private def linkPredictCap: Int =
+    sys.props.get("graft.linkpredict.cap")
+      .orElse(sys.env.get("SPARK_GRAFT_LINKPRED_CAP"))
+      .map(_.toInt).filter(_ >= 1).getOrElse(10)
+
   private val linkPredict = Q(
     "gr_link_predict",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      val cap = linkPredictCap
       val raw = Tables.lineitem(s, d)
         .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
         .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
@@ -407,7 +421,7 @@ object GraphQueries {
       val kept = symW
         .withColumn("rn",
           row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-        .filter($"rn" <= 10)
+        .filter($"rn" <= cap)
         .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
         .distinct()
         .localCheckpoint() // feeds adjacency (2 legs), degrees, anti-join
