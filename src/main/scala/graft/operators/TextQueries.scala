@@ -670,9 +670,15 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val day =
         expr("CAST(conv(substring(md5(concat('day:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 7")
+      // per-doc token dedup happens IN-ROW (array_distinct) before the
+      // explode, so document frequency needs NO corpus-wide DISTINCT
+      // shuffle — the explode feeds the (day, token) partial agg
+      // directly (measured at grow_sf10: the distinct formulation
+      // shuffled every token occurrence and ran 75 s; this one ships
+      // only the map-side-combined histogram)
       val df = Tables.documents(s, d)
-        .select(day.as("day"), $"doc_id", explode(split($"text", " ")).as("tok"))
-        .distinct()
+        .select(day.as("day"),
+          explode(array_distinct(split($"text", " "))).as("tok"))
         .groupBy($"day", $"tok").agg(count(lit(1)).as("df"))
       df.withColumn("rk", row_number().over(
           Window.partitionBy($"day").orderBy($"df".desc, $"tok")))
