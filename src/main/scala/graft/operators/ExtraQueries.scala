@@ -871,6 +871,46 @@ object ExtraQueries {
             |ORDER BY event_type, value_cents""".stripMargin),
   )
 
+  // EXACT DISTRIBUTION MOMENTS — mean and sample variance per event
+  // type with NO float accumulation anywhere: the three power sums
+  // (n, Σx, Σx²) in integer cents are exact, order-independent,
+  // mergeable map-side partials (the moments-sketch shape every
+  // metrics store uses), and the derived statistics stay integers —
+  // mean in centi-cents via one truncating div, sample variance via
+  // the cross-multiplied numerator n·Σx² − (Σx)² over n·(n−1)
+  // (non-negative by Cauchy-Schwarz, so trunc == floor). Overflow:
+  // Σx² of cents stays under 2^63 through ~9e8 typical-magnitude
+  // events per type; past that the same sums widen to DECIMAL(38,0).
+  private val exactMoments = Q(
+    "qa_exact_moments",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", cents($"value").as("v"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"v").as("sum_cents"),
+          sum($"v" * $"v").as("sum_sq"))
+        .select($"event_type", $"n", $"sum_cents", $"sum_sq",
+          expr("(100 * sum_cents) div n").as("mean_centicents"),
+          expr("(n * sum_sq - sum_cents * sum_cents) div (n * (n - 1))")
+            .as("var_cents2"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH em_v AS (
+            |  SELECT event_type, ${centsSql("value")} AS v FROM events),
+            |em_a AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(v) AS BIGINT) AS sum_cents,
+            |         CAST(sum(v * v) AS BIGINT) AS sum_sq
+            |  FROM em_v GROUP BY 1)
+            |SELECT event_type, n, sum_cents, sum_sq,
+            |       (100 * sum_cents) // n AS mean_centicents,
+            |       (n * sum_sq - sum_cents * sum_cents) // (n * (n - 1))
+            |         AS var_cents2
+            |FROM em_a ORDER BY event_type""".stripMargin),
+  )
+
   // GINI DIVERSITY INDEX per user — behavioral-diversity scoring
   // ("does this user do one thing or many") via Gini impurity
   // 1 − Σp², the LOG-FREE diversity measure: entropy needs ln (1-ulp
@@ -988,5 +1028,5 @@ object ExtraQueries {
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
-    giniDiversity)
+    giniDiversity, exactMoments)
 }

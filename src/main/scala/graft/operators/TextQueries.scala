@@ -704,6 +704,82 @@ object TextQueries {
            |ORDER BY day, rk""".stripMargin),
   )
 
+  // PAIRWISE SOURCE DIVERGENCE by TOTAL-VARIATION DISTANCE — the
+  // corpus-mix drift monitor over TEXT (qa_ks_drift is its dual over
+  // event values): TVD(p, q) = ½ Σ|p(tok) − q(tok)| between every
+  // source pair's unigram distributions, EXACTLY — KL/JS need logs
+  // and never hash-gate, while TVD cross-multiplies to integers:
+  // Σ_shared |c₁·n₂ − c₂·n₁| + (n₁ − Σc₁)·n₂ + (n₂ − Σc₂)·n₁, all
+  // over 2·n₁·n₂, with ONE truncating div to ppm at the end (the
+  // tokens-only-in-one-source mass enters through the complement
+  // terms, so the inner join on tok suffices — no per-pair full
+  // outer). Scale shape: the histogram self-join fans out per token
+  // by ≤|sources|² (source count, not corpus size); per-source
+  // totals broadcast; top-20 most-divergent pairs via a heap.
+  private val sourceTvd = Q(
+    "ta_source_tvd",
+    (s, d) => {
+      import s.implicits._
+      val hist = Tables.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals + both self-join legs
+      val tot = hist.groupBy($"source").agg(sum($"c").as("n"))
+      val shared = hist.select($"source".as("sa"), $"tok", $"c".as("ca"))
+        .join(hist.select($"source".as("sb"), $"tok", $"c".as("cb")), "tok")
+        .filter($"sa" < $"sb")
+        .join(broadcast(tot.select($"source".as("sa"), $"n".as("na"))), "sa")
+        .join(broadcast(tot.select($"source".as("sb"), $"n".as("nb"))), "sb")
+        .groupBy($"sa", $"sb")
+        .agg(max($"na").as("na"), max($"nb").as("nb"),
+          sum(abs($"ca" * $"nb" - $"cb" * $"na")).as("shared_diff"),
+          sum($"ca").as("ca_shared"), sum($"cb").as("cb_shared"))
+      // ALL pairs come from the |sources|²-row cross of the totals
+      // (tiny), left-joined to the shared-token aggregates — a pair
+      // with NO shared vocabulary has TVD exactly 1 and must still
+      // rank, not silently vanish from the top-k.
+      val pairs = tot.select($"source".as("sa"), $"n".as("pna"))
+        .crossJoin(broadcast(tot.select($"source".as("sb"), $"n".as("pnb"))))
+        .filter($"sa" < $"sb")
+      pairs
+        .join(shared.drop("na", "nb"), Seq("sa", "sb"), "left_outer")
+        .select($"sa", $"sb",
+          expr("""(1000000 * (coalesce(shared_diff, 0)
+                 |  + (pna - coalesce(ca_shared, 0)) * pnb
+                 |  + (pnb - coalesce(cb_shared, 0)) * pna))
+                 |  div (2 * pna * pnb)""".stripMargin)
+            .as("tvd_ppm"))
+        .orderBy($"tvd_ppm".desc, $"sa", $"sb").limit(20)
+    },
+    Some("""WITH tv_h AS (
+           |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS tok
+           |    FROM documents)
+           |  GROUP BY 1, 2),
+           |tv_n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+           |         FROM tv_h GROUP BY 1),
+           |tv_s AS (
+           |  SELECT a.source AS sa, b.source AS sb,
+           |         CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT)
+           |           AS shared_diff,
+           |         CAST(sum(a.c) AS BIGINT) AS ca_shared,
+           |         CAST(sum(b.c) AS BIGINT) AS cb_shared
+           |  FROM tv_h a JOIN tv_h b ON a.tok = b.tok AND a.source < b.source
+           |  JOIN tv_n ta ON ta.source = a.source
+           |  JOIN tv_n tb ON tb.source = b.source
+           |  GROUP BY 1, 2),
+           |tv_p AS (
+           |  SELECT ta.source AS sa, tb.source AS sb, ta.n AS pna, tb.n AS pnb
+           |  FROM tv_n ta CROSS JOIN tv_n tb WHERE ta.source < tb.source)
+           |SELECT p.sa, p.sb,
+           |       (1000000 * (coalesce(s.shared_diff, 0)
+           |         + (p.pna - coalesce(s.ca_shared, 0)) * p.pnb
+           |         + (p.pnb - coalesce(s.cb_shared, 0)) * p.pna))
+           |         // (2 * p.pna * p.pnb) AS tvd_ppm
+           |FROM tv_p p LEFT JOIN tv_s s ON s.sa = p.sa AND s.sb = p.sb
+           |ORDER BY tvd_ppm DESC, p.sa, p.sb LIMIT 20""".stripMargin),
+  )
+
   // TEMPERATURE-scaled source mixing: per-source sampling rates
   // p_s ∝ n_s^α with α = 1/2 — the multilingual/multi-corpus
   // rebalancing rule (upsample small sources, downsample large ones)
@@ -1485,7 +1561,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
-      oovRate, bpeMerges, bpeEncode, trendingTerms,
+      oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }

@@ -864,6 +864,58 @@ class Round7dOpsSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 <= r._3 && r._3 <= r._4))
   }
 
+  // ---- qa_exact_moments: power sums vs naive accumulation ----
+
+  test("qa_exact_moments matches a naive integer power-sum pass") {
+    import spark.implicits._
+    val got = q("qa_exact_moments").fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+    val rows = graft.model.Tables.events(spark, sf)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.round(v * 100)) }
+    val naive = rows.groupBy(_._1).toSeq.map { case (t, v) =>
+      val n = v.length.toLong
+      val s1 = v.map(_._2).sum
+      val s2 = v.map(x => x._2 * x._2).sum
+      (t, n, s1, s2, 100 * s1 / n, (n * s2 - s1 * s1) / (n * (n - 1)))
+    }.sortBy(_._1)
+    assert(got == naive, s"got=$got\nnaive=$naive")
+    // variance numerator is non-negative by Cauchy-Schwarz
+    assert(got.forall(_._6 >= 0))
+  }
+
+  // ---- ta_source_tvd: cross-multiplied TVD vs naive doubles ----
+
+  test("ta_source_tvd matches a naive total-variation computation") {
+    import spark.implicits._
+    val got = q("ta_source_tvd").fn(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val hist = docs.flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bySrc = hist.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.map { case ((_, tok), c) => tok -> c } }
+    val srcs = bySrc.keys.toSeq.sorted
+    val naive = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+      (sa, sb) = (srcs(i), srcs(j))
+      (ha, hb) = (bySrc(sa), bySrc(sb))
+      na = ha.values.sum; nb = hb.values.sum
+    } yield {
+      val toks = ha.keySet ++ hb.keySet
+      val num = toks.toSeq.map { t =>
+        math.abs(ha.getOrElse(t, 0L) * nb - hb.getOrElse(t, 0L) * na)
+      }.sum
+      (sa, sb, 1000000L * num / (2 * na * nb))
+    }).sortBy(r => (-r._3, r._1, r._2)).take(20)
+    assert(got == naive,
+      s"first diff: ${got.zip(naive).find(p => p._1 != p._2)}")
+    assert(got.forall(r => r._3 >= 0 && r._3 <= 1000000L))
+  }
+
   // ---- pipe_media_qa: composition vs its own gated stages ----
 
   test("pipe_media_qa equals a join of the separately-gated stage outputs") {
