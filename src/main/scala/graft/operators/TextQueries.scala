@@ -720,10 +720,27 @@ object TextQueries {
     "ta_source_tvd",
     (s, d) => {
       import s.implicits._
-      val hist = Tables.documents(s, d)
+      // Pair fanout is |sources|² — corpus-size-independent but NOT
+      // bounded (a grown domain sweep hit 2000 sources → 2M pairs ×
+      // shared-vocab fanout and ran away). Production drift monitors
+      // watch the MAJORS, so the entry keeps only the top-K sources
+      // by token volume (ties by name): ≤K(K−1)/2 pairs at any
+      // corpus size. Catalogue has 20 sources < default 32 → the
+      // oracle point is untouched; maxsources=0 forces the cap off.
+      val maxSrc: Int = sys.props.get("graft.tvd.maxsources")
+        .orElse(sys.env.get("SPARK_GRAFT_TVD_MAXSOURCES"))
+        .map(_.toInt).getOrElse(32)
+      val histAll = Tables.documents(s, d)
         .select($"source", explode(split($"text", " ")).as("tok"))
         .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
         .localCheckpoint() // feeds totals + both self-join legs
+      val hist =
+        if (maxSrc <= 0) histAll
+        else {
+          val keep = histAll.groupBy($"source").agg(sum($"c").as("n"))
+            .orderBy($"n".desc, $"source").limit(maxSrc).select($"source")
+          histAll.join(broadcast(keep), "source")
+        }
       val tot = hist.groupBy($"source").agg(sum($"c").as("n"))
       val shared = hist.select($"source".as("sa"), $"tok", $"c".as("ca"))
         .join(hist.select($"source".as("sb"), $"tok", $"c".as("cb")), "tok")
