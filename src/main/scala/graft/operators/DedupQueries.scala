@@ -430,7 +430,20 @@ object DedupQueries {
   // alternating large-star/small-star shape). Output: every doc in a
   // candidate pair mapped to its component's minimum doc id — the
   // "keep one representative per duplicate cluster" step. The oracle
-  // rebuilds components with a recursive transitive-closure CTE.
+  // rebuilds components with a recursive transitive-closure CTE
+  // (shared with td_cluster_canonical below).
+  private val clusterCtes = """sym AS (
+    |  SELECT doc1, doc2 FROM candidates
+    |  UNION
+    |  SELECT doc2, doc1 FROM candidates),
+    |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
+    |reach(src, dst) AS (
+    |  SELECT node, node FROM nodes
+    |  UNION
+    |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst),
+    |clusters AS (
+    |  SELECT src AS doc_id, min(dst) AS cluster_rep
+    |  FROM reach GROUP BY src)""".stripMargin
   private[operators] val dedupClusters = Q(
     "td_dedup_clusters",
     (s, d) => {
@@ -474,19 +487,61 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
     Some(s"""WITH RECURSIVE $minhashCandidatesCtes,
-            |sym AS (
-            |  SELECT doc1, doc2 FROM candidates
-            |  UNION
-            |  SELECT doc2, doc1 FROM candidates),
-            |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
-            |reach(src, dst) AS (
-            |  SELECT node, node FROM nodes
-            |  UNION
-            |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst)
-            |SELECT src AS doc_id, min(dst) AS cluster_rep
-            |FROM reach
-            |GROUP BY src
+            |$clusterCtes
+            |SELECT doc_id, cluster_rep FROM clusters
             |ORDER BY doc_id""".stripMargin),
+  )
+
+  // CANONICAL-DOC selection per duplicate cluster — the policy step
+  // AFTER clustering: which copy survives. Production near-dup
+  // pipelines keep the most complete copy, so the policy here is
+  // argmax token count with min-doc_id tie-break — exact integers,
+  // no float score in the comparison. Output is one row per cluster
+  // with the kept doc and the token mass kept vs dropped (the
+  // dedup-savings accounting line every corpus report carries).
+  // Scale shape: the row_number window partitions BY CLUSTER, so its
+  // sort buffer is bounded by cluster size (itself bounded by the LSH
+  // candidate generation), never by the corpus.
+  private val clusterCanonical = Q(
+    "td_cluster_canonical",
+    (s, d) => {
+      import s.implicits._
+      val labels = dedupClusters.fn(s, d) // (doc_id, cluster_rep)
+      val sizes = Tables.documents(s, d)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_words"))
+      val w = Window.partitionBy($"cluster_rep")
+        .orderBy($"n_words".desc, $"doc_id")
+      labels.join(sizes, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .groupBy($"cluster_rep")
+        .agg(
+          max(when($"rk" === 1, $"doc_id")).as("canonical_doc"),
+          count(lit(1)).as("n_members"),
+          sum(when($"rk" === 1, $"n_words").otherwise(0L)).as("tokens_kept"),
+          sum(when($"rk" =!= 1, $"n_words").otherwise(0L)).as("tokens_dropped"))
+        .orderBy($"cluster_rep")
+    },
+    Some(s"""WITH RECURSIVE $minhashCandidatesCtes,
+            |$clusterCtes,
+            |cc_z AS (
+            |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+            |           AS n_words
+            |  FROM documents),
+            |cc_m AS (
+            |  SELECT c.cluster_rep, c.doc_id, z.n_words,
+            |         row_number() OVER (PARTITION BY c.cluster_rep
+            |           ORDER BY z.n_words DESC, c.doc_id) AS rk
+            |  FROM clusters c JOIN cc_z z USING (doc_id))
+            |SELECT cluster_rep,
+            |       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+            |         AS canonical_doc,
+            |       CAST(count(*) AS BIGINT) AS n_members,
+            |       CAST(sum(CASE WHEN rk = 1 THEN n_words ELSE 0 END) AS BIGINT)
+            |         AS tokens_kept,
+            |       CAST(sum(CASE WHEN rk <> 1 THEN n_words ELSE 0 END) AS BIGINT)
+            |         AS tokens_dropped
+            |FROM cc_m GROUP BY cluster_rep
+            |ORDER BY cluster_rep""".stripMargin),
   )
 
   // Train/test DECONTAMINATION: the step that keeps eval data out of
@@ -1301,7 +1356,8 @@ object DedupQueries {
 
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
-      dedupClusters, decontaminate, concatChunks, paragraphDedup, containment,
+      dedupClusters, clusterCanonical, decontaminate, concatChunks,
+      paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
       spanCorrupt, lengthBuckets)
 }

@@ -855,6 +855,70 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin),
   )
 
+  // LARGEST-REMAINDER token-budget allocation (Hamilton's method):
+  // split a global training-token budget B across sources exactly
+  // proportionally to their token counts with INTEGER allocations
+  // that sum to B exactly — the budgeting dual of td_temperature_mix
+  // (which computes sampling RATES; this commits whole-token quotas,
+  // the number every data-mixing contract is written in). Floor
+  // quotas a_s = (B·n_s) div N leave a shortfall D = B − Σa_s < S;
+  // the D sources with the largest division remainders get one extra
+  // token each (ties by source name) — the unique exact-sum rule
+  // with zero float arithmetic, so it hash-gates. Scale shape: the
+  // corpus contributes ONE per-source partial aggregate; everything
+  // after runs on the |sources|-row table (1-row totals broadcast,
+  // and the rank window sorts |sources| rows — bounded by the source
+  // roster, never the corpus). Overflow: B·n_s ≤ 1e5·1e13 < 2^63
+  // through ~10 TB of tokens per source; beyond that the literals
+  // widen to DECIMAL(38,0), same expressions.
+  private val tokenBudgetAlloc = Q(
+    "td_token_budget_alloc",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val perSrc = Tables.documents(s, d)
+        .select($"source", size(split($"text", " ")).cast("long").as("nw"))
+        .groupBy($"source").agg(sum($"nw").as("n_tokens"))
+      val tot = perSrc.agg(sum($"n_tokens").as("total"))
+      val floors = perSrc.crossJoin(broadcast(tot))
+        .select($"source", $"n_tokens",
+          expr(s"($B * n_tokens) div total").as("floor_alloc"),
+          expr(s"$B * n_tokens - (($B * n_tokens) div total) * total")
+            .as("rem"))
+      val short = floors.agg((lit(B) - sum($"floor_alloc")).as("shortfall"))
+      floors.crossJoin(broadcast(short))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"rem".desc, $"source")))
+        .select($"source", $"n_tokens", $"floor_alloc",
+          ($"floor_alloc" +
+            when($"rk" <= $"shortfall", 1L).otherwise(0L)).as("alloc_tokens"))
+        .orderBy($"source")
+    },
+    Some("""WITH ba_n AS (
+           |  SELECT source,
+           |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |ba_t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM ba_n),
+           |ba_f AS (
+           |  SELECT source, n_tokens,
+           |         (100000 * n_tokens) // total AS floor_alloc,
+           |         100000 * n_tokens - ((100000 * n_tokens) // total) * total
+           |           AS rem
+           |  FROM ba_n CROSS JOIN ba_t),
+           |ba_s AS (SELECT CAST(100000 - sum(floor_alloc) AS BIGINT) AS shortfall
+           |         FROM ba_f),
+           |ba_r AS (
+           |  SELECT source, n_tokens, floor_alloc, rem, shortfall,
+           |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+           |  FROM ba_f CROSS JOIN ba_s)
+           |SELECT source, n_tokens,
+           |       CAST(floor_alloc AS BIGINT) AS floor_alloc,
+           |       CAST(floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+           |            AS BIGINT) AS alloc_tokens
+           |FROM ba_r ORDER BY source""".stripMargin),
+  )
+
   // BM25 ranking (k1 = 1.2, b = 0.75) for a fixed 3-term query, in
   // EXACT integer micro-units so both engines hash-agree on the SCORE,
   // not just the ordering. Two determinism moves:
@@ -1578,7 +1642,7 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
-      oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
+      tokenBudgetAlloc, oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
 }
