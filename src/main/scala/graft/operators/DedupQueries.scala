@@ -123,31 +123,43 @@ object DedupQueries {
   // explode feeds a single groupBy(doc_id) computing all 8 min-hashes
   // as separate aggregates — everything stays inside whole-stage
   // codegen and the shuffle carries one row per doc.
+  /** Shared MinHash band-signature pipeline: documents → in-row 3-word
+    * shingles → one narrow explode → per-doc K=8 min-hash aggregates →
+    * 4 two-row band signatures. Output: (doc_id, band, band_sig), one
+    * shuffle (the per-doc aggregate). Used by the full-corpus pair
+    * generation below and the incremental batch-vs-index probe join.
+    */
+  private[operators] def minhashBandsDf(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    import graft.util.Cols.fanout
+    val w = $"w"
+    val shingleArr = array_distinct(zip_with(
+      zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(w, lit(3), size(w) - 2),
+      (ab, c) => concat(ab, lit(" "), c)))
+    val sigs = fanout(Tables.documents(s, d))
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size(w) >= 3)
+      .select($"doc_id", explode(shingleArr).as("shingle"))
+      .select($"doc_id",
+        expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("h"))
+      .groupBy($"doc_id")
+      .agg(
+        min(hashK(0, $"h")).as("m0"),
+        (1 to 7).map(k => min(hashK(k, $"h")).as(s"m$k")): _*)
+    sigs.select($"doc_id",
+      posexplode(array((0 to 3).map(b =>
+        md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*))
+        .as(Seq("band", "band_sig")))
+  }
+
   private val minhashLsh = Q(
     "td_minhash_lsh_pairs",
     (s, d) => {
       import s.implicits._
-      import graft.util.Cols.fanout
-      val w = $"w"
-      val shingleArr = array_distinct(zip_with(
-        zip_with(slice(w, lit(1), size(w) - 2), slice(w, lit(2), size(w) - 2),
-          (a, b) => concat(a, lit(" "), b)),
-        slice(w, lit(3), size(w) - 2),
-        (ab, c) => concat(ab, lit(" "), c)))
-      val sigs = fanout(Tables.documents(s, d))
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size(w) >= 3)
-        .select($"doc_id", explode(shingleArr).as("shingle"))
-        .select($"doc_id",
-          expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("h"))
-        .groupBy($"doc_id")
-        .agg(
-          min(hashK(0, $"h")).as("m0"),
-          (1 to 7).map(k => min(hashK(k, $"h")).as(s"m$k")): _*)
-      val bands = sigs.select($"doc_id",
-        posexplode(array((0 to 3).map(b =>
-          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*))
-          .as(Seq("band", "band_sig")))
+      val bands = minhashBandsDf(s, d)
       // Candidate pairs WITHOUT a self-join (a self-join would run the
       // whole signature pipeline twice — Spark only reuses exchanges,
       // not arbitrary subplans): group each band bucket, then emit the
@@ -1354,10 +1366,92 @@ object DedupQueries {
             |ORDER BY bucket""".stripMargin),
   )
 
+  // INCREMENTAL DEDUP — the operational shape of near-dup ingestion at
+  // 100 TB: a new crawl batch (doc_id % 5 == 0 here) is deduplicated
+  // AGAINST the already-ingested corpus rather than re-clustering
+  // everything. The existing corpus's band signatures are a persisted
+  // index artifact in production; query-time work is (1) sign the
+  // batch, (2) probe the index with an equi-join on (band, band_sig) —
+  // the probe side is ∝ batch, the shuffle carries batch bands plus
+  // matched index buckets, never corpus² — (3) exact-Jaccard-verify
+  // only the probed candidates, (4) drop a batch doc that verifies
+  // >= 0.8 against any base doc or any smaller-id batch doc
+  // (first-arrival-keeps within the batch). Output: one row per batch
+  // doc with the verified-duplicate count and the keep/drop action.
+  // The oracle replays the decision from the full-corpus candidate
+  // set restricted to batch-touching pairs — a bijection with the
+  // probe join's output, so the two formulations must agree exactly.
+  private val incrementalDedup = Q(
+    "td_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      import graft.util.Cols.fanout
+      // Band table feeds both sides of the probe join; checkpoint so
+      // the signature pipeline runs once (Spark reuses exchanges, not
+      // arbitrary subplans).
+      val bands = minhashBandsDf(s, d)
+        .withColumn("is_new", $"doc_id" % 5 === 0)
+        .localCheckpoint()
+      val probe = bands.filter($"is_new")
+        .select($"doc_id".as("new_id"), $"band", $"band_sig")
+      val index = bands
+        .select($"doc_id".as("other_id"), $"is_new".as("other_new"),
+          $"band", $"band_sig")
+      val cand = probe.join(index, Seq("band", "band_sig"))
+        .filter($"other_id" =!= $"new_id" &&
+          (!$"other_new" || $"other_id" < $"new_id"))
+        .select($"new_id", $"other_id").distinct()
+        .localCheckpoint() // feeds two token joins + the sizes joins
+      val tokens = fanout(Tables.documents(s, d))
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+        .localCheckpoint()
+      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
+      val t1 = tokens.select($"doc_id".as("new_id"), $"word")
+      val t2 = tokens.select($"doc_id".as("o2"), $"word".as("word2"))
+      val inter = cand
+        .join(t1, "new_id")
+        .join(t2, $"other_id" === $"o2" && $"word" === $"word2")
+        .groupBy($"new_id", $"other_id")
+        .agg(count(lit(1)).as("n_inter"))
+      val dups = cand
+        .join(inter, Seq("new_id", "other_id"), "left_outer")
+        .join(sizes.select($"doc_id".as("new_id"), $"n_words".as("n1")), "new_id")
+        .join(sizes.select($"doc_id".as("other_id"), $"n_words".as("n2")), "other_id")
+        .select($"new_id",
+          round(coalesce($"n_inter", lit(0L)).cast("double") /
+            ($"n1" + $"n2" - coalesce($"n_inter", lit(0L))) * 1e9)
+            .cast("long").as("jaccard_e9"))
+        .filter($"jaccard_e9" >= 800000000L)
+        .groupBy($"new_id").agg(count(lit(1)).as("n_dups"))
+      Tables.documents(s, d).select($"doc_id").filter($"doc_id" % 5 === 0)
+        .join(dups.select($"new_id".as("doc_id"), $"n_dups"),
+          Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"n_dups", lit(0L)).as("n_dups"),
+          when(coalesce($"n_dups", lit(0L)) > 0, "drop").otherwise("keep")
+            .as("action"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |$jaccardVerifyCtes,
+            |inc AS (
+            |  SELECT CASE WHEN doc2 % 5 = 0 THEN doc2 ELSE doc1 END AS new_id
+            |  FROM verified
+            |  WHERE (doc1 % 5 = 0 OR doc2 % 5 = 0)
+            |    AND jaccard_e9 >= 800000000),
+            |dups AS (SELECT new_id, count(*) AS n_dups FROM inc GROUP BY new_id)
+            |SELECT d.doc_id,
+            |       coalesce(u.n_dups, 0) AS n_dups,
+            |       CASE WHEN coalesce(u.n_dups, 0) > 0 THEN 'drop'
+            |            ELSE 'keep' END AS action
+            |FROM documents d LEFT JOIN dups u ON u.new_id = d.doc_id
+            |WHERE d.doc_id % 5 = 0
+            |ORDER BY d.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
-      spanCorrupt, lengthBuckets)
+      spanCorrupt, lengthBuckets, incrementalDedup)
 }

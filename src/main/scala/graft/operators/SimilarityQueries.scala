@@ -1000,7 +1000,111 @@ object SimilarityQueries {
            |FROM cc_a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
   )
 
+  // SCALAR QUANTIZATION (int8-per-dimension) ANN — the SQ complement
+  // to the PQ path above, and the format most vector stores ship as
+  // their cheap compression tier (4× over float32 at near-full
+  // recall). Per-dimension affine quantization against corpus min/max
+  // stats: code_t = floor((x_t − min_t)/(max_t − min_t)·255 + 0.5)
+  // (no clamp needed — the stats cover every vector, so the ratio is
+  // in [0,1] by construction). Query-time shape mirrors PQ exactly so
+  // the two are cost/recall-comparable: (1) the 64-row min/max stats
+  // table is a driver-collected published artifact (like the IVF
+  // centroids / PQ codebook); (2) encode + reconstruct + asymmetric
+  // distance run in ONE zero-shuffle projection — the stats ride as
+  // literal arrays, each squared diff is cast to DECIMAL(30,15)
+  // before the exact decimal fold, so Spark and DuckDB agree
+  // bit-for-bit; (3) top-30 shortlist by ADC via
+  // TakeOrderedAndProject; (4) exact 64-dim re-rank on the survivors.
+  private val sqTopK = Q(
+    "sim_sq_topk",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.sq_dist_e9
+      val emb = Tables.embeddings(s, d)
+      val statRows = emb
+        .select(posexplode($"embedding").as(Seq("t", "x")))
+        .groupBy($"t")
+        .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+        .orderBy($"t").collect()
+      require(statRows.length == 64,
+        s"sim_sq_topk expects 64-dim embeddings, stats had ${statRows.length} dims")
+      val mins = statRows.map(_.getDouble(1))
+      val maxs = statRows.map(_.getDouble(2))
+      val qRows = emb.filter($"vec_id" === 0).select($"embedding").collect()
+      require(qRows.length == 1,
+        s"sim_sq_topk query vector vec_id=0 missing or duplicated (${qRows.length} rows)")
+      val qe = qRows(0).getSeq[Float](0).toArray
+      val minsL = typedLit(mins.toSeq)
+      val maxsL = typedLit(maxs.toSeq)
+      val qL = typedLit(qe.map(_.toDouble).toSeq)
+      // recon_t = mn + code_t·(mx−mn)/255, with the mx==mn guard
+      // multiplying back to exactly mn. All double ops are written in
+      // the same order as the oracle SQL, so IEEE evaluation matches.
+      val recon = transform(sequence(lit(0), lit(63)), t => {
+        val x = element_at($"embedding", t + 1).cast("double")
+        val mn = element_at(minsL, t + 1)
+        val mx = element_at(maxsL, t + 1)
+        val code = when(mx === mn, lit(0.0))
+          .otherwise(floor((x - mn) / (mx - mn) * 255 + 0.5))
+        mn + code * (mx - mn) / 255
+      })
+      val adc = aggregate(
+        zip_with(recon, qL, (a, b) => ((a - b) * (a - b)).cast(Dec)),
+        lit(0).cast(Dec),
+        (acc, x) => (acc + x).cast(Dec))
+      graft.util.Cols.fanout(emb)
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id",
+          $"embedding",
+          round(adc * lit(1000000000L), 0).cast("long").as("adc_e9"))
+        .orderBy($"adc_e9", $"vec_id").limit(30)
+        .select($"vec_id", $"adc_e9",
+          sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
+        .orderBy($"dist_e9", $"vec_id").limit(10)
+    },
+    Some("""WITH stats AS (
+           |  SELECT t.k,
+           |         min(CAST(embedding[t.k] AS DOUBLE)) AS mn,
+           |         max(CAST(embedding[t.k] AS DOUBLE)) AS mx
+           |  FROM embeddings, range(1, 65) t(k)
+           |  GROUP BY t.k),
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |recon AS (
+           |  SELECT e.vec_id, s.k,
+           |         s.mn + (CASE WHEN s.mx = s.mn THEN 0
+           |                 ELSE floor((CAST(e.embedding[s.k] AS DOUBLE) - s.mn)
+           |                            / (s.mx - s.mn) * 255 + 0.5) END)
+           |              * (s.mx - s.mn) / 255 AS r
+           |  FROM embeddings e, stats s),
+           |adc AS (
+           |  SELECT r.vec_id,
+           |         CAST(round(SUM(CAST((r.r - CAST(q.qe[r.k] AS DOUBLE)) *
+           |                             (r.r - CAST(q.qe[r.k] AS DOUBLE))
+           |                             AS DECIMAL(30,15))) * 1000000000)
+           |              AS BIGINT) AS adc_e9
+           |  FROM recon r, q
+           |  GROUP BY r.vec_id),
+           |short AS (
+           |  SELECT vec_id, adc_e9 FROM adc WHERE vec_id <> 0
+           |  ORDER BY adc_e9, vec_id LIMIT 30),
+           |ex AS (
+           |  SELECT e.vec_id,
+           |         CAST(round(SUM(CAST(
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE)) *
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE))
+           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS dist_e9
+           |  FROM embeddings e JOIN short USING (vec_id), q, range(1, 65) t(k)
+           |  GROUP BY e.vec_id)
+           |SELECT s.vec_id, s.adc_e9, x.dist_e9
+           |FROM short s JOIN ex x USING (vec_id)
+           |ORDER BY x.dist_e9, s.vec_id
+           |LIMIT 10""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
-      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify)
+      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
+      sqTopK)
 }
