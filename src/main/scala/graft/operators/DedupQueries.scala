@@ -444,7 +444,7 @@ object DedupQueries {
   // "keep one representative per duplicate cluster" step. The oracle
   // rebuilds components with a recursive transitive-closure CTE
   // (shared with td_cluster_canonical below).
-  private val clusterCtes = """sym AS (
+  private[operators] val clusterCtes = """sym AS (
     |  SELECT doc1, doc2 FROM candidates
     |  UNION
     |  SELECT doc2, doc1 FROM candidates),

@@ -877,7 +877,62 @@ object PipelineQueries {
            |ORDER BY status, rk""".stripMargin),
   )
 
+  // DROP AUDIT — per-document provenance of the pipeline's filtering:
+  // every doc gets the FIRST stage that would drop it (stage order
+  // exact-dup → quality-tail → near-dup, first-fail-wins) or 'kept'.
+  // This is the lineage table every production corpus build publishes
+  // next to the corpus itself ("why is doc X not in the training
+  // set?") and the input to per-stage loss accounting — without it a
+  // selection pipeline is unauditable. Composes three already-gated
+  // stages (exact-dedup keepers, CCNet tercile buckets, LSH+CC
+  // near-dup clusters); each stage is evaluated corpus-wide and
+  // joined doc-keyed, so the audit costs the stages themselves plus
+  // three doc_id-keyed joins — nothing new shuffles more than the
+  // corpus. The stages are evaluated INDEPENDENTLY (full-corpus
+  // clusters, not clusters-of-exact-survivors): the audit reports
+  // every reason a doc would fail, with precedence only deciding the
+  // label.
+  private val dropAudit = Q(
+    "pipe_drop_audit",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val keep = docs
+        .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("keep_id"))
+      val quality = TextQueries.ccnetBuckets(s, d).select($"doc_id", $"bucket")
+      val clusters = DedupQueries.dedupClusters.fn(s, d)
+        .select($"doc_id", $"cluster_rep")
+      docs.select($"doc_id", md5($"text").as("h"))
+        .join(keep, "h")
+        .join(quality, "doc_id")
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          when($"doc_id" =!= $"keep_id", "exact_dup")
+            .when($"bucket" === "tail", "quality_tail")
+            .when(coalesce($"cluster_rep", $"doc_id") =!= $"doc_id", "near_dup")
+            .otherwise("kept").as("stage"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${DedupQueries.minhashCandidatesCtes},
+            |${DedupQueries.clusterCtes},
+            |${TextQueries.ccnetCtes},
+            |keep AS (
+            |  SELECT md5(text) AS h, min(doc_id) AS keep_id
+            |  FROM documents GROUP BY md5(text))
+            |SELECT d.doc_id,
+            |       CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+            |            WHEN c.bucket = 'tail' THEN 'quality_tail'
+            |            WHEN coalesce(cl.cluster_rep, d.doc_id) <> d.doc_id
+            |              THEN 'near_dup'
+            |            ELSE 'kept' END AS stage
+            |FROM documents d
+            |JOIN keep k ON k.h = md5(d.text)
+            |JOIN ccnet c ON c.doc_id = d.doc_id
+            |LEFT JOIN clusters cl ON cl.doc_id = d.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection, shardAssign, snapshotDiff)
+      dataSelection, shardAssign, snapshotDiff, dropAudit)
 }

@@ -1639,10 +1639,74 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin),
   )
 
+  // HASHED-FEATURE LINEAR CLASSIFIER (fastText-style inference) — the
+  // quality-filter shape the GPT-3/CCNet pipelines run over every
+  // crawl doc: hash each bigram into a fixed bucket space (256 here),
+  // look its weight up in a published model artifact, and score the
+  // doc by the summed weights. The weight table is DERIVED
+  // deterministically from the bucket id (a Knuth multiplicative hash
+  // mapped to [-500, 500]) so the oracle replays the model without a
+  // training fixture — in production the artifact is the trained
+  // weight vector, identically broadcast-shaped. Everything is
+  // integer math on md5-derived buckets, so both engines agree
+  // exactly. Scale shape: bigrams, buckets, weights and the per-doc
+  // fold all happen IN-ROW (one zero-shuffle projection over the
+  // scan — the model rides in the expression, the corpus never
+  // explodes into a token table), then one left join back to
+  // documents for the <2-word docs.
+  private val hashedClassifier = Q(
+    "ta_hashed_classifier",
+    (s, d) => {
+      import s.implicits._
+      val w = split($"text", " ")
+      val bigrams = zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val weights = transform(bigrams, g =>
+        (conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 256)
+          * lit(2654435761L) % 1001 - 500)
+      graft.util.Cols.fanout(Tables.documents(s, d))
+        .select($"doc_id",
+          size(bigrams).cast("long").as("n_feats"),
+          aggregate(weights, lit(0L), (acc, x) => acc + x).as("w_sum"))
+        .select($"doc_id", $"n_feats", $"w_sum",
+          when($"w_sum" >= 0, "keep").otherwise("flag").as("action"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(text, ' ')) AS word,
+           |         unnest(generate_series(1, len(string_split(text, ' '))))
+           |           AS pos
+           |  FROM documents),
+           |grams AS (
+           |  SELECT doc_id, g FROM (
+           |    SELECT doc_id,
+           |           word || ' ' || lead(word, 1) OVER w AS g,
+           |           lead(word, 1) OVER w AS nx
+           |    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+           |  WHERE nx IS NOT NULL),
+           |feats AS (
+           |  SELECT doc_id,
+           |         count(*) AS n_feats,
+           |         CAST(sum((CAST('0x' || substr(md5(g), 1, 4) AS BIGINT)
+           |                   % 256) * 2654435761 % 1001 - 500) AS BIGINT)
+           |           AS w_sum
+           |  FROM grams GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       coalesce(f.n_feats, 0) AS n_feats,
+           |       coalesce(f.w_sum, 0) AS w_sum,
+           |       CASE WHEN coalesce(f.w_sum, 0) >= 0 THEN 'keep'
+           |            ELSE 'flag' END AS action
+           |FROM documents d LEFT JOIN feats f USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
       tokenBudgetAlloc, oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
-      boilerplateStrip, dsirImportance, ccnetBucket, trigramLm)
+      boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
+      hashedClassifier)
 }
