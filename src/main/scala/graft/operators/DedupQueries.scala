@@ -129,7 +129,7 @@ object DedupQueries {
     * shuffle (the per-doc aggregate). Used by the full-corpus pair
     * generation below and the incremental batch-vs-index probe join.
     */
-  private[operators] def minhashBandsDf(
+  private[graft] def minhashBandsDf(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     import graft.util.Cols.fanout
