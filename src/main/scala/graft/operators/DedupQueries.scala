@@ -1448,10 +1448,72 @@ object DedupQueries {
             |ORDER BY d.doc_id""".stripMargin),
   )
 
+  // CROSS-SOURCE DUPLICATION MATRIX — the corpus-QA roll-up of the
+  // near-dup chain: for each ordered source pair (a, b), how many of
+  // a's documents have a verified near-duplicate in b, and what
+  // fraction of a that is (exact integer ppm). This is the table a
+  // data-acquisition team reads to find mirrored crawls, syndicated
+  // feeds, and sources that are subsets of other sources — the
+  // decision input for dropping a whole source rather than deduping
+  // doc by doc. Composition of gated paths only: candidates come from
+  // the MinHash-LSH chain (never all-pairs), verification is the same
+  // exact-Jaccard join `td_minhash_jaccard_verify` gates, and the new
+  // work is two doc_id-keyed source-label joins plus aggregates whose
+  // output is bounded by |sources|² no matter the corpus size. The
+  // distinct-doc count shuffles (src_a, src_b, doc) keys — bounded by
+  // verified-pair volume, which the LSH band geometry already bounds.
+  private val crossSourceDup = Q(
+    "td_cross_source_dup",
+    (s, d) => {
+      import s.implicits._
+      // Verified pairs feed two direction legs below; checkpoint so the
+      // whole minhash+verify lineage materializes once.
+      val verified = jaccardOnCandidates.fn(s, d)
+        .filter($"jaccard_e9" >= 500000000L).localCheckpoint()
+      val src = Tables.documents(s, d).select($"doc_id", $"source")
+      val dup = verified
+        .join(src.select($"doc_id".as("doc1"), $"source".as("src1")), "doc1")
+        .join(src.select($"doc_id".as("doc2"), $"source".as("src2")), "doc2")
+      // Both directions: "a doc of src_a has a dup in src_b" is a
+      // directed statement; the pair list carries each undirected pair
+      // once (doc1 < doc2), so each side contributes one direction.
+      val directed = dup.select($"doc1".as("doc"), $"src1".as("src_a"), $"src2".as("src_b"))
+        .union(dup.select($"doc2".as("doc"), $"src2".as("src_a"), $"src1".as("src_b")))
+      val counts = directed.groupBy($"src_a", $"src_b")
+        .agg(countDistinct($"doc").as("n_dup_docs"))
+      val sizes = src.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      counts
+        .join(broadcast(sizes.select($"source".as("src_a"), $"n_docs")), "src_a")
+        .select($"src_a", $"src_b", $"n_dup_docs",
+          expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |$jaccardVerifyCtes,
+            |dup AS (
+            |  SELECT v.doc1, v.doc2, d1.source AS src1, d2.source AS src2
+            |  FROM verified v
+            |  JOIN documents d1 ON d1.doc_id = v.doc1
+            |  JOIN documents d2 ON d2.doc_id = v.doc2
+            |  WHERE v.jaccard_e9 >= 500000000),
+            |directed AS (
+            |  SELECT doc1 AS doc, src1 AS src_a, src2 AS src_b FROM dup
+            |  UNION ALL
+            |  SELECT doc2 AS doc, src2 AS src_a, src1 AS src_b FROM dup),
+            |m AS (
+            |  SELECT src_a, src_b, count(DISTINCT doc) AS n_dup_docs
+            |  FROM directed GROUP BY src_a, src_b),
+            |sz AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+            |SELECT m.src_a, m.src_b, m.n_dup_docs,
+            |       CAST(m.n_dup_docs * 1000000 // sz.n_docs AS BIGINT) AS dup_ppm
+            |FROM m JOIN sz ON sz.source = m.src_a
+            |ORDER BY m.src_a, m.src_b""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
-      spanCorrupt, lengthBuckets, incrementalDedup)
+      spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup)
 }
