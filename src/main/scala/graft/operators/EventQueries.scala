@@ -1459,11 +1459,66 @@ object EventQueries {
             |ORDER BY r.user_id, r.ts, r.event_id""".stripMargin),
   )
 
+  // INCREMENTAL VIEW MAINTENANCE for an algebraic aggregate: the
+  // per-user lifetime rollup is maintained as MERGEABLE PARTIAL STATE
+  // (count, sum, min, max — all combine associatively), so a new batch
+  // never triggers a recompute over history. This entry splits the
+  // corpus at a cutoff into "materialized base" and "arriving delta",
+  // computes each side's partials INDEPENDENTLY (in production the
+  // base partials are the stored view — the raw history is never
+  // rescanned), and merges with a second-stage aggregate whose input
+  // is 2 rows per user, not the event history. The oracle is the full
+  // recompute — the IVM contract is exactly that merge(base, delta) ==
+  // recompute(all), which the hash gate pins. At 100 TB the delta pass
+  // touches only new files and the merge cost is O(|state| + |delta|);
+  // the shuffle key is user_id on both sides, so the merge co-locates
+  // with the stored state's layout. All columns integer (cents,
+  // nanos).
+  private val ivmMerge = Q(
+    "ev_ivm_merge",
+    (s, d) => {
+      import s.implicits._
+      // 2024-01-21 00:00 UTC in nanos: base = first 20 days of the
+      // 30-day fixture, delta = the rest.
+      val cutNs = 1705795200L * 1000000000L
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"ts", cents($"value").as("c"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"user_id").agg(
+          count(lit(1)).as("n"),
+          sum($"c").as("sc"),
+          min($"ts").as("mn"),
+          max($"ts").as("mx"))
+      val base = partials(ev.filter($"ts" < cutNs))
+      val delta = partials(ev.filter($"ts" >= cutNs))
+      base.unionByName(delta)
+        .groupBy($"user_id")
+        .agg(
+          sum($"n").as("n_events"),
+          sum($"sc").as("value_cents"),
+          min($"mn").as("first_ts"),
+          max($"mx").as("last_ts"))
+        .select($"user_id", $"n_events", $"value_cents",
+          $"first_ts", $"last_ts",
+          ($"last_ts" - $"first_ts").as("span_ns"))
+        .orderBy($"user_id")
+    },
+    Some(s"""SELECT user_id,
+            |       count(*) AS n_events,
+            |       CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents,
+            |       min(epoch_ns(ts)) AS first_ts,
+            |       max(epoch_ns(ts)) AS last_ts,
+            |       max(epoch_ns(ts)) - min(epoch_ns(ts)) AS span_ns
+            |FROM events
+            |GROUP BY user_id
+            |ORDER BY user_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
-      rateLimit, cohortLtv, activeUsers)
+      rateLimit, cohortLtv, activeUsers, ivmMerge)
 }

@@ -1024,9 +1024,76 @@ object ExtraQueries {
            |ORDER BY 1, 2, 3, 4""".stripMargin),
   )
 
+  // 2-D SKYLINE (Pareto front) over (doc length, distinct-word count)
+  // — "no other document is at least as long AND at least as diverse,
+  // strictly better in one". The curation use-case: the Pareto set is
+  // the quality/length frontier nothing else dominates.
+  //
+  // Naive skyline is an all-pairs NOT EXISTS (the oracle, fine at
+  // sf0.01, quadratic death at scale). The distributed formulation
+  // exploits that in 2-D a point survives iff its y strictly exceeds
+  // the running max-y over all strictly-larger x:
+  //   1. reduce per x to ymax (one partial agg — only (x, ymax) can
+  //      survive, everything below is dominated in place);
+  //   2. block by a MONOTONIC range id (x·P/(maxX+1)), so "all larger
+  //      x" = later rows in my block + all higher blocks;
+  //   3. per-block parallel cummax window + driver-side prefix max of
+  //      the ≤P per-block maxima, broadcast back (the same two-phase
+  //      shape as td_concat_chunks' prefix sum — no global sort, no
+  //      single-partition window over the corpus);
+  //   4. join survivors back on (x, y=ymax) to emit every tied doc.
+  // All coordinates are integers; no floats anywhere.
+  private val skylinePareto = Q(
+    "qa_skyline_pareto",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.documents(s, d).select(
+        $"doc_id",
+        $"n_chars".cast("long").as("n_chars"),
+        size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
+      val xred = pts.groupBy($"n_chars").agg(max($"n_distinct").as("ymax"))
+      val P = math.max(8, pts.rdd.getNumPartitions)
+      val mx = xred.agg(max($"n_chars")).head().getLong(0)
+      val ranged = xred
+        .withColumn("rid", ($"n_chars" * P / (mx + 1)).cast("int"))
+        .localCheckpoint() // feeds the block-maxima collect + main pass
+      // ≤P per-block maxima: the only driver-side state, by design.
+      val pmax = ranged.groupBy($"rid").agg(max($"ymax").as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var acc = -1L // max ymax over all higher-x blocks seen so far
+      val offsets = pmax.keys.toSeq.sorted(Ordering.Int.reverse).map { r =>
+        val o = (r, acc); acc = math.max(acc, pmax(r)); o
+      }.toDF("rid", "off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"rid").orderBy($"n_chars".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val skyX = ranged
+        .withColumn("lm", coalesce(max($"ymax").over(w), lit(-1L)))
+        .join(broadcast(offsets), "rid")
+        .filter($"ymax" > greatest($"lm", $"off"))
+        .select($"n_chars", $"ymax".as("n_distinct"))
+      pts.join(skyX, Seq("n_chars", "n_distinct"))
+        .select($"doc_id", $"n_chars", $"n_distinct")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CAST(n_chars AS BIGINT) AS n_chars,
+           |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           |           AS n_distinct
+           |  FROM documents)
+           |SELECT doc_id, n_chars, n_distinct
+           |FROM p
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM p q
+           |  WHERE q.n_chars >= p.n_chars AND q.n_distinct >= p.n_distinct
+           |    AND (q.n_chars > p.n_chars OR q.n_distinct > p.n_distinct))
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
-    giniDiversity, exactMoments)
+    giniDiversity, exactMoments, skylinePareto)
 }

@@ -961,12 +961,77 @@ object RelationalQueries {
            |ORDER BY p.exact_n DESC, p.l_partkey""".stripMargin),
   )
 
+  // K-ANONYMITY GENERALIZATION AUDIT (the privacy gate a training
+  // corpus with user-derived rows needs alongside ta_pii_scrub):
+  // quasi-identifiers here are (nation, market segment, account-balance
+  // 1000-unit bucket). Each record reports the anonymity-set size it
+  // achieves on a two-level generalization lattice — level 0 keeps the
+  // full QI triple if its group already has ≥ k=6 members, level 1
+  // generalizes the balance bucket away, level 2 means even the coarse
+  // pair is below k and the record must be suppressed. Everything is a
+  // QI-keyed partial aggregate joined back on the same keys — two
+  // shuffles on bounded-cardinality keys, no driver state, map-side
+  // combine collapsing each task to ≤|QI domain| rows; the pattern is
+  // identical at 100 TB. The balance bucket floors CENTS/1e5 as a
+  // double (floor semantics match DuckDB's `//` on negatives, where
+  // BIGINT division truncation would not).
+  private val kAnonymity = Q(
+    "qa_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val k = 6L
+      val cust = Tables.customer(s, d).select(
+        $"c_custkey",
+        $"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("segment"),
+        floor(cents($"c_acctbal") / lit(100000.0)).cast("long").as("bal_bucket"))
+      val fine = cust.groupBy($"nation", $"segment", $"bal_bucket")
+        .agg(count(lit(1)).as("nf"))
+      val coarse = cust.groupBy($"nation", $"segment")
+        .agg(count(lit(1)).as("nc"))
+      cust
+        .join(fine, Seq("nation", "segment", "bal_bucket"))
+        .join(coarse, Seq("nation", "segment"))
+        .select(
+          $"c_custkey", $"nation", $"segment", $"bal_bucket",
+          when($"nf" >= k, 0L).when($"nc" >= k, 1L).otherwise(2L)
+            .as("gen_level"),
+          when($"nf" >= k, $"nf").when($"nc" >= k, $"nc").otherwise(0L)
+            .as("k_size"))
+        .orderBy($"c_custkey")
+    },
+    Some(s"""WITH cust AS (
+            |  SELECT c_custkey,
+            |         CAST(c_nationkey AS BIGINT) AS nation,
+            |         c_mktsegment AS segment,
+            |         CAST(floor(${centsSql("c_acctbal")} / 100000.0) AS BIGINT)
+            |           AS bal_bucket
+            |  FROM customer),
+            |fine AS (
+            |  SELECT nation, segment, bal_bucket, count(*) AS nf
+            |  FROM cust GROUP BY 1, 2, 3),
+            |coarse AS (
+            |  SELECT nation, segment, count(*) AS nc
+            |  FROM cust GROUP BY 1, 2)
+            |SELECT c.c_custkey, c.nation, c.segment, c.bal_bucket,
+            |       CAST(CASE WHEN f.nf >= 6 THEN 0
+            |                 WHEN x.nc >= 6 THEN 1 ELSE 2 END AS BIGINT)
+            |         AS gen_level,
+            |       CAST(CASE WHEN f.nf >= 6 THEN f.nf
+            |                 WHEN x.nc >= 6 THEN x.nc ELSE 0 END AS BIGINT)
+            |         AS k_size
+            |FROM cust c
+            |JOIN fine f USING (nation, segment, bal_bucket)
+            |JOIN coarse x USING (nation, segment)
+            |ORDER BY c.c_custkey""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(
     s4Scan, p1Project, p2ChildId, p4Relations, f1Cast, f1JsParseInt,
     f2Split, f6Filter,
     d1DedupFirst, d3DedupLast, j1Broadcast, j2LeftOuterLog, g1Posexplode,
     u1Union, q1Agg, qMultiJoin, qWindow, qTopK, qSemiAnti, qDistinct,
     qRollup, qGroupingSets, qQuantiles, qHistQuantile, qSalted, qKmv, qHll,
-    qCms,
+    qCms, kAnonymity,
   )
 }

@@ -114,6 +114,51 @@ object SimilarityQueries {
            |ORDER BY vec_id""".stripMargin),
   )
 
+  /** The LSH-ANN oracle chain (bucket votes → bucket ids → same-bucket
+    * candidate join → decimal-exact cosine → per-probe top-3 rank),
+    * shared between `sim_lsh_ann_topk` and the recall/MRR eval entry so
+    * the two oracles cannot drift apart.
+    */
+  private val annOracleCtes =
+    """votes AS (
+      |  SELECT e.vec_id, p,
+      |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+      |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+      |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+      |             END) AS proj
+      |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+      |  GROUP BY e.vec_id, p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |  FROM votes GROUP BY vec_id),
+      |be AS (
+      |  SELECT b.vec_id, b.bucket, e.embedding
+      |  FROM buckets b JOIN embeddings e USING (vec_id)),
+      |cand AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |         p.embedding AS pe, c.embedding AS ce
+      |  FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+      |  WHERE p.vec_id < 10),
+      |sums AS (
+      |  SELECT probe_id, cand_id,
+      |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+      |             AS DECIMAL(30,15))) AS dot,
+      |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+      |             AS DECIMAL(30,15))) AS na,
+      |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+      |             AS DECIMAL(30,15))) AS nb
+      |  FROM cand, range(1, 65) t(k)
+      |  GROUP BY probe_id, cand_id),
+      |ranked AS (
+      |  SELECT probe_id, cand_id,
+      |         row_number() OVER (
+      |           PARTITION BY probe_id
+      |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+      |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+      |                    AS BIGINT) DESC, cand_id) AS rk
+      |  FROM sums)""".stripMargin
+
   // ANN via LSH: top-3 cosine neighbours per probe vector, computed
   // only among same-bucket candidates (the join never leaves the
   // bucket key — this is the piece that scales).
@@ -144,47 +189,10 @@ object SimilarityQueries {
     // Oracle replays the full chain: bucket assignment (same CTEs as
     // td_embedding_neardup), same-bucket candidate join, decimal-exact
     // cosine, per-probe row_number top-3.
-    Some("""WITH votes AS (
-           |  SELECT e.vec_id, p,
-           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
-           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
-           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
-           |             END) AS proj
-           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
-           |  GROUP BY e.vec_id, p),
-           |buckets AS (
-           |  SELECT vec_id,
-           |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-           |  FROM votes GROUP BY vec_id),
-           |be AS (
-           |  SELECT b.vec_id, b.bucket, e.embedding
-           |  FROM buckets b JOIN embeddings e USING (vec_id)),
-           |cand AS (
-           |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-           |         p.embedding AS pe, c.embedding AS ce
-           |  FROM be p JOIN be c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
-           |  WHERE p.vec_id < 10),
-           |sums AS (
-           |  SELECT probe_id, cand_id,
-           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
-           |             AS DECIMAL(30,15))) AS dot,
-           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
-           |             AS DECIMAL(30,15))) AS na,
-           |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
-           |             AS DECIMAL(30,15))) AS nb
-           |  FROM cand, range(1, 65) t(k)
-           |  GROUP BY probe_id, cand_id),
-           |ranked AS (
-           |  SELECT probe_id, cand_id,
-           |         row_number() OVER (
-           |           PARTITION BY probe_id
-           |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
-           |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
-           |                    AS BIGINT) DESC, cand_id) AS rk
-           |  FROM sums)
-           |SELECT probe_id, rk, cand_id
-           |FROM ranked WHERE rk <= 3
-           |ORDER BY probe_id, rk""".stripMargin),
+    Some(s"""WITH $annOracleCtes
+            |SELECT probe_id, rk, cand_id
+            |FROM ranked WHERE rk <= 3
+            |ORDER BY probe_id, rk""".stripMargin),
   )
 
   // Embedding-cosine near-duplicate pairs: LSH candidates verified by
@@ -1103,8 +1111,132 @@ object SimilarityQueries {
            |LIMIT 10""".stripMargin),
   )
 
+  // GRAM MATRIX (the covariance/PCA building block): G[i,j] =
+  // Σ_rows e[i]·e[j] over the whole corpus, upper triangle only.
+  // Spark side flattens each row's outer product into d(d+1)/2
+  // (i, j, product) entries and lets hash aggregation do the rest —
+  // the partial (map-side) agg collapses every task to ≤ 2080 rows
+  // BEFORE the shuffle, so the exchange volume is
+  // O(partitions · d²), independent of corpus size, and the result
+  // itself is d²-bounded. This is how a 100 TB embedding table gets a
+  // covariance matrix in one pass with no driver-side math. Each
+  // float×float product is exact in double, cast to DECIMAL(30,15)
+  // before summation (order-independent, engine-agnostic), scaled to
+  // integer 1e9 only at the end.
+  private val gramMatrix = Q(
+    "sim_gram_matrix",
+    (s, d) => {
+      import s.implicits._
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val pairs = emb.select(
+        explode(flatten(transform(sequence(lit(1), lit(64)), i =>
+          transform(sequence(i, lit(64)), j =>
+            struct(
+              i.as("i"),
+              j.as("j"),
+              (element_at($"embedding", i).cast("double") *
+                element_at($"embedding", j).cast("double"))
+                .cast(Dec).as("p")))))).as("x"))
+      pairs
+        .groupBy($"x.i".as("i"), $"x.j".as("j"))
+        .agg(sum($"x.p").as("g"))
+        .select($"i".cast("long").as("i"), $"j".cast("long").as("j"),
+          round($"g".cast("double") * 1e9).cast("long").as("gram_e9"))
+        .orderBy($"i", $"j")
+    },
+    Some("""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |       CAST(round(CAST(SUM(CAST(
+           |             CAST(e.embedding[i] AS DOUBLE) *
+           |             CAST(e.embedding[j] AS DOUBLE)
+           |           AS DECIMAL(30,15))) AS DOUBLE) * 1e9) AS BIGINT) AS gram_e9
+           |FROM embeddings e, range(1, 65) a(i), range(1, 65) b(j)
+           |WHERE j >= i
+           |GROUP BY i, j
+           |ORDER BY i, j""".stripMargin),
+  )
+
+  // ANN QUALITY EVAL: recall@3 and MRR of the LSH-ANN against the
+  // exact brute-force top-3 — the metric loop every production ANN
+  // deployment runs on a probe sample. The ground truth side is
+  // deliberately brute-force (that is what makes it ground truth) but
+  // only over the 10-probe sample: candidates stream past a broadcast
+  // of the probes, so the exact pass costs one scan however large the
+  // corpus. All metrics are exact integers (hits, floor-percent,
+  // floor-milli reciprocal rank) — no float drift between engines.
+  private val recallMrrEval = Q(
+    "sim_recall_mrr_eval",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val ann = lshAnn.fn(s, d) // (probe_id, rk, cand_id)
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+      val exact3 = emb
+        .select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes))
+        .filter($"cand_id" =!= $"probe_id")
+        .select($"probe_id", $"cand_id", cosine_e9($"pe", $"ce").as("c"))
+        .withColumn("xrk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"probe_id").orderBy($"c".desc, $"cand_id")))
+        .filter($"xrk" <= 3)
+        .select($"probe_id", $"cand_id", lit(1L).as("rel"))
+      ann.join(exact3, Seq("probe_id", "cand_id"), "left")
+        .groupBy($"probe_id")
+        .agg(
+          sum(coalesce($"rel", lit(0L))).as("n_hits"),
+          min(when($"rel" === 1L, $"rk")).as("first_rel"))
+        .select(
+          $"probe_id",
+          $"n_hits",
+          floor($"n_hits" * 100 / 3).cast("long").as("recall_pct"),
+          coalesce(floor(lit(1000) / $"first_rel").cast("long"), lit(0L))
+            .as("mrr_milli"))
+        .orderBy($"probe_id")
+    },
+    Some(s"""WITH $annOracleCtes,
+            |ann AS (
+            |  SELECT probe_id, rk, cand_id FROM ranked WHERE rk <= 3),
+            |xcand AS (
+            |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+            |         p.embedding AS pe, c.embedding AS ce
+            |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            |  WHERE p.vec_id < 10),
+            |xsums AS (
+            |  SELECT probe_id, cand_id,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS dot,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS na,
+            |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS nb
+            |  FROM xcand, range(1, 65) t(k)
+            |  GROUP BY probe_id, cand_id),
+            |xrank AS (
+            |  SELECT probe_id, cand_id,
+            |         row_number() OVER (
+            |           PARTITION BY probe_id
+            |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+            |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+            |                    AS BIGINT) DESC, cand_id) AS xrk
+            |  FROM xsums),
+            |rel AS (SELECT probe_id, cand_id FROM xrank WHERE xrk <= 3),
+            |m AS (
+            |  SELECT a.probe_id, a.rk,
+            |         CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+            |  FROM ann a LEFT JOIN rel r
+            |    ON a.probe_id = r.probe_id AND a.cand_id = r.cand_id)
+            |SELECT probe_id,
+            |       CAST(SUM(rel) AS BIGINT) AS n_hits,
+            |       CAST(floor(SUM(rel) * 100 / 3) AS BIGINT) AS recall_pct,
+            |       CAST(coalesce(floor(1000 / min(CASE WHEN rel = 1 THEN rk END)), 0)
+            |            AS BIGINT) AS mrr_milli
+            |FROM m GROUP BY probe_id ORDER BY probe_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
-      sqTopK)
+      sqTopK, gramMatrix, recallMrrEval)
 }

@@ -1702,11 +1702,140 @@ object TextQueries {
            |ORDER BY d.doc_id""".stripMargin),
   )
 
+  // GOPHER-STYLE RULE GATE: the hard per-document filter bundle every
+  // web-scale corpus pass runs (Gopher §A1 / RefinedWeb / Dolma),
+  // adapted to this corpus's vocabulary: word-count bounds, mean-word-
+  // length bounds, minimum stopword evidence, distinct-word (repetition)
+  // floor, and a stopword-saturation ceiling — with PER-RULE flag
+  // columns so the drop reasons are auditable (the same contract as
+  // pipe_drop_audit), not just a final boolean. Unlike
+  // `ta_quality_score` (a weighted soft score), this is the hard gate.
+  // Every rule is integer arithmetic — ratios compare via
+  // cross-multiplication (4·n ≤ chars ≤ 8·n, distinct·10 ≥ n·3), so the
+  // result is exact on both engines with no float in sight. One
+  // narrow-projection scan, no shuffle at all until the final sort:
+  // at 100 TB this is a map-only pass.
+  private val gopherRules = Q(
+    "ta_gopher_rules",
+    (s, d) => {
+      import s.implicits._
+      val words = split($"text", " ")
+      Tables.documents(s, d)
+        .select(
+          $"doc_id",
+          size(words).cast("long").as("n_words"),
+          (length($"text") - size(words) + 1).cast("long").as("wchars"),
+          size(filter(words, w => w === "the" || w === "a"))
+            .cast("long").as("n_stop"),
+          size(array_distinct(words)).cast("long").as("n_distinct"))
+        .select(
+          $"doc_id", $"n_words",
+          when($"n_words" >= 15 && $"n_words" <= 90, 1L).otherwise(0L)
+            .as("r_wordcount"),
+          when($"wchars" >= $"n_words" * 4 && $"wchars" <= $"n_words" * 8, 1L)
+            .otherwise(0L).as("r_meanwordlen"),
+          when($"n_stop" >= 2, 1L).otherwise(0L).as("r_stopword_min"),
+          when($"n_distinct" * 10 >= $"n_words" * 3, 1L).otherwise(0L)
+            .as("r_distinct_floor"),
+          when($"n_stop" * 8 <= $"n_words", 1L).otherwise(0L)
+            .as("r_stop_ceiling"))
+        .withColumn("keep",
+          $"r_wordcount" * $"r_meanwordlen" * $"r_stopword_min" *
+            $"r_distinct_floor" * $"r_stop_ceiling")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           |         CAST(length(text) - len(string_split(text, ' ')) + 1
+           |              AS BIGINT) AS wchars,
+           |         CAST(len(list_filter(string_split(text, ' '),
+           |              w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+           |         CAST(len(list_distinct(string_split(text, ' ')))
+           |              AS BIGINT) AS n_distinct
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, n_words,
+           |         CASE WHEN n_words BETWEEN 15 AND 90 THEN 1 ELSE 0 END
+           |           AS r_wordcount,
+           |         CASE WHEN wchars >= n_words * 4 AND wchars <= n_words * 8
+           |              THEN 1 ELSE 0 END AS r_meanwordlen,
+           |         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopword_min,
+           |         CASE WHEN n_distinct * 10 >= n_words * 3 THEN 1 ELSE 0 END
+           |           AS r_distinct_floor,
+           |         CASE WHEN n_stop * 8 <= n_words THEN 1 ELSE 0 END
+           |           AS r_stop_ceiling
+           |  FROM c)
+           |SELECT doc_id, n_words,
+           |       CAST(r_wordcount AS BIGINT) AS r_wordcount,
+           |       CAST(r_meanwordlen AS BIGINT) AS r_meanwordlen,
+           |       CAST(r_stopword_min AS BIGINT) AS r_stopword_min,
+           |       CAST(r_distinct_floor AS BIGINT) AS r_distinct_floor,
+           |       CAST(r_stop_ceiling AS BIGINT) AS r_stop_ceiling,
+           |       CAST(r_wordcount * r_meanwordlen * r_stopword_min *
+           |            r_distinct_floor * r_stop_ceiling AS BIGINT) AS keep
+           |FROM f
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // N-GRAM NOVELTY (the memorization-analysis signal): what fraction
+  // of a document's distinct 5-grams appear in NO other document?
+  // Low-novelty docs are recombinations of corpus-common phrasing;
+  // high-novelty docs carry unique text. The whole computation is
+  // gram-keyed: per-doc distinct grams (one partial-aggregated
+  // distinct), a gram→document-frequency aggregate, and a join BACK
+  // on the gram key to count each doc's df=1 grams — no broadcast of
+  // anything corpus-sized, both shuffles hash-partitioned on the gram,
+  // so it scales exactly like the inverted-postings entry it reuses
+  // the shape of. Distinct from td_decontaminate (cross-set overlap)
+  // and ta_winnow_fingerprint (selective fingerprints): this is the
+  // intra-corpus per-document uniqueness profile.
+  private val ngramNovelty = Q(
+    "ta_ngram_novelty",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 5)
+      val grams = toks
+        .select($"doc_id",
+          explode(transform(sequence(lit(1), size($"w") - 4), p =>
+            md5(array_join(slice($"w", p, lit(5)), " ")))).as("g"))
+        .distinct()
+      val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      grams.join(df, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .select($"doc_id", $"n_grams", $"n_unique",
+          floor($"n_unique" * 100 / $"n_grams").cast("long").as("novelty_pct"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 5),
+           |g AS (
+           |  SELECT DISTINCT doc_id,
+           |         md5(array_to_string(list_slice(w, p, p + 4), ' ')) AS g
+           |  FROM toks, LATERAL unnest(range(1, len(w) - 3)) t(p)),
+           |df AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_unique,
+           |       CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 100
+           |            / count(*)) AS BIGINT) AS novelty_pct
+           |FROM g JOIN df USING (g)
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
       tokenBudgetAlloc, oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
-      hashedClassifier)
+      hashedClassifier, gopherRules, ngramNovelty)
 }
