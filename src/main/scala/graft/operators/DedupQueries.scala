@@ -1510,10 +1510,96 @@ object DedupQueries {
             |ORDER BY m.src_a, m.src_b""".stripMargin),
   )
 
+  // CONTENT-DEFINED CHUNKING dedup (LBFS, Muthitacharoen et al.
+  // SOSP'01; the rsync/backup-storage device): chunk boundaries come
+  // from the CONTENT (a hash condition on each word), not fixed
+  // offsets, so an insertion early in a document shifts only the one
+  // chunk it lands in — fixed-size blocks would shift every later
+  // block and kill all sharing. Word-level here (the corpus is
+  // whitespace text): a boundary falls AFTER word i when
+  // md5(word)%4 == 0, giving expected 4-word chunks; each chunk's
+  // text is md5'd and deduplicated corpus-wide. Output: the top-20
+  // most-saving duplicate chunks plus corpus totals — the storage-
+  // dedup accounting.
+  // Scale shape: chunking is IN-ROW lambda algebra (zero shuffle);
+  // the only corpus-sized exchange is the chunk-hash partial
+  // aggregate — identical to td_exact_dedup's shape but at sub-
+  // document granularity; totals are a 1-row broadcast.
+  private val cdcChunks = Q(
+    "td_cdc_chunks",
+    (s, d) => {
+      import s.implicits._
+      val chunks = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("bnds",
+          expr("filter(sequence(1, size(w)), i -> " +
+            "CAST(conv(substr(md5(element_at(w, i)), 1, 4), 16, 10) AS BIGINT)" +
+            " % 4 = 0)"))
+        .withColumn("starts",
+          expr("concat(array(1), transform(bnds, b -> b + 1))"))
+        .withColumn("ends", expr("concat(bnds, array(size(w)))"))
+        .select(explode(expr(
+          "filter(zip_with(starts, ends, (s, e) -> " +
+            "IF(s <= e, array_join(slice(w, s, e - s + 1), ' '), NULL))," +
+            " c -> c IS NOT NULL)")).as("chunk"))
+      val byHash = chunks
+        .groupBy(md5($"chunk").as("h"), length($"chunk").cast("long").as("chunk_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = byHash.agg(
+        sum($"cnt").as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(($"cnt" - 1) * $"chunk_chars").as("saved_chars"))
+      byHash.filter($"cnt" >= 2)
+        .select($"h", $"cnt", $"chunk_chars",
+          (($"cnt" - 1) * $"chunk_chars").as("saved"))
+        .crossJoin(broadcast(totals))
+        .orderBy($"saved".desc, $"h")
+        .limit(20)
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |b AS (
+           |  SELECT doc_id, w,
+           |         list_filter(range(1, len(w) + 1), i ->
+           |           CAST('0x' || substr(md5(w[i]), 1, 4) AS BIGINT) % 4 = 0)
+           |           AS bnds
+           |  FROM c),
+           |se AS (
+           |  SELECT doc_id, w,
+           |         list_prepend(1, list_transform(bnds, x -> x + 1)) AS starts,
+           |         list_append(bnds, len(w)) AS ends
+           |  FROM b),
+           |ch AS (
+           |  SELECT unnest(list_filter(
+           |           list_transform(range(1, len(starts) + 1), k ->
+           |             CASE WHEN starts[k] <= ends[k]
+           |                  THEN array_to_string(w[starts[k] : ends[k]], ' ')
+           |             END),
+           |           x -> x IS NOT NULL)) AS chunk
+           |  FROM se),
+           |byh AS (
+           |  SELECT md5(chunk) AS h,
+           |         CAST(length(chunk) AS BIGINT) AS chunk_chars,
+           |         count(*) AS cnt
+           |  FROM ch GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+           |         count(*) AS distinct_chunks,
+           |         CAST(sum((cnt - 1) * chunk_chars) AS BIGINT) AS saved_chars
+           |  FROM byh)
+           |SELECT h, cnt, chunk_chars,
+           |       (cnt - 1) * chunk_chars AS saved,
+           |       tot.total_chunks, tot.distinct_chunks, tot.saved_chars
+           |FROM byh CROSS JOIN tot
+           |WHERE cnt >= 2
+           |ORDER BY saved DESC, h
+           |LIMIT 20""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
-      spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup)
+      spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup, cdcChunks)
 }

@@ -1091,9 +1091,170 @@ object ExtraQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // TWO-SAMPLE A/B SIGNIFICANCE GATE (Welch z-test shape): split each
+  // event type into arms by user parity, compare means, and gate on
+  // diff² > z²·SE² at z=2 — the standard experiment-analysis readout.
+  // All arithmetic is DETERMINISTIC integer: per-arm power sums
+  // (n, Σcents, Σcents² — the mergeable moments-sketch shape
+  // qa_exact_moments gates), then mean in cents-micro and variance in
+  // cents² via TRUNCATING division (every numerator is non-negative,
+  // so trunc == floor on both engines; the truncation points are part
+  // of the contract, documented here — the gate is exactly replayable,
+  // which a float t-test is not). The final compare runs in
+  // DECIMAL(38,0)/HUGEINT: diff_micro² reaches ~1e21 and n·Σx² ~1e22
+  // at sf10, past BIGINT.
+  // Scale shape: one map pass + a (type, arm)-keyed partial agg (≤
+  // 2·|types| groups), then |types|-row algebra — corpus-size-free
+  // after the first aggregate, like every moments entry.
+  private val abTestGate = Q(
+    "qa_ab_test_gate",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type", ($"user_id" % 2).as("arm"), cents($"value").as("v"))
+        .groupBy($"event_type", $"arm")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          sum($"v".cast("decimal(38,0)") * $"v").as("sv2"))
+        .groupBy($"event_type")
+        .agg(
+          max(when($"arm" === 0, $"n")).as("n_a"),
+          max(when($"arm" === 1, $"n")).as("n_b"),
+          max(when($"arm" === 0, $"sv")).as("sv_a"),
+          max(when($"arm" === 1, $"sv")).as("sv_b"),
+          max(when($"arm" === 0, $"sv2")).as("sv2_a"),
+          max(when($"arm" === 1, $"sv2")).as("sv2_b"))
+        .select($"event_type", $"n_a", $"n_b",
+          expr("CAST((CAST(sv_a AS DECIMAL(38,0)) * 1000000) DIV n_a AS BIGINT)")
+            .as("mean_a_micro"),
+          expr("CAST((CAST(sv_b AS DECIMAL(38,0)) * 1000000) DIV n_b AS BIGINT)")
+            .as("mean_b_micro"),
+          expr("CAST((n_a * sv2_a - CAST(sv_a AS DECIMAL(38,0)) * sv_a)" +
+            " DIV (n_a * (n_a - 1)) AS BIGINT)").as("var_a_cents2"),
+          expr("CAST((n_b * sv2_b - CAST(sv_b AS DECIMAL(38,0)) * sv_b)" +
+            " DIV (n_b * (n_b - 1)) AS BIGINT)").as("var_b_cents2"))
+        .select($"event_type", $"n_a", $"n_b", $"mean_a_micro", $"mean_b_micro",
+          $"var_a_cents2", $"var_b_cents2",
+          expr("CASE WHEN CAST(mean_a_micro - mean_b_micro AS DECIMAL(38,0))" +
+            " * (mean_a_micro - mean_b_micro) >" +
+            " 4 * (var_a_cents2 DIV n_a + var_b_cents2 DIV n_b)" +
+            " * CAST(1000000000000 AS DECIMAL(38,0))" +
+            " THEN 1 ELSE 0 END").cast("long").as("significant"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH ab_v AS (
+            |  SELECT event_type, user_id % 2 AS arm, ${centsSql("value")} AS v
+            |  FROM events),
+            |ab_s AS (
+            |  SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(v) AS BIGINT) AS sv,
+            |         CAST(sum(v::HUGEINT * v) AS HUGEINT) AS sv2
+            |  FROM ab_v GROUP BY 1, 2),
+            |ab_w AS (
+            |  SELECT event_type,
+            |         max(CASE WHEN arm = 0 THEN n END) AS n_a,
+            |         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+            |         max(CASE WHEN arm = 0 THEN sv END) AS sv_a,
+            |         max(CASE WHEN arm = 1 THEN sv END) AS sv_b,
+            |         max(CASE WHEN arm = 0 THEN sv2 END) AS sv2_a,
+            |         max(CASE WHEN arm = 1 THEN sv2 END) AS sv2_b
+            |  FROM ab_s GROUP BY 1),
+            |ab_m AS (
+            |  SELECT event_type, n_a, n_b,
+            |         CAST((sv_a::HUGEINT * 1000000) // n_a AS BIGINT)
+            |           AS mean_a_micro,
+            |         CAST((sv_b::HUGEINT * 1000000) // n_b AS BIGINT)
+            |           AS mean_b_micro,
+            |         CAST((n_a * sv2_a - sv_a::HUGEINT * sv_a)
+            |              // (n_a::HUGEINT * (n_a - 1)) AS BIGINT)
+            |           AS var_a_cents2,
+            |         CAST((n_b * sv2_b - sv_b::HUGEINT * sv_b)
+            |              // (n_b::HUGEINT * (n_b - 1)) AS BIGINT)
+            |           AS var_b_cents2
+            |  FROM ab_w)
+            |SELECT event_type, n_a, n_b, mean_a_micro, mean_b_micro,
+            |       var_a_cents2, var_b_cents2,
+            |       CAST(CASE WHEN
+            |           (mean_a_micro - mean_b_micro)::HUGEINT
+            |             * (mean_a_micro - mean_b_micro) >
+            |           4 * (var_a_cents2 // n_a + var_b_cents2 // n_b)::HUGEINT
+            |             * 1000000000000
+            |         THEN 1 ELSE 0 END AS BIGINT) AS significant
+            |FROM ab_m ORDER BY event_type""".stripMargin),
+  )
+
+  // BENFORD FIRST-DIGIT DEVIATION (Newcomb 1881 / Benford 1938; the
+  // classic fraud/data-fabrication screen): the first significant
+  // digit of naturally-occurring amounts follows P(d) = log10(1+1/d);
+  // a synthetic or truncated feed deviates. The expected distribution
+  // rides as a 9-row LITERAL table in PPM (the published constants —
+  // no log() call anywhere), observed digit shares come from one
+  // (type, digit)-keyed count, and the deviation is the same
+  // cross-multiplied integer TVD device as ta_source_tvd: tvd_ppm =
+  // Σ|obs_ppm − benford_ppm| / 2 with truncating per-digit ppm.
+  // Scale shape: one map pass + a ≤ 9·|types|-key partial agg; the
+  // Benford table broadcasts; everything after is 45-row algebra.
+  private val benford = Q(
+    "qa_benford",
+    (s, d) => {
+      import s.implicits._
+      val ben = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+        .toDF("digit", "ben_ppm")
+      val obs = Tables.events(s, d)
+        .select($"event_type",
+          substring(cents($"value").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy($"event_type", $"digit").agg(count(lit(1)).as("cnt"))
+      val n = obs.groupBy($"event_type").agg(sum($"cnt").as("n"))
+      n.crossJoin(broadcast(ben))
+        .join(obs, Seq("event_type", "digit"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .select($"event_type", $"digit", $"n", $"ben_ppm",
+          expr("(cnt * 1000000) DIV n").as("obs_ppm"))
+        .withColumn("dev", abs($"obs_ppm" - $"ben_ppm"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          expr("sum(dev) div 2").as("tvd_ppm"),
+          max(struct($"dev".as("d"), (-$"digit").cast("long").as("nd"))).as("mx"))
+        .select($"event_type", $"n", $"tvd_ppm",
+          (-$"mx.nd").as("worst_digit"), $"mx.d".as("worst_dev_ppm"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH bf_ben(digit, ben_ppm) AS (VALUES
+            |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+            |bf_obs AS (
+            |  SELECT event_type,
+            |         CAST(substr(CAST(${centsSql("value")} AS VARCHAR), 1, 1)
+            |              AS INT) AS digit,
+            |         CAST(count(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2),
+            |bf_n AS (
+            |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            |  FROM bf_obs GROUP BY 1),
+            |bf_d AS (
+            |  SELECT n.event_type, b.digit, n.n,
+            |         CAST(b.ben_ppm AS BIGINT) AS ben_ppm,
+            |         (coalesce(o.cnt, 0) * 1000000) // n.n AS obs_ppm
+            |  FROM bf_n n CROSS JOIN bf_ben b
+            |  LEFT JOIN bf_obs o
+            |    ON o.event_type = n.event_type AND o.digit = b.digit),
+            |bf_e AS (
+            |  SELECT event_type, digit, n, abs(obs_ppm - ben_ppm) AS dev
+            |  FROM bf_d)
+            |SELECT event_type, max(n) AS n,
+            |       CAST(sum(dev) // 2 AS BIGINT) AS tvd_ppm,
+            |       CAST(-max({'d': dev, 'nd': -digit}).nd AS BIGINT)
+            |         AS worst_digit,
+            |       CAST(max({'d': dev, 'nd': -digit}).d AS BIGINT)
+            |         AS worst_dev_ppm
+            |FROM bf_e
+            |GROUP BY event_type
+            |ORDER BY event_type""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
-    giniDiversity, exactMoments, skylinePareto)
+    giniDiversity, exactMoments, skylinePareto, abTestGate, benford)
 }

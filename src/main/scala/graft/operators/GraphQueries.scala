@@ -201,9 +201,12 @@ object GraphQueries {
       .select(col("v").as("node"), (col("m.neg") * -1).as("lbl"), col("prev"))
   }
 
-  private val labelProp = Q(
-    "gr_label_propagation",
-    (s, d) => {
+  /** The LPA label assignment, shared by `gr_label_propagation` (the
+    * gate on the labels themselves) and `gr_modularity` (the quality
+    * metric computed OVER the labels).
+    */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       // The edge checkpoint is SERIALIZED (MEMORY_AND_DISK_SER):
       // the default deserialized level unrolls ~7× the on-wire size
@@ -278,7 +281,111 @@ object GraphQueries {
         }
         round += 1
       }
-      labels.orderBy($"node")
+      labels
+  }
+
+  /** The DuckDB replay of [[lpaLabels]] as a reusable WITH chain
+    * ending at `r3` (node, lbl) — shared by the two LPA-family
+    * oracles.
+    */
+  private val LpaCtes: String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT v AS node, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (
+         |      PARTITION BY v ORDER BY cnt DESC, lbl) AS rk
+         |    FROM (
+         |      SELECT v, lbl, count(*) AS cnt FROM (
+         |        SELECT s.src AS v, r.lbl
+         |        FROM sym s JOIN $prev r ON s.dst = r.node
+         |        UNION ALL
+         |        SELECT node AS v, lbl FROM $prev)
+         |      GROUP BY v, lbl))
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |sym AS (SELECT src, dst FROM edges
+       |        UNION ALL SELECT dst, src FROM edges),
+       |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}""".stripMargin
+  }
+
+  private val labelProp = Q(
+    "gr_label_propagation",
+    (s, d) => lpaLabels(s, d).orderBy(col("node")),
+    Some(LpaCtes + "\nSELECT node, lbl FROM r3 ORDER BY node"),
+  )
+
+  // NEWMAN MODULARITY of LPA communities (Newman & Girvan 2004): the
+  // standard "did community detection find real structure" score,
+  // Q = Σ_c [ e_c/m − (d_c/2m)² ] — intra-community edge fraction
+  // minus the random-graph expectation from the degree sums. Runs on
+  // the top-10-sparsified CO-PURCHASE graph (the triangle/link-predict
+  // graph, which has genuine community structure — the part↔supplier
+  // bipartite graph two-colors under LPA and every edge crosses, so
+  // modularity there is degenerate), with 3 LPA rounds via the same
+  // votesStep kernel `gr_label_propagation` gates.
+  // Computed DIVISION-FREE: with the common denominator 4m², each
+  // community's contribution is the exact integer
+  // q_num = 4·m·e_c − d_c² (Σ q_num / 4m² is Q; negative for
+  // worse-than-random communities; ranking by q_num is ranking by
+  // contribution since the denominator is shared). No float, no
+  // division, no trunc-vs-floor edge.
+  // Scale shape: the labels table is |V|-sized and the edge list
+  // joins it twice on the node key (hash joins, O(|E|) exchange —
+  // one LPA-round cost); degree/community roll-ups are key-bounded
+  // partial aggregates; m is a driver literal off the checkpointed
+  // edge count. q_num stays in BIGINT while 2m < ~2^31; beyond that
+  // the same plan runs with DECIMAL sums.
+  private val modularity = Q(
+    "gr_modularity",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
+        .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
+        .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
+      val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+      val symw = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
+      val kept = symw
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
+        .filter($"rn" <= 10)
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+        .localCheckpoint() // feeds sym/deg, the LPA rounds, intra, and m
+      val m = kept.count()
+      val sym = kept.select($"u".as("src"), $"v".as("dst"))
+        .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
+      var labels = sym.select($"src".as("node")).distinct()
+        .withColumn("lbl", $"node")
+      (1 to Iters).foreach { _ =>
+        labels = votesStep(sym, labels,
+          s.sessionState.conf.numShufflePartitions).drop("prev")
+      }
+      // checkpoint: the labels feed THREE consumers (two intra-join
+      // legs + the community roll-up) — left as a plan the 3-round
+      // LPA chain would re-execute per consumer
+      val labelsCp = labels.localCheckpoint()
+      val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val intra = kept
+        .join(labelsCp.select($"node".as("u"), $"lbl".as("la")), "u")
+        .join(labelsCp.select($"node".as("v"), $"lbl".as("lb")), "v")
+        .filter($"la" === $"lb")
+        .groupBy($"la".as("lbl")).agg(count(lit(1)).as("e_intra"))
+      labelsCp.join(deg, "node")
+        .groupBy($"lbl")
+        .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("d_c"))
+        .join(intra, Seq("lbl"), "left")
+        .na.fill(0L, Seq("e_intra"))
+        .select($"lbl", $"n_nodes", $"e_intra", $"d_c",
+          lit(m).as("m_edges"),
+          (lit(4) * m * $"e_intra" - $"d_c" * $"d_c").as("q_num"))
+        .orderBy($"q_num".desc, $"lbl")
     },
     Some {
       def step(prev: String, out: String) =
@@ -289,21 +396,48 @@ object GraphQueries {
            |    FROM (
            |      SELECT v, lbl, count(*) AS cnt FROM (
            |        SELECT s.src AS v, r.lbl
-           |        FROM sym s JOIN $prev r ON s.dst = r.node
+           |        FROM csym s JOIN $prev r ON s.dst = r.node
            |        UNION ALL
            |        SELECT node AS v, lbl FROM $prev)
            |      GROUP BY v, lbl))
            |  WHERE rk = 1)""".stripMargin
-      s"""WITH edges AS (
-         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-         |  FROM lineitem),
-         |sym AS (SELECT src, dst FROM edges
-         |        UNION ALL SELECT dst, src FROM edges),
-         |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |raw AS (
+         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2),
+         |symw AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
+         |kept AS (
+         |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+         |    SELECT u, v,
+         |           row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+         |    FROM symw)
+         |  WHERE rn <= 10),
+         |csym AS (SELECT u AS src, v AS dst FROM kept
+         |         UNION ALL SELECT v, u FROM kept),
+         |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM csym),
          |${step("r0", "r1")},
          |${step("r1", "r2")},
-         |${step("r2", "r3")}
-         |SELECT node, lbl FROM r3 ORDER BY node""".stripMargin
+         |${step("r2", "r3")},
+         |deg AS (SELECT src AS node, count(*) AS deg FROM csym GROUP BY 1),
+         |m AS (SELECT count(*) AS m_edges FROM kept),
+         |intra AS (
+         |  SELECT la.lbl, count(*) AS e_intra
+         |  FROM kept e
+         |  JOIN r3 la ON la.node = e.u
+         |  JOIN r3 lb ON lb.node = e.v
+         |  WHERE la.lbl = lb.lbl
+         |  GROUP BY 1),
+         |comm AS (
+         |  SELECT l.lbl, count(*) AS n_nodes, CAST(sum(d.deg) AS BIGINT) AS d_c
+         |  FROM r3 l JOIN deg d USING (node) GROUP BY 1)
+         |SELECT c.lbl, c.n_nodes, coalesce(i.e_intra, 0) AS e_intra,
+         |       c.d_c, m.m_edges,
+         |       4 * m.m_edges * coalesce(i.e_intra, 0) - c.d_c * c.d_c
+         |         AS q_num
+         |FROM comm c LEFT JOIN intra i USING (lbl) CROSS JOIN m
+         |ORDER BY q_num DESC, lbl""".stripMargin
     },
   )
 
@@ -595,5 +729,6 @@ object GraphQueries {
   )
 
   def all: Seq[Q] =
-    Seq(pagerank, triangles, labelProp, bfsHops, linkPredict, basketLift)
+    Seq(pagerank, triangles, labelProp, modularity, bfsHops, linkPredict,
+      basketLift)
 }

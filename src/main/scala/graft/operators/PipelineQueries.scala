@@ -932,7 +932,61 @@ object PipelineQueries {
             |ORDER BY d.doc_id""".stripMargin),
   )
 
+  /** The `flattenPaths` CSV export — the last reference artifact
+    * beyond the operator surface (building-inspector.dataset.json:
+    * 35-45): the dataset declares nine JSONPath hints naming the
+    * nested `data` fields a tabular consumer flattens to CSV columns.
+    * [[graft.sources.CsvFlattenSink]] resolves each hint against the
+    * record schema generically — `$.data.uuid` is hinted but never
+    * emitted by the pipeline, so it resolves to the typed all-null
+    * column that keeps the declared CSV header stable; `colors[0]` /
+    * `colors[1]` index the array; bare `colors` comma-joins it.
+    *
+    * Scale shape: a zero-shuffle projection over the object records
+    * (the orderBy is gate canonicalization, not operator semantics).
+    */
+  private val csvFlatten = Q(
+    "pipe_csv_flatten",
+    (s, d) => {
+      import s.implicits._
+      val flat = graft.sources.CsvFlattenSink.flatten(
+        pipelineRecords(s, d).filter($"rtype" === "object"),
+        graft.sources.CsvFlattenSink.BuildingInspectorPaths)
+      flat.orderBy(flat.columns.toSeq.map(c => col(c).asc_nulls_first): _*)
+    },
+    Some(SynthCtes + """
+           |SELECT * FROM (
+           |  SELECT bid AS id, 'st:Building' AS obj_type,
+           |         CAST(NULL AS VARCHAR) AS name,
+           |         yr AS valid_since, yr AS valid_until,
+           |         CAST(NULL AS VARCHAR) AS data_uuid,
+           |         sheet_id AS data_sheetid, layer_id AS data_layerid,
+           |         map_id AS data_mapid,
+           |         CASE WHEN color <> '' THEN color END AS data_colors_0,
+           |         CAST(NULL AS VARCHAR) AS data_colors_1,
+           |         CASE WHEN color <> '' THEN color END AS data_colors,
+           |         borough AS data_borough, CAST(NULL AS VARCHAR) AS data_number
+           |  FROM bld
+           |  UNION ALL
+           |  SELECT bid || '-' || pos1, 'st:Address', aname, yr, yr,
+           |         NULL, sheet_id, layer_id, map_id, NULL, NULL, NULL,
+           |         borough, aname
+           |  FROM addr
+           |  UNION ALL
+           |  SELECT tid, 'st:Building', tname, yr, yr,
+           |         NULL, sheet_id, layer_id, map_id, NULL, NULL, NULL,
+           |         borough, NULL
+           |  FROM topf)
+           |ORDER BY id ASC NULLS FIRST, obj_type ASC NULLS FIRST,
+           |         name ASC NULLS FIRST, valid_since ASC NULLS FIRST,
+           |         valid_until ASC NULLS FIRST, data_uuid ASC NULLS FIRST,
+           |         data_sheetid ASC NULLS FIRST, data_layerid ASC NULLS FIRST,
+           |         data_mapid ASC NULLS FIRST, data_colors_0 ASC NULLS FIRST,
+           |         data_colors_1 ASC NULLS FIRST, data_colors ASC NULLS FIRST,
+           |         data_borough ASC NULLS FIRST, data_number ASC NULLS FIRST""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection, shardAssign, snapshotDiff, dropAudit)
+      dataSelection, shardAssign, snapshotDiff, dropAudit, csvFlatten)
 }

@@ -1831,11 +1831,147 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // C4-STYLE LINE-LEVEL CLEANING (Raffel et al. JMLR'20 §2.2): the
+  // other canonical web-corpus gate next to Gopher — C4 filters at the
+  // LINE granularity first (keep lines ending in terminal punctuation
+  // with >= 3 words), then drops whole pages (fewer than a minimum of
+  // retained lines, or containing a banned token). Adapted to this
+  // whitespace corpus like the Gopher entry: a "line" is a run of 10
+  // consecutive words, the terminal-punctuation surrogate is the
+  // line's last word ending in 'e' or 't' (so both line rules fire
+  // both ways on real rows), and the banned token is 'vector' (the
+  // lorem-ipsum/javascript analogue). Everything is IN-ROW lambda
+  // algebra over the split word array — line chunking, per-line
+  // filters, retained-word accounting — so the whole gate is a
+  // zero-shuffle map-only pass with per-rule audit columns: at 100 TB
+  // it costs one narrow-projection scan, same as ta_gopher_rules.
+  private val c4Rules = Q(
+    "ta_c4_rules",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("n_words", size($"w").cast("long"))
+        .withColumn("lines",
+          expr("transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1)," +
+            " i -> slice(w, i * 10 + 1, 10))"))
+        .withColumn("kept",
+          expr("filter(lines, l -> size(l) >= 3" +
+            " AND substring(element_at(l, -1), -1, 1) IN ('e', 't'))"))
+        .select(
+          $"doc_id", $"n_words",
+          size($"lines").cast("long").as("n_lines"),
+          size($"kept").cast("long").as("n_kept"),
+          expr("cast(aggregate(kept, 0, (acc, l) -> acc + size(l)) as bigint)")
+            .as("kept_words"),
+          when(array_contains($"w", "vector"), 1L).otherwise(0L).as("banned"))
+        .withColumn("keep",
+          when($"n_kept" >= 3 && $"banned" === 0, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |l AS (
+           |  SELECT doc_id,
+           |         CAST(len(w) AS BIGINT) AS n_words,
+           |         list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+           |                        i -> w[i * 10 + 1 : i * 10 + 10]) AS lines,
+           |         w
+           |  FROM c),
+           |k AS (
+           |  SELECT doc_id, n_words,
+           |         CAST(len(lines) AS BIGINT) AS n_lines,
+           |         list_filter(lines, x -> len(x) >= 3
+           |             AND right(x[-1], 1) IN ('e', 't')) AS kept,
+           |         CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END
+           |           AS banned
+           |  FROM l)
+           |SELECT doc_id, n_words, n_lines,
+           |       CAST(len(kept) AS BIGINT) AS n_kept,
+           |       CAST(coalesce(list_sum(list_transform(kept, x -> len(x))), 0)
+           |            AS BIGINT) AS kept_words,
+           |       CAST(banned AS BIGINT) AS banned,
+           |       CAST(CASE WHEN len(kept) >= 3 AND banned = 0
+           |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM k
+           |ORDER BY doc_id""".stripMargin),
+  )
+
+  // PMI-RANKED COLLOCATIONS (Church & Hanks 1990; the classic
+  // "strongly-associated adjacent word pairs" NLP statistic): rank
+  // adjacent bigrams by LIFT = P(x,y) / (P(x)·P(y)) — the monotone
+  // log-free surrogate of pointwise mutual information, the same
+  // device gr_basket_lift uses for co-purchases, here over TOKEN
+  // bigrams. All integer: lift_e6 = (c_xy · N_bigrams · 1e6) DIV
+  // (c_x · c_y) through DECIMAL(38,0) intermediates with integral
+  // (floor-for-positive) division on BOTH engines — no float log, no
+  // decimal rounding at the boundary. Min-count 5 prunes noise pairs
+  // before ranking; ties total-ordered by (x, y).
+  // Scale shape: bigrams emit IN-ROW (transform over the word array,
+  // no self-join), the pair counts partial-aggregate on the pair key,
+  // and the unigram table this corpus's closed vocabulary produces is
+  // broadcast-joined; at open-vocabulary 100 TB the same plan holds
+  // with the two unigram legs becoming token-keyed hash joins — the
+  // only corpus-sized shuffles are the two gram-keyed aggregates.
+  private val collocations = Q(
+    "ta_collocations",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .localCheckpoint() // feeds the bigram AND unigram legs once
+      val pairs = toks.filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y))"))
+          .as("p"))
+        .groupBy($"p.x".as("x"), $"p.y".as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+      val uni = toks.select(explode($"w").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("c_t"))
+      val nb = pairs.agg(sum($"c_xy").as("n_bigrams"))
+      pairs
+        .join(broadcast(uni.select($"t".as("x"), $"c_t".as("c_x"))), "x")
+        .join(broadcast(uni.select($"t".as("y"), $"c_t".as("c_y"))), "y")
+        .crossJoin(broadcast(nb))
+        .filter($"c_xy" >= 5)
+        .select($"x", $"y", $"c_xy", $"c_x", $"c_y",
+          expr("CAST((CAST(c_xy AS DECIMAL(38,0)) * n_bigrams * 1000000)" +
+            " DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("lift_e6"))
+        .orderBy($"lift_e6".desc, $"x", $"y")
+        .limit(50)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |pairs AS (
+           |  SELECT p.x AS x, p.y AS y, count(*) AS c_xy FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)),
+           |             i -> {'x': w[i], 'y': w[i + 1]})) AS p
+           |    FROM toks WHERE len(w) >= 2)
+           |  GROUP BY 1, 2),
+           |uni AS (
+           |  SELECT t, count(*) AS c_t
+           |  FROM (SELECT unnest(w) AS t FROM toks)
+           |  GROUP BY t),
+           |nb AS (SELECT sum(c_xy) AS n_bigrams FROM pairs)
+           |SELECT p.x, p.y, p.c_xy, ux.c_t AS c_x, uy.c_t AS c_y,
+           |       CAST((p.c_xy::HUGEINT * nb.n_bigrams::HUGEINT * 1000000)
+           |            // (ux.c_t::HUGEINT * uy.c_t::HUGEINT) AS BIGINT)
+           |         AS lift_e6
+           |FROM pairs p
+           |JOIN uni ux ON ux.t = p.x
+           |JOIN uni uy ON uy.t = p.y
+           |CROSS JOIN nb
+           |WHERE p.c_xy >= 5
+           |ORDER BY lift_e6 DESC, p.x, p.y
+           |LIMIT 50""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
       tokenBudgetAlloc, oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
-      hashedClassifier, gopherRules, ngramNovelty)
+      hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations)
 }
