@@ -1514,11 +1514,89 @@ object EventQueries {
             |ORDER BY user_id""".stripMargin),
   )
 
+  // MULTI-TOUCH LINEAR ATTRIBUTION (the marketing-analytics staple
+  // next to the funnel: split each conversion's credit equally across
+  // the touchpoints that preceded it). Conversions are purchases;
+  // touchpoints are the user's view/click events in the 7 days
+  // before (strictly earlier, ns-exact). Credit is EXACT ppm via the
+  // same largest-remainder device as td_token_budget_alloc: each
+  // touch gets 1e6 div n, the 1e6 mod n remainder goes to the most
+  // recent touches (recency rank, total-ordered by ts desc, event_id
+  // desc) — so per-conversion credit sums to EXACTLY 1e6, and the
+  // channel roll-up is exact. Untouched conversions credit a
+  // '(direct)' channel in full, so Σ credit == 1e6 · conversions is
+  // a closed-book invariant. Scale shape: the touch join is
+  // user-keyed (hash join; fanout bounded by per-user 7-day
+  // activity), the rank window partitions per conversion (bounded
+  // the same way), the roll-up is a |channels|-key agg.
+  private val attributionLinear = Q(
+    "ev_attribution_linear",
+    (s, d) => {
+      import s.implicits._
+      val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val conv = Tables.events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"))
+      val touch = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("tuid"), $"event_type".as("channel"),
+          $"ts".as("tts"), $"event_id".as("tid"))
+      // the window predicate lives IN the join condition: a
+      // conversion whose touches are all out-of-window must still
+      // surface as one null row → '(direct)', not vanish
+      val attributed = conv.join(touch,
+          $"user_id" === $"tuid" && $"tts" < $"cts" &&
+            $"cts" - $"tts" <= WeekNs, "left")
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"user_id", $"cid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"cid")
+            .orderBy($"tts".desc, $"tid".desc)))
+        .select(
+          coalesce($"channel", lit("(direct)")).as("channel"),
+          when($"tts".isNull, lit(1000000L))
+            .otherwise(expr("1000000 div n") +
+              when($"rn" <= expr("1000000 % n"), 1L).otherwise(0L))
+            .as("credit_ppm"))
+      attributed.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touchpoints"),
+          sum($"credit_ppm").as("credit_ppm_total"))
+        .orderBy($"channel")
+    },
+    Some(s"""WITH at_conv AS (
+            |  SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+            |  FROM events WHERE event_type = 'purchase'),
+            |at_touch AS (
+            |  SELECT user_id, event_type AS channel,
+            |         epoch_ns(ts) AS tts, event_id AS tid
+            |  FROM events WHERE event_type IN ('view', 'click')),
+            |at_j AS (
+            |  SELECT c.user_id, c.cid, t.channel, t.tts, t.tid
+            |  FROM at_conv c LEFT JOIN at_touch t
+            |    ON t.user_id = c.user_id AND t.tts < c.cts
+            |   AND c.cts - t.tts <= ${7L * 86400 * 1000 * 1000 * 1000}),
+            |at_r AS (
+            |  SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS n,
+            |         row_number() OVER (PARTITION BY user_id, cid
+            |                            ORDER BY tts DESC, tid DESC) AS rn
+            |  FROM at_j),
+            |at_c AS (
+            |  SELECT coalesce(channel, '(direct)') AS channel,
+            |         CASE WHEN tts IS NULL THEN 1000000
+            |              ELSE 1000000 // n
+            |                   + CASE WHEN rn <= 1000000 % n THEN 1 ELSE 0 END
+            |         END AS credit_ppm
+            |  FROM at_r)
+            |SELECT channel, count(*) AS n_touchpoints,
+            |       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+            |FROM at_c GROUP BY channel
+            |ORDER BY channel""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
-      rateLimit, cohortLtv, activeUsers, ivmMerge)
+      rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear)
 }

@@ -1091,6 +1091,106 @@ object ExtraQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // CUSUM DRIFT DETECTION (Page 1954; the sequential change-point
+  // screen next to qa_ks_drift's two-sample test): S_t = max(0,
+  // S_{t-1} + x_t − k) over each event type's time-ordered value
+  // stream, with allowance k = the type mean (trunc cents). The
+  // recursion LOOKS inherently sequential, but has an exact
+  // prefix-scan form — S_t = cum_t − min(0, min_{j≤t} cum_j) where
+  // cum is the running sum of y = x − k — which is what makes it
+  // DISTRIBUTABLE: the engine computes it two-phase, (1) per-(type,
+  // day) windows for within-day running sum/min (partitions bounded
+  // by one day's events), (2) a day-level carry table (≤|types|·days
+  // rows) whose own prefix windows are corpus-size-free, joined back
+  // broadcast. No per-type corpus-wide sort anywhere — the same
+  // block-prefix device as td_concat_chunks. The ORACLE is the
+  // direct nested-window formulation over the full order; a
+  // decomposition bug is a hash mismatch. Output per type: the
+  // CUSUM peak, WHERE it peaked first (ts, event_id — the detected
+  // change point), and how many samples breached the h = 5k alarm.
+  private val cusumDrift = Q(
+    "qa_cusum_drift",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val e = Tables.events(s, d)
+        .select($"event_type", $"ts", $"event_id", cents($"value").as("v"))
+      val k = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), expr("sum(v) div count(*)").as("k"))
+      val y = e.join(broadcast(k), "event_type")
+        .select($"event_type", $"ts", $"event_id",
+          expr(s"ts div $DayNs").as("day"), ($"v" - $"k").as("y"), $"k", $"n")
+      val wDay = Window.partitionBy($"event_type", $"day")
+        .orderBy($"ts", $"event_id").rowsBetween(Window.unboundedPreceding, 0)
+      val inDay = y
+        .withColumn("cum_d", sum($"y").over(wDay))
+        .withColumn("minrun_d", min($"cum_d").over(wDay))
+      // day-level carry: totals and min-prefix per (type, day), then
+      // tiny prefix windows over the day table only
+      val wPrev = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val days = inDay.groupBy($"event_type", $"day")
+        .agg(sum($"y").as("ytot"), min($"cum_d").as("minpref_d"))
+        .withColumn("carry", coalesce(sum($"ytot").over(wPrev), lit(0L)))
+        .withColumn("gm_prev",
+          least(lit(0L), coalesce(min($"carry" + $"minpref_d").over(wPrev), lit(0L))))
+        .select($"event_type", $"day", $"carry", $"gm_prev")
+      val scored = inDay.join(broadcast(days), Seq("event_type", "day"))
+        .select($"event_type", $"ts", $"event_id", $"k", $"n",
+          (($"carry" + $"cum_d") -
+            least($"gm_prev", $"carry" + $"minrun_d")).as("s"))
+      val mx = scored.groupBy($"event_type").agg(max($"s").as("cusum_max"))
+      scored.join(broadcast(mx), "event_type")
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"), max($"k").as("k_cents"),
+          max($"cusum_max").as("cusum_max"),
+          min(when($"s" === $"cusum_max", struct($"ts", $"event_id"))).as("pk"),
+          sum(when($"s" > lit(5) * $"k", 1L).otherwise(0L)).as("n_alarms"))
+        .select($"event_type", $"n", $"k_cents", $"cusum_max",
+          $"pk.ts".as("peak_ts"), $"pk.event_id".as("peak_event_id"),
+          $"n_alarms")
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH cu_e AS (
+            |  SELECT event_type, epoch_ns(ts) AS ts, event_id,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |cu_k AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(v) AS BIGINT) // count(*) AS k
+            |  FROM cu_e GROUP BY 1),
+            |cu_y AS (
+            |  SELECT e.event_type, e.ts, e.event_id, e.v - k.k AS y, k.k, k.n
+            |  FROM cu_e e JOIN cu_k k USING (event_type)),
+            |cu_c AS (
+            |  SELECT *, CAST(sum(y) OVER (PARTITION BY event_type
+            |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            |           AS BIGINT) AS cum
+            |  FROM cu_y),
+            |cu_s AS (
+            |  SELECT *, CAST(cum - least(0, min(cum) OVER (
+            |           PARTITION BY event_type
+            |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+            |           AS BIGINT) AS s
+            |  FROM cu_c),
+            |cu_m AS (
+            |  SELECT event_type, max(s) AS cusum_max FROM cu_s GROUP BY 1)
+            |SELECT s.event_type, max(s.n) AS n, max(s.k) AS k_cents,
+            |       max(m.cusum_max) AS cusum_max,
+            |       min(CASE WHEN s.s = m.cusum_max
+            |                THEN {'ts': s.ts, 'event_id': s.event_id} END).ts
+            |         AS peak_ts,
+            |       min(CASE WHEN s.s = m.cusum_max
+            |                THEN {'ts': s.ts, 'event_id': s.event_id} END).event_id
+            |         AS peak_event_id,
+            |       CAST(sum(CASE WHEN s.s > 5 * s.k THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_alarms
+            |FROM cu_s s JOIN cu_m m USING (event_type)
+            |GROUP BY s.event_type
+            |ORDER BY s.event_type""".stripMargin),
+  )
+
   // TWO-SAMPLE A/B SIGNIFICANCE GATE (Welch z-test shape): split each
   // event type into arms by user parity, compare means, and gate on
   // diff² > z²·SE² at z=2 — the standard experiment-analysis readout.
@@ -1256,5 +1356,6 @@ object ExtraQueries {
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
-    giniDiversity, exactMoments, skylinePareto, abTestGate, benford)
+    giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
+    cusumDrift)
 }

@@ -865,7 +865,86 @@ object GeoQueries {
             |LIMIT 20""".stripMargin),
   )
 
+  // DBSCAN CORE/BORDER/NOISE classification (Ester et al. KDD'96;
+  // the density-clustering primitive): a point is CORE if ≥ minPts=4
+  // neighbours lie within eps=8 (same layer, self excluded), BORDER
+  // if not core but within eps of a core point, NOISE otherwise —
+  // the per-point classification every distributed DBSCAN builds its
+  // cluster-merge phase on. Same exactness argument as
+  // geo_knn_radius: eps=8 ≤ CellSize=16, so the 9-cell neighbourhood
+  // provably contains every eps-neighbour and grid blocking is EXACT
+  // — the candidate-pair stream is generated once (checkpointed) and
+  // feeds BOTH the neighbour count and the border-of-core probe (a
+  // semi join against the core set). Distances are exact integer
+  // squares. The ORACLE is the unblocked all-pairs formulation; a
+  // blocking bug is a hash mismatch.
+  // Scale shape: pair volume = Σ cell occupancy² at constant density
+  // (O(n)); counts/core/border are all point-keyed partial aggs and
+  // hash joins — nothing corpus-sized broadcasts or sorts globally.
+  private val dbscanCore = Q(
+    "geo_dbscan_core",
+    (s, d) => {
+      import s.implicits._
+      val offs9 = (for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy))
+        .toDF("dx", "dy")
+      val probe = SpatialGrid.pointsWithCell(s, d)
+        .crossJoin(broadcast(offs9))
+        .select($"c_custkey", $"c_layer", $"px", $"py",
+          ($"cx" + $"dx").as("kx"), ($"cy" + $"dy").as("ky"))
+      val build = SpatialGrid.pointsWithCell(s, d)
+        .select($"c_custkey".as("nbr"), $"c_layer".as("nl"),
+          $"px".as("nx"), $"py".as("ny"), $"cx".as("bx"), $"cy".as("by"))
+      val cand = probe
+        .join(build,
+          $"c_layer" === $"nl" && $"kx" === $"bx" && $"ky" === $"by" &&
+            $"c_custkey" =!= $"nbr")
+        .filter(
+          (($"px" - $"nx") * ($"px" - $"nx") +
+            ($"py" - $"ny") * ($"py" - $"ny")).cast("long") <= 64)
+        .select($"c_custkey", $"nbr")
+        .localCheckpoint() // feeds the count AND the border probe
+      val base = SpatialGrid.pointsWithCell(s, d).select($"c_custkey")
+        .join(cand.groupBy($"c_custkey").agg(count(lit(1)).as("n")),
+          Seq("c_custkey"), "left")
+        .na.fill(0L, Seq("n"))
+      val core = base.filter($"n" >= 4).select($"c_custkey".as("corek"))
+      val borderOfCore = cand
+        .join(core, $"nbr" === $"corek", "left_semi")
+        .select($"c_custkey").distinct()
+        .withColumn("hcn", lit(1))
+      base.join(borderOfCore, Seq("c_custkey"), "left")
+        .select($"c_custkey", $"n".as("n_nbrs"),
+          when($"n" >= 4, "core")
+            .when($"hcn".isNotNull, "border")
+            .otherwise("noise").as("cls"))
+        .orderBy($"c_custkey")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |db_pts AS (${SpatialGrid.ptsSql("customer")}),
+            |db_cand AS (
+            |  SELECT a.c_custkey, b.c_custkey AS nbr
+            |  FROM db_pts a JOIN db_pts b
+            |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+            |  WHERE (a.px - b.px) * (a.px - b.px)
+            |      + (a.py - b.py) * (a.py - b.py) <= 64),
+            |db_base AS (
+            |  SELECT p.c_custkey, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            |  FROM db_pts p LEFT JOIN (
+            |    SELECT c_custkey, count(*) AS n FROM db_cand GROUP BY 1) c
+            |    USING (c_custkey)),
+            |db_core AS (SELECT c_custkey FROM db_base WHERE n >= 4),
+            |db_hcn AS (
+            |  SELECT DISTINCT d.c_custkey
+            |  FROM db_cand d JOIN db_core k ON d.nbr = k.c_custkey)
+            |SELECT b.c_custkey, b.n AS n_nbrs,
+            |       CASE WHEN b.n >= 4 THEN 'core'
+            |            WHEN h.c_custkey IS NOT NULL THEN 'border'
+            |            ELSE 'noise' END AS cls
+            |FROM db_base b LEFT JOIN db_hcn h USING (c_custkey)
+            |ORDER BY b.c_custkey""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
-      zorderCluster, knnRadius, polyAreaCentroid, gridDensity)
+      zorderCluster, knnRadius, polyAreaCentroid, gridDensity, dbscanCore)
 }

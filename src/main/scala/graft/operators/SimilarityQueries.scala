@@ -1155,6 +1155,79 @@ object SimilarityQueries {
            |ORDER BY i, j""".stripMargin),
   )
 
+  // PCA TOP COMPONENT via POWER ITERATION over the gram matrix — the
+  // step after sim_gram_matrix in the classic distributed-PCA recipe
+  // (compute G = ΣxxT in one corpus pass, then iterate on the d×d
+  // matrix, never touching the corpus again): x ← G·x, renormalized
+  // each round, 3 rounds from the all-ones start. Everything is
+  // EXACT integer arithmetic: G rides its e9-scaled BIGINT form, x
+  // lives in micro-units (∞-norm 1e6), the matrix-vector product
+  // accumulates in DECIMAL(38,0)/HUGEINT (y peaks ~1e25 — far past
+  // BIGINT), and renormalization is sign(y)·((|y|·1e6) DIV max|y|) —
+  // the abs/sign split matters because y is SIGNED and Spark's DIV
+  // truncates while DuckDB's // floors; on |y| they agree. The fixed
+  // 3-round count is the replayability contract (convergence rate is
+  // the spectral-gap story; the algebra is what's gated).
+  // Scale shape: after the (separately gated) gram pass, every table
+  // here is ≤ d² rows — corpus-size-free by construction, the
+  // published-artifact shape. Each round is one broadcast join + a
+  // d-key partial agg.
+  private val pcaPower = Q(
+    "sim_pca_power",
+    (s, d) => {
+      import s.implicits._
+      val upper = gramMatrix.fn(s, d) // (i, j, gram_e9), j >= i, gated
+      val g = upper.unionByName(
+        upper.filter($"i" =!= $"j")
+          .select($"j".as("i"), $"i".as("j"), $"gram_e9"))
+        .localCheckpoint() // ≤ d² rows; feeds 3 iteration joins
+      var x = g.select($"i".as("k")).distinct()
+        .withColumn("x", lit(1000000L).cast("decimal(38,0)"))
+      (1 to 3).foreach { _ =>
+        val y = g.join(broadcast(x), $"j" === $"k")
+          .groupBy($"i")
+          .agg(sum($"gram_e9".cast("decimal(38,0)") * $"x").as("y"))
+        val mx = y.agg(max(abs($"y")).as("mx"))
+        x = y.crossJoin(broadcast(mx))
+          .select($"i".as("k"),
+            expr("CAST(CASE WHEN y < 0 THEN -1 ELSE 1 END" +
+              " * ((abs(y) * 1000000) DIV mx) AS DECIMAL(38,0))").as("x"))
+      }
+      x.select($"k", $"x".cast("long").as("x_micro")).orderBy($"k")
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""${out}_y AS (
+           |  SELECT g.i, sum(g.gram_e9::HUGEINT * p.x) AS y
+           |  FROM pc_g g JOIN $prev p ON p.k = g.j
+           |  GROUP BY g.i),
+           |${out}_m AS (SELECT max(abs(y)) AS mx FROM ${out}_y),
+           |$out AS (
+           |  SELECT y.i AS k,
+           |         (CASE WHEN y.y < 0 THEN -1 ELSE 1 END)
+           |           * ((abs(y.y) * 1000000) // m.mx) AS x
+           |  FROM ${out}_y y CROSS JOIN ${out}_m m)""".stripMargin
+      s"""WITH pc_up AS (
+         |  SELECT i, j,
+         |         CAST(round(CAST(SUM(CAST(
+         |               CAST(e.embedding[i] AS DOUBLE) *
+         |               CAST(e.embedding[j] AS DOUBLE)
+         |             AS DECIMAL(30,15))) AS DOUBLE) * 1e9) AS BIGINT)
+         |           AS gram_e9
+         |  FROM embeddings e, range(1, 65) a(i), range(1, 65) b(j)
+         |  WHERE j >= i
+         |  GROUP BY i, j),
+         |pc_g AS (SELECT i, j, gram_e9 FROM pc_up
+         |         UNION ALL SELECT j, i, gram_e9 FROM pc_up WHERE i <> j),
+         |pc_x0 AS (SELECT DISTINCT i AS k, 1000000::HUGEINT AS x FROM pc_g),
+         |${step("pc_x0", "pc_x1")},
+         |${step("pc_x1", "pc_x2")},
+         |${step("pc_x2", "pc_x3")}
+         |SELECT CAST(k AS BIGINT) AS k, CAST(x AS BIGINT) AS x_micro
+         |FROM pc_x3 ORDER BY k""".stripMargin
+    },
+  )
+
   // ANN QUALITY EVAL: recall@3 and MRR of the LSH-ANN against the
   // exact brute-force top-3 — the metric loop every production ANN
   // deployment runs on a probe sample. The ground truth side is
@@ -1238,5 +1311,5 @@ object SimilarityQueries {
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
-      sqTopK, gramMatrix, recallMrrEval)
+      sqTopK, gramMatrix, pcaPower, recallMrrEval)
 }

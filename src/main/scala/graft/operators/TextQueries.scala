@@ -1967,11 +1967,92 @@ object TextQueries {
            |LIMIT 50""".stripMargin),
   )
 
+  // TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau EMNLP'04): PageRank
+  // over the word co-occurrence graph — the classic unsupervised
+  // keyword ranker. Nodes are tokens, edges are adjacent-pair
+  // co-occurrences with their counts as weights (both directions
+  // merged, self-pairs dropped); 3 rounds of WEIGHTED PageRank in the
+  // same exact-integer device as gr_pagerank: contributions
+  // pr·w DIV strength (strength = Σ incident weights), update
+  // 150000 + 85·Σ DIV 100, everything ppm-scaled BIGINT with
+  // truncating division on both engines. Top-20 by (score, token).
+  // Scale shape: the graph tables are vocabulary-bounded (closed
+  // vocab here → broadcast; open vocab → token-keyed hash joins);
+  // per-round cost is one edge-keyed join + a token-keyed partial
+  // agg, the corpus itself is touched once by the bigram pass.
+  private val textrank = Q(
+    "ta_textrank_keywords",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.documents(s, d)
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+          .as("p"))
+        .filter($"p.a" =!= $"p.b")
+        .groupBy(least($"p.a", $"p.b").as("u"), greatest($"p.a", $"p.b").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint() // feeds strength + 3 contribution rounds
+      val sym = pairs.select($"u".as("src"), $"v".as("dst"), $"w")
+        .unionByName(pairs.select($"v".as("src"), $"u".as("dst"), $"w"))
+      val strength = sym.groupBy($"src").agg(sum($"w").as("st"))
+      var ranks = strength.select($"src".as("node"), lit(1000000L).as("pr"))
+      (1 to 3).foreach { _ =>
+        val contribs = ranks.join(strength, $"node" === $"src")
+          .select($"node".as("csrc"), $"pr", $"st")
+        ranks = sym
+          .join(contribs, $"src" === $"csrc")
+          .groupBy($"dst")
+          .agg(sum(expr("(pr * w) div st")).as("m"))
+          .select($"dst".as("node"), expr("150000 + (85 * m) div 100").as("pr"))
+      }
+      ranks.select($"node".as("token"), $"pr".as("score"))
+        .orderBy($"score".desc, $"token").limit(20)
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT s.dst AS node,
+           |         150000 + (85 * CAST(sum((r.pr * s.w) // t.st) AS BIGINT))
+           |           // 100 AS pr
+           |  FROM tr_sym s
+           |  JOIN tr_st t ON t.src = s.src
+           |  JOIN $prev r ON r.node = s.src
+           |  GROUP BY s.dst)""".stripMargin
+      s"""WITH tr_tok AS (
+         |  SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |tr_pair AS (
+         |  SELECT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(w)),
+         |             i -> {'a': w[i], 'b': w[i + 1]})) AS p
+         |    FROM tr_tok) q
+         |  WHERE p.a <> p.b
+         |  GROUP BY 1, 2),
+         |tr_sym AS (SELECT u AS src, v AS dst, w FROM tr_pair
+         |           UNION ALL SELECT v, u, w FROM tr_pair),
+         |tr_st AS (SELECT src, CAST(sum(w) AS BIGINT) AS st
+         |          FROM tr_sym GROUP BY 1),
+         |tr_r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+         |          FROM tr_st),
+         |${step("tr_r0", "tr_r1")},
+         |${step("tr_r1", "tr_r2")},
+         |${step("tr_r2", "tr_r3")}
+         |SELECT node AS token, pr AS score FROM tr_r3
+         |ORDER BY score DESC, token LIMIT 20""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
       tokenBudgetAlloc, oovRate, bpeMerges, bpeEncode, trendingTerms, sourceTvd,
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
-      hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations)
+      hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
+      textrank)
 }
