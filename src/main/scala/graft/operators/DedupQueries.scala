@@ -1596,10 +1596,90 @@ object DedupQueries {
            |LIMIT 20""".stripMargin),
   )
 
+  // DEDUP QUALITY EVAL — precision/recall of the MinHash-LSH
+  // candidate generator against EXACT ground truth IN THE SIMILARITY
+  // SPACE THE GEOMETRY APPROXIMATES: the signatures minhash 3-word
+  // SHINGLE sets (r=2 rows × b=4 bands → P(candidate) = 1−(1−J²)⁴
+  // over shingle-Jaccard), so the honest ground truth is exact
+  // shingle-set Jaccard ≥ 0.5 — word-set Jaccard would grade the
+  // geometry against a similarity it never promised (this corpus
+  // makes the difference stark: most doc pairs share ≥80% of their
+  // WORDS but almost no exact 3-word runs). Truth pairs come from a
+  // shingle-keyed inverted-index join — pair volume is Σ df² over
+  // shingles (co-occurrence-bounded, never corpus²) — with the
+  // cross-multiplied ≥0.5 test; predictions are the gated LSH
+  // candidate pairs. One summary row: counts + floor-percent
+  // precision/recall (at the b=4/r=2 S-curve, J=0.5 pairs surface
+  // with p≈0.68 — the measured recall documents what the geometry
+  // actually buys).
+  private val dedupEval = Q(
+    "td_dedup_eval",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", explode(array_distinct(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' '," +
+            " element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
+          .as("shingle"))
+        .localCheckpoint() // both legs of the inverted-index join + sizes
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select($"doc_id".as("doc1"), $"shingle")
+        .join(sh.select($"doc_id".as("doc2"), $"shingle".as("s2")),
+          $"shingle" === $"s2" && $"doc1" < $"doc2")
+        .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sz.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
+        .join(sz.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+        .filter($"ni" * 2 >= $"n1" + $"n2" - $"ni")
+        .select($"doc1", $"doc2").localCheckpoint()
+      val pred = minhashLsh.fn(s, d)
+        .select($"doc1", $"doc2").localCheckpoint()
+      val tp = pred.join(truth, Seq("doc1", "doc2"), "left_semi").count()
+      val nT = truth.count()
+      val nP = pred.count()
+      Seq((nT, nP, tp,
+        if (nP == 0) 0L else tp * 100 / nP,
+        if (nT == 0) 0L else tp * 100 / nT))
+        .toDF("n_truth", "n_pred", "tp", "precision_pct", "recall_pct")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |de_sz AS (
+            |  SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+            |de_inter AS (
+            |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS ni
+            |  FROM shingles a JOIN shingles b
+            |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |de_truth AS (
+            |  SELECT doc1, doc2
+            |  FROM de_inter
+            |  JOIN (SELECT doc_id AS doc1, n AS n1 FROM de_sz) s1 USING (doc1)
+            |  JOIN (SELECT doc_id AS doc2, n AS n2 FROM de_sz) s2 USING (doc2)
+            |  WHERE 2 * ni >= n1 + n2 - ni),
+            |de_pred AS (SELECT DISTINCT doc1, doc2 FROM candidates),
+            |de_tp AS (
+            |  SELECT count(*) AS tp FROM de_pred p
+            |  WHERE EXISTS (SELECT 1 FROM de_truth t
+            |                WHERE t.doc1 = p.doc1 AND t.doc2 = p.doc2))
+            |SELECT CAST((SELECT count(*) FROM de_truth) AS BIGINT) AS n_truth,
+            |       CAST((SELECT count(*) FROM de_pred) AS BIGINT) AS n_pred,
+            |       CAST(tp AS BIGINT) AS tp,
+            |       CAST(CASE WHEN (SELECT count(*) FROM de_pred) = 0 THEN 0
+            |            ELSE tp * 100 // (SELECT count(*) FROM de_pred) END
+            |            AS BIGINT) AS precision_pct,
+            |       CAST(CASE WHEN (SELECT count(*) FROM de_truth) = 0 THEN 0
+            |            ELSE tp * 100 // (SELECT count(*) FROM de_truth) END
+            |            AS BIGINT) AS recall_pct
+            |FROM de_tp""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
-      spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup, cdcChunks)
+      spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup, cdcChunks,
+      dedupEval)
 }

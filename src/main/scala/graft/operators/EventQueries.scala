@@ -1592,11 +1592,59 @@ object EventQueries {
             |ORDER BY channel""".stripMargin),
   )
 
+  // SEASONAL-NAIVE FORECAST BACKTEST — the baseline every forecasting
+  // system is judged against (and the monitoring loop that judges
+  // it): predict each (type, day)'s revenue as the revenue exactly 7
+  // days earlier, then score the backtest with exact integer error
+  // accounting — MAE in cents (truncating div) and WAPE in ppm
+  // (Σ|err|·1e6 DIV Σactual — the weighted form avoids MAPE's
+  // per-day division entirely, so no float and no div-by-zero days).
+  // Scale shape: ONE corpus pass collapses events to the (type, day)
+  // daily table (≤ |types|·days rows); the lag-7 self-join and all
+  // scoring run on that table — corpus-size-free after the first
+  // aggregate, the same shape as the retention/LTV matrices.
+  private val forecastBacktest = Q(
+    "ev_forecast_backtest",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", expr(s"ts div $DayNs").as("day"))
+        .agg(sum(cents($"value")).as("actual"))
+        .localCheckpoint() // both sides of the lag-7 self-join
+      val pred = daily.select($"event_type", ($"day" + 7).as("day"),
+        $"actual".as("predicted"))
+      daily.join(pred, Seq("event_type", "day"))
+        .select($"event_type", abs($"actual" - $"predicted").as("err"), $"actual")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(err) div count(*)").as("mae_cents"),
+          expr("(sum(err) * 1000000) div sum(actual)").as("wape_ppm"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH fb_daily AS (
+            |  SELECT event_type,
+            |         epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day,
+            |         CAST(sum(${centsSql("value")}) AS BIGINT) AS actual
+            |  FROM events GROUP BY 1, 2),
+            |fb_j AS (
+            |  SELECT a.event_type, abs(a.actual - p.actual) AS err, a.actual
+            |  FROM fb_daily a JOIN fb_daily p
+            |    ON p.event_type = a.event_type AND p.day = a.day - 7)
+            |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            |       CAST(sum(err) AS BIGINT) // count(*) AS mae_cents,
+            |       (CAST(sum(err) AS BIGINT) * 1000000)
+            |         // CAST(sum(actual) AS BIGINT) AS wape_ppm
+            |FROM fb_j GROUP BY 1
+            |ORDER BY event_type""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
       streamParity, hoppingStreamParity, sessionStreamParity,
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
-      rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear)
+      rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
+      forecastBacktest)
 }

@@ -111,24 +111,52 @@ object GraphQueries {
   //      bounds every wedge list here).
   // The ORACLE generates pairs by the unblocked self-join — an
   // in-row emission bug is a hash mismatch, not a replayed agreement.
+  /** The top-10-sparsified co-purchase graph (parts sharing an order,
+    * each node keeping its 10 strongest edges, ties total-ordered) as
+    * a checkpointed undirected edge list (u < v) — shared by the
+    * triangle count, modularity, and k-core entries. See the scale
+    * notes at `gr_triangle_count`.
+    */
+  private def coPurchaseKept(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
+      .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
+    val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+    val sym = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
+    sym
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
+      .filter($"rn" <= 10)
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** The matching DuckDB CTE chain, ending in `kept(u, v)`. */
+  private val CoKeptCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |raw AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |symw AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
+      |kept AS (
+      |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+      |    SELECT u, v,
+      |           row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
+      |    FROM symw)
+      |  WHERE rn <= 10)""".stripMargin
+
   private val triangles = Q(
     "gr_triangle_count",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val raw = Tables.lineitem(s, d)
-        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
-        .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
-        .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
-      val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
-      val sym = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
-      val kept = sym
-        .withColumn("rn",
-          row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-        .filter($"rn" <= 10)
-        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-        .distinct()
-        .localCheckpoint() // feeds three join legs + the node count
+      val kept = coPurchaseKept(s, d) // feeds three join legs + the node count
       val tri = kept.select($"u".as("a"), $"v".as("b"))
         .join(kept.select($"u".as("b2"), $"v".as("c2")), $"b" === $"b2")
         .join(kept.select($"u".as("a3"), $"v".as("c3")),
@@ -344,20 +372,7 @@ object GraphQueries {
     "gr_modularity",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val raw = Tables.lineitem(s, d)
-        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
-        .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
-        .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
-      val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
-      val symw = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
-      val kept = symw
-        .withColumn("rn",
-          row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-        .filter($"rn" <= 10)
-        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-        .distinct()
-        .localCheckpoint() // feeds sym/deg, the LPA rounds, intra, and m
+      val kept = coPurchaseKept(s, d) // feeds sym/deg, LPA rounds, intra, m
       val m = kept.count()
       val sym = kept.select($"u".as("src"), $"v".as("dst"))
         .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
@@ -401,19 +416,7 @@ object GraphQueries {
            |        SELECT node AS v, lbl FROM $prev)
            |      GROUP BY v, lbl))
            |  WHERE rk = 1)""".stripMargin
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |raw AS (
-         |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2),
-         |symw AS (SELECT u, v, w FROM raw UNION ALL SELECT v, u, w FROM raw),
-         |kept AS (
-         |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
-         |    SELECT u, v,
-         |           row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS rn
-         |    FROM symw)
-         |  WHERE rn <= 10),
+      s"""WITH $CoKeptCtes,
          |csym AS (SELECT u AS src, v AS dst FROM kept
          |         UNION ALL SELECT v, u FROM kept),
          |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM csym),
@@ -438,6 +441,79 @@ object GraphQueries {
          |         AS q_num
          |FROM comm c LEFT JOIN intra i USING (lbl) CROSS JOIN m
          |ORDER BY q_num DESC, lbl""".stripMargin
+    },
+  )
+
+  // K-CORE DECOMPOSITION (Seidman 1983 peeling; the standard
+  // "dense-enough subgraph" primitive under community seeding and
+  // graph cleaning): synchronously remove every node with degree < k
+  // (k=12 — above the sparsified graph's min degree of 10, so the
+  // peel genuinely cascades) and repeat — each round recomputes degrees WITHIN the
+  // surviving subgraph. Three rounds with convergence early-exit,
+  // same replayability contract as LPA: synchronous peeling is a
+  // monotone fixed-point iteration (the survivor set only shrinks),
+  // so once a round removes nothing the iteration is converged and
+  // stopping early returns exactly the capped-round result the
+  // oracle unrolls. Output: the round-3 survivors with their degree
+  // inside the surviving subgraph.
+  // Scale shape: per round, one edge-list join against the compact
+  // survivor set + a node-keyed partial agg — O(|E|) shuffled bytes
+  // a round on the top-10-sparsified graph (|E| ≤ 10·|V|); survivor
+  // tables are |V|-bounded and checkpointed per round.
+  private val kcore = Q(
+    "gr_kcore",
+    (s, d) => {
+      import s.implicits._
+      val K = 12
+      val kept = coPurchaseKept(s, d)
+      val sym = kept.select($"u".as("src"), $"v".as("dst"))
+        .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
+      var alive = sym.select($"src".as("node")).distinct().localCheckpoint()
+      var lastDeg: org.apache.spark.sql.DataFrame = null
+      var converged = false
+      var round = 0
+      while (round < 3 && !converged) {
+        val deg = sym
+          .join(alive.select($"node".as("src")), "src")
+          .join(alive.select($"node".as("dst")), "dst")
+          .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        val next = deg.filter($"deg" >= K)
+          .select($"node").localCheckpoint()
+        converged = next.count() == alive.count()
+        lastDeg = deg
+        alive = next
+        round += 1
+      }
+      // survivors' degree within the surviving subgraph (recompute
+      // against the FINAL survivor set so the reported degree matches
+      // the fixed-point subgraph, not the pre-peel one)
+      sym.join(alive.select($"node".as("src")), "src")
+        .join(alive.select($"node".as("dst")), "dst")
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .orderBy($"node")
+    },
+    Some {
+      def peel(prev: String, out: String) =
+        s"""${out}_d AS (
+           |  SELECT s.src AS node, count(*) AS deg
+           |  FROM ksym s
+           |  JOIN $prev a ON a.node = s.src
+           |  JOIN $prev b ON b.node = s.dst
+           |  GROUP BY 1),
+           |$out AS (SELECT node FROM ${out}_d WHERE deg >= 12)""".stripMargin
+      s"""WITH $CoKeptCtes,
+         |ksym AS (SELECT u AS src, v AS dst FROM kept
+         |         UNION ALL SELECT v, u FROM kept),
+         |a0 AS (SELECT DISTINCT src AS node FROM ksym),
+         |${peel("a0", "a1")},
+         |${peel("a1", "a2")},
+         |${peel("a2", "a3")}
+         |SELECT s.src AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM ksym s
+         |JOIN a3 a ON a.node = s.src
+         |JOIN a3 b ON b.node = s.dst
+         |GROUP BY 1
+         |ORDER BY node""".stripMargin
     },
   )
 
@@ -729,6 +805,6 @@ object GraphQueries {
   )
 
   def all: Seq[Q] =
-    Seq(pagerank, triangles, labelProp, modularity, bfsHops, linkPredict,
-      basketLift)
+    Seq(pagerank, triangles, labelProp, modularity, kcore, bfsHops,
+      linkPredict, basketLift)
 }

@@ -842,7 +842,91 @@ object MultimodalQueries {
       |ORDER BY d.doc_id""".stripMargin),
   )
 
+  // AUDIO FINGERPRINT MATCHING (Wang ISMIR'03, the Shazam scheme —
+  // the audio twin of pHash near-dup): salient PEAKS (frames whose
+  // energy strictly exceeds both neighbours) pair up within a
+  // 5-frame fan-out window, each pair hashed as (coarse energy
+  // bucket₁, bucket₂, Δframe) → md5 — the time-offset-invariant
+  // landmark hash; two assets sharing ≥1 landmark are match
+  // candidates ranked by shared-landmark count. Same df-cap defense
+  // as the posting-list entries: a landmark appearing in > 64 docs
+  // is a stop-fingerprint and is pruned before the pair join, so the
+  // join fan-in is bounded per key. Peaks/pairs come from per-doc
+  // windows bounded by frames-per-asset; the only corpus-sized
+  // exchanges are the fingerprint-keyed agg and the capped
+  // candidate join — the LSH-bucket shape.
+  private val audioFingerprint = Q(
+    "mm_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"doc_id").orderBy($"frame")
+      val peaks = Multimodal.audioFrames(Multimodal.asMedia(s, d)).toDF()
+        .withColumn("pe", lag($"energy", 1).over(w))
+        .withColumn("ne", lead($"energy", 1).over(w))
+        .filter($"energy" > $"pe" && $"energy" > $"ne")
+        .select($"doc_id", $"frame", expr("energy div 100").as("eb"))
+      val fps = peaks.as("p1")
+        .join(peaks.as("p2"),
+          $"p1.doc_id" === $"p2.doc_id" &&
+            $"p2.frame" - $"p1.frame" >= 1 && $"p2.frame" - $"p1.frame" <= 5)
+        .select($"p1.doc_id".as("doc_id"),
+          md5(concat_ws(":", $"p1.eb", $"p2.eb",
+            ($"p2.frame" - $"p1.frame").cast("string"))).as("fp"))
+        .distinct()
+        .localCheckpoint() // feeds the df cap and both join legs
+      val keptFp = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 64).select($"fp")
+      val capped = fps.join(keptFp, "fp")
+      capped.select($"fp", $"doc_id".as("doc_a"))
+        .join(capped.select($"fp".as("fp2"), $"doc_id".as("doc_b")),
+          $"fp" === $"fp2" && $"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"n_shared".desc, $"doc_a", $"doc_b")
+        .limit(20)
+    },
+    Some("""WITH af_b AS (
+           |  SELECT doc_id, text, length(text) AS n FROM documents),
+           |af_frames AS (
+           |  SELECT doc_id, text, n,
+           |         CAST(unnest(range(0, (n + 99) // 100)) AS INT) AS frame
+           |  FROM af_b),
+           |af_samples AS (
+           |  SELECT doc_id, frame,
+           |         CAST(unnest(range(frame * 100 + 1,
+           |                           least(frame * 100 + 100, n) + 1)) AS INT) AS i,
+           |         text
+           |  FROM af_frames),
+           |af_e AS (
+           |  SELECT doc_id, frame,
+           |         CAST(sum(abs(ascii(substr(text, i, 1)) - 100)) AS BIGINT)
+           |           AS energy
+           |  FROM af_samples GROUP BY doc_id, frame),
+           |af_peaks AS (
+           |  SELECT doc_id, frame, energy // 100 AS eb FROM (
+           |    SELECT *, lag(energy) OVER w AS pe, lead(energy) OVER w AS ne
+           |    FROM af_e
+           |    WINDOW w AS (PARTITION BY doc_id ORDER BY frame))
+           |  WHERE energy > pe AND energy > ne),
+           |af_fp AS (
+           |  SELECT DISTINCT p1.doc_id,
+           |         md5(p1.eb || ':' || p2.eb || ':' || (p2.frame - p1.frame))
+           |           AS fp
+           |  FROM af_peaks p1 JOIN af_peaks p2
+           |    ON p2.doc_id = p1.doc_id
+           |   AND p2.frame - p1.frame BETWEEN 1 AND 5),
+           |af_kept AS (
+           |  SELECT fp FROM af_fp GROUP BY fp HAVING count(*) <= 64),
+           |af_c AS (SELECT f.* FROM af_fp f JOIN af_kept k USING (fp))
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(count(*) AS BIGINT) AS n_shared
+           |FROM af_c a JOIN af_c b ON b.fp = a.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |ORDER BY n_shared DESC, doc_a, doc_b
+           |LIMIT 20""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
-      sceneCut, patchGrid16, mediaQa)
+      sceneCut, patchGrid16, mediaQa, audioFingerprint)
 }

@@ -1188,10 +1188,14 @@ object SimilarityQueries {
           .groupBy($"i")
           .agg(sum($"gram_e9".cast("decimal(38,0)") * $"x").as("y"))
         val mx = y.agg(max(abs($"y")).as("mx"))
+        // checkpoint the 64-row vector per round: left as a plan,
+        // each broadcast(x)/broadcast(mx) subtree re-derives every
+        // earlier round from g — trivial data, needless plan depth
         x = y.crossJoin(broadcast(mx))
           .select($"i".as("k"),
             expr("CAST(CASE WHEN y < 0 THEN -1 ELSE 1 END" +
               " * ((abs(y) * 1000000) DIV mx) AS DECIMAL(38,0))").as("x"))
+          .localCheckpoint()
       }
       x.select($"k", $"x".cast("long").as("x_micro")).orderBy($"k")
     },

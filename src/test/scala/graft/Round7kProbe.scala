@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Grown-corpus scaling probe for the round-7 session-10 additions.
+  * Each row records wall time PLUS the intermediate cardinality the
+  * entry's scale argument rests on, so the exponents are measured:
+  *
+  *   - ta_collocations: distinct bigram pairs (the pair-agg's real
+  *     key volume under a GROWN vocabulary) and the post-min-count
+  *     survivor count;
+  *   - td_cdc_chunks: total/distinct chunks — the chunk-hash agg
+  *     volume (claim: ∝ tokens, expected chunk length fixed at 4);
+  *   - ta_textrank_keywords: graph nodes/edges under grown vocab
+  *     (claim: per-round cost ∝ edges, NOT corpus);
+  *   - gr_modularity: kept edges m and community count (claim: the
+  *     3 LPA rounds dominate at O(m)/round);
+  *   - qa_cusum_drift: the (type, day) carry-table size — the ONLY
+  *     table whose windows cross days (claim: corpus-size-free);
+  *   - ev_attribution_linear: conversions and the touch-join pair
+  *     volume (the user-keyed fanout bound);
+  *   - geo_dbscan_core: candidate-pair volume (claim: ∝ n at
+  *     constant density — Σ occupancy² over cells);
+  *   - sim_pca_power: vecs (the gram pass is the corpus cost; the
+  *     3 iterations are ≤ d² rows at any n);
+  *   - ta_c4_rules / qa_ab_test_gate / qa_benford /
+  *     pipe_csv_flatten: map-only or bounded-key passes — time only.
+  *
+  *   SPARK_GRAFT_SF_DIRS=d1,d2 sbt "Test/runMain graft.Round7kProbe"
+  */
+object Round7kProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.exprs.register(spark)
+    import spark.implicits._
+
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(name: String, d: String): (Long, Double) = {
+      val q = QueryCatalog.all.find(_.name == name).get
+      time(q.fn(spark, d).count())
+    }
+    def emit(fields: (String, Any)*): Unit =
+      println(fields.map {
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v: Double) => f""""$k":$v%.2f"""
+        case (k, v)         => s""""$k":$v"""
+      }.mkString("{", ",", "}"))
+
+    for (d <- dirs) {
+      val docs = graft.model.Tables.documents(spark, d)
+      val nDocs = docs.count()
+      val toks = docs.select($"doc_id", split($"text", " ").as("w"))
+      val nTokens = toks.select(expr("cast(sum(size(w)) as bigint)")).head.getLong(0)
+
+      val pairsAll = toks.filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y))"))
+          .as("p"))
+        .groupBy($"p.x", $"p.y").count()
+      val nPairKeys = pairsAll.count()
+      val (colRows, colT) = run("ta_collocations", d)
+      emit("probe" -> "ta_collocations", "dir" -> d, "tokens" -> nTokens,
+        "distinct_pairs" -> nPairKeys, "rows" -> colRows, "sec" -> colT)
+
+      val q2 = QueryCatalog.all.find(_.name == "td_cdc_chunks").get
+      val (cdc, cdcT) = time {
+        q2.fn(spark, d).select(max($"total_chunks"), max($"distinct_chunks")).head()
+      }
+      emit("probe" -> "td_cdc_chunks", "dir" -> d, "tokens" -> nTokens,
+        "total_chunks" -> cdc.getLong(0), "distinct_chunks" -> cdc.getLong(1),
+        "sec" -> cdcT)
+
+      val nNodes = toks.select(explode($"w").as("t")).distinct().count()
+      val (trRows, trT) = run("ta_textrank_keywords", d)
+      emit("probe" -> "ta_textrank_keywords", "dir" -> d, "vocab" -> nNodes,
+        "rows" -> trRows, "sec" -> trT)
+
+      val q3 = QueryCatalog.all.find(_.name == "gr_modularity").get
+      val (modu, moduT) = time {
+        q3.fn(spark, d).agg(max($"m_edges"), count(lit(1)), sum($"e_intra")).head()
+      }
+      emit("probe" -> "gr_modularity", "dir" -> d, "m_edges" -> modu.getLong(0),
+        "communities" -> modu.getLong(1), "intra" -> modu.getLong(2),
+        "sec" -> moduT)
+
+      val nEvents = graft.model.Tables.events(spark, d).count()
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val nCarry = graft.model.Tables.events(spark, d)
+        .select($"event_type", expr(s"ts div $DayNs").as("day"))
+        .distinct().count()
+      val (cuRows, cuT) = run("qa_cusum_drift", d)
+      emit("probe" -> "qa_cusum_drift", "dir" -> d, "events" -> nEvents,
+        "carry_rows" -> nCarry, "types" -> cuRows, "sec" -> cuT)
+
+      val q4 = QueryCatalog.all.find(_.name == "ev_attribution_linear").get
+      val (att, attT) = time {
+        q4.fn(spark, d).agg(sum($"n_touchpoints"), sum($"credit_ppm_total")).head()
+      }
+      emit("probe" -> "ev_attribution_linear", "dir" -> d, "events" -> nEvents,
+        "pairs" -> att.getLong(0), "credit_total" -> att.getLong(1),
+        "sec" -> attT)
+
+      val q5 = QueryCatalog.all.find(_.name == "geo_dbscan_core").get
+      val (db, dbT) = time {
+        q5.fn(spark, d).agg(count(lit(1)), sum($"n_nbrs")).head()
+      }
+      emit("probe" -> "geo_dbscan_core", "dir" -> d, "points" -> db.getLong(0),
+        "eps_pairs" -> db.getLong(1), "sec" -> dbT)
+
+      val nVecs = graft.model.Tables.embeddings(spark, d).count()
+      val (pcaRows, pcaT) = run("sim_pca_power", d)
+      emit("probe" -> "sim_pca_power", "dir" -> d, "vecs" -> nVecs,
+        "rows" -> pcaRows, "sec" -> pcaT)
+
+      val (c4Rows, c4T) = run("ta_c4_rules", d)
+      emit("probe" -> "ta_c4_rules", "dir" -> d, "docs" -> c4Rows, "sec" -> c4T)
+
+      val (abRows, abT) = run("qa_ab_test_gate", d)
+      val (bfRows, bfT) = run("qa_benford", d)
+      emit("probe" -> "qa_ab_benford", "dir" -> d, "events" -> nEvents,
+        "ab_rows" -> abRows, "bf_rows" -> bfRows,
+        "sec" -> (abT + bfT))
+
+      val (csvRows, csvT) = run("pipe_csv_flatten", d)
+      emit("probe" -> "pipe_csv_flatten", "dir" -> d, "objects" -> csvRows,
+        "sec" -> csvT)
+    }
+    spark.stop()
+  }
+}
