@@ -1639,6 +1639,138 @@ object EventQueries {
             |ORDER BY event_type""".stripMargin),
   )
 
+  // POINT-IN-TIME FEATURE MATRIX (the feature-store materialization
+  // pattern: for every label event, assemble features computed ONLY
+  // from data strictly before it — the leakage-free training-set
+  // build every ML pipeline runs). Labels are purchases; features
+  // are (a) days since the user's last prior signup (as-of), (b/c)
+  // trailing-7-day view and click counts (RANGE frames ending 1 ns
+  // before the label, so same-timestamp events never leak in), and
+  // (d) lifetime spend so far (ROWS frame to the previous row under
+  // the (ts, event_id) total order). Everything rides ONE user-keyed
+  // shuffle and per-user window frames — the per-key bound of the
+  // sessionize family; no self-joins, no corpus-wide sort.
+  private val featureMatrix = Q(
+    "ev_feature_matrix",
+    (s, d) => {
+      import s.implicits._
+      val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val rowsPrev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val range7d = Window.partitionBy($"user_id").orderBy($"ts")
+        .rangeBetween(-WeekNs, -1)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          cents($"value").as("v"))
+        .withColumn("last_signup",
+          max(when($"event_type" === "signup", $"ts")).over(rowsPrev))
+        .withColumn("v7_views",
+          count(when($"event_type" === "view", lit(1))).over(range7d))
+        .withColumn("v7_clicks",
+          count(when($"event_type" === "click", lit(1))).over(range7d))
+        .withColumn("cum_spend",
+          coalesce(sum(when($"event_type" === "purchase", $"v")).over(rowsPrev),
+            lit(0L)))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id",
+          coalesce(expr(s"(ts - last_signup) div $DayNs"), lit(-1L))
+            .as("days_since_signup"),
+          $"v7_views", $"v7_clicks", $"cum_spend".as("cum_spend_cents"),
+          $"v".as("label_cents"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some(s"""WITH fm_e AS (
+            |  SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |fm_w AS (
+            |  SELECT *,
+            |         max(CASE WHEN event_type = 'signup' THEN ts END)
+            |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            |           AS last_signup,
+            |         count(CASE WHEN event_type = 'view' THEN 1 END)
+            |           OVER (PARTITION BY user_id ORDER BY ts
+            |                 RANGE BETWEEN ${7L * 86400 * 1000 * 1000 * 1000}
+            |                 PRECEDING AND 1 PRECEDING) AS v7_views,
+            |         count(CASE WHEN event_type = 'click' THEN 1 END)
+            |           OVER (PARTITION BY user_id ORDER BY ts
+            |                 RANGE BETWEEN ${7L * 86400 * 1000 * 1000 * 1000}
+            |                 PRECEDING AND 1 PRECEDING) AS v7_clicks,
+            |         coalesce(sum(CASE WHEN event_type = 'purchase' THEN v END)
+            |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |           0) AS cum_spend
+            |  FROM fm_e)
+            |SELECT user_id, event_id,
+            |       coalesce((ts - last_signup) // ${86400L * 1000 * 1000 * 1000},
+            |                -1) AS days_since_signup,
+            |       CAST(v7_views AS BIGINT) AS v7_views,
+            |       CAST(v7_clicks AS BIGINT) AS v7_clicks,
+            |       CAST(cum_spend AS BIGINT) AS cum_spend_cents,
+            |       v AS label_cents
+            |FROM fm_w
+            |WHERE event_type = 'purchase'
+            |ORDER BY user_id, event_id""".stripMargin),
+  )
+
+  // TOP SESSION PATHS ("user journeys"): the first three event types
+  // of every 30-min-gap session, joined '>'-separated, counted
+  // corpus-wide — the product-analytics readout built on the same
+  // gap-and-island device as ev_sessionize. The path assembles
+  // IN-ROW: each session's events collect under the (user, session)
+  // key (bounded by session length), sort by (ts, event_id), slice 3
+  // — never a corpus-wide ordered window. Top-10, ties total-ordered
+  // by path.
+  private val topPaths = Q(
+    "ev_top_paths",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+        .withColumn("is_start",
+          when($"prev_ts".isNull || $"ts" - $"prev_ts" > GapNs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum($"is_start").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(sort_array(collect_list(struct($"ts", $"event_id", $"event_type")))
+          .as("es"))
+        .select(expr(
+          "array_join(transform(slice(es, 1, 3), x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(10)
+    },
+    Some(s"""WITH tp_s AS (
+            |  SELECT user_id, event_id, ts, event_type,
+            |         sum(is_start) OVER (PARTITION BY user_id
+            |                             ORDER BY ts, event_id
+            |                             ROWS BETWEEN UNBOUNDED PRECEDING
+            |                             AND CURRENT ROW) AS session_seq
+            |  FROM (
+            |    SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type,
+            |           CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+            |                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > $GapNs
+            |                THEN 1 ELSE 0 END AS is_start
+            |    FROM events
+            |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+            |tp_p AS (
+            |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            |  FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+            |                                 ORDER BY ts, event_id) AS rn
+            |    FROM tp_s)
+            |  WHERE rn <= 3
+            |  GROUP BY user_id, session_seq)
+            |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            |FROM tp_p GROUP BY path
+            |ORDER BY n_sessions DESC, path
+            |LIMIT 10""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -1646,5 +1778,5 @@ object EventQueries {
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
-      forecastBacktest)
+      forecastBacktest, featureMatrix, topPaths)
 }

@@ -1352,10 +1352,97 @@ object ExtraQueries {
             |ORDER BY event_type""".stripMargin),
   )
 
+  // DATA-CONTRACT AUDIT (the dbt-test / Great-Expectations primitive:
+  // declared per-column rules — range, enum, non-null — checked in
+  // bulk with a violations report, the gate every ingest runs before
+  // publishing a table). Each rule is ONE conditional aggregate over
+  // its table (map-only pass + a global count pair), results union
+  // into the report with exact ppm violation rates. The contract
+  // deliberately contains rules that FIRE on this data (negative
+  // balances, the 'zh' lang outside the declared enum, prices above
+  // the cap) and rules that PASS (the full segment enum) — both
+  // report arms are real. Scale: one narrow scan per table feeding
+  // k conditional sums; no joins, no shuffle beyond the 1-row aggs.
+  private val dataContract = Q(
+    "qa_data_contract",
+    (s, d) => {
+      import s.implicits._
+      def check(df: org.apache.spark.sql.DataFrame, tbl: String, col0: String,
+          rule: String, viol: Column) =
+        df.agg(count(lit(1)).as("n"),
+          sum(when(viol, 1L).otherwise(0L)).as("n_viol"))
+          .select(lit(tbl).as("tbl"), lit(col0).as("col"), lit(rule).as("rule"),
+            $"n", $"n_viol",
+            expr("(n_viol * 1000000) div n").as("viol_ppm"))
+      val cust = Tables.customer(s, d)
+      val segs = Seq("AUTOMOBILE", "HOUSEHOLD", "BUILDING", "MACHINERY",
+        "FURNITURE")
+      check(cust, "customer", "c_acctbal", "non_negative", $"c_acctbal" < 0)
+        .unionByName(check(cust, "customer", "c_mktsegment", "enum",
+          !$"c_mktsegment".isin(segs: _*)))
+        .unionByName(check(cust, "customer", "c_name", "not_null",
+          $"c_name".isNull))
+        .unionByName(check(Tables.orders(s, d), "orders", "o_totalprice",
+          "max_400000", $"o_totalprice" > 400000))
+        .unionByName(check(Tables.documents(s, d), "documents", "lang",
+          "enum", !$"lang".isin("en", "de", "fr", "es")))
+        .unionByName(check(Tables.events(s, d), "events", "value",
+          "max_400", $"value" > 400))
+        .orderBy($"tbl", $"col", $"rule")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'customer' AS tbl, 'c_acctbal' AS col,
+           |         'non_negative' AS rule,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_viol,
+           |         CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+           |              * 1000000 // count(*) AS BIGINT) AS viol_ppm
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'customer', 'c_mktsegment', 'enum', count(*),
+           |         CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE',
+           |           'HOUSEHOLD', 'BUILDING', 'MACHINERY', 'FURNITURE')
+           |           THEN 1 ELSE 0 END) AS BIGINT),
+           |         CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE',
+           |           'HOUSEHOLD', 'BUILDING', 'MACHINERY', 'FURNITURE')
+           |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'customer', 'c_name', 'not_null', count(*),
+           |         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT),
+           |         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+           |              * 1000000 // count(*) AS BIGINT)
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT 'orders', 'o_totalprice', 'max_400000', count(*),
+           |         CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+           |              AS BIGINT),
+           |         CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+           |              * 1000000 // count(*) AS BIGINT)
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT 'documents', 'lang', 'enum', count(*),
+           |         CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+           |           THEN 1 ELSE 0 END) AS BIGINT),
+           |         CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+           |           THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT 'events', 'value', 'max_400', count(*),
+           |         CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+           |              AS BIGINT),
+           |         CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+           |              * 1000000 // count(*) AS BIGINT)
+           |  FROM events)
+           |ORDER BY tbl, col, rule""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
-    cusumDrift)
+    cusumDrift, dataContract)
 }
