@@ -1439,10 +1439,46 @@ object ExtraQueries {
            |ORDER BY tbl, col, rule""".stripMargin),
   )
 
+  // FRESHNESS / SLA LAG AUDIT (the data-ops companion to
+  // qa_data_contract: how stale is each event stream relative to the
+  // corpus watermark, and does it breach the 1-day SLA). Exact ns
+  // arithmetic: per-type max ts, lag vs the global max (a 1-row
+  // broadcast), breach flag at 24 h. One map pass into two bounded
+  // aggregates — corpus-size-free after the per-type partial max.
+  private val freshnessLag = Q(
+    "qa_freshness_lag",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byType = Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"ts").as("last_ts"))
+      val wm = byType.agg(max($"last_ts").as("watermark"))
+      byType.crossJoin(broadcast(wm))
+        .select($"event_type", $"n", $"last_ts",
+          ($"watermark" - $"last_ts").as("lag_ns"),
+          when($"watermark" - $"last_ts" > DayNs, 1L).otherwise(0L)
+            .as("sla_breach"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH fr_t AS (
+            |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            |         max(epoch_ns(ts)) AS last_ts
+            |  FROM events GROUP BY 1),
+            |fr_w AS (SELECT max(last_ts) AS watermark FROM fr_t)
+            |SELECT event_type, n, last_ts,
+            |       watermark - last_ts AS lag_ns,
+            |       CAST(CASE WHEN watermark - last_ts >
+            |            ${86400L * 1000 * 1000 * 1000}
+            |            THEN 1 ELSE 0 END AS BIGINT) AS sla_breach
+            |FROM fr_t CROSS JOIN fr_w
+            |ORDER BY event_type""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
-    cusumDrift, dataContract)
+    cusumDrift, dataContract, freshnessLag)
 }

@@ -944,7 +944,70 @@ object GeoQueries {
             |ORDER BY b.c_custkey""".stripMargin),
   )
 
+  // ADAPTIVE QUADTREE DENSITY MAP (the multi-resolution refinement of
+  // geo_grid_density — the quadtree/tile-pyramid device every map
+  // service serves density at): per-layer 32-unit level-0 cells whose
+  // count exceeds the split cap (8) SUBDIVIDE into their four 16-unit
+  // children; the output mixes levels, each row tagged with its
+  // level — dense regions get resolution, sparse regions stay cheap.
+  // Two passes: the level-0 histogram (key-bounded partial agg), and
+  // a map-side filtered child histogram of ONLY the points in split
+  // cells (the split set broadcasts — it is a subset of the compact
+  // cell histogram). Exact integer cell keys throughout.
+  private val quadtreeDensity = Q(
+    "geo_quadtree_density",
+    (s, d) => {
+      import s.implicits._
+      val pts = SpatialGrid.pointsWithCell(s, d)
+        .select($"c_layer",
+          floor($"px" / 32).cast("long").as("qx"),
+          floor($"py" / 32).cast("long").as("qy"),
+          floor($"px" / 16).cast("long").as("hx"),
+          floor($"py" / 16).cast("long").as("hy"))
+        .localCheckpoint() // feeds the level-0 histogram + child pass
+      val l0 = pts.groupBy($"c_layer", $"qx", $"qy").agg(count(lit(1)).as("n"))
+      val split = l0.filter($"n" > 8)
+        .select($"c_layer".as("sl"), $"qx".as("sx"), $"qy".as("sy"))
+      val keptL0 = l0.filter($"n" <= 8)
+        .select($"c_layer", lit(0L).as("level"), $"qx".as("cx"),
+          $"qy".as("cy"), $"n")
+      val l1 = pts
+        .join(broadcast(split),
+          $"c_layer" === $"sl" && $"qx" === $"sx" && $"qy" === $"sy")
+        .groupBy($"c_layer", $"hx", $"hy").agg(count(lit(1)).as("n"))
+        .select($"c_layer", lit(1L).as("level"), $"hx".as("cx"),
+          $"hy".as("cy"), $"n")
+      keptL0.unionByName(l1)
+        .orderBy($"c_layer", $"level", $"cx", $"cy")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |qt_pts AS (
+            |  SELECT c_nationkey AS c_layer,
+            |         CAST(floor(px / 32) AS BIGINT) AS qx,
+            |         CAST(floor(py / 32) AS BIGINT) AS qy,
+            |         CAST(floor(px / 16) AS BIGINT) AS hx,
+            |         CAST(floor(py / 16) AS BIGINT) AS hy
+            |  FROM (${SpatialGrid.ptsSql("customer")})),
+            |qt_l0 AS (
+            |  SELECT c_layer, qx, qy, CAST(count(*) AS BIGINT) AS n
+            |  FROM qt_pts GROUP BY 1, 2, 3),
+            |qt_split AS (SELECT c_layer, qx, qy FROM qt_l0 WHERE n > 8),
+            |qt_l1 AS (
+            |  SELECT p.c_layer, CAST(1 AS BIGINT) AS level, p.hx AS cx,
+            |         p.hy AS cy, CAST(count(*) AS BIGINT) AS n
+            |  FROM qt_pts p JOIN qt_split s
+            |    ON s.c_layer = p.c_layer AND s.qx = p.qx AND s.qy = p.qy
+            |  GROUP BY 1, 3, 4)
+            |SELECT * FROM (
+            |  SELECT c_layer, CAST(0 AS BIGINT) AS level, qx AS cx, qy AS cy, n
+            |  FROM qt_l0 WHERE n <= 8
+            |  UNION ALL
+            |  SELECT * FROM qt_l1)
+            |ORDER BY c_layer, level, cx, cy""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
-      zorderCluster, knnRadius, polyAreaCentroid, gridDensity, dbscanCore)
+      zorderCluster, knnRadius, polyAreaCentroid, gridDensity, dbscanCore,
+      quadtreeDensity)
 }

@@ -2047,6 +2047,65 @@ object TextQueries {
     },
   )
 
+  // LANGUAGE-ID CONFUSION MATRIX — the eval loop for the classifier
+  // family (the documents table carries the labeled lang, so this is
+  // real held-out-label evaluation, same family as sim_recall_mrr_eval
+  // and td_dedup_eval): the (labeled, predicted) matrix of the gated
+  // ta_language_id classifier with exact per-cell ppm shares of each
+  // labeled row — recall sits on the diagonal, every off-diagonal
+  // cell names a specific confusion. The matrix is ≤ |langs|²+|langs|
+  // rows, so the row-total window and shares are corpus-size-free
+  // after the one (labeled, predicted)-keyed partial agg.
+  private val langConfusion = Q(
+    "ta_lang_confusion",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      langid.fn(s, d)
+        .groupBy($"labeled_lang", $"predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum($"n").over(Window.partitionBy($"labeled_lang")))
+        .select($"labeled_lang", $"predicted_lang", $"n", $"row_total",
+          expr("(n * 1000000) div row_total").as("cell_ppm"))
+        .orderBy($"labeled_lang", $"predicted_lang")
+    },
+    Some("""WITH lc_scores AS (
+           |  SELECT doc_id, lang AS labeled_lang,
+           |         len(list_filter(string_split(text, ' '),
+           |             w -> w IN ('the', 'a', 'of', 'and'))) AS s_en,
+           |         len(list_filter(string_split(text, ' '),
+           |             w -> w IN ('el', 'la', 'de', 'y'))) AS s_es,
+           |         len(list_filter(string_split(text, ' '),
+           |             w -> w IN ('der', 'die', 'das', 'und'))) AS s_de,
+           |         len(list_filter(string_split(text, ' '),
+           |             w -> w IN ('le', 'la', 'et', 'un'))) AS s_fr,
+           |         len(list_filter(string_split(text, ' '),
+           |             w -> w IN ('的', '是', '在', '了'))) AS s_zh
+           |  FROM documents),
+           |lc_pred AS (
+           |  SELECT labeled_lang,
+           |         CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0
+           |                THEN 'und'
+           |              WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+           |              WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+           |              WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+           |              WHEN s_fr >= s_zh THEN 'fr'
+           |              ELSE 'zh' END AS predicted_lang
+           |  FROM lc_scores),
+           |lc_m AS (
+           |  SELECT labeled_lang, predicted_lang,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM lc_pred GROUP BY 1, 2)
+           |SELECT labeled_lang, predicted_lang, n,
+           |       CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+           |         AS row_total,
+           |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY labeled_lang)
+           |            AS BIGINT) AS cell_ppm
+           |FROM lc_m
+           |ORDER BY labeled_lang, predicted_lang""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -2054,5 +2113,5 @@ object TextQueries {
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
-      textrank)
+      textrank, langConfusion)
 }

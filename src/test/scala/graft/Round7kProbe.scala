@@ -141,6 +141,41 @@ object Round7kProbe {
       val (csvRows, csvT) = run("pipe_csv_flatten", d)
       emit("probe" -> "pipe_csv_flatten", "dir" -> d, "objects" -> csvRows,
         "sec" -> csvT)
+
+      // --- session-10 batches three and four ---
+
+      val (kcRows, kcT) = run("gr_kcore", d)
+      emit("probe" -> "gr_kcore", "dir" -> d, "survivors" -> kcRows,
+        "sec" -> kcT)
+
+      val qde = QueryCatalog.all.find(_.name == "td_dedup_eval").get
+      val (de, deT) = time { qde.fn(spark, d).head() }
+      emit("probe" -> "td_dedup_eval", "dir" -> d,
+        "n_truth" -> de.getLong(0), "n_pred" -> de.getLong(1),
+        "tp" -> de.getLong(2), "sec" -> deT)
+
+      val (fbRows, fbT) = run("ev_forecast_backtest", d)
+      emit("probe" -> "ev_forecast_backtest", "dir" -> d, "types" -> fbRows,
+        "sec" -> fbT)
+
+      val (afRows, afT) = run("mm_audio_fingerprint", d)
+      emit("probe" -> "mm_audio_fingerprint", "dir" -> d, "pairs" -> afRows,
+        "sec" -> afT)
+
+      val (fmRows, fmT) = run("ev_feature_matrix", d)
+      emit("probe" -> "ev_feature_matrix", "dir" -> d, "labels" -> fmRows,
+        "sec" -> fmT)
+
+      val qtp = QueryCatalog.all.find(_.name == "ev_top_paths").get
+      val (tp10, tpT) = time {
+        qtp.fn(spark, d).agg(sum($"n_sessions")).head().getLong(0)
+      }
+      emit("probe" -> "ev_top_paths", "dir" -> d, "top10_sessions" -> tp10,
+        "sec" -> tpT)
+
+      val (dcRows, dcT) = run("qa_data_contract", d)
+      emit("probe" -> "qa_data_contract", "dir" -> d, "rules" -> dcRows,
+        "sec" -> dcT)
     }
     spark.stop()
   }
