@@ -986,7 +986,110 @@ object PipelineQueries {
            |         data_borough ASC NULLS FIRST, data_number ASC NULLS FIRST""".stripMargin),
   )
 
+  // DATASET CARD (Gebru et al. "Datasheets for Datasets": the
+  // per-source summary sheet every corpus release ships — composed
+  // entirely from separately-gated stages plus source-keyed glue,
+  // like the other pipe_* compositions). Per source: doc/token
+  // counts, the dominant language with its exact ppm share
+  // (total-ordered argmax), exact-duplicate docs (md5 within the
+  // source), and the Gopher-gate keep rate — the last reusing the
+  // SAME catalogue entry via the public QueryCatalog surface, so
+  // this row provably matches `ta_gopher_rules`' own gated output.
+  // Scale shape: three source/doc-keyed partial aggs + one
+  // doc_id-keyed join; the card table is |sources|-bounded.
+  private val datasetCard = Q(
+    "pipe_dataset_card",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"lang", $"text")
+        .localCheckpoint() // feeds four roll-up legs
+      val base = docs.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).cast("long").as("n_tokens"))
+      val langTop = docs.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"source").orderBy($"ln".desc, $"lang")))
+        .filter($"rk" === 1)
+        .select($"source", $"lang".as("top_lang"), $"ln".as("top_lang_docs"))
+      val dups = docs
+        .withColumn("ndup",
+          count(lit(1)).over(Window.partitionBy($"source", md5($"text"))))
+        .groupBy($"source")
+        .agg(sum(when($"ndup" > 1, 1L).otherwise(0L)).as("dup_docs"))
+      val keep = graft.QueryCatalog.all.find(_.name == "ta_gopher_rules").get
+        .fn(s, d).select($"doc_id", $"keep")
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+        .groupBy($"source").agg(sum($"keep").as("kept_docs"))
+      base.join(langTop, "source").join(dups, "source").join(keep, "source")
+        .select($"source", $"n_docs", $"n_tokens", $"top_lang",
+          expr("(top_lang_docs * 1000000) div n_docs").as("top_lang_ppm"),
+          $"dup_docs",
+          expr("(kept_docs * 1000000) div n_docs").as("gopher_keep_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH dc_docs AS (
+           |  SELECT doc_id, source, lang, text FROM documents),
+           |dc_base AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           |           AS n_tokens
+           |  FROM dc_docs GROUP BY 1),
+           |dc_lang AS (
+           |  SELECT source, lang AS top_lang,
+           |         CAST(ln AS BIGINT) AS top_lang_docs FROM (
+           |    SELECT source, lang, count(*) AS ln,
+           |           row_number() OVER (PARTITION BY source
+           |                              ORDER BY count(*) DESC, lang) AS rk
+           |    FROM dc_docs GROUP BY source, lang)
+           |  WHERE rk = 1),
+           |dc_dup AS (
+           |  SELECT source,
+           |         CAST(sum(CASE WHEN ndup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS dup_docs
+           |  FROM (
+           |    SELECT source, count(*) OVER (PARTITION BY source, md5(text))
+           |             AS ndup
+           |    FROM dc_docs)
+           |  GROUP BY 1),
+           |dc_gw AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           |         CAST(length(text) - len(string_split(text, ' ')) + 1
+           |              AS BIGINT) AS wchars,
+           |         CAST(len(list_filter(string_split(text, ' '),
+           |              w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+           |         CAST(len(list_distinct(string_split(text, ' ')))
+           |              AS BIGINT) AS n_distinct
+           |  FROM documents),
+           |dc_keep AS (
+           |  SELECT g.doc_id,
+           |         CASE WHEN n_words BETWEEN 15 AND 90
+           |               AND wchars >= n_words * 4 AND wchars <= n_words * 8
+           |               AND n_stop >= 2
+           |               AND n_distinct * 10 >= n_words * 3
+           |               AND n_stop * 8 <= n_words
+           |              THEN 1 ELSE 0 END AS keep
+           |  FROM dc_gw g),
+           |dc_k AS (
+           |  SELECT d.source, CAST(sum(k.keep) AS BIGINT) AS kept_docs
+           |  FROM dc_keep k JOIN dc_docs d USING (doc_id)
+           |  GROUP BY 1)
+           |SELECT b.source, b.n_docs, b.n_tokens, l.top_lang,
+           |       (l.top_lang_docs * 1000000) // b.n_docs AS top_lang_ppm,
+           |       u.dup_docs,
+           |       (k.kept_docs * 1000000) // b.n_docs AS gopher_keep_ppm
+           |FROM dc_base b
+           |JOIN dc_lang l USING (source)
+           |JOIN dc_dup u USING (source)
+           |JOIN dc_k k USING (source)
+           |ORDER BY b.source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection, shardAssign, snapshotDiff, dropAudit, csvFlatten)
+      dataSelection, shardAssign, snapshotDiff, dropAudit, csvFlatten,
+      datasetCard)
 }

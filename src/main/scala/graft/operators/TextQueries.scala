@@ -2106,6 +2106,103 @@ object TextQueries {
            |ORDER BY labeled_lang, predicted_lang""".stripMargin),
   )
 
+  // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010 — the stopword-
+  // delimited complement to ta_textrank_keywords, which ranks single
+  // tokens): candidate phrases are maximal stopword-free word runs
+  // (capped at 4 words), each word scores degree/frequency where
+  // degree sums the lengths of the phrases containing it, and a
+  // phrase scores the sum of its words' scores. All integer: word
+  // score in e3 units via truncating division, phrase score the e3
+  // sum. Phrase segmentation is the SAME boundary-run device as
+  // td_cdc_chunks (in-row lambda algebra, zero shuffle); the word
+  // stats are token-keyed partial aggs joined back on the token —
+  // vocabulary-bounded tables, corpus touched once. Top-15
+  // total-ordered by (score, phrase).
+  private val rake = Q(
+    "ta_rake_keyphrases",
+    (s, d) => {
+      import s.implicits._
+      val Stop = Seq("the", "a", "of", "and", "el", "la", "de", "y",
+        "der", "die", "das", "und", "le", "et", "un")
+      val stopList = Stop.map(w => s"'$w'").mkString(", ")
+      val phrases = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("bnds",
+          expr(s"filter(sequence(1, size(w)), i -> element_at(w, i) IN ($stopList))"))
+        .withColumn("starts", expr("concat(array(1), transform(bnds, b -> b + 1))"))
+        .withColumn("ends", expr("concat(transform(bnds, b -> b - 1), array(size(w)))"))
+        .select(explode(expr(
+          "filter(zip_with(starts, ends, (st, en) -> " +
+            "IF(st <= en AND en - st < 4, slice(w, st, en - st + 1), NULL))," +
+            " p -> p IS NOT NULL)")).as("pw"))
+        .localCheckpoint() // feeds the word stats AND the phrase scoring
+      val wordStats = phrases
+        .select(explode($"pw").as("word"), size($"pw").as("plen"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+        .select($"word", expr("(deg * 1000) div freq").as("wscore_e3"))
+      // occurrences count once per phrase TEXT; the score is the sum
+      // of the phrase's word scores (duplicate words count twice, per
+      // RAKE), computed over the distinct phrase texts only
+      val occCounts = phrases
+        .groupBy(array_join($"pw", " ").as("phrase"))
+        .agg(count(lit(1)).as("n_occ"))
+      val scores = occCounts.select($"phrase")
+        .select($"phrase", explode(split($"phrase", " ")).as("word"))
+        .join(wordStats, "word")
+        .groupBy($"phrase").agg(sum($"wscore_e3").as("score_e3"))
+      occCounts.join(scores, "phrase")
+        .select($"phrase", $"n_occ", $"score_e3")
+        .orderBy($"score_e3".desc, $"phrase")
+        .limit(15)
+    },
+    Some {
+      val stopList = Seq("the", "a", "of", "and", "el", "la", "de", "y",
+        "der", "die", "das", "und", "le", "et", "un")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH rk_c AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |rk_b AS (
+         |  SELECT doc_id, w,
+         |         list_filter(range(1, len(w) + 1),
+         |                     i -> w[i] IN ($stopList)) AS bnds
+         |  FROM rk_c),
+         |rk_se AS (
+         |  SELECT doc_id, w,
+         |         list_prepend(1, list_transform(bnds, x -> x + 1)) AS starts,
+         |         list_append(list_transform(bnds, x -> x - 1), len(w)) AS ends
+         |  FROM rk_b),
+         |rk_p AS (
+         |  SELECT unnest(list_filter(
+         |           list_transform(range(1, len(starts) + 1), k ->
+         |             CASE WHEN starts[k] <= ends[k]
+         |                   AND ends[k] - starts[k] < 4
+         |                  THEN w[starts[k] : ends[k]]
+         |             END),
+         |           x -> x IS NOT NULL)) AS pw
+         |  FROM rk_se),
+         |rk_ws AS (
+         |  SELECT word, (CAST(sum(plen) AS BIGINT) * 1000)
+         |           // CAST(count(*) AS BIGINT) AS wscore_e3
+         |  FROM (SELECT unnest(pw) AS word, len(pw) AS plen FROM rk_p)
+         |  GROUP BY word),
+         |rk_occ AS (
+         |  SELECT array_to_string(pw, ' ') AS phrase,
+         |         CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM rk_p GROUP BY 1),
+         |rk_sc AS (
+         |  SELECT phrase, CAST(sum(s.wscore_e3) AS BIGINT) AS score_e3
+         |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+         |        FROM rk_occ) p
+         |  JOIN rk_ws s USING (word)
+         |  GROUP BY phrase)
+         |SELECT o.phrase, o.n_occ, c.score_e3
+         |FROM rk_occ o JOIN rk_sc c USING (phrase)
+         |ORDER BY score_e3 DESC, phrase
+         |LIMIT 15""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -2113,5 +2210,5 @@ object TextQueries {
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
-      textrank, langConfusion)
+      textrank, langConfusion, rake)
 }
