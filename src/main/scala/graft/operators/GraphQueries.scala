@@ -517,6 +517,64 @@ object GraphQueries {
     },
   )
 
+  // DEGREE ASSORTATIVITY (Newman PRL'02: do high-degree nodes attach
+  // to high-degree nodes? — the one-number mixing diagnostic next to
+  // modularity). Over the directed doubling of the kept co-purchase
+  // graph with x = deg(src), y = deg(dst): Pearson r =
+  // (M·Σxy − Sx²)/(M·Σx² − Sx²) (symmetric, so Sy = Sx). Computed
+  // DIVISION-FREE to exact integers — numerator/denominator publish
+  // alongside r_milli = sign·((|num|·1e3) DIV den), the abs/sign
+  // split keeping Spark's truncating DIV and DuckDB's flooring //
+  // identical on the signed numerator. One edge-keyed join against
+  // the broadcast-sized degree table, then a single global power-sum
+  // aggregate — O(|E|) with a 1-row result. BIGINT holds through
+  // M·Σxy ≈ deg⁴·|V| ~ 1e17 at grow_sf1; DECIMAL beyond.
+  private val assortativity = Q(
+    "gr_assortativity",
+    (s, d) => {
+      import s.implicits._
+      val kept = coPurchaseKept(s, d)
+      val sym = kept.select($"u".as("src"), $"v".as("dst"))
+        .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
+      val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      sym
+        .join(deg.select($"node".as("src"), $"deg".as("x")), "src")
+        .join(deg.select($"node".as("dst"), $"deg".as("y")), "dst")
+        .agg(count(lit(1)).as("m_directed"),
+          sum($"x" * $"y").as("s_xy"),
+          sum($"x").as("s_x"),
+          sum($"x" * $"x").as("s_x2"))
+        .select($"m_directed", $"s_xy", $"s_x", $"s_x2",
+          ($"m_directed" * $"s_xy" - $"s_x" * $"s_x").as("r_num"),
+          ($"m_directed" * $"s_x2" - $"s_x" * $"s_x").as("r_den"))
+        .select($"m_directed", $"s_xy", $"s_x", $"s_x2", $"r_num", $"r_den",
+          expr("CAST(CASE WHEN r_num < 0 THEN -1 ELSE 1 END" +
+            " * ((abs(r_num) * 1000) DIV r_den) AS BIGINT)").as("r_milli"))
+    },
+    Some(s"""WITH $CoKeptCtes,
+            |as_sym AS (SELECT u AS src, v AS dst FROM kept
+            |           UNION ALL SELECT v, u FROM kept),
+            |as_deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            |           FROM as_sym GROUP BY 1),
+            |as_s AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS m_directed,
+            |         CAST(sum(dx.deg * dy.deg) AS BIGINT) AS s_xy,
+            |         CAST(sum(dx.deg) AS BIGINT) AS s_x,
+            |         CAST(sum(dx.deg * dx.deg) AS BIGINT) AS s_x2
+            |  FROM as_sym e
+            |  JOIN as_deg dx ON dx.node = e.src
+            |  JOIN as_deg dy ON dy.node = e.dst)
+            |SELECT m_directed, s_xy, s_x, s_x2,
+            |       m_directed * s_xy - s_x * s_x AS r_num,
+            |       m_directed * s_x2 - s_x * s_x AS r_den,
+            |       CAST((CASE WHEN m_directed * s_xy - s_x * s_x < 0
+            |                  THEN -1 ELSE 1 END)
+            |            * ((abs(m_directed * s_xy - s_x * s_x) * 1000)
+            |               // (m_directed * s_x2 - s_x * s_x)) AS BIGINT)
+            |         AS r_milli
+            |FROM as_s""".stripMargin),
+  )
+
   // MULTI-SOURCE BFS hop distance — "how far is every node from the
   // nation-0 supplier fleet", the reachability/radius primitive under
   // lineage tracing and influence propagation. Unlike PageRank/LPA
@@ -805,6 +863,6 @@ object GraphQueries {
   )
 
   def all: Seq[Q] =
-    Seq(pagerank, triangles, labelProp, modularity, kcore, bfsHops,
-      linkPredict, basketLift)
+    Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
+      bfsHops, linkPredict, basketLift)
 }

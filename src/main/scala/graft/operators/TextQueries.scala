@@ -2203,6 +2203,81 @@ object TextQueries {
     },
   )
 
+  // EXTRACTIVE SUMMARIZATION (salience selection — the content-
+  // selection stage summarization/snippet pipelines run: pick each
+  // document's most informative line). Lines are the same 10-word
+  // chunks as ta_c4_rules; a line's salience is the sum of its words'
+  // corpus RARITY = N_docs·1e3 DIV df — the LOG-FREE idf surrogate
+  // (monotone in idf, exact integer; the same division-free move as
+  // the lift/PMI entries). The winner per doc is an argmax via
+  // max(struct(score, -idx)) — a partial agg, never a per-doc window
+  // sort; ties go to the earliest line. Scale shape: df is one
+  // token-keyed partial agg; the line scoring joins the exploded
+  // (doc, line, word) stream on the token key (vocab-bounded here,
+  // token-hash-partitioned at open vocab); N is a 1-row broadcast.
+  private val extractiveSummary = Q(
+    "ta_extractive_summary",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .localCheckpoint() // feeds the df pass AND the line scoring
+      val df = docs.select($"doc_id", explode(array_distinct($"w")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("dfreq"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val rarity = df.crossJoin(broadcast(n))
+        .select($"word", expr("(n_docs * 1000) div dfreq").as("rarity_e3"))
+      val lines = docs
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1)," +
+            " i -> slice(w, i * 10 + 1, 10))")).as(Seq("idx", "lw")))
+        .select($"doc_id", $"idx", array_join($"lw", " ").as("line_txt"),
+          explode($"lw").as("word"))
+      lines.join(rarity, "word")
+        .groupBy($"doc_id", $"idx", $"line_txt")
+        .agg(sum($"rarity_e3").as("score_e3"))
+        .groupBy($"doc_id")
+        .agg(max(struct($"score_e3".as("sc"), (-$"idx").cast("long").as("ni"),
+          $"line_txt".as("t"))).as("mx"))
+        .select($"doc_id", (-$"mx.ni").as("line_idx"), $"mx.t".as("line"),
+          $"mx.sc".as("score_e3"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH es_c AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |es_df AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS dfreq FROM (
+           |    SELECT DISTINCT doc_id, unnest(w) AS word FROM es_c)
+           |  GROUP BY 1),
+           |es_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM es_c),
+           |es_r AS (
+           |  SELECT word, (n_docs * 1000) // dfreq AS rarity_e3
+           |  FROM es_df CROSS JOIN es_n),
+           |es_l AS (
+           |  SELECT doc_id, i AS idx,
+           |         array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')
+           |           AS line_txt,
+           |         unnest(w[i * 10 + 1 : i * 10 + 10]) AS word
+           |  FROM (SELECT doc_id, w,
+           |               unnest(range(0, CAST(ceil(len(w) / 10.0) AS INT)))
+           |                 AS i
+           |        FROM es_c)),
+           |es_s AS (
+           |  SELECT doc_id, idx, line_txt,
+           |         CAST(sum(r.rarity_e3) AS BIGINT) AS score_e3
+           |  FROM es_l l JOIN es_r r USING (word)
+           |  GROUP BY 1, 2, 3)
+           |SELECT doc_id,
+           |       CAST(-max({'sc': score_e3, 'ni': -idx, 't': line_txt}).ni
+           |            AS BIGINT) AS line_idx,
+           |       max({'sc': score_e3, 'ni': -idx, 't': line_txt}).t AS line,
+           |       CAST(max({'sc': score_e3, 'ni': -idx, 't': line_txt}).sc
+           |            AS BIGINT) AS score_e3
+           |FROM es_s
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -2210,5 +2285,5 @@ object TextQueries {
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
-      textrank, langConfusion, rake)
+      textrank, langConfusion, rake, extractiveSummary)
 }
