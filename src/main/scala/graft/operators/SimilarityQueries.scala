@@ -1232,6 +1232,134 @@ object SimilarityQueries {
     },
   )
 
+  // MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+  // SIGIR'98 — the diversity-aware top-k every retrieval/eval-set
+  // builder runs instead of plain top-k): greedily pick k=5 vectors
+  // maximizing mmr = relevance − penalty, penalty = half the max
+  // cosine to the already-selected set (λ=0.5). The greedy is
+  // INHERENTLY sequential in k — each round is one pass over the
+  // checkpointed candidate table (a broadcast ≤k-row selected set,
+  // the codegen'd cosine kernel, a 1-row partial-agg argmax), so the
+  // driver holds k scalar results, never data. Penalties use the
+  // sign/abs truncating device (max-sim can be negative; Spark DIV
+  // truncates, DuckDB // floors — on |x| they agree). At 100 TB the
+  // documented shortlist knob (top-N by relevance before the loop)
+  // bounds the per-round pass; the catalogue point keeps the loop
+  // exact over all candidates.
+  private val mmrSelect = Q(
+    "sim_mmr_select",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val q0 = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val cand = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q0))
+        .select($"vec_id", $"embedding", cosine_e9($"embedding", $"qe").as("rel_e9"))
+        .localCheckpoint() // one pass per greedy round reads this
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      for (rank <- 1 to 5) {
+        val remaining = cand.filter(!$"vec_id".isin(picked.map(_._2).toSeq: _*))
+        val scored =
+          if (picked.isEmpty) remaining.select($"vec_id", $"rel_e9",
+            $"rel_e9".as("mmr_e9"))
+          else {
+            val sel = cand.filter($"vec_id".isin(picked.map(_._2).toSeq: _*))
+              .select($"embedding".as("se"))
+            remaining.crossJoin(broadcast(sel))
+              .select($"vec_id", $"rel_e9", cosine_e9($"embedding", $"se").as("sim"))
+              .groupBy($"vec_id", $"rel_e9").agg(max($"sim").as("ms"))
+              .select($"vec_id", $"rel_e9",
+                ($"rel_e9" - expr(
+                  "CASE WHEN ms < 0 THEN -1 ELSE 1 END * (abs(ms) div 2)"))
+                  .as("mmr_e9"))
+          }
+        val best = scored
+          .agg(max(struct($"mmr_e9".as("m"), (-$"vec_id").as("nv"),
+            $"rel_e9".as("r"))).as("mx"))
+          .select((-$"mx.nv").as("vec_id"), $"mx.r".as("rel_e9"),
+            $"mx.m".as("mmr_e9"))
+          .head()
+        picked += ((rank.toLong, best.getLong(0), best.getLong(1), best.getLong(2)))
+      }
+      picked.toSeq.toDF("rank", "vec_id", "rel_e9", "mmr_e9")
+    },
+    Some {
+      // one CTE block per greedy round: max-sim-to-selected via the
+      // decimal-exact cosine, then the (mmr, smallest-id) argmax
+      def cosTo(sel: String, out: String) =
+        s"""${out}_c AS (
+           |  SELECT r.vec_id, r.rel_e9, max(CAST(round(
+           |           CAST(p.dot AS DOUBLE) /
+           |           sqrt(CAST(p.na AS DOUBLE) * CAST(p.nb AS DOUBLE)) * 1e9)
+           |           AS BIGINT)) AS ms
+           |  FROM mm_rel r
+           |  JOIN (
+           |    SELECT a.vec_id AS cv, s.vec_id AS sv,
+           |           SUM(CAST(CAST(a.embedding[i] AS DOUBLE) *
+           |                    CAST(b.embedding[i] AS DOUBLE)
+           |                AS DECIMAL(30,15))) AS dot,
+           |           SUM(CAST(CAST(a.embedding[i] AS DOUBLE) *
+           |                    CAST(a.embedding[i] AS DOUBLE)
+           |                AS DECIMAL(30,15))) AS na,
+           |           SUM(CAST(CAST(b.embedding[i] AS DOUBLE) *
+           |                    CAST(b.embedding[i] AS DOUBLE)
+           |                AS DECIMAL(30,15))) AS nb
+           |    FROM embeddings a
+           |    CROSS JOIN $sel s
+           |    JOIN embeddings b ON b.vec_id = s.vec_id
+           |    CROSS JOIN range(1, 65) t(i)
+           |    WHERE a.vec_id <> 0
+           |    GROUP BY a.vec_id, s.vec_id) p ON p.cv = r.vec_id
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM $sel)
+           |  GROUP BY r.vec_id, r.rel_e9),
+           |$out AS (
+           |  SELECT vec_id, rel_e9,
+           |         rel_e9 - (CASE WHEN ms < 0 THEN -1 ELSE 1 END)
+           |           * (abs(ms) // 2) AS mmr_e9
+           |  FROM ${out}_c
+           |  ORDER BY rel_e9 - (CASE WHEN ms < 0 THEN -1 ELSE 1 END)
+           |             * (abs(ms) // 2) DESC, vec_id
+           |  LIMIT 1)""".stripMargin
+      s"""WITH mm_q AS (
+         |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |mm_rel AS (
+         |  SELECT e.vec_id,
+         |         CAST(round(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) *
+         |                 CAST(q.qe[i] AS DOUBLE) AS DECIMAL(30,15)))
+         |             AS DOUBLE) /
+         |           sqrt(CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) *
+         |                 CAST(q.qe[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+         |             * CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) *
+         |                 CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+         |               AS DOUBLE)) * 1e9) AS BIGINT) AS rel_e9
+         |  FROM embeddings e, mm_q q, range(1, 65) t(i)
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id),
+         |mm_s1 AS (
+         |  SELECT vec_id, rel_e9, rel_e9 AS mmr_e9 FROM mm_rel
+         |  ORDER BY rel_e9 DESC, vec_id LIMIT 1),
+         |mm_sel1 AS (SELECT vec_id FROM mm_s1),
+         |${cosTo("mm_sel1", "mm_s2")},
+         |mm_sel2 AS (SELECT vec_id FROM mm_sel1
+         |            UNION ALL SELECT vec_id FROM mm_s2),
+         |${cosTo("mm_sel2", "mm_s3")},
+         |mm_sel3 AS (SELECT vec_id FROM mm_sel2
+         |            UNION ALL SELECT vec_id FROM mm_s3),
+         |${cosTo("mm_sel3", "mm_s4")},
+         |mm_sel4 AS (SELECT vec_id FROM mm_sel3
+         |            UNION ALL SELECT vec_id FROM mm_s4),
+         |${cosTo("mm_sel4", "mm_s5")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel_e9, mmr_e9 FROM mm_s1
+         |  UNION ALL SELECT 2, vec_id, rel_e9, mmr_e9 FROM mm_s2
+         |  UNION ALL SELECT 3, vec_id, rel_e9, mmr_e9 FROM mm_s3
+         |  UNION ALL SELECT 4, vec_id, rel_e9, mmr_e9 FROM mm_s4
+         |  UNION ALL SELECT 5, vec_id, rel_e9, mmr_e9 FROM mm_s5)
+         |ORDER BY rank""".stripMargin
+    },
+  )
+
   // ANN QUALITY EVAL: recall@3 and MRR of the LSH-ANN against the
   // exact brute-force top-3 — the metric loop every production ANN
   // deployment runs on a probe sample. The ground truth side is
@@ -1315,5 +1443,5 @@ object SimilarityQueries {
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
-      sqTopK, gramMatrix, pcaPower, recallMrrEval)
+      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect)
 }

@@ -47,6 +47,46 @@ class Round7oOpsSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0)) // the winner is not always line 0
   }
 
+  test("sim_mmr_select: greedy replay over the gated cosine kernel; diversity bites") {
+    import spark.implicits._
+    import graft.functions.exprs.cosine_e9
+    val got = q("sim_mmr_select").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val emb = graft.util.Cols.fanout(graft.model.Tables.embeddings(spark, sf))
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val rel = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q0))
+      .select($"vec_id", cosine_e9($"embedding", $"qe"))
+      .as[(Long, Long)].collect().toMap
+    // pairwise sims of every candidate vs the 5 selected, via the
+    // same (separately spec'd) kernel — the GREEDY logic and penalty
+    // arithmetic are what this test re-derives
+    val selIds = got.map(_._2).toSeq
+    val sel = emb.filter($"vec_id".isin(selIds: _*))
+      .select($"vec_id".as("sid"), $"embedding".as("se"))
+    val sims = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(sel))
+      .select($"vec_id", $"sid", cosine_e9($"embedding", $"se"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (rank <- 1 to 5) {
+      val chosen = picked.map(_._2).toSet
+      val best = rel.keys.filterNot(chosen).map { v =>
+        val mmr =
+          if (picked.isEmpty) rel(v)
+          else {
+            val ms = picked.map(p => sims(v)(p._2)).max
+            rel(v) - ms.sign * (ms.abs / 2)
+          }
+        (v, rel(v), mmr)
+      }.minBy { case (v, _, m) => (-m, v) }
+      picked += ((rank.toLong, best._1, best._2, best._3))
+    }
+    assert(got.toSeq == picked.toSeq)
+    // diversity bites: the selection order differs from plain top-k
+    val topk = rel.toSeq.sortBy { case (v, r) => (-r, v) }.take(5).map(_._1)
+    assert(got.map(_._2).toSeq != topk)
+  }
+
   test("gr_assortativity: BigInt power-sum replay over the kept graph") {
     import spark.implicits._
     val Seq(got) = q("gr_assortativity").fn(spark, sf)
