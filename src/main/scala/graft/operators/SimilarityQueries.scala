@@ -195,6 +195,84 @@ object SimilarityQueries {
             |ORDER BY probe_id, rk""".stripMargin),
   )
 
+  // kNN-GRAPH CONSTRUCTION (the neighbor-graph every UMAP/HNSW/label-
+  // propagation-over-embeddings pipeline builds first): top-3 cosine
+  // neighbours for EVERY vector — sim_lsh_ann_topk generalized from
+  // the 10-probe sample to the whole corpus, which is exactly the
+  // step where the LSH bucket bound earns its keep: the self-join
+  // never leaves the bucket key, so candidate volume is Σ bucket²
+  // (∝ n at stable bucket occupancy), never n². Exact decimal cosine
+  // reranks within the bucket; per-node top-3 is a window over
+  // bucket-bounded candidate lists. Nodes whose bucket is a
+  // singleton have no edges — the honest LSH trade, measured by the
+  // recall eval; output is the adjacency list (vec_id, rk, nbr,
+  // cosine_e9).
+  private val knnGraph = Q(
+    "sim_knn_graph",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val withBucket = bucketed(s, d).localCheckpoint() // both join sides
+      val scored = withBucket
+        .select($"vec_id", $"bucket", $"embedding".as("pe"))
+        .join(withBucket.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
+        .filter($"cand_id" =!= $"vec_id")
+        .select($"vec_id", $"cand_id", cosine_e9($"pe", $"embedding").as("cosine_e9"))
+      scored
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"vec_id").orderBy($"cosine_e9".desc, $"cand_id")))
+        .filter($"rk" <= 3)
+        .select($"vec_id", $"rk", $"cand_id".as("nbr"), $"cosine_e9")
+        .orderBy($"vec_id", $"rk")
+    },
+    Some("""WITH kg_votes AS (
+           |  SELECT e.vec_id, p,
+           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |             END) AS proj
+           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+           |  GROUP BY e.vec_id, p),
+           |kg_b AS (
+           |  SELECT vec_id,
+           |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           |           AS bucket
+           |  FROM kg_votes GROUP BY vec_id),
+           |kg_be AS (
+           |  SELECT b.vec_id, b.bucket, e.embedding
+           |  FROM kg_b b JOIN embeddings e USING (vec_id)),
+           |kg_cand AS (
+           |  SELECT p.vec_id, c.vec_id AS nbr,
+           |         p.embedding AS pe, c.embedding AS ce
+           |  FROM kg_be p JOIN kg_be c
+           |    ON p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+           |kg_sums AS (
+           |  SELECT vec_id, nbr,
+           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS dot,
+           |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+           |             AS DECIMAL(30,15))) AS nb
+           |  FROM kg_cand, range(1, 65) t(k)
+           |  GROUP BY vec_id, nbr),
+           |kg_r AS (
+           |  SELECT vec_id, nbr,
+           |         CAST(round(CAST(dot AS DOUBLE) /
+           |              sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |              AS BIGINT) AS cosine_e9,
+           |         row_number() OVER (
+           |           PARTITION BY vec_id
+           |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                    AS BIGINT) DESC, nbr) AS rk
+           |  FROM kg_sums)
+           |SELECT vec_id, CAST(rk AS INT) AS rk, nbr, cosine_e9
+           |FROM kg_r WHERE rk <= 3
+           |ORDER BY vec_id, rk""".stripMargin),
+  )
+
   // Embedding-cosine near-duplicate pairs: LSH candidates verified by
   // exact (decimal) cosine >= 0.4. The operator IS the two-stage
   // LSH-then-verify pipeline, and the oracle replays both stages.
@@ -1443,5 +1521,5 @@ object SimilarityQueries {
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
-      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect)
+      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph)
 }

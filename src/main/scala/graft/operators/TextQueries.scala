@@ -605,6 +605,44 @@ object TextQueries {
             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
   )
 
+  // TOKENIZER FERTILITY per language (the multilingual-tokenizer
+  // fairness metric: BPE pieces per word — languages the merges were
+  // not trained for pay more pieces per word, i.e. more compute per
+  // sentence; reported per lang from the SAME trained BPE dictionary
+  // `ta_bpe_merges`/`ta_bpe_encode` gate, so all three entries share
+  // one trainer). Exact integers: per-lang token and piece sums,
+  // fertility in ppm (pieces·1e6 DIV tokens). Scale shape: the
+  // dictionary is the broadcast-scale tokenizer artifact; one
+  // token-keyed join + a |langs|-key roll-up.
+  private val tokenizerFertility = Q(
+    "td_tokenizer_fertility",
+    (s, d) => {
+      import s.implicits._
+      val enc = bpeTrain(s, d)._1
+        .select($"word", size($"pieces").cast("long").as("np"))
+      Tables.documents(s, d)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .join(enc, Seq("word"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tokens"), sum($"np").as("n_pieces"))
+        .select($"lang", $"n_tokens", $"n_pieces",
+          expr("(n_pieces * 1000000) div n_tokens").as("fertility_ppm"))
+        .orderBy($"lang")
+    },
+    Some(s"""$bpeOracleCtes,
+            |tf_enc AS MATERIALIZED (
+            |  SELECT word, len(pieces) AS np FROM bp$BpeRounds),
+            |tf_tok AS (
+            |  SELECT lang, unnest(string_split(text, ' ')) AS word
+            |  FROM documents)
+            |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+            |       CAST(sum(e.np) AS BIGINT) AS n_pieces,
+            |       (CAST(sum(e.np) AS BIGINT) * 1000000)
+            |         // CAST(count(*) AS BIGINT) AS fertility_ppm
+            |FROM tf_tok t JOIN tf_enc e USING (word)
+            |GROUP BY t.lang ORDER BY t.lang""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2285,5 +2323,5 @@ object TextQueries {
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
-      textrank, langConfusion, rake, extractiveSummary)
+      textrank, langConfusion, rake, extractiveSummary, tokenizerFertility)
 }

@@ -176,6 +176,30 @@ object Round7kProbe {
       val (dcRows, dcT) = run("qa_data_contract", d)
       emit("probe" -> "qa_data_contract", "dir" -> d, "rules" -> dcRows,
         "sec" -> dcT)
+
+      // --- session-10 batches six and seven ---
+
+      val (cardRows, cardT) = run("pipe_dataset_card", d)
+      emit("probe" -> "pipe_dataset_card", "dir" -> d, "sources" -> cardRows,
+        "sec" -> cardT)
+
+      val (rakeRows, rakeT) = run("ta_rake_keyphrases", d)
+      emit("probe" -> "ta_rake_keyphrases", "dir" -> d, "rows" -> rakeRows,
+        "sec" -> rakeT)
+
+      val (sumRows, sumT) = run("ta_extractive_summary", d)
+      emit("probe" -> "ta_extractive_summary", "dir" -> d, "docs" -> sumRows,
+        "sec" -> sumT)
+
+      val qas = QueryCatalog.all.find(_.name == "gr_assortativity").get
+      val (asr, asT) = time { qas.fn(spark, d).head() }
+      emit("probe" -> "gr_assortativity", "dir" -> d,
+        "m_directed" -> asr.getLong(0), "r_milli" -> asr.getLong(6),
+        "sec" -> asT)
+
+      val (mmrRows, mmrT) = run("sim_mmr_select", d)
+      emit("probe" -> "sim_mmr_select", "dir" -> d, "k" -> mmrRows,
+        "sec" -> mmrT)
     }
     spark.stop()
   }
