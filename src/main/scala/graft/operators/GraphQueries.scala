@@ -527,8 +527,9 @@ object GraphQueries {
   // split keeping Spark's truncating DIV and DuckDB's flooring //
   // identical on the signed numerator. One edge-keyed join against
   // the broadcast-sized degree table, then a single global power-sum
-  // aggregate — O(|E|) with a 1-row result. BIGINT holds through
-  // M·Σxy ≈ deg⁴·|V| ~ 1e17 at grow_sf1; DECIMAL beyond.
+  // aggregate — O(|E|) with a 1-row result. The cross products run in
+  // DECIMAL(38,0)/HUGEINT: M·Σxy reaches ~3.6e18 at grow_sf1 already
+  // (the first formulation overflowed BIGINT there — measured, fixed).
   private val assortativity = Q(
     "gr_assortativity",
     (s, d) => {
@@ -545,8 +546,10 @@ object GraphQueries {
           sum($"x").as("s_x"),
           sum($"x" * $"x").as("s_x2"))
         .select($"m_directed", $"s_xy", $"s_x", $"s_x2",
-          ($"m_directed" * $"s_xy" - $"s_x" * $"s_x").as("r_num"),
-          ($"m_directed" * $"s_x2" - $"s_x" * $"s_x").as("r_den"))
+          expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * s_xy" +
+            " - CAST(s_x AS DECIMAL(38,0)) * s_x AS DECIMAL(38,0))").as("r_num"),
+          expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * s_x2" +
+            " - CAST(s_x AS DECIMAL(38,0)) * s_x AS DECIMAL(38,0))").as("r_den"))
         .select($"m_directed", $"s_xy", $"s_x", $"s_x2", $"r_num", $"r_den",
           expr("CAST(CASE WHEN r_num < 0 THEN -1 ELSE 1 END" +
             " * ((abs(r_num) * 1000) DIV r_den) AS BIGINT)").as("r_milli"))
@@ -565,13 +568,16 @@ object GraphQueries {
             |  JOIN as_deg dx ON dx.node = e.src
             |  JOIN as_deg dy ON dy.node = e.dst)
             |SELECT m_directed, s_xy, s_x, s_x2,
-            |       m_directed * s_xy - s_x * s_x AS r_num,
-            |       m_directed * s_x2 - s_x * s_x AS r_den,
-            |       CAST((CASE WHEN m_directed * s_xy - s_x * s_x < 0
+            |       CAST(m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x
+            |            AS DECIMAL(38,0)) AS r_num,
+            |       CAST(m_directed::HUGEINT * s_x2 - s_x::HUGEINT * s_x
+            |            AS DECIMAL(38,0)) AS r_den,
+            |       CAST((CASE WHEN m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x < 0
             |                  THEN -1 ELSE 1 END)
-            |            * ((abs(m_directed * s_xy - s_x * s_x) * 1000)
-            |               // (m_directed * s_x2 - s_x * s_x)) AS BIGINT)
-            |         AS r_milli
+            |            * ((abs(m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x)
+            |                * 1000)
+            |               // (m_directed::HUGEINT * s_x2 - s_x::HUGEINT * s_x))
+            |            AS BIGINT) AS r_milli
             |FROM as_s""".stripMargin),
   )
 

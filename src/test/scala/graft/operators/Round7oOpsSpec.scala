@@ -90,6 +90,10 @@ class Round7oOpsSpec extends AnyFunSuite {
   test("gr_assortativity: BigInt power-sum replay over the kept graph") {
     import spark.implicits._
     val Seq(got) = q("gr_assortativity").fn(spark, sf)
+      // r_num/r_den are DECIMAL(38,0) (they pass BIGINT at grow_sf1
+      // already); at sf0.01 they fit in Long for the replay compare
+      .selectExpr("m_directed", "s_xy", "s_x", "s_x2",
+        "CAST(r_num AS BIGINT)", "CAST(r_den AS BIGINT)", "r_milli")
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
     // re-derive the kept graph the same way as Round7kOpsSpec
     val li = graft.model.Tables.lineitem(spark, sf)
