@@ -1675,11 +1675,69 @@ object DedupQueries {
             |FROM de_tp""".stripMargin),
   )
 
+  // TRUNCATED-HASH DEDUP COLLISION AUDIT — the due-diligence check
+  // before shipping the cheap shortcut everyone ships: deduping on a
+  // short hash prefix instead of full content. Buckets docs by the
+  // 12-bit md5 prefix and counts, per bucket, how many same-bucket
+  // pairs are REAL duplicates (identical text) vs birthday-collision
+  // false positives — entirely arithmetically, Σ n(n−1) − Σ ct(ct−1)
+  // over the (bucket, text) group table, so the quadratic pair set is
+  // never materialized. fp_ppb (collisions per 10⁹ cross-doc pairs)
+  // is the scale-robust statistic; the raw pair counts grow ∝ n²/2^b
+  // at fixed b, which is exactly the audit's point — b must grow with
+  // the corpus (birthday bound), the same knob law as the kNN-graph
+  // hyperplanes. Cross products in DECIMAL(38,0)/HUGEINT.
+  private val hashCollisionAudit = Q(
+    "td_hash_collision_audit",
+    (s, d) => {
+      import s.implicits._
+      val perText = Tables.documents(s, d)
+        .select(substring(md5($"text".cast("binary")), 1, 3).as("bucket"),
+          $"text")
+        .groupBy($"bucket", $"text").agg(count(lit(1)).as("ct"))
+      val perBucket = perText.groupBy($"bucket")
+        .agg(sum($"ct").as("n"),
+          sum(($"ct" * ($"ct" - 1)).cast("decimal(38,0)")).as("c2"))
+      perBucket.agg(
+        sum($"n").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max($"n").as("max_bucket"),
+        sum(($"n" * ($"n" - 1)).cast("decimal(38,0)")).as("n2"),
+        sum($"c2").as("cc2"))
+        .select(
+          lit(12L).as("bits"),
+          $"n_docs", $"n_buckets", $"max_bucket",
+          expr("cc2 div 2").as("dup_pairs"),
+          expr("(n2 - cc2) div 2").as("fp_pairs"),
+          expr("((n2 - cc2) * 1000000000)" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1))").as("fp_ppb"))
+    },
+    Some("""WITH hc_t AS (
+            |  SELECT substring(md5(text), 1, 3) AS bucket, text,
+            |         CAST(count(*) AS BIGINT) AS ct
+            |  FROM documents GROUP BY 1, 2),
+            |hc_b AS (
+            |  SELECT bucket, CAST(sum(ct) AS BIGINT) AS n,
+            |         CAST(sum(ct::HUGEINT * (ct - 1)) AS HUGEINT) AS c2
+            |  FROM hc_t GROUP BY 1)
+            |SELECT CAST(12 AS BIGINT) AS bits,
+            |       CAST(sum(n) AS BIGINT) AS n_docs,
+            |       CAST(count(*) AS BIGINT) AS n_buckets,
+            |       CAST(max(n) AS BIGINT) AS max_bucket,
+            |       CAST(sum(c2) // 2 AS BIGINT) AS dup_pairs,
+            |       CAST((sum(n::HUGEINT * (n - 1)) - sum(c2)) // 2 AS BIGINT)
+            |         AS fp_pairs,
+            |       CAST(((sum(n::HUGEINT * (n - 1)) - sum(c2)) * 1000000000)
+            |            // (sum(n)::HUGEINT * (sum(n) - 1)) AS BIGINT)
+            |         AS fp_ppb
+            |FROM hc_b""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
       spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup, cdcChunks,
-      dedupEval)
+      dedupEval, hashCollisionAudit)
 }

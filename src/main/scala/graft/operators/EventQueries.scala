@@ -1771,6 +1771,71 @@ object EventQueries {
             |LIMIT 10""".stripMargin),
   )
 
+  // ACTIVITY CONCENTRATION / LORENZ SHARES (the "what % of traffic
+  // comes from the top 1% of users" capacity question, and the skew
+  // early-warning for every user-keyed shuffle in this file). Exact
+  // event share of the top {1,5,10,20,50}% most-active users, ppm.
+  // The device is the qa_percentile_rank discipline: reduce to the
+  // ACTIVITY HISTOGRAM (distinct per-user event counts — a bounded
+  // value domain however many users exist), run the two cumulative
+  // windows over those compact rows, then resolve each percentile's
+  // k = ⌈U·p/100⌉ against its boundary histogram class; users inside
+  // one class are interchangeable (identical count), so the partial-
+  // class share (k − cum_prev)·c is EXACT, not an approximation.
+  // Cross products in DECIMAL(38,0)/HUGEINT.
+  private val paretoConcentration = Q(
+    "ev_pareto_concentration",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      val hist = perUser.groupBy($"c").agg(count(lit(1)).as("nu"))
+      val w = Window.orderBy($"c".desc)
+      val cum = hist
+        .withColumn("cum_u", sum($"nu").over(w))
+        .withColumn("cum_e", sum(($"c" * $"nu").cast("decimal(38,0)")).over(w))
+      val tot = perUser.agg(count(lit(1)).as("users"),
+        sum($"c".cast("decimal(38,0)")).as("events"))
+      val kdf = s.range(0, 1).select(
+        explode(array(lit(1L), lit(5L), lit(10L), lit(20L), lit(50L))).as("pct"))
+        .crossJoin(broadcast(tot))
+        .select($"pct", $"users", $"events",
+          expr("(users * pct + 99) div 100").as("k"))
+      cum.join(broadcast(kdf), $"cum_u" - $"nu" < $"k" && $"k" <= $"cum_u")
+        .select($"pct", $"k".as("top_users"),
+          ($"cum_e" - ($"cum_u" - $"k").cast("decimal(38,0)") * $"c")
+            .cast("long").as("events_top"),
+          expr("((cum_e - CAST(cum_u - k AS DECIMAL(38,0)) * c) * 1000000)" +
+            " div events").as("share_ppm"))
+        .orderBy($"pct")
+    },
+    Some("""WITH pc_u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            |              FROM events GROUP BY 1),
+            |pc_h AS (SELECT c, CAST(count(*) AS BIGINT) AS nu
+            |         FROM pc_u GROUP BY 1),
+            |pc_c AS (SELECT c, nu,
+            |                CAST(sum(nu) OVER (ORDER BY c DESC) AS BIGINT)
+            |                  AS cum_u,
+            |                CAST(sum(c * nu) OVER (ORDER BY c DESC) AS HUGEINT)
+            |                  AS cum_e
+            |         FROM pc_h),
+            |pc_t AS (SELECT CAST(count(*) AS BIGINT) AS users,
+            |                CAST(sum(c) AS HUGEINT) AS events FROM pc_u),
+            |pc_k AS (SELECT pct, users, events,
+            |                (users * pct + 99) // 100 AS k
+            |         FROM (SELECT unnest([1, 5, 10, 20, 50]) AS pct)
+            |         CROSS JOIN pc_t)
+            |SELECT CAST(k.pct AS BIGINT) AS pct,
+            |       CAST(k.k AS BIGINT) AS top_users,
+            |       CAST(c.cum_e - (c.cum_u - k.k)::HUGEINT * c.c AS BIGINT)
+            |         AS events_top,
+            |       CAST(((c.cum_e - (c.cum_u - k.k)::HUGEINT * c.c) * 1000000)
+            |            // k.events AS BIGINT) AS share_ppm
+            |FROM pc_k k JOIN pc_c c ON c.cum_u - c.nu < k.k AND k.k <= c.cum_u
+            |ORDER BY pct""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -1778,5 +1843,5 @@ object EventQueries {
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
-      forecastBacktest, featureMatrix, topPaths)
+      forecastBacktest, featureMatrix, topPaths, paretoConcentration)
 }

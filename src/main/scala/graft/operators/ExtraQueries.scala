@@ -1475,10 +1475,63 @@ object ExtraQueries {
             |ORDER BY event_type""".stripMargin),
   )
 
+  // CROSS-TABLE RECONCILIATION AUDIT (the finance/warehouse closing
+  // check: does each order's header total reconcile with the sum of
+  // its lines?). Tiered tolerance ladder, FIRST MATCH WINS: exact
+  // (|Δ| ≤ 1 cent), within 1%, within 10%, mismatch, orphan (header
+  // with no lines) — tolerances compare CROSS-MULTIPLIED (|Δ|·100 ≤
+  // total), no float thresholds. This synthetic warehouse does NOT
+  // reconcile (headers and lines are generated independently), which
+  // is precisely what the audit reports — every ladder rung is
+  // populated. One order-keyed partial agg + an order-keyed join,
+  // then a 5-row roll-up.
+  private val reconciliation = Q(
+    "qa_reconciliation",
+    (s, d) => {
+      import s.implicits._
+      val lines = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey").agg(sum(cents($"l_extendedprice")).as("lc"))
+      val ladder = Tables.orders(s, d)
+        .select($"o_orderkey", cents($"o_totalprice").as("oc"))
+        .join(lines, $"o_orderkey" === $"l_orderkey", "left")
+        .select(
+          when($"lc".isNull, "orphan")
+            .when(abs($"oc" - $"lc") <= 1, "exact")
+            .when(abs($"oc" - $"lc") * 100 <= $"oc", "within_1pct")
+            .when(abs($"oc" - $"lc") * 10 <= $"oc", "within_10pct")
+            .otherwise("mismatch").as("bucket"))
+      val tot = ladder.agg(count(lit(1)).as("n_orders"))
+      ladder.groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select($"bucket", $"n", expr("(n * 1000000) div n_orders").as("ppm"))
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH rc_l AS (
+            |  SELECT l_orderkey,
+            |         CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS lc
+            |  FROM lineitem GROUP BY 1),
+            |rc_b AS (
+            |  SELECT CASE WHEN lc IS NULL THEN 'orphan'
+            |              WHEN abs(oc - lc) <= 1 THEN 'exact'
+            |              WHEN abs(oc - lc) * 100 <= oc THEN 'within_1pct'
+            |              WHEN abs(oc - lc) * 10 <= oc THEN 'within_10pct'
+            |              ELSE 'mismatch' END AS bucket
+            |  FROM (SELECT o_orderkey, ${centsSql("o_totalprice")} AS oc
+            |        FROM orders) o
+            |  LEFT JOIN rc_l ON rc_l.l_orderkey = o.o_orderkey),
+            |rc_t AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM rc_b)
+            |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            |       (CAST(count(*) AS BIGINT) * 1000000) // max(rc_t.n_orders)
+            |         AS ppm
+            |FROM rc_b CROSS JOIN rc_t
+            |GROUP BY bucket
+            |ORDER BY bucket""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
-    cusumDrift, dataContract, freshnessLag)
+    cusumDrift, dataContract, freshnessLag, reconciliation)
 }

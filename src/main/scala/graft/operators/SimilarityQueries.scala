@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -271,6 +272,69 @@ object SimilarityQueries {
            |SELECT vec_id, CAST(rk AS INT) AS rk, nbr, cosine_e9
            |FROM kg_r WHERE rk <= 3
            |ORDER BY vec_id, rk""".stripMargin),
+  )
+
+  // EMBEDDING DISTRIBUTION DRIFT (the ML-ops monitor for an embedding
+  // pipeline: did the centroid move between two corpus slices?).
+  // Slices are vec_id parity halves; the statistic is the cosine
+  // between the two slices' centroid vectors — computed on the RAW
+  // per-dimension DECIMAL sums, with NO mean division anywhere:
+  // cosine is scale-invariant, so cos(Σa, Σb) == cos(mean_a, mean_b)
+  // exactly. The 64 cross-products of those sums follow the gram
+  // entry's device — multiply in DOUBLE (deterministic IEEE, same in
+  // both engines), cast each product to DECIMAL(38,6) BEFORE the sum
+  // (order-independent; a decimal×decimal product here would overflow
+  // precision 38 and the two engines round the overflow differently —
+  // measured e-8 divergence). A drifting
+  // pipeline shows cosine dropping from ~1. Scale shape: one
+  // fanout pass → 2·d partial sums (map-side combined), then 1-row
+  // algebra — corpus-size-free after the aggregate.
+  private val embeddingDrift = Q(
+    "sim_embedding_drift",
+    (s, d) => {
+      import s.implicits._
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val sums = emb
+        .select(($"vec_id" % 2).as("half"),
+          posexplode($"embedding").as(Seq("k", "v")))
+        .groupBy($"half", $"k")
+        .agg(sum($"v".cast("double").cast(Dec)).as("s"))
+      val paired = sums.groupBy($"k")
+        .agg(max(when($"half" === 0, $"s")).as("a"),
+          max(when($"half" === 1, $"s")).as("b"))
+      val p = (x: Column, y: Column) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(38,6)")
+      paired.agg(
+        sum(p($"a", $"b")).as("dot"),
+        sum(p($"a", $"a")).as("na"),
+        sum(p($"b", $"b")).as("nb"),
+        count(lit(1)).as("dims"))
+        .select($"dims",
+          expr("CAST(round(CAST(dot AS DOUBLE) /" +
+            " sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9) AS BIGINT)")
+            .as("centroid_cosine_e9"))
+    },
+    Some("""WITH ed_s AS (
+           |  SELECT e.vec_id % 2 AS half, i AS k,
+           |         SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+           |           AS s
+           |  FROM embeddings e, range(1, 65) t(i)
+           |  GROUP BY 1, 2),
+           |ed_p AS (
+           |  SELECT k,
+           |         max(CASE WHEN half = 0 THEN s END) AS a,
+           |         max(CASE WHEN half = 1 THEN s END) AS b
+           |  FROM ed_s GROUP BY k)
+           |SELECT CAST(count(*) AS BIGINT) AS dims,
+           |       CAST(round(CAST(sum(CAST(CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+           |                             AS DECIMAL(38,6))) AS DOUBLE) /
+           |            sqrt(CAST(sum(CAST(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+           |                              AS DECIMAL(38,6))) AS DOUBLE)
+           |                 * CAST(sum(CAST(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+           |                                 AS DECIMAL(38,6))) AS DOUBLE))
+           |            * 1e9) AS BIGINT)
+           |         AS centroid_cosine_e9
+           |FROM ed_p""".stripMargin),
   )
 
   // Embedding-cosine near-duplicate pairs: LSH candidates verified by
@@ -1521,5 +1585,6 @@ object SimilarityQueries {
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
-      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph)
+      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
+      embeddingDrift)
 }

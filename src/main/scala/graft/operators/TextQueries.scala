@@ -643,6 +643,207 @@ object TextQueries {
             |GROUP BY t.lang ORDER BY t.lang""".stripMargin),
   )
 
+  // NEYMAN OPTIMAL STRATIFIED ALLOCATION (Neyman 1934: sample
+  // strata ∝ N_h·σ_h, not ∝ N_h — high-variance strata earn more of
+  // the budget; the sampling-theory upgrade over td_stratified_sample
+  // and the allocation sibling of td_token_budget_alloc). Strata are
+  // sources, the measured variable is document length (n_chars).
+  // All integer: per-stratum variance from exact power sums
+  // (truncating, the qa_exact_moments device), σ via the EXACT
+  // integer square root (floor(sqrt)+±1 correction — libm rounding
+  // can never shift a weight; valid while var_h < 2^52, and char-count
+  // variance is bounded by max(n_chars)²/4 ≪ that), weights N_h·σ_h,
+  // and the 1000-sample budget split by largest remainder so it sums
+  // EXACTLY. The cross products (nh·sx2, sx², B·w) run in
+  // DECIMAL(38,0)/HUGEINT — at 10¹²-doc scale sx2 alone passes 1e19,
+  // the same BIGINT cliff the assortativity probe measured. One
+  // source-keyed partial agg; everything after runs on the
+  // |sources|-row table (the rank window included).
+  private val neymanAlloc = Q(
+    "td_neyman_alloc",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 1000L
+      val stats = Tables.documents(s, d)
+        .select($"source", $"n_chars".cast("long").as("x"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("nh"), sum($"x").as("sx"),
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sx2"))
+        .select($"source", $"nh",
+          expr("(CAST(nh AS DECIMAL(38,0)) * sx2" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            " div (CAST(nh AS DECIMAL(38,0)) * nh)").as("var_h"))
+        .withColumn("r0", expr("CAST(floor(sqrt(CAST(var_h AS DOUBLE))) AS BIGINT)"))
+        .withColumn("sigma", expr(
+          """CASE WHEN (r0 + 1) * (r0 + 1) <= var_h THEN r0 + 1
+            |     WHEN r0 * r0 > var_h THEN r0 - 1
+            |     ELSE r0 END""".stripMargin))
+        .select($"source", $"nh", $"var_h", ($"nh" * $"sigma").as("w"))
+      val tot = stats.agg(sum($"w".cast("decimal(38,0)")).as("tw"))
+      val floors = stats.crossJoin(broadcast(tot))
+        .select($"source", $"nh", $"var_h", $"w",
+          expr(s"(CAST($B AS DECIMAL(38,0)) * w) div tw").as("floor_alloc"),
+          expr(s"(CAST($B AS DECIMAL(38,0)) * w) % tw").as("rem"))
+      val short = floors.agg((lit(B) - sum($"floor_alloc")).as("shortfall"))
+      floors.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"source")))
+        .select($"source", $"nh", $"var_h", $"w",
+          ($"floor_alloc" + when($"rk" <= $"shortfall", 1L).otherwise(0L))
+            .as("alloc_n"))
+        .orderBy($"source")
+    },
+    Some("""WITH ny_s AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS nh,
+           |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+           |         CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT)
+           |           AS sx2
+           |  FROM documents GROUP BY 1),
+           |ny_v AS (
+           |  SELECT source, nh,
+           |         CAST((nh::HUGEINT * sx2 - sx::HUGEINT * sx)
+           |              // (nh::HUGEINT * nh) AS BIGINT) AS var_h
+           |  FROM ny_s),
+           |ny_w AS (
+           |  SELECT source, nh, var_h,
+           |         nh * (CASE WHEN (r0 + 1) * (r0 + 1) <= var_h THEN r0 + 1
+           |                    WHEN r0 * r0 > var_h THEN r0 - 1
+           |                    ELSE r0 END) AS w
+           |  FROM (SELECT *, CAST(floor(sqrt(CAST(var_h AS DOUBLE))) AS BIGINT)
+           |                  AS r0 FROM ny_v)),
+           |ny_t AS (SELECT CAST(sum(w::HUGEINT) AS HUGEINT) AS tw FROM ny_w),
+           |ny_f AS (
+           |  SELECT source, nh, var_h, w,
+           |         (1000::HUGEINT * w) // tw AS floor_alloc,
+           |         (1000::HUGEINT * w) % tw AS rem
+           |  FROM ny_w CROSS JOIN ny_t),
+           |ny_sh AS (SELECT CAST(1000 - sum(floor_alloc) AS BIGINT) AS shortfall
+           |          FROM ny_f),
+           |ny_r AS (
+           |  SELECT source, nh, var_h, w, floor_alloc, shortfall,
+           |         row_number() OVER (ORDER BY rem DESC, source) AS rk
+           |  FROM ny_f CROSS JOIN ny_sh)
+           |SELECT source, nh, var_h, CAST(w AS BIGINT) AS w,
+           |       CAST(floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+           |            AS BIGINT) AS alloc_n
+           |FROM ny_r ORDER BY source""".stripMargin),
+  )
+
+  // HEAPS-LAW VOCABULARY GROWTH CURVE (Heaps 1978: V(n) ≈ K·n^β —
+  // the curve every tokenizer-vocab and dedup-capacity plan is sized
+  // against). Cumulative distinct vocabulary at ten doc-id-range
+  // checkpoints, computed WITHOUT any per-checkpoint rescan: one
+  // token pass reduces to (word → min doc_id) — vocabulary-bounded
+  // after the map-side combine — then each word lands in the decile
+  // its FIRST occurrence falls into and two ten-row prefix sums
+  // finish the curve. The windows carry ten rows, never the corpus
+  // (the qa_percentile_rank discipline). Checkpoints are id-range
+  // deciles (the generator's doc_ids are dense, so docs_cum reports
+  // the realized prefix sizes alongside).
+  private val heapsCurve = Q(
+    "ta_heaps_vocab_curve",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val span = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      val decOf = (c: String) =>
+        expr(s"least(10, 1 + (($c - lo) * 10) div (hi - lo + 1))").as("decile")
+      val docDec = docs.select($"doc_id").crossJoin(broadcast(span))
+        .select(decOf("doc_id"))
+        .groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+      val firstSeen = graft.util.Cols.fanout(docs)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(min($"doc_id").as("fs"))
+      val wordDec = firstSeen.crossJoin(broadcast(span))
+        .select(decOf("fs"))
+        .groupBy($"decile").agg(count(lit(1)).as("new_words"))
+      // LEFT join + zero-fill: once the vocabulary saturates (fixed
+      // domains at small sf), later deciles mint NO new words — the
+      // flat tail IS the curve, so those rows must survive
+      val w = Window.orderBy($"decile")
+      docDec.join(wordDec, Seq("decile"), "left")
+        .withColumn("new_words", coalesce($"new_words", lit(0L)))
+        .withColumn("docs_cum", sum($"n_docs").over(w))
+        .withColumn("vocab_cum", sum($"new_words").over(w))
+        .select($"decile", $"docs_cum", $"vocab_cum", $"new_words")
+        .orderBy($"decile")
+    },
+    Some("""WITH hv_b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+           |              FROM documents),
+           |hv_d AS (
+           |  SELECT least(10, 1 + ((doc_id - lo) * 10) // (hi - lo + 1))
+           |           AS decile
+           |  FROM documents CROSS JOIN hv_b),
+           |hv_dc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+           |          FROM hv_d GROUP BY 1),
+           |hv_w AS (
+           |  SELECT word, min(doc_id) AS fs FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  GROUP BY 1),
+           |hv_wc AS (
+           |  SELECT least(10, 1 + ((fs - lo) * 10) // (hi - lo + 1)) AS decile,
+           |         CAST(count(*) AS BIGINT) AS new_words
+           |  FROM hv_w CROSS JOIN hv_b GROUP BY 1)
+           |SELECT CAST(decile AS BIGINT) AS decile,
+           |       CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT)
+           |         AS docs_cum,
+           |       CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY decile)
+           |            AS BIGINT) AS vocab_cum,
+           |       CAST(coalesce(new_words, 0) AS BIGINT) AS new_words
+           |FROM hv_dc LEFT JOIN hv_wc USING (decile)
+           |ORDER BY decile""".stripMargin),
+  )
+
+  // TERM BURSTINESS for the top-20 vocabulary (Church & Gale 1995:
+  // content words arrive in bursts — variance-to-mean ratio of the
+  // per-document count well above 1 — while function words sit near
+  // Poisson). VMR across ALL docs, absent docs included, from the
+  // zero-robust algebra: absent docs add nothing to Σx and Σx², so
+  // VMR = (N·Σx² − (Σx)²)·10⁶ div (N·Σx) needs only the postings-
+  // shaped (word, doc) counts, never a dense word×doc matrix. Cross
+  // products in DECIMAL(38,0)/HUGEINT (N·Σx² passes 1e19 at corpus
+  // scale). Top-20 by total count via TakeOrdered — no global sort.
+  private val burstiness = Q(
+    "ta_burstiness_topk",
+    (s, d) => {
+      import s.implicits._
+      val docs = graft.util.Cols.fanout(Tables.documents(s, d))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"word", $"doc_id").agg(count(lit(1)).as("x"))
+      val perWord = perDoc.groupBy($"word")
+        .agg(sum($"x").as("tf"), count(lit(1)).as("df"),
+          sum(($"x" * $"x").cast("decimal(38,0)")).as("sx2"))
+        .orderBy($"tf".desc, $"word").limit(20)
+      perWord.crossJoin(broadcast(n))
+        .select($"word", $"tf", $"df",
+          expr("((CAST(n_docs AS DECIMAL(38,0)) * sx2" +
+            " - CAST(tf AS DECIMAL(38,0)) * tf) * 1000000)" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * tf)").as("vmr_e6"))
+        .orderBy($"tf".desc, $"word")
+    },
+    Some("""WITH bu_x AS (
+           |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS x FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  GROUP BY 1, 2),
+           |bu_w AS (
+           |  SELECT word, CAST(sum(x) AS BIGINT) AS tf,
+           |         CAST(count(*) AS BIGINT) AS df,
+           |         CAST(sum(x * x) AS HUGEINT) AS sx2
+           |  FROM bu_x GROUP BY 1
+           |  ORDER BY tf DESC, word LIMIT 20),
+           |bu_n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+           |SELECT word, tf, df,
+           |       CAST(((n_docs::HUGEINT * sx2 - tf::HUGEINT * tf) * 1000000)
+           |            // (n_docs::HUGEINT * tf) AS BIGINT) AS vmr_e6
+           |FROM bu_w CROSS JOIN bu_n
+           |ORDER BY tf DESC, word""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2323,5 +2524,6 @@ object TextQueries {
       invertedPostings, bm25, winnow, tfidfCosine, winnowNearDup,
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
-      textrank, langConfusion, rake, extractiveSummary, tokenizerFertility)
+      textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
+      neymanAlloc, heapsCurve, burstiness)
 }

@@ -200,6 +200,59 @@ object Round7kProbe {
       val (mmrRows, mmrT) = run("sim_mmr_select", d)
       emit("probe" -> "sim_mmr_select", "dir" -> d, "k" -> mmrRows,
         "sec" -> mmrT)
+
+      // kNN graph: the Σ bucket² candidate bound is the claim
+      val occ2 = graft.model.Tables.embeddings(spark, d)
+        .select(graft.functions.exprs.lsh_bucket($"embedding").as("b"))
+        .groupBy($"b").count()
+        .agg(expr("cast(sum(count * count) as bigint)")).head.getLong(0)
+      val (kgRows, kgT) = run("sim_knn_graph", d)
+      emit("probe" -> "sim_knn_graph", "dir" -> d, "vecs" -> nVecs,
+        "bucket_occ2" -> occ2, "edges" -> kgRows, "sec" -> kgT)
+
+      val (tfRows, tfT) = run("td_tokenizer_fertility", d)
+      emit("probe" -> "td_tokenizer_fertility", "dir" -> d, "langs" -> tfRows,
+        "sec" -> tfT)
+
+      // batch 9 — all three are single partial-agg passes; the probe
+      // records the agg key volume each one's scale claim rests on
+      val nOrders = graft.model.Tables.orders(spark, d).count()
+      val (rcRows, rcT) = run("qa_reconciliation", d)
+      emit("probe" -> "qa_reconciliation", "dir" -> d, "orders" -> nOrders,
+        "rungs" -> rcRows, "sec" -> rcT)
+
+      val (nyRows, nyT) = run("td_neyman_alloc", d)
+      emit("probe" -> "td_neyman_alloc", "dir" -> d, "docs" -> nDocs,
+        "strata" -> nyRows, "sec" -> nyT)
+
+      val (edRows, edT) = run("sim_embedding_drift", d)
+      emit("probe" -> "sim_embedding_drift", "dir" -> d, "vecs" -> nVecs,
+        "rows" -> edRows, "sec" -> edT)
+
+      // batch 10 — record the intermediate each entry's claim rests on
+      val (hvRows, hvT) = run("ta_heaps_vocab_curve", d)
+      emit("probe" -> "ta_heaps_vocab_curve", "dir" -> d, "vocab" -> nNodes,
+        "deciles" -> hvRows, "sec" -> hvT)
+
+      val nPostings = toks
+        .select($"doc_id", explode($"w").as("t")).distinct().count()
+      val (buRows, buT) = run("ta_burstiness_topk", d)
+      emit("probe" -> "ta_burstiness_topk", "dir" -> d,
+        "postings" -> nPostings, "rows" -> buRows, "sec" -> buT)
+
+      val histSize = graft.model.Tables.events(spark, d)
+        .groupBy($"user_id").count()
+        .select($"count").distinct().count()
+      val (pcRows, pcT) = run("ev_pareto_concentration", d)
+      emit("probe" -> "ev_pareto_concentration", "dir" -> d,
+        "hist_classes" -> histSize, "rows" -> pcRows, "sec" -> pcT)
+
+      val qhc = QueryCatalog.all.find(_.name == "td_hash_collision_audit").get
+      val (hcr, hcT) = time { qhc.fn(spark, d).head() }
+      emit("probe" -> "td_hash_collision_audit", "dir" -> d,
+        "docs" -> hcr.getLong(1), "buckets" -> hcr.getLong(2),
+        "max_bucket" -> hcr.getLong(3), "fp_pairs" -> hcr.getLong(5),
+        "sec" -> hcT)
     }
     spark.stop()
   }
