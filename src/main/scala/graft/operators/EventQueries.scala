@@ -1836,6 +1836,98 @@ object EventQueries {
             |ORDER BY pct""".stripMargin),
   )
 
+  // DISCRETE-TIME HAZARD CURVE (the survival-analysis view of user
+  // lifetime — Kaplan-Meier's discrete sibling, chosen because the
+  // hazard table needs NO cumulative product, so it stays rational/
+  // integer-exact where the KM survivor curve would need floats).
+  // Lifetime = whole days between a user's first and last event;
+  // deaths(t) = users whose lifetime is exactly t; at_risk(t) =
+  // users surviving AT LEAST t = the DESCENDING cumulative sum over
+  // the lifetime histogram — bounded by the day span whatever the
+  // user count, the same histogram-window discipline as
+  // ev_pareto_concentration. hazard_ppm = deaths·10⁶ div at_risk.
+  private val hazardCurve = Q(
+    "ev_hazard_curve",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val life = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(expr(s"(max(ts) - min(ts)) div $DayNs").as("t"))
+      val hist = life.groupBy($"t").agg(count(lit(1)).as("deaths"))
+      val w = Window.orderBy($"t".desc)
+      hist.withColumn("at_risk", sum($"deaths").over(w))
+        .select($"t".as("t_days"), $"at_risk", $"deaths",
+          expr("(deaths * 1000000) div at_risk").as("hazard_ppm"))
+        .orderBy($"t_days")
+    },
+    Some(s"""WITH hz_l AS (
+            |  SELECT user_id,
+            |         (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+            |           // ${86400L * 1000 * 1000 * 1000} AS t
+            |  FROM events GROUP BY 1),
+            |hz_h AS (SELECT t, CAST(count(*) AS BIGINT) AS deaths
+            |         FROM hz_l GROUP BY 1)
+            |SELECT t AS t_days,
+            |       CAST(sum(deaths) OVER (ORDER BY t DESC) AS BIGINT)
+            |         AS at_risk,
+            |       deaths,
+            |       CAST((deaths * 1000000)
+            |            // (sum(deaths) OVER (ORDER BY t DESC)) AS BIGINT)
+            |         AS hazard_ppm
+            |FROM hz_h
+            |ORDER BY t_days""".stripMargin),
+  )
+
+  // DAU/WAU STICKINESS (the standard engagement ratio: what fraction
+  // of this week's actives showed up today). Exact trailing-7-day
+  // distinct users via the decomposition that scales: reduce the
+  // event stream ONCE to distinct (user, day) — ≤ one row per user
+  // per day however many events — fan each row out to the ≤ 7 window
+  // ends it supports, and re-distinct. Shuffle volume is 7·|user-days|,
+  // linear in the reduced table, never in raw events; no sliding
+  // count-distinct window state. Window days are joined back to REAL
+  // active days so no phantom trailing days appear; the first six
+  // days carry their honest partial windows.
+  private val dauWau = Q(
+    "ev_dau_wau_stickiness",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val ud = Tables.events(s, d)
+        .select($"user_id", expr(s"ts div $DayNs").as("day"))
+        .distinct()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select($"user_id", explode(sequence(lit(0L), lit(6L))).as("off"),
+          $"day")
+        .select($"user_id", ($"day" + $"off").as("day"))
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select($"day", $"dau", $"wau",
+          expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+        .orderBy($"day")
+    },
+    Some(s"""WITH dw_ud AS (
+            |  SELECT DISTINCT user_id,
+            |         epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day
+            |  FROM events),
+            |dw_dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            |           FROM dw_ud GROUP BY 1),
+            |dw_wau AS (
+            |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+            |    SELECT DISTINCT user_id, u.day + o.off AS day
+            |    FROM dw_ud u CROSS JOIN range(0, 7) o(off))
+            |  GROUP BY 1)
+            |SELECT d.day, d.dau, w.wau,
+            |       CAST((d.dau * 1000000) // w.wau AS BIGINT)
+            |         AS stickiness_ppm
+            |FROM dw_dau d JOIN dw_wau w USING (day)
+            |ORDER BY d.day""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -1843,5 +1935,6 @@ object EventQueries {
       dedupStreamParity, dedupCrossBatch, streamStreamJoin,
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
-      forecastBacktest, featureMatrix, topPaths, paretoConcentration)
+      forecastBacktest, featureMatrix, topPaths, paretoConcentration,
+      hazardCurve, dauWau)
 }

@@ -1528,10 +1528,69 @@ object ExtraQueries {
             |ORDER BY bucket""".stripMargin),
   )
 
+  // DISCOUNT ARC ELASTICITY (the pricing-analytics ladder: how does
+  // demanded quantity respond between ADJACENT discount tiers). Arc
+  // (midpoint) elasticity, fully rational: with per-tier totals,
+  // (q̄₂−q̄₁)/(q̄₂+q̄₁) cross-multiplies to (sq₂n₁−sq₁n₂)/(sq₂n₁+sq₁n₂)
+  // — the n₁n₂ denominators cancel — and the price leg is exactly
+  // (p₂−p₁)/(p₂+p₁) = −1/(199−2t) on the integer percent scale. One
+  // tier-keyed partial agg (the discount domain is ≤ 11 values at any
+  // corpus size), a lead() over those few rows, sign-split division
+  // so Spark's truncating div and DuckDB's flooring // agree on the
+  // signed statistic. Cross products in DECIMAL(38,0)/HUGEINT.
+  private val discountElasticity = Q(
+    "qa_discount_elasticity",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tiers = Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_discount * 100) AS BIGINT)").as("tier"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+      val w = Window.orderBy($"tier")
+      tiers
+        .withColumn("tier_next", lead($"tier", 1).over(w))
+        .withColumn("n_next", lead($"n", 1).over(w))
+        .withColumn("sq_next", lead($"sq", 1).over(w))
+        .filter($"tier_next" === $"tier" + 1)
+        .withColumn("dq", expr("CAST(sq_next AS DECIMAL(38,0)) * n" +
+          " - CAST(sq AS DECIMAL(38,0)) * n_next"))
+        .withColumn("qsum", expr("CAST(sq_next AS DECIMAL(38,0)) * n" +
+          " + CAST(sq AS DECIMAL(38,0)) * n_next"))
+        .select($"tier", $"tier_next", $"n", $"n_next",
+          expr("CAST(CASE WHEN dq < 0 THEN 1 ELSE -1 END" +
+            " * ((abs(dq) * (199 - 2 * tier) * 1000000) div qsum)" +
+            " AS BIGINT)").as("elasticity_e6"))
+        .orderBy($"tier")
+    },
+    Some("""WITH el_t AS (
+            |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS tier,
+            |         CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            |           AS sq
+            |  FROM lineitem GROUP BY 1),
+            |el_p AS (
+            |  SELECT tier, lead(tier) OVER (ORDER BY tier) AS tier_next,
+            |         n, lead(n) OVER (ORDER BY tier) AS n_next,
+            |         sq, lead(sq) OVER (ORDER BY tier) AS sq_next
+            |  FROM el_t),
+            |el_d AS (
+            |  SELECT *, sq_next::HUGEINT * n - sq::HUGEINT * n_next AS dq,
+            |            sq_next::HUGEINT * n + sq::HUGEINT * n_next AS qsum
+            |  FROM el_p WHERE tier_next = tier + 1)
+            |SELECT tier, tier_next, n, n_next,
+            |       CAST((CASE WHEN dq < 0 THEN 1 ELSE -1 END)
+            |            * ((abs(dq) * (199 - 2 * tier) * 1000000) // qsum)
+            |            AS BIGINT) AS elasticity_e6
+            |FROM el_d ORDER BY tier""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
-    cusumDrift, dataContract, freshnessLag, reconciliation)
+    cusumDrift, dataContract, freshnessLag, reconciliation,
+    discountElasticity)
 }

@@ -868,7 +868,53 @@ object GraphQueries {
            |ORDER BY lift_ppm DESC, p.u, p.v LIMIT 50""".stripMargin),
   )
 
+  // HITS HUBS & AUTHORITIES (Kleinberg 1999) on the DIRECTED
+  // part→supplier bipartite graph — the asymmetric-role dual of
+  // gr_pagerank's symmetrized walk: suppliers earn authority from the
+  // hub quality of the parts that point at them. Two full unrolled
+  // h↔a rounds, UNNORMALIZED so every score stays an exact integer
+  // (normalized HITS needs an L2 sqrt — the same float the hll/benford
+  // entries refuse): a₁ = indegree (h₀ ≡ 1), h₁ = Σ_out a₁,
+  // a₂ = Σ_in h₁. Each round is one edge-keyed join + partial agg —
+  // O(|E|)/round, the Pregel-as-joins layout. Sums in
+  // DECIMAL(38,0)/HUGEINT (a₂ ≤ indeg²·outdeg passes 1e18 at large
+  // degree); the reported top-10 casts back to BIGINT. Round count is
+  // the documented knob — rankings stabilize in a few rounds; more
+  // rounds at 100 TB only reweight the same O(|E|) join.
+  private val hits = Q(
+    "gr_hits",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select($"l_partkey".as("src"), $"l_suppkey".as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val a1 = edges.groupBy($"dst")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+      val h1 = edges.join(a1, "dst").groupBy($"src")
+        .agg(sum($"a1").as("h1"))
+      val a2 = edges.join(h1, "src").groupBy($"dst")
+        .agg(sum($"h1").as("a2"))
+      a2.join(a1, "dst")
+        .select($"dst".as("supplier"), $"a1".cast("long").as("auth_1"),
+          $"a2".cast("long").as("auth_2"))
+        .orderBy($"auth_2".desc, $"supplier").limit(10)
+    },
+    Some("""WITH ht_e AS (SELECT DISTINCT l_partkey AS src,
+            |                     l_suppkey AS dst FROM lineitem),
+            |ht_a1 AS (SELECT dst, CAST(count(*) AS HUGEINT) AS a1
+            |          FROM ht_e GROUP BY 1),
+            |ht_h1 AS (SELECT e.src, CAST(sum(a.a1) AS HUGEINT) AS h1
+            |          FROM ht_e e JOIN ht_a1 a USING (dst) GROUP BY 1),
+            |ht_a2 AS (SELECT e.dst, CAST(sum(h.h1) AS HUGEINT) AS a2
+            |          FROM ht_e e JOIN ht_h1 h USING (src) GROUP BY 1)
+            |SELECT a2.dst AS supplier, CAST(a1.a1 AS BIGINT) AS auth_1,
+            |       CAST(a2.a2 AS BIGINT) AS auth_2
+            |FROM ht_a2 a2 JOIN ht_a1 a1 USING (dst)
+            |ORDER BY auth_2 DESC, supplier LIMIT 10""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
-      bfsHops, linkPredict, basketLift)
+      bfsHops, linkPredict, basketLift, hits)
 }

@@ -1582,9 +1582,120 @@ object SimilarityQueries {
             |FROM m GROUP BY probe_id ORDER BY probe_id""".stripMargin),
   )
 
+  // MATRYOSHKA PREFIX-DIM RETRIEVAL EVAL (Kusupati 2022: MRL-trained
+  // embeddings let you search on a PREFIX of the dimensions and pay
+  // recall, not correctness — the dominant cost lever for 100 TB
+  // vector search, where a 16-of-64-dim index is 4× less shuffle and
+  // memory). Measures exactly what that trade costs on THIS corpus:
+  // recall@3 of prefix-cosine top-3 (p ∈ {16, 32}) against the
+  // full-64-dim exact top-3 over the 10-probe panel, with the p = 64
+  // row as the tautological 100% control. One scored pass computes
+  // all three decimal-exact kernels per (probe, cand) pair —
+  // candidates stream past the broadcast probe panel, so the eval is
+  // one corpus scan at any size; the three rank windows run over the
+  // 10-probe slices.
+  private val matryoshkaEval = Q(
+    "sim_matryoshka_eval",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.exprs.cosine_e9
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+      val pairs = emb
+        .select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes))
+        .filter($"cand_id" =!= $"probe_id")
+        .select($"probe_id", $"cand_id",
+          cosine_e9(slice($"pe", 1, 16), slice($"ce", 1, 16)).as("c16"),
+          cosine_e9(slice($"pe", 1, 32), slice($"ce", 1, 32)).as("c32"),
+          cosine_e9($"pe", $"ce").as("c64"))
+        .localCheckpoint() // three rank windows over one scored pass
+      def top3(c: String) = pairs
+        .withColumn("rk", row_number().over(Window.partitionBy($"probe_id")
+          .orderBy(col(c).desc, $"cand_id")))
+        .filter($"rk" <= 3).select($"probe_id", $"cand_id")
+      val truth = top3("c64")
+      def row(p: Long, c: String) = top3(c)
+        .join(truth, Seq("probe_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("prefix_dims"), $"hits",
+          expr("(hits * 100) div 30").as("recall_pct"))
+      row(16L, "c16").unionByName(row(32L, "c32"))
+        .unionByName(row(64L, "c64"))
+        .orderBy($"prefix_dims")
+    },
+    Some("""WITH mt_p AS (SELECT vec_id AS probe_id, embedding AS pe
+           |              FROM embeddings WHERE vec_id < 10),
+           |mt_s AS (
+           |  SELECT probe_id, c.vec_id AS cand_id,
+           |    SUM(CASE WHEN k <= 16 THEN CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)) END)
+           |      AS d16,
+           |    SUM(CASE WHEN k <= 16 THEN CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(pe[k] AS DOUBLE) AS DECIMAL(30,15)) END) AS p16,
+           |    SUM(CASE WHEN k <= 16 THEN CAST(CAST(c.embedding[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)) END)
+           |      AS q16,
+           |    SUM(CASE WHEN k <= 32 THEN CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)) END)
+           |      AS d32,
+           |    SUM(CASE WHEN k <= 32 THEN CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(pe[k] AS DOUBLE) AS DECIMAL(30,15)) END) AS p32,
+           |    SUM(CASE WHEN k <= 32 THEN CAST(CAST(c.embedding[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)) END)
+           |      AS q32,
+           |    SUM(CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)))
+           |      AS d64,
+           |    SUM(CAST(CAST(pe[k] AS DOUBLE)
+           |        * CAST(pe[k] AS DOUBLE) AS DECIMAL(30,15))) AS p64,
+           |    SUM(CAST(CAST(c.embedding[k] AS DOUBLE)
+           |        * CAST(c.embedding[k] AS DOUBLE) AS DECIMAL(30,15)))
+           |      AS q64
+           |  FROM mt_p, embeddings c, range(1, 65) t(k)
+           |  WHERE c.vec_id <> probe_id
+           |  GROUP BY 1, 2),
+           |mt_c AS (
+           |  SELECT probe_id, cand_id,
+           |    CAST(round(CAST(d16 AS DOUBLE) / sqrt(CAST(p16 AS DOUBLE)
+           |         * CAST(q16 AS DOUBLE)) * 1e9) AS BIGINT) AS c16,
+           |    CAST(round(CAST(d32 AS DOUBLE) / sqrt(CAST(p32 AS DOUBLE)
+           |         * CAST(q32 AS DOUBLE)) * 1e9) AS BIGINT) AS c32,
+           |    CAST(round(CAST(d64 AS DOUBLE) / sqrt(CAST(p64 AS DOUBLE)
+           |         * CAST(q64 AS DOUBLE)) * 1e9) AS BIGINT) AS c64
+           |  FROM mt_s),
+           |mt_r AS (
+           |  SELECT probe_id, cand_id,
+           |    row_number() OVER (PARTITION BY probe_id
+           |                       ORDER BY c16 DESC, cand_id) AS r16,
+           |    row_number() OVER (PARTITION BY probe_id
+           |                       ORDER BY c32 DESC, cand_id) AS r32,
+           |    row_number() OVER (PARTITION BY probe_id
+           |                       ORDER BY c64 DESC, cand_id) AS r64
+           |  FROM mt_c),
+           |mt_truth AS (SELECT probe_id, cand_id FROM mt_r WHERE r64 <= 3),
+           |mt_out AS (
+           |  SELECT 16 AS prefix_dims, CAST(count(*) AS BIGINT) AS hits
+           |  FROM mt_r JOIN mt_truth USING (probe_id, cand_id)
+           |  WHERE r16 <= 3
+           |  UNION ALL
+           |  SELECT 32, CAST(count(*) AS BIGINT)
+           |  FROM mt_r JOIN mt_truth USING (probe_id, cand_id)
+           |  WHERE r32 <= 3
+           |  UNION ALL
+           |  SELECT 64, CAST(count(*) AS BIGINT)
+           |  FROM mt_r JOIN mt_truth USING (probe_id, cand_id)
+           |  WHERE r64 <= 3)
+           |SELECT CAST(prefix_dims AS BIGINT) AS prefix_dims, hits,
+           |       (hits * 100) // 30 AS recall_pct
+           |FROM mt_out ORDER BY prefix_dims""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
-      embeddingDrift)
+      embeddingDrift, matryoshkaEval)
 }

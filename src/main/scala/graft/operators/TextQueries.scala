@@ -844,6 +844,71 @@ object TextQueries {
            |ORDER BY tf DESC, word""".stripMargin),
   )
 
+  // FLESCH-KINCAID READABILITY per source (Kincaid 1975: grade =
+  // 0.39·W/S + 11.8·Syll/W − 15.59 — the curriculum/quality signal
+  // complexity filters sort on). Computed on the per-source AGGREGATE
+  // counts over a common denominator, so exactly ONE signed division
+  // happens per source: grade_e3 = (390·W² + 11800·Y·S − 15590·S·W)
+  // div (S·W), sign-split so Spark's truncating div and DuckDB's
+  // flooring // agree on the (possible, for trivial text) negative
+  // numerator — the assortativity device. Syllables are the classic
+  // vowel-group heuristic, ≥ 1 per word, summed inside the row via a
+  // higher-order array fold (no explode — the scan emits one row per
+  // doc). Cross products in DECIMAL(38,0)/HUGEINT: W² passes 1e19 at
+  // corpus scale.
+  private val readabilityFk = Q(
+    "ta_readability_fk",
+    (s, d) => {
+      import s.implicits._
+      val perDoc = Tables.documents(s, d).select(
+        $"source",
+        expr("size(split(text, ' '))").cast("long").as("w"),
+        expr("greatest(1, length(text) - length(replace(text, '.', '')))")
+          .cast("long").as("sen"),
+        expr("aggregate(split(text, ' '), 0L, (acc, x) ->" +
+          " acc + greatest(1L, CAST(size(regexp_extract_all(x," +
+          " '[aeiou]+', 0)) AS BIGINT)))").as("syll"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"w").as("words"),
+          sum($"sen").as("sentences"), sum($"syll").as("syllables"))
+        .withColumn("num",
+          expr("CAST(390 AS DECIMAL(38,0)) * words * words" +
+            " + CAST(11800 AS DECIMAL(38,0)) * syllables * sentences" +
+            " - CAST(15590 AS DECIMAL(38,0)) * sentences * words"))
+        .select($"source", $"n_docs", $"words", $"sentences", $"syllables",
+          expr("CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END" +
+            " * (abs(num) div (CAST(sentences AS DECIMAL(38,0)) * words))" +
+            " AS BIGINT)").as("fk_grade_e3"))
+        .orderBy($"source")
+    },
+    Some("""WITH fk_d AS (
+           |  SELECT source,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+           |         CAST(greatest(1, length(text)
+           |              - length(replace(text, '.', ''))) AS BIGINT) AS sen,
+           |         CAST(list_sum(list_transform(string_split(text, ' '),
+           |              x -> greatest(1, len(regexp_extract_all(x,
+           |                   '[aeiou]+'))))) AS BIGINT) AS syll
+           |  FROM documents),
+           |fk_s AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(w) AS BIGINT) AS words,
+           |         CAST(sum(sen) AS BIGINT) AS sentences,
+           |         CAST(sum(syll) AS BIGINT) AS syllables
+           |  FROM fk_d GROUP BY 1),
+           |fk_n AS (
+           |  SELECT *, 390::HUGEINT * words * words
+           |            + 11800::HUGEINT * syllables * sentences
+           |            - 15590::HUGEINT * sentences * words AS num
+           |  FROM fk_s)
+           |SELECT source, n_docs, words, sentences, syllables,
+           |       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+           |            * (abs(num) // (sentences::HUGEINT * words))
+           |            AS BIGINT) AS fk_grade_e3
+           |FROM fk_n
+           |ORDER BY source""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2525,5 +2590,5 @@ object TextQueries {
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
-      neymanAlloc, heapsCurve, burstiness)
+      neymanAlloc, heapsCurve, burstiness, readabilityFk)
 }

@@ -253,6 +253,38 @@ object Round7kProbe {
         "docs" -> hcr.getLong(1), "buckets" -> hcr.getLong(2),
         "max_bucket" -> hcr.getLong(3), "fp_pairs" -> hcr.getLong(5),
         "sec" -> hcT)
+
+      // batch 11
+      val (fkRows, fkT) = run("ta_readability_fk", d)
+      emit("probe" -> "ta_readability_fk", "dir" -> d, "docs" -> nDocs,
+        "sources" -> fkRows, "sec" -> fkT)
+
+      val (hzRows, hzT) = run("ev_hazard_curve", d)
+      emit("probe" -> "ev_hazard_curve", "dir" -> d, "events" -> nEvents,
+        "lifetime_classes" -> hzRows, "sec" -> hzT)
+
+      val DayNs2 = 86400L * 1000 * 1000 * 1000
+      val nUserDays = graft.model.Tables.events(spark, d)
+        .select($"user_id", expr(s"ts div $DayNs2").as("day"))
+        .distinct().count()
+      val (dwRows, dwT) = run("ev_dau_wau_stickiness", d)
+      emit("probe" -> "ev_dau_wau_stickiness", "dir" -> d,
+        "user_days" -> nUserDays, "days" -> dwRows, "sec" -> dwT)
+
+      // batch 12
+      val (elRows, elT) = run("qa_discount_elasticity", d)
+      emit("probe" -> "qa_discount_elasticity", "dir" -> d,
+        "tier_pairs" -> elRows, "sec" -> elT)
+
+      val nEdges = graft.model.Tables.lineitem(spark, d)
+        .select($"l_partkey", $"l_suppkey").distinct().count()
+      val (hiRows, hiT) = run("gr_hits", d)
+      emit("probe" -> "gr_hits", "dir" -> d, "edges" -> nEdges,
+        "rows" -> hiRows, "sec" -> hiT)
+
+      val (mtRows, mtT) = run("sim_matryoshka_eval", d)
+      emit("probe" -> "sim_matryoshka_eval", "dir" -> d, "vecs" -> nVecs,
+        "rows" -> mtRows, "sec" -> mtT)
     }
     spark.stop()
   }
