@@ -1733,11 +1733,65 @@ object DedupQueries {
             |FROM hc_b""".stripMargin),
   )
 
+  // DEDUP THRESHOLD SWEEP — the tuning artifact every near-dup rollout
+  // ships with: for each candidate Jaccard cutoff, how many verified
+  // pairs fire and how many documents get touched. Runs ONCE over the
+  // (gated) LSH-candidate + exact-verify pair table and rolls it up
+  // against a broadcast 4-row threshold axis — the sweep costs one
+  // extra broadcast fanout over the ALREADY-bounded verified pairs,
+  // never a re-verification per threshold. Thresholds with zero pairs
+  // survive via the left join (an empty rung is the answer, not a
+  // missing row).
+  private val thresholdSweep = Q(
+    "td_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      val verified = jaccardOnCandidates.fn(s, d)
+        .select($"doc1", $"doc2", $"jaccard_e9").localCheckpoint()
+      val ths = s.createDataset(
+        Seq(300000000L, 500000000L, 700000000L, 900000000L))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("t_e9")
+      val hits = verified.crossJoin(broadcast(ths))
+        .filter($"jaccard_e9" >= $"t_e9")
+      val pairs = hits.groupBy($"t_e9").agg(count(lit(1)).as("n_pairs"))
+      val docs = hits
+        .select($"t_e9", explode(array($"doc1", $"doc2")).as("doc"))
+        .distinct()
+        .groupBy($"t_e9").agg(count(lit(1)).as("n_docs"))
+      ths.join(pairs, Seq("t_e9"), "left")
+        .join(docs, Seq("t_e9"), "left")
+        .select($"t_e9",
+          coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"t_e9")
+    },
+    Some(s"""WITH $minhashCandidatesCtes,
+            |$jaccardVerifyCtes,
+            |sw_t AS (SELECT unnest([300000000, 500000000, 700000000,
+            |                        900000000]) AS t_e9),
+            |sw_h AS (SELECT t_e9, doc1, doc2 FROM verified CROSS JOIN sw_t
+            |         WHERE jaccard_e9 >= t_e9),
+            |sw_p AS (SELECT t_e9, CAST(count(*) AS BIGINT) AS n_pairs
+            |         FROM sw_h GROUP BY 1),
+            |sw_d AS (SELECT t_e9, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            |           SELECT DISTINCT t_e9, doc FROM (
+            |             SELECT t_e9, doc1 AS doc FROM sw_h
+            |             UNION ALL SELECT t_e9, doc2 FROM sw_h))
+            |         GROUP BY 1)
+            |SELECT CAST(t.t_e9 AS BIGINT) AS t_e9,
+            |       coalesce(p.n_pairs, 0) AS n_pairs,
+            |       coalesce(d.n_docs, 0) AS n_docs
+            |FROM sw_t t
+            |LEFT JOIN sw_p p ON p.t_e9 = t.t_e9
+            |LEFT JOIN sw_d d ON d.t_e9 = t.t_e9
+            |ORDER BY t_e9""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(exact, minhashLsh, simhash, simhashNearDup, jaccard, jaccardOnCandidates,
       dedupClusters, clusterCanonical, decontaminate, concatChunks,
       paragraphDedup, containment,
       sequencePack, spanDedup, chunkOverlap, softDedupWeights, corpusOverlapKmv,
       spanCorrupt, lengthBuckets, incrementalDedup, crossSourceDup, cdcChunks,
-      dedupEval, hashCollisionAudit)
+      dedupEval, hashCollisionAudit, thresholdSweep)
 }

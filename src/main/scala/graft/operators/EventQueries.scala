@@ -1928,6 +1928,86 @@ object EventQueries {
             |ORDER BY d.day""".stripMargin),
   )
 
+  // FUNNEL TIME-TO-CONVERT (the latency half of the funnel story —
+  // ev_funnel_steps counts WHO converts, this measures HOW LONG each
+  // hop takes). Per funnel hop, exact median and p90 of the
+  // first-completion delta in whole seconds, via the
+  // qa_histogram_quantile device: reduce pairs to the (hop, seconds)
+  // histogram — bounded by the corpus time span in seconds, never by
+  // user count — then one cumulative window per hop and the
+  // inverse-CDF pick at cum·1000 ≥ p·n. Timestamps compare in µs (the
+  // funnel file's tie-break discipline); deltas floor to seconds only
+  // at histogram time.
+  private val funnelTtc = Q(
+    "ev_funnel_time_to_convert",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"tus").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"tus" > $"t1")
+        .groupBy($"user_id").agg(min($"tus").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"tus" > $"t2")
+        .groupBy($"user_id").agg(min($"tus").as("t3"))
+      val d1 = s2.join(s1, "user_id")
+        .select(lit("1_signup_to_click").as("step"),
+          expr("(t2 - t1) div 1000000").as("d_s"))
+      val d2 = s3.join(s2, "user_id")
+        .select(lit("2_click_to_purchase").as("step"),
+          expr("(t3 - t2) div 1000000").as("d_s"))
+      val hist = d1.unionByName(d2)
+        .groupBy($"step", $"d_s").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"step").orderBy($"d_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy($"step")
+      hist
+        .withColumn("cum", sum($"c").over(wcum))
+        .withColumn("n", sum($"c").over(wall))
+        .select($"step", $"n", $"cum", $"d_s",
+          explode(typedLit(Seq(500, 900))).as("p_milli"))
+        .filter($"cum" * 1000 >= $"p_milli" * $"n")
+        .groupBy($"step", $"p_milli")
+        .agg(max($"n").as("n_pairs"), min($"d_s").as("q_s"))
+        .orderBy($"step", $"p_milli")
+    },
+    Some("""WITH tc_e AS (
+            |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
+            |  FROM events),
+            |tc_1 AS (SELECT user_id, min(tus) AS t1 FROM tc_e
+            |         WHERE event_type = 'signup' GROUP BY 1),
+            |tc_2 AS (SELECT e.user_id, min(tus) AS t2
+            |         FROM tc_e e JOIN tc_1 USING (user_id)
+            |         WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+            |tc_3 AS (SELECT e.user_id, min(tus) AS t3
+            |         FROM tc_e e JOIN tc_2 USING (user_id)
+            |         WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1),
+            |tc_d AS (
+            |  SELECT '1_signup_to_click' AS step, (t2 - t1) // 1000000 AS d_s
+            |  FROM tc_2 JOIN tc_1 USING (user_id)
+            |  UNION ALL
+            |  SELECT '2_click_to_purchase', (t3 - t2) // 1000000
+            |  FROM tc_3 JOIN tc_2 USING (user_id)),
+            |tc_h AS (SELECT step, d_s, CAST(count(*) AS BIGINT) AS c
+            |         FROM tc_d GROUP BY 1, 2),
+            |tc_c AS (
+            |  SELECT step, d_s,
+            |         CAST(sum(c) OVER (PARTITION BY step ORDER BY d_s
+            |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            |         CAST(sum(c) OVER (PARTITION BY step) AS BIGINT) AS n
+            |  FROM tc_h)
+            |SELECT step, CAST(p_milli AS INT) AS p_milli,
+            |       CAST(max(n) AS BIGINT) AS n_pairs,
+            |       CAST(min(d_s) AS BIGINT) AS q_s
+            |FROM tc_c CROSS JOIN (SELECT unnest([500, 900]) AS p_milli)
+            |WHERE cum * 1000 >= p_milli * n
+            |GROUP BY step, p_milli
+            |ORDER BY step, p_milli""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -1936,5 +2016,5 @@ object EventQueries {
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
-      hazardCurve, dauWau)
+      hazardCurve, dauWau, funnelTtc)
 }

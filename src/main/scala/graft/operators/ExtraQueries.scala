@@ -1586,11 +1586,96 @@ object ExtraQueries {
             |FROM el_d ORDER BY tier""".stripMargin),
   )
 
+  // KITAGAWA MEAN-SHIFT DECOMPOSITION (Kitagawa 1955, the
+  // Oaxaca-Blinder ancestor: when a corpus-level mean moves between
+  // two slices, how much is the SOURCE MIX shifting vs the sources
+  // themselves changing). Slices are doc_id parity halves; the
+  // decomposed metric is mean document length. Symmetric form —
+  // w₁m₁ − w₀m₀ ≡ (w₁−w₀)·(m₀+m₁)/2 + (w₀+w₁)·(m₁−m₀)/2, an exact
+  // algebraic identity with NO interaction residual. Shares and
+  // within-source means are quantized first (ppm / milli-chars, one
+  // decimal-guarded div each), which caps every later product at
+  // ~1e12 INDEPENDENT OF CORPUS SIZE — the fixed-point trade: ≤ 1
+  // ulp quantization per term (spec-bounded) buys corpus-free
+  // arithmetic. The /2 halving is sign-split (truncating div vs
+  // flooring // on signed values — the assortativity device). One
+  // (source, half)-keyed partial agg; everything after runs on
+  // 2·|sources| rows.
+  private val kitagawa = Q(
+    "qa_kitagawa_decomposition",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"source", ($"doc_id" % 2).as("h"),
+          $"n_chars".cast("long").as("x"))
+        .groupBy($"source", $"h")
+        .agg(count(lit(1)).as("nh"), sum($"x").as("y"))
+      val tot = base.groupBy($"h").agg(sum($"nh").as("bign"))
+      val wm = base.join(broadcast(tot), "h")
+        .select($"source", $"h",
+          expr("(CAST(nh AS DECIMAL(38,0)) * 1000000) div bign").as("w"),
+          expr("(CAST(y AS DECIMAL(38,0)) * 1000) div nh").as("m"))
+      wm.groupBy($"source")
+        .agg(
+          coalesce(max(when($"h" === 0, $"w")), lit(0L)).cast("long")
+            .as("w0_ppm"),
+          coalesce(max(when($"h" === 1, $"w")), lit(0L)).cast("long")
+            .as("w1_ppm"),
+          coalesce(max(when($"h" === 0, $"m")), lit(0L)).cast("long")
+            .as("m0_milli"),
+          coalesce(max(when($"h" === 1, $"m")), lit(0L)).cast("long")
+            .as("m1_milli"))
+        .select($"source", $"w0_ppm", $"w1_ppm", $"m0_milli", $"m1_milli",
+          expr("CAST(CASE WHEN (w1_ppm - w0_ppm) * (m0_milli + m1_milli) < 0" +
+            " THEN -1 ELSE 1 END" +
+            " * (abs((w1_ppm - w0_ppm) * (m0_milli + m1_milli)) div 2)" +
+            " AS BIGINT)").as("mix_e9"),
+          expr("CAST(CASE WHEN (w0_ppm + w1_ppm) * (m1_milli - m0_milli) < 0" +
+            " THEN -1 ELSE 1 END" +
+            " * (abs((w0_ppm + w1_ppm) * (m1_milli - m0_milli)) div 2)" +
+            " AS BIGINT)").as("rate_e9"))
+        .orderBy($"source")
+    },
+    Some("""WITH kt_b AS (
+            |  SELECT source, doc_id % 2 AS h,
+            |         CAST(count(*) AS BIGINT) AS nh,
+            |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS y
+            |  FROM documents GROUP BY 1, 2),
+            |kt_t AS (SELECT h, CAST(sum(nh) AS BIGINT) AS bign
+            |         FROM kt_b GROUP BY 1),
+            |kt_w AS (
+            |  SELECT source, kt_b.h,
+            |         (nh::HUGEINT * 1000000) // bign AS w,
+            |         (y::HUGEINT * 1000) // nh AS m
+            |  FROM kt_b JOIN kt_t ON kt_b.h = kt_t.h),
+            |kt_p AS (
+            |  SELECT source,
+            |         CAST(coalesce(max(CASE WHEN h = 0 THEN w END), 0)
+            |              AS BIGINT) AS w0_ppm,
+            |         CAST(coalesce(max(CASE WHEN h = 1 THEN w END), 0)
+            |              AS BIGINT) AS w1_ppm,
+            |         CAST(coalesce(max(CASE WHEN h = 0 THEN m END), 0)
+            |              AS BIGINT) AS m0_milli,
+            |         CAST(coalesce(max(CASE WHEN h = 1 THEN m END), 0)
+            |              AS BIGINT) AS m1_milli
+            |  FROM kt_w GROUP BY 1)
+            |SELECT source, w0_ppm, w1_ppm, m0_milli, m1_milli,
+            |       CAST((CASE WHEN (w1_ppm - w0_ppm) * (m0_milli + m1_milli)
+            |                       < 0 THEN -1 ELSE 1 END)
+            |            * (abs((w1_ppm - w0_ppm) * (m0_milli + m1_milli))
+            |               // 2) AS BIGINT) AS mix_e9,
+            |       CAST((CASE WHEN (w0_ppm + w1_ppm) * (m1_milli - m0_milli)
+            |                       < 0 THEN -1 ELSE 1 END)
+            |            * (abs((w0_ppm + w1_ppm) * (m1_milli - m0_milli))
+            |               // 2) AS BIGINT) AS rate_e9
+            |FROM kt_p ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
-    discountElasticity)
+    discountElasticity, kitagawa)
 }

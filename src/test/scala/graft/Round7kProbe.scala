@@ -285,6 +285,23 @@ object Round7kProbe {
       val (mtRows, mtT) = run("sim_matryoshka_eval", d)
       emit("probe" -> "sim_matryoshka_eval", "dir" -> d, "vecs" -> nVecs,
         "rows" -> mtRows, "sec" -> mtT)
+
+      // batch 13
+      val (tcRows, tcT) = run("ev_funnel_time_to_convert", d)
+      emit("probe" -> "ev_funnel_time_to_convert", "dir" -> d,
+        "events" -> nEvents, "rows" -> tcRows, "sec" -> tcT)
+
+      val (ktRows, ktT) = run("qa_kitagawa_decomposition", d)
+      emit("probe" -> "qa_kitagawa_decomposition", "dir" -> d,
+        "docs" -> nDocs, "sources" -> ktRows, "sec" -> ktT)
+
+      val qsw = QueryCatalog.all.find(_.name == "td_threshold_sweep").get
+      val (swr, swT) = time {
+        qsw.fn(spark, d).agg(max($"n_pairs"), max($"n_docs")).head()
+      }
+      emit("probe" -> "td_threshold_sweep", "dir" -> d,
+        "max_pairs" -> swr.getLong(0), "max_docs" -> swr.getLong(1),
+        "sec" -> swT)
     }
     spark.stop()
   }
