@@ -1671,11 +1671,74 @@ object ExtraQueries {
             |FROM kt_p ORDER BY source""".stripMargin),
   )
 
+  // ORDER→SHIP LAG QUANTILES per order month — the fulfillment-SLA
+  // dual of qa_freshness_lag: exact median and p95 of days between
+  // order placement and line shipment. The one corpus-sized step is
+  // the orderkey-equi-join of lineitem to orders (co-partitioned
+  // shuffle join, both sides pruned to two columns); everything after
+  // runs on the (month, lag_days) HISTOGRAM — months × a bounded lag
+  // domain, corpus-size-free — with the qa_histogram_quantile
+  // inverse-CDF pick. Dates go through the epoch-day convention
+  // (datediff vs DATE subtraction) the month-bucket entries pin.
+  private val shipLag = Q(
+    "qa_ship_lag_quantiles",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select($"l_orderkey",
+        expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+          .as("sd"))
+      val ord = Tables.orders(s, d).select($"o_orderkey",
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("od"),
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"))
+      val hist = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"ym", ($"sd" - $"od").as("lag_days"))
+        .groupBy($"ym", $"lag_days").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"ym").orderBy($"lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy($"ym")
+      hist
+        .withColumn("cum", sum($"c").over(wcum))
+        .withColumn("n", sum($"c").over(wall))
+        .select($"ym", $"n", $"cum", $"lag_days",
+          explode(typedLit(Seq(500, 950))).as("p_milli"))
+        .filter($"cum" * 1000 >= $"p_milli" * $"n")
+        .groupBy($"ym", $"p_milli")
+        .agg(max($"n").as("n_lines"), min($"lag_days").as("q_days"))
+        .orderBy($"ym", $"p_milli")
+    },
+    Some("""WITH sl_j AS (
+            |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+            |              AS BIGINT) AS ym,
+            |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+            |              AS BIGINT)
+            |         - CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+            |                AS BIGINT) AS lag_days
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |sl_h AS (SELECT ym, lag_days, CAST(count(*) AS BIGINT) AS c
+            |         FROM sl_j GROUP BY 1, 2),
+            |sl_c AS (
+            |  SELECT ym, lag_days,
+            |         CAST(sum(c) OVER (PARTITION BY ym ORDER BY lag_days
+            |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+            |         CAST(sum(c) OVER (PARTITION BY ym) AS BIGINT) AS n
+            |  FROM sl_h)
+            |SELECT ym, CAST(p_milli AS INT) AS p_milli,
+            |       CAST(max(n) AS BIGINT) AS n_lines,
+            |       CAST(min(lag_days) AS BIGINT) AS q_days
+            |FROM sl_c CROSS JOIN (SELECT unnest([500, 950]) AS p_milli)
+            |WHERE cum * 1000 >= p_milli * n
+            |GROUP BY ym, p_milli
+            |ORDER BY ym, p_milli""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
-    discountElasticity, kitagawa)
+    discountElasticity, kitagawa, shipLag)
 }

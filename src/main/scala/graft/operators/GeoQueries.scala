@@ -1006,8 +1006,77 @@ object GeoQueries {
             |ORDER BY c_layer, level, cx, cy""".stripMargin),
   )
 
+  // INVERSE-DISTANCE-WEIGHTED SURFACE (Shepard 1968 — the classic
+  // spatial interpolation raster: estimate a field value at each grid
+  // cell center from the observations around it). Observations are
+  // customer points carrying their account balance in cents; the
+  // neighborhood is the 3×3 cell block around each occupied cell (the
+  // shared grid-blocking discipline — candidate volume ∝ Σ cell
+  // occupancy, never n²). Weights are fixed-point 10⁶ div (d²+1):
+  // squared distances are EXACT integers (points sit on integer
+  // coordinates), so the whole estimate is deterministic integer
+  // arithmetic — no float kernels — with the signed final division
+  // sign-split (balances can be negative). Output rows ∝ occupied
+  // cells, i.e. ∝ area — a raster product by design.
+  private val idwSurface = Q(
+    "geo_idw_surface",
+    (s, d) => {
+      import s.implicits._
+      import graft.util.Cols.cents
+      val pts = SpatialGrid.pointsWithCell(s, d)
+        .join(Tables.customer(s, d)
+          .select($"c_custkey", cents($"c_acctbal").as("v")), "c_custkey")
+        .select($"cx", $"cy", $"px", $"py", $"v")
+        .localCheckpoint() // feeds targets AND the gather join
+      val targets = pts.select($"cx", $"cy").distinct()
+      val offs = (for { dx <- -1L to 1L; dy <- -1L to 1L }
+        yield (dx, dy)).toDF("dx", "dy")
+      targets.crossJoin(broadcast(offs))
+        .select($"cx", $"cy",
+          ($"cx" + $"dx").as("scx"), ($"cy" + $"dy").as("scy"))
+        .join(pts.select($"cx".as("scx"), $"cy".as("scy"),
+          $"px", $"py", $"v"), Seq("scx", "scy"))
+        .select($"cx", $"cy", $"v",
+          (expr("CAST(px AS BIGINT)") - ($"cx" * 16 + 8)).as("ddx"),
+          (expr("CAST(py AS BIGINT)") - ($"cy" * 16 + 8)).as("ddy"))
+        .select($"cx", $"cy", $"v",
+          expr("1000000 div (ddx * ddx + ddy * ddy + 1)").as("w"))
+        .groupBy($"cx", $"cy")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(($"v" * $"w").cast("decimal(38,0)")).as("vw"),
+          sum($"w".cast("decimal(38,0)")).as("sw"))
+        .select($"cx", $"cy", $"n_pts",
+          expr("CAST(CASE WHEN vw < 0 THEN -1 ELSE 1 END" +
+            " * (abs(vw) div sw) AS BIGINT)").as("est_cents"))
+        .orderBy($"cx", $"cy")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |iw_p0 AS (${SpatialGrid.ptsCellSql("customer")}),
+            |iw_p AS (
+            |  SELECT cx, cy, px, py,
+            |         CAST(round(c2.c_acctbal * 100) AS BIGINT) AS v
+            |  FROM iw_p0 JOIN customer c2 USING (c_custkey)),
+            |iw_t AS (SELECT DISTINCT cx, cy FROM iw_p),
+            |iw_o AS (SELECT dx - 2 AS dx, dy - 2 AS dy
+            |         FROM range(1, 4) a(dx), range(1, 4) b(dy)),
+            |iw_g AS (
+            |  SELECT cx, cy, v, 1000000 // (ddx * ddx + ddy * ddy + 1) AS w
+            |  FROM (
+            |    SELECT t.cx, t.cy, p.v,
+            |           CAST(p.px AS BIGINT) - (t.cx * 16 + 8) AS ddx,
+            |           CAST(p.py AS BIGINT) - (t.cy * 16 + 8) AS ddy
+            |    FROM iw_t t CROSS JOIN iw_o o
+            |    JOIN iw_p p ON p.cx = t.cx + o.dx AND p.cy = t.cy + o.dy))
+            |SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_pts,
+            |       CAST((CASE WHEN sum(v::HUGEINT * w) < 0 THEN -1 ELSE 1 END)
+            |            * (abs(sum(v::HUGEINT * w)) // sum(w::HUGEINT))
+            |            AS BIGINT) AS est_cents
+            |FROM iw_g GROUP BY 1, 2
+            |ORDER BY cx, cy""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
       zorderCluster, knnRadius, polyAreaCentroid, gridDensity, dbscanCore,
-      quadtreeDensity)
+      quadtreeDensity, idwSurface)
 }

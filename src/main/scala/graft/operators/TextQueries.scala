@@ -909,6 +909,109 @@ object TextQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // BURROWS' DELTA STYLOMETRY (Burrows 2002 — the standard authorship
+  // distance: z-score the most-frequent-word rates across authors,
+  // Delta = mean |z_a − z_b|). Sources play authors. All integer:
+  // per-million word rates (decimal-guarded div), per-word variance
+  // across sources from exact power sums, σ via the exact isqrt ±1
+  // correction (the Neyman device), z in milli via sign-split
+  // division (z is signed — truncating div and flooring // must
+  // agree), zero-variance words contribute z = 0 (no signal). The
+  // corpus-sized work is ONE (source, word) partial agg; the z grid
+  // is |sources|·20 rows and the pair table |sources|²·20 — the MFW
+  // panel is fixed, so the quadratic lives on the AUTHOR dimension,
+  // never the corpus. Closest 10 pairs out.
+  private val burrowsDelta = Q(
+    "ta_burrows_delta",
+    (s, d) => {
+      import s.implicits._
+      val toks = graft.util.Cols.fanout(Tables.documents(s, d))
+        .select($"source", explode(split($"text", " ")).as("word"))
+      val counts = toks.groupBy($"source", $"word")
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val totals = counts.groupBy($"source").agg(sum($"c").as("t"))
+      val top20 = counts.groupBy($"word").agg(sum($"c").as("tc"))
+        .orderBy($"tc".desc, $"word").limit(20).select($"word")
+      val grid = totals.crossJoin(broadcast(top20))
+        .join(counts, Seq("source", "word"), "left")
+        .select($"source", $"word",
+          expr("(CAST(coalesce(c, 0) AS DECIMAL(38,0)) * 1000000) div t")
+            .as("r"))
+      val stats = grid.groupBy($"word")
+        .agg(count(lit(1)).as("ns"), sum($"r").as("sr"),
+          sum(($"r" * $"r").cast("decimal(38,0)")).as("sr2"))
+        .select($"word", $"ns", $"sr",
+          expr("(CAST(ns AS DECIMAL(38,0)) * sr2" +
+            " - CAST(sr AS DECIMAL(38,0)) * sr)" +
+            " div (CAST(ns AS DECIMAL(38,0)) * ns)").as("var_r"))
+        .withColumn("r0",
+          expr("CAST(floor(sqrt(CAST(var_r AS DOUBLE))) AS BIGINT)"))
+        .withColumn("sigma", expr(
+          """CASE WHEN (r0 + 1) * (r0 + 1) <= var_r THEN r0 + 1
+            |     WHEN r0 * r0 > var_r THEN r0 - 1
+            |     ELSE r0 END""".stripMargin))
+        .select($"word", $"ns", $"sr", $"sigma")
+      val z = grid.join(broadcast(stats), "word")
+        .select($"source", $"word",
+          expr("CASE WHEN sigma = 0 THEN CAST(0 AS BIGINT) ELSE" +
+            " CAST(CASE WHEN r * ns - sr < 0 THEN -1 ELSE 1 END" +
+            " * ((abs(r * ns - sr) * 1000) div (ns * sigma)) AS BIGINT)" +
+            " END").as("z"))
+      z.join(z.select($"source".as("source_b"), $"word",
+          $"z".as("z_b")), "word")
+        .filter($"source" < $"source_b")
+        .groupBy($"source".as("source_a"), $"source_b")
+        .agg(expr("sum(abs(z - z_b)) div 20").as("delta_milli"))
+        .orderBy($"delta_milli", $"source_a", $"source_b")
+        .limit(10)
+    },
+    Some("""WITH bd_c AS (
+           |  SELECT source, word, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  GROUP BY 1, 2),
+           |bd_t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+           |         FROM bd_c GROUP BY 1),
+           |bd_w AS (SELECT word FROM (
+           |           SELECT word, sum(c) AS tc FROM bd_c GROUP BY 1
+           |           ORDER BY tc DESC, word LIMIT 20)),
+           |bd_g AS (
+           |  SELECT bd_t.source, bd_w.word,
+           |         (coalesce(c, 0)::HUGEINT * 1000000) // t AS r
+           |  FROM bd_t CROSS JOIN bd_w
+           |  LEFT JOIN bd_c ON bd_c.source = bd_t.source
+           |                AND bd_c.word = bd_w.word),
+           |bd_s AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS ns,
+           |         CAST(sum(r) AS BIGINT) AS sr,
+           |         CAST((count(*)::HUGEINT * sum(r * r) -
+           |               sum(r)::HUGEINT * sum(r))
+           |              // (count(*)::HUGEINT * count(*)) AS BIGINT)
+           |           AS var_r
+           |  FROM bd_g GROUP BY 1),
+           |bd_sg AS (
+           |  SELECT word, ns, sr,
+           |         CASE WHEN (r0 + 1) * (r0 + 1) <= var_r THEN r0 + 1
+           |              WHEN r0 * r0 > var_r THEN r0 - 1
+           |              ELSE r0 END AS sigma
+           |  FROM (SELECT *, CAST(floor(sqrt(CAST(var_r AS DOUBLE)))
+           |                       AS BIGINT) AS r0 FROM bd_s)),
+           |bd_z AS (
+           |  SELECT g.source, g.word,
+           |         CASE WHEN sigma = 0 THEN 0
+           |              ELSE (CASE WHEN g.r * ns - sr < 0 THEN -1 ELSE 1 END)
+           |                   * ((abs(g.r * ns - sr) * 1000) // (ns * sigma))
+           |         END AS z
+           |  FROM bd_g g JOIN bd_sg USING (word))
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       CAST(sum(abs(a.z - b.z)) // 20 AS BIGINT) AS delta_milli
+           |FROM bd_z a JOIN bd_z b ON a.word = b.word
+           |                       AND a.source < b.source
+           |GROUP BY 1, 2
+           |ORDER BY delta_milli, source_a, source_b
+           |LIMIT 10""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2590,5 +2693,5 @@ object TextQueries {
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
-      neymanAlloc, heapsCurve, burstiness, readabilityFk)
+      neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta)
 }

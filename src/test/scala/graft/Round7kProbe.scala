@@ -302,6 +302,19 @@ object Round7kProbe {
       emit("probe" -> "td_threshold_sweep", "dir" -> d,
         "max_pairs" -> swr.getLong(0), "max_docs" -> swr.getLong(1),
         "sec" -> swT)
+
+      // batch 14
+      val (bdRows, bdT) = run("ta_burrows_delta", d)
+      emit("probe" -> "ta_burrows_delta", "dir" -> d, "tokens" -> nTokens,
+        "pairs_out" -> bdRows, "sec" -> bdT)
+
+      val (slRows, slT) = run("qa_ship_lag_quantiles", d)
+      emit("probe" -> "qa_ship_lag_quantiles", "dir" -> d,
+        "month_quantiles" -> slRows, "sec" -> slT)
+
+      val (iwRows, iwT) = run("geo_idw_surface", d)
+      emit("probe" -> "geo_idw_surface", "dir" -> d, "cells" -> iwRows,
+        "sec" -> iwT)
     }
     spark.stop()
   }
