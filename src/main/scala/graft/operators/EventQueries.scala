@@ -2008,6 +2008,142 @@ object EventQueries {
             |ORDER BY step, p_milli""".stripMargin),
   )
 
+  // RFM SEGMENTATION (the classic CRM cube: recency / frequency /
+  // monetary quintiles, Hughes 1994). Scores are VALUE quintiles
+  // (score 1 = lowest fifth) cut by the exact inverse-CDF device:
+  // recency (days since last event) and frequency histograms are
+  // exact — both value domains are bounded (day span; max per-user
+  // activity) — while monetary uses the qa_histogram_quantile 256-bin
+  // edge resolution (cent sums are user-many, so the bin width IS the
+  // documented quantization). The quintile EDGES pivot to one
+  // broadcast row, so scoring is a map-only pass over the per-user
+  // aggregate; the output is the ≤125-cell segment cube. Window state
+  // everywhere is histogram-sized, never user-sized.
+  private val rfmSegments = Q(
+    "ev_rfm_segments",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.util.Cols.cents
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val users0 = Tables.events(s, d).groupBy($"user_id")
+        .agg(expr(s"max(ts div $DayNs)").as("last_day"),
+          count(lit(1)).as("f"), sum(cents($"value")).as("m"))
+      val maxDay = users0.agg(max($"last_day").as("d0"))
+      val mb = users0.agg(min($"m").as("mmin"), max($"m").as("mmax"))
+      val u = users0.crossJoin(broadcast(maxDay)).crossJoin(broadcast(mb))
+        .select($"user_id", ($"d0" - $"last_day").as("r"), $"f",
+          expr("(m - mmin) div greatest(CAST(1 AS BIGINT)," +
+            " (mmax - mmin) div 256 + 1)").as("mb"))
+        .localCheckpoint() // feeds three histograms AND the scoring pass
+      def edges(c: String): org.apache.spark.sql.DataFrame = {
+        val hist = u.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val wc = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum($"cnt").over(wc))
+          .withColumn("n", sum($"cnt").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select($"v", $"cum", $"n",
+            explode(typedLit(Seq(200, 400, 600, 800))).as("p"))
+          .filter($"cum" * 1000 >= $"p" * $"n")
+          .groupBy($"p").agg(min($"v").as("t"))
+          .agg(
+            max(when($"p" === 200, $"t")).as(s"${c}_t1"),
+            max(when($"p" === 400, $"t")).as(s"${c}_t2"),
+            max(when($"p" === 600, $"t")).as(s"${c}_t3"),
+            max(when($"p" === 800, $"t")).as(s"${c}_t4"))
+      }
+      u.crossJoin(broadcast(edges("r")))
+        .crossJoin(broadcast(edges("f")))
+        .crossJoin(broadcast(edges("mb")))
+        .select(
+          expr("1 + CAST(r > r_t1 AS INT) + CAST(r > r_t2 AS INT)" +
+            " + CAST(r > r_t3 AS INT) + CAST(r > r_t4 AS INT)")
+            .cast("long").as("r_score"),
+          expr("1 + CAST(f > f_t1 AS INT) + CAST(f > f_t2 AS INT)" +
+            " + CAST(f > f_t3 AS INT) + CAST(f > f_t4 AS INT)")
+            .cast("long").as("f_score"),
+          expr("1 + CAST(mb > mb_t1 AS INT) + CAST(mb > mb_t2 AS INT)" +
+            " + CAST(mb > mb_t3 AS INT) + CAST(mb > mb_t4 AS INT)")
+            .cast("long").as("m_score"))
+        .groupBy($"r_score", $"f_score", $"m_score")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"r_score", $"f_score", $"m_score")
+    },
+    Some(s"""WITH rf_u0 AS (
+            |  SELECT user_id,
+            |         max(epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000})
+            |           AS last_day,
+            |         CAST(count(*) AS BIGINT) AS f,
+            |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            |           AS m
+            |  FROM events GROUP BY 1),
+            |rf_b AS (SELECT max(last_day) AS d0, min(m) AS mmin,
+            |                max(m) AS mmax FROM rf_u0),
+            |rf_u AS (
+            |  SELECT user_id, d0 - last_day AS r, f,
+            |         (m - mmin) // greatest(1, (mmax - mmin) // 256 + 1)
+            |           AS mb
+            |  FROM rf_u0 CROSS JOIN rf_b),
+            |rf_ps AS (SELECT unnest([200, 400, 600, 800]) AS p),
+            |rf_er AS (
+            |  SELECT max(CASE WHEN p = 200 THEN t END) AS r_t1,
+            |         max(CASE WHEN p = 400 THEN t END) AS r_t2,
+            |         max(CASE WHEN p = 600 THEN t END) AS r_t3,
+            |         max(CASE WHEN p = 800 THEN t END) AS r_t4
+            |  FROM (SELECT p, min(v) AS t FROM (
+            |          SELECT v, cum, n, p FROM (
+            |            SELECT v, sum(cnt) OVER (ORDER BY v
+            |                   ROWS UNBOUNDED PRECEDING) AS cum,
+            |                   sum(cnt) OVER () AS n
+            |            FROM (SELECT r AS v, count(*) AS cnt FROM rf_u
+            |                  GROUP BY 1)) CROSS JOIN rf_ps
+            |          WHERE cum * 1000 >= p * n)
+            |        GROUP BY p)),
+            |rf_ef AS (
+            |  SELECT max(CASE WHEN p = 200 THEN t END) AS f_t1,
+            |         max(CASE WHEN p = 400 THEN t END) AS f_t2,
+            |         max(CASE WHEN p = 600 THEN t END) AS f_t3,
+            |         max(CASE WHEN p = 800 THEN t END) AS f_t4
+            |  FROM (SELECT p, min(v) AS t FROM (
+            |          SELECT v, cum, n, p FROM (
+            |            SELECT v, sum(cnt) OVER (ORDER BY v
+            |                   ROWS UNBOUNDED PRECEDING) AS cum,
+            |                   sum(cnt) OVER () AS n
+            |            FROM (SELECT f AS v, count(*) AS cnt FROM rf_u
+            |                  GROUP BY 1)) CROSS JOIN rf_ps
+            |          WHERE cum * 1000 >= p * n)
+            |        GROUP BY p)),
+            |rf_em AS (
+            |  SELECT max(CASE WHEN p = 200 THEN t END) AS mb_t1,
+            |         max(CASE WHEN p = 400 THEN t END) AS mb_t2,
+            |         max(CASE WHEN p = 600 THEN t END) AS mb_t3,
+            |         max(CASE WHEN p = 800 THEN t END) AS mb_t4
+            |  FROM (SELECT p, min(v) AS t FROM (
+            |          SELECT v, cum, n, p FROM (
+            |            SELECT v, sum(cnt) OVER (ORDER BY v
+            |                   ROWS UNBOUNDED PRECEDING) AS cum,
+            |                   sum(cnt) OVER () AS n
+            |            FROM (SELECT mb AS v, count(*) AS cnt FROM rf_u
+            |                  GROUP BY 1)) CROSS JOIN rf_ps
+            |          WHERE cum * 1000 >= p * n)
+            |        GROUP BY p))
+            |SELECT CAST(1 + CAST(r > r_t1 AS INT) + CAST(r > r_t2 AS INT)
+            |            + CAST(r > r_t3 AS INT) + CAST(r > r_t4 AS INT)
+            |            AS BIGINT) AS r_score,
+            |       CAST(1 + CAST(f > f_t1 AS INT) + CAST(f > f_t2 AS INT)
+            |            + CAST(f > f_t3 AS INT) + CAST(f > f_t4 AS INT)
+            |            AS BIGINT) AS f_score,
+            |       CAST(1 + CAST(mb > mb_t1 AS INT) + CAST(mb > mb_t2 AS INT)
+            |            + CAST(mb > mb_t3 AS INT) + CAST(mb > mb_t4 AS INT)
+            |            AS BIGINT) AS m_score,
+            |       CAST(count(*) AS BIGINT) AS n_users
+            |FROM rf_u CROSS JOIN rf_er CROSS JOIN rf_ef CROSS JOIN rf_em
+            |GROUP BY 1, 2, 3
+            |ORDER BY 1, 2, 3""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -2016,5 +2152,5 @@ object EventQueries {
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
-      hazardCurve, dauWau, funnelTtc)
+      hazardCurve, dauWau, funnelTtc, rfmSegments)
 }

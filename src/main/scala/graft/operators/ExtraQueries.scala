@@ -1734,11 +1734,107 @@ object ExtraQueries {
             |ORDER BY ym, p_milli""".stripMargin),
   )
 
+  // SIMPSON'S PARADOX DETECTOR (Simpson 1951 — the aggregation trap
+  // every dashboard eventually falls into: the pooled trend points
+  // one way while most strata point the other). Year-over-year
+  // average order value, stratified by market segment. Direction
+  // compares are CROSS-MULTIPLIED (sq₂·n₁ > sq₁·n₂ in
+  // DECIMAL/HUGEINT) so no mean is ever materialized and ties break
+  // identically in both engines; the flag fires when the pooled
+  // direction disagrees with the segment majority. One
+  // (year, segment)-keyed partial agg after the custkey join;
+  // lead() windows run over ≤ years·segments rows.
+  private val simpsonParadox = Q(
+    "qa_simpson_paradox",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val oc = Tables.orders(s, d)
+        .select($"o_custkey",
+          expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+          cents($"o_totalprice").as("v"))
+        .join(Tables.customer(s, d)
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+      def upPairs(df: org.apache.spark.sql.DataFrame,
+          parts: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val w = if (parts.isEmpty) Window.orderBy($"yr")
+          else Window.partitionBy(parts.map(col): _*).orderBy($"yr")
+        df.withColumn("yr2", lead($"yr", 1).over(w))
+          .withColumn("n2", lead($"n", 1).over(w))
+          .withColumn("sq2", lead($"sq", 1).over(w))
+          .filter($"yr2" === $"yr" + 1)
+          .withColumn("up",
+            expr("CAST(sq2 AS DECIMAL(38,0)) * n" +
+              " > CAST(sq AS DECIMAL(38,0)) * n2"))
+      }
+      val seg = upPairs(
+        oc.groupBy($"yr", $"c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum($"v").as("sq")),
+        Seq("c_mktsegment"))
+        .groupBy($"yr")
+        .agg(sum(when($"up", 1L).otherwise(0L)).as("n_seg_up"),
+          sum(when(!$"up", 1L).otherwise(0L)).as("n_seg_down"))
+      val tot = upPairs(
+        oc.groupBy($"yr").agg(count(lit(1)).as("n"), sum($"v").as("sq")),
+        Seq.empty)
+        .select($"yr", when($"up", 1L).otherwise(0L).as("overall_up"))
+      tot.join(seg, Seq("yr"))
+        .select($"yr".as("year_from"), ($"yr" + 1).as("year_to"),
+          $"n_seg_up", $"n_seg_down", $"overall_up",
+          when(($"overall_up" === 1L && $"n_seg_down" > $"n_seg_up") ||
+            ($"overall_up" === 0L && $"n_seg_up" > $"n_seg_down"), 1L)
+            .otherwise(0L).as("simpson_flag"))
+        .orderBy($"year_from")
+    },
+    Some(s"""WITH sp_o AS (
+            |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+            |         c_mktsegment,
+            |         ${centsSql("o_totalprice")} AS v
+            |  FROM orders JOIN customer ON o_custkey = c_custkey),
+            |sp_s AS (SELECT yr, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+            |                CAST(sum(v) AS BIGINT) AS sq
+            |         FROM sp_o GROUP BY 1, 2),
+            |sp_sp AS (
+            |  SELECT yr, c_mktsegment, n, sq,
+            |         lead(yr) OVER w AS yr2, lead(n) OVER w AS n2,
+            |         lead(sq) OVER w AS sq2
+            |  FROM sp_s WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)),
+            |sp_su AS (
+            |  SELECT yr,
+            |         CAST(sum(CASE WHEN sq2::HUGEINT * n > sq::HUGEINT * n2
+            |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_up,
+            |         CAST(sum(CASE WHEN sq2::HUGEINT * n > sq::HUGEINT * n2
+            |                  THEN 0 ELSE 1 END) AS BIGINT) AS n_seg_down
+            |  FROM sp_sp WHERE yr2 = yr + 1 GROUP BY 1),
+            |sp_t AS (SELECT yr, CAST(count(*) AS BIGINT) AS n,
+            |                CAST(sum(v) AS BIGINT) AS sq
+            |         FROM sp_o GROUP BY 1),
+            |sp_tp AS (
+            |  SELECT yr,
+            |         CASE WHEN CAST(lead(sq) OVER w AS HUGEINT) * n
+            |                   > sq::HUGEINT * lead(n) OVER w
+            |              THEN 1 ELSE 0 END AS overall_up,
+            |         lead(yr) OVER w AS yr2
+            |  FROM sp_t WINDOW w AS (ORDER BY yr))
+            |SELECT t.yr AS year_from, t.yr + 1 AS year_to,
+            |       s.n_seg_up, s.n_seg_down,
+            |       CAST(t.overall_up AS BIGINT) AS overall_up,
+            |       CAST(CASE WHEN (t.overall_up = 1
+            |                       AND s.n_seg_down > s.n_seg_up)
+            |                   OR (t.overall_up = 0
+            |                       AND s.n_seg_up > s.n_seg_down)
+            |            THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
+            |FROM sp_tp t JOIN sp_su s ON s.yr = t.yr
+            |WHERE t.yr2 = t.yr + 1
+            |ORDER BY year_from""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
-    discountElasticity, kitagawa, shipLag)
+    discountElasticity, kitagawa, shipLag, simpsonParadox)
 }

@@ -1012,6 +1012,55 @@ object TextQueries {
            |LIMIT 10""".stripMargin),
   )
 
+  // VOCABULARY RICHNESS ESTIMATORS (Chao 1984 + Good 1953): how much
+  // vocabulary has the corpus NOT shown yet, and how much probability
+  // mass do unseen words hold — the two numbers that size a tokenizer
+  // vocab and predict OOV exposure before scaling up. Chao1 lower
+  // bound D + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form — defined even
+  // when no doubletons exist) and the Good-Turing unseen-mass
+  // estimate f₁/N, both exact integer arithmetic over the frequency-
+  // of-frequencies table: one vocab-bounded (word → count) agg, then
+  // a ≤ |distinct counts| histogram — corpus-size-free after the
+  // first pass.
+  private val vocabRichness = Q(
+    "ta_vocab_richness",
+    (s, d) => {
+      import s.implicits._
+      val wc = graft.util.Cols.fanout(Tables.documents(s, d))
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("c"))
+      wc.agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"c").as("n_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"))
+        .select($"distinct_words", $"n_tokens", $"f1", $"f2",
+          expr("distinct_words + (CAST(f1 AS DECIMAL(38,0)) * (f1 - 1))" +
+            " div (2 * (f2 + 1))").as("chao1"),
+          expr("(CAST(f1 AS DECIMAL(38,0)) * 1000000) div n_tokens")
+            .as("gt_unseen_ppm"))
+    },
+    Some("""WITH vr_c AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS distinct_words,
+           |       CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS f1,
+           |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS f2,
+           |       CAST(count(*)
+           |            + (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT
+           |               * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+           |              // (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+           |            AS BIGINT) AS chao1,
+           |       CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT
+           |             * 1000000) // sum(c) AS BIGINT) AS gt_unseen_ppm
+           |FROM vr_c""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2693,5 +2742,6 @@ object TextQueries {
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
-      neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta)
+      neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta,
+      vocabRichness)
 }

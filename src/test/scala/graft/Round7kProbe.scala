@@ -315,6 +315,23 @@ object Round7kProbe {
       val (iwRows, iwT) = run("geo_idw_surface", d)
       emit("probe" -> "geo_idw_surface", "dir" -> d, "cells" -> iwRows,
         "sec" -> iwT)
+
+      // batch 15
+      val (vrRows, vrT) = run("ta_vocab_richness", d)
+      emit("probe" -> "ta_vocab_richness", "dir" -> d, "vocab" -> nNodes,
+        "rows" -> vrRows, "sec" -> vrT)
+
+      val (rfRows, rfT) = run("ev_rfm_segments", d)
+      emit("probe" -> "ev_rfm_segments", "dir" -> d, "events" -> nEvents,
+        "cells" -> rfRows, "sec" -> rfT)
+
+      val qsp = QueryCatalog.all.find(_.name == "qa_simpson_paradox").get
+      val (spr, spT) = time {
+        qsp.fn(spark, d).agg(count(lit(1)), sum($"simpson_flag")).head()
+      }
+      emit("probe" -> "qa_simpson_paradox", "dir" -> d,
+        "year_pairs" -> spr.getLong(0), "flags" -> spr.getLong(1),
+        "sec" -> spT)
     }
     spark.stop()
   }
