@@ -914,7 +914,75 @@ object GraphQueries {
             |ORDER BY auth_2 DESC, supplier LIMIT 10""".stripMargin),
   )
 
+  // PERSONALIZED PAGERANK (random walk with restart, Haveliwala 2002
+  // — the recsys/similar-items workhorse gr_pagerank's uniform
+  // teleport can't express): all restart mass returns to ONE seed
+  // node (the lowest part key), so scores measure proximity TO THE
+  // SEED, not global centrality. Same Pregel-as-joins layout and the
+  // same integer mass discipline as gr_pagerank (α = 0.85, e6 scale,
+  // truncating div splits — mass bleeds deterministically, never
+  // drifts between engines); the only structural difference is the
+  // teleport CASE. 3 unrolled rounds, O(|E|) join + partial agg
+  // each; nodes the walk hasn't reached hold exactly 0.
+  private val personalizedPagerank = Q(
+    "gr_personalized_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      val seed = edges.agg(min($"src").as("sn"))
+      var ranks = deg.crossJoin(broadcast(seed))
+        .select($"src".as("node"),
+          when($"src" === $"sn", 1000000L).otherwise(0L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contribs = ranks.join(deg, $"node" === $"src")
+          .select($"node".as("csrc"), expr("pr div outdeg").as("contrib"))
+        ranks = sym
+          .join(contribs, $"src" === $"csrc")
+          .groupBy($"dst")
+          .agg(sum($"contrib").as("m"))
+          .crossJoin(broadcast(seed))
+          .select($"dst".as("node"),
+            (expr("(85 * m) div 100") +
+              when($"dst" === $"sn", 150000L).otherwise(0L)).as("pr"))
+      }
+      ranks.filter($"pr" > 0).orderBy($"pr".desc, $"node").limit(10)
+    },
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT s.dst AS node,
+           |         (85 * CAST(sum(r.pr // d.outdeg) AS BIGINT)) // 100
+           |         + CASE WHEN s.dst = (SELECT sn FROM seed)
+           |                THEN 150000 ELSE 0 END AS pr
+           |  FROM sym s JOIN deg d ON s.src = d.src
+           |  JOIN $prev r ON s.src = r.node
+           |  GROUP BY s.dst)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |seed AS (SELECT min(src) AS sn FROM edges),
+         |r0 AS (SELECT d.src AS node,
+         |              CAST(CASE WHEN d.src = (SELECT sn FROM seed)
+         |                   THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+         |       FROM deg d),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, pr FROM r3 WHERE pr > 0
+         |ORDER BY pr DESC, node LIMIT 10""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
-      bfsHops, linkPredict, basketLift, hits)
+      bfsHops, linkPredict, basketLift, hits, personalizedPagerank)
 }

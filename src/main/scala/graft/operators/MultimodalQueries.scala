@@ -926,7 +926,52 @@ object MultimodalQueries {
            |LIMIT 20""".stripMargin),
   )
 
+  // pHASH HAMMING-DISTANCE HISTOGRAM — the threshold-tuning curve for
+  // mm_phash_neardup's `hamming <= 3` cutoff (the mm sibling of
+  // td_threshold_sweep): how many banded candidate pairs sit at each
+  // distance, with the cumulative count a near-dup rollout at cutoff
+  // h would fire on. Composes the (separately gated) banded pair
+  // table — no re-hash, no new pair generation — then rolls up into
+  // a ≤ 65-row histogram with one tiny cumulative window. Candidate
+  // volume scales exactly as the neardup entry's measured band law;
+  // the histogram itself is constant-size at any corpus.
+  private val phashHammingHist = Q(
+    "mm_phash_hamming_hist",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = phashNearDup.fn(s, d).select($"hamming")
+      val w = Window.orderBy($"hamming")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy($"hamming").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs", sum($"n_pairs").over(w))
+        .select($"hamming", $"n_pairs", $"cum_pairs")
+        .orderBy($"hamming")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
+           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
+           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
+           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
+           |  FROM documents),
+           |ph_p AS (
+           |  SELECT CAST(bit_count(xor(a.b0, b.b0)) +
+           |              bit_count(xor(a.b1, b.b1)) +
+           |              bit_count(xor(a.b2, b.b2)) +
+           |              bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+           |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+           |  WHERE a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2
+           |     OR a.b3 = b.b3),
+           |ph_h AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+           |         FROM ph_p GROUP BY 1)
+           |SELECT hamming, n_pairs,
+           |       CAST(sum(n_pairs) OVER (ORDER BY hamming
+           |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+           |FROM ph_h ORDER BY hamming""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
-      sceneCut, patchGrid16, mediaQa, audioFingerprint)
+      sceneCut, patchGrid16, mediaQa, audioFingerprint, phashHammingHist)
 }

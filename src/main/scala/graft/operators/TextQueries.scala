@@ -1061,6 +1061,66 @@ object TextQueries {
            |FROM vr_c""".stripMargin),
   )
 
+  // POSTING-LIST VARINT SIZE ESTIMATE — the storage-engineering
+  // number an inverted index is budgeted on: delta-gap the doc ids
+  // inside each posting list and price every gap at its LEB128
+  // varint width (the d-gap + varint scheme every real index family
+  // uses before the fancier PFor variants). The gap pass is one
+  // lag() window PARTITIONED BY WORD over the postings table — state
+  // per task is one posting row, and the histogram output is ≤ 10
+  // rows (one per byte class) at any corpus size. First posting
+  // prices doc_id + 1 (delta from the -1 sentinel). Byte class via
+  // an integer CASE ladder — no log() anywhere.
+  private val postingsVarint = Q(
+    "ta_postings_varint_size",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val postings = graft.util.Cols.fanout(Tables.documents(s, d))
+        .select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("word"))
+      val w = Window.partitionBy($"word").orderBy($"doc_id")
+      val gaps = postings
+        .withColumn("gap",
+          coalesce($"doc_id" - lag($"doc_id", 1).over(w), $"doc_id" + 1))
+        .select(expr(
+          """CASE WHEN gap < 128 THEN 1
+            |     WHEN gap < 16384 THEN 2
+            |     WHEN gap < 2097152 THEN 3
+            |     WHEN gap < 268435456 THEN 4
+            |     WHEN gap < 34359738368 THEN 5
+            |     ELSE 6 END""".stripMargin).as("bytes_class"))
+      gaps.groupBy($"bytes_class")
+        .agg(count(lit(1)).as("n_gaps"),
+          (count(lit(1)) * $"bytes_class").as("total_bytes"))
+        .select($"bytes_class".cast("long").as("bytes_class"),
+          $"n_gaps", $"total_bytes".cast("long").as("total_bytes"))
+        .orderBy($"bytes_class")
+    },
+    Some("""WITH pv_p AS (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |    FROM documents)),
+           |pv_g AS (
+           |  SELECT coalesce(doc_id - lag(doc_id) OVER
+           |           (PARTITION BY word ORDER BY doc_id), doc_id + 1)
+           |         AS gap
+           |  FROM pv_p),
+           |pv_c AS (
+           |  SELECT CASE WHEN gap < 128 THEN 1
+           |              WHEN gap < 16384 THEN 2
+           |              WHEN gap < 2097152 THEN 3
+           |              WHEN gap < 268435456 THEN 4
+           |              WHEN gap < 34359738368 THEN 5
+           |              ELSE 6 END AS bytes_class
+           |  FROM pv_g)
+           |SELECT CAST(bytes_class AS BIGINT) AS bytes_class,
+           |       CAST(count(*) AS BIGINT) AS n_gaps,
+           |       CAST(count(*) * bytes_class AS BIGINT) AS total_bytes
+           |FROM pv_c GROUP BY pv_c.bytes_class
+           |ORDER BY bytes_class""".stripMargin),
+  )
+
   // OOV rate against the corpus top-k vocabulary — the tokenizer-
   // coverage diagnostic run before committing a vocab: which fraction
   // of each doc's tokens would a top-20-by-frequency vocabulary miss.
@@ -2743,5 +2803,5 @@ object TextQueries {
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta,
-      vocabRichness)
+      vocabRichness, postingsVarint)
 }

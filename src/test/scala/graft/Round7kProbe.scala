@@ -332,6 +332,28 @@ object Round7kProbe {
       emit("probe" -> "qa_simpson_paradox", "dir" -> d,
         "year_pairs" -> spr.getLong(0), "flags" -> spr.getLong(1),
         "sec" -> spT)
+
+      // batch 16
+      val qph = QueryCatalog.all.find(_.name == "mm_phash_hamming_hist").get
+      val (phr, phT) = time {
+        qph.fn(spark, d).agg(count(lit(1)), max($"cum_pairs")).head()
+      }
+      emit("probe" -> "mm_phash_hamming_hist", "dir" -> d,
+        "classes" -> phr.getLong(0), "cand_pairs" -> phr.getLong(1),
+        "sec" -> phT)
+
+      val (ppRows, ppT) = run("gr_personalized_pagerank", d)
+      emit("probe" -> "gr_personalized_pagerank", "dir" -> d,
+        "rows" -> ppRows, "sec" -> ppT)
+
+      val qpv = QueryCatalog.all.find(_.name == "ta_postings_varint_size").get
+      val (pvr, pvT) = time {
+        qpv.fn(spark, d)
+          .agg(count(lit(1)), sum($"n_gaps"), sum($"total_bytes")).head()
+      }
+      emit("probe" -> "ta_postings_varint_size", "dir" -> d,
+        "classes" -> pvr.getLong(0), "postings" -> pvr.getLong(1),
+        "bytes" -> pvr.getLong(2), "sec" -> pvT)
     }
     spark.stop()
   }
