@@ -2144,6 +2144,86 @@ object EventQueries {
             |ORDER BY 1, 2, 3""".stripMargin),
   )
 
+  // POSITION-BASED (U-SHAPE) ATTRIBUTION — the 40/20/40 model ad
+  // platforms ship next to linear: first and last touch take 40%
+  // each, the middle touches split the remaining 20%. Same
+  // conv/touch tables, 7-day in-join window, '(direct)' fallback and
+  // exact-ppm bookkeeping as ev_attribution_linear; the middle split
+  // uses the same largest-remainder device (200000 div (n−2), the
+  // 200000 mod (n−2) remainder to the MOST RECENT middles), so
+  // Σ credit == 10⁶ · conversions stays a closed-book invariant.
+  // n = 1 takes the full 10⁶; n = 2 splits 50/50. Scale shape
+  // identical to the linear entry: user-keyed join, per-conversion
+  // bounded windows, |channels|-key roll-up.
+  private val attributionPosition = Q(
+    "ev_attribution_position",
+    (s, d) => {
+      import s.implicits._
+      val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+      val conv = Tables.events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"))
+      val touch = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("tuid"), $"event_type".as("channel"),
+          $"ts".as("tts"), $"event_id".as("tid"))
+      val attributed = conv.join(touch,
+          $"user_id" === $"tuid" && $"tts" < $"cts" &&
+            $"cts" - $"tts" <= WeekNs, "left")
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy($"user_id", $"cid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id", $"cid")
+            .orderBy($"tts", $"tid")))
+        .select(
+          coalesce($"channel", lit("(direct)")).as("channel"),
+          when($"tts".isNull, lit(1000000L))
+            .otherwise(expr(
+              """CASE WHEN n = 1 THEN 1000000
+                |     WHEN n = 2 THEN 500000
+                |     WHEN rn = 1 OR rn = n THEN 400000
+                |     ELSE 200000 div (n - 2)
+                |          + (CASE WHEN n - rn <= 200000 % (n - 2)
+                |             THEN 1 ELSE 0 END)
+                |END""".stripMargin)).as("credit_ppm"))
+      attributed.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touchpoints"),
+          sum($"credit_ppm").as("credit_ppm_total"))
+        .orderBy($"channel")
+    },
+    Some(s"""WITH ap_conv AS (
+            |  SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+            |  FROM events WHERE event_type = 'purchase'),
+            |ap_touch AS (
+            |  SELECT user_id, event_type AS channel,
+            |         epoch_ns(ts) AS tts, event_id AS tid
+            |  FROM events WHERE event_type IN ('view', 'click')),
+            |ap_j AS (
+            |  SELECT c.user_id, c.cid, t.channel, t.tts, t.tid
+            |  FROM ap_conv c LEFT JOIN ap_touch t
+            |    ON t.user_id = c.user_id AND t.tts < c.cts
+            |   AND c.cts - t.tts <= ${7L * 86400 * 1000 * 1000 * 1000}),
+            |ap_r AS (
+            |  SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS n,
+            |         row_number() OVER (PARTITION BY user_id, cid
+            |                            ORDER BY tts, tid) AS rn
+            |  FROM ap_j),
+            |ap_c AS (
+            |  SELECT coalesce(channel, '(direct)') AS channel,
+            |         CASE WHEN tts IS NULL THEN 1000000
+            |              WHEN n = 1 THEN 1000000
+            |              WHEN n = 2 THEN 500000
+            |              WHEN rn = 1 OR rn = n THEN 400000
+            |              ELSE 200000 // (n - 2)
+            |                   + (CASE WHEN n - rn <= 200000 % (n - 2)
+            |                      THEN 1 ELSE 0 END)
+            |         END AS credit_ppm
+            |  FROM ap_r)
+            |SELECT channel, CAST(count(*) AS BIGINT) AS n_touchpoints,
+            |       CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+            |FROM ap_c GROUP BY 1
+            |ORDER BY channel""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -2152,5 +2232,5 @@ object EventQueries {
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
-      hazardCurve, dauWau, funnelTtc, rfmSegments)
+      hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition)
 }

@@ -1830,11 +1830,54 @@ object ExtraQueries {
             |ORDER BY year_from""".stripMargin),
   )
 
+  // DAY-OF-WEEK SEASONALITY INDEX (the retail/ops staple: how does
+  // each weekday's mean event value compare to the overall mean).
+  // Weekday classes are EPOCH-RELATIVE (epoch-day mod 7 — class 0 is
+  // the 1970-01-01 weekday), sidestepping every cross-engine
+  // timezone/locale dow() trap; the index is the cross-multiplied
+  // mean ratio (sq_d·N·10⁶) div (n_d·SQ) so no mean is ever
+  // materialized. One 7-key partial agg + a broadcast 1-row total —
+  // corpus-size-free after the scan.
+  private val dowSeasonality = Q(
+    "qa_dow_seasonality",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byDow = Tables.events(s, d)
+        .select(expr(s"(ts div $DayNs) % 7").as("dow"),
+          cents($"value").as("v"))
+        .groupBy($"dow")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sq"))
+      val tot = byDow.agg(sum($"n").as("bign"),
+        sum($"sq".cast("decimal(38,0)")).as("bigsq"))
+      byDow.crossJoin(broadcast(tot))
+        .select($"dow", $"n", $"sq",
+          expr("(CAST(sq AS DECIMAL(38,0)) * bign * 1000000)" +
+            " div (CAST(n AS DECIMAL(38,0)) * bigsq)").as("idx_e6"))
+        .orderBy($"dow")
+    },
+    Some(s"""WITH ds_d AS (
+            |  SELECT (epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000}) % 7
+            |           AS dow,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |ds_g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+            |                CAST(sum(v) AS BIGINT) AS sq
+            |         FROM ds_d GROUP BY 1),
+            |ds_t AS (SELECT CAST(sum(n) AS BIGINT) AS bign,
+            |                CAST(sum(sq) AS HUGEINT) AS bigsq FROM ds_g)
+            |SELECT dow, n, sq,
+            |       CAST((sq::HUGEINT * bign * 1000000)
+            |            // (n::HUGEINT * bigsq) AS BIGINT) AS idx_e6
+            |FROM ds_g CROSS JOIN ds_t
+            |ORDER BY dow""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
-    discountElasticity, kitagawa, shipLag, simpsonParadox)
+    discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality)
 }

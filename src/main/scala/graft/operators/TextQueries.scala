@@ -2170,6 +2170,33 @@ object TextQueries {
   // scan — the model rides in the expression, the corpus never
   // explodes into a token table), then one left join back to
   // documents for the <2-word docs.
+  /** The hashed-classifier scoring pipeline's oracle CTEs (words →
+    * bigrams → per-doc weight fold), shared verbatim by
+    * ta_hashed_classifier and the uncertainty-sampling entry so the
+    * model replay can never fork between them. Declared BEFORE both
+    * entries — object vals initialize in source order.
+    */
+  private val hashedClassifierCtes = """words AS (
+    |  SELECT doc_id,
+    |         unnest(string_split(text, ' ')) AS word,
+    |         unnest(generate_series(1, len(string_split(text, ' '))))
+    |           AS pos
+    |  FROM documents),
+    |grams AS (
+    |  SELECT doc_id, g FROM (
+    |    SELECT doc_id,
+    |           word || ' ' || lead(word, 1) OVER w AS g,
+    |           lead(word, 1) OVER w AS nx
+    |    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+    |  WHERE nx IS NOT NULL),
+    |feats AS (
+    |  SELECT doc_id,
+    |         count(*) AS n_feats,
+    |         CAST(sum((CAST('0x' || substr(md5(g), 1, 4) AS BIGINT)
+    |                   % 256) * 2654435761 % 1001 - 500) AS BIGINT)
+    |           AS w_sum
+    |  FROM grams GROUP BY doc_id)""".stripMargin
+
   private val hashedClassifier = Q(
     "ta_hashed_classifier",
     (s, d) => {
@@ -2189,33 +2216,44 @@ object TextQueries {
           when($"w_sum" >= 0, "keep").otherwise("flag").as("action"))
         .orderBy($"doc_id")
     },
-    Some("""WITH words AS (
-           |  SELECT doc_id,
-           |         unnest(string_split(text, ' ')) AS word,
-           |         unnest(generate_series(1, len(string_split(text, ' '))))
-           |           AS pos
-           |  FROM documents),
-           |grams AS (
-           |  SELECT doc_id, g FROM (
-           |    SELECT doc_id,
-           |           word || ' ' || lead(word, 1) OVER w AS g,
-           |           lead(word, 1) OVER w AS nx
-           |    FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-           |  WHERE nx IS NOT NULL),
-           |feats AS (
-           |  SELECT doc_id,
-           |         count(*) AS n_feats,
-           |         CAST(sum((CAST('0x' || substr(md5(g), 1, 4) AS BIGINT)
-           |                   % 256) * 2654435761 % 1001 - 500) AS BIGINT)
-           |           AS w_sum
-           |  FROM grams GROUP BY doc_id)
-           |SELECT d.doc_id,
-           |       coalesce(f.n_feats, 0) AS n_feats,
-           |       coalesce(f.w_sum, 0) AS w_sum,
-           |       CASE WHEN coalesce(f.w_sum, 0) >= 0 THEN 'keep'
-           |            ELSE 'flag' END AS action
-           |FROM documents d LEFT JOIN feats f USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin),
+    Some(s"""WITH $hashedClassifierCtes
+            |SELECT d.doc_id,
+            |       coalesce(f.n_feats, 0) AS n_feats,
+            |       coalesce(f.w_sum, 0) AS w_sum,
+            |       CASE WHEN coalesce(f.w_sum, 0) >= 0 THEN 'keep'
+            |            ELSE 'flag' END AS action
+            |FROM documents d LEFT JOIN feats f USING (doc_id)
+            |ORDER BY d.doc_id""".stripMargin),
+  )
+
+  // UNCERTAINTY SAMPLING (Lewis & Gale 1994 — the active-learning
+  // acquisition step: route the documents the model is LEAST sure
+  // about to human labeling). Composes the (separately gated) hashed
+  // classifier: uncertainty = |w_sum|·1000 div n_feats, the mean
+  // absolute per-feature margin — docs nearest the decision boundary
+  // rank first. The scoring pass is the classifier's zero-shuffle
+  // in-row fold; selection is TakeOrdered-50 on (margin, doc_id), so
+  // the acquisition batch is deterministic and the whole operator
+  // adds NO shuffle to the scoring scan. Docs with no features carry
+  // no signal and are excluded (they are the '(direct)' analog).
+  private val uncertaintySample = Q(
+    "td_uncertainty_sample",
+    (s, d) => {
+      import s.implicits._
+      hashedClassifier.fn(s, d)
+        .filter($"n_feats" > 0)
+        .select($"doc_id", $"n_feats", $"w_sum",
+          expr("(abs(w_sum) * 1000) div n_feats").as("margin_milli"))
+        .orderBy($"margin_milli", $"doc_id")
+        .limit(50)
+    },
+    Some(s"""WITH $hashedClassifierCtes
+            |SELECT doc_id, n_feats, w_sum,
+            |       (abs(w_sum) * 1000) // n_feats AS margin_milli
+            |FROM feats
+            |WHERE n_feats > 0
+            |ORDER BY margin_milli, doc_id
+            |LIMIT 50""".stripMargin),
   )
 
   // GOPHER-STYLE RULE GATE: the hard per-document filter bundle every
@@ -2803,5 +2841,5 @@ object TextQueries {
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta,
-      vocabRichness, postingsVarint)
+      vocabRichness, postingsVarint, uncertaintySample)
 }

@@ -354,6 +354,24 @@ object Round7kProbe {
       emit("probe" -> "ta_postings_varint_size", "dir" -> d,
         "classes" -> pvr.getLong(0), "postings" -> pvr.getLong(1),
         "bytes" -> pvr.getLong(2), "sec" -> pvT)
+
+      // batch 17
+      val (usRows, usT) = run("td_uncertainty_sample", d)
+      emit("probe" -> "td_uncertainty_sample", "dir" -> d, "docs" -> nDocs,
+        "batch" -> usRows, "sec" -> usT)
+
+      val qap = QueryCatalog.all.find(_.name == "ev_attribution_position").get
+      val (apr, apT) = time {
+        qap.fn(spark, d)
+          .agg(sum($"n_touchpoints"), sum($"credit_ppm_total")).head()
+      }
+      emit("probe" -> "ev_attribution_position", "dir" -> d,
+        "pairs" -> apr.getLong(0), "credit_total" -> apr.getLong(1),
+        "sec" -> apT)
+
+      val (dsRows, dsT) = run("qa_dow_seasonality", d)
+      emit("probe" -> "qa_dow_seasonality", "dir" -> d, "events" -> nEvents,
+        "dows" -> dsRows, "sec" -> dsT)
     }
     spark.stop()
   }
