@@ -589,6 +589,29 @@ object MultimodalQueries {
   // oracle replays each byte as ascii(substr(text, i, 1)) and the
   // energies hash-gate exactly. Scale: frames ∝ corpus bytes, no
   // shuffle before the presentation sort.
+  /** The audio framing + energy oracle CTEs (byte frames → per-frame
+    * integer energy), shared verbatim by mm_audio_energy and the
+    * silence segmenter so the VAD primitive can never fork. Declared
+    * before both entries — object vals initialize in source order.
+    */
+  private val audioEnergyCtes = """b AS (
+    |  SELECT doc_id, text, length(text) AS n FROM documents),
+    |frames AS (
+    |  SELECT doc_id, text, n,
+    |         CAST(unnest(range(0, (n + 99) // 100)) AS INT) AS frame
+    |  FROM b),
+    |samples AS (
+    |  SELECT doc_id, frame,
+    |         CAST(unnest(range(frame * 100 + 1,
+    |                           least(frame * 100 + 100, n) + 1)) AS INT) AS i,
+    |         text
+    |  FROM frames),
+    |e AS (
+    |  SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples,
+    |         CAST(sum(abs(ascii(substr(text, i, 1)) - 100)) AS BIGINT)
+    |           AS energy
+    |  FROM samples GROUP BY doc_id, frame)""".stripMargin
+
   private val audioEnergy = Q(
     "mm_audio_energy",
     (s, d) => {
@@ -599,27 +622,75 @@ object MultimodalQueries {
           when($"energy" < $"n_samples" * 15L, 1).otherwise(0).as("is_silence"))
         .orderBy($"doc_id", $"frame")
     },
-    Some("""WITH b AS (
-           |  SELECT doc_id, text, length(text) AS n FROM documents),
-           |frames AS (
-           |  SELECT doc_id, text, n,
-           |         CAST(unnest(range(0, (n + 99) // 100)) AS INT) AS frame
-           |  FROM b),
-           |samples AS (
-           |  SELECT doc_id, frame,
-           |         CAST(unnest(range(frame * 100 + 1,
-           |                           least(frame * 100 + 100, n) + 1)) AS INT) AS i,
-           |         text
-           |  FROM frames),
-           |e AS (
-           |  SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples,
-           |         CAST(sum(abs(ascii(substr(text, i, 1)) - 100)) AS BIGINT)
-           |           AS energy
-           |  FROM samples GROUP BY doc_id, frame)
-           |SELECT doc_id, frame, n_samples, energy,
-           |       CASE WHEN energy < n_samples * 15 THEN 1 ELSE 0 END AS is_silence
-           |FROM e
-           |ORDER BY doc_id, frame""".stripMargin),
+    Some(s"""WITH $audioEnergyCtes
+            |SELECT doc_id, frame, n_samples, energy,
+            |       CASE WHEN energy < n_samples * 15 THEN 1 ELSE 0 END
+            |         AS is_silence
+            |FROM e
+            |ORDER BY doc_id, frame""".stripMargin),
+  )
+
+  // SILENCE-RUN SEGMENTATION — the VAD step after mm_audio_energy's
+  // per-frame flags: collapse consecutive same-flag frames into runs
+  // (the gaps-and-islands device keyed inside each doc: group id =
+  // frame − row_number over (doc, flag)), then report per clip how
+  // fragmented it is and how much of it is silence. Composes the
+  // gated energy table; the windows partition per doc over FRAME
+  // rows (the sessionize-family per-key bound), and the output is
+  // one row per clip. silence_ppm divides exactly; the longest run
+  // is a max over runs.
+  private val silenceSegments = Q(
+    "mm_silence_segments",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = audioEnergy.fn(s, d)
+        .select($"doc_id", $"frame", $"is_silence")
+      val grp = frames.withColumn("grp",
+        $"frame" - row_number().over(
+          Window.partitionBy($"doc_id", $"is_silence").orderBy($"frame")))
+      val runs = grp.groupBy($"doc_id", $"is_silence", $"grp")
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when($"is_silence" === 1, 1L).otherwise(0L))
+            .as("n_silence_segments"),
+          coalesce(max(when($"is_silence" === 1, $"len")), lit(0L))
+            .as("longest_silence"),
+          sum(when($"is_silence" === 1, $"len").otherwise(0L))
+            .as("sil_frames"),
+          sum($"len").as("tot_frames"))
+        .select($"doc_id", $"n_segments", $"n_silence_segments",
+          $"longest_silence",
+          expr("(sil_frames * 1000000) div tot_frames").as("silence_ppm"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $audioEnergyCtes,
+            |sg_f AS (
+            |  SELECT doc_id, frame,
+            |         CASE WHEN energy < n_samples * 15 THEN 1 ELSE 0 END
+            |           AS is_silence
+            |  FROM e),
+            |sg_g AS (
+            |  SELECT doc_id, is_silence,
+            |         frame - row_number() OVER (
+            |           PARTITION BY doc_id, is_silence ORDER BY frame)
+            |           AS grp
+            |  FROM sg_f),
+            |sg_r AS (
+            |  SELECT doc_id, is_silence, grp,
+            |         CAST(count(*) AS BIGINT) AS len
+            |  FROM sg_g GROUP BY 1, 2, 3)
+            |SELECT doc_id,
+            |       CAST(count(*) AS BIGINT) AS n_segments,
+            |       CAST(sum(CASE WHEN is_silence = 1 THEN 1 ELSE 0 END)
+            |            AS BIGINT) AS n_silence_segments,
+            |       CAST(coalesce(max(CASE WHEN is_silence = 1 THEN len END),
+            |                     0) AS BIGINT) AS longest_silence,
+            |       CAST((sum(CASE WHEN is_silence = 1 THEN len ELSE 0 END)
+            |             * 1000000) // sum(len) AS BIGINT) AS silence_ppm
+            |FROM sg_r GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin),
   )
 
   // VIDEO scene-cut detection — the shot-segmentation primitive a
@@ -973,5 +1044,6 @@ object MultimodalQueries {
 
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
-      sceneCut, patchGrid16, mediaQa, audioFingerprint, phashHammingHist)
+      sceneCut, patchGrid16, mediaQa, audioFingerprint, phashHammingHist,
+      silenceSegments)
 }

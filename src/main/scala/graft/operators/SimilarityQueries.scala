@@ -1693,9 +1693,87 @@ object SimilarityQueries {
            |FROM mt_out ORDER BY prefix_dims""".stripMargin),
   )
 
+  // K-CENTER GREEDY CORESET (Gonzalez 1985; the coreset selector
+  // behind core-set active learning, Sener & Savarese 2018): start
+  // from a seed and repeatedly add the point FARTHEST from the
+  // current set (here: minimizing the max cosine to any selected
+  // vector — max-coverage's adversarial dual to sim_mmr_select's
+  // relevance-diversity blend). Four greedy rounds; each round is
+  // one corpus scan against the ≤ 5-row broadcast selected set
+  // (n·k kernel calls/round, k fixed — linear in the corpus), with
+  // the 1-row argmin a TakeOrdered, not a global sort. The k-row
+  // driver-side selection state is the documented published-artifact
+  // shape (same as the IVF seeds / MMR picks). The seed row reports
+  // the self-similarity sentinel 10⁹.
+  private val kcenterCoreset = Q(
+    "sim_kcenter_coreset",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .select($"vec_id", $"embedding").localCheckpoint()
+      var selected = Vector((1L, 0L, 1000000000L))
+      for (r <- 2 to 5) {
+        val ids = selected.map(_._2)
+        val selDf = emb.filter($"vec_id".isin(ids: _*))
+          .select($"vec_id".as("sid"), $"embedding".as("se"))
+        val pick = emb.filter(!$"vec_id".isin(ids: _*))
+          .crossJoin(broadcast(selDf))
+          .select($"vec_id", cosine_e9($"embedding", $"se").as("c"))
+          .groupBy($"vec_id").agg(max($"c").as("mc"))
+          .orderBy($"mc", $"vec_id").limit(1)
+          .head()
+        selected :+= ((r.toLong, pick.getLong(0), pick.getLong(1)))
+      }
+      selected.toDF("rank", "vec_id", "far_sim_e9").orderBy($"rank")
+    },
+    Some {
+      def step(k: Int) =
+        s"""st$k AS (
+           |  SELECT av, max(c) AS mc FROM kc_sims
+           |  WHERE bv IN (SELECT av FROM sel${k - 1})
+           |    AND av NOT IN (SELECT av FROM sel${k - 1})
+           |  GROUP BY av),
+           |p$k AS (SELECT av, mc FROM st$k ORDER BY mc, av LIMIT 1),
+           |sel$k AS (SELECT av FROM sel${k - 1}
+           |          UNION ALL SELECT av FROM p$k)""".stripMargin
+      s"""WITH kc_sims AS (
+         |  SELECT a.vec_id AS av, b.vec_id AS bv,
+         |         CAST(round(CAST(SUM(CAST(CAST(a.embedding[k] AS DOUBLE)
+         |                * CAST(b.embedding[k] AS DOUBLE)
+         |                AS DECIMAL(30,15))) AS DOUBLE) /
+         |              sqrt(CAST(SUM(CAST(CAST(a.embedding[k] AS DOUBLE)
+         |                   * CAST(a.embedding[k] AS DOUBLE)
+         |                   AS DECIMAL(30,15))) AS DOUBLE)
+         |                * CAST(SUM(CAST(CAST(b.embedding[k] AS DOUBLE)
+         |                   * CAST(b.embedding[k] AS DOUBLE)
+         |                   AS DECIMAL(30,15))) AS DOUBLE)) * 1e9) AS BIGINT)
+         |           AS c
+         |  FROM embeddings a
+         |  JOIN embeddings b ON a.vec_id <> b.vec_id,
+         |       range(1, 65) t(k)
+         |  GROUP BY a.vec_id, b.vec_id),
+         |sel1 AS (SELECT CAST(0 AS BIGINT) AS av),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)}
+         |SELECT CAST(rank AS BIGINT) AS rank,
+         |       CAST(vec_id AS BIGINT) AS vec_id,
+         |       CAST(far_sim_e9 AS BIGINT) AS far_sim_e9
+         |FROM (
+         |  SELECT 1 AS rank, 0 AS vec_id, 1000000000 AS far_sim_e9
+         |  UNION ALL SELECT 2, av, mc FROM p2
+         |  UNION ALL SELECT 3, av, mc FROM p3
+         |  UNION ALL SELECT 4, av, mc FROM p4
+         |  UNION ALL SELECT 5, av, mc FROM p5)
+         |ORDER BY rank""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
-      embeddingDrift, matryoshkaEval)
+      embeddingDrift, matryoshkaEval, kcenterCoreset)
 }

@@ -372,6 +372,15 @@ object Round7kProbe {
       val (dsRows, dsT) = run("qa_dow_seasonality", d)
       emit("probe" -> "qa_dow_seasonality", "dir" -> d, "events" -> nEvents,
         "dows" -> dsRows, "sec" -> dsT)
+
+      // batch 18
+      val (ssRows, ssT) = run("mm_silence_segments", d)
+      emit("probe" -> "mm_silence_segments", "dir" -> d, "clips" -> ssRows,
+        "sec" -> ssT)
+
+      val (kcsRows, kcsT) = run("sim_kcenter_coreset", d)
+      emit("probe" -> "sim_kcenter_coreset", "dir" -> d, "vecs" -> nVecs,
+        "centers" -> kcsRows, "sec" -> kcsT)
     }
     spark.stop()
   }
