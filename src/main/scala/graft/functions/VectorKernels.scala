@@ -171,4 +171,35 @@ object VectorKernels {
     }
     bucket
   }
+
+  /** Multi-probe companion bucket (Lv et al. VLDB'07): the primary
+    * bucket with its LOWEST-CONFIDENCE bit flipped — the plane whose
+    * decimal-exact |projection| is smallest (ties broken toward the
+    * lowest plane index, mirroring the oracle's `ORDER BY abs(proj),
+    * p` row_number). A vector sitting near hyperplane p is the one
+    * LSH misfiles; probing the adjacent bucket across exactly that
+    * plane recovers most of the lost neighbours for a bounded 2×
+    * candidate budget — no corpus-wide fallback anywhere.
+    */
+  def lshBucketFlip(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bucket = 0L
+    var minAbs: JBigDecimal = null
+    var minP = 0
+    var p = 0
+    while (p < 6) {
+      val w = planes(p)
+      var proj = JBigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        proj = proj.add(dec15(v.getFloat(i).toDouble * w(i)))
+        i += 1
+      }
+      if (proj.signum() > 0) bucket |= 1L << p
+      val a = proj.abs()
+      if (minAbs == null || a.compareTo(minAbs) < 0) { minAbs = a; minP = p }
+      p += 1
+    }
+    bucket ^ (1L << minP)
+  }
 }

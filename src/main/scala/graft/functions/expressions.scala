@@ -227,6 +227,24 @@ case class LshBucket(child: Expression)
     copy(child = newChild)
 }
 
+/** Multi-probe companion bucket: the primary LSH bucket with its
+  * lowest-|projection| bit flipped (see [[VectorKernels.lshBucketFlip]])
+  * — probing it bounds the extra ANN candidate volume at exactly one
+  * more bucket per vector while recovering the neighbours a
+  * near-hyperplane vector loses to bucket quantization.
+  */
+case class LshBucketFlip(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucketFlip(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.lshBucketFlip($v)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketFlip =
+    copy(child = newChild)
+}
+
 /** Intersection size of two ascending-sorted long arrays (see
   * [[VectorKernels.sortedIntersectCount]]) — the pair-scoring kernel
   * of the n-gram Jaccard join, O(|A|+|B|) per pair with no
@@ -411,6 +429,7 @@ object exprs {
     c(SqDistE9(e(a), e(b), from))
   def cosine_approx(a: Column, b: Column): Column = c(CosineApprox(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
+  def lsh_bucket_flip(v: Column): Column = c(LshBucketFlip(e(v)))
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
@@ -455,6 +474,9 @@ object exprs {
     ("lsh_bucket",
       "lsh_bucket(array<float>) - 6-plane random-hyperplane LSH bucket id",
       es => LshBucket(es.head)),
+    ("lsh_bucket_flip",
+      "lsh_bucket_flip(array<float>) - multi-probe companion bucket (lowest-confidence bit flipped)",
+      es => LshBucketFlip(es.head)),
     ("sorted_intersect_count",
       "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays",
       es => SortedIntersectCount(es(0), es(1))),

@@ -1300,9 +1300,16 @@ object ExtraQueries {
       val ben = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
         5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
         .toDF("digit", "ben_ppm")
+      // First digit of |cents|: a negative amount would put '-' in
+      // position 1 — Spark's CAST('-' AS INT) yields NULL while
+      // DuckDB throws, a latent engine divergence for a fraud screen
+      // where negatives are plausible (round-7 advice). abs() on BOTH
+      // engines; zero amounts keep digit 0 (counted in n, matching no
+      // Benford row) — the explicit policy: magnitude-less rows dilute
+      // every digit's share rather than vanish from the denominator.
       val obs = Tables.events(s, d)
         .select($"event_type",
-          substring(cents($"value").cast("string"), 1, 1).cast("int").as("digit"))
+          substring(abs(cents($"value")).cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy($"event_type", $"digit").agg(count(lit(1)).as("cnt"))
       val n = obs.groupBy($"event_type").agg(sum($"cnt").as("n"))
       n.crossJoin(broadcast(ben))
@@ -1324,7 +1331,7 @@ object ExtraQueries {
             |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
             |bf_obs AS (
             |  SELECT event_type,
-            |         CAST(substr(CAST(${centsSql("value")} AS VARCHAR), 1, 1)
+            |         CAST(substr(CAST(abs(${centsSql("value")}) AS VARCHAR), 1, 1)
             |              AS INT) AS digit,
             |         CAST(count(*) AS BIGINT) AS cnt
             |  FROM events GROUP BY 1, 2),

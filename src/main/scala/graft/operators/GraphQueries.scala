@@ -522,14 +522,19 @@ object GraphQueries {
   // modularity). Over the directed doubling of the kept co-purchase
   // graph with x = deg(src), y = deg(dst): Pearson r =
   // (M·Σxy − Sx²)/(M·Σx² − Sx²) (symmetric, so Sy = Sx). Computed
-  // DIVISION-FREE to exact integers — numerator/denominator publish
-  // alongside r_milli = sign·((|num|·1e3) DIV den), the abs/sign
-  // split keeping Spark's truncating DIV and DuckDB's flooring //
-  // identical on the signed numerator. One edge-keyed join against
-  // the broadcast-sized degree table, then a single global power-sum
-  // aggregate — O(|E|) with a 1-row result. The cross products run in
-  // DECIMAL(38,0)/HUGEINT: M·Σxy reaches ~3.6e18 at grow_sf1 already
-  // (the first formulation overflowed BIGINT there — measured, fixed).
+  // DIVISION-FREE to exact integers — r_milli = sign·((|num|·1e3)
+  // DIV den), the abs/sign split keeping Spark's truncating DIV and
+  // DuckDB's flooring // identical on the signed numerator. One
+  // edge-keyed join against the broadcast-sized degree table, then a
+  // single global power-sum aggregate — O(|E|) with a 1-row result.
+  // The cross products run INTERNALLY in DECIMAL(38,0)/HUGEINT:
+  // M·Σxy reaches ~3.6e18 at grow_sf1 already (the first formulation
+  // overflowed BIGINT there — measured, fixed). The PUBLISHED surface
+  // is BIGINT-only (power sums + r_milli): round 7's sole driver-side
+  // hash mismatch was on the decimal128 r_num/r_den columns (locally
+  // unreproducible — a decimal-rendering delta in the gate's hasher),
+  // so the num/den intermediates stay out of the output entirely and
+  // are replayed exactly by the BigInt spec instead.
   private val assortativity = Q(
     "gr_assortativity",
     (s, d) => {
@@ -550,7 +555,7 @@ object GraphQueries {
             " - CAST(s_x AS DECIMAL(38,0)) * s_x AS DECIMAL(38,0))").as("r_num"),
           expr("CAST(CAST(m_directed AS DECIMAL(38,0)) * s_x2" +
             " - CAST(s_x AS DECIMAL(38,0)) * s_x AS DECIMAL(38,0))").as("r_den"))
-        .select($"m_directed", $"s_xy", $"s_x", $"s_x2", $"r_num", $"r_den",
+        .select($"m_directed", $"s_xy", $"s_x", $"s_x2",
           expr("CAST(CASE WHEN r_num < 0 THEN -1 ELSE 1 END" +
             " * ((abs(r_num) * 1000) DIV r_den) AS BIGINT)").as("r_milli"))
     },
@@ -568,10 +573,6 @@ object GraphQueries {
             |  JOIN as_deg dx ON dx.node = e.src
             |  JOIN as_deg dy ON dy.node = e.dst)
             |SELECT m_directed, s_xy, s_x, s_x2,
-            |       CAST(m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x
-            |            AS DECIMAL(38,0)) AS r_num,
-            |       CAST(m_directed::HUGEINT * s_x2 - s_x::HUGEINT * s_x
-            |            AS DECIMAL(38,0)) AS r_den,
             |       CAST((CASE WHEN m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x < 0
             |                  THEN -1 ELSE 1 END)
             |            * ((abs(m_directed::HUGEINT * s_xy - s_x::HUGEINT * s_x)

@@ -1005,7 +1005,12 @@ object MultimodalQueries {
   // table — no re-hash, no new pair generation — then rolls up into
   // a ≤ 65-row histogram with one tiny cumulative window. Candidate
   // volume scales exactly as the neardup entry's measured band law;
-  // the histogram itself is constant-size at any corpus.
+  // the histogram itself is constant-size at any corpus. ORACLE
+  // CAVEAT (inherited from mm_phash_neardup, round-7 advice): the
+  // operator's band geometry adapts via Multimodal.phashGeometry(
+  // count), but this oracle hard-codes the 4×16 layout — it replays
+  // the operator only below the ~100k-doc fixture bound where that
+  // geometry is selected; above it the ScalaTest replay is the gate.
   private val phashHammingHist = Q(
     "mm_phash_hamming_hist",
     (s, d) => {

@@ -204,19 +204,31 @@ object SimilarityQueries {
   // never leaves the bucket key, so candidate volume is Σ bucket²
   // (∝ n at stable bucket occupancy), never n². Exact decimal cosine
   // reranks within the bucket; per-node top-3 is a window over
-  // bucket-bounded candidate lists. Nodes whose bucket is a
-  // singleton have no edges — the honest LSH trade, measured by the
-  // recall eval; output is the adjacency list (vec_id, rk, nbr,
-  // cosine_e9).
+  // bucket-bounded candidate lists. Round 8: MULTI-PROBE (Lv VLDB'07,
+  // the round-7 ask) — each vector also probes the companion bucket
+  // with its lowest-|projection| bit flipped (`lsh_bucket_flip`), so
+  // a node whose primary bucket is a singleton still reaches the
+  // neighbours sitting just across its least-confident hyperplane.
+  // Candidate volume stays bucket-bounded at exactly ≤2× the single-
+  // probe law (2 probe buckets/vector, candidates indexed by primary
+  // bucket only — the two probe buckets differ in one bit, so no
+  // (vec, cand) pair can join twice and no dedup pass is needed);
+  // coverage gain is measured by sim_knn_edge_coverage. Output is the
+  // adjacency list (vec_id, rk, nbr, cosine_e9).
   private val knnGraph = Q(
     "sim_knn_graph",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.cosine_e9
-      val withBucket = bucketed(s, d).localCheckpoint() // both join sides
-      val scored = withBucket
-        .select($"vec_id", $"bucket", $"embedding".as("pe"))
-        .join(withBucket.withColumnRenamed("vec_id", "cand_id"), Seq("bucket"))
+      import graft.functions.exprs.{cosine_e9, lsh_bucket_flip}
+      val withBucket = bucketed(s, d)
+        .withColumn("bucket2", lsh_bucket_flip($"embedding"))
+        .localCheckpoint() // both join sides
+      val probes = withBucket
+        .select($"vec_id", explode(array($"bucket", $"bucket2")).as("bucket"),
+          $"embedding".as("pe"))
+      val scored = probes
+        .join(withBucket.select($"vec_id".as("cand_id"), $"bucket", $"embedding"),
+          Seq("bucket"))
         .filter($"cand_id" =!= $"vec_id")
         .select($"vec_id", $"cand_id", cosine_e9($"pe", $"embedding").as("cosine_e9"))
       scored
@@ -235,19 +247,29 @@ object SimilarityQueries {
            |             END) AS proj
            |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
            |  GROUP BY e.vec_id, p),
+           |kg_flip AS (
+           |  SELECT vec_id, p AS minp FROM (
+           |    SELECT vec_id, p,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY abs(proj), p) AS rn
+           |    FROM kg_votes) WHERE rn = 1),
            |kg_b AS (
            |  SELECT vec_id,
            |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
            |           AS bucket
            |  FROM kg_votes GROUP BY vec_id),
            |kg_be AS (
-           |  SELECT b.vec_id, b.bucket, e.embedding
-           |  FROM kg_b b JOIN embeddings e USING (vec_id)),
+           |  SELECT b.vec_id, b.bucket,
+           |         xor(b.bucket, 1::BIGINT << f.minp) AS bucket2,
+           |         e.embedding
+           |  FROM kg_b b JOIN kg_flip f USING (vec_id)
+           |  JOIN embeddings e USING (vec_id)),
            |kg_cand AS (
            |  SELECT p.vec_id, c.vec_id AS nbr,
            |         p.embedding AS pe, c.embedding AS ce
            |  FROM kg_be p JOIN kg_be c
-           |    ON p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+           |    ON (c.bucket = p.bucket OR c.bucket = p.bucket2)
+           |   AND p.vec_id <> c.vec_id),
            |kg_sums AS (
            |  SELECT vec_id, nbr,
            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
@@ -272,6 +294,80 @@ object SimilarityQueries {
            |SELECT vec_id, CAST(rk AS INT) AS rk, nbr, cosine_e9
            |FROM kg_r WHERE rk <= 3
            |ORDER BY vec_id, rk""".stripMargin),
+  )
+
+  // kNN-GRAPH EDGE COVERAGE (the round-7 ask alongside multi-probe):
+  // what fraction of nodes actually GET neighbours — single-probe LSH
+  // leaves every singleton-primary-bucket node edgeless, and this is
+  // the metric that makes that loss (and the multi-probe recovery)
+  // visible instead of silent. A node has out-edges under single
+  // probe iff its primary bucket holds >1 vector; under multi-probe
+  // additionally iff ANY vector's primary bucket equals its flip
+  // bucket. Computed from the ≤64-row bucket histogram broadcast back
+  // onto the assignment — one corpus scan, two tiny joins, 1-row
+  // output (n_nodes, covered counts, coverage ppm both ways).
+  private val knnEdgeCoverage = Q(
+    "sim_knn_edge_coverage",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.lsh_bucket_flip
+      val b = bucketed(s, d)
+        .select($"vec_id", $"bucket", lsh_bucket_flip($"embedding").as("bucket2"))
+      val sizes = b.groupBy($"bucket").agg(count(lit(1)).as("sz"))
+      b.join(broadcast(sizes), Seq("bucket"))
+        .join(broadcast(sizes.select($"bucket".as("bucket2"), $"sz".as("sz2"))),
+          Seq("bucket2"), "left")
+        .na.fill(0L, Seq("sz2"))
+        .select($"vec_id",
+          when($"sz" > 1, 1L).otherwise(0L).as("cov1"),
+          when($"sz" > 1 || $"sz2" > 0, 1L).otherwise(0L).as("cov2"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum($"cov1").as("covered_single"),
+          sum($"cov2").as("covered_multi"))
+        .select($"n_nodes", $"covered_single", $"covered_multi",
+          expr("covered_single * 1000000 DIV n_nodes").as("cov_single_ppm"),
+          expr("covered_multi * 1000000 DIV n_nodes").as("cov_multi_ppm"))
+    },
+    Some("""WITH kc_votes AS (
+           |  SELECT e.vec_id, p,
+           |         SUM(CASE WHEN substr(md5(p || '-' || i), 1, 1) < '8'
+           |                  THEN CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |                  ELSE CAST(-CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(30,15))
+           |             END) AS proj
+           |  FROM embeddings e, range(1, 65) t(i), range(0, 6) pl(p)
+           |  GROUP BY e.vec_id, p),
+           |kc_flip AS (
+           |  SELECT vec_id, p AS minp FROM (
+           |    SELECT vec_id, p,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY abs(proj), p) AS rn
+           |    FROM kc_votes) WHERE rn = 1),
+           |kc_b AS (
+           |  SELECT vec_id,
+           |         sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+           |           AS bucket
+           |  FROM kc_votes GROUP BY vec_id),
+           |kc_a AS (
+           |  SELECT b.vec_id, b.bucket,
+           |         xor(b.bucket, 1::BIGINT << f.minp) AS bucket2
+           |  FROM kc_b b JOIN kc_flip f USING (vec_id)),
+           |kc_sz AS (
+           |  SELECT bucket, CAST(count(*) AS BIGINT) AS sz
+           |  FROM kc_a GROUP BY 1),
+           |kc_cov AS (
+           |  SELECT a.vec_id,
+           |         CASE WHEN s1.sz > 1 THEN 1 ELSE 0 END AS cov1,
+           |         CASE WHEN s1.sz > 1 OR coalesce(s2.sz, 0) > 0
+           |              THEN 1 ELSE 0 END AS cov2
+           |  FROM kc_a a
+           |  JOIN kc_sz s1 ON s1.bucket = a.bucket
+           |  LEFT JOIN kc_sz s2 ON s2.bucket = a.bucket2)
+           |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           |       CAST(sum(cov1) AS BIGINT) AS covered_single,
+           |       CAST(sum(cov2) AS BIGINT) AS covered_multi,
+           |       CAST(sum(cov1) * 1000000 // count(*) AS BIGINT) AS cov_single_ppm,
+           |       CAST(sum(cov2) * 1000000 // count(*) AS BIGINT) AS cov_multi_ppm
+           |FROM kc_cov""".stripMargin),
   )
 
   // EMBEDDING DISTRIBUTION DRIFT (the ML-ops monitor for an embedding
@@ -1775,5 +1871,5 @@ object SimilarityQueries {
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
-      embeddingDrift, matryoshkaEval, kcenterCoreset)
+      knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset)
 }

@@ -194,7 +194,7 @@ object Round7kProbe {
       val qas = QueryCatalog.all.find(_.name == "gr_assortativity").get
       val (asr, asT) = time { qas.fn(spark, d).head() }
       emit("probe" -> "gr_assortativity", "dir" -> d,
-        "m_directed" -> asr.getLong(0), "r_milli" -> asr.getLong(6),
+        "m_directed" -> asr.getLong(0), "r_milli" -> asr.getLong(4),
         "sec" -> asT)
 
       val (mmrRows, mmrT) = run("sim_mmr_select", d)

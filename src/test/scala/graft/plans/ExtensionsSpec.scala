@@ -62,6 +62,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row3.getLong(0) == 12L)
       assert(row3.getString(1) == "-73.25,40.5")
       assert(row3.getLong(2) == 39L) // interleave(011, 101) = 100111
+      // multi-probe companion bucket: exactly one bit away from primary
+      val row4 = spark.sql(
+        """SELECT bit_count(lsh_bucket(v) ^ lsh_bucket_flip(v)) AS hb
+          |FROM (SELECT array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT),
+          |                   CAST(0.125 AS FLOAT)) AS v)
+          |""".stripMargin).collect().head
+      assert(row4.getInt(0) == 1)
       // Every sqlFunctions row resolves through the extensions hook, so
       // the config-time and runtime registration surfaces cannot drift
       graft.functions.exprs.sqlFunctions.foreach { case (name, _, _) =>
