@@ -635,4 +635,77 @@ class PlanBudgetSpec extends AnyFunSuite {
     assert(!ccNodes2.exists(_.nodeName.contains("Join")),
       "centroid classify grew a join — the literal-centroid shape was lost")
   }
+
+  test("round-7 session-9/10 and round-8 additions keep their exchange budgets") {
+    // The 47 entries the round-7 plan audit missed (VERDICT next-round
+    // #2), plus round 8's sim_knn_edge_coverage. Ceilings are the
+    // regenerated PLANS.md counts at sf0.01 with ~2x headroom so
+    // planner drift doesn't flap them; a reintroduced all-pairs join
+    // or global-window sort blows straight through 2x.
+    val budgets = Seq(
+      "ev_attribution_position" -> 8, "ev_dau_wau_stickiness" -> 14,
+      "ev_feature_matrix" -> 4, "ev_forecast_backtest" -> 6,
+      "ev_funnel_time_to_convert" -> 32, "ev_hazard_curve" -> 6,
+      "ev_pareto_concentration" -> 14, "ev_rfm_segments" -> 22,
+      "ev_top_paths" -> 4, "geo_idw_surface" -> 12,
+      "geo_quadtree_density" -> 10, "gr_assortativity" -> 10,
+      "gr_hits" -> 14, "gr_kcore" -> 10,
+      "gr_personalized_pagerank" -> 42, "mm_audio_fingerprint" -> 10,
+      "mm_phash_hamming_hist" -> 8, "mm_silence_segments" -> 8,
+      "pipe_dataset_card" -> 22, "qa_data_contract" -> 12,
+      "qa_discount_elasticity" -> 4, "qa_dow_seasonality" -> 10,
+      "qa_freshness_lag" -> 10, "qa_kitagawa_decomposition" -> 12,
+      "qa_reconciliation" -> 12, "qa_ship_lag_quantiles" -> 8,
+      "qa_simpson_paradox" -> 18, "sim_embedding_drift" -> 8,
+      "sim_kcenter_coreset" -> 4, "sim_knn_graph" -> 8,
+      "sim_knn_edge_coverage" -> 16, "sim_matryoshka_eval" -> 30,
+      "sim_mmr_select" -> 2, "ta_burrows_delta" -> 46,
+      "ta_burstiness_topk" -> 12, "ta_extractive_summary" -> 14,
+      "ta_heaps_vocab_curve" -> 20, "ta_lang_confusion" -> 6,
+      "ta_postings_varint_size" -> 8, "ta_rake_keyphrases" -> 10,
+      "ta_readability_fk" -> 4, "ta_vocab_richness" -> 6,
+      "td_dedup_eval" -> 4, "td_hash_collision_audit" -> 6,
+      "td_neyman_alloc" -> 22, "td_threshold_sweep" -> 14,
+      "td_tokenizer_fertility" -> 6, "td_uncertainty_sample" -> 4,
+    )
+    for ((name, budget) <- budgets) {
+      val n = exchanges(planOf(name))
+      assert(n <= budget, s"$name plans $n exchanges, budget $budget")
+    }
+  }
+
+  test("round-8 multi-probe kNN graph keeps the bucket-key self-join") {
+    // sim_knn_graph: the candidate join must stay an equi join ON THE
+    // BUCKET key — multi-probe doubles the probe rows, it must never
+    // widen the join itself (a nested loop here is the all-pairs scan
+    // the LSH bound exists to avoid).
+    val nodes = planOf("sim_knn_graph")
+    assert(!nodes.exists(_.nodeName.contains("NestedLoop")),
+      "knn graph candidate join regressed to a nested loop")
+    val joins = nodes.filter(p => p.nodeName.contains("Join"))
+      .map(_.toString).mkString("\n")
+    assert(joins.contains("bucket"),
+      s"knn graph join lost its bucket blocking key:\n$joins")
+    // sim_knn_edge_coverage: both histogram joins ride a <=64-row
+    // broadcast — never a shuffle of the assignment per probe bucket.
+    val covNodes = planOf("sim_knn_edge_coverage")
+    assert(covNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) >= 2,
+      "edge coverage lost its bucket-histogram broadcasts")
+    // gr_hits / gr_kcore: iterative graph passes must stay equi-join
+    // only (per-round cost O(|E|)).
+    for (name <- Seq("gr_hits", "gr_kcore")) {
+      assert(!planOf(name).exists(_.nodeName.contains("NestedLoop")),
+        s"$name planned a nested-loop join")
+    }
+    // gr_personalized_pagerank: the only tolerated nested loops are
+    // the 1-row seed broadcasts (one per iteration + the init); the
+    // per-round rank/contrib joins must be hash equi joins.
+    val pprNodes = planOf("gr_personalized_pagerank")
+    val pprBnlj = pprNodes.count(_.nodeName.contains("NestedLoop"))
+    assert(pprBnlj <= 4,
+      s"personalized pagerank has $pprBnlj nested loops (max 4 seed crossJoins)")
+    assert(pprNodes.count(_.nodeName.contains("HashJoin")) >= 4,
+      "personalized pagerank lost its per-iteration hash equi joins")
+  }
 }
