@@ -290,12 +290,25 @@ object GeoQueries {
       }
     }
 
-    /** Sampled per-cell histogram of the BUILD side → SaltMode.
-      * Decision rule: engage iff max/mean ≥ [[SaltHotRatio]] and the
-      * hot cell is big enough to matter; S = the power of two nearest
-      * to (max/mean)/4, clamped to [2, [[SaltMaxS]]] — after salting,
-      * a hot key's residual population is within ~4× of the mean,
-      * under the straggler threshold AQE handles.
+    /** The PURE decision rule, exposed so SpatialGridSpec can pin the
+      * boundary without data plumbing: 0 = stay off, else the salt
+      * fan-out S. Engage iff max/mean ≥ [[SaltHotRatio]] AND the hot
+      * cell holds ≥ [[SaltMinHotCount]] sampled rows; S = the power of
+      * two nearest to (max/mean)/4, clamped to [2, [[SaltMaxS]]] —
+      * after salting, a hot key's residual population is within ~4× of
+      * the mean, under the straggler threshold AQE handles.
+      */
+    def saltDecision(maxCell: Long, meanCell: Double): Int = {
+      val ratio = maxCell / math.max(meanCell, 1e-9)
+      if (maxCell < SaltMinHotCount || ratio < SaltHotRatio) 0
+      else {
+        val sRaw = math.pow(2, math.round(math.log(ratio / 4.0) / math.log(2)).toDouble)
+        math.min(SaltMaxS, math.max(2, sRaw.toInt))
+      }
+    }
+
+    /** Sampled per-cell histogram of the BUILD side → SaltMode via
+      * [[saltDecision]].
       */
     private def autoSaltPlan(s: org.apache.spark.sql.SparkSession, d: String): SaltMode = {
       val n = Tables.supplier(s, d).count() // parquet metadata-only
@@ -314,13 +327,12 @@ object GeoQueries {
         val mx = stats.getLong(0)
         val mean = stats.getDouble(1)
         val ratio = mx / math.max(mean, 1e-9)
-        if (mx < SaltMinHotCount || ratio < SaltHotRatio) {
+        val saltN = saltDecision(mx, mean)
+        if (saltN == 0) {
           System.err.println(f"[graft] spatial-salt plan $d: OFF " +
             f"(maxCell=$mx meanCell=$mean%.2f ratio=$ratio%.1f)")
           SaltOff
         } else {
-          val sRaw = math.pow(2, math.round(math.log(ratio / 4.0) / math.log(2)).toDouble)
-          val saltN = math.min(SaltMaxS, math.max(2, sRaw.toInt))
           val hot = hist.filter(col("cnt") >= lit(SaltHotRatio * mean))
             .orderBy(col("cnt").desc)
             .limit(SaltMaxHotKeys)

@@ -138,7 +138,10 @@ class SpatialGridSpec extends AnyFunSuite {
     val plan = SpatialGrid.saltPlan(spark, skewDir)
     plan match {
       case SpatialGrid.SaltCells(n, hot) =>
-        assert(n >= 2 && n <= SpatialGrid.SaltMaxS, s"unexpected S=$n")
+        // the fixture's measured histogram is maxCell=42 mean≈1.52
+        // (ratio ≈ 27.6) → the rule lands on S=8, the exact fan-out
+        // the round-6 manual tuning converged to on the real downtown
+        assert(n == 8, s"decision rule drifted: expected S=8, got S=$n")
         assert(hot.nonEmpty && hot.size <= SpatialGrid.SaltMaxHotKeys)
         // the hot keys are the downtown cell (0, 0) across layers
         assert(hot.forall { case (_, cx, cy) => cx == 0L && cy == 0L },
@@ -162,6 +165,23 @@ class SpatialGridSpec extends AnyFunSuite {
 
   test("planner salt stays off on the uniform fixture") {
     assert(SpatialGrid.saltPlan(spark, dir) == SpatialGrid.SaltOff)
+  }
+
+  test("salt decision boundary: engage/fan-out rule is exactly pinned") {
+    import SpatialGrid.saltDecision
+    // below the hot-count floor: never engage, however extreme the ratio
+    assert(saltDecision(31, 0.1) == 0)
+    // below the 8x ratio threshold: off
+    assert(saltDecision(79, 10.0) == 0) // ratio 7.9
+    // at the threshold: minimum fan-out S=2 (ratio/4 = 2)
+    assert(saltDecision(80, 10.0) == 2)
+    // doubling the ratio doubles S (pow2-nearest of ratio/4)
+    assert(saltDecision(160, 10.0) == 4) // ratio 16
+    assert(saltDecision(320, 10.0) == 8) // ratio 32
+    // the measured downtown fixture's histogram lands on S=8
+    assert(saltDecision(42, 1.52) == 8) // ratio 27.6
+    // clamp: a 1000x pathological ratio still caps at SaltMaxS
+    assert(saltDecision(10000, 10.0) == SpatialGrid.SaltMaxS)
   }
 
   /** The catalogue's j3 query run against the fixture dir. */
