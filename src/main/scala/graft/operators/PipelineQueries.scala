@@ -807,6 +807,50 @@ object PipelineQueries {
            |ORDER BY a16.doc_id""".stripMargin),
   )
 
+  // DETERMINISTIC EPOCH SHUFFLE — the training-order primitive: every
+  // epoch the corpus is re-read in a pseudorandom order that (a) is
+  // reproducible from the epoch number alone, (b) is uniform (no
+  // correlation with doc_id, source, or time order), and (c) differs
+  // BETWEEN epochs (repeating epoch-1 order is a known training
+  // degradation). Order key = md5(epoch || '#' || doc_id) — at 100 TB
+  // the global order never materializes as a sort; readers range-
+  // partition on the key's first byte (256 hash buckets ≈ file
+  // shards) and sort only within a shard. This entry emits the
+  // per-bucket manifest for epochs 1 and 2 side by side plus the
+  // count of docs whose bucket DIDN'T move — uniformity shows as
+  // n/256-sized buckets, epoch independence as stay ≈ n/256² per
+  // bucket. One scan, both hashes per row, one 256-key aggregate.
+  private val epochShuffle = Q(
+    "td_epoch_shuffle",
+    (s, d) => {
+      import s.implicits._
+      val b = (e: Int) =>
+        expr(s"CAST(conv(substring(md5(concat('$e', '#', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT)")
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tok"),
+          b(1).as("bucket"), b(2).as("b2"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_e1"),
+          sum($"n_tok").as("tok_e1"),
+          sum(when($"b2" === $"bucket", 1L).otherwise(0L)).as("n_stay"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH es_d AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |         CAST('0x' || substr(md5('1#' || CAST(doc_id AS VARCHAR)),
+           |                             1, 2) AS BIGINT) AS bucket,
+           |         CAST('0x' || substr(md5('2#' || CAST(doc_id AS VARCHAR)),
+           |                             1, 2) AS BIGINT) AS b2
+           |  FROM documents)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_e1,
+           |       CAST(sum(n_tok) AS BIGINT) AS tok_e1,
+           |       CAST(sum(CASE WHEN b2 = bucket THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_stay
+           |FROM es_d GROUP BY 1 ORDER BY bucket""".stripMargin),
+  )
+
   // CORPUS SNAPSHOT DIFF — the change-data-capture primitive between
   // two corpus versions ("what did today's crawl add, drop, or
   // rewrite"): snapshot B is synthesized deterministically from the
@@ -1090,6 +1134,6 @@ object PipelineQueries {
 
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
-      dataSelection, shardAssign, snapshotDiff, dropAudit, csvFlatten,
-      datasetCard)
+      dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
+      csvFlatten, datasetCard)
 }

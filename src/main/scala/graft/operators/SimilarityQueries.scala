@@ -650,6 +650,40 @@ object SimilarityQueries {
       .select($"vec_id").as[Long].collect().toSeq
   }
 
+  /** LSH top-N ids for one query vector: candidates from the query's
+    * primary bucket, plus (when `multiProbe`) its lowest-confidence-
+    * bit-flip companion bucket — the measurement hook behind the
+    * round-8 multi-probe change, so the recall/candidate-cost trade
+    * of the second probe is a recorded number, not a claim. Returns
+    * (ids, candidate count).
+    */
+  def lshTopKIds(s: org.apache.spark.sql.SparkSession, d: String,
+      queryId: Long, multiProbe: Boolean, topN: Int = 10): (Seq[Long], Long) = {
+    import s.implicits._
+    import graft.functions.exprs.{cosine_e9, lsh_bucket, lsh_bucket_flip}
+    val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      .select($"vec_id", lsh_bucket($"embedding").as("bucket"), $"embedding")
+    val probeBuckets = {
+      val q0 = graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .filter($"vec_id" === queryId)
+      val withFlip = q0.select(
+        explode(
+          if (multiProbe) array(lsh_bucket($"embedding"), lsh_bucket_flip($"embedding"))
+          else array(lsh_bucket($"embedding"))).as("pb"),
+        $"embedding".as("qe"))
+      withFlip
+    }
+    val cands = emb
+      .join(broadcast(probeBuckets), $"bucket" === $"pb")
+      .filter($"vec_id" =!= queryId)
+    val nCands = cands.count()
+    val ids = cands
+      .select($"vec_id", cosine_e9($"embedding", $"qe").as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(topN)
+      .select($"vec_id").as[Long].collect().toSeq
+    (ids, nCands)
+  }
+
   /** IVF-probe top-N ids at (kCents, nprobe) for one query vector,
     * over a cell assignment the caller computed once via
     * [[ivfAssigned]] (train-once / assign-once / probe-many — the
@@ -1034,6 +1068,143 @@ object SimilarityQueries {
   private val pqTopK = pqTopKQ("sim_pq_topk", 8)
   // larger codebook proof that PQ encode/ADC/oracle are codes-generic
   private val pqTopKC16 = pqTopKQ("sim_pq_topk_c16", 16)
+
+  // IVF→PQ COMPOSED SEARCH (Jégou et al. TPAMI'11 §IV — IVFADC, the
+  // production FAISS index shape): the coarse quantizer restricts the
+  // scan to nprobe=2 of 8 cells, PQ-ADC ranks ONLY those members in
+  // the compressed domain, and the exact kernel re-ranks the top-30
+  // shortlist to the final 10. This is the 100 TB architecture in
+  // miniature — cell selection bounds the bytes touched (the
+  // candidate fraction IS the cost), ADC bounds the arithmetic per
+  // candidate (4 LUT adds, no 64-dim math), and the exact pass pays
+  // full price on 30 rows however large the corpus. All three stages
+  // reuse the separately-gated machinery (same memoized centroids,
+  // same codebook seed, same decimal-exact kernels), so the oracle
+  // replays the composition end to end. Scale shape: zero-shuffle
+  // assignment + broadcast probe-cell filter + in-row ADC projection
+  // + two TakeOrdered heaps — no stage shuffles corpus rows at all.
+  private val ivfPqCompose = Q(
+    "sim_ivf_pq_compose",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.{cosine_e9, sq_dist_e9}
+      val M = 4; val SubDim = 16; val ShortN = 30; val CodesN = 8
+      val emb = Tables.embeddings(s, d)
+      val cents = trainedCentroids(s, d, iters = 2, k = 8)
+      val centsDf = cents.toDF("cent_id", "ce")
+      val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+      val probeCells = query.crossJoin(broadcast(centsDf))
+        .select($"cent_id", cosine_e9($"qe", $"ce").as("qcos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy($"qcos".desc, $"cent_id")))
+        .filter($"rn" <= 2)
+        .select($"cent_id".as("probe_cell"))
+      val cbRows = emb
+        .select($"vec_id", $"embedding",
+          md5($"vec_id".cast("string").cast("binary")).as("h"))
+        .orderBy($"h", $"vec_id").limit(CodesN)
+        .select($"embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(cbRows.length == CodesN,
+        s"sim_ivf_pq_compose codebook seed needs $CodesN vectors")
+      val codebook: Array[Array[Array[Float]]] =
+        Array.tabulate(M, CodesN)((m, j) =>
+          cbRows(j).slice(m * SubDim, (m + 1) * SubDim))
+      val qRows = emb.filter($"vec_id" === 0).select($"embedding").collect()
+      require(qRows.length == 1, "query vector vec_id=0 missing")
+      val qe = qRows(0).getSeq[Float](0).toArray
+      val lut: Array[Array[Long]] = Array.tabulate(M, CodesN)((m, j) =>
+        graft.functions.VectorKernels.sqDistE9Arrays(qe, codebook(m)(j), m * SubDim))
+      def codeCol(m: Int) = array_min(array((0 until CodesN).map(j =>
+        struct(
+          sq_dist_e9($"embedding", typedLit(codebook(m)(j).toSeq), m * SubDim)
+            .as("d"),
+          lit(j).as("j"))): _*)).getField("j")
+      val adc = (0 until M).map(m =>
+        element_at(typedLit(lut(m).toSeq), codeCol(m) + 1)).reduce(_ + _)
+      rowLocalAssign(graft.util.Cols.fanout(emb), cents)
+        .join(broadcast(probeCells), $"cent_id" === $"probe_cell")
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id", $"embedding", adc.as("adc_e9"))
+        .orderBy($"adc_e9", $"vec_id").limit(ShortN)
+        .select($"vec_id", $"adc_e9",
+          sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
+        .orderBy($"dist_e9", $"vec_id").limit(10)
+    },
+    Some(kmCtes(8) + """,
+           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |qsums AS (
+           |  SELECT c.cent_id,
+           |         SUM(CAST(CAST(q.qe[c.k] AS DOUBLE) * c.ci
+           |             AS DECIMAL(38,15))) AS dot,
+           |         SUM(CAST(CAST(q.qe[c.k] AS DOUBLE) *
+           |                  CAST(q.qe[c.k] AS DOUBLE) AS DECIMAL(30,15))) AS na,
+           |         SUM(CAST(CAST(c.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)
+           |             AS DECIMAL(38,15))) AS nb
+           |  FROM c2 c, q
+           |  GROUP BY c.cent_id),
+           |probecells AS (
+           |  SELECT cent_id FROM (
+           |    SELECT cent_id,
+           |           row_number() OVER (
+           |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+           |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+           |                      AS BIGINT) DESC, cent_id) AS rn
+           |    FROM qsums) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT vec_id FROM cells
+           |  JOIN probecells ON cell = cent_id
+           |  WHERE vec_id <> 0),
+           |cb AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+           |           AS j,
+           |         embedding
+           |  FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+           |        FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+           |sub AS (
+           |  SELECT e.vec_id, m.m, c.j,
+           |         CAST(round(SUM(CAST(
+           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE)) *
+           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE))
+           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS d_e9
+           |  FROM (SELECT em.* FROM embeddings em
+           |        JOIN cand ON em.vec_id = cand.vec_id
+           |        UNION ALL SELECT * FROM embeddings WHERE vec_id = 0) e
+           |  CROSS JOIN cb c, range(0, 4) m(m), range(1, 17) t(k)
+           |  GROUP BY e.vec_id, m.m, c.j),
+           |pcodes AS (
+           |  SELECT vec_id, m, j FROM (
+           |    SELECT vec_id, m, j,
+           |           row_number() OVER (PARTITION BY vec_id, m
+           |                              ORDER BY d_e9, j) AS rn
+           |    FROM sub) WHERE rn = 1),
+           |lut AS (SELECT m, j, d_e9 FROM sub WHERE vec_id = 0),
+           |adc AS (
+           |  SELECT c.vec_id, CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
+           |  FROM pcodes c JOIN lut l ON c.m = l.m AND c.j = l.j
+           |  JOIN cand ON c.vec_id = cand.vec_id
+           |  GROUP BY c.vec_id),
+           |short AS (
+           |  SELECT vec_id, adc_e9 FROM adc
+           |  ORDER BY adc_e9, vec_id LIMIT 30),
+           |ex AS (
+           |  SELECT e.vec_id,
+           |         CAST(round(SUM(CAST(
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE)) *
+           |             (CAST(e.embedding[t.k] AS DOUBLE) -
+           |              CAST(q.qe[t.k] AS DOUBLE))
+           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS dist_e9
+           |  FROM embeddings e JOIN short USING (vec_id), q, range(1, 65) t(k)
+           |  GROUP BY e.vec_id)
+           |SELECT s.vec_id, s.adc_e9, x.dist_e9
+           |FROM short s JOIN ex x USING (vec_id)
+           |ORDER BY x.dist_e9, s.vec_id
+           |LIMIT 10""".stripMargin),
+  )
 
   // SEMDEDUP (Abbas et al. 2023, arXiv:2303.09540): semantic
   // deduplication by clustering — assign every embedding to its
@@ -1869,7 +2040,8 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
-      ivfProbe, pqTopK, pqTopKC16, semDedup, hardNegatives, centroidClassify,
+      ivfProbe, pqTopK, pqTopKC16, ivfPqCompose, semDedup, hardNegatives,
+      centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
       knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset)
 }

@@ -796,6 +796,87 @@ object TextQueries {
            |ORDER BY decile""".stripMargin),
   )
 
+  // ZIPF OCTAVE-DECAY PROFILE (Zipf 1935; the rank-frequency law
+  // Heaps' law is the dual of): how fast does token mass decay as
+  // rank doubles? A pure-Zipf corpus with exponent 1 halves its
+  // per-octave mass each octave past the head — LLM-corpus curation
+  // reads this curve to see whether a source's tail is natural text
+  // (smooth decay) or templated spam (a bump). Computed WITHOUT any
+  // log() call or global vocabulary sort: the word-frequency table
+  // collapses to its frequency HISTOGRAM (distinct freq values —
+  // O(√tokens) rows by the partition bound Σ1[f has a word] where
+  // Σf = T), rank ranges per frequency come from one cumulative
+  // window over that small table, and each range is intersected with
+  // the 20-row octave table [2^o, 2^{o+1}) by a broadcast range
+  // join (31 octaves cover 2^31 ranks — vocabulary at any real
+  // corpus; empty octaves simply emit no row). Per octave: word
+  // count, token mass, and the integer-milli
+  // mass ratio to the previous octave (the decay curve itself).
+  // Scale shape: one vocab-keyed agg (the corpus cost), then all
+  // windows/joins run on the histogram — never on the vocabulary.
+  private val zipfOctaves = Q(
+    "ta_zipf_octave_decay",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val freq = graft.util.Cols.fanout(Tables.documents(s, d))
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("f"))
+      val hist = freq.groupBy($"f").agg(count(lit(1)).as("nw"))
+      val w = Window.orderBy($"f".desc)
+      val ranked = hist
+        .withColumn("r_hi", sum($"nw").over(w))
+        .withColumn("r_lo", $"r_hi" - $"nw" + 1)
+      val octs = s.range(31).select($"id".cast("long").as("oct"),
+        expr("CAST(pow(2, id) AS BIGINT)").as("o_lo"),
+        expr("CAST(pow(2, id + 1) AS BIGINT) - 1").as("o_hi"))
+      val perOct = ranked.join(broadcast(octs),
+          $"r_lo" <= $"o_hi" && $"r_hi" >= $"o_lo")
+        .select($"oct",
+          (least($"r_hi", $"o_hi") - greatest($"r_lo", $"o_lo") + 1).as("k"),
+          $"f")
+        .groupBy($"oct")
+        .agg(sum($"k").as("n_words"), sum($"k" * $"f").as("tok_mass"))
+      val wo = Window.orderBy($"oct")
+      perOct
+        .withColumn("prev_mass", lag($"tok_mass", 1).over(wo))
+        .select($"oct", $"n_words", $"tok_mass",
+          coalesce(expr("tok_mass * 1000 DIV prev_mass"), lit(0L))
+            .as("decay_milli"))
+        .orderBy($"oct")
+    },
+    Some("""WITH zo_f AS (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS word
+           |    FROM documents)
+           |  GROUP BY 1),
+           |zo_h AS (SELECT f, CAST(count(*) AS BIGINT) AS nw
+           |         FROM zo_f GROUP BY 1),
+           |zo_r AS (
+           |  SELECT f, nw,
+           |         sum(nw) OVER (ORDER BY f DESC) AS r_hi,
+           |         sum(nw) OVER (ORDER BY f DESC) - nw + 1 AS r_lo
+           |  FROM zo_h),
+           |zo_o AS (
+           |  SELECT range AS oct,
+           |         CAST(power(2, range) AS BIGINT) AS o_lo,
+           |         CAST(power(2, range + 1) AS BIGINT) - 1 AS o_hi
+           |  FROM range(31)),
+           |zo_p AS (
+           |  SELECT oct,
+           |         CAST(sum(least(r_hi, o_hi) - greatest(r_lo, o_lo) + 1)
+           |              AS BIGINT) AS n_words,
+           |         CAST(sum((least(r_hi, o_hi) - greatest(r_lo, o_lo) + 1) * f)
+           |              AS BIGINT) AS tok_mass
+           |  FROM zo_r JOIN zo_o ON r_lo <= o_hi AND r_hi >= o_lo
+           |  GROUP BY 1)
+           |SELECT oct, n_words, tok_mass,
+           |       CAST(coalesce(
+           |         tok_mass * 1000 // lag(tok_mass, 1) OVER (ORDER BY oct),
+           |         0) AS BIGINT) AS decay_milli
+           |FROM zo_p ORDER BY oct""".stripMargin),
+  )
+
   // TERM BURSTINESS for the top-20 vocabulary (Church & Gale 1995:
   // content words arrive in bursts — variance-to-mean ratio of the
   // per-document count well above 1 — while function words sit near
@@ -2840,6 +2921,6 @@ object TextQueries {
       boilerplateStrip, dsirImportance, ccnetBucket, trigramLm,
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
-      neymanAlloc, heapsCurve, burstiness, readabilityFk, burrowsDelta,
-      vocabRichness, postingsVarint, uncertaintySample)
+      neymanAlloc, heapsCurve, zipfOctaves, burstiness, readabilityFk,
+      burrowsDelta, vocabRichness, postingsVarint, uncertaintySample)
 }

@@ -55,6 +55,22 @@ object AnnRecallProbe {
         f""""cand_frac":$meanFrac%.3f,"sec":$sec%.1f}""")
     }
 
+    // LSH single- vs multi-probe (round-8): recall AND candidate cost,
+    // so the second probe's price is a recorded number
+    for (multiProbe <- Seq(false, true)) {
+      val t = System.nanoTime()
+      val rs = queryIds.map { q =>
+        val (ids, nc) = lshTopKIds(spark, d, q, multiProbe)
+        (recall(truths(q), ids), nc)
+      }
+      val sec = (System.nanoTime() - t) / 1e9
+      val meanR = rs.map(_._1).sum / rs.size
+      val meanFrac = rs.map(_._2).sum.toDouble / rs.size / n
+      println(f"""{"probe":"ann_recall","dir":"$d","method":"lsh",""" +
+        f""""probes":${if (multiProbe) 2 else 1},"recall_at_10":$meanR%.3f,""" +
+        f""""cand_frac":$meanFrac%.3f,"sec":$sec%.1f}""")
+    }
+
     for ((codes, shortMult) <- Seq((8, 3), (16, 3), (16, 30))) {
       val t = System.nanoTime()
       val rs = queryIds.map(q =>
