@@ -73,12 +73,16 @@ object VectorKernels {
     dot / math.sqrt(na * nb)
   }
 
-  /** The 6×64 ±1 random-hyperplane matrix (md5-derived constant shared
-    * with the SQL oracle's `substr(md5(p || '-' || i), 1, 1) < '8'`).
+  /** The ±1 random-hyperplane matrix (md5-derived constant shared
+    * with the SQL oracle's `substr(md5(p || '-' || i), 1, 1) < '8'`),
+    * 20 planes deep: the first 6 are the fixture geometry every LSH
+    * oracle replays; planes 7..20 exist for the adaptive scale path
+    * (plane count ∝ log corpus — same rows, same derivation, just
+    * more of them).
     */
   private lazy val planes: Array[Array[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(6, 64) { (p, i0) =>
+    Array.tabulate(20, 64) { (p, i0) =>
       val hex = digest.digest(s"$p-${i0 + 1}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       if (hex.charAt(0) < '8') 1.0 else -1.0
@@ -154,11 +158,18 @@ object VectorKernels {
   /** LSH bucket id for a float vector: bit p set iff the decimal-exact
     * projection on hyperplane p is positive.
     */
-  def lshBucket(v: ArrayData): Long = {
+  def lshBucket(v: ArrayData): Long = lshBucketN(v, 6)
+
+  /** Geometry-parameterized bucket id: same planes, same arithmetic,
+    * `nPlanes` of them (≤ 20) — the adaptive scale path where plane
+    * count grows ∝ log(corpus) to hold bucket occupancy (and with it
+    * the Σocc² candidate law) constant.
+    */
+  def lshBucketN(v: ArrayData, nPlanes: Int): Long = {
     val n = math.min(v.numElements(), 64)
     var bucket = 0L
     var p = 0
-    while (p < 6) {
+    while (p < nPlanes) {
       val w = planes(p)
       var proj = JBigDecimal.ZERO
       var i = 0
@@ -181,13 +192,16 @@ object VectorKernels {
     * plane recovers most of the lost neighbours for a bounded 2×
     * candidate budget — no corpus-wide fallback anywhere.
     */
-  def lshBucketFlip(v: ArrayData): Long = {
+  def lshBucketFlip(v: ArrayData): Long = lshBucketFlipN(v, 6)
+
+  /** Geometry-parameterized multi-probe companion (see [[lshBucketN]]). */
+  def lshBucketFlipN(v: ArrayData, nPlanes: Int): Long = {
     val n = math.min(v.numElements(), 64)
     var bucket = 0L
     var minAbs: JBigDecimal = null
     var minP = 0
     var p = 0
-    while (p < 6) {
+    while (p < nPlanes) {
       val w = planes(p)
       var proj = JBigDecimal.ZERO
       var i = 0

@@ -245,6 +245,37 @@ case class LshBucketFlip(child: Expression)
     copy(child = newChild)
 }
 
+/** Geometry-parameterized LSH bucket id ([[VectorKernels.lshBucketN]]):
+  * `nPlanes` is a plan-time constant (like [[SqDistE9]]'s `from`) —
+  * the adaptive scale path picks it from the corpus count so bucket
+  * occupancy, and with it the Σocc² candidate law, stays flat as the
+  * corpus grows.
+  */
+case class LshBucketP(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucketN(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.lshBucketN($v, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketP =
+    copy(child = newChild)
+}
+
+/** Geometry-parameterized multi-probe companion ([[LshBucketP]]'s dual). */
+case class LshBucketFlipP(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lshBucketFlipN(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorKernels.lshBucketFlipN($v, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketFlipP =
+    copy(child = newChild)
+}
+
 /** Intersection size of two ascending-sorted long arrays (see
   * [[VectorKernels.sortedIntersectCount]]) — the pair-scoring kernel
   * of the n-gram Jaccard join, O(|A|+|B|) per pair with no
@@ -430,6 +461,9 @@ object exprs {
   def cosine_approx(a: Column, b: Column): Column = c(CosineApprox(e(a), e(b)))
   def lsh_bucket(v: Column): Column = c(LshBucket(e(v)))
   def lsh_bucket_flip(v: Column): Column = c(LshBucketFlip(e(v)))
+  def lsh_bucket_n(v: Column, nPlanes: Int): Column = c(LshBucketP(e(v), nPlanes))
+  def lsh_bucket_flip_n(v: Column, nPlanes: Int): Column =
+    c(LshBucketFlipP(e(v), nPlanes))
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
@@ -437,6 +471,26 @@ object exprs {
     c(MortonInterleave(e(x), e(y)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
+
+  /** Constant-int `planes` argument for the geometry-parameterized
+    * LSH functions: plan-time literal in [1, 20], validated with the
+    * usage name instead of a raw cast failure.
+    */
+  private def planesLit(es: Seq[Expression], fn: String): Int = {
+    def bad(msg: String) = throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> s"$fn(v, planes): $msg"))
+    if (es.length != 2) bad(s"takes 2 arguments, got ${es.length}")
+    val e = es(1)
+    if (!e.foldable) bad("planes must be a constant integer literal")
+    val n = e.eval() match {
+      case i: Int => i
+      case i: java.lang.Integer => i.intValue()
+      case l: Long if l == l.toInt => l.toInt
+      case other => bad(s"planes must be a constant INT, got $other"); 0
+    }
+    if (n < 1 || n > 20) bad(s"planes must be in [1, 20], got $n")
+    n
+  }
 
   /** One row per SQL-callable scalar expression: (name, usage,
     * builder). Single source of truth for BOTH registration surfaces —
@@ -477,6 +531,12 @@ object exprs {
     ("lsh_bucket_flip",
       "lsh_bucket_flip(array<float>) - multi-probe companion bucket (lowest-confidence bit flipped)",
       es => LshBucketFlip(es.head)),
+    ("lsh_bucket_n",
+      "lsh_bucket_n(array<float>, planes) - LSH bucket id at an explicit plane count (adaptive geometry)",
+      es => LshBucketP(es(0), planesLit(es, "lsh_bucket_n"))),
+    ("lsh_bucket_flip_n",
+      "lsh_bucket_flip_n(array<float>, planes) - multi-probe companion at an explicit plane count",
+      es => LshBucketFlipP(es(0), planesLit(es, "lsh_bucket_flip_n"))),
     ("sorted_intersect_count",
       "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays",
       es => SortedIntersectCount(es(0), es(1))),

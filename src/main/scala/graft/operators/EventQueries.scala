@@ -2224,6 +2224,93 @@ object EventQueries {
             |ORDER BY channel""".stripMargin),
   )
 
+  // POINT-IN-TIME FEATURE JOIN (the feature-store / training-matrix
+  // primitive): for every label event (purchase) build leakage-safe
+  // features from the trailing 7-day window STRICTLY BEFORE the label
+  // timestamp — last value and count per behaviour type. Unlike the
+  // single-column as-of join this is the multi-feature fan-in shape:
+  // one user-keyed band join (equi on user_id, ts-range as residual —
+  // never a cross), one (label, type) window for "last", one
+  // conditional agg for the pivot. Pair count is bounded by
+  // per-user·window activity, the same per-entity bound the
+  // sessionize family documents; values are integer cents so the
+  // matrix hash-gates exactly.
+  private val WeekNs = 7L * 86400 * 1000 * 1000 * 1000
+  private val pitFeatures = Q(
+    "ev_pit_features",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val labels = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("label_id"), $"ts".as("lts"))
+      val feats = ev.filter($"event_type".isin("click", "view", "error"))
+        .select($"user_id", $"event_type".as("ft"), $"ts".as("fts"),
+          $"event_id".as("fid"), cents($"value").as("v"))
+      val j = labels.join(feats, Seq("user_id"))
+        .filter($"fts" < $"lts" && $"fts" >= $"lts" - WeekNs)
+      val ranked = j.withColumn("rn", row_number().over(
+        Window.partitionBy($"label_id", $"ft")
+          .orderBy($"fts".desc, $"fid".desc)))
+      val agg = ranked.groupBy($"label_id").agg(
+        sum(when($"ft" === "click", 1L).otherwise(0L)).as("click_cnt"),
+        sum(when($"ft" === "view", 1L).otherwise(0L)).as("view_cnt"),
+        sum(when($"ft" === "error", 1L).otherwise(0L)).as("error_cnt"),
+        max(when($"ft" === "click" && $"rn" === 1, $"v")).as("click_last"),
+        max(when($"ft" === "view" && $"rn" === 1, $"v")).as("view_last"),
+        max(when($"ft" === "error" && $"rn" === 1, $"v")).as("error_last"))
+      labels.join(agg, Seq("label_id"), "left")
+        .select($"user_id", $"label_id",
+          coalesce($"click_cnt", lit(0L)).as("click_cnt"),
+          coalesce($"click_last", lit(0L)).as("click_last_cents"),
+          coalesce($"view_cnt", lit(0L)).as("view_cnt"),
+          coalesce($"view_last", lit(0L)).as("view_last_cents"),
+          coalesce($"error_cnt", lit(0L)).as("error_cnt"),
+          coalesce($"error_last", lit(0L)).as("error_last_cents"))
+        .orderBy($"label_id")
+    },
+    Some(s"""WITH pit_l AS (
+            |  SELECT user_id, event_id AS label_id, epoch_ns(ts) AS lts
+            |  FROM events WHERE event_type = 'purchase'),
+            |pit_f AS (
+            |  SELECT user_id, event_type AS ft, epoch_ns(ts) AS fts,
+            |         event_id AS fid, ${centsSql("value")} AS v
+            |  FROM events WHERE event_type IN ('click', 'view', 'error')),
+            |pit_j AS (
+            |  SELECT l.label_id, f.ft, f.fts, f.fid, f.v
+            |  FROM pit_l l JOIN pit_f f
+            |    ON l.user_id = f.user_id
+            |   AND f.fts < l.lts AND f.fts >= l.lts - $WeekNs),
+            |pit_r AS (
+            |  SELECT label_id, ft, v,
+            |         row_number() OVER (PARTITION BY label_id, ft
+            |                            ORDER BY fts DESC, fid DESC) AS rn
+            |  FROM pit_j),
+            |pit_a AS (
+            |  SELECT label_id,
+            |         CAST(sum(CASE WHEN ft = 'click' THEN 1 ELSE 0 END)
+            |              AS BIGINT) AS click_cnt,
+            |         max(CASE WHEN ft = 'click' AND rn = 1 THEN v END)
+            |           AS click_last,
+            |         CAST(sum(CASE WHEN ft = 'view' THEN 1 ELSE 0 END)
+            |              AS BIGINT) AS view_cnt,
+            |         max(CASE WHEN ft = 'view' AND rn = 1 THEN v END)
+            |           AS view_last,
+            |         CAST(sum(CASE WHEN ft = 'error' THEN 1 ELSE 0 END)
+            |              AS BIGINT) AS error_cnt,
+            |         max(CASE WHEN ft = 'error' AND rn = 1 THEN v END)
+            |           AS error_last
+            |  FROM pit_r GROUP BY label_id)
+            |SELECT l.user_id, l.label_id,
+            |       CAST(coalesce(a.click_cnt, 0) AS BIGINT) AS click_cnt,
+            |       CAST(coalesce(a.click_last, 0) AS BIGINT) AS click_last_cents,
+            |       CAST(coalesce(a.view_cnt, 0) AS BIGINT) AS view_cnt,
+            |       CAST(coalesce(a.view_last, 0) AS BIGINT) AS view_last_cents,
+            |       CAST(coalesce(a.error_cnt, 0) AS BIGINT) AS error_cnt,
+            |       CAST(coalesce(a.error_last, 0) AS BIGINT) AS error_last_cents
+            |FROM pit_l l LEFT JOIN pit_a a ON l.label_id = a.label_id
+            |ORDER BY l.label_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -2232,5 +2319,6 @@ object EventQueries {
       orderedFunnel, retention, ewmaSmooth, ewmaAnomaly, markovTransitions,
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
-      hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition)
+      hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition,
+      pitFeatures)
 }

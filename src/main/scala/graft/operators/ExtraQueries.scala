@@ -1880,11 +1880,152 @@ object ExtraQueries {
             |ORDER BY dow""".stripMargin),
   )
 
+  // CHI-SQUARED INDEPENDENCE TEST (event_type × epoch-weekday): the
+  // classic contingency screen "does event mix drift by weekday".
+  // The cell grid is the CROSS of the two tiny distinct dimensions
+  // (types × 7), left-joined to observed counts so empty cells count
+  // their full expected mass — chi² over only-observed cells is a
+  // different (wrong) statistic. Everything is cross-multiplied
+  // integer arithmetic: E_e6 = rt·ct·10⁶ div N and the contribution
+  // ((O·N − rt·ct)²·10⁶) div (rt·ct·N), exact in DECIMAL(38,0) while
+  // O·N < 10¹⁹ (≈3·10⁹ events) — beyond that, rescale units per
+  // shard, same budget note as gr_assortativity. Scale shape: one
+  // (type,dow) partial agg on the corpus, then all joins are over
+  // ≤ |types|·7 broadcast rows.
+  private val chi2Independence = Q(
+    "qa_chi2_independence",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val obs = Tables.events(s, d)
+        .select($"event_type", expr(s"(ts div $DayNs) % 7").as("dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(count(lit(1)).as("o"))
+      val grid = obs.select($"event_type").distinct()
+        .crossJoin(broadcast(obs.select($"dow").distinct()))
+      val cells = grid.join(obs, Seq("event_type", "dow"), "left")
+        .select($"event_type", $"dow", coalesce($"o", lit(0L)).as("o"))
+      val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+      val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+      val tot = cells.agg(sum($"o").as("n"))
+      cells
+        .join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .select($"event_type", $"dow", $"o",
+          expr("CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000000)" +
+            " div (CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("e_e6"),
+          expr("CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+            " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+            " * 1000000)" +
+            " div (CAST(rt AS DECIMAL(38,0)) * ct * n) AS BIGINT)").as("chi2_e6"))
+        .orderBy($"event_type", $"dow")
+    },
+    Some(s"""WITH x2_d AS (
+            |  SELECT event_type,
+            |         (epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000}) % 7 AS dow
+            |  FROM events),
+            |x2_o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+            |         FROM x2_d GROUP BY 1, 2),
+            |x2_grid AS (
+            |  SELECT t.event_type, w.dow
+            |  FROM (SELECT DISTINCT event_type FROM x2_o) t
+            |  CROSS JOIN (SELECT DISTINCT dow FROM x2_o) w),
+            |x2_c AS (
+            |  SELECT g.event_type, g.dow,
+            |         CAST(coalesce(o.o, 0) AS BIGINT) AS o
+            |  FROM x2_grid g LEFT JOIN x2_o o
+            |    ON g.event_type = o.event_type AND g.dow = o.dow),
+            |x2_rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+            |          FROM x2_c GROUP BY 1),
+            |x2_ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
+            |          FROM x2_c GROUP BY 1),
+            |x2_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM x2_c)
+            |SELECT c.event_type, c.dow, c.o,
+            |       CAST((rt::HUGEINT * ct * 1000000) // (n::HUGEINT)
+            |            AS BIGINT) AS e_e6,
+            |       CAST(((o::HUGEINT * n - rt::HUGEINT * ct)
+            |             * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
+            |            // (rt::HUGEINT * ct * n) AS BIGINT) AS chi2_e6
+            |FROM x2_c c
+            |JOIN x2_rt USING (event_type)
+            |JOIN x2_ct USING (dow)
+            |CROSS JOIN x2_n
+            |ORDER BY c.event_type, c.dow""".stripMargin),
+  )
+
+  // THEIL–SEN ROBUST TREND (median of pairwise slopes): the
+  // outlier-proof "is revenue trending" estimator — one wild day
+  // cannot move it, unlike OLS. The corpus reduces to one row per
+  // epoch-day FIRST (the only corpus-sized shuffle); the O(days²)
+  // pairwise-slope stage runs on that bounded per-day artifact
+  // (365 days → 66k pairs — driver-free, but growth is in the TIME
+  // RANGE, never the corpus size). Slopes are integer micro-units
+  // with the sign·(abs div) pattern so Spark's truncate-toward-zero
+  // `div` and DuckDB's floor `//` agree on negatives; the median is
+  // order-statistic (lower/upper middle reported separately — no
+  // float averaging).
+  private val theilSen = Q(
+    "qa_theil_sen_slope",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byDay = Tables.events(s, d)
+        .select(expr(s"ts div $DayNs").as("day"), cents($"value").as("v"))
+        .groupBy($"day").agg(sum($"v").as("y"))
+      val pairs = byDay.select($"day".as("d1"), $"y".as("y1"))
+        .join(broadcast(byDay.select($"day".as("d2"), $"y".as("y2"))),
+          $"d1" < $"d2")
+        .select($"d1", $"d2",
+          expr("CAST(CASE WHEN y2 < y1 THEN -1 ELSE 1 END" +
+            " * ((abs(CAST(y2 AS DECIMAL(38,0)) - y1) * 1000000)" +
+            " div (d2 - d1)) AS BIGINT)").as("slope_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"slope_e6", $"d1", $"d2")
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy().rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .filter($"rn" === expr("(np + 1) div 2") ||
+          $"rn" === expr("np div 2 + 1"))
+        .agg(
+          max($"np").as("n_pairs"),
+          min($"slope_e6").as("med_lo_e6"),
+          max($"slope_e6").as("med_hi_e6"))
+    },
+    Some(s"""WITH tsn_d AS (
+            |  SELECT epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |tsn_g AS (SELECT day, CAST(sum(v) AS BIGINT) AS y
+            |          FROM tsn_d GROUP BY 1),
+            |tsn_p AS (
+            |  SELECT a.day AS d1, b.day AS d2,
+            |         CAST(CASE WHEN b.y < a.y THEN -1 ELSE 1 END
+            |              * ((abs(b.y::HUGEINT - a.y) * 1000000)
+            |                 // (b.day - a.day)) AS BIGINT) AS slope_e6
+            |  FROM tsn_g a JOIN tsn_g b ON a.day < b.day),
+            |tsn_r AS (
+            |  SELECT slope_e6,
+            |         row_number() OVER (ORDER BY slope_e6, d1, d2) AS rn,
+            |         count(*) OVER () AS np
+            |  FROM tsn_p)
+            |SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+            |       min(slope_e6) AS med_lo_e6,
+            |       max(slope_e6) AS med_hi_e6
+            |FROM tsn_r
+            |WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
     bloomPrefilter, madOutliers, ksDrift, intervalOverlap, percentileRank,
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
-    discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality)
+    discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
+    chi2Independence, theilSen)
 }

@@ -983,7 +983,159 @@ object GraphQueries {
     },
   )
 
+  // CLOSENESS / HARMONIC CENTRALITY for a sampled landmark set (the
+  // Eppstein–Wang shape: exact all-pairs closeness is O(|V|·|E|), so
+  // production systems measure a pivot sample — here the nation-0
+  // suppliers, the same seed set as gr_bfs_hops). One LABELED
+  // multi-source BFS carries every landmark simultaneously:
+  // frontier rows are (seed, node, hops), per-round cost is one
+  // edge-join + per-seed dedup, bounded by |seeds|·|V| total state —
+  // never |V|² . Closeness = reached·10⁶ div Σhops and harmonic =
+  // Σ(10⁶ div hops) in integer micro-units, radius-limited to
+  // BfsRounds like the BFS query (radius-limited closeness is the
+  // standard large-graph variant — the full-radius value needs the
+  // graph diameter and is not shard-boundable).
+  private val closeness = Q(
+    "gr_closeness_centrality",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables.supplier(s, d)
+        .filter($"s_nationkey" === 0)
+        .select(($"s_suppkey" * 2 + 1).as("seed"))
+        .localCheckpoint()
+      var frontier = seeds
+        .select($"seed", $"seed".as("node"), lit(0).as("hops"))
+        .localCheckpoint()
+      var layers = List(frontier)
+      var round = 1
+      while (round <= BfsRounds && !frontier.isEmpty) {
+        val visited = layers.map(_.select($"seed", $"node")).reduce(_ unionByName _)
+        val next = sym
+          .join(frontier.select($"seed", $"node".as("fnode")), $"src" === $"fnode")
+          .select($"seed", $"dst".as("node")).distinct()
+          .join(visited, Seq("seed", "node"), "left_anti")
+          .withColumn("hops", lit(round))
+          .localCheckpoint()
+        layers ::= next
+        frontier = next
+        round += 1
+      }
+      layers.reduce(_ unionByName _)
+        .filter($"hops" >= 1)
+        .groupBy($"seed")
+        .agg(
+          count(lit(1)).as("reached"),
+          sum($"hops".cast("long")).as("sum_hops"),
+          sum(expr("1000000 div hops").cast("long")).as("harmonic_e6"))
+        .withColumn("closeness_e6",
+          expr("(reached * CAST(1000000 AS BIGINT)) div sum_hops"))
+        .orderBy($"seed")
+    },
+    Some(
+      s"""WITH RECURSIVE cc_edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |cc_sym AS (SELECT src, dst FROM cc_edges
+         |           UNION ALL SELECT dst, src FROM cc_edges),
+         |cc_walk(seed, node, hops) AS (
+         |  SELECT s_suppkey * 2 + 1 AS seed, s_suppkey * 2 + 1 AS node, 0 AS hops
+         |  FROM supplier WHERE s_nationkey = 0
+         |  UNION
+         |  SELECT w.seed, e.dst, w.hops + 1
+         |  FROM cc_walk w JOIN cc_sym e ON e.src = w.node
+         |  WHERE w.hops < $BfsRounds),
+         |cc_min AS (
+         |  SELECT seed, node, min(hops) AS hops
+         |  FROM cc_walk GROUP BY seed, node)
+         |SELECT seed,
+         |       CAST(count(*) AS BIGINT) AS reached,
+         |       CAST(sum(hops) AS BIGINT) AS sum_hops,
+         |       CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_e6,
+         |       CAST((count(*) * 1000000) // sum(hops) AS BIGINT)
+         |         AS closeness_e6
+         |FROM cc_min WHERE hops >= 1
+         |GROUP BY seed ORDER BY seed""".stripMargin),
+  )
+
+  // DETERMINISTIC RANDOM WALKS (the node2vec/DeepWalk corpus
+  // generator, made oracle-able): from each landmark seed, WalkLen
+  // greedy-hash steps — the "random" choice is the neighbor
+  // minimizing a mixed integer hash of (cur, neighbor, step), so
+  // both engines walk the identical path and the result is
+  // hash-gated, where a PRNG walk could only ever be eyeballed.
+  // Argmin is ONE aggregate per step: (score, dst) packs into a
+  // single BIGINT key (score·2³³ + dst, exact while node ids < 2³³ ≈
+  // 8.6·10⁹ — beyond that widen the pack), so each step is one
+  // edge-join + one per-walk min — the Pregel-as-joins layout again,
+  // O(Σdeg(frontier)) per step with no window and no skew pivot.
+  private val WalkLen = 4
+  private val PackKey = 8589934592L // 2^33
+  private val randomWalks = Q(
+    "gr_random_walks",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      var front = Tables.supplier(s, d)
+        .filter($"s_nationkey" === 0)
+        .select(($"s_suppkey" * 2 + 1).cast("long").as("walk"))
+        .select($"walk", $"walk".as("node"))
+        .localCheckpoint()
+      var out = front.withColumn("step", lit(0))
+      for (step <- 1 to WalkLen) {
+        front = sym
+          .join(front.select($"walk", $"node".as("cur")), $"src" === $"cur")
+          .select($"walk",
+            expr(s"((src * 1009 + dst * 9176 + $step * 31) % 1000003)" +
+              s" * CAST($PackKey AS BIGINT) + dst").as("k"))
+          .groupBy($"walk")
+          .agg(min($"k").as("k"))
+          .select($"walk", ($"k" % PackKey).cast("long").as("node"))
+          .localCheckpoint()
+        out = out.unionByName(front.withColumn("step", lit(step)))
+      }
+      out.orderBy($"walk", $"step")
+    },
+    Some {
+      val steps = (1 to WalkLen).map { i =>
+        s"""rw_w$i AS (
+           |  SELECT w.walk, CAST(min(
+           |           ((e.src * 1009 + e.dst * 9176 + $i * 31) % 1000003)
+           |             * CAST($PackKey AS BIGINT) + e.dst) % $PackKey
+           |         AS BIGINT) AS node
+           |  FROM rw_w${i - 1} w JOIN rw_sym e ON e.src = w.node
+           |  GROUP BY w.walk)"""
+      }.mkString(",\n")
+      val sel = (0 to WalkLen)
+        .map(i => s"SELECT walk, $i AS step, node FROM rw_w$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH rw_edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |rw_sym AS (SELECT src, dst FROM rw_edges
+         |           UNION ALL SELECT dst, src FROM rw_edges),
+         |rw_w0 AS (
+         |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS walk,
+         |         CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+         |  FROM supplier WHERE s_nationkey = 0),
+         |$steps
+         |$sel
+         |ORDER BY walk, step""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
-      bfsHops, linkPredict, basketLift, hits, personalizedPagerank)
+      bfsHops, linkPredict, basketLift, hits, personalizedPagerank,
+      closeness, randomWalks)
 }

@@ -91,6 +91,35 @@ object SimilarityQueries {
       .select($"vec_id", lsh_bucket($"embedding").as("bucket"), $"embedding")
   }
 
+  /** ADAPTIVE LSH geometry (the round-8 answer to the measured
+    * 1.42/decade `sim_knn_graph` exponent): plane count grows with
+    * the corpus so bucket occupancy — and with it the Σocc²
+    * candidate law — stays flat. planes = ceil(log₂(n / 250)) clamped
+    * to [6, 20]: ≤ 16k vectors keeps the 6-plane fixture geometry
+    * every LSH oracle replays bit-for-bit; each corpus doubling past
+    * that adds one plane (target occupancy 250, 20 planes = 1M
+    * buckets ≈ 260M vectors before the clamp binds — past that,
+    * raise the cap). The count is parquet-metadata-only.
+    */
+  def lshGeometry(n: Long): Int =
+    math.max(6, math.min(20,
+      math.ceil(math.log(n / 250.0) / math.log(2.0)).toInt))
+
+  /** (vec_id, bucket, bucket2, embedding) at the corpus-adaptive
+    * geometry — the whole-corpus entries (kNN graph, edge coverage)
+    * bucket through THIS; the fixed-panel entries (bucket listing,
+    * 10-probe ANN, near-dup) keep the 6-plane contract their oracles
+    * pin at any scale.
+    */
+  private def bucketedAdaptive(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    import graft.functions.exprs.{lsh_bucket_flip_n, lsh_bucket_n}
+    val p = lshGeometry(Tables.embeddings(s, d).count())
+    graft.util.Cols.fanout(Tables.embeddings(s, d))
+      .select($"vec_id", lsh_bucket_n($"embedding", p).as("bucket"),
+        lsh_bucket_flip_n($"embedding", p).as("bucket2"), $"embedding")
+  }
+
   // Random-hyperplane LSH bucket assignment: 6 md5-derived ±1
   // hyperplanes → 64 buckets; candidates for ANN are same-bucket pairs.
   private val lshBuckets = Q(
@@ -219,9 +248,14 @@ object SimilarityQueries {
     "sim_knn_graph",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.{cosine_e9, lsh_bucket_flip}
-      val withBucket = bucketed(s, d)
-        .withColumn("bucket2", lsh_bucket_flip($"embedding"))
+      import graft.functions.exprs.cosine_e9
+      // ADAPTIVE geometry (lshGeometry): 6 planes at gate scales —
+      // bit-identical to the oracle's replay — growing ∝ log n past
+      // 16k vectors to hold the candidate law linear (the oracle
+      // replays the ≤16k-vector geometry; above it the ScalaTest
+      // replay and the decade probes are the gate, the same caveat
+      // discipline as Multimodal.phashGeometry)
+      val withBucket = bucketedAdaptive(s, d)
         .localCheckpoint() // both join sides
       val probes = withBucket
         .select($"vec_id", explode(array($"bucket", $"bucket2")).as("bucket"),
@@ -310,9 +344,10 @@ object SimilarityQueries {
     "sim_knn_edge_coverage",
     (s, d) => {
       import s.implicits._
-      import graft.functions.exprs.lsh_bucket_flip
-      val b = bucketed(s, d)
-        .select($"vec_id", $"bucket", lsh_bucket_flip($"embedding").as("bucket2"))
+      // same adaptive geometry (and the same oracle caveat) as
+      // sim_knn_graph — coverage must measure the graph actually built
+      val b = bucketedAdaptive(s, d)
+        .select($"vec_id", $"bucket", $"bucket2")
       val sizes = b.groupBy($"bucket").agg(count(lit(1)).as("sz"))
       b.join(broadcast(sizes), Seq("bucket"))
         .join(broadcast(sizes.select($"bucket".as("bucket2"), $"sz".as("sz2"))),
@@ -1769,6 +1804,92 @@ object SimilarityQueries {
     },
   )
 
+  // nDCG@3 of the LSH-ANN ranking against GRADED exact-cosine
+  // relevance (exact rank 1/2/3 → gain 3/2/1) — the ranking-quality
+  // companion to recall/MRR: it rewards putting the BEST neighbour
+  // first, which binary recall cannot see. The log₂ position
+  // discounts are pinned integer micro-constants (10⁶, 630929 ≈
+  // 10⁶/log₂3, 5·10⁵) shared verbatim by both engines, and every
+  // probe has exactly 3 graded relevants so IDCG is the constant
+  // 3·10⁶+2·630929+500000 = 4761858 — the whole metric is integer
+  // division, hash-gated like the rest of the eval family. Scale
+  // shape matches recall/MRR: exact side is one corpus scan past the
+  // broadcast 10-probe panel.
+  private val NdcgIdcg = 3L * 1000000 + 2L * 630929 + 500000
+  private val ndcgEval = Q(
+    "sim_ndcg_eval",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.cosine_e9
+      val ann = lshAnn.fn(s, d) // (probe_id, rk, cand_id), rk <= 3
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+      val graded = emb
+        .select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes))
+        .filter($"cand_id" =!= $"probe_id")
+        .select($"probe_id", $"cand_id", cosine_e9($"pe", $"ce").as("c"))
+        .withColumn("xrk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"probe_id").orderBy($"c".desc, $"cand_id")))
+        .filter($"xrk" <= 3)
+        .select($"probe_id", $"cand_id", (lit(4L) - $"xrk").as("gain"))
+      ann.join(graded, Seq("probe_id", "cand_id"), "left")
+        .select($"probe_id",
+          (coalesce($"gain", lit(0L)) *
+            when($"rk" === 1, 1000000L)
+              .when($"rk" === 2, 630929L)
+              .otherwise(500000L)).as("g"))
+        .groupBy($"probe_id")
+        .agg(sum($"g").as("dcg_e6"))
+        .select($"probe_id", $"dcg_e6",
+          expr(s"(dcg_e6 * 1000000) div $NdcgIdcg").as("ndcg_e6"))
+        .orderBy($"probe_id")
+    },
+    Some(s"""WITH $annOracleCtes,
+            |ndcg_ann AS (
+            |  SELECT probe_id, rk, cand_id FROM ranked WHERE rk <= 3),
+            |ndcg_xc AS (
+            |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+            |         p.embedding AS pe, c.embedding AS ce
+            |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            |  WHERE p.vec_id < 10),
+            |ndcg_xs AS (
+            |  SELECT probe_id, cand_id,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS dot,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS na,
+            |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS nb
+            |  FROM ndcg_xc, range(1, 65) t(k)
+            |  GROUP BY probe_id, cand_id),
+            |ndcg_xr AS (
+            |  SELECT probe_id, cand_id,
+            |         row_number() OVER (
+            |           PARTITION BY probe_id
+            |           ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+            |                    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+            |                    AS BIGINT) DESC, cand_id) AS xrk
+            |  FROM ndcg_xs),
+            |ndcg_rel AS (
+            |  SELECT probe_id, cand_id, CAST(4 - xrk AS BIGINT) AS gain
+            |  FROM ndcg_xr WHERE xrk <= 3),
+            |ndcg_m AS (
+            |  SELECT a.probe_id,
+            |         coalesce(r.gain, 0)
+            |           * CASE a.rk WHEN 1 THEN 1000000
+            |                       WHEN 2 THEN 630929
+            |                       ELSE 500000 END AS g
+            |  FROM ndcg_ann a LEFT JOIN ndcg_rel r
+            |    ON a.probe_id = r.probe_id AND a.cand_id = r.cand_id)
+            |SELECT probe_id, CAST(sum(g) AS BIGINT) AS dcg_e6,
+            |       CAST((sum(g)::HUGEINT * 1000000) // $NdcgIdcg AS BIGINT)
+            |         AS ndcg_e6
+            |FROM ndcg_m GROUP BY probe_id ORDER BY probe_id""".stripMargin),
+  )
+
   // ANN QUALITY EVAL: recall@3 and MRR of the LSH-ANN against the
   // exact brute-force top-3 — the metric loop every production ANN
   // deployment runs on a probe sample. The ground truth side is
@@ -2042,6 +2163,6 @@ object SimilarityQueries {
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, ivfPqCompose, semDedup, hardNegatives,
       centroidClassify,
-      sqTopK, gramMatrix, pcaPower, recallMrrEval, mmrSelect, knnGraph,
+      sqTopK, gramMatrix, pcaPower, recallMrrEval, ndcgEval, mmrSelect, knnGraph,
       knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset)
 }

@@ -69,6 +69,24 @@ class ExtensionsSpec extends AnyFunSuite {
           |                   CAST(0.125 AS FLOAT)) AS v)
           |""".stripMargin).collect().head
       assert(row4.getInt(0) == 1)
+      // Geometry-parameterized LSH: at planes=6 it IS the fixed-6
+      // bucket (the fixture contract), extra planes only prepend bits,
+      // and the planes argument must be a plan-time literal
+      val row5 = spark.sql(
+        """SELECT lsh_bucket_n(v, 6) = lsh_bucket(v) AS same6,
+          |       lsh_bucket_n(v, 8) % 64 = lsh_bucket(v) AS low6,
+          |       bit_count(lsh_bucket_n(v, 8) ^ lsh_bucket_flip_n(v, 8)) AS hb8
+          |FROM (SELECT array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT),
+          |                   CAST(0.125 AS FLOAT)) AS v)
+          |""".stripMargin).collect().head
+      assert(row5.getBoolean(0) && row5.getBoolean(1))
+      assert(row5.getInt(2) == 1)
+      intercept[Exception] { // planes must be a constant literal
+        spark.sql("SELECT lsh_bucket_n(array(CAST(1 AS FLOAT)), CAST(rand()*6 AS INT))")
+      }
+      intercept[Exception] { // and in [1, 20]
+        spark.sql("SELECT lsh_bucket_n(array(CAST(1 AS FLOAT)), 21)")
+      }
       // Every sqlFunctions row resolves through the extensions hook, so
       // the config-time and runtime registration surfaces cannot drift
       graft.functions.exprs.sqlFunctions.foreach { case (name, _, _) =>
