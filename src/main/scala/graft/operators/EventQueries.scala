@@ -321,8 +321,8 @@ object EventQueries {
     * catalogue keeps the measured 2 bit-identically).
     * SPARK_GRAFT_STREAM_CONF still overrides (applied last).
     */
-  private def gateParts(eventsDir: Option[String]): Int = {
-    val bytes = eventsDir.flatMap { d =>
+  private def fixtureBytes(eventsDir: Option[String]): Long =
+    eventsDir.flatMap { d =>
       try {
         val p = java.nio.file.Paths.get(s"$d/events.parquet")
         if (java.nio.file.Files.isDirectory(p)) {
@@ -335,8 +335,26 @@ object EventQueries {
         } else Some(java.nio.file.Files.size(p))
       } catch { case _: Exception => None }
     }.getOrElse(0L)
+
+  private def gateParts(bytes: Long): Int =
     math.max(2, math.min(32, (bytes / (16L << 20)).toInt))
-  }
+
+  /** Data-proportional state-store provider (round-8 A/B,
+    * probes/state_store_round8.jsonl): the default HDFS-backed store
+    * wins while state is memory-comfortable (sf0.1 3.0 s vs RocksDB
+    * 4.3 s; grow_sf1/18 MB 13.1 s vs 27.1 s — per-store JNI + file
+    * overhead swamps small state), RocksDB wins once state outgrows
+    * the heap's comfort zone (grow_sf10/206 MB fixture, 10M keyed
+    * events: HDFS 189.4 s vs RocksDB 117.1 s = 0.62x). Crossover
+    * pinned at 64 MiB of fixture (log-midpoint of the measured
+    * bracket); SPARK_GRAFT_STREAM_CONF still overrides (applied
+    * last), so either arm stays reachable per-run.
+    */
+  private[operators] val RocksBytes = 64L << 20
+  private def gateProvider(bytes: Long): Option[String] =
+    if (bytes >= RocksBytes)
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else None
 
   private[operators] def withStreamGateConfs[T](
       s: org.apache.spark.sql.SparkSession,
@@ -358,13 +376,21 @@ object EventQueries {
         .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) })
       .getOrElse(Seq.empty)
     val prevExtra = extra.map { case (k, _) => (k, s.conf.getOption(k)) }
-    s.conf.set("spark.sql.shuffle.partitions", gateParts(eventsDir).toString)
+    val bytes = fixtureBytes(eventsDir)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set("spark.sql.shuffle.partitions", gateParts(bytes).toString)
     s.conf.set(noDataKey, noDataBatches.toString)
+    gateProvider(bytes).foreach(s.conf.set(provKey, _))
     extra.foreach { case (k, v) => s.conf.set(k, v) }
     ckRoot.foreach(p => s.conf.set(ckKey, p.toString))
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
       prevNoData match {
         case Some(v) => s.conf.set(noDataKey, v)
         case None => s.conf.unset(noDataKey)
@@ -2224,6 +2250,130 @@ object EventQueries {
             |ORDER BY channel""".stripMargin),
   )
 
+  // STATIONARY DISTRIBUTION of the user-journey Markov chain — the
+  // fixed point ev_markov_transitions only tabulates: three power
+  // iterations of π·P in integer micro-units (πᵗ⁺¹(j) = Σᵢ πᵗ(i)·
+  // p_ij div 10⁶, truncation per term — exact and replayable, where a
+  // float iteration could never hash-gate). The corpus work is ONE
+  // lag-window transition count; the iteration runs on the
+  // checkpointed ≤ |types|²-row matrix, so iteration cost is
+  // corpus-free. Each step is replayed verbatim by an unrolled oracle
+  // CTE.
+  private val MarkovIters = 3
+  private val markovStationary = Q(
+    "ev_markov_stationary",
+    (s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val matrix = Tables.events(s, d)
+        .withColumn("to_type", lead($"event_type", 1).over(byUser))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // ≤ |types|² rows; feeds margins + 3 steps
+      val p = matrix
+        .join(broadcast(matrix.groupBy($"from_type").agg(sum($"cnt").as("n_from"))),
+          Seq("from_type"))
+        .select($"from_type", $"to_type",
+          expr("1000000 * cnt div n_from").as("p_e6"))
+        .localCheckpoint()
+      val states = p.select($"from_type".as("state")).distinct()
+      val k = states.count()
+      var pi = states.select($"state", lit(1000000L / k).as("pi_e6"))
+      for (_ <- 1 to MarkovIters) {
+        pi = p.join(pi, $"from_type" === $"state")
+          .groupBy($"to_type")
+          .agg(sum(expr("pi_e6 * p_e6 div 1000000")).as("pi_e6"))
+          .select($"to_type".as("state"), $"pi_e6")
+      }
+      pi.select($"state".as("event_type"), $"pi_e6").orderBy($"event_type")
+    },
+    Some {
+      val steps = (1 to MarkovIters).map { i =>
+        s"""mks_r$i AS (
+           |  SELECT p.to_type AS state,
+           |         CAST(sum(r.pi_e6 * p.p_e6 // 1000000) AS BIGINT) AS pi_e6
+           |  FROM mks_p p JOIN mks_r${i - 1} r ON p.from_type = r.state
+           |  GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH mks_t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |mks_m AS (
+         |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM mks_t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |mks_p AS (
+         |  SELECT from_type, to_type,
+         |         1000000 * cnt
+         |           // CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+         |           AS p_e6
+         |  FROM mks_m),
+         |mks_r0 AS (
+         |  SELECT from_type AS state,
+         |         CAST(1000000 // (SELECT count(DISTINCT from_type) FROM mks_m)
+         |              AS BIGINT) AS pi_e6
+         |  FROM (SELECT DISTINCT from_type FROM mks_m)),
+         |$steps
+         |SELECT state AS event_type, pi_e6 FROM mks_r$MarkovIters
+         |ORDER BY event_type""".stripMargin
+    },
+  )
+
+  // INTER-EVENT-TIME QUANTILES — the latency/engagement staple: per
+  // event type, the p50/p90/p99 of the gaps between a user's
+  // CONSECUTIVE events of that type. The gap derivation is one
+  // (user, type)-partitioned lag window (per-entity bounded, the
+  // sessionize shape); the per-type quantiles are the exact
+  // order-statistic pattern of qa_quantile_disc (its bounded-memory
+  // histogram dual exists there too). Gaps are integer milliseconds
+  // from the epoch-nanos ts — no float anywhere.
+  private val interEventQuantiles = Q(
+    "ev_inter_event_quantiles",
+    (s, d) => {
+      import s.implicits._
+      val byUserType = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(byUserType))
+        .filter($"prev_ts".isNotNull)
+        .select($"event_type", $"user_id", $"event_id",
+          expr("(ts - prev_ts) div 1000000").as("gap_ms"))
+      val w = Window.partitionBy($"event_type")
+      val byGap = w.orderBy($"gap_ms", $"user_id", $"event_id")
+      gaps
+        .withColumn("rn", row_number().over(byGap))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy($"event_type")
+        .agg(
+          max($"n").as("n_gaps"),
+          max(when($"rn" === expr("(n * 50 + 99) div 100"), $"gap_ms")).as("p50_ms"),
+          max(when($"rn" === expr("(n * 90 + 99) div 100"), $"gap_ms")).as("p90_ms"),
+          max(when($"rn" === expr("(n * 99 + 99) div 100"), $"gap_ms")).as("p99_ms"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+           |       CAST(max(n) AS BIGINT) AS n_gaps,
+           |       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap_ms END) AS p50_ms,
+           |       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN gap_ms END) AS p90_ms,
+           |       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN gap_ms END) AS p99_ms
+           |FROM (
+           |  SELECT event_type, gap_ms,
+           |         row_number() OVER (PARTITION BY event_type
+           |           ORDER BY gap_ms, user_id, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM (
+           |    SELECT event_type, user_id, event_id,
+           |           (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+           |              PARTITION BY user_id, event_type
+           |              ORDER BY ts, event_id)) // 1000000 AS gap_ms
+           |    FROM events)
+           |  WHERE gap_ms IS NOT NULL)
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin),
+  )
+
   // POINT-IN-TIME FEATURE JOIN (the feature-store / training-matrix
   // primitive): for every label event (purchase) build leakage-safe
   // features from the trailing 7-day window STRICTLY BEFORE the label
@@ -2320,5 +2470,5 @@ object EventQueries {
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
       hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition,
-      pitFeatures)
+      pitFeatures, markovStationary, interEventQuantiles)
 }

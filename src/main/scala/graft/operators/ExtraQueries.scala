@@ -1892,66 +1892,126 @@ object ExtraQueries {
   // shard, same budget note as gr_assortativity. Scale shape: one
   // (type,dow) partial agg on the corpus, then all joins are over
   // ≤ |types|·7 broadcast rows.
+  /** Shared padded-grid contingency cells for qa_chi2_independence
+    * and qa_cramers_v: (event_type, dow, o, e_e6, chi2_e6) with the
+    * margins and total in scope — one corpus scan into a checkpointed
+    * ≤ |types|·7-row cell table, everything downstream broadcast.
+    */
+  private def chi2Cells(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    // one corpus scan: the observed-cell table is ≤ |types|·7 rows,
+    // checkpointed so the six downstream uses (grid dims, margins,
+    // total, cells) reuse it instead of re-aggregating the corpus
+    val obs = Tables.events(s, d)
+      .select($"event_type", expr(s"(ts div $DayNs) % 7").as("dow"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val grid = obs.select($"event_type").distinct()
+      .crossJoin(broadcast(obs.select($"dow").distinct()))
+    val cells = grid.join(broadcast(obs), Seq("event_type", "dow"), "left")
+      .select($"event_type", $"dow", coalesce($"o", lit(0L)).as("o"))
+    val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
+    val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
+    val tot = cells.agg(sum($"o").as("n"))
+    cells
+      .join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select($"event_type", $"dow", $"o", $"n",
+        expr("CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000000)" +
+          " div (CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("e_e6"),
+        expr("CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+          " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
+          " * 1000000)" +
+          " div (CAST(rt AS DECIMAL(38,0)) * ct * n) AS BIGINT)").as("chi2_e6"))
+  }
+
+  /** The matching DuckDB CTE chain ending in `x2_f(event_type, dow,
+    * o, n, e_e6, chi2_e6)` — shared verbatim by both entries so the
+    * statistic can never fork.
+    */
+  private val chi2Ctes =
+    s"""x2_d AS (
+       |  SELECT event_type,
+       |         (epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000}) % 7 AS dow
+       |  FROM events),
+       |x2_o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+       |         FROM x2_d GROUP BY 1, 2),
+       |x2_grid AS (
+       |  SELECT t.event_type, w.dow
+       |  FROM (SELECT DISTINCT event_type FROM x2_o) t
+       |  CROSS JOIN (SELECT DISTINCT dow FROM x2_o) w),
+       |x2_c AS (
+       |  SELECT g.event_type, g.dow,
+       |         CAST(coalesce(o.o, 0) AS BIGINT) AS o
+       |  FROM x2_grid g LEFT JOIN x2_o o
+       |    ON g.event_type = o.event_type AND g.dow = o.dow),
+       |x2_rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+       |          FROM x2_c GROUP BY 1),
+       |x2_ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
+       |          FROM x2_c GROUP BY 1),
+       |x2_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM x2_c),
+       |x2_f AS (
+       |  SELECT c.event_type, c.dow, c.o, n.n,
+       |         CAST((rt::HUGEINT * ct * 1000000) // (n.n::HUGEINT)
+       |              AS BIGINT) AS e_e6,
+       |         CAST(((o::HUGEINT * n.n - rt::HUGEINT * ct)
+       |               * (o::HUGEINT * n.n - rt::HUGEINT * ct) * 1000000)
+       |              // (rt::HUGEINT * ct * n.n) AS BIGINT) AS chi2_e6
+       |  FROM x2_c c
+       |  JOIN x2_rt USING (event_type)
+       |  JOIN x2_ct USING (dow)
+       |  CROSS JOIN x2_n n)""".stripMargin
+
   private val chi2Independence = Q(
     "qa_chi2_independence",
     (s, d) => {
       import s.implicits._
-      val DayNs = 86400L * 1000 * 1000 * 1000
-      val obs = Tables.events(s, d)
-        .select($"event_type", expr(s"(ts div $DayNs) % 7").as("dow"))
-        .groupBy($"event_type", $"dow")
-        .agg(count(lit(1)).as("o"))
-      val grid = obs.select($"event_type").distinct()
-        .crossJoin(broadcast(obs.select($"dow").distinct()))
-      val cells = grid.join(obs, Seq("event_type", "dow"), "left")
-        .select($"event_type", $"dow", coalesce($"o", lit(0L)).as("o"))
-      val rt = cells.groupBy($"event_type").agg(sum($"o").as("rt"))
-      val ct = cells.groupBy($"dow").agg(sum($"o").as("ct"))
-      val tot = cells.agg(sum($"o").as("n"))
-      cells
-        .join(broadcast(rt), Seq("event_type"))
-        .join(broadcast(ct), Seq("dow"))
-        .crossJoin(broadcast(tot))
-        .select($"event_type", $"dow", $"o",
-          expr("CAST((CAST(rt AS DECIMAL(38,0)) * ct * 1000000)" +
-            " div (CAST(n AS DECIMAL(38,0))) AS BIGINT)").as("e_e6"),
-          expr("CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
-            " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)" +
-            " * 1000000)" +
-            " div (CAST(rt AS DECIMAL(38,0)) * ct * n) AS BIGINT)").as("chi2_e6"))
+      chi2Cells(s, d)
+        .select($"event_type", $"dow", $"o", $"e_e6", $"chi2_e6")
         .orderBy($"event_type", $"dow")
     },
-    Some(s"""WITH x2_d AS (
-            |  SELECT event_type,
-            |         (epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000}) % 7 AS dow
-            |  FROM events),
-            |x2_o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
-            |         FROM x2_d GROUP BY 1, 2),
-            |x2_grid AS (
-            |  SELECT t.event_type, w.dow
-            |  FROM (SELECT DISTINCT event_type FROM x2_o) t
-            |  CROSS JOIN (SELECT DISTINCT dow FROM x2_o) w),
-            |x2_c AS (
-            |  SELECT g.event_type, g.dow,
-            |         CAST(coalesce(o.o, 0) AS BIGINT) AS o
-            |  FROM x2_grid g LEFT JOIN x2_o o
-            |    ON g.event_type = o.event_type AND g.dow = o.dow),
-            |x2_rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
-            |          FROM x2_c GROUP BY 1),
-            |x2_ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
-            |          FROM x2_c GROUP BY 1),
-            |x2_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM x2_c)
-            |SELECT c.event_type, c.dow, c.o,
-            |       CAST((rt::HUGEINT * ct * 1000000) // (n::HUGEINT)
-            |            AS BIGINT) AS e_e6,
-            |       CAST(((o::HUGEINT * n - rt::HUGEINT * ct)
-            |             * (o::HUGEINT * n - rt::HUGEINT * ct) * 1000000)
-            |            // (rt::HUGEINT * ct * n) AS BIGINT) AS chi2_e6
-            |FROM x2_c c
-            |JOIN x2_rt USING (event_type)
-            |JOIN x2_ct USING (dow)
-            |CROSS JOIN x2_n
-            |ORDER BY c.event_type, c.dow""".stripMargin),
+    Some(s"""WITH $chi2Ctes
+            |SELECT event_type, dow, o, e_e6, chi2_e6
+            |FROM x2_f
+            |ORDER BY event_type, dow""".stripMargin),
+  )
+
+  // CRAMÉR'S V EFFECT SIZE — the one-row summary of the contingency
+  // test above: V² = χ²/(N·min(r−1, c−1)), the normalized [0,1]
+  // association strength a monitoring dashboard thresholds on (raw χ²
+  // grows with N, V does not). Same shared cell table/CTEs as
+  // qa_chi2_independence — the statistic cannot fork — aggregated to
+  // one row; χ² is already micro-units so v2_e6 stays a plain integer
+  // division.
+  private val cramersV = Q(
+    "qa_cramers_v",
+    (s, d) => {
+      import s.implicits._
+      chi2Cells(s, d)
+        .agg(
+          max($"n").as("n"),
+          countDistinct($"event_type").as("r"),
+          countDistinct($"dow").as("c"),
+          sum($"chi2_e6").as("chi2_e6"))
+        .select($"n", $"r", $"c", $"chi2_e6",
+          expr("chi2_e6 div (n * (CASE WHEN r < c THEN r ELSE c END - 1))")
+            .as("v2_e6"))
+    },
+    Some(s"""WITH $chi2Ctes
+            |SELECT CAST(max(n) AS BIGINT) AS n,
+            |       CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+            |       CAST(count(DISTINCT dow) AS BIGINT) AS c,
+            |       CAST(sum(chi2_e6) AS BIGINT) AS chi2_e6,
+            |       CAST(sum(chi2_e6) // (max(n) *
+            |              (CASE WHEN count(DISTINCT event_type)
+            |                         < count(DISTINCT dow)
+            |                    THEN count(DISTINCT event_type)
+            |                    ELSE count(DISTINCT dow) END - 1))
+            |            AS BIGINT) AS v2_e6
+            |FROM x2_f""".stripMargin),
   )
 
   // THEIL–SEN ROBUST TREND (median of pairwise slopes): the
@@ -1970,9 +2030,12 @@ object ExtraQueries {
     (s, d) => {
       import s.implicits._
       val DayNs = 86400L * 1000 * 1000 * 1000
+      // checkpoint the ≤|days|-row artifact so the pair self-join's
+      // two sides share ONE corpus aggregation
       val byDay = Tables.events(s, d)
         .select(expr(s"ts div $DayNs").as("day"), cents($"value").as("v"))
         .groupBy($"day").agg(sum($"v").as("y"))
+        .localCheckpoint()
       val pairs = byDay.select($"day".as("d1"), $"y".as("y1"))
         .join(broadcast(byDay.select($"day".as("d2"), $"y".as("y2"))),
           $"d1" < $"d2")
@@ -2027,5 +2090,5 @@ object ExtraQueries {
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
-    chi2Independence, theilSen)
+    chi2Independence, theilSen, cramersV)
 }

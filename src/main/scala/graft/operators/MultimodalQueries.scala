@@ -1047,8 +1047,107 @@ object MultimodalQueries {
            |FROM ph_h ORDER BY hamming""".stripMargin),
   )
 
+  // IMAGE NEAR-DUP CLUSTERS + CANONICAL PICK — the multimodal dual of
+  // td_dedup_clusters/td_cluster_canonical: connected components over
+  // the pHash near-dup pairs (banded candidates, hamming ≤ 3), then
+  // one row per cluster with the kept canonical (min doc — the
+  // cluster representative the CC labels already carry) and the byte
+  // mass kept vs total — the image-dedup savings line a media
+  // pipeline reports. CC is the same bounded pointer-jumping
+  // label-propagation as the text path (log-diameter rounds, one
+  // checkpoint action per round); only docs in ≥ 1 near-dup pair
+  // enter, mirroring the text clusters' contract.
+  // Oracle geometry caveat (inherited from mm_phash_neardup): the
+  // replay hard-codes the 4×16 band layout, valid for ≤ 100k-doc
+  // fixtures; above that the operator's adaptive geometry diverges
+  // from the CTE and the ScalaTest replay + decade probes are the
+  // gate.
+  private val phashClusters = Q(
+    "mm_phash_clusters",
+    (s, d) => {
+      import s.implicits._
+      val edges = phashNearDup.fn(s, d)
+        .filter($"is_near_dup")
+        .select($"doc1", $"doc2")
+        .localCheckpoint()
+      val sym = edges.unionByName(
+        edges.select($"doc2".as("doc1"), $"doc1".as("doc2")))
+      var labels = sym.select($"doc1".as("node")).distinct()
+        .select($"node", $"node".as("label"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 12) {
+        val labelT = labels.schema("label").dataType
+        val propagated = sym
+          .join(labels, sym("doc2") === labels("node"))
+          .select($"doc1".as("node"), $"label", lit(null).cast(labelT).as("old"))
+          .unionByName(labels.select($"node", $"label", $"label".as("old")))
+          .groupBy($"node")
+          .agg(min($"label").as("label"), max($"old").as("old"))
+        val byLabel = propagated
+          .select($"node".as("jnode"), $"label".as("jlabel"))
+        val jumped = propagated
+          .join(byLabel, $"label" === $"jnode", "left_outer")
+          .select($"node",
+            least($"label", coalesce($"jlabel", $"label")).as("label"),
+            $"old")
+          .localCheckpoint()
+        converged = jumped.filter($"label" =!= $"old").isEmpty
+        labels = jumped.select($"node", $"label")
+        iter += 1
+      }
+      val chars = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      labels
+        .join(chars, labels("node") === chars("doc_id"))
+        .groupBy($"label".as("cluster_rep"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum($"n_chars").as("chars_total"),
+          max(when($"node" === $"label", $"n_chars")).as("chars_kept"))
+        .orderBy($"cluster_rep")
+    },
+    Some("""WITH RECURSIVE h AS (
+           |  SELECT doc_id,
+           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
+           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
+           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
+           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
+           |  FROM documents),
+           |candidates AS (
+           |  SELECT doc1, doc2 FROM (
+           |    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           |           CAST(bit_count(xor(a.b0, b.b0)) +
+           |                bit_count(xor(a.b1, b.b1)) +
+           |                bit_count(xor(a.b2, b.b2)) +
+           |                bit_count(xor(a.b3, b.b3)) AS INT) AS hamming,
+           |           (a.b0 = b.b0 OR a.b1 = b.b1 OR
+           |            a.b2 = b.b2 OR a.b3 = b.b3) AS shares_band
+           |    FROM h a JOIN h b ON a.doc_id < b.doc_id)
+           |  WHERE shares_band AND hamming <= 3),
+           |sym AS (
+           |  SELECT doc1, doc2 FROM candidates
+           |  UNION
+           |  SELECT doc2, doc1 FROM candidates),
+           |nodes AS (SELECT DISTINCT doc1 AS node FROM sym),
+           |reach(src, dst) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT r.src, e.doc2 FROM reach r JOIN sym e ON e.doc1 = r.dst),
+           |clusters AS (
+           |  SELECT src AS doc_id, min(dst) AS cluster_rep
+           |  FROM reach GROUP BY src)
+           |SELECT c.cluster_rep,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+           |       CAST(max(CASE WHEN c.doc_id = c.cluster_rep
+           |                     THEN d.n_chars END) AS BIGINT) AS chars_kept
+           |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+           |GROUP BY c.cluster_rep
+           |ORDER BY c.cluster_rep""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
       sceneCut, patchGrid16, mediaQa, audioFingerprint, phashHammingHist,
-      silenceSegments)
+      silenceSegments, phashClusters)
 }

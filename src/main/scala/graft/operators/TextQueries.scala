@@ -2913,6 +2913,71 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // DOC-LEVEL TERM CO-OCCURRENCE LIFT — the topic-association matrix
+  // behind "related terms" panels: for the TOP-K document-frequency
+  // vocabulary (K=50, the ta_source_tvd top-K discipline — the full
+  // |V|² co-occurrence matrix is the textbook scale-killer), the
+  // same-document pair lift n_xy·D·10⁶ div (df_x·df_y). Distinct from
+  // ta_collocations, which scores ADJACENT bigrams — this is bag-of-
+  // document association at any distance. Scale shape: per-doc
+  // distinct terms filtered through the broadcast top-K set, pair
+  // fan-out bounded by K²/2 per doc; D and the dfs are broadcast
+  // one-row/K-row artifacts.
+  private val CoocK = 50
+  private val cooccurrenceLift = Q(
+    "ta_cooccurrence_lift",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("t"))
+        .localCheckpoint() // feeds df, top-K filter, and the pair legs
+      val df = toks.groupBy($"t").agg(count(lit(1)).as("df"))
+      val top = df.orderBy($"df".desc, $"t").limit(CoocK).localCheckpoint()
+      val kept = toks.join(broadcast(top.select($"t")), Seq("t"))
+        .groupBy($"doc_id").agg(sort_array(collect_set($"t")).as("w"))
+      val pairs = kept
+        .select(posexplode($"w").as(Seq("i", "x")), $"w")
+        .select($"x", explode(expr("slice(w, i + 2, size(w))")).as("y"))
+        .groupBy($"x", $"y").agg(count(lit(1)).as("n_xy"))
+      val dTot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(broadcast(top.select($"t".as("x"), $"df".as("df_x"))), Seq("x"))
+        .join(broadcast(top.select($"t".as("y"), $"df".as("df_y"))), Seq("y"))
+        .crossJoin(broadcast(dTot))
+        .filter($"n_xy" >= 3)
+        .select($"x", $"y", $"n_xy", $"df_x", $"df_y",
+          expr("CAST((CAST(n_xy AS DECIMAL(38,0)) * n_docs * 1000000)" +
+            " div (CAST(df_x AS DECIMAL(38,0)) * df_y) AS BIGINT)")
+            .as("lift_e6"))
+        .orderBy($"lift_e6".desc, $"x", $"y")
+        .limit(50)
+    },
+    Some(s"""WITH co_t AS (
+            |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+            |  FROM documents),
+            |co_df AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+            |          FROM co_t GROUP BY 1),
+            |co_top AS (SELECT t, df FROM co_df
+            |           ORDER BY df DESC, t LIMIT $CoocK),
+            |co_k AS (SELECT c.doc_id, c.t FROM co_t c JOIN co_top USING (t)),
+            |co_p AS (
+            |  SELECT a.t AS x, b.t AS y, CAST(count(*) AS BIGINT) AS n_xy
+            |  FROM co_k a JOIN co_k b
+            |    ON a.doc_id = b.doc_id AND a.t < b.t
+            |  GROUP BY 1, 2),
+            |co_d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+            |SELECT p.x, p.y, p.n_xy, dx.df AS df_x, dy.df AS df_y,
+            |       CAST((p.n_xy::HUGEINT * n_docs * 1000000)
+            |            // (dx.df::HUGEINT * dy.df) AS BIGINT) AS lift_e6
+            |FROM co_p p
+            |JOIN co_top dx ON dx.t = p.x
+            |JOIN co_top dy ON dy.t = p.y
+            |CROSS JOIN co_d
+            |WHERE p.n_xy >= 3
+            |ORDER BY lift_e6 DESC, p.x, p.y
+            |LIMIT 50""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -2922,5 +2987,6 @@ object TextQueries {
       hashedClassifier, gopherRules, ngramNovelty, c4Rules, collocations,
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, zipfOctaves, burstiness, readabilityFk,
-      burrowsDelta, vocabRichness, postingsVarint, uncertaintySample)
+      burrowsDelta, vocabRichness, postingsVarint, uncertaintySample,
+      cooccurrenceLift)
 }

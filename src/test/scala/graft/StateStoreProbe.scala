@@ -26,15 +26,18 @@ object StateStoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val rocks = "spark.sql.streaming.stateStore.providerClass=" +
+    // Both arms pin their provider EXPLICITLY (the gate default is
+    // now data-proportional — absence of the conf no longer means
+    // HDFS above the 64 MiB crossover).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val hdfs = s"$provKey=" +
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val rocks = s"$provKey=" +
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val q = QueryCatalog.all.find(_.name == "ev_stream_dedup_xbatch").get
 
-    for (rep <- 1 to reps; (label, conf) <- Seq("hdfs" -> None, "rocksdb" -> Some(rocks))) {
-      conf match {
-        case Some(c) => sys.props("graft.stream.conf") = c
-        case None => sys.props.remove("graft.stream.conf")
-      }
+    for (rep <- 1 to reps; (label, conf) <- Seq("hdfs" -> hdfs, "rocksdb" -> rocks)) {
+      sys.props("graft.stream.conf") = conf
       try {
         val t0 = System.nanoTime()
         val rows = q.fn(spark, d).count()

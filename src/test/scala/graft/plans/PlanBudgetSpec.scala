@@ -674,6 +674,87 @@ class PlanBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 session-3 additions keep their scale shapes") {
+    // Exchange ceilings (~2x the measured sf0.001 counts). The
+    // iterative graph entries checkpoint each round, so their FINAL
+    // plan is the cheap union/aggregate over checkpointed blocks —
+    // the per-round shape is pinned by the no-nested-loop asserts
+    // below, the per-round cost by the decade probes.
+    val budgets = Seq(
+      // chi2's count is dominated by post-checkpoint exchanges of the
+      // ≤|types|·7-row cell table (margins, grid dims, total) — tiny
+      // rows, not corpus; the corpus is scanned ONCE into the
+      // checkpoint
+      "qa_chi2_independence" -> 24, "qa_theil_sen_slope" -> 10,
+      "gr_closeness_centrality" -> 10, "gr_random_walks" -> 8,
+      "sim_ndcg_eval" -> 24, "ev_pit_features" -> 16,
+      // batch 2: cramers_v rides the same chi2 cell checkpoint + a
+      // one-row aggregate; markov_stationary/phash_clusters iterate
+      // on checkpointed ≤k²-row artifacts, so their final plans are
+      // joins of bounded blocks; cooccurrence bounds the pair stage
+      // by the broadcast top-K vocabulary
+      "qa_cramers_v" -> 28, "ev_markov_stationary" -> 12,
+      "ev_inter_event_quantiles" -> 10, "mm_phash_clusters" -> 10,
+      "ta_cooccurrence_lift" -> 20,
+    )
+    for ((name, budget) <- budgets) {
+      val n = exchanges(planOf(name))
+      assert(n <= budget, s"$name plans $n exchanges, budget $budget")
+    }
+    // chi2: every dimension/total join must ride a broadcast — the
+    // cell grid is |types|x7 rows, a shuffle of it would mean the
+    // corpus-sized side moved instead.
+    val chiNodes = planOf("qa_chi2_independence")
+    assert(chiNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) >= 3,
+      "chi2 lost its broadcast dimension joins")
+    // theil-sen: the day-pair join must be the broadcast of the
+    // per-day artifact, and the only SinglePartition exchange is the
+    // bounded pair-rank window (days^2 artifact rows, never corpus)
+    val tsNodes = planOf("qa_theil_sen_slope")
+    assert(tsNodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "theil-sen pair join lost its broadcast day table")
+    // pit features: the label-feature band join must stay an equi
+    // join keyed on user_id (range residual), never a nested loop —
+    // a nested loop here is the labels x events cross.
+    val pitNodes = planOf("ev_pit_features")
+    assert(!pitNodes.exists(_.nodeName.contains("NestedLoop")),
+      "pit feature join regressed to a nested loop")
+    val pitJoins = pitNodes.filter(p => p.nodeName.contains("Join") &&
+      !p.nodeName.contains("NestedLoop")).map(_.toString).mkString("\n")
+    assert(pitJoins.contains("user_id"),
+      s"pit feature join lost its user_id key:\n$pitJoins")
+    // iterative graph additions: per-round joins are equi joins only
+    for (name <- Seq("gr_closeness_centrality", "gr_random_walks")) {
+      assert(!planOf(name).exists(_.nodeName.contains("NestedLoop")),
+        s"$name planned a nested-loop join")
+    }
+    // ndcg: the exact ground-truth side is the candidates streaming
+    // past the BROADCAST 10-probe panel (one tolerated BNLJ), the ann
+    // side joins back on equi keys
+    val ndcgNodes = planOf("sim_ndcg_eval")
+    assert(ndcgNodes.count(_.nodeName.contains("NestedLoop")) <= 2,
+      "ndcg eval grew beyond its probe-panel broadcast cross joins")
+    // cooccurrence: the pair stage must ride BROADCASTS of the top-K
+    // vocabulary (never a shuffle of the term table per leg), and no
+    // nested loop anywhere except the 1-row doc-count cross join
+    val coNodes = planOf("ta_cooccurrence_lift")
+    assert(coNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]) >= 3,
+      "cooccurrence lost its top-K broadcasts")
+    // inter-event quantiles: the gap window partitions by
+    // (user, type) — never a SinglePartition whole-data sort
+    val ieNodes = planOf("ev_inter_event_quantiles")
+    val ieSingles = ieNodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+    assert(ieSingles.isEmpty,
+      s"inter-event quantiles has SinglePartition exchanges: $ieSingles")
+  }
+
   test("round-8 multi-probe kNN graph keeps the bucket-key self-join") {
     // sim_knn_graph: the candidate join must stay an equi join ON THE
     // BUCKET key — multi-probe doubles the probe rows, it must never
