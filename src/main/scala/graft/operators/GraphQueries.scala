@@ -985,16 +985,22 @@ object GraphQueries {
 
   // CLOSENESS / HARMONIC CENTRALITY for a sampled landmark set (the
   // Eppstein–Wang shape: exact all-pairs closeness is O(|V|·|E|), so
-  // production systems measure a pivot sample — here the nation-0
-  // suppliers, the same seed set as gr_bfs_hops). One LABELED
+  // production systems measure a FIXED pivot sample). One LABELED
   // multi-source BFS carries every landmark simultaneously:
   // frontier rows are (seed, node, hops), per-round cost is one
-  // edge-join + per-seed dedup, bounded by |seeds|·|V| total state —
-  // never |V|² . Closeness = reached·10⁶ div Σhops and harmonic =
-  // Σ(10⁶ div hops) in integer micro-units, radius-limited to
-  // BfsRounds like the BFS query (radius-limited closeness is the
-  // standard large-graph variant — the full-radius value needs the
-  // graph diameter and is not shard-boundable).
+  // edge-join + per-seed dedup, bounded by |landmarks|·|V| total
+  // state — never |V|². The landmark count is CAPPED at
+  // CloLandmarks=16 (deterministic: lowest nation-0 supplier keys) —
+  // the whole point of landmark sampling is that the sample does NOT
+  // grow with the graph; the uncapped variant measured 5+ min at
+  // grow_sf1 (~400 seeds × 200k nodes of labeled frontier) before
+  // the cap, 4 landmark-bounded rounds after. Closeness =
+  // reached·10⁶ div Σhops and harmonic = Σ(10⁶ div hops) in integer
+  // micro-units, radius-limited to BfsRounds like the BFS query
+  // (radius-limited closeness is the standard large-graph variant —
+  // the full-radius value needs the graph diameter and is not
+  // shard-boundable).
+  private val CloLandmarks = 16
   private val closeness = Q(
     "gr_closeness_centrality",
     (s, d) => {
@@ -1008,6 +1014,7 @@ object GraphQueries {
       val seeds = Tables.supplier(s, d)
         .filter($"s_nationkey" === 0)
         .select(($"s_suppkey" * 2 + 1).as("seed"))
+        .orderBy($"seed").limit(CloLandmarks)
         .localCheckpoint()
       var frontier = seeds
         .select($"seed", $"seed".as("node"), lit(0).as("hops"))
@@ -1043,9 +1050,12 @@ object GraphQueries {
          |  FROM lineitem),
          |cc_sym AS (SELECT src, dst FROM cc_edges
          |           UNION ALL SELECT dst, src FROM cc_edges),
-         |cc_walk(seed, node, hops) AS (
-         |  SELECT s_suppkey * 2 + 1 AS seed, s_suppkey * 2 + 1 AS node, 0 AS hops
+         |cc_seeds AS (
+         |  SELECT s_suppkey * 2 + 1 AS seed
          |  FROM supplier WHERE s_nationkey = 0
+         |  ORDER BY seed LIMIT $CloLandmarks),
+         |cc_walk(seed, node, hops) AS (
+         |  SELECT seed, seed AS node, 0 AS hops FROM cc_seeds
          |  UNION
          |  SELECT w.seed, e.dst, w.hops + 1
          |  FROM cc_walk w JOIN cc_sym e ON e.src = w.node

@@ -189,6 +189,41 @@ object SimilarityQueries {
       |                    AS BIGINT) DESC, cand_id) AS rk
       |  FROM sums)""".stripMargin
 
+  // SQL-TEXT SURFACE for the similarity family — the same LSH-bounded
+  // ANN as sim_lsh_ann_topk, but written as `spark.sql` text through
+  // the REGISTERED kernel functions (lsh_bucket, cosine_e9), the way
+  // a SQL-only user would call the engine. Gated by the same DuckDB
+  // oracle as the DataFrame twin, so the two surfaces can never
+  // drift; same scale shape (the join never leaves the bucket key).
+  private val sqlSurfaceSimilarity = Q(
+    "sql_surface_similarity",
+    (s, d) => {
+      graft.functions.exprs.register(s)
+      graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """WITH b AS (
+          |  SELECT vec_id, lsh_bucket(embedding) AS bucket, embedding
+          |  FROM graft_embeddings),
+          |cand AS (
+          |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          |         cosine_e9(p.embedding, c.embedding) AS cosine
+          |  FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+          |  WHERE p.vec_id < 10)
+          |SELECT probe_id, rk, cand_id FROM (
+          |  SELECT probe_id, cand_id,
+          |         row_number() OVER (PARTITION BY probe_id
+          |           ORDER BY cosine DESC, cand_id) AS rk
+          |  FROM cand)
+          |WHERE rk <= 3
+          |ORDER BY probe_id, rk""".stripMargin)
+    },
+    Some(s"""WITH $annOracleCtes
+            |SELECT probe_id, rk, cand_id
+            |FROM ranked WHERE rk <= 3
+            |ORDER BY probe_id, rk""".stripMargin),
+  )
+
   // ANN via LSH: top-3 cosine neighbours per probe vector, computed
   // only among same-bucket candidates (the join never leaves the
   // bucket key — this is the piece that scales).
@@ -2164,5 +2199,6 @@ object SimilarityQueries {
       ivfProbe, pqTopK, pqTopKC16, ivfPqCompose, semDedup, hardNegatives,
       centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, ndcgEval, mmrSelect, knnGraph,
-      knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset)
+      knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset,
+      sqlSurfaceSimilarity)
 }

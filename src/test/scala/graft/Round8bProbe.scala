@@ -17,6 +17,8 @@ object Round8bProbe {
     "gr_closeness_centrality", "gr_random_walks",
     "sim_ndcg_eval", "ev_pit_features",
     "sim_knn_graph", "sim_knn_edge_coverage",
+    "qa_cramers_v", "ev_markov_stationary", "ev_inter_event_quantiles",
+    "mm_phash_clusters", "ta_cooccurrence_lift",
   )
 
   def main(args: Array[String]): Unit = {

@@ -181,7 +181,7 @@ class Round8OpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val seeds = graft.model.Tables.supplier(spark, sf)
       .filter($"s_nationkey" === 0).select(($"s_suppkey" * 2 + 1))
-      .as[Long].collect()
+      .as[Long].collect().sorted.take(16) // the CloLandmarks cap
     assert(got.keySet == seeds.toSet)
     for (seed <- seeds) {
       var dist = Map(seed -> 0)
