@@ -25,6 +25,10 @@ object Round8bProbe {
     val dirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("/root/testdata/sf0.1"))
+    val names = sys.env.get("SPARK_GRAFT_PROBE_NAMES")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(sel => Names.filter(sel))
+      .getOrElse(Names)
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -36,7 +40,7 @@ object Round8bProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.exprs.register(spark)
 
-    for (d <- dirs; name <- Names) {
+    for (d <- dirs; name <- names) {
       val q = QueryCatalog.all.find(_.name == name).get
       try {
         val t0 = System.nanoTime()
