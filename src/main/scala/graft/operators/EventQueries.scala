@@ -2374,6 +2374,51 @@ object EventQueries {
            |ORDER BY event_type""".stripMargin),
   )
 
+  // BURST DETECTION — the ops-alerting primitive: an (event_type,
+  // hour) bucket bursts when its count exceeds 3× its own trailing
+  // 24-hour mean, with a 12-hour minimum history so the first hours
+  // never alert. The comparison is CROSS-MULTIPLIED (cnt·n_prev >
+  // 3·sum_prev) so no mean is materialized and the predicate is
+  // integer-exact on both engines. One (type, hour) partial agg on
+  // the corpus; the trailing window runs over the ≤ types·hours
+  // bucket artifact, partitioned by type — never whole-data.
+  private val burstDetection = Q(
+    "ev_burst_detection",
+    (s, d) => {
+      import s.implicits._
+      val byHour = Tables.events(s, d)
+        .groupBy($"event_type", expr(s"ts div $HourNs").as("hour_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour_bucket")
+        .rowsBetween(-24, -1)
+      byHour
+        .withColumn("sum_prev", sum($"cnt").over(w))
+        .withColumn("n_prev", count($"cnt").over(w))
+        .filter($"n_prev" >= 12 && $"cnt" * $"n_prev" > $"sum_prev" * 3)
+        .select($"event_type", $"hour_bucket", $"cnt", $"sum_prev", $"n_prev")
+        .orderBy($"event_type", $"hour_bucket")
+    },
+    Some(s"""WITH bd_h AS (
+            |  SELECT event_type, epoch_ns(ts) // $HourNs AS hour_bucket,
+            |         CAST(count(*) AS BIGINT) AS cnt
+            |  FROM events GROUP BY 1, 2),
+            |bd_w AS (
+            |  SELECT event_type, hour_bucket, cnt,
+            |         CAST(sum(cnt) OVER (PARTITION BY event_type
+            |           ORDER BY hour_bucket
+            |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            |           AS BIGINT) AS sum_prev,
+            |         CAST(count(cnt) OVER (PARTITION BY event_type
+            |           ORDER BY hour_bucket
+            |           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            |           AS BIGINT) AS n_prev
+            |  FROM bd_h)
+            |SELECT event_type, hour_bucket, cnt, sum_prev, n_prev
+            |FROM bd_w
+            |WHERE n_prev >= 12 AND cnt * n_prev > sum_prev * 3
+            |ORDER BY event_type, hour_bucket""".stripMargin),
+  )
+
   // POINT-IN-TIME FEATURE JOIN (the feature-store / training-matrix
   // primitive): for every label event (purchase) build leakage-safe
   // features from the trailing 7-day window STRICTLY BEFORE the label
@@ -2470,5 +2515,5 @@ object EventQueries {
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
       hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition,
-      pitFeatures, markovStationary, interEventQuantiles)
+      pitFeatures, markovStationary, interEventQuantiles, burstDetection)
 }

@@ -2083,6 +2083,83 @@ object ExtraQueries {
             |WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1""".stripMargin),
   )
 
+  // LAG-k AUTOCORRELATION of the daily revenue series (k = 1..3) —
+  // the seasonality screen that tells a forecaster whether yesterday
+  // predicts today. Same corpus→per-day reduction as qa_theil_sen
+  // (one checkpointed ≤|days|-row artifact); the lag pairs are an
+  // equi self-join on day+k. Pearson needs a square root, so the
+  // gated statistic is the SIGNED SQUARED correlation in milli units
+  // (sign(cov)·cov²·1000 div (Vx·Vy)) — exact integer arithmetic in
+  // DECIMAL(38,0), the gr_assortativity discipline; the raw power
+  // sums ship alongside so a consumer can post-process at any
+  // precision. DECIMAL(38,0) bounds cov² while n·Σxy < 10¹⁹
+  // (≈ years of daily cents at catalogue magnitudes; rescale units
+  // beyond).
+  private val autocorrLag = Q(
+    "qa_autocorrelation_lag",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byDay = Tables.events(s, d)
+        .select(expr(s"ts div $DayNs").as("day"), cents($"value").as("v"))
+        .groupBy($"day").agg(sum($"v").as("y"))
+        .localCheckpoint()
+      val lags = s.range(1, 4).select($"id".cast("int").as("k"))
+      val pairs = byDay.select($"day", $"y".as("x"))
+        .crossJoin(broadcast(lags))
+        .join(byDay.select($"day".as("d2"), $"y".as("yk")),
+          $"day" + $"k" === $"d2")
+        .select($"k", $"x", $"yk")
+      pairs
+        .groupBy($"k")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"yk").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(yk AS DECIMAL(38,0)) * yk")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * yk")).as("sxy"))
+        .select($"k", $"n",
+          expr("CAST(sx AS BIGINT)").as("sx"),
+          expr("CAST(sy AS BIGINT)").as("sy"),
+          expr("CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0" +
+            " THEN -1 ELSE 1 END" +
+            " * (((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            "     * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)" +
+            "    div ((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            "         * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)))" +
+            " AS BIGINT)").as("r2_milli"))
+        .orderBy($"k")
+    },
+    Some(s"""WITH ac_d AS (
+            |  SELECT epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |ac_g AS (SELECT day, CAST(sum(v) AS BIGINT) AS y
+            |         FROM ac_d GROUP BY 1),
+            |ac_p AS (
+            |  SELECT k, a.y AS x, b.y AS yk
+            |  FROM range(1, 4) t(k), ac_g a
+            |  JOIN ac_g b ON a.day + k = b.day),
+            |ac_s AS (
+            |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(x) AS BIGINT) AS sx,
+            |         CAST(sum(yk) AS BIGINT) AS sy,
+            |         CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sxx,
+            |         CAST(sum(yk::HUGEINT * yk) AS HUGEINT) AS syy,
+            |         CAST(sum(x::HUGEINT * yk) AS HUGEINT) AS sxy
+            |  FROM ac_p GROUP BY k)
+            |SELECT CAST(k AS INT) AS k, n, sx, sy,
+            |       CAST(CASE WHEN n * sxy - sx::HUGEINT * sy < 0
+            |                 THEN -1 ELSE 1 END
+            |            * (((n * sxy - sx::HUGEINT * sy)
+            |                * (n * sxy - sx::HUGEINT * sy) * 1000)
+            |               // ((n * sxx - sx::HUGEINT * sx)
+            |                  * (n * syy - sy::HUGEINT * sy)))
+            |            AS BIGINT) AS r2_milli
+            |FROM ac_s
+            |ORDER BY k""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
@@ -2090,5 +2167,5 @@ object ExtraQueries {
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
-    chi2Independence, theilSen, cramersV)
+    chi2Independence, theilSen, cramersV, autocorrLag)
 }

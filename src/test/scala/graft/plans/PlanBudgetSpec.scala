@@ -696,6 +696,10 @@ class PlanBudgetSpec extends AnyFunSuite {
       "qa_cramers_v" -> 28, "ev_markov_stationary" -> 12,
       "ev_inter_event_quantiles" -> 10, "mm_phash_clusters" -> 10,
       "ta_cooccurrence_lift" -> 20,
+      // batch 3: autocorr pairs ride the checkpointed per-day
+      // artifact + a broadcast 3-row lag table; burst windows run on
+      // the (type, hour) bucket artifact
+      "qa_autocorrelation_lag" -> 12, "ev_burst_detection" -> 8,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
