@@ -19,6 +19,7 @@ object Round8bProbe {
     "sim_knn_graph", "sim_knn_edge_coverage",
     "qa_cramers_v", "ev_markov_stationary", "ev_inter_event_quantiles",
     "mm_phash_clusters", "ta_cooccurrence_lift",
+    "qa_autocorrelation_lag", "ev_burst_detection", "sql_surface_similarity",
   )
 
   def main(args: Array[String]): Unit = {
