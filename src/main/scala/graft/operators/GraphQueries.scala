@@ -1144,8 +1144,73 @@ object GraphQueries {
     },
   )
 
+  // KATZ CENTRALITY — the attenuated-path counterpart of PageRank
+  // (no degree normalization: a node is central when MANY short
+  // paths reach it, each length-k path worth α^k). Three unrolled
+  // hops at α = 1/10 in integer micro-units — each hop is ONE
+  // edge-join + partial aggregate on the checkpointed edge list
+  // (x_t(v) = Σ_in x_{t-1}(u) div 10), exactly replayable since both
+  // engines truncate the positive division identically. Final top-20
+  // is TakeOrderedAndProject. Distinct from gr_pagerank (normalized
+  // random walk) and gr_hits (mutual reinforcement + renorm).
+  private val KatzHops = 3
+  private val katz = Q(
+    "gr_katz_centrality",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.lineitem(s, d)
+        .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val sym = edges
+        .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      var x = sym.select($"src".as("node")).distinct()
+        .withColumn("xv", lit(1000000L))
+        .localCheckpoint()
+      var katzSum = x.select($"node", lit(0L).as("katz"))
+      for (_ <- 1 to KatzHops) {
+        x = sym
+          .join(x.select($"node".as("u"), $"xv"), $"src" === $"u")
+          .groupBy($"dst".as("node"))
+          .agg(sum(expr("xv div 10")).as("xv"))
+          .localCheckpoint()
+        katzSum = katzSum
+          .join(x.select($"node", $"xv"), Seq("node"), "left")
+          .select($"node",
+            ($"katz" + coalesce($"xv", lit(0L))).as("katz"))
+      }
+      katzSum.orderBy($"katz".desc, $"node").limit(20)
+    },
+    Some {
+      def hop(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT e.dst AS node, CAST(sum(x.xv // 10) AS BIGINT) AS xv
+           |  FROM kz_sym e JOIN $prev x ON e.src = x.node
+           |  GROUP BY 1)"""
+      s"""WITH kz_edges AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |kz_sym AS (SELECT src, dst FROM kz_edges
+         |           UNION ALL SELECT dst, src FROM kz_edges),
+         |kz_x0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS xv
+         |          FROM kz_sym),
+         |${hop("kz_x0", "kz_x1")},
+         |${hop("kz_x1", "kz_x2")},
+         |${hop("kz_x2", "kz_x3")}
+         |SELECT n.node,
+         |       CAST(coalesce(x1.xv, 0) + coalesce(x2.xv, 0)
+         |            + coalesce(x3.xv, 0) AS BIGINT) AS katz
+         |FROM (SELECT node FROM kz_x0) n
+         |LEFT JOIN kz_x1 x1 ON x1.node = n.node
+         |LEFT JOIN kz_x2 x2 ON x2.node = n.node
+         |LEFT JOIN kz_x3 x3 ON x3.node = n.node
+         |ORDER BY katz DESC, n.node
+         |LIMIT 20""".stripMargin
+    },
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
       bfsHops, linkPredict, basketLift, hits, personalizedPagerank,
-      closeness, randomWalks)
+      closeness, randomWalks, katz)
 }

@@ -1146,8 +1146,72 @@ object MultimodalQueries {
            |ORDER BY c.cluster_rep""".stripMargin),
   )
 
+  // CONSECUTIVE-FRAME DEDUP — the video-preprocessing staple: static
+  // scenes repeat the same frame hash for many consecutive frames;
+  // keep one frame per run (lag != current), report the kept/dropped
+  // economics per video. Frame model: the md5-derived frame count of
+  // mm_frame_sample, a per-video scene length (2-5 frames, md5
+  // nibble), and frame hash = md5(doc-scene) so frames within a
+  // scene collide exactly — the deterministic stub in place of a
+  // real codec hash, same discipline as the pHash stub. The dedup
+  // itself is REAL run-length logic: one (doc)-partitioned lag
+  // window over frame order, per-video bounded like the sessionize
+  // family. Scale: frames ∝ corpus, one window, one per-doc agg.
+  private val frameDedup = Q(
+    "mm_frame_dedup",
+    (s, d) => {
+      import s.implicits._
+      val frames = Tables.documents(s, d)
+        .select($"doc_id", $"text",
+          (expr("CAST(conv(substring(md5(text), 7, 2), 16, 10) AS INT)") + 10)
+            .as("n_frames"),
+          (expr("CAST(conv(substring(md5(text), 9, 1), 16, 10) AS INT)") % 4 + 2)
+            .as("scene_len"))
+        .select($"doc_id", $"text", $"n_frames", $"scene_len",
+          posexplode(sequence(lit(0), $"n_frames" - 1)).as(Seq("i", "frame_idx")))
+        .select($"doc_id", $"n_frames", $"frame_idx",
+          md5(concat($"text", lit("-"),
+            expr("CAST(frame_idx div scene_len AS INT)").cast("string")))
+            .as("fh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"frame_idx")
+      frames
+        .withColumn("prev_fh", lag($"fh", 1).over(w))
+        .withColumn("keep",
+          when($"prev_fh".isNull || $"fh" =!= $"prev_fh", 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(max($"n_frames").cast("long").as("n_frames"),
+          sum($"keep").as("n_kept"),
+          (max($"n_frames") - sum($"keep")).cast("long").as("n_dropped"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH fd_d AS (
+           |  SELECT doc_id, text,
+           |         CAST('0x' || substr(md5(text), 7, 2) AS INT) + 10 AS n_frames,
+           |         CAST('0x' || substr(md5(text), 9, 1) AS INT) % 4 + 2 AS scene_len
+           |  FROM documents),
+           |fd_f AS (
+           |  SELECT doc_id, n_frames, frame_idx,
+           |         md5(text || '-' || CAST(CAST(frame_idx // scene_len AS INT)
+           |             AS VARCHAR)) AS fh
+           |  FROM fd_d, LATERAL (SELECT unnest(range(0, n_frames)) AS frame_idx)),
+           |fd_k AS (
+           |  SELECT doc_id, n_frames,
+           |         CASE WHEN lag(fh) OVER (PARTITION BY doc_id
+           |                                 ORDER BY frame_idx) IS DISTINCT FROM fh
+           |              THEN 1 ELSE 0 END AS keep
+           |  FROM fd_f)
+           |SELECT doc_id,
+           |       CAST(max(n_frames) AS BIGINT) AS n_frames,
+           |       CAST(sum(keep) AS BIGINT) AS n_kept,
+           |       CAST(max(n_frames) - sum(keep) AS BIGINT) AS n_dropped
+           |FROM fd_k
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(metadata, decode, resize, frameSample, phashNearDup, audioEnergy,
       sceneCut, patchGrid16, mediaQa, audioFingerprint, phashHammingHist,
-      silenceSegments, phashClusters)
+      silenceSegments, phashClusters, frameDedup)
 }

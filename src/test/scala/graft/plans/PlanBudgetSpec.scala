@@ -700,6 +700,9 @@ class PlanBudgetSpec extends AnyFunSuite {
       // artifact + a broadcast 3-row lag table; burst windows run on
       // the (type, hour) bucket artifact
       "qa_autocorrelation_lag" -> 12, "ev_burst_detection" -> 8,
+      // batch 4: katz's final plan joins checkpointed per-hop blocks;
+      // frame dedup is one generator + one (doc)-window + one agg
+      "gr_katz_centrality" -> 16, "mm_frame_dedup" -> 8,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
