@@ -20,6 +20,7 @@ object Round8bProbe {
     "qa_cramers_v", "ev_markov_stationary", "ev_inter_event_quantiles",
     "mm_phash_clusters", "ta_cooccurrence_lift",
     "qa_autocorrelation_lag", "ev_burst_detection", "sql_surface_similarity",
+    "gr_katz_centrality", "mm_frame_dedup",
   )
 
   def main(args: Array[String]): Unit = {
