@@ -351,7 +351,7 @@ object EventQueries {
     * last), so either arm stays reachable per-run.
     */
   private[operators] val RocksBytes = 64L << 20
-  private def gateProvider(bytes: Long): Option[String] =
+  private[graft] def gateProvider(bytes: Long): Option[String] =
     if (bytes >= RocksBytes)
       Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else None
