@@ -2160,6 +2160,78 @@ object ExtraQueries {
             |ORDER BY k""".stripMargin),
   )
 
+  // MERGED-INTERVAL COVERAGE (interval union) — the missing sibling of
+  // the point-islands op (ev_gaps_islands): per supplier, the UNION of
+  // its overlapping 7-day fulfillment windows [shipdate, shipdate+6],
+  // merged by the running-max-end device (an interval starts a new
+  // island iff it begins after every previous end — handles nested
+  // and chained overlaps, which consecutive-point islands cannot).
+  // Output per supplier: islands, covered days, span, gap days — the
+  // SLA-coverage report shape. Epoch-day integers throughout; the
+  // window partitions by supplier, so the sort is per-key bounded.
+  private val intervalCoverage = Q(
+    "qa_interval_coverage",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.lineitem(s, d)
+        .select($"l_suppkey",
+          expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)").as("d0"))
+        .select($"l_suppkey", $"d0", ($"d0" + 6L).as("d1"))
+      val w = Window.partitionBy($"l_suppkey").orderBy($"d0", $"d1")
+      iv
+        .withColumn("prev_end",
+          max($"d1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when($"prev_end".isNull || $"d0" > $"prev_end", 1L).otherwise(0L))
+        .withColumn("island",
+          sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"l_suppkey", $"island")
+        .agg(min($"d0").as("a"), max($"d1").as("b"))
+        .groupBy($"l_suppkey")
+        .agg(
+          count(lit(1)).as("n_islands"),
+          sum($"b" - $"a" + 1).as("covered_days"),
+          (max($"b") - min($"a") + 1).as("span_days"))
+        .select($"l_suppkey", $"n_islands", $"covered_days", $"span_days",
+          ($"span_days" - $"covered_days").as("gap_days"))
+        .orderBy($"l_suppkey")
+    },
+    Some("""WITH ic_iv AS (
+           |  SELECT l_suppkey,
+           |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) AS d0,
+           |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+           |              AS BIGINT) + 6 AS d1
+           |  FROM lineitem),
+           |ic_m AS (
+           |  SELECT l_suppkey, d0, d1,
+           |         max(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS prev_end
+           |  FROM ic_iv),
+           |ic_g AS (
+           |  SELECT l_suppkey, d0, d1,
+           |         sum(CASE WHEN prev_end IS NULL OR d0 > prev_end
+           |                  THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |           AS island
+           |  FROM ic_m),
+           |ic_i AS (
+           |  SELECT l_suppkey, island, min(d0) AS a, max(d1) AS b
+           |  FROM ic_g GROUP BY 1, 2)
+           |SELECT l_suppkey,
+           |       CAST(count(*) AS BIGINT) AS n_islands,
+           |       CAST(sum(b - a + 1) AS BIGINT) AS covered_days,
+           |       CAST(max(b) - min(a) + 1 AS BIGINT) AS span_days,
+           |       CAST(max(b) - min(a) + 1 - sum(b - a + 1) AS BIGINT)
+           |         AS gap_days
+           |FROM ic_i
+           |GROUP BY l_suppkey
+           |ORDER BY l_suppkey""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
@@ -2167,5 +2239,5 @@ object ExtraQueries {
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
-    chi2Independence, theilSen, cramersV, autocorrLag)
+    chi2Independence, theilSen, cramersV, autocorrLag, intervalCoverage)
 }
