@@ -101,10 +101,6 @@ object Bench {
       val mean = if (err.isDefined) -1.0 else times.sum / times.size
       (q.name, min, mean, err)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qmeans = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
     // Full JSON string escape (backslash, quote, ALL control chars):
     // an exception message with a tab or stray CR must not break the
     // driver's json.load of the bench line.
@@ -121,7 +117,44 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"queries_mean":$qmeans,"errors":$errs,"sf":"$sfDir"}""")
+
+    // The driver's bench artifact keeps only the LAST ~2000 chars of
+    // stdout, and a 260-entry per-query map is ~13k chars — rounds
+    // 6-8 shipped an official artifact that couldn't answer "which
+    // query regressed" on its own. Split the output accordingly:
+    //   1. the COMPLETE result (min + mean + errors per query) goes to
+    //      a JSON file (SPARK_GRAFT_BENCH_FULL, default
+    //      probes/bench_full_latest.json under the cwd), and
+    //   2. stdout gets ONE compact line (~1.7k chars, inside the tail
+    //      window): total, the TOP-40 costliest per-query minima
+    //      (regressions live in the heavy tail), per-family subtotals
+    //      covering every query, errors, and the full-file pointer.
+    val fullQs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullMeans = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$fullQs,"queries_mean":$fullMeans,"errors":$errs,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "probes/bench_full_latest.json"))
+    try {
+      Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write failed: $e")
+    }
+
+    def r3(v: Double): String = f"$v%.3f".replace(",", ".")
+    val top = results.filter(_._4.isEmpty).sortBy(-_._2).take(40)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val families = results.filter(_._4.isEmpty)
+      .groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

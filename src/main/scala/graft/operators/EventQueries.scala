@@ -2279,14 +2279,22 @@ object EventQueries {
         .localCheckpoint()
       val states = p.select($"from_type".as("state")).distinct()
       val k = states.count()
-      var pi = states.select($"state", lit(1000000L / k).as("pi_e6"))
-      for (_ <- 1 to MarkovIters) {
-        pi = p.join(pi, $"from_type" === $"state")
-          .groupBy($"to_type")
-          .agg(sum(expr("pi_e6 * p_e6 div 1000000")).as("pi_e6"))
-          .select($"to_type".as("state"), $"pi_e6")
+      // Degenerate corpus (no user has two consecutive events ⇒ no
+      // transitions ⇒ k = 0): short-circuit to the empty frame the
+      // oracle's empty CTE chain produces instead of throwing
+      // ArithmeticException on the driver-side 1000000 / 0.
+      if (k == 0) {
+        states.select($"state".as("event_type"), lit(0L).as("pi_e6"))
+      } else {
+        var pi = states.select($"state", lit(1000000L / k).as("pi_e6"))
+        for (_ <- 1 to MarkovIters) {
+          pi = p.join(pi, $"from_type" === $"state")
+            .groupBy($"to_type")
+            .agg(sum(expr("pi_e6 * p_e6 div 1000000")).as("pi_e6"))
+            .select($"to_type".as("state"), $"pi_e6")
+        }
+        pi.select($"state".as("event_type"), $"pi_e6").orderBy($"event_type")
       }
-      pi.select($"state".as("event_type"), $"pi_e6").orderBy($"event_type")
     },
     Some {
       val steps = (1 to MarkovIters).map { i =>
@@ -2375,9 +2383,16 @@ object EventQueries {
   )
 
   // BURST DETECTION — the ops-alerting primitive: an (event_type,
-  // hour) bucket bursts when its count exceeds 3× its own trailing
-  // 24-hour mean, with a 12-hour minimum history so the first hours
-  // never alert. The comparison is CROSS-MULTIPLIED (cnt·n_prev >
+  // hour) bucket bursts when its count exceeds 3× the mean of its
+  // trailing 24 OBSERVED hourly buckets, with a 12-observed-bucket
+  // minimum history so the first hours never alert. NOTE the
+  // contract is observed buckets, not wall-clock hours: empty hours
+  // emit no bucket row, so for sparse event types the baseline can
+  // span far more than 24 wall-clock hours — deliberate here (the
+  // baseline is "this type's recent typical ACTIVE hour", robust to
+  // idle periods; a wall-clock variant would need gap-filled buckets
+  // whose zero rows dilute the mean toward always-alerting on any
+  // activity). The comparison is CROSS-MULTIPLIED (cnt·n_prev >
   // 3·sum_prev) so no mean is materialized and the predicate is
   // integer-exact on both engines. One (type, hour) partial agg on
   // the corpus; the trailing window runs over the ≤ types·hours

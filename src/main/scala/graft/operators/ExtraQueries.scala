@@ -2121,13 +2121,21 @@ object ExtraQueries {
         .select($"k", $"n",
           expr("CAST(sx AS BIGINT)").as("sx"),
           expr("CAST(sy AS BIGINT)").as("sy"),
-          expr("CAST(CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0" +
-            " THEN -1 ELSE 1 END" +
-            " * (((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
-            "     * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)" +
-            "    div ((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
-            "         * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)))" +
-            " AS BIGINT)").as("r2_milli"))
+          // Zero-variance (constant) series ⇒ correlation undefined:
+          // return NULL explicitly on BOTH engines. Without the guard
+          // Spark's non-ANSI div yields NULL but DuckDB raises a
+          // division-by-zero error — a latent engine fork on
+          // degenerate series.
+          expr("CAST(CASE WHEN (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            "         * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) = 0" +
+            " THEN NULL" +
+            " ELSE CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0" +
+            "           THEN -1 ELSE 1 END" +
+            "    * (((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            "        * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)" +
+            "       div ((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            "            * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)))" +
+            " END AS BIGINT)").as("r2_milli"))
         .orderBy($"k")
     },
     Some(s"""WITH ac_d AS (
@@ -2149,13 +2157,16 @@ object ExtraQueries {
             |         CAST(sum(x::HUGEINT * yk) AS HUGEINT) AS sxy
             |  FROM ac_p GROUP BY k)
             |SELECT CAST(k AS INT) AS k, n, sx, sy,
-            |       CAST(CASE WHEN n * sxy - sx::HUGEINT * sy < 0
-            |                 THEN -1 ELSE 1 END
-            |            * (((n * sxy - sx::HUGEINT * sy)
-            |                * (n * sxy - sx::HUGEINT * sy) * 1000)
-            |               // ((n * sxx - sx::HUGEINT * sx)
-            |                  * (n * syy - sy::HUGEINT * sy)))
-            |            AS BIGINT) AS r2_milli
+            |       CAST(CASE WHEN (n * sxx - sx::HUGEINT * sx)
+            |                      * (n * syy - sy::HUGEINT * sy) = 0
+            |                 THEN NULL
+            |                 ELSE CASE WHEN n * sxy - sx::HUGEINT * sy < 0
+            |                           THEN -1 ELSE 1 END
+            |                    * (((n * sxy - sx::HUGEINT * sy)
+            |                        * (n * sxy - sx::HUGEINT * sy) * 1000)
+            |                       // ((n * sxx - sx::HUGEINT * sx)
+            |                          * (n * syy - sy::HUGEINT * sy)))
+            |            END AS BIGINT) AS r2_milli
             |FROM ac_s
             |ORDER BY k""".stripMargin),
   )
@@ -2232,6 +2243,178 @@ object ExtraQueries {
            |ORDER BY l_suppkey""".stripMargin),
   )
 
+  // MANN-WHITNEY U (two-sample rank-sum) — the nonparametric sibling
+  // of qa_ab_test_gate's mean test: do returned ('R') and delivered
+  // ('N') line items draw quantities from the same distribution? The
+  // scale device is rank-by-value-histogram: l_quantity has a BOUNDED
+  // domain (1..50), so ranks come from one ≤50-row (value → group
+  // counts) artifact instead of a corpus-wide sort — the corpus is
+  // touched by exactly one partial-agg pass, and the rank window runs
+  // on the artifact (same discipline as qa_histogram_quantile).
+  // Tie-averaged ranks are kept integer by DOUBLING: r2(v) =
+  // 2·cnt_lt(v) + cnt_eq(v) + 1 is 2× the average rank of value v, so
+  // the reported statistics are 2U₁ and 2U₂ (exact; 2U₁+2U₂ = 2n₁n₂
+  // is the built-in invariant). The tie-correction term T = Σ(t³−t)
+  // ships alongside so a consumer can form the normal approximation
+  // at any precision without re-scanning. Sums run in DECIMAL(38,0)/
+  // HUGEINT; the BIGINT output surface is exact while 2U ≈ 2n² and
+  // T ≈ n³/50² stay under 2⁶³ — n ≤ ~2·10⁹ rows (≈ sf30k), rescale
+  // the surface to DECIMAL beyond.
+  private val mannWhitney = Q(
+    "qa_mann_whitney_u",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("R", "N"))
+        .groupBy($"l_quantity".cast("long").as("qty"))
+        .agg(
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("c1"),
+          sum(when($"l_returnflag" === "N", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy($"qty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byVal
+        .withColumn("cum_lt", coalesce(sum($"c1" + $"c2").over(w), lit(0L)))
+        .withColumn("r2", $"cum_lt" * 2 + $"c1" + $"c2" + 1)
+        .agg(
+          sum($"c1").as("n1"), sum($"c2").as("n2"),
+          sum(expr("CAST(c1 AS DECIMAL(38,0)) * r2")).as("r1_x2"),
+          sum(expr("CAST(c1 + c2 AS DECIMAL(38,0)) * (c1 + c2) * (c1 + c2)" +
+            " - (c1 + c2)")).as("tie_t"))
+        .select($"n1", $"n2",
+          expr("CAST(r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)")
+            .as("u1_x2"),
+          expr("CAST(CAST(n1 AS DECIMAL(38,0)) * n2 * 2" +
+            " - (r1_x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS BIGINT)")
+            .as("u2_x2"),
+          $"tie_t".cast("long").as("tie_t"))
+    },
+    Some("""WITH mw_v AS (
+           |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+           |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS c1,
+           |         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS c2
+           |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+           |  GROUP BY 1),
+           |mw_r AS (
+           |  SELECT c1, c2,
+           |         coalesce(sum(c1 + c2) OVER (ORDER BY qty
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           * 2 + c1 + c2 + 1 AS r2
+           |  FROM mw_v),
+           |mw_s AS (
+           |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           |         CAST(sum(c2) AS BIGINT) AS n2,
+           |         CAST(sum(c1::HUGEINT * r2) AS HUGEINT) AS r1_x2,
+           |         CAST(sum((c1 + c2)::HUGEINT * (c1 + c2) * (c1 + c2)
+           |                  - (c1 + c2)) AS HUGEINT) AS tie_t
+           |  FROM mw_r)
+           |SELECT n1, n2,
+           |       CAST(r1_x2 - n1::HUGEINT * (n1 + 1) AS BIGINT) AS u1_x2,
+           |       CAST(n1::HUGEINT * n2 * 2
+           |            - (r1_x2 - n1::HUGEINT * (n1 + 1)) AS BIGINT) AS u2_x2,
+           |       CAST(tie_t AS BIGINT) AS tie_t
+           |FROM mw_s""".stripMargin),
+  )
+
+  // SPEARMAN RANK CORRELATION between the two daily series the events
+  // table carries (revenue = Σ value-cents, volume = event count):
+  // the monotone-association screen that survives outliers where
+  // qa_autocorrelation_lag's Pearson machinery would not. Corpus work
+  // is ONE per-day partial agg; ranking happens on the checkpointed
+  // ≤|days|-row artifact via the value-histogram device (group by
+  // value → cnt_lt/cnt_eq → doubled tie-mid rank), and the Pearson
+  // sums over doubled ranks reuse the exact-integer discipline of
+  // qa_autocorrelation_lag: signed squared rho in milli units,
+  // sign(cov)·cov²·1000 div (Vx·Vy), DECIMAL(38,0) throughout
+  // (doubled ranks ≤ 2·|days|, so n·Σr² ≤ |days|⁴·8 — overflow needs
+  // |days| > 10⁹, i.e. never for a daily series). Zero-variance
+  // (all-tied) series return NULL on both engines by the same
+  // explicit guard the autocorr entry carries.
+  private val spearmanCorr = Q(
+    "qa_spearman_corr",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byDay = Tables.events(s, d)
+        .select(expr(s"ts div $DayNs").as("day"), cents($"value").as("v"))
+        .groupBy($"day")
+        .agg(sum($"v").as("x"), count(lit(1)).as("y"))
+        .localCheckpoint() // ≤|days| rows; feeds both rank passes
+      def rank2(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame = {
+        val byVal = df.groupBy(col(c).as("val")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy($"val")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = byVal
+          .withColumn("cum_lt", coalesce(sum($"cnt").over(w), lit(0L)))
+          .select($"val", ($"cum_lt" * 2 + $"cnt" + 1).as(s"r_$c"))
+        // the rank table is ≤|days| rows — always the broadcast side
+        df.join(broadcast(ranks), col(c) === $"val").drop("val")
+      }
+      val ranked = rank2(rank2(byDay, "x"), "y")
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum($"r_x").as("sx"), sum($"r_y").as("sy"),
+          sum(expr("CAST(r_x AS DECIMAL(38,0)) * r_x")).as("sxx"),
+          sum(expr("CAST(r_y AS DECIMAL(38,0)) * r_y")).as("syy"),
+          sum(expr("CAST(r_x AS DECIMAL(38,0)) * r_y")).as("sxy"))
+        .select($"n".as("n_days"),
+          expr("CAST(CASE WHEN (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            "         * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy) = 0" +
+            " THEN NULL" +
+            " ELSE CASE WHEN n * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0" +
+            "           THEN -1 ELSE 1 END" +
+            "    * (((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)" +
+            "        * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000)" +
+            "       div ((n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)" +
+            "            * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)))" +
+            " END AS BIGINT)").as("rho2_milli"))
+    },
+    Some(s"""WITH sp_d AS (
+            |  SELECT epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |sp_g AS (SELECT day, CAST(sum(v) AS BIGINT) AS x,
+            |                CAST(count(*) AS BIGINT) AS y
+            |         FROM sp_d GROUP BY 1),
+            |sp_rx AS (
+            |  SELECT val, coalesce(sum(cnt) OVER (ORDER BY val
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |           * 2 + cnt + 1 AS r_x
+            |  FROM (SELECT x AS val, count(*) AS cnt FROM sp_g GROUP BY 1)),
+            |sp_ry AS (
+            |  SELECT val, coalesce(sum(cnt) OVER (ORDER BY val
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |           * 2 + cnt + 1 AS r_y
+            |  FROM (SELECT y AS val, count(*) AS cnt FROM sp_g GROUP BY 1)),
+            |sp_r AS (
+            |  SELECT r_x, r_y
+            |  FROM sp_g g JOIN sp_rx ON g.x = sp_rx.val
+            |              JOIN sp_ry ON g.y = sp_ry.val),
+            |sp_s AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n,
+            |         CAST(sum(r_x) AS BIGINT) AS sx,
+            |         CAST(sum(r_y) AS BIGINT) AS sy,
+            |         CAST(sum(r_x::HUGEINT * r_x) AS HUGEINT) AS sxx,
+            |         CAST(sum(r_y::HUGEINT * r_y) AS HUGEINT) AS syy,
+            |         CAST(sum(r_x::HUGEINT * r_y) AS HUGEINT) AS sxy
+            |  FROM sp_r)
+            |SELECT n AS n_days,
+            |       CAST(CASE WHEN (n * sxx - sx::HUGEINT * sx)
+            |                      * (n * syy - sy::HUGEINT * sy) = 0
+            |                 THEN NULL
+            |                 ELSE CASE WHEN n * sxy - sx::HUGEINT * sy < 0
+            |                           THEN -1 ELSE 1 END
+            |                    * (((n * sxy - sx::HUGEINT * sy)
+            |                        * (n * sxy - sx::HUGEINT * sy) * 1000)
+            |                       // ((n * sxx - sx::HUGEINT * sx)
+            |                          * (n * syy - sy::HUGEINT * sy)))
+            |            END AS BIGINT) AS rho2_milli
+            |FROM sp_s""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
@@ -2239,5 +2422,6 @@ object ExtraQueries {
     giniDiversity, exactMoments, skylinePareto, abTestGate, benford,
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
-    chi2Independence, theilSen, cramersV, autocorrLag, intervalCoverage)
+    chi2Independence, theilSen, cramersV, autocorrLag, intervalCoverage,
+    mannWhitney, spearmanCorr)
 }

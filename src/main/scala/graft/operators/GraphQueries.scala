@@ -1209,8 +1209,65 @@ object GraphQueries {
     },
   )
 
+  // EDGE TRIANGLE SUPPORT (the k-truss primitive): for every kept
+  // co-purchase edge, how many triangles contain it — i.e. how many
+  // common neighbors its endpoints share. support ≥ k−2 is exactly
+  // the survival test of the first k-truss peeling round, so the
+  // descending-cumulative histogram this emits is the k-truss
+  // UPPER-BOUND curve (first-round candidates per k; full peeling
+  // iterates the same primitive). Scale shape is gr_link_predict's
+  // wedge device: wedges are emitted IN-ROW from each middle node's
+  // ≤~20-element sorted neighbor list (never an adjacency self-join),
+  // counted per packed (a, c) key, then hash-joined back to the edge
+  // list; edges in no triangle keep support 0 via the left join. The
+  // output is a ≤~190-row histogram (support is capped by the top-10
+  // sparsification at ~2·cap per endpoint), one tiny window.
+  private val trussSupport = Q(
+    "gr_truss_support",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val kept = coPurchaseKept(s, d) // feeds adjacency + the edge leg
+      val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
+      val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
+      // wedge pairs (a < c around every middle) as one packed long key
+      // — same single-long shuffle as gr_link_predict, node ids ≪ 2³²
+      val wedges = nbrs
+        .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
+        .select(explode(expr(
+          """transform(slice(ns, i + 2, size(ns)),
+            |          c -> a * 4294967296L + c)""".stripMargin)).as("pk"))
+        .groupBy($"pk").agg(count(lit(1)).as("support"))
+      val perEdge = kept
+        .join(wedges, $"pk" === $"u" * 4294967296L + $"v", "left")
+        .select(coalesce($"support", lit(0L)).as("support"))
+      val w = Window.orderBy($"support".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perEdge.groupBy($"support").agg(count(lit(1)).as("n_edges"))
+        .withColumn("cum_edges_ge", sum($"n_edges").over(w))
+        .select($"support", $"n_edges", $"cum_edges_ge")
+        .orderBy($"support")
+    },
+    Some(s"""WITH $CoKeptCtes,
+            |adj AS (SELECT u, v FROM kept UNION ALL SELECT v, u FROM kept),
+            |wedge AS (
+            |  SELECT a.v AS a, b.v AS c, CAST(count(*) AS BIGINT) AS support
+            |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+            |  GROUP BY 1, 2),
+            |per_edge AS (
+            |  SELECT coalesce(w.support, 0) AS support
+            |  FROM kept e LEFT JOIN wedge w ON w.a = e.u AND w.c = e.v),
+            |hist AS (
+            |  SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+            |  FROM per_edge GROUP BY 1)
+            |SELECT support, n_edges,
+            |       CAST(sum(n_edges) OVER (ORDER BY support DESC
+            |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_edges_ge
+            |FROM hist ORDER BY support""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
       bfsHops, linkPredict, basketLift, hits, personalizedPagerank,
-      closeness, randomWalks, katz)
+      closeness, randomWalks, katz, trussSupport)
 }

@@ -302,6 +302,14 @@ object Multimodal {
     * At n = 500k that is 4×18 (4× fewer uniform collisions than the
     * default); by n ≈ 10^10 the cap 4×32 holds — the production
     * geometry round 6 measured candidates ∝ n at.
+    *
+    * ceil(log2(·)) is computed INTEGER-EXACT (smallest b with
+    * 2^b ≥ ceil(n/2), via numberOfLeadingZeros) rather than through
+    * doubles: float log ratios can flip ceil by one ULP exactly at
+    * power-of-two corpus sizes, and the DuckDB oracle replays this
+    * derivation as a pure threshold CASE ([[phashOracleBandsCte]]) —
+    * the two surfaces must agree at EVERY n, including the
+    * boundaries.
     */
   def phashGeometry(nDocs: Long): (Int, Int) = {
     val knobbed = sys.props.contains("graft.phash.bands") ||
@@ -310,11 +318,55 @@ object Multimodal {
       sys.env.contains("SPARK_GRAFT_PHASH_BITS")
     if (knobbed || nDocs <= 100000L) phashGeometry
     else {
-      val needed = math.ceil(
-        math.log(nDocs / 2.0) / math.log(2.0)).toInt
+      val half = (nDocs + 1) / 2 // ceil(n/2); n > 100000 so half >= 2
+      val needed = 64 - java.lang.Long.numberOfLeadingZeros(half - 1)
       val bits = math.min(32, math.max(16, needed + (needed & 1)))
       (4, bits)
     }
+  }
+
+  /** The band CTEs shared by the three pHash oracles (`ph_g`, `h`):
+    * replays [[phashGeometry]] + [[pHashBandValues]] in pure DuckDB
+    * SQL so the replay stays valid at ANY corpus size, not just below
+    * the 100k-doc fixture bound (round-8 residual). `bits` is derived
+    * from count(*) by the same integer thresholds the Scala side
+    * computes (even b suffices ⇔ n ≤ 2^(b+1)); band i is the
+    * MSB-first slice [i·bits, (i+1)·bits) of the 128-bit md5,
+    * extracted through a 64-bit hex window ending at the band's last
+    * nibble (UBIGINT — DuckDB has no hex→UINT128 cast; a band is
+    * ≤ 32 bits so a 64-bit window always contains it, and the
+    * repeat('0',16) pad keeps the window in-range for band 0). At
+    * bits = 16 this reduces bit-exactly to the historical
+    * substr(md5, 1+4i, 4) layout. Explicit SPARK_GRAFT_PHASH_* knobs
+    * still fork the surfaces — knobs are test-only probes.
+    */
+  def phashOracleBandsCte: String = {
+    def band(i: Int): String =
+      s"""CAST((CAST('0x' || substr(mm, ((${i + 1} * bits + 3) // 4) + 1, 16)
+         |           AS UBIGINT)
+         |      >> CAST(4 * ((${i + 1} * bits + 3) // 4) - ${i + 1} * bits
+         |              AS UBIGINT))
+         |     & ((1::UBIGINT << CAST(bits AS UBIGINT)) - 1)
+         |     AS BIGINT) AS b$i""".stripMargin
+    s"""ph_g AS (
+       |  SELECT CASE WHEN n <= 131072 THEN 16
+       |              WHEN n <= 524288 THEN 18
+       |              WHEN n <= 2097152 THEN 20
+       |              WHEN n <= 8388608 THEN 22
+       |              WHEN n <= 33554432 THEN 24
+       |              WHEN n <= 134217728 THEN 26
+       |              WHEN n <= 536870912 THEN 28
+       |              WHEN n <= 2147483648 THEN 30
+       |              ELSE 32 END AS bits
+       |  FROM (SELECT count(*) AS n FROM documents)),
+       |h AS (
+       |  SELECT doc_id,
+       |         ${band(0)},
+       |         ${band(1)},
+       |         ${band(2)},
+       |         ${band(3)}
+       |  FROM (SELECT doc_id, repeat('0', 16) || md5(text) AS mm
+       |        FROM documents), ph_g)""".stripMargin
   }
 
   /** Perceptual-hash band values at an arbitrary (bands × bits)
@@ -517,8 +569,9 @@ object MultimodalQueries {
     "mm_phash_neardup",
     (s, d) => {
       import s.implicits._
-      // geometry scales with the corpus (metadata-only count); knobs
-      // and every ≤100k-doc oracle fixture keep the 4×16 layout
+      // geometry scales with the corpus (metadata-only count); the
+      // oracle CTE derives the SAME bits from count(*), so the replay
+      // holds at any n; knobs keep the 4×16 default (test-only forks)
       val (nb, wb) = Multimodal.phashGeometry(Tables.documents(s, d).count())
       // narrow projection BEFORE the opaque mapPartitions so the scan
       // prunes to (doc_id, text) — typed MediaRow would drag `source`
@@ -557,13 +610,7 @@ object MultimodalQueries {
           ($"hamming" <= 3).as("is_near_dup"))
         .orderBy($"doc1", $"doc2")
     },
-    Some("""WITH h AS (
-           |  SELECT doc_id,
-           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
-           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
-           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
-           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
-           |  FROM documents)
+    Some(s"""WITH ${Multimodal.phashOracleBandsCte}
            |SELECT doc1, doc2, hamming, hamming <= 3 AS is_near_dup
            |FROM (
            |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -1005,12 +1052,11 @@ object MultimodalQueries {
   // table — no re-hash, no new pair generation — then rolls up into
   // a ≤ 65-row histogram with one tiny cumulative window. Candidate
   // volume scales exactly as the neardup entry's measured band law;
-  // the histogram itself is constant-size at any corpus. ORACLE
-  // CAVEAT (inherited from mm_phash_neardup, round-7 advice): the
-  // operator's band geometry adapts via Multimodal.phashGeometry(
-  // count), but this oracle hard-codes the 4×16 layout — it replays
-  // the operator only below the ~100k-doc fixture bound where that
-  // geometry is selected; above it the ScalaTest replay is the gate.
+  // the histogram itself is constant-size at any corpus. The oracle
+  // derives the SAME adaptive band geometry from count(*)
+  // (Multimodal.phashOracleBandsCte — round-9: the former ≤100k-doc
+  // 4×16 hard-coding is gone), so the replay holds at any corpus
+  // size; only explicit SPARK_GRAFT_PHASH_* knobs fork the surfaces.
   private val phashHammingHist = Q(
     "mm_phash_hamming_hist",
     (s, d) => {
@@ -1024,13 +1070,7 @@ object MultimodalQueries {
         .select($"hamming", $"n_pairs", $"cum_pairs")
         .orderBy($"hamming")
     },
-    Some("""WITH h AS (
-           |  SELECT doc_id,
-           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
-           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
-           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
-           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
-           |  FROM documents),
+    Some(s"""WITH ${Multimodal.phashOracleBandsCte},
            |ph_p AS (
            |  SELECT CAST(bit_count(xor(a.b0, b.b0)) +
            |              bit_count(xor(a.b1, b.b1)) +
@@ -1057,11 +1097,9 @@ object MultimodalQueries {
   // label-propagation as the text path (log-diameter rounds, one
   // checkpoint action per round); only docs in ≥ 1 near-dup pair
   // enter, mirroring the text clusters' contract.
-  // Oracle geometry caveat (inherited from mm_phash_neardup): the
-  // replay hard-codes the 4×16 band layout, valid for ≤ 100k-doc
-  // fixtures; above that the operator's adaptive geometry diverges
-  // from the CTE and the ScalaTest replay + decade probes are the
-  // gate.
+  // The oracle derives the adaptive band geometry from count(*)
+  // (Multimodal.phashOracleBandsCte), matching mm_phash_neardup — the
+  // round-7/8 ≤100k-doc 4×16 hard-coding caveat is closed.
   private val phashClusters = Q(
     "mm_phash_clusters",
     (s, d) => {
@@ -1106,13 +1144,7 @@ object MultimodalQueries {
           max(when($"node" === $"label", $"n_chars")).as("chars_kept"))
         .orderBy($"cluster_rep")
     },
-    Some("""WITH RECURSIVE h AS (
-           |  SELECT doc_id,
-           |         CAST('0x' || substr(md5(text), 1, 4) AS INT) AS b0,
-           |         CAST('0x' || substr(md5(text), 5, 4) AS INT) AS b1,
-           |         CAST('0x' || substr(md5(text), 9, 4) AS INT) AS b2,
-           |         CAST('0x' || substr(md5(text), 13, 4) AS INT) AS b3
-           |  FROM documents),
+    Some(s"""WITH RECURSIVE ${Multimodal.phashOracleBandsCte},
            |candidates AS (
            |  SELECT doc1, doc2 FROM (
            |    SELECT a.doc_id AS doc1, b.doc_id AS doc2,

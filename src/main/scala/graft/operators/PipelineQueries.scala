@@ -1132,8 +1132,77 @@ object PipelineQueries {
            |ORDER BY b.source""".stripMargin),
   )
 
+  // SMALL-FILE COMPACTION PLANNER — the lakehouse maintenance op every
+  // 100 TB table needs: pack each source's documents, in doc_id order,
+  // into ~64 KiB output bins (each doc lands in the bin where its
+  // running byte offset STARTS — the deterministic first-fit-by-offset
+  // contract), and report the per-bin manifest a rewrite job would
+  // execute. Sizes come from the n_chars METADATA column, so planning
+  // never scans text. The running offset is the td_concat_chunks
+  // two-phase prefix sum generalized to per-source series: phase 1
+  // computes (source, id-range) subtotals with one partial agg; their
+  // per-source exclusive prefix runs on the ≤ |sources|·P-row artifact
+  // (window per source, P rows each); phase 2 adds the in-range local
+  // prefix under a (source, rid) window — no global sort, no
+  // SinglePartition, every window per-key bounded. Bin assignment is
+  // pure integer division of the offset, replayed verbatim by the
+  // oracle's (small-data) single-window form.
+  private val compactionBins = Q(
+    "pipe_compaction_bins",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val Target = 65536L
+      val docs = Tables.documents(s, d)
+        .select($"source", $"doc_id", $"n_chars".cast("long").as("bytes"))
+      val P = math.max(8, docs.rdd.getNumPartitions)
+      val stats = docs.agg(
+        count(lit(1)), min($"doc_id").cast("long"), max($"doc_id").cast("long"))
+        .head()
+      val n = stats.getLong(0)
+      // doc_id·P/n is an order-respecting range partitioner only for
+      // dense 0..n-1 ids (same loud precondition as td_concat_chunks)
+      require(n > 0 && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+        s"pipe_compaction_bins requires dense doc ids 0..n-1; got n=$n, " +
+          s"min=${stats.get(1)}, max=${stats.get(2)}")
+      val ranged = docs
+        .withColumn("rid", ($"doc_id" * P / n).cast("int"))
+        .localCheckpoint() // feeds the subtotal pass + the main pass
+      val wOff = Window.partitionBy($"source").orderBy($"rid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy($"source", $"rid")
+        .agg(sum($"bytes").as("t"))
+        .withColumn("off", coalesce(sum($"t").over(wOff), lit(0L)))
+        .select($"source".as("o_source"), $"rid".as("o_rid"), $"off")
+      val wLoc = Window.partitionBy($"source", $"rid").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .withColumn("local_before", coalesce(sum($"bytes").over(wLoc), lit(0L)))
+        .join(broadcast(offsets),
+          $"source" === $"o_source" && $"rid" === $"o_rid")
+        .select($"source", $"bytes",
+          (($"off" + $"local_before") / Target).cast("long").as("bin"))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"bytes").as("bytes_total"))
+        .orderBy($"source", $"bin")
+    },
+    Some("""WITH c AS (
+           |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+           |         CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+           |           ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS cb
+           |  FROM documents)
+           |SELECT source, CAST(cb // 65536 AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(bytes) AS BIGINT) AS bytes_total
+           |FROM c
+           |GROUP BY 1, 2
+           |ORDER BY source, bin""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
-      csvFlatten, datasetCard)
+      csvFlatten, datasetCard, compactionBins)
 }

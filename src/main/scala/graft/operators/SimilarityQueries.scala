@@ -2215,11 +2215,97 @@ object SimilarityQueries {
     },
   )
 
+  // RECIPROCAL-RANK FUSION (Cormack et al. 2009) of two retrieval
+  // lists — the hybrid-search staple: fuse the LSH-bounded ANN top-3
+  // with the exact cosine top-3 per probe, score_ppm = Σ over lists
+  // containing the candidate of 1000000 div (60 + rank). Integer
+  // division keeps the fused score hash-gateable; the canonical
+  // k = 60 damping constant is the published default. Scale shape:
+  // both input rankings are per-probe ≤3-row artifacts (the ANN leg
+  // never leaves its bucket key; the exact leg streams candidates
+  // past the broadcast 10-probe panel), so the fusion join and the
+  // final rank window touch ≤ 60 rows regardless of corpus size.
+  private val rrfFusion = Q(
+    "sim_rrf_fusion",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.exprs.cosine_e9
+      val ann = lshAnn.fn(s, d) // (probe_id, rk, cand_id), rk <= 3
+      val emb = graft.util.Cols.fanout(Tables.embeddings(s, d))
+      val probes = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+      val exact3 = emb
+        .select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+        .crossJoin(broadcast(probes))
+        .filter($"cand_id" =!= $"probe_id")
+        .select($"probe_id", $"cand_id", cosine_e9($"pe", $"ce").as("c"))
+        .withColumn("xrk", row_number().over(
+          Window.partitionBy($"probe_id").orderBy($"c".desc, $"cand_id")))
+        .filter($"xrk" <= 3)
+        .select($"probe_id", $"cand_id", $"xrk")
+      val fused = ann.select($"probe_id", $"cand_id", $"rk")
+        .join(exact3, Seq("probe_id", "cand_id"), "full_outer")
+        .select($"probe_id", $"cand_id",
+          (coalesce(expr("1000000 div (60 + rk)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + xrk)"), lit(0L))).as("rrf_ppm"))
+      fused
+        .withColumn("frk", row_number().over(
+          Window.partitionBy($"probe_id").orderBy($"rrf_ppm".desc, $"cand_id")))
+        .filter($"frk" <= 3)
+        .select($"probe_id", $"frk", $"cand_id", $"rrf_ppm")
+        .orderBy($"probe_id", $"frk")
+    },
+    Some(s"""WITH $annOracleCtes,
+            |ann AS (
+            |  SELECT probe_id, cand_id, rk FROM ranked WHERE rk <= 3),
+            |xcand AS (
+            |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+            |         p.embedding AS pe, c.embedding AS ce
+            |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            |  WHERE p.vec_id < 10),
+            |xsums AS (
+            |  SELECT probe_id, cand_id,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS dot,
+            |         SUM(CAST(CAST(pe[k] AS DOUBLE) * CAST(pe[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS na,
+            |         SUM(CAST(CAST(ce[k] AS DOUBLE) * CAST(ce[k] AS DOUBLE)
+            |             AS DECIMAL(30,15))) AS nb
+            |  FROM xcand, range(1, 65) t(k)
+            |  GROUP BY probe_id, cand_id),
+            |xrank3 AS (
+            |  SELECT probe_id, cand_id, xrk FROM (
+            |    SELECT probe_id, cand_id,
+            |           row_number() OVER (
+            |             PARTITION BY probe_id
+            |             ORDER BY CAST(round(CAST(dot AS DOUBLE) /
+            |                      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1e9)
+            |                      AS BIGINT) DESC, cand_id) AS xrk
+            |    FROM xsums)
+            |  WHERE xrk <= 3),
+            |fused AS (
+            |  SELECT coalesce(a.probe_id, x.probe_id) AS probe_id,
+            |         coalesce(a.cand_id, x.cand_id) AS cand_id,
+            |         coalesce(1000000 // (60 + a.rk), 0)
+            |           + coalesce(1000000 // (60 + x.xrk), 0) AS rrf_ppm
+            |  FROM ann a FULL JOIN xrank3 x
+            |    ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id)
+            |SELECT probe_id, frk, cand_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+            |FROM (
+            |  SELECT probe_id, cand_id, rrf_ppm,
+            |         row_number() OVER (PARTITION BY probe_id
+            |           ORDER BY rrf_ppm DESC, cand_id) AS frk
+            |  FROM fused)
+            |WHERE frk <= 3
+            |ORDER BY probe_id, frk""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
       ivfProbe, pqTopK, pqTopKC16, ivfPqCompose, semDedup, hardNegatives,
       centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, ndcgEval, mmrSelect, knnGraph,
       knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset,
-      sqlSurfaceSimilarity)
+      sqlSurfaceSimilarity, rrfFusion)
 }

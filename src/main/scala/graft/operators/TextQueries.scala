@@ -2978,6 +2978,55 @@ object TextQueries {
             |LIMIT 50""".stripMargin),
   )
 
+  // MSTTR LEXICAL DIVERSITY (mean segmental type-token ratio,
+  // Johnson 1944) — the windowed diversity metric that, unlike
+  // ta_vocab_richness's corpus TTR, does not collapse as documents
+  // grow: split each document's whitespace tokens into consecutive
+  // 50-token segments, take the distinct-type ratio of every FULL
+  // segment, and average. Ratios stay integer end-to-end:
+  // segment TTR in ppm is distinct·20000 (= distinct·10⁶/50 exactly)
+  // and the document mean is one truncating div replayed on both
+  // engines. Scale shape: one bounded explode (corpus tokens), one
+  // (doc, segment) partial agg, one per-doc agg — no windows, no
+  // joins; everything is keyed by doc so the whole plan is two
+  // map-side-combining exchanges at any corpus size.
+  private val msttr = Q(
+    "ta_msttr_diversity",
+    (s, d) => {
+      import s.implicits._
+      val segs = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i", "tok")))
+        .select($"doc_id", ($"i" / 50).cast("long").as("seg"), $"tok")
+        .groupBy($"doc_id", $"seg")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct($"tok").as("n_types"))
+        .filter($"n_tok" === 50)
+      segs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum($"n_types" * 20000L).as("ttr_sum_ppm"))
+        .select($"doc_id", $"n_segs",
+          expr("ttr_sum_ppm div n_segs").as("msttr_ppm"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id,
+           |         (unnest(generate_series(1, len(string_split(text, ' '))))
+           |            - 1) // 50 AS seg,
+           |         unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |seg AS (
+           |  SELECT doc_id, seg,
+           |         CAST(count(*) AS BIGINT) AS n_tok,
+           |         CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+           |  FROM tok GROUP BY 1, 2
+           |  HAVING count(*) = 50)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_segs,
+           |       CAST(sum(n_types * 20000) // count(*) AS BIGINT) AS msttr_ppm
+           |FROM seg GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -2988,5 +3037,5 @@ object TextQueries {
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, zipfOctaves, burstiness, readabilityFk,
       burrowsDelta, vocabRichness, postingsVarint, uncertaintySample,
-      cooccurrenceLift)
+      cooccurrenceLift, msttr)
 }

@@ -703,6 +703,11 @@ class PlanBudgetSpec extends AnyFunSuite {
       // batch 4: katz's final plan joins checkpointed per-hop blocks;
       // frame dedup is one generator + one (doc)-window + one agg
       "gr_katz_centrality" -> 16, "mm_frame_dedup" -> 8,
+      // batch 5: interval coverage is ONE corpus scan → per-suppkey
+      // window (1 hash exchange) → two groupBys that reuse the same
+      // suppkey partitioning → final presentation sort. Anything
+      // beyond the suppkey partition + the sort is a regression.
+      "qa_interval_coverage" -> 6,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
@@ -760,6 +765,20 @@ class PlanBudgetSpec extends AnyFunSuite {
     }
     assert(ieSingles.isEmpty,
       s"inter-event quantiles has SinglePartition exchanges: $ieSingles")
+    // interval coverage: the merge window and both aggregates ride
+    // the ONE per-suppkey hash partition (never SinglePartition, no
+    // joins at all — any join node means the union-by-running-max
+    // device was replaced by a self-join interval overlap).
+    val icNodes = planOf("qa_interval_coverage")
+    val icSingles = icNodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+    assert(icSingles.isEmpty,
+      s"interval coverage has SinglePartition exchanges: $icSingles")
+    assert(!icNodes.exists(_.nodeName.contains("Join")),
+      "interval coverage grew a join; the running-max merge needs none")
   }
 
   test("round-8 multi-probe kNN graph keeps the bucket-key self-join") {
