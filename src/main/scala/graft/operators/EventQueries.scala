@@ -2521,6 +2521,72 @@ object EventQueries {
             |ORDER BY l.label_id""".stripMargin),
   )
 
+  // ATTRIBUTION-WINDOW SENSITIVITY — the sweep a marketing analyst
+  // runs before trusting any attribution number: how many
+  // (conversion, touch) pairs does each channel keep at a 1-day /
+  // 3-day / 7-day lookback, and how many conversions still have ANY
+  // in-window touch? One user-keyed pair join at the WIDEST window
+  // (the same bounded per-user join as ev_attribution_linear — the
+  // narrower windows are subsets, so the sweep is conditional sums
+  // over one pass, the td_threshold_sweep discipline, never three
+  // joins), then per-channel conditional counts plus a distinct-
+  // conversion rollup per window. All counts integer-exact.
+  private val attributionWindowSweep = Q(
+    "ev_attribution_window_sweep",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val conv = Tables.events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"))
+      val touch = Tables.events(s, d)
+        .filter($"event_type".isin("view", "click"))
+        .select($"user_id".as("tuid"), $"event_type".as("channel"),
+          $"ts".as("tts"))
+      conv.join(touch,
+          $"user_id" === $"tuid" && $"tts" < $"cts" &&
+            $"cts" - $"tts" <= 7 * DayNs)
+        .select($"channel", $"user_id", $"cid", ($"cts" - $"tts").as("dt"))
+        .groupBy($"channel")
+        .agg(
+          sum(when($"dt" <= DayNs, 1L).otherwise(0L)).as("pairs_1d"),
+          sum(when($"dt" <= 3 * DayNs, 1L).otherwise(0L)).as("pairs_3d"),
+          count(lit(1)).as("pairs_7d"),
+          countDistinct(when($"dt" <= DayNs,
+            concat($"user_id", lit(":"), $"cid"))).as("convs_1d"),
+          countDistinct(when($"dt" <= 3 * DayNs,
+            concat($"user_id", lit(":"), $"cid"))).as("convs_3d"),
+          countDistinct(concat($"user_id", lit(":"), $"cid")).as("convs_7d"))
+        .orderBy($"channel")
+    },
+    Some(s"""WITH aw_conv AS (
+            |  SELECT user_id, epoch_ns(ts) AS cts, event_id AS cid
+            |  FROM events WHERE event_type = 'purchase'),
+            |aw_touch AS (
+            |  SELECT user_id, event_type AS channel, epoch_ns(ts) AS tts
+            |  FROM events WHERE event_type IN ('view', 'click')),
+            |aw_p AS (
+            |  SELECT t.channel, c.user_id, c.cid, c.cts - t.tts AS dt
+            |  FROM aw_conv c JOIN aw_touch t
+            |    ON t.user_id = c.user_id AND t.tts < c.cts
+            |   AND c.cts - t.tts <= ${7L * 86400 * 1000 * 1000 * 1000})
+            |SELECT channel,
+            |       CAST(sum(CASE WHEN dt <= ${86400L * 1000 * 1000 * 1000}
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS pairs_1d,
+            |       CAST(sum(CASE WHEN dt <= ${3 * 86400L * 1000 * 1000 * 1000}
+            |                     THEN 1 ELSE 0 END) AS BIGINT) AS pairs_3d,
+            |       CAST(count(*) AS BIGINT) AS pairs_7d,
+            |       CAST(count(DISTINCT CASE WHEN dt <= ${86400L * 1000 * 1000 * 1000}
+            |                     THEN user_id || ':' || cid END) AS BIGINT)
+            |         AS convs_1d,
+            |       CAST(count(DISTINCT CASE WHEN dt <= ${3 * 86400L * 1000 * 1000 * 1000}
+            |                     THEN user_id || ':' || cid END) AS BIGINT)
+            |         AS convs_3d,
+            |       CAST(count(DISTINCT user_id || ':' || cid) AS BIGINT)
+            |         AS convs_7d
+            |FROM aw_p GROUP BY channel
+            |ORDER BY channel""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -2530,5 +2596,6 @@ object EventQueries {
       rateLimit, cohortLtv, activeUsers, ivmMerge, attributionLinear,
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
       hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition,
-      pitFeatures, markovStationary, interEventQuantiles, burstDetection)
+      pitFeatures, markovStationary, interEventQuantiles, burstDetection,
+      attributionWindowSweep)
 }

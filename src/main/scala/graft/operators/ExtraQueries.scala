@@ -2415,6 +2415,73 @@ object ExtraQueries {
             |FROM sp_s""".stripMargin),
   )
 
+  // TWO-PROPORTION z² (the conversion-rate A/B test) — the binary-
+  // outcome sibling of qa_ab_test_gate's mean test: does arm A
+  // (user_id % 2 = 0) convert (≥ 1 purchase event) at a different
+  // RATE than arm B? The pooled two-proportion z statistic squares to
+  // a pure integer expression — z² = (c_a·n_b − c_b·n_a)²·n div
+  // (n_a·n_b·c·(n−c)) with c = c_a+c_b, n = n_a+n_b — so the gate is
+  // exact where the textbook sqrt form could never hash-match. The
+  // division is STAGED (t = diff² div n_a·n_b first, then ·1000·n div
+  // c·(n−c)) and both engines replay the same staging; the stage
+  // keeps every intermediate under DECIMAL(38,0) up to n ≈ 10⁹ users
+  // per arm. Degenerate corpora (nobody or everybody converts, or an
+  // empty arm) return NULL via an explicit guard on both engines.
+  // Corpus work: one (user, arm) partial agg + one 2-row pivot.
+  private val twoProportionZ2 = Q(
+    "qa_two_proportion_z2",
+    (s, d) => {
+      import s.implicits._
+      val users = Tables.events(s, d)
+        .select($"user_id", ($"user_id" % 2).as("arm"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("conv"))
+        .groupBy($"user_id", $"arm").agg(max($"conv").as("conv"))
+      users.groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+        .agg(
+          max(when($"arm" === 0, $"n")).as("n_a"),
+          max(when($"arm" === 0, $"c")).as("c_a"),
+          max(when($"arm" === 1, $"n")).as("n_b"),
+          max(when($"arm" === 1, $"c")).as("c_b"))
+        .select($"n_a", $"c_a", $"n_b", $"c_b",
+          expr("CAST(CASE WHEN n_a IS NULL OR n_b IS NULL" +
+            " OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL" +
+            " ELSE ((CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)" +
+            "       * (CAST(c_a AS DECIMAL(38,0)) * n_b - CAST(c_b AS DECIMAL(38,0)) * n_a)" +
+            "       div (CAST(n_a AS DECIMAL(38,0)) * n_b))" +
+            "      * 1000 * (n_a + n_b)" +
+            "      div (CAST(c_a + c_b AS DECIMAL(38,0))" +
+            "           * (n_a + n_b - c_a - c_b))" +
+            " END AS BIGINT)").as("z2_milli"))
+    },
+    Some("""WITH zp_u AS (
+           |  SELECT user_id, user_id % 2 AS arm,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |           AS conv
+           |  FROM events GROUP BY 1, 2),
+           |zp_a AS (
+           |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(conv) AS BIGINT) AS c
+           |  FROM zp_u GROUP BY 1),
+           |zp_p AS (
+           |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+           |         max(CASE WHEN arm = 0 THEN c END) AS c_a,
+           |         max(CASE WHEN arm = 1 THEN n END) AS n_b,
+           |         max(CASE WHEN arm = 1 THEN c END) AS c_b
+           |  FROM zp_a)
+           |SELECT n_a, c_a, n_b, c_b,
+           |       CAST(CASE WHEN n_a IS NULL OR n_b IS NULL
+           |                 OR c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+           |            ELSE ((c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+           |                  * (c_a::HUGEINT * n_b - c_b::HUGEINT * n_a)
+           |                  // (n_a::HUGEINT * n_b))
+           |                 * 1000 * (n_a + n_b)
+           |                 // ((c_a + c_b)::HUGEINT
+           |                    * (n_a + n_b - c_a - c_b))
+           |            END AS BIGINT) AS z2_milli
+           |FROM zp_p""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
@@ -2423,5 +2490,5 @@ object ExtraQueries {
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
     chi2Independence, theilSen, cramersV, autocorrLag, intervalCoverage,
-    mannWhitney, spearmanCorr)
+    mannWhitney, spearmanCorr, twoProportionZ2)
 }

@@ -1087,8 +1087,135 @@ object GeoQueries {
             |ORDER BY cx, cy""".stripMargin),
   )
 
+  // 3×3 RING SMOOTHING over the density grid (the box-kernel
+  // convolution every heat-map / KDE-approximation layer runs before
+  // rendering): for each occupied cell, the point total and occupied-
+  // cell count of its 3×3 neighborhood, plus the box-smoothed density
+  // in centi-points (ring_total·100 div 9 — exact integers, so the
+  // surface hash-gates). The convolution is DONOR-SIDE: each occupied
+  // cell broadcasts its count to its 9 neighbor cells via a 9-row
+  // offsets cross (a constant fanout of the CELL table, which is
+  // already density-bounded — never a fanout of the point table), one
+  // partial agg re-keys the donations, and one hash join decorates the
+  // occupied cells — the same bounded-offsets discipline as
+  // geo_dbscan_core's 9-cell probe. Top-50 by smoothed mass is
+  // TakeOrderedAndProject.
+  private val gridRingSmooth = Q(
+    "geo_grid_ring_smooth",
+    (s, d) => {
+      import s.implicits._
+      val cells = SpatialGrid.pointsWithCell(s, d)
+        .groupBy($"c_layer", $"cx", $"cy")
+        .agg(count(lit(1)).as("n_points"))
+        .localCheckpoint() // feeds the donor explode + the decorate join
+      val offs9 = (for (dx <- -1L to 1L; dy <- -1L to 1L) yield (dx, dy))
+        .toDF("dx", "dy")
+      val ring = cells.crossJoin(broadcast(offs9))
+        .select($"c_layer".as("r_layer"), ($"cx" + $"dx").as("tx"),
+          ($"cy" + $"dy").as("ty"), $"n_points".as("donated"))
+        .groupBy($"r_layer", $"tx", $"ty")
+        .agg(sum($"donated").as("ring_total"),
+          count(lit(1)).as("n_ring_cells"))
+      cells
+        .join(ring,
+          $"c_layer" === $"r_layer" && $"cx" === $"tx" && $"cy" === $"ty")
+        .select($"c_layer", $"cx", $"cy", $"n_points",
+          $"ring_total", $"n_ring_cells",
+          expr("ring_total * 100 div 9").as("smooth_e2"))
+        .orderBy($"ring_total".desc, $"c_layer", $"cx", $"cy")
+        .limit(50)
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |rs_p AS (${SpatialGrid.ptsCellSql("customer")}),
+            |rs_c AS (
+            |  SELECT c_nationkey AS c_layer, cx, cy,
+            |         CAST(count(*) AS BIGINT) AS n_points
+            |  FROM rs_p GROUP BY 1, 2, 3),
+            |rs_r AS (
+            |  SELECT c_layer, cx + dx AS tx, cy + dy AS ty,
+            |         CAST(sum(n_points) AS BIGINT) AS ring_total,
+            |         CAST(count(*) AS BIGINT) AS n_ring_cells
+            |  FROM rs_c, range(-1, 2) a(dx), range(-1, 2) b(dy)
+            |  GROUP BY 1, 2, 3)
+            |SELECT c.c_layer, c.cx, c.cy, c.n_points,
+            |       r.ring_total, r.n_ring_cells,
+            |       r.ring_total * 100 // 9 AS smooth_e2
+            |FROM rs_c c JOIN rs_r r
+            |  ON c.c_layer = r.c_layer AND c.cx = r.tx AND c.cy = r.ty
+            |ORDER BY r.ring_total DESC, c.c_layer, c.cx, c.cy
+            |LIMIT 50""".stripMargin),
+  )
+
+  // PER-LAYER COVERAGE UNION AREA — the dissolve/union-area report a
+  // footprint QA pass runs (how much ground do the building polygons
+  // actually cover vs their summed areas — i.e. how much overlap):
+  // every rectangle has INTEGER corners and bounded extent (≤ 5×8),
+  // so the union area is EXACTLY the count of distinct unit cells the
+  // layer's rectangles cover — a ≤ 40-cell explode per rectangle, one
+  // distinct, one count, all integer-exact (the general polygon
+  // sweep-line is inherently sequential; unit-cell counting is the
+  // discretization that distributes, and here it is exact, not
+  // approximate, because corners are integral). overlap_ppm =
+  // (Σarea − union)·10⁶ div Σarea. Scale: the explode is a constant
+  // ≤ 40× fanout of the RECTANGLE table; the distinct shuffles on
+  // (layer, cell), the same key shape as the grid-density family.
+  private val unionArea = Q(
+    "geo_union_area",
+    (s, d) => {
+      import s.implicits._
+      val rects = SpatialGrid.rects(s, d)
+        .select($"p_layer",
+          $"x0".cast("long").as("x0"), $"y0".cast("long").as("y0"),
+          ($"x1".cast("long") - $"x0".cast("long")).as("w"),
+          ($"y1".cast("long") - $"y0".cast("long")).as("h"))
+      val cells = rects
+        .select($"p_layer", $"x0", $"y0", $"h",
+          explode(sequence(lit(0L), $"w" - 1)).as("i"))
+        .select($"p_layer", ($"x0" + $"i").as("cx"), $"y0",
+          explode(sequence(lit(0L), $"h" - 1)).as("j"))
+        .select($"p_layer", $"cx", ($"y0" + $"j").as("cy"))
+      val union = cells.distinct()
+        .groupBy($"p_layer").agg(count(lit(1)).as("union_area"))
+      rects.groupBy($"p_layer")
+        .agg(count(lit(1)).as("n_rects"), sum($"w" * $"h").as("sum_area"))
+        .join(union, Seq("p_layer"))
+        .select($"p_layer", $"n_rects", $"sum_area", $"union_area",
+          expr("(sum_area - union_area) * 1000000 div sum_area")
+            .as("overlap_ppm"))
+        .orderBy($"p_layer")
+    },
+    Some(s"""WITH ${SpatialGrid.gridSql("supplier")},
+            |ua_r AS (
+            |  SELECT s_nationkey AS p_layer,
+            |         CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0,
+            |         CAST(x1 AS BIGINT) - CAST(x0 AS BIGINT) AS w,
+            |         CAST(y1 AS BIGINT) - CAST(y0 AS BIGINT) AS h
+            |  FROM (${SpatialGrid.polysSql("supplier")})),
+            |ua_cell AS (
+            |  SELECT p_layer,
+            |         unnest(flatten(list_transform(range(0, w), dx ->
+            |           list_transform(range(0, h), dy ->
+            |             [x0 + dx, y0 + dy])))) AS cell
+            |  FROM ua_r),
+            |ua_c AS (
+            |  SELECT DISTINCT p_layer, cell[1] AS cx, cell[2] AS cy
+            |  FROM ua_cell),
+            |ua_u AS (
+            |  SELECT p_layer, CAST(count(*) AS BIGINT) AS union_area
+            |  FROM ua_c GROUP BY 1),
+            |ua_s AS (
+            |  SELECT p_layer, CAST(count(*) AS BIGINT) AS n_rects,
+            |         CAST(sum(w * h) AS BIGINT) AS sum_area
+            |  FROM ua_r GROUP BY 1)
+            |SELECT s.p_layer, s.n_rects, s.sum_area, u.union_area,
+            |       (s.sum_area - u.union_area) * 1000000 // s.sum_area
+            |         AS overlap_ppm
+            |FROM ua_s s JOIN ua_u u USING (p_layer)
+            |ORDER BY s.p_layer""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(j3Spatial, j3Outcomes, f3Md5Key, f4Base62, d2DedupHashId, sqlSurface,
       zorderCluster, knnRadius, polyAreaCentroid, gridDensity, dbscanCore,
-      quadtreeDensity, idwSurface)
+      quadtreeDensity, idwSurface, gridRingSmooth, unionArea)
 }

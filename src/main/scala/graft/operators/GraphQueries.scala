@@ -985,18 +985,28 @@ object GraphQueries {
 
   // CLOSENESS / HARMONIC CENTRALITY for a sampled landmark set (the
   // Eppstein–Wang shape: exact all-pairs closeness is O(|V|·|E|), so
-  // production systems measure a FIXED pivot sample). One LABELED
-  // multi-source BFS carries every landmark simultaneously:
-  // frontier rows are (seed, node, hops), per-round cost is one
-  // edge-join + per-seed dedup, bounded by |landmarks|·|V| total
-  // state — never |V|². The landmark count is CAPPED at
-  // CloLandmarks=16 (deterministic: lowest nation-0 supplier keys) —
-  // the whole point of landmark sampling is that the sample does NOT
-  // grow with the graph; the uncapped variant measured 5+ min at
-  // grow_sf1 (~400 seeds × 200k nodes of labeled frontier) before
-  // the cap, 4 landmark-bounded rounds after. Closeness =
-  // reached·10⁶ div Σhops and harmonic = Σ(10⁶ div hops) in integer
-  // micro-units, radius-limited to BfsRounds like the BFS query
+  // production systems measure a FIXED pivot sample). One BITMASK
+  // multi-source BFS carries every landmark simultaneously: the
+  // frontier is (node, fmask) with landmark i owning bit i (ascending
+  // seed order), so per-round state is ≤ |V| rows REGARDLESS of the
+  // landmark count — the round-8 labeled variant carried (seed, node)
+  // pairs, i.e. up to 16·|V| frontier rows plus a growing
+  // 17-frame visited union and a per-seed dedup every round; folding
+  // the labels into one long (the LPA-style fold) replaces all of
+  // that with one edge-join + one bit_or per round and an O(1)
+  // visited update (measured 4.7 s → 3.5 s at sf0.1; the remaining
+  // floor is the inherently sequential 4 rounds × 3 actions each, a
+  // fixed cost that shrinks relative to data at cluster scale, while
+  // the 16× frontier-state cut is what matters at 100 TB). The landmark
+  // count is CAPPED at CloLandmarks=16 (deterministic: lowest
+  // nation-0 supplier keys) — the whole point of landmark sampling is
+  // that the sample does NOT grow with the graph; the uncapped
+  // variant measured 5+ min at grow_sf1 before the cap. Per-round
+  // per-landmark REACH COUNTS (16 sums of bit extracts, one collected
+  // row a round — bounded driver state) are all the aggregation the
+  // output needs: closeness = reached·10⁶ div Σhops and harmonic =
+  // Σ(10⁶ div hops) in integer micro-units assemble from the 4×16
+  // count table, radius-limited to BfsRounds like the BFS query
   // (radius-limited closeness is the standard large-graph variant —
   // the full-radius value needs the graph diameter and is not
   // shard-boundable).
@@ -1011,37 +1021,62 @@ object GraphQueries {
         .localCheckpoint()
       val sym = edges
         .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      // ≤16 landmark ids — bounded driver state, bit i = i-th lowest
       val seeds = Tables.supplier(s, d)
         .filter($"s_nationkey" === 0)
         .select(($"s_suppkey" * 2 + 1).as("seed"))
         .orderBy($"seed").limit(CloLandmarks)
+        .collect().map(_.getLong(0)).sorted
+      val nSeeds = seeds.length
+      var visited = seeds.zipWithIndex
+        .map { case (n, i) => (n, 1L << i) }.toSeq.toDF("node", "vmask")
         .localCheckpoint()
-      var frontier = seeds
-        .select($"seed", $"seed".as("node"), lit(0).as("hops"))
-        .localCheckpoint()
-      var layers = List(frontier)
+      var frontier = visited.select($"node", $"vmask".as("fmask"))
+      // newly-reached node count per (round, landmark bit)
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       var round = 1
-      while (round <= BfsRounds && !frontier.isEmpty) {
-        val visited = layers.map(_.select($"seed", $"node")).reduce(_ unionByName _)
-        val next = sym
-          .join(frontier.select($"seed", $"node".as("fnode")), $"src" === $"fnode")
-          .select($"seed", $"dst".as("node")).distinct()
-          .join(visited, Seq("seed", "node"), "left_anti")
-          .withColumn("hops", lit(round))
-          .localCheckpoint()
-        layers ::= next
-        frontier = next
+      var frontierNonEmpty = true
+      while (round <= BfsRounds && frontierNonEmpty) {
+        val nbr = sym
+          .join(frontier, $"src" === $"node")
+          .groupBy($"dst").agg(expr("bit_or(fmask)").as("nmask"))
+        val newBits = nbr
+          .join(visited, nbr("dst") === visited("node"), "left")
+          .select(nbr("dst").as("node"),
+            expr("nmask & ~coalesce(vmask, 0L)").as("fmask"))
+          .filter($"fmask" =!= 0L)
+          .localCheckpoint() // feeds the count row, the visited merge,
+                             // and the next round's frontier
+        val cntRow = newBits.agg(
+          count(lit(1)).as("n"),
+          (0 until nSeeds).map(i =>
+            sum(expr(s"(fmask >> $i) & 1")).as(s"c$i")): _*).head()
+        frontierNonEmpty = cntRow.getLong(0) > 0
+        if (frontierNonEmpty) {
+          counts += Array.tabulate(nSeeds)(i => cntRow.getLong(i + 1))
+          visited = visited.as("v")
+            .join(newBits.as("nb"), $"v.node" === $"nb.node", "full_outer")
+            .select(
+              coalesce($"v.node", $"nb.node").as("node"),
+              expr("coalesce(v.vmask, 0L) | coalesce(nb.fmask, 0L)").as("vmask"))
+            .localCheckpoint()
+          frontier = newBits
+        }
         round += 1
       }
-      layers.reduce(_ unionByName _)
-        .filter($"hops" >= 1)
-        .groupBy($"seed")
-        .agg(
-          count(lit(1)).as("reached"),
-          sum($"hops".cast("long")).as("sum_hops"),
-          sum(expr("1000000 div hops").cast("long")).as("harmonic_e6"))
-        .withColumn("closeness_e6",
-          expr("(reached * CAST(1000000 AS BIGINT)) div sum_hops"))
+      // assemble the ≤16-row result from the (round, bit) count table
+      val rows = seeds.zipWithIndex.flatMap { case (seed, i) =>
+        val perRound = counts.zipWithIndex
+          .map { case (c, r) => (r + 1, c(i)) }.filter(_._2 > 0)
+        val reached = perRound.map(_._2).sum
+        if (reached == 0) None
+        else {
+          val sumHops = perRound.map { case (h, c) => h * c }.sum
+          val harmonic = perRound.map { case (h, c) => (1000000L / h) * c }.sum
+          Some((seed, reached, sumHops, harmonic, reached * 1000000L / sumHops))
+        }
+      }.toSeq
+      rows.toDF("seed", "reached", "sum_hops", "harmonic_e6", "closeness_e6")
         .orderBy($"seed")
     },
     Some(
@@ -1227,16 +1262,29 @@ object GraphQueries {
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val kept = coPurchaseKept(s, d) // feeds adjacency + the edge leg
+      val kept = coPurchaseKept(s, d) // feeds adjacency + both edge legs
       val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
       val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
       // wedge pairs (a < c around every middle) as one packed long key
-      // — same single-long shuffle as gr_link_predict, node ids ≪ 2³²
+      // (node ids ≪ 2³²), SEMI-JOINED against the edge-key set BEFORE
+      // any aggregation: the raw wedge stream is Σdeg² mostly-unique
+      // keys (21.5M at sf0.1 — grouping it first measured 12 s, the
+      // catalogue's most expensive entry), but only wedges that close
+      // into a kept edge can contribute support, and those are exactly
+      // 3·|triangles| rows. The semi join broadcasts the |E|-key edge
+      // list at fixture scale (AQE picks SMJ once |E| outgrows the
+      // threshold — correct either way), so the big stream is filtered
+      // map-side and only the triangle wedges ever shuffle (measured
+      // 12 s → ~3 s). gr_link_predict keeps the full-count layout
+      // because its output IS the non-edge pairs; here the edge filter
+      // commutes with the count.
+      val edgeKeys = kept.select(($"u" * 4294967296L + $"v").as("ek"))
       val wedges = nbrs
         .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
         .select(explode(expr(
           """transform(slice(ns, i + 2, size(ns)),
             |          c -> a * 4294967296L + c)""".stripMargin)).as("pk"))
+        .join(edgeKeys, $"pk" === $"ek", "left_semi")
         .groupBy($"pk").agg(count(lit(1)).as("support"))
       val perEdge = kept
         .join(wedges, $"pk" === $"u" * 4294967296L + $"v", "left")

@@ -3037,5 +3037,65 @@ object TextQueries {
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, zipfOctaves, burstiness, readabilityFk,
       burrowsDelta, vocabRichness, postingsVarint, uncertaintySample,
-      cooccurrenceLift, msttr)
+      cooccurrenceLift, msttr, sqlSurfaceText)
+
+  // SQL-TEXT SURFACE for the text-kernel family — the third member of
+  // the sql_surface_{spatial,similarity} series: the same registered
+  // codegen'd kernels (rolling_hash, winnow_fingerprints) called from
+  // `spark.sql` text the way a SQL-only user would, per document:
+  // the Karp–Rabin fingerprint plus the winnow-set size and minimum.
+  // Gated by the same recursive-CTE / list-comprehension oracle
+  // machinery as the DataFrame twins (ta_fingerprint,
+  // ta_winnow_fingerprint), so the two surfaces cannot drift. Scale
+  // shape: two per-row kernels + one doc-keyed partial agg + one
+  // equi join — linear, no windows.
+  private val sqlSurfaceText = Q(
+    "sql_surface_text",
+    (s, d) => {
+      graft.functions.exprs.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents")
+      s.sql(
+        """WITH fp AS (
+          |  SELECT doc_id,
+          |         explode(winnow_fingerprints(text, 3, 4)) AS f
+          |  FROM graft_documents),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_fps, min(f) AS min_fp
+          |  FROM fp GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |       rolling_hash(d.text) AS rh,
+          |       coalesce(a.n_fps, 0L) AS n_fps,
+          |       a.min_fp
+          |FROM graft_documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
+    },
+    Some("""WITH RECURSIVE roll AS (
+           |  SELECT doc_id, text, length(text) AS n, 0 AS i, 0::BIGINT AS h
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, text, n, i + 1,
+           |         (h * 31 + ord(substr(text, i + 1, 1))) % 2147483647
+           |  FROM roll WHERE i < n),
+           |rh AS (SELECT doc_id, h FROM roll WHERE i = n),
+           |g AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words,
+           |         len(string_split(text, ' ')) AS n
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 6),
+           |wh AS (
+           |  SELECT doc_id,
+           |         list_transform(range(1, n - 1), i ->
+           |           CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8) AS BIGINT)) AS grams
+           |  FROM g),
+           |wm AS (
+           |  SELECT doc_id,
+           |         list_distinct(list_transform(range(1, len(grams) - 2), j ->
+           |           list_min(grams[j:j+3]))) AS fps
+           |  FROM wh)
+           |SELECT r.doc_id, r.h AS rh,
+           |       CAST(coalesce(len(m.fps), 0) AS BIGINT) AS n_fps,
+           |       CAST(list_min(m.fps) AS BIGINT) AS min_fp
+           |FROM rh r LEFT JOIN wm m ON r.doc_id = m.doc_id
+           |ORDER BY r.doc_id""".stripMargin),
+  )
 }

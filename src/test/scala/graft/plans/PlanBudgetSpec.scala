@@ -781,6 +781,85 @@ class PlanBudgetSpec extends AnyFunSuite {
       "interval coverage grew a join; the running-max merge needs none")
   }
 
+  test("round-9 additions keep their scale shapes") {
+    // Exchange ceilings ~2x the measured sf0.001 counts
+    // (Round9PlanProbe). gr_closeness_centrality is absent: its final
+    // plan is the driver-assembled 16-row LocalTableScan (the bitmask
+    // BFS collects one bounded count row per round), pinned by the
+    // round-8 budget entry and the Round9OpsSpec naive-BFS replay.
+    val budgets = Seq(
+      "qa_mann_whitney_u" -> 4, "qa_spearman_corr" -> 18,
+      "gr_truss_support" -> 12, "sim_rrf_fusion" -> 20,
+      "pipe_compaction_bins" -> 12, "ta_msttr_diversity" -> 8,
+      "sql_surface_text" -> 6, "geo_grid_ring_smooth" -> 6,
+      "qa_two_proportion_z2" -> 6, "geo_union_area" -> 10,
+      "ev_attribution_window_sweep" -> 8,
+    )
+    for ((name, budget) <- budgets) {
+      val n = exchanges(planOf(name))
+      assert(n <= budget, s"$name plans $n exchanges, budget $budget")
+    }
+    // truss support: the wedge stream must be filtered by the packed
+    // edge key BEFORE aggregation (a nested loop or a lost pk key
+    // means the 21.5M-row wedge count came back — the 12 s shape)
+    val trussNodes = planOf("gr_truss_support")
+    assert(!trussNodes.exists(_.nodeName.contains("NestedLoop")),
+      "truss support planned a nested-loop join")
+    val trussJoins = trussNodes.filter(_.nodeName.contains("Join"))
+      .map(_.toString).mkString("\n")
+    assert(trussJoins.contains("pk"),
+      s"truss support joins lost the packed wedge key:\n$trussJoins")
+    // rrf fusion: only the 10-row probe-panel broadcast cross is a
+    // tolerated BNLJ; the fusion join itself must stay equi
+    val rrfNodes = planOf("sim_rrf_fusion")
+    assert(rrfNodes.count(_.nodeName.contains("NestedLoop")) <= 2,
+      "rrf fusion grew beyond its probe-panel broadcast cross")
+    // compaction bins: the two-phase prefix sum exists precisely to
+    // avoid a whole-data SinglePartition sort
+    for (name <- Seq("pipe_compaction_bins", "ta_msttr_diversity")) {
+      val singles = planOf(name).collect {
+        case s: ShuffleExchangeExec
+            if s.outputPartitioning ==
+              org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+      }
+      assert(singles.isEmpty, s"$name has SinglePartition exchanges: $singles")
+    }
+    // msttr: doc-keyed aggs only — a join here means the segment
+    // grouping was rewritten through a pair join
+    assert(!planOf("ta_msttr_diversity").exists(_.nodeName.contains("Join")),
+      "msttr grew a join; the per-doc segment agg needs none")
+    // ring smooth: the 9-row offsets cross must ride a broadcast
+    val ringNodes = planOf("geo_grid_ring_smooth")
+    assert(ringNodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "ring smooth lost its offsets broadcast")
+    assert(ringNodes.count(_.nodeName.contains("NestedLoop")) <= 1,
+      "ring smooth grew beyond the 9-row offsets cross")
+    // spearman: both rank tables are ≤|days|-row artifacts and must
+    // broadcast back to the day series
+    assert(planOf("qa_spearman_corr")
+      .count(_.isInstanceOf[BroadcastExchangeExec]) >= 2,
+      "spearman lost its broadcast rank tables")
+    // attribution sweep: the (conversion, touch) pair join must stay
+    // an equi join keyed on user_id (range residual) — a nested loop
+    // is the conversions × touches cross
+    val awNodes = planOf("ev_attribution_window_sweep")
+    assert(!awNodes.exists(_.nodeName.contains("NestedLoop")),
+      "attribution sweep pair join regressed to a nested loop")
+    val awJoins = awNodes.filter(_.nodeName.contains("Join"))
+      .map(_.toString).mkString("\n")
+    assert(awJoins.contains("user_id") || awJoins.contains("tuid"),
+      s"attribution sweep join lost its user key:\n$awJoins")
+    // union area: the distinct shuffles on (layer, cell) — never a
+    // whole-data SinglePartition
+    val uaSingles = planOf("geo_union_area").collect {
+      case s: ShuffleExchangeExec
+          if s.outputPartitioning ==
+            org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+    assert(uaSingles.isEmpty,
+      s"union area has SinglePartition exchanges: $uaSingles")
+  }
+
   test("round-8 multi-probe kNN graph keeps the bucket-key self-join") {
     // sim_knn_graph: the candidate join must stay an equi join ON THE
     // BUCKET key — multi-probe doubles the probe rows, it must never
