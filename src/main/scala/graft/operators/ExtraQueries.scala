@@ -2482,6 +2482,77 @@ object ExtraQueries {
            |FROM zp_p""".stripMargin),
   )
 
+  // KENDALL'S τ-b between the two daily series (revenue vs volume) —
+  // the third rank-association member beside qa_spearman_corr and
+  // qa_theil_sen_slope, and the one robust to BOTH outliers and ties:
+  // classify every day pair as concordant / discordant / x-tied /
+  // y-tied by pure sign comparisons (no ranks needed), then gate the
+  // SIGNED SQUARED τ-b in milli units — sign(C−D)·(C−D)²·1000 div
+  // ((n₀−n₁)(n₀−n₂)) with n₀ = all pairs, n₁/n₂ = x-/y-tied pairs —
+  // exact integers throughout (the qa_autocorrelation_lag discipline;
+  // the raw C/D/tie counts ship alongside for any-precision
+  // post-processing). Corpus work is ONE per-day partial agg; the
+  // day-pair join is the qa_theil_sen_slope broadcast shape (the
+  // ≤|days|-row artifact broadcasts against itself — |days|²/2 pairs
+  // of a bounded artifact, never corpus rows). All-tied series return
+  // NULL via the explicit zero-denominator guard on both engines.
+  private val kendallTau = Q(
+    "qa_kendall_tau",
+    (s, d) => {
+      import s.implicits._
+      val DayNs = 86400L * 1000 * 1000 * 1000
+      val byDay = Tables.events(s, d)
+        .select(expr(s"ts div $DayNs").as("day"), cents($"value").as("v"))
+        .groupBy($"day")
+        .agg(sum($"v").as("x"), count(lit(1)).as("y"))
+        .localCheckpoint() // feeds both legs of the pair join
+      byDay
+        .join(broadcast(byDay.select($"day".as("d2"), $"x".as("x2"),
+          $"y".as("y2"))), $"day" < $"d2")
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(when(($"x2" > $"x" && $"y2" > $"y") ||
+            ($"x2" < $"x" && $"y2" < $"y"), 1L).otherwise(0L)).as("c"),
+          sum(when(($"x2" > $"x" && $"y2" < $"y") ||
+            ($"x2" < $"x" && $"y2" > $"y"), 1L).otherwise(0L)).as("d"),
+          sum(when($"x2" === $"x", 1L).otherwise(0L)).as("ties_x"),
+          sum(when($"y2" === $"y", 1L).otherwise(0L)).as("ties_y"))
+        .select($"n0", $"c", $"d", $"ties_x", $"ties_y",
+          expr("CAST(CASE WHEN (n0 - ties_x) * (n0 - ties_y) = 0 THEN NULL" +
+            " ELSE CASE WHEN c < d THEN -1 ELSE 1 END" +
+            "    * (CAST(c - d AS DECIMAL(38,0)) * (c - d) * 1000" +
+            "       div (CAST(n0 - ties_x AS DECIMAL(38,0)) * (n0 - ties_y)))" +
+            " END AS BIGINT)").as("tau2_milli"))
+    },
+    Some(s"""WITH kt_d AS (
+            |  SELECT epoch_ns(ts) // ${86400L * 1000 * 1000 * 1000} AS day,
+            |         ${centsSql("value")} AS v
+            |  FROM events),
+            |kt_g AS (SELECT day, CAST(sum(v) AS BIGINT) AS x,
+            |                CAST(count(*) AS BIGINT) AS y
+            |         FROM kt_d GROUP BY 1),
+            |kt_p AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n0,
+            |         CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+            |                         OR (b.x < a.x AND b.y < a.y)
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            |         CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+            |                         OR (b.x < a.x AND b.y > a.y)
+            |                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+            |         CAST(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END)
+            |              AS BIGINT) AS ties_x,
+            |         CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END)
+            |              AS BIGINT) AS ties_y
+            |  FROM kt_g a JOIN kt_g b ON a.day < b.day)
+            |SELECT n0, c, d, ties_x, ties_y,
+            |       CAST(CASE WHEN (n0 - ties_x) * (n0 - ties_y) = 0 THEN NULL
+            |            ELSE CASE WHEN c < d THEN -1 ELSE 1 END
+            |               * ((c - d)::HUGEINT * (c - d) * 1000
+            |                  // ((n0 - ties_x)::HUGEINT * (n0 - ties_y)))
+            |            END AS BIGINT) AS tau2_milli
+            |FROM kt_p""".stripMargin),
+  )
+
   def all: Seq[Q] = Seq(setOps, unpivot, scalarSubquery, rangeJoin, profile,
     vocab, heavyHitters, windowVariants, fuzzy, normalize, recursiveCte,
     pivotOp, existsSubquery, lateralTopN, rangeFrame, asofJoin,
@@ -2490,5 +2561,5 @@ object ExtraQueries {
     cusumDrift, dataContract, freshnessLag, reconciliation,
     discountElasticity, kitagawa, shipLag, simpsonParadox, dowSeasonality,
     chi2Independence, theilSen, cramersV, autocorrLag, intervalCoverage,
-    mannWhitney, spearmanCorr, twoProportionZ2)
+    mannWhitney, spearmanCorr, twoProportionZ2, kendallTau)
 }

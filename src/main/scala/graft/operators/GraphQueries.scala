@@ -133,7 +133,13 @@ object GraphQueries {
       .filter($"rn" <= 10)
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .distinct()
-      .localCheckpoint()
+      // SERIALIZED blocks (the lpaLabels lesson): the default
+      // deserialized level unrolls ~7x the on-wire size, and at
+      // grow_sf10 the pinned storage starves the 32 concurrent sort
+      // tasks sharing the unified pool (measured UNABLE_TO_ACQUIRE_
+      // MEMORY in gr_truss_support's semi-join sorts before this)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** The matching DuckDB CTE chain, ending in `kept(u, v)`. */
@@ -1257,38 +1263,74 @@ object GraphQueries {
   // list; edges in no triangle keep support 0 via the left join. The
   // output is a ≤~190-row histogram (support is capped by the top-10
   // sparsification at ~2·cap per endpoint), one tiny window.
+  /** Per-edge triangle support over the top-10 co-purchase graph —
+    * shared by `gr_truss_support` and `gr_clustering_coeff`. Wedge
+    * pairs (a < c around every middle node) travel as one packed long
+    * key (node ids ≪ 2³²) and are SEMI-JOINED against the edge-key
+    * set BEFORE any aggregation: the raw wedge stream is Σdeg²
+    * mostly-unique keys (21.5M at sf0.1 — grouping it first measured
+    * 12 s), but only wedges that close into a kept edge can
+    * contribute support, and those are exactly 3·|triangles| rows
+    * (measured 12 s → ~4 s). The stream is repartitioned by the
+    * packed key at a DATA-PROPORTIONAL width first (Σdeg² is one
+    * aggregate over the checkpointed neighbor lists): without it the
+    * unsized semi-join sort at grow_sf10 (~2B wedge rows over 32
+    * tasks) ran each task's sort + spill read-ahead straight into
+    * heap OOM — the same ~250k-rows-per-task fair-share bound as
+    * gr_link_predict's pair aggregate, and the groupBy reuses the
+    * exchange so the shuffled bytes are paid once.
+    * gr_link_predict keeps its full-count layout because its output
+    * IS the non-edge pairs; here the edge filter commutes with the
+    * count. Returns kept edges decorated with support (0 when the
+    * edge closes no triangle).
+    */
+  private def edgeTriangleSupport(s: org.apache.spark.sql.SparkSession,
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
+    // serialized for the same pool-pressure reason as coPurchaseKept
+    val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
+      .localCheckpoint(true, // feeds the sizing row + the wedge emission
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val wedgeRow = nbrs.agg(
+      sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2")).head()
+    val wedges2 = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+    val pairParts = math.max(
+      s.sessionState.conf.numShufflePartitions,
+      math.min(65536, (wedges2 / 2 / 250000L).toInt + 1))
+    // BOTH semi-join legs are widened to pairParts — this is what
+    // actually sizes the join: EnsureRequirements plans the SMJ at
+    // the EDGE side's explicit pairParts width (a repartition on the
+    // wedge side alone gets pulled above the join and the SMJ falls
+    // back to the 32-partition default, whose 34M-row per-task sorts
+    // measurably exhausted the 8 g pool at grow_sf10). The wedge
+    // EMISSION is also widened (a trivial round-robin shuffle of the
+    // |V|-row neighbor lists): 32 fat map tasks writing the 1.1B-key
+    // shuffle each spilled dozens of sorted runs whose merge-phase
+    // read-ahead buffers alone exhausted the heap; at ~250k emitted
+    // rows per map task the shuffle write never spills.
+    val edgeKeys = kept.select(($"u" * 4294967296L + $"v").as("ek"))
+      .repartition(pairParts, $"ek")
+    val support = nbrs
+      .repartition(pairParts)
+      .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
+      .select(explode(expr(
+        """transform(slice(ns, i + 2, size(ns)),
+          |          c -> a * 4294967296L + c)""".stripMargin)).as("pk"))
+      .join(edgeKeys, $"pk" === $"ek", "left_semi")
+      .groupBy($"pk").agg(count(lit(1)).as("support"))
+    kept
+      .join(support, $"pk" === $"u" * 4294967296L + $"v", "left")
+      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
+  }
+
   private val trussSupport = Q(
     "gr_truss_support",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val kept = coPurchaseKept(s, d) // feeds adjacency + both edge legs
-      val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
-      val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
-      // wedge pairs (a < c around every middle) as one packed long key
-      // (node ids ≪ 2³²), SEMI-JOINED against the edge-key set BEFORE
-      // any aggregation: the raw wedge stream is Σdeg² mostly-unique
-      // keys (21.5M at sf0.1 — grouping it first measured 12 s, the
-      // catalogue's most expensive entry), but only wedges that close
-      // into a kept edge can contribute support, and those are exactly
-      // 3·|triangles| rows. The semi join broadcasts the |E|-key edge
-      // list at fixture scale (AQE picks SMJ once |E| outgrows the
-      // threshold — correct either way), so the big stream is filtered
-      // map-side and only the triangle wedges ever shuffle (measured
-      // 12 s → ~3 s). gr_link_predict keeps the full-count layout
-      // because its output IS the non-edge pairs; here the edge filter
-      // commutes with the count.
-      val edgeKeys = kept.select(($"u" * 4294967296L + $"v").as("ek"))
-      val wedges = nbrs
-        .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
-        .select(explode(expr(
-          """transform(slice(ns, i + 2, size(ns)),
-            |          c -> a * 4294967296L + c)""".stripMargin)).as("pk"))
-        .join(edgeKeys, $"pk" === $"ek", "left_semi")
-        .groupBy($"pk").agg(count(lit(1)).as("support"))
-      val perEdge = kept
-        .join(wedges, $"pk" === $"u" * 4294967296L + $"v", "left")
-        .select(coalesce($"support", lit(0L)).as("support"))
+      val perEdge = edgeTriangleSupport(s, coPurchaseKept(s, d))
+        .select($"support")
       val w = Window.orderBy($"support".desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perEdge.groupBy($"support").agg(count(lit(1)).as("n_edges"))
@@ -1314,8 +1356,62 @@ object GraphQueries {
             |FROM hist ORDER BY support""".stripMargin),
   )
 
+  // LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz 1998) — the "are my
+  // friends friends with each other" metric: per node,
+  // coeff = triangles(v) / (deg(v) choose 2), in exact ppm. Composes
+  // the truss machinery: per-edge triangle support (wedge stream
+  // semi-joined against the packed edge keys before counting — the
+  // gr_truss_support layout) explodes to both endpoints, and
+  // Σ_{e∋v} support(e) counts every triangle at v exactly twice, so
+  // coeff_ppm = Σsupport(v)·10⁶ div (deg(v)·(deg(v)−1)) with no
+  // /2 anywhere — integer-exact. Output: top-20 most-clustered
+  // nodes (deg ≥ 2; ties (coeff desc, node)) — TakeOrderedAndProject,
+  // never a global sort.
+  private val clusteringCoeff = Q(
+    "gr_clustering_coeff",
+    (s, d) => {
+      import s.implicits._
+      val kept = coPurchaseKept(s, d) // feeds adjacency, filter, decorate
+      val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
+      val perNode = edgeTriangleSupport(s, kept)
+        .select($"u", $"v", $"support".as("supp"))
+      val sumSupp = perNode.select($"u".as("node"), $"supp")
+        .unionByName(perNode.select($"v".as("node"), $"supp"))
+        .groupBy($"node").agg(sum($"supp").as("s2"))
+      val deg = adj.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+      deg.filter($"deg" >= 2)
+        .join(sumSupp, Seq("node"))
+        .select($"node", $"deg", $"s2",
+          expr("s2 * 1000000 div (deg * (deg - 1))").as("coeff_ppm"))
+        .orderBy($"coeff_ppm".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH $CoKeptCtes,
+            |cadj AS (SELECT u, v FROM kept UNION ALL SELECT v, u FROM kept),
+            |cwedge AS (
+            |  SELECT a.v AS a, b.v AS c, CAST(count(*) AS BIGINT) AS supp
+            |  FROM cadj a JOIN cadj b ON a.u = b.u AND a.v < b.v
+            |  GROUP BY 1, 2),
+            |cedge AS (
+            |  SELECT e.u, e.v, coalesce(w.supp, 0) AS supp
+            |  FROM kept e LEFT JOIN cwedge w ON w.a = e.u AND w.c = e.v),
+            |csum AS (
+            |  SELECT node, CAST(sum(supp) AS BIGINT) AS s2 FROM (
+            |    SELECT u AS node, supp FROM cedge
+            |    UNION ALL SELECT v, supp FROM cedge)
+            |  GROUP BY 1),
+            |cdeg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            |         FROM cadj GROUP BY 1)
+            |SELECT d.node, d.deg, s.s2,
+            |       s.s2 * 1000000 // (d.deg * (d.deg - 1)) AS coeff_ppm
+            |FROM cdeg d JOIN csum s USING (node)
+            |WHERE d.deg >= 2
+            |ORDER BY coeff_ppm DESC, node
+            |LIMIT 20""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(pagerank, triangles, labelProp, modularity, kcore, assortativity,
       bfsHops, linkPredict, basketLift, hits, personalizedPagerank,
-      closeness, randomWalks, katz, trussSupport)
+      closeness, randomWalks, katz, trussSupport, clusteringCoeff)
 }

@@ -268,6 +268,64 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("qa_kendall_tau: in-memory pair-classification replay") {
+    import spark.implicits._
+    val got = q("qa_kendall_tau").fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val byDay = graft.model.Tables.events(spark, sf)
+      .select($"ts", $"value").as[(Long, Double)].collect()
+      .groupBy(_._1 / DayNs).view
+      .mapValues(es => (es.map(e => cents(e._2)).sum, es.size.toLong))
+      .toSeq.sortBy(_._1).map(_._2)
+    val pairs = for {
+      i <- byDay.indices; j <- (i + 1) until byDay.size
+    } yield (byDay(i), byDay(j))
+    val n0 = pairs.size.toLong
+    val c = pairs.count { case ((x1, y1), (x2, y2)) =>
+      (x2 > x1 && y2 > y1) || (x2 < x1 && y2 < y1) }.toLong
+    val dd = pairs.count { case ((x1, y1), (x2, y2)) =>
+      (x2 > x1 && y2 < y1) || (x2 < x1 && y2 > y1) }.toLong
+    val tx = pairs.count { case ((x1, _), (x2, _)) => x1 == x2 }.toLong
+    val ty = pairs.count { case ((_, y1), (_, y2)) => y1 == y2 }.toLong
+    val denom = BigInt(n0 - tx) * (n0 - ty)
+    val expected =
+      if (denom == 0) None
+      else Some(((if (c < dd) -BigInt(1) else BigInt(1)) *
+        (BigInt(c - dd) * (c - dd) * 1000 / denom)).toLong)
+    assert(got == ((n0, c, dd, tx, ty, expected)))
+  }
+
+  test("gr_clustering_coeff: in-memory Watts-Strogatz replay") {
+    import spark.implicits._
+    val got = q("gr_clustering_coeff").fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // same kept-graph replay as the truss spec
+    val baskets = graft.model.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wts = baskets.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val symW = wts.toSeq.flatMap { case ((u, v), w) => Seq((u, v, w), (v, u, w)) }
+    val kept = symW.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (-e._3, e._2)).take(10)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    }.toSet
+    val adj = kept.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.toSeq
+      .filter(_._2.size >= 2)
+      .map { case (node, ns) =>
+        val s2 = ns.toSeq.map(v => (ns & adj(v)).size.toLong).sum
+        val deg = ns.size.toLong
+        (node, deg, s2, s2 * 1000000L / (deg * (deg - 1)))
+      }
+      .sortBy(e => (-e._4, e._1)).take(20)
+    assert(got == expected)
+  }
+
   test("gr_closeness_centrality: bitmask BFS equals naive per-seed BFS") {
     import spark.implicits._
     val got = q("gr_closeness_centrality").fn(spark, sf)

@@ -794,6 +794,10 @@ class PlanBudgetSpec extends AnyFunSuite {
       "sql_surface_text" -> 6, "geo_grid_ring_smooth" -> 6,
       "qa_two_proportion_z2" -> 6, "geo_union_area" -> 10,
       "ev_attribution_window_sweep" -> 8,
+      // kendall's one BNLJ is the broadcast day-artifact pair cross
+      // (same shape as theil-sen); clustering coeff rides the sized
+      // truss pipeline twice-decorated (node sums + degrees)
+      "qa_kendall_tau" -> 6, "gr_clustering_coeff" -> 26,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
@@ -849,6 +853,14 @@ class PlanBudgetSpec extends AnyFunSuite {
       .map(_.toString).mkString("\n")
     assert(awJoins.contains("user_id") || awJoins.contains("tuid"),
       s"attribution sweep join lost its user key:\n$awJoins")
+    // kendall: only the broadcast day-pair cross may be a BNLJ
+    assert(planOf("qa_kendall_tau")
+      .count(_.nodeName.contains("NestedLoop")) <= 1,
+      "kendall grew beyond its broadcast day-pair cross")
+    // clustering coeff: the wedge pipeline must stay nested-loop-free
+    assert(!planOf("gr_clustering_coeff")
+      .exists(_.nodeName.contains("NestedLoop")),
+      "clustering coeff planned a nested-loop join")
     // union area: the distinct shuffles on (layer, cell) — never a
     // whole-data SinglePartition
     val uaSingles = planOf("geo_union_area").collect {
