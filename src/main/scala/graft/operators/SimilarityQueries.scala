@@ -1066,78 +1066,102 @@ object SimilarityQueries {
   //      query literal on the 30 survivors → final top-10.
   // The oracle replays every stage: the LUT is exactly the query row's
   // own subspace-distance rows, so no separate LUT CTE is needed.
+  /** The PQ-ADC scoring chain shared by the `sim_pq_topk*` entries
+    * and `sim_pq_recall_eval`: returns every non-query row scored in
+    * the compressed domain — (vec_id, embedding, adc_e9) — plus the
+    * query vector. Codebook seed is the same stable-hash pick as the
+    * IVF centroids; codes are in-row argmins over the codegen'd
+    * sq_dist kernel, ADC is 4 LUT adds per row.
+    */
+  private def pqAdcScored(s: org.apache.spark.sql.SparkSession, d: String,
+      codes: Int): (org.apache.spark.sql.DataFrame, Array[Float]) = {
+    import s.implicits._
+    import graft.functions.exprs.sq_dist_e9
+    val M = 4; val SubDim = 16
+    val emb = Tables.embeddings(s, d)
+    // codebook seed: same stable-hash pick as the IVF centroids —
+    // positional index j = 0..codes-1 in (md5(vec_id), vec_id)
+    // order, which the oracle's row_number replays exactly
+    val cbRows = emb
+      .select($"vec_id", $"embedding",
+        md5($"vec_id".cast("string").cast("binary")).as("h"))
+      .orderBy($"h", $"vec_id").limit(codes)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cbRows.length == codes,
+      s"PQ codebook seed needs $codes vectors, corpus has ${cbRows.length}")
+    val codebook: Array[Array[Array[Float]]] =
+      Array.tabulate(M, codes)((m, j) =>
+        cbRows(j).slice(m * SubDim, (m + 1) * SubDim))
+    val qRows = emb.filter($"vec_id" === 0).select($"embedding").collect()
+    require(qRows.length == 1,
+      s"PQ query vector vec_id=0 missing or duplicated (${qRows.length} rows)")
+    val qe = qRows(0).getSeq[Float](0).toArray
+    val lut: Array[Array[Long]] = Array.tabulate(M, codes)((m, j) =>
+      graft.functions.VectorKernels.sqDistE9Arrays(qe, codebook(m)(j), m * SubDim))
+    def codeCol(m: Int) = array_min(array((0 until codes).map(j =>
+      struct(
+        sq_dist_e9($"embedding", typedLit(codebook(m)(j).toSeq), m * SubDim)
+          .as("d"),
+        lit(j).as("j"))): _*)).getField("j")
+    val adc = (0 until M).map(m =>
+      element_at(typedLit(lut(m).toSeq), codeCol(m) + 1)).reduce(_ + _)
+    val scored = graft.util.Cols.fanout(emb)
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding", adc.as("adc_e9"))
+    (scored, qe)
+  }
+
+  /** The matching oracle CTE chain, ending in `adc(vec_id, adc_e9)`
+    * (plus `q(qe)` for exact re-scoring) — shared by the
+    * `sim_pq_topk*` oracles and `sim_pq_recall_eval` so the replayed
+    * codebook/code/LUT derivation has one source of truth.
+    */
+  private def pqAdcCtes(codes: Int): String =
+    s"""cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+       |           AS j,
+       |         embedding
+       |  FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+       |        FROM embeddings ORDER BY h, vec_id LIMIT $codes)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sub AS (
+       |  SELECT e.vec_id, m.m, c.j,
+       |         CAST(round(SUM(CAST(
+       |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+       |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE)) *
+       |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
+       |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE))
+       |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS d_e9
+       |  FROM embeddings e CROSS JOIN cb c, range(0, 4) m(m),
+       |       range(1, 17) t(k)
+       |  GROUP BY e.vec_id, m.m, c.j),
+       |codes AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY d_e9, j) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |lut AS (SELECT m, j, d_e9 FROM sub WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT c.vec_id, CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+       |  GROUP BY c.vec_id)""".stripMargin
+
   private def pqTopKQ(name: String, codes: Int) = Q(
     name,
     (s, d) => {
       import s.implicits._
       import graft.functions.exprs.sq_dist_e9
-      val M = 4; val SubDim = 16; val ShortN = 30
-      val emb = Tables.embeddings(s, d)
-      // codebook seed: same stable-hash pick as the IVF centroids —
-      // positional index j = 0..codes-1 in (md5(vec_id), vec_id)
-      // order, which the oracle's row_number replays exactly
-      val cbRows = emb
-        .select($"vec_id", $"embedding",
-          md5($"vec_id".cast("string").cast("binary")).as("h"))
-        .orderBy($"h", $"vec_id").limit(codes)
-        .select($"embedding").collect()
-        .map(_.getSeq[Float](0).toArray)
-      require(cbRows.length == codes,
-        s"$name codebook seed needs $codes vectors, corpus has ${cbRows.length}")
-      val codebook: Array[Array[Array[Float]]] =
-        Array.tabulate(M, codes)((m, j) =>
-          cbRows(j).slice(m * SubDim, (m + 1) * SubDim))
-      val qRows = emb.filter($"vec_id" === 0).select($"embedding").collect()
-      require(qRows.length == 1,
-        s"$name query vector vec_id=0 missing or duplicated (${qRows.length} rows)")
-      val qe = qRows(0).getSeq[Float](0).toArray
-      val lut: Array[Array[Long]] = Array.tabulate(M, codes)((m, j) =>
-        graft.functions.VectorKernels.sqDistE9Arrays(qe, codebook(m)(j), m * SubDim))
-      def codeCol(m: Int) = array_min(array((0 until codes).map(j =>
-        struct(
-          sq_dist_e9($"embedding", typedLit(codebook(m)(j).toSeq), m * SubDim)
-            .as("d"),
-          lit(j).as("j"))): _*)).getField("j")
-      val adc = (0 until M).map(m =>
-        element_at(typedLit(lut(m).toSeq), codeCol(m) + 1)).reduce(_ + _)
-      graft.util.Cols.fanout(emb)
-        .filter($"vec_id" =!= 0)
-        .select($"vec_id", $"embedding", adc.as("adc_e9"))
+      val ShortN = 30
+      val (scored, qe) = pqAdcScored(s, d, codes)
+      scored
         .orderBy($"adc_e9", $"vec_id").limit(ShortN)
         .select($"vec_id", $"adc_e9",
           sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
         .orderBy($"dist_e9", $"vec_id").limit(10)
     },
-    Some(s"""WITH cb AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
-           |           AS j,
-           |         embedding
-           |  FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-           |        FROM embeddings ORDER BY h, vec_id LIMIT $codes)),""".stripMargin +
-      """
-           |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |sub AS (
-           |  SELECT e.vec_id, m.m, c.j,
-           |         CAST(round(SUM(CAST(
-           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
-           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE)) *
-           |             (CAST(e.embedding[16*m.m + t.k] AS DOUBLE) -
-           |              CAST(c.embedding[16*m.m + t.k] AS DOUBLE))
-           |             AS DECIMAL(30,15))) * 1000000000) AS BIGINT) AS d_e9
-           |  FROM embeddings e CROSS JOIN cb c, range(0, 4) m(m),
-           |       range(1, 17) t(k)
-           |  GROUP BY e.vec_id, m.m, c.j),
-           |codes AS (
-           |  SELECT vec_id, m, j FROM (
-           |    SELECT vec_id, m, j,
-           |           row_number() OVER (PARTITION BY vec_id, m
-           |                              ORDER BY d_e9, j) AS rn
-           |    FROM sub) WHERE rn = 1),
-           |lut AS (SELECT m, j, d_e9 FROM sub WHERE vec_id = 0),
-           |adc AS (
-           |  SELECT c.vec_id, CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
-           |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
-           |  GROUP BY c.vec_id),
+    Some(s"""WITH ${pqAdcCtes(codes)},
            |short AS (
            |  SELECT vec_id, adc_e9 FROM adc WHERE vec_id <> 0
            |  ORDER BY adc_e9, vec_id LIMIT 30),
@@ -1159,6 +1183,74 @@ object SimilarityQueries {
   private val pqTopK = pqTopKQ("sim_pq_topk", 8)
   // larger codebook proof that PQ encode/ADC/oracle are codes-generic
   private val pqTopKC16 = pqTopKQ("sim_pq_topk_c16", 16)
+
+  // PQ COMPRESSION-COST EVAL — what does searching in the compressed
+  // domain actually lose? recall@10 of the ADC-ONLY top-10 against
+  // the exact top-10 over the WHOLE corpus (not the shortlist — the
+  // question is what ADC ranks wrong, so ground truth must be global),
+  // plus how many exact-top-10 members the standard 30-deep re-rank
+  // shortlist retains — the number that tells an operator whether
+  // ShortN is deep enough. The sibling of sim_recall_mrr_eval (LSH)
+  // and sim_matryoshka_eval (prefix dims), completing the eval story
+  // for the third index family. One ADC scan + one exact scan, three
+  // TakeOrdered heaps, two ≤30-row semi joins — corpus touched twice,
+  // shuffled never.
+  private val pqRecallEval = Q(
+    "sim_pq_recall_eval",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.sq_dist_e9
+      val (scored, qe) = pqAdcScored(s, d, 8)
+      val scoredCp = scored.localCheckpoint() // feeds both ADC heaps
+      val adc10 = scoredCp.orderBy($"adc_e9", $"vec_id").limit(10)
+        .select($"vec_id")
+      val adc30 = scoredCp.orderBy($"adc_e9", $"vec_id").limit(30)
+        .select($"vec_id")
+      val exact10 = graft.util.Cols.fanout(Tables.embeddings(s, d))
+        .filter($"vec_id" =!= 0)
+        .select($"vec_id",
+          sq_dist_e9($"embedding", typedLit(qe.toSeq), 0).as("dist_e9"))
+        .orderBy($"dist_e9", $"vec_id").limit(10)
+        .select($"vec_id")
+        .localCheckpoint() // feeds both semi joins
+      val hits10 = adc10.join(exact10, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_at10"))
+      val hits30 = adc30.join(exact10, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_in_short30"))
+      hits10.crossJoin(broadcast(hits30))
+        .select($"hits_at10",
+          expr("hits_at10 * 10").as("recall_pct"),
+          $"exact_in_short30")
+    },
+    Some(s"""WITH ${pqAdcCtes(8)},
+            |pr_ad10 AS (
+            |  SELECT vec_id FROM adc WHERE vec_id <> 0
+            |  ORDER BY adc_e9, vec_id LIMIT 10),
+            |pr_ad30 AS (
+            |  SELECT vec_id FROM adc WHERE vec_id <> 0
+            |  ORDER BY adc_e9, vec_id LIMIT 30),
+            |pr_ex10 AS (
+            |  SELECT vec_id FROM (
+            |    SELECT e.vec_id,
+            |           CAST(round(SUM(CAST(
+            |               (CAST(e.embedding[t.k] AS DOUBLE) -
+            |                CAST(q.qe[t.k] AS DOUBLE)) *
+            |               (CAST(e.embedding[t.k] AS DOUBLE) -
+            |                CAST(q.qe[t.k] AS DOUBLE))
+            |               AS DECIMAL(30,15))) * 1000000000) AS BIGINT)
+            |             AS dist_e9
+            |    FROM embeddings e, q, range(1, 65) t(k)
+            |    WHERE e.vec_id <> 0
+            |    GROUP BY e.vec_id)
+            |  ORDER BY dist_e9, vec_id LIMIT 10)
+            |SELECT
+            |  CAST((SELECT count(*) FROM pr_ad10 JOIN pr_ex10 USING (vec_id))
+            |       AS BIGINT) AS hits_at10,
+            |  CAST((SELECT count(*) FROM pr_ad10 JOIN pr_ex10 USING (vec_id))
+            |       * 10 AS BIGINT) AS recall_pct,
+            |  CAST((SELECT count(*) FROM pr_ad30 JOIN pr_ex10 USING (vec_id))
+            |       AS BIGINT) AS exact_in_short30""".stripMargin),
+  )
 
   // IVF→PQ COMPOSED SEARCH (Jégou et al. TPAMI'11 §IV — IVFADC, the
   // production FAISS index shape): the coarse quantizer restricts the
@@ -2307,5 +2399,5 @@ object SimilarityQueries {
       centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, ndcgEval, mmrSelect, knnGraph,
       knnEdgeCoverage, embeddingDrift, matryoshkaEval, kcenterCoreset,
-      sqlSurfaceSimilarity, rrfFusion)
+      sqlSurfaceSimilarity, rrfFusion, pqRecallEval)
 }

@@ -43,7 +43,8 @@ object Round9PlanProbe {
       "gr_truss_support", "sim_rrf_fusion", "pipe_compaction_bins",
       "ta_msttr_diversity", "sql_surface_text", "geo_grid_ring_smooth",
       "gr_closeness_centrality", "qa_two_proportion_z2", "geo_union_area",
-      "ev_attribution_window_sweep", "qa_kendall_tau", "gr_clustering_coeff")
+      "ev_attribution_window_sweep", "qa_kendall_tau", "gr_clustering_coeff",
+      "sim_pq_recall_eval")
     for (n <- names) {
       val q = QueryCatalog.all.find(_.name == n).get
       val nodes = collectExec(q.fn(spark, sf).queryExecution.executedPlan)

@@ -17,6 +17,7 @@ object Round9Probe {
     "qa_two_proportion_z2", "ev_attribution_window_sweep",
     "gr_closeness_centrality", "mm_phash_neardup",
     "gr_link_predict", "gr_clustering_coeff", "qa_kendall_tau",
+    "sim_pq_recall_eval",
   )
 
   def main(args: Array[String]): Unit = {

@@ -326,6 +326,35 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("sim_pq_recall_eval: metric laws + independent exact-truth cross-check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.exprs.sq_dist_e9
+    val got = q("sim_pq_recall_eval").fn(spark, sf)
+      .as[(Long, Long, Long)].head()
+    val (hits10, recallPct, inShort30) = got
+    assert(hits10 >= 0 && hits10 <= 10)
+    assert(recallPct == hits10 * 10)
+    // the 30-deep shortlist can only retain MORE of the exact top-10
+    // than the ADC top-10 does
+    assert(inShort30 >= hits10 && inShort30 <= 10)
+    // independent exact top-10 via the gated kernel; the separately
+    // gated pq_topk output re-ranks WITHIN the same 30-deep shortlist,
+    // so every exact-top-10 member it surfaces must be counted by
+    // exact_in_short30
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val qe = emb.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    val exact10 = emb.filter($"vec_id" =!= 0)
+      .select($"vec_id", sq_dist_e9($"embedding", typedLit(qe), 0).as("d"))
+      .as[(Long, Long)].collect().sortBy(e => (e._2, e._1))
+      .take(10).map(_._1).toSet
+    val pqTop = q("sim_pq_topk").fn(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(inShort30 >= (pqTop & exact10).size,
+      "shortlist retention undercounts the exact members pq_topk surfaced")
+  }
+
   test("gr_closeness_centrality: bitmask BFS equals naive per-seed BFS") {
     import spark.implicits._
     val got = q("gr_closeness_centrality").fn(spark, sf)

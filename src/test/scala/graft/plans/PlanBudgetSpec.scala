@@ -798,6 +798,9 @@ class PlanBudgetSpec extends AnyFunSuite {
       // (same shape as theil-sen); clustering coeff rides the sized
       // truss pipeline twice-decorated (node sums + degrees)
       "qa_kendall_tau" -> 6, "gr_clustering_coeff" -> 26,
+      // pq recall eval: two TakeOrdered ADC heaps + one exact heap +
+      // two broadcast ≤30-row semi joins + the 1-row final cross
+      "sim_pq_recall_eval" -> 8,
     )
     for ((name, budget) <- budgets) {
       val n = exchanges(planOf(name))
