@@ -153,8 +153,13 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
+    // n_errors makes the tail-window artifact self-describing when
+    // queries fail: the top-40 map and family subtotals EXCLUDE
+    // errored entries, so without it a family whose queries all error
+    // silently vanishes from the subtotals and `value` undercounts.
+    val nErrors = results.count(_._4.isDefined)
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"n_queries":${results.size},"queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"n_queries":${results.size},"n_errors":$nErrors,"queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1168,6 +1168,23 @@ object GeoQueries {
           $"x0".cast("long").as("x0"), $"y0".cast("long").as("y0"),
           ($"x1".cast("long") - $"x0".cast("long")).as("w"),
           ($"y1".cast("long") - $"y0".cast("long")).as("h"))
+        .localCheckpoint() // feeds the guard row + both aggregate legs
+      // LOCAL guard (the invariant was non-local): SpatialGrid.rects
+      // happens to guarantee w >= 1, h >= 2 and <= 5x8 extents, but a
+      // degenerate w = 0 rect would fork the engines silently — Spark's
+      // sequence(0, -1) generates a DESCENDING [0, -1] while DuckDB's
+      // range(0, 0) is empty — and sum_area = 0 would divide by zero in
+      // overlap_ppm. The explode is also AREA-proportional (w·h rows
+      // per rect), so an unbounded extent is a scale hazard, not just a
+      // correctness one: fail loudly on both. The bound is generous
+      // (4096 cells = a 64x64 rect; fixtures are <= 40) — it exists to
+      // catch a rect SOURCE change, not to tune.
+      val g = rects.agg(min($"w"), min($"h"), max($"w" * $"h")).head()
+      require(!g.isNullAt(0) && g.getLong(0) >= 1L && g.getLong(1) >= 1L &&
+          g.getLong(2) <= 4096L,
+        s"geo_union_area requires non-degenerate bounded rects " +
+          s"(w >= 1, h >= 1, w*h <= 4096 cells); got min_w=${g.get(0)}, " +
+          s"min_h=${g.get(1)}, max_area=${g.get(2)}")
       val cells = rects
         .select($"p_layer", $"x0", $"y0", $"h",
           explode(sequence(lit(0L), $"w" - 1)).as("i"))

@@ -111,35 +111,113 @@ object GraphQueries {
   //      bounds every wedge list here).
   // The ORACLE generates pairs by the unblocked self-join — an
   // in-row emission bug is a hash mismatch, not a replayed agreement.
-  /** The top-10-sparsified co-purchase graph (parts sharing an order,
-    * each node keeping its 10 strongest edges, ties total-ordered) as
+  /** The top-k-sparsified co-purchase graph (parts sharing an order,
+    * each node keeping its k strongest edges, ties total-ordered) as
     * a checkpointed undirected edge list (u < v) — shared by the
-    * triangle count, modularity, and k-core entries. See the scale
+    * triangle count, modularity, k-core, assortativity, truss,
+    * clustering-coefficient and link-prediction entries (all at the
+    * default cap 10 except link-prediction's knob). See the scale
     * notes at `gr_triangle_count`.
+    *
+    * Round-10 layout: the CONSTRUCTION is sized from its own data the
+    * way the consumers already are. Baskets (distinct sorted part
+    * lists per order) checkpoint SERIALIZED once and feed both the
+    * sizing stats row and the pair emission; the pair stream travels
+    * as ONE packed 64-bit key (ids are guarded < 2³² by the same
+    * stats row) into a pair aggregate at a data-proportional width —
+    * Σ C(|basket|, 2) mostly-unique keys is exactly the bounded-hash-
+    * map shape that OOM'd LPA's vote count at a fixed 32 partitions —
+    * and the ranking window + the final dedup get data-derived widths
+    * too (2·pairs rows and ≤ 2·cap·|V| rows respectively; the
+    * round-9 truss lesson: an unsized sort at grown scale exhausts
+    * the pool on spill-merge read-ahead alone). AQE coalesces any
+    * over-provisioning, so generous widths cost scheduling only.
     */
   private def coPurchaseKept(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, cap: Int = 10): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val raw = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
-      .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
-      .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
-    val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
-    val sym = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
-    sym
-      .withColumn("rn",
-        row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-      .filter($"rn" <= 10)
+    def width(rows: Long): Int = math.max(
+      s.sessionState.conf.numShufflePartitions,
+      math.min(65536, (rows / 250000L).toInt + 1))
+    // PATH PICK from a metadata-cheap stat (the lpaLabels loop-shape
+    // rule): baskets are ≤ 7 items, so the pair stream is ≤ 3·|li|
+    // rows. When that bound still fits the default parallelism the
+    // round-9 lazy construction is kept verbatim — the sized path's
+    // extra basket materialization + stats action would cost ~1 s per
+    // consumer at catalogue sf for zero benefit.
+    val liRows = Tables.lineitem(s, d).count()
+    val sized = width(3L * liRows) > s.sessionState.conf.numShufflePartitions
+    val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val (ranked, distParts) =
+      if (!sized) {
+        val raw = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+          .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
+          .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
+        val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+        (wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v"))),
+          None)
+      } else {
+        // SIZED path: baskets checkpoint SERIALIZED once (they feed
+        // the exact sizing stats row AND the pair emission), the pair
+        // stream travels as ONE packed 64-bit key (ids guarded < 2³²
+        // by the same stats row) into a pair aggregate at a
+        // data-proportional width — Σ C(|basket|, 2) mostly-unique
+        // keys is the bounded-hash-map shape that OOM'd LPA's vote
+        // count at a fixed 32 partitions — and the emission + ranking
+        // window get data-derived widths too (the round-9 truss
+        // lesson: an unsized sort at grown scale exhausts the pool on
+        // spill-merge read-ahead alone). AQE coalesces any
+        // over-provisioning.
+        val baskets = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+          .select($"parts")
+          .localCheckpoint(true, serLevel)
+        val stat = baskets.agg(
+          sum(expr("size(parts) * CAST(size(parts) - 1 AS BIGINT)")).as("pairs2"),
+          max(expr("element_at(parts, -1)")).as("max_part")).head()
+        val pairs = if (stat.isNullAt(0)) 0L else stat.getLong(0) / 2
+        val maxPart = if (stat.isNullAt(1)) 0L
+          else stat.get(1).asInstanceOf[Number].longValue()
+        require(maxPart < 4294967296L,
+          s"coPurchaseKept packs (u, v) into one 64-bit key and requires " +
+            s"part ids < 2^32; got max part id $maxPart")
+        val wts = baskets
+          .repartition(width(pairs)) // ~250k emitted pair rows per map task
+          .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
+          .select(explode(expr(
+            """transform(slice(parts, i + 2, size(parts)),
+              |          v -> u * 4294967296L + v)""".stripMargin)).as("pk"))
+          .repartition(width(pairs), $"pk") // groupBy reuses this exchange
+          .groupBy($"pk").agg(count(lit(1)).as("w"))
+          .select(expr("pk div 4294967296L").as("u"),
+            expr("pk % 4294967296L").as("v"), $"w")
+        (wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
+          // the ranking window clusters by u — the explicit width
+          // satisfies its required distribution, no second exchange
+          .repartition(width(2 * pairs), $"u")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v"))),
+          // the dedup's ≤ 2·cap·|V| mostly-unique keys get the same
+          // bound (maxPart upper-bounds |V| for the dense part domain)
+          Some(width(2L * cap * math.max(1L, maxPart))))
+      }
+    val canon = ranked
+      .filter($"rn" <= cap)
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+    distParts.fold(canon)(p => canon.repartition(p, $"u", $"v"))
       .distinct()
       // SERIALIZED blocks (the lpaLabels lesson): the default
       // deserialized level unrolls ~7x the on-wire size, and at
       // grow_sf10 the pinned storage starves the 32 concurrent sort
       // tasks sharing the unified pool (measured UNABLE_TO_ACQUIRE_
       // MEMORY in gr_truss_support's semi-join sorts before this)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true, serLevel)
   }
 
   /** The matching DuckDB CTE chain, ending in `kept(u, v)`. */
@@ -378,21 +456,54 @@ object GraphQueries {
     "gr_modularity",
     (s, d) => {
       import s.implicits._
-      val kept = coPurchaseKept(s, d) // feeds sym/deg, LPA rounds, intra, m
+      val kept = coPurchaseKept(s, d) // feeds sym, LPA rounds, intra, m
       val m = kept.count()
-      val sym = kept.select($"u".as("src"), $"v".as("dst"))
+      // Round-10 (the round-9 verdict's #5): at grown scale the legs
+      // no longer re-derive sym/deg each.
+      //  1. votes group on (node, label) — ~2|E| mostly-unique keys a
+      //     round, the LPA OOM shape — so the vote shuffle is sized
+      //     from the just-counted m instead of the 32-partition
+      //     default (m is ≤ cap·|V| here, but the width rule must not
+      //     depend on that staying true);
+      //  2. sym checkpoints ONCE, pre-partitioned by dst (votesStep's
+      //     per-round join key), SERIALIZED — the three rounds reuse
+      //     the exchange instead of re-shuffling the adjacency;
+      //  3. ONE checkpointed degree artifact is shared by the label
+      //     seed (its node column — every node appears as src) and
+      //     the community roll-up, dropping the seed's own |E|-row
+      //     distinct and the roll-up's second degree pass.
+      val voteParts = math.max(
+        s.sessionState.conf.numShufflePartitions,
+        math.min(65536, (2L * m * 11L / 10L / 250000L).toInt + 1))
+      // same loop-shape rule as lpaLabels: the heavy artifacts only
+      // engage once the vote width outgrew the default parallelism —
+      // at catalogue sf the extra eager materializations cost more
+      // than the per-round re-shuffles they save (measured +2 s).
+      val robust = voteParts > s.sessionState.conf.numShufflePartitions
+      val symRaw = kept.select($"u".as("src"), $"v".as("dst"))
         .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
-      var labels = sym.select($"src".as("node")).distinct()
-        .withColumn("lbl", $"node")
+      val sym = if (!robust) symRaw
+        else symRaw.repartition(voteParts, $"dst")
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val deg0 = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val deg = if (!robust) deg0
+        else deg0.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // robust seed: the checkpointed degree artifact's node column is
+      // exactly the node set — the seed's own |E|-row distinct
+      // disappears, and rounds checkpoint so they never race each
+      // other's aggregates for the pool at grown scale
+      var labels = if (robust) deg.select($"node", $"node".as("lbl"))
+        else sym.select($"src".as("node")).distinct().withColumn("lbl", $"node")
       (1 to Iters).foreach { _ =>
-        labels = votesStep(sym, labels,
-          s.sessionState.conf.numShufflePartitions).drop("prev")
+        labels = votesStep(sym, labels, voteParts).drop("prev")
+        if (robust) labels = labels.localCheckpoint()
       }
       // checkpoint: the labels feed THREE consumers (two intra-join
       // legs + the community roll-up) — left as a plan the 3-round
       // LPA chain would re-execute per consumer
       val labelsCp = labels.localCheckpoint()
-      val deg = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val intra = kept
         .join(labelsCp.select($"node".as("u"), $"lbl".as("la")), "u")
         .join(labelsCp.select($"node".as("v"), $"lbl".as("lb")), "v")
@@ -693,19 +804,14 @@ object GraphQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val cap = linkPredictCap
-      val raw = Tables.lineitem(s, d)
-        .groupBy($"l_orderkey").agg(sort_array(collect_set($"l_partkey")).as("parts"))
-        .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
-        .select($"u", explode(expr("slice(parts, i + 2, size(parts))")).as("v"))
-      val wts = raw.groupBy($"u", $"v").agg(count(lit(1)).as("w"))
-      val symW = wts.unionByName(wts.select($"v".as("u"), $"u".as("v"), $"w"))
-      val kept = symW
-        .withColumn("rn",
-          row_number().over(Window.partitionBy($"u").orderBy($"w".desc, $"v")))
-        .filter($"rn" <= cap)
-        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-        .distinct()
-        .localCheckpoint() // feeds adjacency (2 legs), degrees, anti-join
+      // shared construction (round 10): the same basket → packed pair
+      // agg → ranking window chain as the triangle/truss family, with
+      // every stage's width derived from the basket stats — the
+      // cap-INDEPENDENT graph construction was the measured floor of
+      // the grown-scale cost (BASELINE.md round-7: 456 s at k=10 vs
+      // 260 s at k=5, residual = construction), and it ran its pair
+      // agg + ranking sort at the 32-partition default until now.
+      val kept = coPurchaseKept(s, d, cap) // feeds adj (2 legs), deg, anti-join
       val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
       // One groupBy on the MIDDLE node, then in-row pair emission from
       // the sorted neighbor list (the market-basket device): a wedge
@@ -717,7 +823,9 @@ object GraphQueries {
       // THREE consumers read it (pair emission + both degree legs);
       // left lazy, each degree leg re-runs the adjacency shuffle.
       val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
-        .localCheckpoint()
+        .localCheckpoint(true, // SERIALIZED: don't let the pinned lists
+          // starve the wedge agg's pool share at grown scale
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val deg = nbrs.select($"u".as("n"), size($"ns").cast("long").as("deg"))
       // The wedge volume is Σ deg² (21.5M at sf0.1 — the in-degree of
       // a popular node is NOT capped by the top-10 sparsification, so
@@ -728,8 +836,16 @@ object GraphQueries {
       // gives for free, so every task's map stays ~250k keys at any
       // scale and the groupBy reuses the exchange.
       val wedgeRow = nbrs.agg(
-        sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2")).head()
+        sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2"),
+        max(expr("element_at(ns, -1)")).as("max_node")).head()
       val wedges = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+      // same guard as edgeTriangleSupport: the packed pair/edge keys
+      // collide silently at node ids >= 2^32 — enforce, don't document
+      val maxNode = if (wedgeRow.isNullAt(1)) 0L
+        else wedgeRow.get(1).asInstanceOf[Number].longValue()
+      require(maxNode < 4294967296L,
+        s"gr_link_predict packs (a, c) into one 64-bit key and " +
+          s"requires node ids < 2^32; got max node id $maxNode")
       val pairParts = math.max(
         s.sessionState.conf.numShufflePartitions,
         math.min(65536, (wedges / 2 / 250000L).toInt + 1))
@@ -745,7 +861,14 @@ object GraphQueries {
       // volume, the packed order (cn DESC, pk) is exactly
       // (cn DESC, a, c) because the pack is lexicographic, and the
       // anti join compares one long. Endpoints unpack after the limit.
+      // BOTH anti-join legs widened to pairParts (the round-9 truss
+      // lesson: a single-side repartition gets pulled above the join
+      // and the join plans its own default-width exchange), and the
+      // wedge EMISSION widened too — 32 fat map tasks writing the
+      // grown wedge shuffle spill dozens of sorted runs whose
+      // merge-phase read-ahead buffers alone exhaust the heap.
       val top = nbrs
+        .repartition(pairParts) // ~250k emitted wedge rows per map task
         .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
         .select(expr(
           """transform(slice(ns, i + 2, size(ns)),
@@ -753,7 +876,8 @@ object GraphQueries {
         .select(explode($"pks").as("pk"))
         .repartition(pairParts, $"pk")
         .groupBy($"pk").agg(count(lit(1)).as("cn"))
-        .join(kept.select(($"u" * 4294967296L + $"v").as("kpk")),
+        .join(kept.select(($"u" * 4294967296L + $"v").as("kpk"))
+          .repartition(pairParts, $"kpk"),
           $"pk" === $"kpk", "left_anti")
         .orderBy($"cn".desc, $"pk").limit(100)
         .select(expr("pk div 4294967296L").as("a"),
@@ -1199,28 +1323,56 @@ object GraphQueries {
     "gr_katz_centrality",
     (s, d) => {
       import s.implicits._
+      // ROUND-10 layout (the round-8/9 carried ask — 160 s at
+      // grow_sf10 was dominated by re-shuffling the 100M-row sym edge
+      // list on src EVERY hop plus a per-hop katzSum join chain):
+      //  1. sym checkpoints ONCE, pre-partitioned by src at a
+      //     data-proportional width (localCheckpoint preserves the
+      //     physical partitioning) — each hop's join then shuffles
+      //     only the |V|-row x side, never the edges;
+      //  2. the x side carries a shuffle_hash hint, so the hop join
+      //     builds a bounded per-partition map on the small side and
+      //     STREAMS the edges — no per-hop sort of |E| rows;
+      //  3. the running katz sum rides the hop aggregate via self-vote
+      //     rows (the votesStep `prev` device): only the self row
+      //     carries the previous katz, max() recovers it per node, so
+      //     the |V|-to-|V| sum join chain disappears entirely.
+      // Width: lineitem's row count (a metadata-cheap upper bound on
+      // the distinct edge count) sizes the edge shuffle; AQE coalesces
+      // the over-provisioning at small sf.
+      val liRows = Tables.lineitem(s, d).count()
+      val symParts = math.max(
+        s.sessionState.conf.numShufflePartitions,
+        math.min(65536, (2L * liRows / 250000L).toInt + 1))
       val edges = Tables.lineitem(s, d)
         .select(($"l_partkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
-        .localCheckpoint()
       val sym = edges
         .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
-      var x = sym.select($"src".as("node")).distinct()
-        .withColumn("xv", lit(1000000L))
+        .repartition(symParts, $"src")
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // x0: every node, xv = 1e6 micro-units, katz = 0. The distinct
+      // on src reuses the checkpoint's src partitioning (no shuffle).
+      var frame = sym.select($"src".as("node")).distinct()
+        .select($"node", lit(1000000L).as("xv"), lit(0L).as("katz"))
         .localCheckpoint()
-      var katzSum = x.select($"node", lit(0L).as("katz"))
       for (_ <- 1 to KatzHops) {
-        x = sym
-          .join(x.select($"node".as("u"), $"xv"), $"src" === $"u")
-          .groupBy($"dst".as("node"))
-          .agg(sum(expr("xv div 10")).as("xv"))
+        val contrib = sym
+          .join(frame.select($"node".as("u"), $"xv").hint("shuffle_hash"),
+            $"src" === $"u")
+          .select($"dst".as("node"), expr("xv div 10").as("c"),
+            lit(null).cast("long").as("kprev"))
+        val self = frame.select($"node", lit(null).cast("long").as("c"),
+          $"katz".as("kprev"))
+        frame = contrib.unionByName(self)
+          .groupBy($"node")
+          .agg(sum($"c").as("xv"), max($"kprev").as("kprev"))
+          .select($"node", $"xv",
+            (coalesce($"kprev", lit(0L)) + coalesce($"xv", lit(0L))).as("katz"))
           .localCheckpoint()
-        katzSum = katzSum
-          .join(x.select($"node", $"xv"), Seq("node"), "left")
-          .select($"node",
-            ($"katz" + coalesce($"xv", lit(0L))).as("katz"))
       }
-      katzSum.orderBy($"katz".desc, $"node").limit(20)
+      frame.select($"node", $"katz").orderBy($"katz".desc, $"node").limit(20)
     },
     Some {
       def hop(prev: String, out: String) =
@@ -1293,8 +1445,21 @@ object GraphQueries {
       .localCheckpoint(true, // feeds the sizing row + the wedge emission
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wedgeRow = nbrs.agg(
-      sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2")).head()
+      sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2"),
+      max(expr("element_at(ns, -1)")).as("max_node")).head()
     val wedges2 = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+    // The packed u·2³²+v wedge/edge keys collide silently if any node
+    // id reaches 2³² (partkeys > 2³¹ under a doubled-id scheme) —
+    // enforce the documented "node ids ≪ 2³²" instead of assuming it.
+    // Free: rides the sizing aggregate over the checkpointed neighbor
+    // lists (ns is sorted ascending, so element_at(ns, -1) is the max
+    // neighbor, and every node of the symmetrized graph appears as a
+    // neighbor).
+    val maxNode = if (wedgeRow.isNullAt(1)) 0L
+      else wedgeRow.get(1).asInstanceOf[Number].longValue()
+    require(maxNode < 4294967296L,
+      s"edgeTriangleSupport packs (u, v) into one 64-bit key and " +
+        s"requires node ids < 2^32; got max node id $maxNode")
     val pairParts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(65536, (wedges2 / 2 / 250000L).toInt + 1))

@@ -1157,14 +1157,22 @@ object PipelineQueries {
         .select($"source", $"doc_id", $"n_chars".cast("long").as("bytes"))
       val P = math.max(8, docs.rdd.getNumPartitions)
       val stats = docs.agg(
-        count(lit(1)), min($"doc_id").cast("long"), max($"doc_id").cast("long"))
+        count(lit(1)), min($"doc_id").cast("long"), max($"doc_id").cast("long"),
+        countDistinct($"doc_id"))
         .head()
       val n = stats.getLong(0)
       // doc_id·P/n is an order-respecting range partitioner only for
-      // dense 0..n-1 ids (same loud precondition as td_concat_chunks)
-      require(n > 0 && stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
-        s"pipe_compaction_bins requires dense doc ids 0..n-1; got n=$n, " +
-          s"min=${stats.get(1)}, max=${stats.get(2)}")
+      // dense 0..n-1 ids (same loud precondition as td_concat_chunks).
+      // count+min+max alone admit a multiset like {0,1,1,3} — and
+      // duplicate doc_ids also make the (source, rid) window order
+      // nondeterministic — so DISTINCTNESS is asserted in the same
+      // stats row: countDistinct == n together with min=0/max=n-1
+      // pins true denseness.
+      require(n > 0 && stats.getLong(1) == 0L && stats.getLong(2) == n - 1 &&
+          stats.getLong(3) == n,
+        s"pipe_compaction_bins requires dense DISTINCT doc ids 0..n-1; " +
+          s"got n=$n, min=${stats.get(1)}, max=${stats.get(2)}, " +
+          s"distinct=${stats.get(3)}")
       val ranged = docs
         .withColumn("rid", ($"doc_id" * P / n).cast("int"))
         .localCheckpoint() // feeds the subtotal pass + the main pass
