@@ -356,6 +356,16 @@ object EventQueries {
       Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else None
 
+  /** Evidence surface for the grow-scale re-probe (round-8 ask #6):
+    * the provider the LAST gate body actually ran under — the
+    * data-proportional default, or the SPARK_GRAFT_STREAM_CONF
+    * override if one replaced it — so a probe can assert RocksDB
+    * engaged INSIDE the real gate path rather than inferring it from
+    * the fixture size alone. (None = Spark's built-in default, i.e.
+    * the HDFS-backed provider.)
+    */
+  @volatile private[graft] var lastGateProvider: Option[String] = None
+
   private[operators] def withStreamGateConfs[T](
       s: org.apache.spark.sql.SparkSession,
       noDataBatches: Boolean = false,
@@ -384,6 +394,7 @@ object EventQueries {
     gateProvider(bytes).foreach(s.conf.set(provKey, _))
     extra.foreach { case (k, v) => s.conf.set(k, v) }
     ckRoot.foreach(p => s.conf.set(ckKey, p.toString))
+    lastGateProvider = s.conf.getOption(provKey)
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
