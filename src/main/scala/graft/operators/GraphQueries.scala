@@ -299,6 +299,10 @@ object GraphQueries {
   private def votesStep(sym: org.apache.spark.sql.DataFrame,
       labels: org.apache.spark.sql.DataFrame,
       voteParts: Int): org.apache.spark.sql.DataFrame = {
+    // (Round-10 measured NON-change: a shuffle_hash hint on the labels
+    // side — the katz device — was tried and reverted: 28.3 s vs
+    // 23.2 s at grow_sf1, 6.16 vs 5.86 at sf0.1. The vote aggregate,
+    // not the join sort, is this kernel's cost.)
     val nbr = sym.join(labels, col("dst") === col("node"))
       .select(col("src").as("v"), col("lbl"),
         lit(null).cast("long").as("self"))
