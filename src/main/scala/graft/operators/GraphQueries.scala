@@ -1420,45 +1420,60 @@ object GraphQueries {
   // output is a ≤~190-row histogram (support is capped by the top-10
   // sparsification at ~2·cap per endpoint), one tiny window.
   /** Per-edge triangle support over the top-10 co-purchase graph —
-    * shared by `gr_truss_support` and `gr_clustering_coeff`. Wedge
-    * pairs (a < c around every middle node) travel as one packed long
-    * key (node ids ≪ 2³²) and are SEMI-JOINED against the edge-key
-    * set BEFORE any aggregation: the raw wedge stream is Σdeg²
-    * mostly-unique keys (21.5M at sf0.1 — grouping it first measured
-    * 12 s), but only wedges that close into a kept edge can
-    * contribute support, and those are exactly 3·|triangles| rows
-    * (measured 12 s → ~4 s). The stream is repartitioned by the
-    * packed key at a DATA-PROPORTIONAL width first (Σdeg² is one
-    * aggregate over the checkpointed neighbor lists): without it the
-    * unsized semi-join sort at grow_sf10 (~2B wedge rows over 32
-    * tasks) ran each task's sort + spill read-ahead straight into
-    * heap OOM — the same ~250k-rows-per-task fair-share bound as
-    * gr_link_predict's pair aggregate, and the groupBy reuses the
-    * exchange so the shuffled bytes are paid once.
-    * gr_link_predict keeps its full-count layout because its output
-    * IS the non-edge pairs; here the edge filter commutes with the
-    * count. Returns kept edges decorated with support (0 when the
+    * shared by `gr_truss_support` and `gr_clustering_coeff`. Round-10
+    * layout: DEGREE-ORIENTED enumeration — wedges are emitted only
+    * from each node's HIGHER-(deg, id) out-list, so the stream is
+    * Σ outdeg² (arboricity-bounded) instead of the unoriented Σ deg²
+    * whose uncapped in-degree hub tail ran to ~2B rows at grow_sf10;
+    * each triangle is found exactly once at its unique apex and
+    * credits its three edges (3·|triangles| rows). The packed-long
+    * wedge keys are still SEMI-JOINED against the edge-key set BEFORE
+    * any aggregation, both legs and the emission repartitioned at the
+    * Σ outdeg²-derived width (the round-9 OOM lessons, kept).
+    * gr_link_predict keeps its full-count UNORIENTED layout because
+    * its output IS the non-edge pairs — orientation only helps when
+    * the closing-edge filter commutes with the count, as it does
+    * here. Returns kept edges decorated with support (0 when the
     * edge closes no triangle).
     */
   private def edgeTriangleSupport(s: org.apache.spark.sql.SparkSession,
       kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
+    // ROUND-10: DEGREE-ORIENTED wedge enumeration (the arboricity
+    // bound every serious distributed triangle counter uses — orient
+    // each undirected edge from the lower (deg, id) endpoint to the
+    // higher; every triangle then has exactly ONE apex whose two
+    // out-edges cover it). The round-9 layout emitted wedges from the
+    // UNORIENTED lists — Σdeg², ~2B rows at grow_sf10, because the
+    // sparsification caps out-degree at ~2·cap but in-degree is
+    // uncapped and hub tails run to ~20× the median. After
+    // orientation a hub's out-list only holds its few HIGHER-ordered
+    // neighbours, so the stream drops to Σ outdeg² (measured ~8× at
+    // grow_sf10). Each closed wedge is one triangle counted once; it
+    // then credits its THREE edges (3·|triangles| rows, tiny) and the
+    // per-edge sum is exactly the unoriented support — same oracle,
+    // same replay specs, different enumeration.
+    val deg = adj.groupBy($"u".as("n")).agg(count(lit(1)).as("dg"))
+    val oriented = adj
+      .join(deg.select($"n".as("u"), $"dg".as("du")), "u")
+      .join(deg.select($"n".as("v"), $"dg".as("dv")), "v")
+      .filter($"dv" > $"du" || ($"dv" === $"du" && $"v" > $"u"))
+      .select($"u", $"v")
     // serialized for the same pool-pressure reason as coPurchaseKept
-    val nbrs = adj.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
+    val nbrs = oriented.groupBy($"u").agg(sort_array(collect_set($"v")).as("ns"))
       .localCheckpoint(true, // feeds the sizing row + the wedge emission
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val wedgeRow = nbrs.agg(
       sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2"),
-      max(expr("element_at(ns, -1)")).as("max_node")).head()
+      max(expr("greatest(u, element_at(ns, -1))")).as("max_node")).head()
     val wedges2 = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
     // The packed u·2³²+v wedge/edge keys collide silently if any node
     // id reaches 2³² (partkeys > 2³¹ under a doubled-id scheme) —
     // enforce the documented "node ids ≪ 2³²" instead of assuming it.
-    // Free: rides the sizing aggregate over the checkpointed neighbor
-    // lists (ns is sorted ascending, so element_at(ns, -1) is the max
-    // neighbor, and every node of the symmetrized graph appears as a
-    // neighbor).
+    // Free: rides the sizing aggregate over the checkpointed oriented
+    // lists (every node with an edge appears as a list owner or — the
+    // order-maximal nodes — inside a higher neighbour's list).
     val maxNode = if (wedgeRow.isNullAt(1)) 0L
       else wedgeRow.get(1).asInstanceOf[Number].longValue()
     require(maxNode < 4294967296L,
@@ -1467,29 +1482,39 @@ object GraphQueries {
     val pairParts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(65536, (wedges2 / 2 / 250000L).toInt + 1))
-    // BOTH semi-join legs are widened to pairParts — this is what
+    // BOTH closing-join legs are widened to pairParts — this is what
     // actually sizes the join: EnsureRequirements plans the SMJ at
     // the EDGE side's explicit pairParts width (a repartition on the
     // wedge side alone gets pulled above the join and the SMJ falls
-    // back to the 32-partition default, whose 34M-row per-task sorts
+    // back to the 32-partition default, whose per-task sorts
     // measurably exhausted the 8 g pool at grow_sf10). The wedge
     // EMISSION is also widened (a trivial round-robin shuffle of the
-    // |V|-row neighbor lists): 32 fat map tasks writing the 1.1B-key
-    // shuffle each spilled dozens of sorted runs whose merge-phase
-    // read-ahead buffers alone exhausted the heap; at ~250k emitted
-    // rows per map task the shuffle write never spills.
+    // |V|-row neighbor lists): fat map tasks writing the wedge
+    // shuffle spill sorted runs whose merge-phase read-ahead buffers
+    // alone exhausted the heap; at ~250k emitted rows per map task
+    // the shuffle write never spills.
     val edgeKeys = kept.select(($"u" * 4294967296L + $"v").as("ek"))
       .repartition(pairParts, $"ek")
-    val support = nbrs
+    // closed wedges = triangles, keyed (apex w, packed closing pair);
+    // the semi join keeps the wedge stream filtered by the packed
+    // edge key BEFORE any aggregation, as the plan pin requires
+    val triangles = nbrs
       .repartition(pairParts)
-      .select(posexplode($"ns").as(Seq("i", "a")), $"ns")
-      .select(explode(expr(
-        """transform(slice(ns, i + 2, size(ns)),
-          |          c -> a * 4294967296L + c)""".stripMargin)).as("pk"))
+      .select($"u".as("w"), posexplode($"ns").as(Seq("i", "a")), $"ns")
+      .select($"w", $"a", explode(expr("slice(ns, i + 2, size(ns))")).as("c"))
+      .select($"w", ($"a" * 4294967296L + $"c").as("pk"))
       .join(edgeKeys, $"pk" === $"ek", "left_semi")
-      .groupBy($"pk").agg(count(lit(1)).as("support"))
+    // 3 edge-credits per triangle (w-a, w-c, a-c), canonical u < v
+    val support = triangles
+      .select($"w", expr("pk div 4294967296L").as("a"),
+        expr("pk % 4294967296L").as("c"))
+      .select(explode(array(
+        least($"w", $"a") * 4294967296L + greatest($"w", $"a"),
+        least($"w", $"c") * 4294967296L + greatest($"w", $"c"),
+        ($"a" * 4294967296L + $"c"))).as("ck"))
+      .groupBy($"ck").agg(count(lit(1)).as("support"))
     kept
-      .join(support, $"pk" === $"u" * 4294967296L + $"v", "left")
+      .join(support, $"ck" === $"u" * 4294967296L + $"v", "left")
       .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
   }
 
