@@ -147,7 +147,12 @@ object GraphQueries {
     // extra basket materialization + stats action would cost ~1 s per
     // consumer at catalogue sf for zero benefit.
     val liRows = Tables.lineitem(s, d).count()
-    val sized = width(3L * liRows) > s.sessionState.conf.numShufflePartitions
+    // (-Dgraft.copurchase.sized=1/0 pins the path for parity tests —
+    // the sized path otherwise only executes at grown scale, and a
+    // path the suite never runs is a path that silently rots.)
+    val sized = sys.props.get("graft.copurchase.sized").map(_ == "1")
+      .getOrElse(
+        width(3L * liRows) > s.sessionState.conf.numShufflePartitions)
     val serLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val (ranked, distParts) =
       if (!sized) {
@@ -483,7 +488,9 @@ object GraphQueries {
       // engage once the vote width outgrew the default parallelism —
       // at catalogue sf the extra eager materializations cost more
       // than the per-round re-shuffles they save (measured +2 s).
-      val robust = voteParts > s.sessionState.conf.numShufflePartitions
+      // (-Dgraft.modularity.robust=1/0 pins the path for parity tests.)
+      val robust = sys.props.get("graft.modularity.robust").map(_ == "1")
+        .getOrElse(voteParts > s.sessionState.conf.numShufflePartitions)
       val symRaw = kept.select($"u".as("src"), $"v".as("dst"))
         .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
       val sym = if (!robust) symRaw
