@@ -1456,8 +1456,9 @@ object GraphQueries {
     // sparsification caps out-degree at ~2·cap but in-degree is
     // uncapped and hub tails run to ~20× the median. After
     // orientation a hub's out-list only holds its few HIGHER-ordered
-    // neighbours, so the stream drops to Σ outdeg² (measured ~8× at
-    // grow_sf10). Each closed wedge is one triangle counted once; it
+    // neighbours, so the stream drops to Σ outdeg² (wall time measured
+    // 225 → 73 s at grow_sf10, same host and session — 0.32×). Each
+    // closed wedge is one triangle counted once; it
     // then credits its THREE edges (3·|triangles| rows, tiny) and the
     // per-edge sum is exactly the unoriented support — same oracle,
     // same replay specs, different enumeration.
