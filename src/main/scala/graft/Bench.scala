@@ -56,6 +56,12 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = QueryCatalog.all
       .filter(q => only.forall(_.exists(q.name.startsWith)))
+      // sim_ivf_train is ALSO a catalogue entry now (its CORRECTNESS
+      // gate); its fn reads the per-JVM memo, so timing it in this
+      // loop would report a near-zero assignment of the name. The
+      // dedicated block below times it with the memo reset per rep —
+      // the true training cost — under the same entry name.
+      .filterNot(_.name == "sim_ivf_train")
     // IVF centroids are memoized per JVM (the artifact-reuse production
     // story), so sim_ivf_* catalogue timings are ASSIGNMENT-ONLY by
     // design. Training is therefore timed as its own first-class entry
@@ -118,6 +124,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
 
+    // Provenance: stamp the git SHA in BOTH output surfaces (the
+    // stdout tail and the full-map file) so any two "final" artifacts
+    // can be checked against each other and against the commit they
+    // claim to measure — round 10 shipped two totals from two runs
+    // with nothing tying either to a SHA.
+    val gitSha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .mkString.trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+
     // The driver's bench artifact keeps only the LAST ~2000 chars of
     // stdout, and a 260-entry per-query map is ~13k chars — rounds
     // 6-8 shipped an official artifact that couldn't answer "which
@@ -134,7 +153,7 @@ object Bench {
     val fullMeans = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$fullQs,"queries_mean":$fullMeans,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"git_sha":"$gitSha","queries":$fullQs,"queries_mean":$fullMeans,"errors":$errs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "probes/bench_full_latest.json"))
     try {
@@ -159,7 +178,7 @@ object Bench {
     // silently vanishes from the subtotals and `value` undercounts.
     val nErrors = results.count(_._4.isDefined)
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"n_queries":${results.size},"n_errors":$nErrors,"queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"n_queries":${results.size},"n_errors":$nErrors,"git_sha":"$gitSha","queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

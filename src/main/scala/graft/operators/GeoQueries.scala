@@ -1180,7 +1180,12 @@ object GeoQueries {
       // (4096 cells = a 64x64 rect; fixtures are <= 40) — it exists to
       // catch a rect SOURCE change, not to tune.
       val g = rects.agg(min($"w"), min($"h"), max($"w" * $"h")).head()
-      require(!g.isNullAt(0) && g.getLong(0) >= 1L && g.getLong(1) >= 1L &&
+      // an EMPTY rects set also nulls the aggregates — name that
+      // failure mode instead of reporting a misleading 'min_w=null'
+      require(!g.isNullAt(0),
+        "geo_union_area: rects fixture is empty (SpatialGrid.rects " +
+          s"returned 0 rows for $d)")
+      require(g.getLong(0) >= 1L && g.getLong(1) >= 1L &&
           g.getLong(2) <= 4096L,
         s"geo_union_area requires non-degenerate bounded rects " +
           s"(w >= 1, h >= 1, w*h <= 4096 cells); got min_w=${g.get(0)}, " +

@@ -966,6 +966,38 @@ object SimilarityQueries {
   // (seed, Lloyd grid, oracle replay) — not an 8-shaped special case
   private val ivfCellsK12 = ivfCellsQ("sim_ivf_cell_assign_k12", 12)
 
+  /** First-class gate for the IVF TRAINING run itself: surfaces the
+    * trained ≤8-row centroid table long-form (cent_id, dimension k,
+    * integer-grid component ci) so the bench's `sim_ivf_train` timing
+    * entry has a matching oracle-gated CORRECTNESS row — previously it
+    * was the one bench entry with no correctness row, verified only
+    * indirectly through its consumers. The oracle replays the full
+    * 2-iteration Lloyd run (the shared [[kmCtes]] prefix) and selects
+    * its c2 centroids directly. The Spark side reads the per-JVM memo
+    * (training is a published artifact); the bench times TRUE training
+    * separately via [[resetCentroidCache]] and skips this entry in its
+    * main loop.
+    */
+  private val ivfTrainQ = Q(
+    "sim_ivf_train",
+    (s, d) => {
+      import s.implicits._
+      val rows = trainedCentroids(s, d, iters = 2, k = 8)
+        .flatMap { case (cid, ce) =>
+          // the grid components are integer-valued floats (|ci| ≤ 2^24),
+          // so the long cast is exact and matches the oracle's BIGINT ci
+          ce.iterator.zipWithIndex.map { case (ci, i) =>
+            (cid, (i + 1).toLong, ci.toLong)
+          }
+        }
+      s.createDataset(rows).toDF("cent_id", "k", "ci")
+        .orderBy($"cent_id", $"k")
+    },
+    Some(kmCtes(8) + """
+         |SELECT cent_id, k, ci FROM c2
+         |ORDER BY cent_id, k""".stripMargin),
+  )
+
   // IVF probe: the search half of the inverted-file ANN (cell assign
   // above is the indexing half), over the SAME trained centroids. The
   // query vector ranks the 8 trained centroids, keeps nprobe=2 cells,
@@ -2395,6 +2427,7 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(cosineTopK, lshBuckets, lshAnn, nearDup, ivfCells, ivfCellsK12,
+      ivfTrainQ,
       ivfProbe, pqTopK, pqTopKC16, ivfPqCompose, semDedup, hardNegatives,
       centroidClassify,
       sqTopK, gramMatrix, pcaPower, recallMrrEval, ndcgEval, mmrSelect, knnGraph,

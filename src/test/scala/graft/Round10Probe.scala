@@ -26,9 +26,20 @@ object Round10Probe {
     val dirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("/root/testdata/sf0.1"))
+    // Resolve requested names against the FULL catalogue (not just the
+    // default probe set) and fail loudly on names matching nothing —
+    // a silent filter-to-default made a typo'd probe look successful
+    // while measuring nothing.
     val names = sys.env.get("SPARK_GRAFT_PROBE_NAMES")
-      .map(_.split(",").map(_.trim).toSet)
-      .map(sel => Names.filter(sel))
+      .map { raw =>
+        val req = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val known = QueryCatalog.all.map(_.name).toSet
+        val unknown = req.filterNot(known)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_PROBE_NAMES entries not in QueryCatalog: " +
+            unknown.mkString(", "))
+        req
+      }
       .getOrElse(Names)
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
