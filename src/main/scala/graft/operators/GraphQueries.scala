@@ -105,10 +105,11 @@ object GraphQueries {
   //      wedge work of the triangle join at O(|V|·20²). Ties break on
   //      (weight desc, neighbour id), a total order, so the kept edge
   //      set is deterministic across engines and partitionings;
-  //   3. triangles are counted once each via the canonical u<v<w
-  //      two-join wedge-close (on a degree-skewed graph you would
-  //      re-orient by (degree, id) first; the top-10 cap already
-  //      bounds every wedge list here).
+  //   3. triangles are counted once each as CLOSED wedges on the
+  //      degree-oriented neighbor lists (round-11: the same oriented
+  //      enumeration truss/clustering adopted in round 10 — the
+  //      out-degree cap bounds the wedge stream at Σ outdeg² even
+  //      though symmetrized in-degree is uncapped at hub nodes).
   // The ORACLE generates pairs by the unblocked self-join — an
   // in-row emission bug is a hash mismatch, not a replayed agreement.
   /** The top-k-sparsified co-purchase graph (parts sharing an order,
@@ -189,9 +190,11 @@ object GraphQueries {
         val pairs = if (stat.isNullAt(0)) 0L else stat.getLong(0) / 2
         val maxPart = if (stat.isNullAt(1)) 0L
           else stat.get(1).asInstanceOf[Number].longValue()
-        require(maxPart < 4294967296L,
+        // 2^31, not 2^32: u * 2^32 overflows signed Long once u >= 2^31,
+        // and the div/% unpack then reconstructs the wrong (u, v)
+        require(maxPart < 2147483648L,
           s"coPurchaseKept packs (u, v) into one 64-bit key and requires " +
-            s"part ids < 2^32; got max part id $maxPart")
+            s"part ids < 2^31; got max part id $maxPart")
         val wts = baskets
           .repartition(width(pairs)) // ~250k emitted pair rows per map task
           .select(posexplode($"parts").as(Seq("i", "u")), $"parts")
@@ -245,12 +248,17 @@ object GraphQueries {
     "gr_triangle_count",
     (s, d) => {
       import s.implicits._
-      val kept = coPurchaseKept(s, d) // feeds three join legs + the node count
-      val tri = kept.select($"u".as("a"), $"v".as("b"))
-        .join(kept.select($"u".as("b2"), $"v".as("c2")), $"b" === $"b2")
-        .join(kept.select($"u".as("a3"), $"v".as("c3")),
-          $"a" === $"a3" && $"c2" === $"c3")
-        .agg(count(lit(1)).as("n_triangles"))
+      val kept = coPurchaseKept(s, d) // feeds the wedge stream + both stats
+      // ROUND-11: count closed wedges on the DEGREE-ORIENTED stream
+      // (each triangle has exactly one oriented apex, so n_triangles
+      // is a bare count — no per-edge crediting, no aggregation map).
+      // Replaces the round-9 3-leg adjacency self-join, whose middle
+      // leg materialized the unoriented wedge set (Σ deg², the same
+      // uncapped-in-degree hub tail that cost truss/clustering ~2 B
+      // rows at grow_sf10 before their round-10 oriented rewrite).
+      // Parity with the self-join is pinned in Round11OpsSpec; the
+      // oracle below is unchanged.
+      val tri = closedWedges(s, kept).agg(count(lit(1)).as("n_triangles"))
       val nodes = kept.select($"u").unionByName(kept.select($"v".as("u")))
         .distinct().agg(count(lit(1)).as("n_nodes"))
       val edges = kept.agg(count(lit(1)).as("n_edges"))
@@ -851,12 +859,15 @@ object GraphQueries {
         max(expr("element_at(ns, -1)")).as("max_node")).head()
       val wedges = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
       // same guard as edgeTriangleSupport: the packed pair/edge keys
-      // collide silently at node ids >= 2^32 — enforce, don't document
+      // break silently at node ids >= 2^31 — enforce, don't document
       val maxNode = if (wedgeRow.isNullAt(1)) 0L
         else wedgeRow.get(1).asInstanceOf[Number].longValue()
-      require(maxNode < 4294967296L,
+      // 2^31, not 2^32: a * 2^32 overflows signed Long once a >= 2^31 —
+      // pk goes negative, div/% unpack wrong, and the (cn desc, pk)
+      // order no longer equals (cn desc, a, c) lexicographic order
+      require(maxNode < 2147483648L,
         s"gr_link_predict packs (a, c) into one 64-bit key and " +
-          s"requires node ids < 2^32; got max node id $maxNode")
+          s"requires node ids < 2^31; got max node id $maxNode")
       val pairParts = math.max(
         s.sessionState.conf.numShufflePartitions,
         math.min(65536, (wedges / 2 / 250000L).toInt + 1))
@@ -1446,6 +1457,33 @@ object GraphQueries {
   private def edgeTriangleSupport(s: org.apache.spark.sql.SparkSession,
       kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // 3 edge-credits per triangle (w-a, w-c, a-c), canonical u < v
+    val support = closedWedges(s, kept)
+      .select($"w", expr("pk div 4294967296L").as("a"),
+        expr("pk % 4294967296L").as("c"))
+      .select(explode(array(
+        least($"w", $"a") * 4294967296L + greatest($"w", $"a"),
+        least($"w", $"c") * 4294967296L + greatest($"w", $"c"),
+        ($"a" * 4294967296L + $"c"))).as("ck"))
+      .groupBy($"ck").agg(count(lit(1)).as("support"))
+    kept
+      .join(support, $"ck" === $"u" * 4294967296L + $"v", "left")
+      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
+  }
+
+  /** The degree-oriented CLOSED-wedge stream over a kept co-purchase
+    * edge set: ONE row per triangle, keyed (apex w, packed closing
+    * pair pk). Extracted round-11 so `gr_triangle_count` shares the
+    * oriented enumeration (it only needs `count(*)` over this stream
+    * — each triangle has exactly one oriented apex) instead of its
+    * old 3-leg adjacency self-join. All the round-9/10 sizing
+    * lessons live here: serialized neighbor-list checkpoint, packed
+    * 64-bit keys guarded < 2³¹, Σ outdeg²-derived widths on the
+    * emission AND both semi-join legs.
+    */
+  private def closedWedges(s: org.apache.spark.sql.SparkSession,
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val adj = kept.unionByName(kept.select($"v".as("u"), $"u".as("v")))
     // ROUND-10: DEGREE-ORIENTED wedge enumeration (the arboricity
     // bound every serious distributed triangle counter uses — orient
@@ -1476,17 +1514,18 @@ object GraphQueries {
       sum(expr("size(ns) * CAST(size(ns) AS BIGINT)")).as("w2"),
       max(expr("greatest(u, element_at(ns, -1))")).as("max_node")).head()
     val wedges2 = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
-    // The packed u·2³²+v wedge/edge keys collide silently if any node
-    // id reaches 2³² (partkeys > 2³¹ under a doubled-id scheme) —
-    // enforce the documented "node ids ≪ 2³²" instead of assuming it.
+    // The packed u·2³²+v wedge/edge keys overflow signed Long (and
+    // div/% unpack wrong) if any node id reaches 2³¹ — enforce the
+    // documented "node ids < 2³¹" instead of assuming it.
     // Free: rides the sizing aggregate over the checkpointed oriented
     // lists (every node with an edge appears as a list owner or — the
     // order-maximal nodes — inside a higher neighbour's list).
     val maxNode = if (wedgeRow.isNullAt(1)) 0L
       else wedgeRow.get(1).asInstanceOf[Number].longValue()
-    require(maxNode < 4294967296L,
+    // 2^31, not 2^32: u * 2^32 overflows signed Long once u >= 2^31
+    require(maxNode < 2147483648L,
       s"edgeTriangleSupport packs (u, v) into one 64-bit key and " +
-        s"requires node ids < 2^32; got max node id $maxNode")
+        s"requires node ids < 2^31; got max node id $maxNode")
     val pairParts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(65536, (wedges2 / 2 / 250000L).toInt + 1))
@@ -1506,24 +1545,12 @@ object GraphQueries {
     // closed wedges = triangles, keyed (apex w, packed closing pair);
     // the semi join keeps the wedge stream filtered by the packed
     // edge key BEFORE any aggregation, as the plan pin requires
-    val triangles = nbrs
+    nbrs
       .repartition(pairParts)
       .select($"u".as("w"), posexplode($"ns").as(Seq("i", "a")), $"ns")
       .select($"w", $"a", explode(expr("slice(ns, i + 2, size(ns))")).as("c"))
       .select($"w", ($"a" * 4294967296L + $"c").as("pk"))
       .join(edgeKeys, $"pk" === $"ek", "left_semi")
-    // 3 edge-credits per triangle (w-a, w-c, a-c), canonical u < v
-    val support = triangles
-      .select($"w", expr("pk div 4294967296L").as("a"),
-        expr("pk % 4294967296L").as("c"))
-      .select(explode(array(
-        least($"w", $"a") * 4294967296L + greatest($"w", $"a"),
-        least($"w", $"c") * 4294967296L + greatest($"w", $"c"),
-        ($"a" * 4294967296L + $"c"))).as("ck"))
-      .groupBy($"ck").agg(count(lit(1)).as("support"))
-    kept
-      .join(support, $"ck" === $"u" * 4294967296L + $"v", "left")
-      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
   }
 
   private val trussSupport = Q(
