@@ -330,9 +330,9 @@ object GraphQueries {
       .select(col("v").as("node"), (col("m.neg") * -1).as("lbl"), col("prev"))
   }
 
-  /** The LPA label assignment, shared by `gr_label_propagation` (the
-    * gate on the labels themselves) and `gr_modularity` (the quality
-    * metric computed OVER the labels).
+  /** The LPA label assignment over the part↔supplier bipartite graph,
+    * gated by `gr_label_propagation`. (`gr_modularity` runs its own
+    * inlined votesStep loop over the co-purchase graph.)
     */
   private def lpaLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -395,6 +395,18 @@ object GraphQueries {
       // (-Dgraft.lpa.robust=1/0 pins the path for parity tests.)
       val robust = sys.props.get("graft.lpa.robust").map(_ == "1")
         .getOrElse(voteParts > s.sessionState.conf.numShufflePartitions)
+      // ROUND-11 MEASURED NON-CHANGE (the round-10 verdict's carried
+      // ask, decided by a paired A/B run and REVERTED): the katz /
+      // modularity sym-pre-partition device — checkpoint sym ONCE
+      // pre-partitioned by dst so the three rounds reuse the exchange
+      // — measured 148.8 s vs 114.0 s baseline at grow_sf10, ~1.2×
+      // slower after normalizing by the unchanged-code modularity
+      // control (113.3 vs 105.1 in the same JVMs). Materializing the
+      // 2|E|-row serialized adjacency costs more at local[32] than
+      // the narrow edges∪swap recompute + three per-round hash
+      // exchanges it replaces; the post-revert pair confirms parity
+      // (122.1 vs 121.2). See BASELINE.md "Round 11" and
+      // probes/round11_ab_graph_sf10{,b}.jsonl.
       var labels = sym.select($"src".as("node")).distinct()
         .withColumn("lbl", $"node")
       if (robust) labels = labels.localCheckpoint()
@@ -810,6 +822,17 @@ object GraphQueries {
   // Measured at grow_sf10: k=10 456 s → k=5 260 s (1.75× — the
   // remaining floor is the cap-INDEPENDENT graph construction: basket
   // pair counting + the per-node ranking window).
+  //
+  // Round-11 NON-change, measured (probes/round11_linkpred_skew.json
+  // + BASELINE.md "Round 11"): sketch/prune refinements of the exact
+  // pair aggregate are INFEASIBLE at this graph's skew. The top-100
+  // floor c100 collapses to 4-5 at grown scale (96% of pair keys are
+  // singletons; best non-edge cn is 8 at sf0.1), so a Misra-Gries
+  // superset needs k ≥ N/c100 ≈ 250M counters at grow_sf10 — more
+  // state than this exact plan's own sized hash maps — and the
+  // cn ≤ min(deg) endpoint bound prunes nothing because the
+  // sparsification cap makes every degree ≥ 10 > c100. The exact
+  // count IS the minimal information that ranks a near-uniform tail.
   // -Dgraft.linkpredict.cap / SPARK_GRAFT_LINKPRED_CAP overrides;
   // the default 10 is the catalogue/oracle contract.
   private def linkPredictCap: Int =

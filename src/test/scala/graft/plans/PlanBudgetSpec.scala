@@ -224,15 +224,19 @@ class PlanBudgetSpec extends AnyFunSuite {
       s"containment join lost its prefix-word key:\n$containJoins")
     assert(exchanges(containNodes) <= 12,
       s"td_containment_join plans ${exchanges(containNodes)} exchanges, budget 12")
-    // gr_triangle_count: the wedge-close joins must stay equi joins on
-    // node ids; the only nested-loops are the three 1-row stat
-    // crossJoins at the very top. Verify no nested-loop has a
-    // data-scale child (every BNLJ side must be a 1-row aggregate).
+    // gr_triangle_count (round-11 oriented rewrite): the closed-wedge
+    // stream must be filtered by the packed edge key via an EQUI semi
+    // join BEFORE the count — the truss pin's shape. (The orientation
+    // joins live behind the neighbor-list checkpoint, so the final
+    // plan's only data-scale join IS the semi join; the only
+    // nested-loops are the 1-row stat crossJoins at the very top.)
     val triNodes = planOf("gr_triangle_count")
-    val triEqui = triNodes
-      .filter(p => p.nodeName.contains("HashJoin")).map(_.toString)
-    assert(triEqui.size >= 2,
-      s"triangle count lost its wedge equi joins:\n${triEqui.mkString("\n")}")
+    val triJoins = triNodes
+      .filter(p => p.nodeName.contains("Join") &&
+        !p.nodeName.contains("NestedLoop")).map(_.toString)
+    assert(triJoins.nonEmpty && triJoins.mkString.contains("pk"),
+      s"triangle count lost its packed-key wedge semi join:\n${
+        triJoins.mkString("\n")}")
     // ta_bm25_rank: df and the global stats row must BROADCAST —
     // the doc-keyed join is the only data-scale shuffle, and the
     // presentation top-100 must be a TakeOrderedAndProject (heaps),
