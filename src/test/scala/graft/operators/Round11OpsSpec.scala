@@ -2,11 +2,12 @@ package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-11 parity gates for the rewritten graph kernels: the
-  * oriented closed-wedge triangle count and (later in the round) the
-  * heavy-hitter link-prediction path — each replayed against an
-  * independent in-memory implementation, the Round9/10OpsSpec
-  * discipline.
+/** Round-11 parity gates for the graph kernels: the oriented
+  * closed-wedge triangle count, and the link-prediction EXACT path
+  * that the round's skew analysis kept (the heavy-hitter refinement
+  * was measured infeasible — probes/round11_linkpred_skew.json) —
+  * each replayed against an independent in-memory implementation,
+  * the Round9/10OpsSpec discipline.
   */
 class Round11OpsSpec extends AnyFunSuite {
 
@@ -42,6 +43,34 @@ class Round11OpsSpec extends AnyFunSuite {
     sym.groupBy(_._1).iterator.flatMap { case (_, es) =>
       es.sortBy(e => (-e._3, e._2)).take(10)
     }.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+  }
+
+  test("link-predict exact path replays the naive top-100 wedge ranking") {
+    // The round-11 skew analysis kept the exact Σ deg² pair aggregate
+    // (probes/round11_linkpred_skew.json); this pins that exact path
+    // against an independent all-pairs in-memory replay: common
+    // neighbors on the kept graph, minus existing edges, ranked by
+    // (cn desc, a, c), decorated with exact-integer Jaccard ppm.
+    val kept = naiveKept()
+    val adj = kept.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cn = scala.collection.mutable.Map[(Long, Long), Long]()
+    for ((_, ns) <- adj; s = ns.toSeq.sorted; i <- s.indices;
+         j <- (i + 1) until s.length)
+      cn((s(i), s(j))) = cn.getOrElse((s(i), s(j)), 0L) + 1
+    val expect = cn.toSeq
+      .filter { case ((a, c), _) => !kept.contains((a, c)) }
+      .sortBy { case ((a, c), n) => (-n, a, c) }.take(100)
+      .map { case ((a, c), n) =>
+        val jac = n * 1000000 / (adj(a).size + adj(c).size - n)
+        s"[$a,$c,$n,$jac]"
+      }
+    val got = q("gr_link_predict").fn(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == expect,
+      s"link-predict diverges from the naive replay:\n" +
+        s"got    ${got.take(5).mkString(" ")}…\n" +
+        s"expect ${expect.take(5).mkString(" ")}…")
   }
 
   test("oriented closed-wedge count replays the naive triangle count") {
