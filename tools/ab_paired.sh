@@ -18,6 +18,14 @@
 # baseline worktree then in the current repo, appending rows like
 #   {"side":"base","sha":"...","rep":1,"probe":"...","sec":12.3,...}
 # Verdict basis: min(sec) per (side, probe) over all reps.
+#
+# LIFETIME CAVEAT (round-11 lesson): if the invoking harness caps the
+# script's wall time, the in-flight JVM gets SIGTERM'd and the probe
+# emits error rows containing "SparkContext was shut down" — that is
+# an EXTERNAL kill, not a query failure. For long query sets, invoke
+# this script once per rep (REPS=1, same OUT file — rows append) so
+# every invocation fits the cap; the summary below recomputes minima
+# over everything accumulated in OUT.
 set -euo pipefail
 
 REF=${1:?baseline ref}
