@@ -131,13 +131,23 @@ object Bench {
     // can be checked against each other and against the commit they
     // claim to measure — round 10 shipped two totals from two runs
     // with nothing tying either to a SHA.
-    val gitSha = try {
-      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+    def git(cmd: String*): Option[String] = try {
+      val p = new ProcessBuilder(("git" +: cmd): _*)
         .redirectErrorStream(true).start()
       val out = scala.io.Source.fromInputStream(p.getInputStream)
         .mkString.trim
-      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
-    } catch { case _: Throwable => "unknown" }
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Throwable => None }
+    // "-dirty" when the worktree has uncommitted changes: an artifact
+    // built from edited code must not claim the clean commit's SHA —
+    // that's the exact untraceability the stamp exists to prevent.
+    val gitSha = git("rev-parse", "HEAD")
+      .filter(_.matches("[0-9a-f]{40}"))
+      .map { sha =>
+        if (git("status", "--porcelain").exists(_.nonEmpty)) sha + "-dirty"
+        else sha
+      }
+      .getOrElse("unknown")
 
     // The driver's bench artifact keeps only the LAST ~2000 chars of
     // stdout, and a 260-entry per-query map is ~13k chars — rounds

@@ -1547,7 +1547,7 @@ object GraphQueries {
       else wedgeRow.get(1).asInstanceOf[Number].longValue()
     // 2^31, not 2^32: u * 2^32 overflows signed Long once u >= 2^31
     require(maxNode < 2147483648L,
-      s"edgeTriangleSupport packs (u, v) into one 64-bit key and " +
+      s"closedWedges packs (u, v) into one 64-bit key and " +
         s"requires node ids < 2^31; got max node id $maxNode")
     val pairParts = math.max(
       s.sessionState.conf.numShufflePartitions,

@@ -984,9 +984,19 @@ object SimilarityQueries {
       import s.implicits._
       val rows = trainedCentroids(s, d, iters = 2, k = 8)
         .flatMap { case (cid, ce) =>
-          // the grid components are integer-valued floats (|ci| ≤ 2^24),
-          // so the long cast is exact and matches the oracle's BIGINT ci
+          // the grid components are integer-valued floats, and the
+          // long cast is exact ONLY while |ci| < 2^24 (float mantissa)
+          // — beyond that the float rounds to an even value while the
+          // oracle's DECIMAL→BIGINT path keeps the exact integer.
+          // Every other consumer reads ce through the cosine kernel;
+          // this entry is the first to compare raw ci values, so the
+          // invariant is enforced, not assumed: a giant cluster at
+          // some grown corpus must fail loudly, not hash-mismatch.
           ce.iterator.zipWithIndex.map { case (ci, i) =>
+            require(math.abs(ci) < (1 << 24),
+              s"sim_ivf_train: centroid $cid component ${i + 1} = $ci " +
+                "exceeds the float-exact integer range (|ci| < 2^24); " +
+                "the long-form gate cannot compare it exactly")
             (cid, (i + 1).toLong, ci.toLong)
           }
         }

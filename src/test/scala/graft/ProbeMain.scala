@@ -19,21 +19,29 @@ import org.apache.spark.sql.SparkSession
   * NOTE for ab_paired.sh: this file depends only on [[QueryCatalog]]
   * and graft.functions.exprs, both stable since round 3, so the
   * script can copy it verbatim into a baseline worktree that predates
-  * it.
+  * it. [[Round10Probe]] delegates here — keep this file standalone.
   */
 object ProbeMain {
-  def main(args: Array[String]): Unit = {
-    val dirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq("/root/testdata/sf0.1"))
-    val raw = sys.env.getOrElse("SPARK_GRAFT_PROBE_NAMES",
-      sys.error("SPARK_GRAFT_PROBE_NAMES is required for ProbeMain"))
-    val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val known = QueryCatalog.all.map(_.name).toSet
-    val unknown = names.filterNot(known)
-    require(unknown.isEmpty,
-      s"SPARK_GRAFT_PROBE_NAMES entries not in QueryCatalog: " +
-        unknown.mkString(", "))
+  /** Full JSON-string escape (backslash, quote, ALL control chars):
+    * an exception message with a backslash or tab must not produce an
+    * invalid JSONL row that crashes the A/B summary's json.loads —
+    * the same contract as Bench's escaping of its errors map.
+    */
+  def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Shared probe loop: builds the session, runs each (dir, name)
+    * once, prints one JSONL row each. Used by this main and
+    * [[Round10Probe]] so the harness exists exactly once.
+    */
+  def run(names: Seq[String], dirs: Seq[String]): Unit = {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -55,11 +63,32 @@ object ProbeMain {
       } catch {
         case e: Throwable =>
           println(s"""{"probe":"$name","dir":"$d","error":"${
-            Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\n\\r]", " ").take(160)}"}""")
+            esc(Option(e.getMessage).getOrElse(e.getClass.getName).take(160))}"}""")
       }
       System.out.flush()
     }
     spark.stop()
+  }
+
+  /** Resolve a comma-separated name list against the catalogue,
+    * aborting loudly on unknown names.
+    */
+  def resolveNames(raw: String): Seq[String] = {
+    val req = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val known = QueryCatalog.all.map(_.name).toSet
+    val unknown = req.filterNot(known)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_PROBE_NAMES entries not in QueryCatalog: " +
+        unknown.mkString(", "))
+    req
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.get("SPARK_GRAFT_SF_DIRS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1"))
+    val names = resolveNames(sys.env.getOrElse("SPARK_GRAFT_PROBE_NAMES",
+      sys.error("SPARK_GRAFT_PROBE_NAMES is required for ProbeMain")))
+    run(names, dirs)
   }
 }

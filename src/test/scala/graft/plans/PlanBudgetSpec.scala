@@ -234,8 +234,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     val triJoins = triNodes
       .filter(p => p.nodeName.contains("Join") &&
         !p.nodeName.contains("NestedLoop")).map(_.toString)
-    assert(triJoins.nonEmpty && triJoins.mkString.contains("pk"),
-      s"triangle count lost its packed-key wedge semi join:\n${
+    assert(triJoins.nonEmpty && triJoins.mkString.contains("pk") &&
+        triJoins.mkString.contains("LeftSemi"),
+      s"triangle count lost its packed-key LeftSemi wedge filter " +
+        s"(the edge-key filter must run BEFORE the count):\n${
         triJoins.mkString("\n")}")
     // ta_bm25_rank: df and the global stats row must BROADCAST —
     // the doc-keyed join is the only data-scale shuffle, and the

@@ -54,10 +54,20 @@ echo "[ab] compiling current $CUR_SHA ..." >&2
 sbt -batch "Test/compile" >/dev/null
 
 probe() { # $1=dir $2=side $3=sha $4=rep
-  (cd "$1" && SPARK_GRAFT_PROBE_NAMES="$NAMES" SPARK_GRAFT_SF_DIRS="$SFDIR" \
+  # `|| true` on the pipeline: under set -euo pipefail, an sbt run
+  # that emits zero probe rows (OOM, harness SIGTERM before the first
+  # row) would otherwise abort the WHOLE script mid-rep — discarding
+  # the reps already accumulated in $OUT and the summary over them.
+  local rows
+  rows=$( (cd "$1" && SPARK_GRAFT_PROBE_NAMES="$NAMES" SPARK_GRAFT_SF_DIRS="$SFDIR" \
     sbt -batch "Test/runMain graft.ProbeMain" 2>/dev/null) \
-  | grep '^{"probe"' \
-  | sed "s/^{/{\"side\":\"$2\",\"sha\":\"$3\",\"rep\":$4,/" >> "$OUT"
+    | grep '^{"probe"' || true)
+  if [ -z "$rows" ]; then
+    echo "[ab] WARNING: $2 rep $4 produced no probe rows (sbt failed or was killed)" >&2
+  else
+    printf '%s\n' "$rows" \
+      | sed "s/^{/{\"side\":\"$2\",\"sha\":\"$3\",\"rep\":$4,/" >> "$OUT"
+  fi
 }
 
 mkdir -p "$(dirname "$OUT")"
@@ -80,6 +90,9 @@ for r in rows:
 print(f"{'probe':32s} {'base_min':>9s} {'cur_min':>9s} {'ratio':>6s}")
 for p, d in sorted(best.items()):
     b, c = d.get("base"), d.get("cur")
-    if b and c:
-        print(f"{p:32s} {b:9.2f} {c:9.2f} {c/b:6.2f}")
+    if b is None or c is None:
+        print(f"{p:32s} MISSING side: base={b} cur={c}")
+    else:
+        ratio = f"{c/b:6.2f}" if b > 0 else "   inf"
+        print(f"{p:32s} {b:9.2f} {c:9.2f} {ratio}")
 EOF
