@@ -2598,6 +2598,85 @@ object EventQueries {
             |ORDER BY channel""".stripMargin),
   )
 
+  // LATE-DATA / WATERMARK AUDIT — the accounting every
+  // watermark-configured streaming job needs BEFORE picking its
+  // delay: replay the stream in arrival order (event_id is the ingest
+  // sequence), hold the watermark the engine would hold
+  // (max event-time seen over all PRIOR arrivals, minus a 10-minute
+  // allowed delay — Spark's withWatermark contract), and count per
+  // event type how many events would have been dropped as late, plus
+  // the worst lateness. The naive formulation is a GLOBAL running max
+  // over arrival order — one partition sorting the whole stream, the
+  // classic scale-killer. This implementation is the two-level
+  // PREFIX-SCAN shape instead: bucket arrivals by event_id div 10k,
+  // compute each event's prior-max WITHIN its bucket (parallel
+  // windows, one per bucket), reduce buckets to per-bucket maxima
+  // (tiny table), take the exclusive prefix max ACROSS buckets (a
+  // window over |stream|/10k rows), and combine — prior events are
+  // exactly (same bucket, smaller id) ∪ (earlier buckets), so
+  // greatest(within, carry) IS the global running max. At 10^12
+  // events the bucket table is 10^8 narrow rows; the same device
+  // nests to three levels before that window is ever the bottleneck.
+  // The oracle replays the NAIVE global window — two formulations,
+  // one result, which is the point of the gate.
+  private val lateDataAudit = Q(
+    "ev_late_data_audit",
+    (s, d) => {
+      import s.implicits._
+      val delayUs = 600L * 1000000
+      val e = Tables.events(s, d)
+        .select($"event_id", $"event_type",
+          expr("ts div 1000").as("us"),
+          expr("event_id div 10000").as("bucket"))
+      val inBucket = Window.partitionBy($"bucket").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val overBuckets = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = e.groupBy($"bucket").agg(max($"us").as("bmax"))
+        .select($"bucket", max($"bmax").over(overBuckets).as("carry"))
+      e.withColumn("within", max($"us").over(inBucket))
+        .join(broadcast(carry), Seq("bucket"))
+        .select($"event_type", $"us",
+          greatest(coalesce($"within", lit(Long.MinValue)),
+            coalesce($"carry", lit(Long.MinValue))).as("prior_max"))
+        .withColumn("late_us",
+          when($"prior_max" =!= Long.MinValue &&
+            $"prior_max" - delayUs > $"us",
+            $"prior_max" - delayUs - $"us"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count($"late_us").as("late_n"),
+          coalesce(max($"late_us"), lit(0L)).as("max_late_us"))
+        // integer div, not a double divide + cast: a quotient one ulp
+        // under an integer would truncate differently than the
+        // oracle's flooring //
+        .select($"event_type", $"n", $"late_n",
+          expr("late_n * 1000000 div n").as("late_ppm"), $"max_late_us")
+        .orderBy($"event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us
+           |  FROM events),
+           |p AS (
+           |  SELECT event_type, us,
+           |         max(us) OVER (ORDER BY event_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |           AS prior_max
+           |  FROM e),
+           |l AS (
+           |  SELECT event_type, us,
+           |         CASE WHEN prior_max - 600000000 > us
+           |              THEN prior_max - 600000000 - us END AS late_us
+           |  FROM p)
+           |SELECT event_type, count(*) AS n,
+           |       count(late_us) AS late_n,
+           |       count(late_us) * 1000000 // count(*) AS late_ppm,
+           |       CAST(coalesce(max(late_us), 0) AS BIGINT) AS max_late_us
+           |FROM l
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tumbling, hopping, scd2, sessionize, funnel, asOf, variantJson,
       cdcMerge, cdcStreamParity, gapsIslands, gapFill,
@@ -2608,5 +2687,5 @@ object EventQueries {
       forecastBacktest, featureMatrix, topPaths, paretoConcentration,
       hazardCurve, dauWau, funnelTtc, rfmSegments, attributionPosition,
       pitFeatures, markovStationary, interEventQuantiles, burstDetection,
-      attributionWindowSweep)
+      attributionWindowSweep, lateDataAudit)
 }

@@ -1209,8 +1209,70 @@ object PipelineQueries {
            |ORDER BY source, bin""".stripMargin),
   )
 
+  /** Delete a gate temp tree (the ndjson-stream discipline). */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.toSeq.foreach(rmTree)
+      } finally listing.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  // WARC ROUND-TRIP (the sources family, crawl-archive edition):
+  // render the documents corpus as ISO-28500 WARC response records
+  // ([[graft.sources.Warc]]), read the bytes back through the
+  // splittable DSv2 reader (format "warc" — chunkBytes forced down to
+  // 256 KiB so the gate exercises MULTI-SPLIT planning and byte-range
+  // reading, not one partition per file), parse `source` back OUT of
+  // the Target-URI, and aggregate count / payload bytes / a 48-bit
+  // payload-md5 checksum per source. The oracle recomputes all three
+  // DIRECTLY over `documents`, so a green row proves every payload
+  // byte and every derived header survived graft → WARC bytes →
+  // graft — the corpus-interchange story (Common Crawl in, Common
+  // Crawl out) for the 100-TB pipeline. Gate files live under the
+  // tmpfs gate dir and are deleted before the result leaves; the
+  // per-source aggregate is localCheckpoint-ed first (eager).
+  private val warcRoundtrip = Q(
+    "pipe_warc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-gate")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.write(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"content_length", $"payload")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum($"content_length").as("bytes_total"),
+            sum(expr(
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)"))
+              .as("payload_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""SELECT source,
+           |       count(*) AS n_records,
+           |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+           |            AS BIGINT) AS payload_ck
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
-      csvFlatten, datasetCard, compactionBins)
+      csvFlatten, datasetCard, compactionBins, warcRoundtrip)
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC/1.0 writer — renders a `documents`-shaped DataFrame
+  * (doc_id, text, lang, source, …) as ISO-28500 response records, the
+  * interchange format every web-crawl training corpus ships in
+  * (Common Crawl's WARC segments are the canonical 100-TB input). The
+  * reference ETL consumes per-API JSON (building-inspector.js:50-83);
+  * this sink plus [[graft.sources.v2.WarcDataSource]] extend the same
+  * source/sink family to the crawl-archive format so a corpus can
+  * round-trip graft → WARC → graft byte-exactly.
+  *
+  * Record layout (one per input row):
+  * {{{
+  *   WARC/1.0\r\n
+  *   WARC-Type: response\r\n
+  *   WARC-Record-ID: <urn:md5:…>\r\n
+  *   WARC-Date: 2020-01-01T<hh:mm:ss>Z\r\n
+  *   WARC-Target-URI: http://<source>.example/doc/<doc_id>\r\n
+  *   Content-Type: text/plain; charset=utf-8\r\n
+  *   Content-Length: <payload UTF-8 bytes>\r\n
+  *   \r\n
+  *   <payload>\r\n\r\n
+  * }}}
+  *
+  * Every derived header is deterministic arithmetic over the row
+  * (record id = md5 of a tagged doc_id, date = doc_id-derived
+  * hh:mm:ss), so a DuckDB oracle can replay the bytes without reading
+  * the files back. Content-Length counts payload bytes in UTF-8 —
+  * `octet_length`, not the character count — which is what makes the
+  * reader's framing independent of payload contents (a payload
+  * containing `\r\n\r\n` or header-looking lines parses fine; the
+  * reader never scans payload bytes).
+  *
+  * The rendered record is ONE string column; the text writer with
+  * `lineSep = \r\n` appends the record's final CRLF, completing the
+  * spec's double-CRLF record separator. String rendering restricts
+  * THIS sink to text payloads (the training-corpus case); the reader
+  * side is fully binary and accepts any payload bytes.
+  *
+  * Scale shape: rendering is one zero-shuffle projection (everything
+  * in-row, whole-stage codegen); files parallelize by the input's
+  * partitioning, records never cross partition boundaries. No global
+  * record order is promised — WARC readers (ours included) treat
+  * files as unordered record bags, exactly like parquet part files.
+  */
+object Warc {
+
+  /** Render documents rows to one WARC record string per row. */
+  def render(docs: DataFrame): DataFrame = {
+    val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
+    val date = concat(
+      lit("2020-01-01T"),
+      two(col("doc_id") % 24), lit(":"),
+      two(col("doc_id") % 60), lit(":"),
+      two((col("doc_id") * 7) % 60), lit("Z"))
+    docs.select(concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:md5:"),
+      md5(concat(lit("warc:"), col("doc_id").cast("string")).cast("binary")),
+      lit(">\r\n"),
+      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("WARC-Target-URI: http://"), col("source"),
+      lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
+      lit("Content-Type: text/plain; charset=utf-8\r\n"),
+      lit("Content-Length: "), octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"),
+      col("text"), lit("\r\n"),
+    ).as("value"))
+  }
+
+  /** Write documents as WARC part files under `path` (overwrite). */
+  def write(docs: DataFrame, path: String): Unit =
+    render(docs).write.mode("overwrite")
+      .option("lineSep", "\r\n").text(path)
+}

@@ -1,0 +1,328 @@
+package graft.sources.v2
+
+import java.io.{BufferedInputStream, EOFException, FileInputStream}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WARC (ISO 28500) reader — the web-crawl archive
+  * format (Common Crawl segments) that is the de-facto input of
+  * large-scale training-data pipelines:
+  *
+  *   spark.read.format("warc").load(dir)   // or "a.warc,b.warc"
+  *
+  * → rows (path, record_index, warc_type, record_id, target_uri,
+  * warc_date, content_type, content_length, payload). Counterpart of
+  * the [[graft.sources.Warc]] sink; together they round-trip a corpus
+  * graft → WARC → graft byte-exactly (gated by `pipe_warc_roundtrip`).
+  *
+  * FRAMING, NOT SCANNING: records are advanced strictly by the
+  * mandatory Content-Length header — payload bytes are never
+  * inspected, so payloads containing `\r\n\r\n` or header-looking
+  * lines cannot desynchronize the reader (the failure mode of
+  * delimiter-scanning WARC readers). A record that violates the
+  * framing (missing Content-Length, truncated payload, absent
+  * closing CRLFCRLF) aborts loudly with path + byte offset, never a
+  * silently short scan.
+  *
+  * LARGE-FILE SPLITTING (the GeoJson source's device, GeoJsonDataSource
+  * .scala:33-46): crawl archives arrive as multi-GB files; planning
+  * runs one driver-side skim per file — read each header block, seek
+  * OVER each payload (I/O ∝ headers, not bytes) — recording record
+  * offsets every ~chunkBytes (default 64 MiB), and each task then
+  * parses its byte range independently. Offsets come from real
+  * header parses, so splits land exactly on record boundaries and
+  * `record_index` stays globally exact per file.
+  *
+  * COLUMN PRUNING that reaches the I/O layer
+  * (SupportsPushDownRequiredColumns): when `payload` is not in the
+  * required schema — metadata profiling, URL audits, dedup on header
+  * hashes — tasks SKIP payload bytes instead of materializing them.
+  * On a crawl corpus payload is ~99% of the bytes, so a
+  * header-only query reads ~1% of the archive; `.explain` shows the
+  * pruned ReadSchema like any parquet scan.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val paths = Option(properties.get("path")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val chunkBytes = Option(properties.get("chunkBytes"))
+      .map(_.toLong).getOrElse(WarcDataSource.DefaultChunkBytes)
+    new WarcTable(WarcDataSource.expandPaths(paths), chunkBytes)
+  }
+}
+
+object WarcDataSource {
+  val DefaultChunkBytes: Long = 64L * 1024 * 1024
+  /** Header blocks are tiny; a "header" that exceeds this without its
+    * closing blank line is a malformed/binary file, not a big record.
+    */
+  val MaxHeaderBytes: Int = 64 * 1024
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("record_index", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+  ))
+
+  /** A directory path means its non-hidden regular files (sorted by
+    * name for a stable record_index base), a file path means itself.
+    */
+  private[sources] def expandPaths(paths: Seq[String]): Seq[String] =
+    paths.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        f.listFiles().toSeq
+          .filter(c => c.isFile && c.length() > 0 &&
+            !c.getName.startsWith("_") && !c.getName.startsWith("."))
+          .map(_.getPath).sorted
+      else Seq(p)
+    }
+
+  /** One parsed header block: field map (lower-cased names), the byte
+    * offset just past the blank line, and the record's start offset.
+    */
+  private[v2] final case class Header(
+      fields: Map[String, String], payloadStart: Long, recordStart: Long) {
+    def contentLength(path: String): Long =
+      fields.get("content-length").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"WARC record at $path:$recordStart has no Content-Length header"))
+  }
+
+  /** Read one header block (through its closing CRLFCRLF) from a
+    * stream positioned at a record start. None at clean EOF.
+    */
+  private[v2] def readHeader(
+      in: BufferedInputStream, path: String, offset: Long): Option[Header] = {
+    val first = in.read()
+    if (first < 0) return None
+    val buf = new java.io.ByteArrayOutputStream(512)
+    buf.write(first)
+    // rolling last-4-bytes window: Int is exactly 32 bits, so after
+    // each shift-or the value IS the last 4 bytes; shorter prefixes
+    // can't false-match (max 3-byte value 0xffffff < 0x0d0a0d0a)
+    var tail = first & 0xff
+    var n = 1
+    while (tail != 0x0d0a0d0a) {
+      val b = in.read()
+      if (b < 0) throw new EOFException(
+        s"WARC header at $path:$offset hit EOF before its blank line")
+      buf.write(b)
+      tail = (tail << 8) | (b & 0xff)
+      n += 1
+      if (n > MaxHeaderBytes) throw new IllegalArgumentException(
+        s"WARC header at $path:$offset exceeds $MaxHeaderBytes bytes " +
+          "without a blank line — not a WARC file?")
+    }
+    val text = new String(buf.toByteArray, 0, n - 4, "UTF-8")
+    val lines = text.split("\r\n", -1)
+    require(lines.head.startsWith("WARC/"),
+      s"WARC record at $path:$offset starts with '${lines.head.take(20)}', " +
+        "expected a WARC/x.y version line")
+    val fields = lines.tail.iterator.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(':')
+      require(i > 0, s"malformed WARC header line at $path:$offset: '$l'")
+      l.substring(0, i).toLowerCase(java.util.Locale.ROOT) ->
+        l.substring(i + 1).trim
+    }.toMap
+    Some(Header(fields, offset + n, offset))
+  }
+
+  /** Skip exactly n bytes (BufferedInputStream.skip may be short). */
+  private[v2] def skipFully(
+      in: BufferedInputStream, n: Long, path: String, offset: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) {
+        if (in.read() < 0) throw new EOFException(
+          s"WARC payload at $path:$offset truncated ($left bytes short)")
+        left -= 1
+      } else left -= s
+    }
+  }
+
+  private[v2] def readFully(
+      in: BufferedInputStream, n: Int, path: String, offset: Long): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var got = 0
+    while (got < n) {
+      val r = in.read(out, got, n - got)
+      if (r < 0) throw new EOFException(
+        s"WARC payload at $path:$offset truncated (${n - got} bytes short)")
+      got += r
+    }
+    out
+  }
+
+  /** Consume the record's closing CRLFCRLF, validating the framing. */
+  private[v2] def expectRecordEnd(
+      in: BufferedInputStream, path: String, offset: Long): Unit = {
+    val got = new Array[Int](4).map(_ => in.read())
+    require(got.sameElements(Array(0x0d, 0x0a, 0x0d, 0x0a)),
+      s"WARC record at $path:$offset is not followed by CRLFCRLF " +
+        s"(got ${got.mkString("[", ",", "]")}) — Content-Length wrong?")
+  }
+
+  /** Driver-side index skim of one file: byte ranges of consecutive
+    * record runs, each ≈ chunkBytes, as (start, endExclusive,
+    * firstRecordIndex). Reads headers, SEEKS over payloads.
+    */
+  private[v2] def indexSplits(
+      path: String, chunkBytes: Long): Seq[(Long, Long, Long)] = {
+    val in = new BufferedInputStream(new FileInputStream(path), 64 * 1024)
+    try {
+      val splits = Seq.newBuilder[(Long, Long, Long)]
+      var offset = 0L
+      var idx = 0L
+      var splitStart = -1L
+      var splitFirstIdx = 0L
+      var h = readHeader(in, path, offset)
+      while (h.isDefined) {
+        val len = h.get.contentLength(path)
+        skipFully(in, len, path, offset)
+        expectRecordEnd(in, path, offset)
+        if (splitStart < 0) { splitStart = offset; splitFirstIdx = idx }
+        offset = h.get.payloadStart + len + 4
+        idx += 1
+        if (offset - splitStart >= chunkBytes) {
+          splits += ((splitStart, offset, splitFirstIdx))
+          splitStart = -1L
+        }
+        h = readHeader(in, path, offset)
+      }
+      if (splitStart >= 0) splits += ((splitStart, offset, splitFirstIdx))
+      splits.result()
+    } finally in.close()
+  }
+}
+
+private[v2] class WarcTable(paths: Seq[String], chunkBytes: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths, chunkBytes)
+}
+
+private[v2] class WarcScanBuilder(paths: Seq[String], chunkBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(paths, chunkBytes, required)
+}
+
+private[v2] class WarcScan(
+    paths: Seq[String], chunkBytes: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap { p =>
+      WarcDataSource.indexSplits(p, chunkBytes).map {
+        case (start, end, firstIdx) => WarcInputPartition(p, start, end, firstIdx)
+      }
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+}
+
+private[v2] case class WarcInputPartition(
+    path: String, start: Long, end: Long, firstIdx: Long)
+    extends InputPartition
+
+private[v2] class WarcReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(p.asInstanceOf[WarcInputPartition], required)
+}
+
+/** Task-side reader of one byte range. Field extraction is driven by
+  * the PRUNED schema: a range whose schema excludes `payload` seeks
+  * over payload bytes — at crawl payload fractions that is the
+  * difference between scanning the archive and scanning its headers.
+  */
+private[v2] class WarcPartitionReader(
+    part: WarcInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import WarcDataSource._
+
+  private val in = new BufferedInputStream(
+    new FileInputStream(part.path), 64 * 1024)
+  skipFully(in, part.start, part.path, 0L)
+  private var offset = part.start
+  private var idx = part.firstIdx
+  private val needPayload = required.fieldNames.contains("payload")
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (offset >= part.end) return false
+    val h = readHeader(in, part.path, offset).getOrElse(
+      throw new EOFException(
+        s"WARC split at ${part.path}:$offset ended before ${part.end}"))
+    val len = h.contentLength(part.path)
+    val payload: Array[Byte] =
+      if (needPayload) {
+        require(len <= Int.MaxValue - 16,
+          s"WARC payload at ${part.path}:$offset is ${len}B; " +
+            "single-record payloads above 2 GiB are not supported")
+        readFully(in, len.toInt, part.path, offset)
+      } else { skipFully(in, len, part.path, offset); null }
+    expectRecordEnd(in, part.path, offset)
+    val get: PartialFunction[String, Any] = {
+      case "path" => UTF8String.fromString(part.path)
+      case "record_index" => idx
+      case "warc_type" =>
+        h.fields.get("warc-type").map(UTF8String.fromString).orNull
+      case "record_id" =>
+        h.fields.get("warc-record-id")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
+      case "target_uri" =>
+        h.fields.get("warc-target-uri").map(UTF8String.fromString).orNull
+      case "warc_date" =>
+        h.fields.get("warc-date").map(UTF8String.fromString).orNull
+      case "content_type" =>
+        h.fields.get("content-type").map(UTF8String.fromString).orNull
+      case "content_length" => len
+      case "payload" => payload
+    }
+    row = new GenericInternalRow(
+      required.fieldNames.map(get(_)).toArray[Any])
+    offset = h.payloadStart + len + 4
+    idx += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.WarcDataSource
+
+/** Gates for the WARC sink/source pair: byte-exact golden parse,
+  * Content-Length framing (payloads full of CRLFCRLF and fake
+  * headers), multi-split planning parity, payload pruning reaching
+  * the read schema, loud malformed-record aborts, and the full
+  * corpus round-trip against `documents` at sf0.001.
+  */
+class WarcSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.exprs.register(s)
+    s
+  }
+
+  private def record(
+      uri: String, payload: Array[Byte],
+      wtype: String = "response", extra: Seq[String] = Nil): Array[Byte] = {
+    val head = (Seq(
+      "WARC/1.0",
+      s"WARC-Type: $wtype",
+      s"WARC-Record-ID: <urn:test:$uri>",
+      "WARC-Date: 2020-01-01T00:00:00Z",
+      s"WARC-Target-URI: $uri",
+      "Content-Type: text/plain",
+      s"Content-Length: ${payload.length}") ++ extra)
+      .mkString("", "\r\n", "\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    head ++ payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def writeFixture(recs: Array[Byte]*): Path = {
+    val dir = Files.createTempDirectory("warc-spec")
+    Files.write(dir.resolve("f.warc"), recs.flatten.toArray)
+    dir
+  }
+
+  test("golden parse: fields, record_index, payload bytes") {
+    val dir = writeFixture(
+      record("http://a.example/1", "hello".getBytes(StandardCharsets.UTF_8)),
+      record("http://a.example/2", Array[Byte](0, 1, 2, 3), wtype = "metadata"))
+    try {
+      val rows = spark.read.format("warc").load(dir.toString)
+        .orderBy("record_index").collect()
+      assert(rows.length == 2)
+      val r0 = rows(0)
+      assert(r0.getAs[Long]("record_index") == 0L)
+      assert(r0.getAs[String]("warc_type") == "response")
+      assert(r0.getAs[String]("record_id") == "urn:test:http://a.example/1")
+      assert(r0.getAs[String]("target_uri") == "http://a.example/1")
+      assert(r0.getAs[String]("warc_date") == "2020-01-01T00:00:00Z")
+      assert(r0.getAs[String]("content_type") == "text/plain")
+      assert(r0.getAs[Long]("content_length") == 5L)
+      assert(new String(r0.getAs[Array[Byte]]("payload"),
+        StandardCharsets.UTF_8) == "hello")
+      assert(rows(1).getAs[String]("warc_type") == "metadata")
+      assert(rows(1).getAs[Array[Byte]]("payload").toSeq ==
+        Seq[Byte](0, 1, 2, 3))
+    } finally rm(dir)
+  }
+
+  test("Content-Length framing survives adversarial payloads") {
+    // payloads containing the record separator and header-looking
+    // lines — a delimiter-scanning reader desynchronizes here
+    val evil1 = "x\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\ny"
+      .getBytes(StandardCharsets.UTF_8)
+    val evil2 = "\r\n\r\n\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val dir = writeFixture(
+      record("http://a.example/1", evil1),
+      record("http://a.example/2", evil2),
+      record("http://a.example/3", "tail".getBytes(StandardCharsets.UTF_8)))
+    try {
+      val rows = spark.read.format("warc").load(dir.toString)
+        .orderBy("record_index").collect()
+      assert(rows.map(_.getAs[String]("target_uri")).toSeq ==
+        Seq("http://a.example/1", "http://a.example/2", "http://a.example/3"))
+      assert(rows(0).getAs[Array[Byte]]("payload").toSeq == evil1.toSeq)
+      assert(rows(1).getAs[Array[Byte]]("payload").toSeq == evil2.toSeq)
+    } finally rm(dir)
+  }
+
+  test("multi-split planning: tiny chunkBytes, same rows, >1 partition") {
+    val recs = (0 until 50).map(i => record(s"http://a.example/$i",
+      ("payload-" * 20 + i).getBytes(StandardCharsets.UTF_8)))
+    val dir = writeFixture(recs: _*)
+    try {
+      val whole = spark.read.format("warc").load(dir.toString)
+        .selectExpr("record_index", "target_uri", "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      val split = spark.read.format("warc")
+        .option("chunkBytes", "256").load(dir.toString)
+      assert(split.rdd.getNumPartitions > 1,
+        "chunkBytes=256 should plan multiple byte-range partitions")
+      val got = split
+        .selectExpr("record_index", "target_uri", "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == whole)
+    } finally rm(dir)
+  }
+
+  test("payload pruning reaches the DSv2 read schema") {
+    val dir = writeFixture(
+      record("http://a.example/1", "abc".getBytes(StandardCharsets.UTF_8)))
+    try {
+      val q = spark.read.format("warc").load(dir.toString)
+        .groupBy("warc_type").sum("content_length")
+      // sparkPlan, not executedPlan: AQE wraps the executed tree in
+      // AdaptiveSparkPlanExec, which collect() does not descend into
+      val scans = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      val readCols = scans.head.scan.readSchema().fieldNames.toSet
+      assert(!readCols.contains("payload"),
+        s"payload should be pruned from the scan, got $readCols")
+      assert(q.collect().head.getLong(1) == 3L)
+    } finally rm(dir)
+  }
+
+  test("malformed records abort loudly") {
+    val ok = record("http://a.example/1", "abc".getBytes(StandardCharsets.UTF_8))
+    // 1: truncated payload (Content-Length larger than the bytes)
+    val truncated = ok.dropRight(6)
+    // 2: wrong Content-Length (framing lands off the CRLFCRLF)
+    val wrongLen = new String(ok, StandardCharsets.UTF_8)
+      .replace("Content-Length: 3", "Content-Length: 2")
+      .getBytes(StandardCharsets.UTF_8)
+    // 3: not a WARC file at all
+    val notWarc = "HTTP/1.1 200 OK\r\n\r\nbody".getBytes(StandardCharsets.UTF_8)
+    for (bad <- Seq(truncated, wrongLen, notWarc)) {
+      val dir = writeFixture(bad)
+      try {
+        val e = intercept[Exception] {
+          spark.read.format("warc").load(dir.toString).count()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(m => m.contains("WARC")),
+          s"expected a loud WARC error, got: ${msgs(e).take(3)}")
+      } finally rm(dir)
+    }
+  }
+
+  test("corpus round-trip: documents -> WARC -> documents parity (sf0.001)") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("warc-spec-rt")
+    try {
+      Warc.write(docs, dir.toString + "/w")
+      val back = spark.read.format("warc")
+        .option("chunkBytes", "65536")
+        .load(dir.toString + "/w")
+        .selectExpr(
+          "CAST(regexp_extract(target_uri, '^http://([^.]+)\\\\.example/doc/([0-9]+)$', 2) AS BIGINT) AS doc_id",
+          "regexp_extract(target_uri, '^http://([^.]+)\\\\.example/doc/([0-9]+)$', 1) AS source",
+          "CAST(payload AS STRING) AS text")
+      val a = back.orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val b = docs.selectExpr("doc_id", "source", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(a.length == b.length && a.sameElements(b),
+        "WARC round-trip must preserve every doc byte-exactly")
+    } finally rm(dir)
+  }
+
+  test("expandPaths: directory lists files, hidden/_ excluded") {
+    val dir = Files.createTempDirectory("warc-spec-paths")
+    try {
+      Files.write(dir.resolve("b.warc"), record("u", Array[Byte](1)))
+      Files.write(dir.resolve("a.warc"), record("u", Array[Byte](1)))
+      Files.write(dir.resolve("_SUCCESS"), Array[Byte](1))
+      Files.write(dir.resolve(".hidden"), Array[Byte](1))
+      val got = WarcDataSource.expandPaths(Seq(dir.toString))
+      assert(got.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+        Seq("a.warc", "b.warc"))
+    } finally rm(dir)
+  }
+
+  private def rm(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val l = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq.foreach(rm)
+      } finally l.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
