@@ -1151,12 +1151,26 @@ object DedupQueries {
       val srcs = h.select($"source").distinct()
       val pairs = srcs.select($"source".as("sa"))
         .join(srcs.select($"source".as("sb")), $"sa" < $"sb")
-      val merged = pairs
-        .join(broadcast(sk), $"source" === $"sa" || $"source" === $"sb")
+      // TWO equi-join legs + union, NOT a single OR-condition join: the
+      // OR disjunction can only plan as BroadcastNestedLoopJoin —
+      // |pairs| × |sketch rows| comparisons, which is sources² × 128·
+      // sources and measured 20.6 s at grow_sf1 (200 sources: 19.9 k
+      // pairs × 25.6 k sketch rows = 509 M compares, ~8 B at sf10).
+      // Tagging each leg with its membership side up front also drops
+      // the per-row `source === sa` re-evaluation; output volume is
+      // exactly 2 × 128 × |pairs| either way. `pairs` broadcasts
+      // (sources²/2 rows — fine for catalogue-scale source counts; a
+      // 10^4-source corpus would flip the build side, which AQE does
+      // once pairs outgrows the threshold).
+      val legA = sk.withColumnRenamed("source", "sa")
+        .join(broadcast(pairs), Seq("sa"))
+        .select($"sa", $"sb", $"h", lit(1).as("ina"), lit(0).as("inb"))
+      val legB = sk.withColumnRenamed("source", "sb")
+        .join(broadcast(pairs), Seq("sb"))
+        .select($"sa", $"sb", $"h", lit(0).as("ina"), lit(1).as("inb"))
+      val merged = legA.unionByName(legB)
         .groupBy($"sa", $"sb", $"h")
-        .agg(
-          max(($"source" === $"sa").cast("int")).as("ina"),
-          max(($"source" === $"sb").cast("int")).as("inb"))
+        .agg(max($"ina").as("ina"), max($"inb").as("inb"))
         .withColumn("rn",
           row_number().over(Window.partitionBy($"sa", $"sb").orderBy($"h")))
         .filter($"rn" <= k)

@@ -2036,24 +2036,34 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val words = Tables.documents(s, d)
-        .select($"doc_id", $"lang", $"source",
-          explode(split($"text", " ")).as("word"))
-        .select($"doc_id", $"lang", $"source",
-          (expr("CAST(conv(substring(md5(concat('ccnet:', word)), 1, 6), 16, 10) AS BIGINT)") % 256)
-            .as("bucket"))
-      val tgtWords = words.filter($"source".isin("src1", "src3", "src5"))
-      val tgt = tgtWords.groupBy($"bucket").agg(count(lit(1)).as("c_t"))
-      val nT = tgtWords.agg(count(lit(1)).as("n_t")) // 1 row, broadcasts
-      val model = tgt.crossJoin(broadcast(nT))
-        .select($"bucket",
-          expr("(c_t + 1) * 1000000 div (n_t + 256)").as("freq_micro"))
-      val scored = words.join(broadcast(model), Seq("bucket"), "left_outer")
-        .crossJoin(broadcast(nT))
-        .select($"doc_id", $"lang",
-          coalesce($"freq_micro", expr("1000000 div (n_t + 256)")).as("f"))
-        .groupBy($"doc_id", $"lang")
-        .agg(count(lit(1)).as("n_tokens"), sum($"f").as("fsum"))
+      // Round-11 rewrite (the ta_trigram_lm_score device, measured
+      // there with ScratchProbe): per-word md5 on EXPLODED rows costs
+      // ~µs/row through the generate → project path; the same hashes
+      // inside `transform`/`aggregate` lambdas are ~an order cheaper.
+      // Training explodes only finished bucket ids; scoring never
+      // explodes — the 256-slot smoothed-frequency model becomes a
+      // POSITIONAL ARRAY on one broadcast row (O(1) element_at) and
+      // each doc folds its mean-likelihood sum in-row.
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", split($"text", " ").as("w"))
+      val bucketOf = (col: String) =>
+        s"CAST(conv(substring(md5(concat('ccnet:', $col)), 1, 6), 16, 10) AS BIGINT) % 256"
+      val refBuckets = docs.filter($"source".isin("src1", "src3", "src5"))
+        .select(explode(expr(s"transform(w, x -> ${bucketOf("x")})")).as("bucket"))
+      val tgt = refBuckets.groupBy($"bucket").agg(count(lit(1)).as("c_t"))
+      // n_t = Σ c_t — one pass over the reference stream, not two
+      val model = tgt
+        .agg(map_from_entries(collect_list(struct($"bucket", $"c_t"))).as("m"),
+          sum($"c_t").as("n_t"))
+        .select(expr(
+          """transform(sequence(0L, 255L), b ->
+            |  (coalesce(element_at(m, b), 0L) + 1) * 1000000 div (n_t + 256))""".stripMargin)
+          .as("a"))
+      val scored = docs.crossJoin(broadcast(model))
+        .select($"doc_id", $"lang", size($"w").cast("long").as("n_tokens"),
+          expr(s"""aggregate(w, 0L, (acc, x) ->
+            |  acc + element_at(a, CAST(${bucketOf("x")} AS INT) + 1))""".stripMargin)
+            .as("fsum"))
         .select($"doc_id", $"lang", $"n_tokens",
           expr("fsum div n_tokens").as("score_micro"))
         // three consumers (histogram, per-lang n, final bucket join)
@@ -2173,41 +2183,53 @@ object TextQueries {
         .select($"doc_id", $"source",
           regexp_replace($"text", "[^ -~]", "").as("t"))
         .filter(length($"t") >= 3)
-      // In-row hashing beats dictionary hashing HERE: a measured
-      // distinct-trigram → (b3, b2) broadcast-join variant (hash the
-      // ≤95³-entry dictionary once, join occurrences on the 3-char
-      // key) ran 2.2× SLOWER at grow_sf1 — the 50M-row distinct +
-      // per-occurrence string join cost far more than the codegen'd
-      // md5s they saved. The double-md5 projection stays inside
-      // whole-stage codegen and never shuffles.
-      val tris = docs.select($"doc_id", $"source",
-        explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
-          .as("tri"))
-        .select($"doc_id", $"source",
-          (expr("CAST(conv(substring(md5(concat('lm3:', tri)), 1, 6), 16, 10) AS BIGINT)") % 4096)
-            .as("b3"),
-          (expr("CAST(conv(substring(md5(concat('lm2:', substring(tri, 1, 2))), 1, 6), 16, 10) AS BIGINT)") % 4096)
-            .as("b2"))
-      val ref = tris.filter($"source".isin("src1", "src3", "src5"))
-      // ONE pass over the reference stream builds the JOINT
-      // (b3, b2) pair counts (each trigram maps to exactly one pair,
-      // so both marginals are exact partial sums of it); the pair
-      // table is ≤ distinct-trigram-sized — checkpointed so the two
-      // marginals don't each re-run the corpus-chars-sized reference
-      // stream. Measured NEUTRAL at grow_sf1 (the all-docs scoring
-      // pass dominates), but it removes one full reference pass —
-      // which matters when the reference share of the corpus grows.
-      val refPairs = ref.groupBy($"b3", $"b2").agg(count(lit(1)).as("c"))
+      // Round-11 rewrite, MEASURED at grow_sf1 (ScratchProbe
+      // decomposition): hashing on EXPLODED trigram rows cost ~1.8 µs/
+      // row (28.9 s for 15 M single-md5 rows — the generate → project
+      // row-at-a-time path), while the SAME md5s evaluated INSIDE a
+      // higher-order-function lambda ran the whole stream in 0.5 s.
+      // So: (a) the training pass computes both bucket ids inside
+      // `transform` and explodes only the finished (b3, b2) pairs;
+      // (b) the scoring pass never explodes at all — the two 4096-slot
+      // count marginals become POSITIONAL ARRAYS (O(1) element_at, not
+      // a map's linear scan) on one broadcast row, and each doc folds
+      // its own likelihood sum in-row with `aggregate`. Previous
+      // measured variants for the record: distinct-trigram dictionary
+      // join 2.2× slower than in-row double-md5; exploded-row
+      // double-md5 + two broadcast joins + per-doc agg = the 18.6 s
+      // this rewrite replaces (2.6 s after).
+      val refBuckets = docs.filter($"source".isin("src1", "src3", "src5"))
+        .select(explode(expr(
+          """transform(sequence(1, length(t) - 2), i -> struct(
+            |  CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096 AS b3,
+            |  CAST(conv(substring(md5(concat('lm2:', substring(t, i, 2))), 1, 6), 16, 10) AS BIGINT) % 4096 AS b2))""".stripMargin))
+          .as("p"))
+        .select($"p.b3", $"p.b2")
+      // ONE pass over the reference stream builds the JOINT (b3, b2)
+      // pair counts (each trigram maps to exactly one pair, so both
+      // marginals are exact partial sums of it); checkpointed so the
+      // two marginals don't each re-run the reference stream.
+      val refPairs = refBuckets.groupBy($"b3", $"b2")
+        .agg(count(lit(1)).as("c"))
         .localCheckpoint()
       val c3 = refPairs.groupBy($"b3").agg(sum($"c").as("c3"))
       val c2 = refPairs.groupBy($"b2").agg(sum($"c").as("c2"))
-      tris
-        .join(broadcast(c3), Seq("b3"), "left_outer")
-        .join(broadcast(c2), Seq("b2"), "left_outer")
-        .select($"doc_id",
-          expr("((coalesce(c3, 0) + 1) * 1000000) div (coalesce(c2, 0) + 4096)").as("f"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tri"), sum($"f").as("fsum"))
+      val model = c3
+        .agg(map_from_entries(collect_list(struct($"b3", $"c3"))).as("m3"))
+        .crossJoin(c2
+          .agg(map_from_entries(collect_list(struct($"b2", $"c2"))).as("m2")))
+        .select(
+          expr("transform(sequence(0L, 4095L), b -> coalesce(element_at(m3, b), 0L))")
+            .as("a3"),
+          expr("transform(sequence(0L, 4095L), b -> coalesce(element_at(m2, b), 0L))")
+            .as("a2"))
+      docs.crossJoin(broadcast(model))
+        .select($"doc_id", (length($"t") - 2).cast("long").as("n_tri"),
+          expr(
+            """aggregate(sequence(1, length(t) - 2), 0L, (acc, i) -> acc +
+              |  (element_at(a3, CAST(CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096 AS INT) + 1) + 1) * 1000000
+              |  div (element_at(a2, CAST(CAST(conv(substring(md5(concat('lm2:', substring(t, i, 2))), 1, 6), 16, 10) AS BIGINT) % 4096 AS INT) + 1) + 4096))""".stripMargin)
+            .as("fsum"))
         .select($"doc_id", $"n_tri", expr("fsum div n_tri").as("score_micro"))
         .orderBy($"doc_id")
     },
