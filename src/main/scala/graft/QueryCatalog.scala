@@ -23,6 +23,7 @@ object QueryCatalog {
       graft.operators.SimilarityQueries.all ++
       graft.operators.MultimodalQueries.all ++
       graft.operators.EventQueries.all ++
+      graft.operators.UrlQueries.all ++
       graft.operators.ExtraQueries.all ++
       graft.operators.GraphQueries.all ++
       graft.operators.PipelineQueries.all

@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** URL/domain operators — the first stage of every crawl-derived
+  * training pipeline (CCNet, RefinedWeb, Dolma all begin by parsing,
+  * canonicalizing, and domain-filtering `WARC-Target-URI`s before any
+  * text processing runs). The reference ETL's analogue is its per-API
+  * source addressing (building-inspector.js:50-83 builds page URLs by
+  * string concatenation); this family generalizes that to the
+  * crawl-archive world the WARC source (sources/Warc.scala) feeds.
+  *
+  * The `documents` table carries no URL column, so each entry derives
+  * a deterministic raw URL per row from (doc_id) arithmetic — the same
+  * device the multimodal family uses to fabricate binary payloads —
+  * and the DuckDB oracle re-derives the identical string. The derived
+  * URLs are deliberately MESSY in exactly the ways crawl URLs are:
+  * mixed-case hosts, optional `www.`, explicit default ports, tracking
+  * params (`utm_*`) in varying positions, fragments — and groups of 4
+  * raw variants share one canonical form, so canonicalization has real
+  * work to do and the dedup entry has real duplicates to find.
+  *
+  * Scale shape: every entry is a single projection over the scan plus
+  * at most one hash aggregate on a derived key (canonical URL,
+  * registered domain, shard). No joins except the blocklist
+  * broadcast (a real blocklist — UT1 is ~4 M domains — still
+  * broadcasts at ~100 MB; past that it becomes a bucketed semi-join on
+  * the same key). All string work is builtin-function (regexp_extract /
+  * filter / array_sort — whole-stage codegen), no UDFs.
+  */
+object UrlQueries {
+
+  /** Deterministic messy raw URL per document row.
+    *
+    * P = doc_id div 4 groups four consecutive docs onto one canonical
+    * URL; everything canonical-RELEVANT (scheme, host labels, tld,
+    * path, the id param) derives from P, everything canonicalization
+    * must REMOVE (www, case, default port, tracking params, param
+    * order, fragment) derives from doc_id — so each full group of 4
+    * collapses to a single canonical form.
+    */
+  private def withRawUrl(docs: DataFrame): DataFrame = {
+    val p = expr("doc_id div 4")
+    val scheme = when(p % 3 === 0, "https").otherwise("http")
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
+      (p % 4 + 1).cast("int"))
+    val hostCore = concat(
+      when(p % 2 === 0, "cdn.").otherwise(""),
+      lit("site"), (p % 23).cast("string"), lit("."), tld)
+    val hostFull = concat(
+      when(col("doc_id") % 2 === 0, "www.").otherwise(""), hostCore)
+    val hostRaw =
+      when(col("doc_id") % 5 === 0, upper(hostFull)).otherwise(hostFull)
+    val port = when(col("doc_id") % 7 === 0,
+      when(p % 3 === 0, ":443").otherwise(":80")).otherwise("")
+    val pid = p.cast("string")
+    val query = when(col("doc_id") % 2 === 0,
+      concat(lit("?id="), pid, lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_campaign=x&id="), pid))
+    val frag = when(col("doc_id") % 11 === 0,
+      concat(lit("#sec"), (col("doc_id") % 3).cast("string")))
+      .otherwise(lit(""))
+    docs.withColumn("raw_url", concat(
+      scheme, lit("://"), hostRaw, port, lit("/doc/"), pid, query, frag))
+  }
+
+  /** DuckDB CTE producing the identical (documents.*, raw_url) rows. */
+  private val RawUrlCte =
+    """p0 AS (
+      |  SELECT doc_id, text, lang, source, n_chars, doc_id // 4 AS p
+      |  FROM documents),
+      |h0 AS (
+      |  SELECT *,
+      |         CASE WHEN p % 3 = 0 THEN 'https' ELSE 'http' END AS scheme0,
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+      |          CASE WHEN p % 2 = 0 THEN 'cdn.' ELSE '' END ||
+      |          'site' || CAST(p % 23 AS VARCHAR) || '.' ||
+      |          (['com','org','co.uk','io'])[CAST(p % 4 AS INT) + 1]
+      |         ) AS hostfull
+      |  FROM p0),
+      |u AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |         scheme0 || '://' ||
+      |         CASE WHEN doc_id % 5 = 0 THEN upper(hostfull) ELSE hostfull END ||
+      |         CASE WHEN doc_id % 7 = 0
+      |              THEN (CASE WHEN scheme0 = 'https' THEN ':443' ELSE ':80' END)
+      |              ELSE '' END ||
+      |         '/doc/' || CAST(p AS VARCHAR) ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN '?id=' || CAST(p AS VARCHAR) || '&utm_source=feed'
+      |              ELSE '?utm_campaign=x&id=' || CAST(p AS VARCHAR) END ||
+      |         CASE WHEN doc_id % 11 = 0
+      |              THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+      |              ELSE '' END AS raw_url
+      |  FROM h0)""".stripMargin
+
+  // Generic URL-component regexes — shared verbatim (modulo string
+  // escaping) between the Spark columns and the DuckDB oracle, so the
+  // parse is pinned as STRING semantics, not as our derivation run
+  // backwards. Both engines' regexp_extract return '' on no match.
+  private val SchemeRe = "^([a-z]+)://"
+  private val HostRe = "^[a-z]+://([^/:]+)"
+  private val PortRe = "^[a-z]+://[^/:]+:([0-9]+)"
+  private val PathRe = "://[^/]+(/[^?#]*)"
+  private val QueryRe = "\\?([^#]*)"
+  private val FragRe = "#(.*)$"
+
+  private def urlScheme(u: Column) = regexp_extract(u, SchemeRe, 1)
+  private def urlHost(u: Column) = lower(regexp_extract(u, HostRe, 1))
+  private def urlPath(u: Column) = regexp_extract(u, PathRe, 1)
+  private def urlQuery(u: Column) = regexp_extract(u, QueryRe, 1)
+
+  /** Canonical URL: lowercase host, strip leading www., drop default
+    * port and fragment, drop tracking params, sort the survivors. */
+  private def canonicalUrl(u: Column): Column = {
+    val host = regexp_replace(urlHost(u), "^www\\.", "")
+    val keep = array_sort(filter(split(urlQuery(u), "&"),
+      x => !x.rlike("^(utm_[a-z]+|fbclid)=")))
+    concat(urlScheme(u), lit("://"), host, urlPath(u),
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** DuckDB canonical-URL expression over a raw-url column `c`. */
+  private def canonSql(c: String): String =
+    s"""regexp_extract($c, '^([a-z]+)://', 1) || '://' ||
+       |regexp_replace(lower(regexp_extract($c, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '') ||
+       |regexp_extract($c, '://[^/]+(/[^?#]*)', 1) ||
+       |CASE WHEN len(list_filter(string_split(regexp_extract($c, '\\?([^#]*)', 1), '&'),
+       |                          x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)=') )) > 0
+       |     THEN '?' || array_to_string(
+       |            list_sort(list_filter(string_split(regexp_extract($c, '\\?([^#]*)', 1), '&'),
+       |                                  x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)='))), '&')
+       |     ELSE '' END""".stripMargin
+
+  /** Registered domain from a canonical (lowercased, no-www) host:
+    * last two labels, or last three when the last two are a known
+    * two-level public suffix — the heuristic core of the public-suffix
+    * list (the full PSL is a broadcast dim at scale, same plan). */
+  private val TwoLevelSuffixes = Seq("co.uk", "com.au", "co.jp", "ac.uk")
+
+  private def regDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(last2.isin(TwoLevelSuffixes: _*),
+      concat_ws(".", element_at(labels, -3), last2)).otherwise(last2)
+  }
+
+  /** DuckDB registered-domain expression over a host expression. */
+  private def regDomainSql(host: String): String =
+    s"""CASE WHEN lbl[-2] || '.' || lbl[-1] IN ('co.uk','com.au','co.jp','ac.uk')
+       |     THEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+       |     ELSE lbl[-2] || '.' || lbl[-1] END""".stripMargin
+      .replace("lbl", s"string_split($host, '.')")
+
+  // ---------------------------------------------------------------
+  // 1. Generic URL parsing: one projection, six regexp_extracts, all
+  //    whole-stage codegen. At 100 TB this is the map stage right
+  //    after the WARC scan — zero shuffles.
+  private val urlParse = Q(
+    "ta_url_parse",
+    (s, d) => {
+      import s.implicits._
+      withRawUrl(Tables.documents(s, d))
+        .select(
+          $"doc_id", $"raw_url",
+          urlScheme($"raw_url").as("scheme"),
+          urlHost($"raw_url").as("host"),
+          nullif(regexp_extract($"raw_url", PortRe, 1), lit(""))
+            .cast("int").as("port"),
+          urlPath($"raw_url").as("path"),
+          urlQuery($"raw_url").as("query_string"),
+          nullif(regexp_extract($"raw_url", FragRe, 1), lit(""))
+            .as("fragment"),
+        )
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $RawUrlCte
+            |SELECT doc_id, raw_url,
+            |       regexp_extract(raw_url, '^([a-z]+)://', 1) AS scheme,
+            |       lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)) AS host,
+            |       CAST(nullif(regexp_extract(raw_url, '^[a-z]+://[^/:]+:([0-9]+)', 1), '') AS INT) AS port,
+            |       regexp_extract(raw_url, '://[^/]+(/[^?#]*)', 1) AS path,
+            |       regexp_extract(raw_url, '\\?([^#]*)', 1) AS query_string,
+            |       nullif(regexp_extract(raw_url, '#(.*)$$', 1), '') AS fragment
+            |FROM u
+            |ORDER BY doc_id""".stripMargin),
+  )
+
+  // ---------------------------------------------------------------
+  // 2. Canonicalize + first-seen dedup: the URL-level dedup every
+  //    crawl pipeline runs before any content dedup (a page fetched
+  //    as http/https × with/without tracking params is one document).
+  //    One hash aggregate on the canonical key — at 100 TB the same
+  //    groupBy, hash-partitioned on canonical_url.
+  private val urlDedup = Q(
+    "td_url_canonical_dedup",
+    (s, d) => {
+      import s.implicits._
+      withRawUrl(Tables.documents(s, d))
+        .select($"doc_id", canonicalUrl($"raw_url").as("canonical_url"))
+        .groupBy($"canonical_url")
+        .agg(count(lit(1)).as("n_raw"), min($"doc_id").as("first_doc"))
+        .orderBy($"canonical_url")
+    },
+    Some(s"""WITH $RawUrlCte
+            |SELECT ${canonSql("raw_url")} AS canonical_url,
+            |       count(*) AS n_raw,
+            |       min(doc_id) AS first_doc
+            |FROM u
+            |GROUP BY 1
+            |ORDER BY canonical_url""".stripMargin),
+  )
+
+  // ---------------------------------------------------------------
+  // 3. Registered-domain corpus profile: docs / distinct pages / chars
+  //    per registered domain — the table a domain-mixing or
+  //    domain-quality policy is computed FROM (RefinedWeb's per-domain
+  //    caps, Dolma's domain stats). distinct canonical rides the same
+  //    shuffle key as the group.
+  private val domainStats = Q(
+    "ta_domain_stats",
+    (s, d) => {
+      import s.implicits._
+      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      withRawUrl(Tables.documents(s, d))
+        .select(
+          regDomain(host).as("reg_domain"),
+          canonicalUrl($"raw_url").as("canon"),
+          $"n_chars")
+        .groupBy($"reg_domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"canon").as("n_pages"),
+          sum($"n_chars").as("total_chars"))
+        .orderBy($"n_docs".desc, $"reg_domain")
+    },
+    Some(s"""WITH $RawUrlCte,
+            |dom AS (
+            |  SELECT ${regDomainSql(
+      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain,
+            |         ${canonSql("raw_url")} AS canon,
+            |         n_chars
+            |  FROM u)
+            |SELECT reg_domain,
+            |       count(*) AS n_docs,
+            |       count(DISTINCT canon) AS n_pages,
+            |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+            |FROM dom
+            |GROUP BY reg_domain
+            |ORDER BY n_docs DESC, reg_domain""".stripMargin),
+  )
+
+  // ---------------------------------------------------------------
+  // 4. Domain blocklist filter: broadcast left join against a
+  //    blocklist dim (stand-in for UT1/adult+spam lists), kept/dropped
+  //    counts per source. The dim is literal here; at scale it is a
+  //    ~100 MB table read — still a broadcast, same plan.
+  private val Blocklist =
+    Seq("site7.co.uk", "site13.com", "site3.io", "site20.org", "site21.co.uk")
+
+  private val blocklistFilter = Q(
+    "td_blocklist_filter",
+    (s, d) => {
+      import s.implicits._
+      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val bl = Blocklist.toDF("domain").withColumn("banned", lit(1))
+      withRawUrl(Tables.documents(s, d))
+        .select($"source", regDomain(host).as("reg_domain"))
+        .join(broadcast(bl), $"reg_domain" === $"domain", "left")
+        .groupBy($"source")
+        .agg(
+          count(when($"banned".isNull, 1)).as("n_kept"),
+          count($"banned").as("n_dropped"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH $RawUrlCte,
+            |dom AS (
+            |  SELECT source,
+            |         ${regDomainSql(
+      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain
+            |  FROM u)
+            |SELECT source,
+            |       count(*) FILTER (WHERE reg_domain NOT IN
+            |         ('site7.co.uk','site13.com','site3.io','site20.org','site21.co.uk')) AS n_kept,
+            |       count(*) FILTER (WHERE reg_domain IN
+            |         ('site7.co.uk','site13.com','site3.io','site20.org','site21.co.uk')) AS n_dropped
+            |FROM dom
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
+  // ---------------------------------------------------------------
+  // 5. Politeness sharding: every URL of a registered domain lands on
+  //    ONE shard (crawl-fetch and per-domain processing both need
+  //    this affinity). Shard = md5 of the domain — stable across
+  //    engines and partition counts, unlike hash()/xxhash64 whose
+  //    seeds differ per engine. Output is the 16-row shard profile;
+  //    the assignment itself is the repartition key at scale.
+  private val hostShard = Q(
+    "td_url_host_shard",
+    (s, d) => {
+      import s.implicits._
+      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      withRawUrl(Tables.documents(s, d))
+        .select(regDomain(host).as("reg_domain"))
+        .withColumn("shard",
+          expr("CAST(conv(substring(md5(reg_domain), 1, 6), 16, 10) AS BIGINT) % 16"))
+        .groupBy($"shard")
+        .agg(
+          countDistinct($"reg_domain").as("n_domains"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"shard")
+    },
+    Some(s"""WITH $RawUrlCte,
+            |dom AS (
+            |  SELECT ${regDomainSql(
+      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain
+            |  FROM u)
+            |SELECT CAST('0x' || substr(md5(reg_domain), 1, 6) AS BIGINT) % 16 AS shard,
+            |       count(DISTINCT reg_domain) AS n_domains,
+            |       count(*) AS n_docs
+            |FROM dom
+            |GROUP BY shard
+            |ORDER BY shard""".stripMargin),
+  )
+
+  def all: Seq[Q] =
+    Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard)
+}

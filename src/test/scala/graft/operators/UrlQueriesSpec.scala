@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity gates for the URL/domain family: the regex parse is replayed
+  * against `java.net.URI` (an independent parser, not our regexes run
+  * twice), canonicalization against a naive in-memory canonicalizer
+  * built on those URI parts, and the aggregate entries against
+  * invariants (group-of-4 collapse, shard affinity, kept+dropped
+  * conservation).
+  */
+class UrlQueriesSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s
+  }
+
+  private def q(name: String) =
+    graft.QueryCatalog.all.find(_.name == name).get
+
+  /** The derivation replayed in plain Scala — the same arithmetic as
+    * UrlQueries.withRawUrl / the DuckDB CTE, used here only to know
+    * which raw string each doc_id must carry.
+    */
+  private def rawUrl(docId: Long): String = {
+    val p = docId / 4
+    val scheme = if (p % 3 == 0) "https" else "http"
+    val tld = Seq("com", "org", "co.uk", "io")((p % 4).toInt)
+    val hostCore =
+      (if (p % 2 == 0) "cdn." else "") + s"site${p % 23}.$tld"
+    val hostFull = (if (docId % 2 == 0) "www." else "") + hostCore
+    val hostRaw = if (docId % 5 == 0) hostFull.toUpperCase else hostFull
+    val port =
+      if (docId % 7 == 0) { if (p % 3 == 0) ":443" else ":80" } else ""
+    val query =
+      if (docId % 2 == 0) s"?id=$p&utm_source=feed"
+      else s"?utm_campaign=x&id=$p"
+    val frag = if (docId % 11 == 0) s"#sec${docId % 3}" else ""
+    s"$scheme://$hostRaw$port/doc/$p$query$frag"
+  }
+
+  private def naiveCanonical(raw: String): String = {
+    val u = new java.net.URI(raw)
+    val host = u.getHost.toLowerCase.replaceFirst("^www\\.", "")
+    val keep = u.getQuery.split("&")
+      .filterNot(p => p.matches("^(utm_[a-z]+|fbclid)=.*")).sorted
+    u.getScheme + "://" + host + u.getPath +
+      (if (keep.nonEmpty) "?" + keep.mkString("&") else "")
+  }
+
+  private def naiveRegDomain(canonHost: String): String = {
+    val two = Set("co.uk", "com.au", "co.jp", "ac.uk")
+    val l = canonHost.split("\\.")
+    val last2 = l.takeRight(2).mkString(".")
+    if (two(last2)) l.takeRight(3).mkString(".") else last2
+  }
+
+  private lazy val docIds: Seq[Long] = {
+    import spark.implicits._
+    graft.model.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+  }
+
+  test("ta_url_parse agrees with java.net.URI on every derived URL") {
+    val got = q("ta_url_parse").fn(spark, sf).collect()
+    assert(got.length == docIds.length)
+    for (r <- got) {
+      val raw = r.getAs[String]("raw_url")
+      assert(raw == rawUrl(r.getAs[Long]("doc_id")),
+        s"raw derivation drifted for doc ${r.getAs[Long]("doc_id")}")
+      // java.net.URI needs a lowercase-scheme absolute URI — ours are.
+      val u = new java.net.URI(raw)
+      assert(r.getAs[String]("scheme") == u.getScheme)
+      assert(r.getAs[String]("host") == u.getHost.toLowerCase)
+      val port = Option(r.getAs[Integer]("port")).map(_.toInt).getOrElse(-1)
+      assert(port == u.getPort,
+        s"port mismatch on $raw: got $port, URI says ${u.getPort}")
+      assert(r.getAs[String]("path") == u.getPath)
+      assert(r.getAs[String]("query_string") == u.getQuery)
+      assert(Option(r.getAs[String]("fragment")) == Option(u.getFragment))
+    }
+  }
+
+  test("td_url_canonical_dedup replays the naive canonicalizer") {
+    val expect = docIds.map(id => naiveCanonical(rawUrl(id)))
+      .groupBy(identity).view
+      .mapValues(_.size).toMap
+    val firsts = docIds.groupBy(id => naiveCanonical(rawUrl(id)))
+      .view.mapValues(_.min).toMap
+    val got = q("td_url_canonical_dedup").fn(spark, sf).collect()
+    assert(got.length == expect.size,
+      s"distinct canonical count: got ${got.length}, expect ${expect.size}")
+    for (r <- got) {
+      val c = r.getAs[String]("canonical_url")
+      assert(expect(c).toLong == r.getAs[Long]("n_raw"), s"n_raw for $c")
+      assert(firsts(c) == r.getAs[Long]("first_doc"), s"first_doc for $c")
+    }
+    // The designed collapse: any FULL group of 4 consecutive ids maps
+    // to one canonical URL (all raw variety is canonicalization noise).
+    val full = docIds.groupBy(_ / 4).filter(_._2.size == 4)
+    assert(full.nonEmpty, "fixture has no full group of 4 — derivation broken")
+    for ((_, ids) <- full)
+      assert(ids.map(id => naiveCanonical(rawUrl(id))).distinct.size == 1)
+  }
+
+  test("registered-domain extraction handles two-level public suffixes") {
+    assert(naiveRegDomain("cdn.site7.co.uk") == "site7.co.uk")
+    assert(naiveRegDomain("site3.io") == "site3.io")
+    val got = q("ta_domain_stats").fn(spark, sf).collect()
+    val expect = docIds
+      .map { id =>
+        val u = new java.net.URI(rawUrl(id))
+        naiveRegDomain(u.getHost.toLowerCase.replaceFirst("^www\\.", ""))
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.map(_.getAs[String]("reg_domain")).toSet == expect.keySet)
+    for (r <- got)
+      assert(r.getAs[Long]("n_docs") == expect(r.getAs[String]("reg_domain")).toLong)
+    // Ordering contract: n_docs descending, domain ascending on ties.
+    val keys = got.map(r => (-r.getAs[Long]("n_docs"), r.getAs[String]("reg_domain")))
+    assert(keys.sameElements(keys.sorted), "ta_domain_stats order contract")
+  }
+
+  test("blocklist filter conserves documents per source") {
+    import spark.implicits._
+    val perSource = graft.model.Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val got = q("td_blocklist_filter").fn(spark, sf).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == perSource.keySet)
+    for (r <- got)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        perSource(r.getAs[String]("source")))
+    assert(got.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "blocklist never fires on the fixture — list stale vs derivation")
+  }
+
+  test("politeness sharding: every domain maps to exactly one shard") {
+    val got = q("td_url_host_shard").fn(spark, sf).collect()
+    val distinctDomains = docIds.map { id =>
+      val u = new java.net.URI(rawUrl(id))
+      naiveRegDomain(u.getHost.toLowerCase.replaceFirst("^www\\.", ""))
+    }.distinct.size
+    assert(got.map(_.getAs[Long]("n_domains")).sum == distinctDomains.toLong,
+      "shard domain counts must partition the distinct-domain set")
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docIds.length.toLong)
+    assert(got.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16
+    })
+  }
+}
