@@ -1271,8 +1271,50 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC URL PROFILE (sources family × URL family): read the archive
+  // back touching ONLY `WARC-Target-URI` — the reader's required-
+  // column pruning means payload bytes are never read (WarcSourceSpec
+  // pins the pruned ReadSchema; this entry exercises that path under
+  // the oracle gate) — parse the host with the UrlQueries regex and
+  // emit the per-host politeness profile (count + md5-stable shard).
+  // This is the crawl-side audit a fetch scheduler runs over an
+  // archive BEFORE deciding re-crawl shards: at 100 TB it is a
+  // header-only scan (a few % of archive bytes) plus one hash
+  // aggregate on host. The oracle replays the URI derivation directly
+  // over `documents` (Warc.render pins uri =
+  // http://<source>.example/doc/<doc_id>).
+  private val warcUrlProfile = Q(
+    "pipe_warc_url_profile",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-url")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.write(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(lower(regexp_extract($"target_uri",
+            "^[a-z]+://([^/:]+)", 1)).as("host"))
+          .groupBy($"host")
+          .agg(count(lit(1)).as("n_records"))
+          .withColumn("shard",
+            expr("CAST(conv(substring(md5(host), 1, 6), 16, 10) AS BIGINT) % 16"))
+          .select($"host", $"shard", $"n_records")
+          .orderBy($"host")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""SELECT lower(source || '.example') AS host,
+           |       CAST('0x' || substr(md5(lower(source || '.example')), 1, 6) AS BIGINT) % 16 AS shard,
+           |       count(*) AS n_records
+           |FROM documents
+           |GROUP BY 1
+           |ORDER BY host""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
-      csvFlatten, datasetCard, compactionBins, warcRoundtrip)
+      csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcUrlProfile)
 }
