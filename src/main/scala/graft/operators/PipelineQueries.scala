@@ -1294,8 +1294,7 @@ object PipelineQueries {
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
           .load(dir)
-          .select(lower(regexp_extract($"target_uri",
-            "^[a-z]+://([^/:]+)", 1)).as("host"))
+          .select(UrlQueries.urlHost($"target_uri").as("host"))
           .groupBy($"host")
           .agg(count(lit(1)).as("n_records"))
           .withColumn("shard",

@@ -99,62 +99,111 @@ object UrlQueries {
       |              ELSE '' END AS raw_url
       |  FROM h0)""".stripMargin
 
-  // Generic URL-component regexes — shared verbatim (modulo string
-  // escaping) between the Spark columns and the DuckDB oracle, so the
-  // parse is pinned as STRING semantics, not as our derivation run
-  // backwards. Both engines' regexp_extract return '' on no match.
+  // Generic URL-component regexes — ONE definition each, shared
+  // verbatim (modulo string escaping) between the Spark columns and
+  // every DuckDB oracle via the *Sql mirrors below, so the parse is
+  // pinned as STRING semantics, not as our derivation run backwards.
+  // Both engines' regexp_extract return '' on no match.
+  // Host/port skip an optional userinfo (`user:pw@host`) and
+  // terminate the authority at '/', '?', or '#' — an authority can be
+  // followed directly by a query (`http://h?x=1`) and an '@' inside
+  // the query must not steal the host. The query regex lazily skips
+  // ONLY pre-'#' characters so a '?' inside a fragment
+  // (`#!/view?id=1`, fragment routing) does not invent a query.
+  // IPv6 bracket hosts are out of scope (the [^:] class splits
+  // them) — crawl-corpus URIs are hostnames.
   private val SchemeRe = "^([a-z]+)://"
-  private val HostRe = "^[a-z]+://([^/:]+)"
-  private val PortRe = "^[a-z]+://[^/:]+:([0-9]+)"
-  private val PathRe = "://[^/]+(/[^?#]*)"
-  private val QueryRe = "\\?([^#]*)"
+  private val HostRe = "^[a-z]+://(?:[^/?#@]*@)?([^/:?#@]+)"
+  private[operators] val PortRe =
+    "^[a-z]+://(?:[^/?#@]*@)?[^/:?#@]+:([0-9]+)"
+  private val PathRe = "://[^/?#]+(/[^?#]*)"
+  private val QueryRe = "^[^#]*?\\?([^#]*)"
   private val FragRe = "#(.*)$"
 
-  private def urlScheme(u: Column) = regexp_extract(u, SchemeRe, 1)
-  private def urlHost(u: Column) = lower(regexp_extract(u, HostRe, 1))
-  private def urlPath(u: Column) = regexp_extract(u, PathRe, 1)
-  private def urlQuery(u: Column) = regexp_extract(u, QueryRe, 1)
+  // The runtime regex text is valid RE2 as-is; single quotes make it
+  // a DuckDB string literal (standard SQL: no backslash escaping).
+  private def sqlLit(re: String): String = "'" + re + "'"
+  private val SchemeReSql = sqlLit(SchemeRe)
+  private val HostReSql = sqlLit(HostRe)
+  private val PortReSql = sqlLit(PortRe)
+  private val PathReSql = sqlLit(PathRe)
+  private val QueryReSql = sqlLit(QueryRe)
+  private val FragReSql = sqlLit(FragRe)
 
-  /** Canonical URL: lowercase host, strip leading www., drop default
-    * port and fragment, drop tracking params, sort the survivors. */
-  private def canonicalUrl(u: Column): Column = {
+  private[operators] def urlScheme(u: Column) = regexp_extract(u, SchemeRe, 1)
+  private[operators] def urlHost(u: Column) = lower(regexp_extract(u, HostRe, 1))
+  private[operators] def urlPath(u: Column) = regexp_extract(u, PathRe, 1)
+  private[operators] def urlQuery(u: Column) = regexp_extract(u, QueryRe, 1)
+
+  /** Canonical URL: lowercase host, strip leading www., drop the
+    * port only when it is the scheme DEFAULT (80/http, 443/https —
+    * a non-default port is a different origin and must survive),
+    * drop fragment and tracking params, sort the surviving params.
+    */
+  private[operators] def canonicalUrl(u: Column): Column = {
+    val scheme = urlScheme(u)
     val host = regexp_replace(urlHost(u), "^www\\.", "")
+    val port = regexp_extract(u, PortRe, 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
     val keep = array_sort(filter(split(urlQuery(u), "&"),
-      x => !x.rlike("^(utm_[a-z]+|fbclid)=")))
-    concat(urlScheme(u), lit("://"), host, urlPath(u),
+      x => x =!= "" && !x.rlike("^(utm_[a-z]+|fbclid)=")))
+    concat(scheme, lit("://"), host, portPart, urlPath(u),
       when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
         .otherwise(lit("")))
   }
 
-  /** DuckDB canonical-URL expression over a raw-url column `c`. */
-  private def canonSql(c: String): String =
-    s"""regexp_extract($c, '^([a-z]+)://', 1) || '://' ||
-       |regexp_replace(lower(regexp_extract($c, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '') ||
-       |regexp_extract($c, '://[^/]+(/[^?#]*)', 1) ||
-       |CASE WHEN len(list_filter(string_split(regexp_extract($c, '\\?([^#]*)', 1), '&'),
-       |                          x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)=') )) > 0
-       |     THEN '?' || array_to_string(
-       |            list_sort(list_filter(string_split(regexp_extract($c, '\\?([^#]*)', 1), '&'),
-       |                                  x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)='))), '&')
+  /** DuckDB canonical-URL expression over a raw-url column `c` —
+    * mirrors [[canonicalUrl]] term by term (shared regex literals,
+    * same default-port rule, same empty-segment guard).
+    */
+  private def canonSql(c: String): String = {
+    val port = s"regexp_extract($c, $PortReSql, 1)"
+    val scheme = s"regexp_extract($c, $SchemeReSql, 1)"
+    val keep =
+      s"""list_sort(list_filter(string_split(regexp_extract($c, $QueryReSql, 1), '&'),
+         |  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)=')))""".stripMargin
+    s"""$scheme || '://' ||
+       |regexp_replace(lower(regexp_extract($c, $HostReSql, 1)), '^www\\.', '') ||
+       |CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
+       |          OR ($scheme = 'https' AND $port = '443')
+       |     THEN '' ELSE ':' || $port END ||
+       |regexp_extract($c, $PathReSql, 1) ||
+       |CASE WHEN len($keep) > 0
+       |     THEN '?' || array_to_string($keep, '&')
        |     ELSE '' END""".stripMargin
+  }
 
   /** Registered domain from a canonical (lowercased, no-www) host:
     * last two labels, or last three when the last two are a known
     * two-level public suffix — the heuristic core of the public-suffix
     * list (the full PSL is a broadcast dim at scale, same plan). */
   private val TwoLevelSuffixes = Seq("co.uk", "com.au", "co.jp", "ac.uk")
+  private val TwoLevelSuffixesSql =
+    TwoLevelSuffixes.map(s => s"'$s'").mkString(",")
 
-  private def regDomain(host: Column): Column = {
+  private[operators] def regDomain(host: Column): Column = {
     val labels = split(host, "\\.")
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    when(last2.isin(TwoLevelSuffixes: _*),
-      concat_ws(".", element_at(labels, -3), last2)).otherwise(last2)
+    // try_element_at: NULL (not an ANSI error) past either end, so a
+    // single-label host ('localhost') degrades to itself and a host
+    // that IS a bare two-level suffix ('co.uk') stays itself —
+    // concat_ws skips NULLs; regDomainSql mirrors both cases.
+    val last2 = concat_ws(".",
+      try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))
+    when(size(labels) < 2, host)
+      .when(last2.isin(TwoLevelSuffixes: _*),
+        concat_ws(".", try_element_at(labels, lit(-3)), last2))
+      .otherwise(last2)
   }
 
   /** DuckDB registered-domain expression over a host expression. */
-  private def regDomainSql(host: String): String =
-    s"""CASE WHEN lbl[-2] || '.' || lbl[-1] IN ('co.uk','com.au','co.jp','ac.uk')
-       |     THEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+  private[operators] def regDomainSql(host: String): String =
+    s"""CASE WHEN lbl[-2] IS NULL THEN lbl[-1]
+       |     WHEN lbl[-2] || '.' || lbl[-1] IN ($TwoLevelSuffixesSql)
+       |     THEN coalesce(lbl[-3] || '.', '') || lbl[-2] || '.' || lbl[-1]
        |     ELSE lbl[-2] || '.' || lbl[-1] END""".stripMargin
       .replace("lbl", s"string_split($host, '.')")
 
@@ -182,12 +231,12 @@ object UrlQueries {
     },
     Some(s"""WITH $RawUrlCte
             |SELECT doc_id, raw_url,
-            |       regexp_extract(raw_url, '^([a-z]+)://', 1) AS scheme,
-            |       lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)) AS host,
-            |       CAST(nullif(regexp_extract(raw_url, '^[a-z]+://[^/:]+:([0-9]+)', 1), '') AS INT) AS port,
-            |       regexp_extract(raw_url, '://[^/]+(/[^?#]*)', 1) AS path,
-            |       regexp_extract(raw_url, '\\?([^#]*)', 1) AS query_string,
-            |       nullif(regexp_extract(raw_url, '#(.*)$$', 1), '') AS fragment
+            |       regexp_extract(raw_url, $SchemeReSql, 1) AS scheme,
+            |       lower(regexp_extract(raw_url, $HostReSql, 1)) AS host,
+            |       CAST(nullif(regexp_extract(raw_url, $PortReSql, 1), '') AS INT) AS port,
+            |       regexp_extract(raw_url, $PathReSql, 1) AS path,
+            |       regexp_extract(raw_url, $QueryReSql, 1) AS query_string,
+            |       nullif(regexp_extract(raw_url, $FragReSql, 1), '') AS fragment
             |FROM u
             |ORDER BY doc_id""".stripMargin),
   )
@@ -243,7 +292,7 @@ object UrlQueries {
     Some(s"""WITH $RawUrlCte,
             |dom AS (
             |  SELECT ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain,
+      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain,
             |         ${canonSql("raw_url")} AS canon,
             |         n_chars
             |  FROM u)
@@ -264,6 +313,11 @@ object UrlQueries {
   private val Blocklist =
     Seq("site7.co.uk", "site13.com", "site3.io", "site20.org", "site21.co.uk")
 
+  /** The blocklist as a SQL IN-list — interpolated so the oracle and
+    * the broadcast dim share the ONE definition above.
+    */
+  private val BlocklistSql = Blocklist.map(d => s"'$d'").mkString(",")
+
   private val blocklistFilter = Q(
     "td_blocklist_filter",
     (s, d) => {
@@ -283,13 +337,11 @@ object UrlQueries {
             |dom AS (
             |  SELECT source,
             |         ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain
+      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
             |  FROM u)
             |SELECT source,
-            |       count(*) FILTER (WHERE reg_domain NOT IN
-            |         ('site7.co.uk','site13.com','site3.io','site20.org','site21.co.uk')) AS n_kept,
-            |       count(*) FILTER (WHERE reg_domain IN
-            |         ('site7.co.uk','site13.com','site3.io','site20.org','site21.co.uk')) AS n_dropped
+            |       count(*) FILTER (WHERE reg_domain NOT IN ($BlocklistSql)) AS n_kept,
+            |       count(*) FILTER (WHERE reg_domain IN ($BlocklistSql)) AS n_dropped
             |FROM dom
             |GROUP BY source
             |ORDER BY source""".stripMargin),
@@ -320,7 +372,7 @@ object UrlQueries {
     Some(s"""WITH $RawUrlCte,
             |dom AS (
             |  SELECT ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, '^[a-z]+://([^/:]+)', 1)), '^www\\.', '')")} AS reg_domain
+      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
             |  FROM u)
             |SELECT CAST('0x' || substr(md5(reg_domain), 1, 6) AS BIGINT) % 16 AS shard,
             |       count(DISTINCT reg_domain) AS n_domains,

@@ -37,7 +37,9 @@ class UrlQueriesSpec extends AnyFunSuite {
     val hostCore =
       (if (p % 2 == 0) "cdn." else "") + s"site${p % 23}.$tld"
     val hostFull = (if (docId % 2 == 0) "www." else "") + hostCore
-    val hostRaw = if (docId % 5 == 0) hostFull.toUpperCase else hostFull
+    val hostRaw =
+      if (docId % 5 == 0) hostFull.toUpperCase(java.util.Locale.ROOT)
+      else hostFull
     val port =
       if (docId % 7 == 0) { if (p % 3 == 0) ":443" else ":80" } else ""
     val query =
@@ -49,10 +51,16 @@ class UrlQueriesSpec extends AnyFunSuite {
 
   private def naiveCanonical(raw: String): String = {
     val u = new java.net.URI(raw)
-    val host = u.getHost.toLowerCase.replaceFirst("^www\\.", "")
-    val keep = u.getQuery.split("&")
-      .filterNot(p => p.matches("^(utm_[a-z]+|fbclid)=.*")).sorted
-    u.getScheme + "://" + host + u.getPath +
+    val host = u.getHost.toLowerCase(java.util.Locale.ROOT)
+      .replaceFirst("^www\\.", "")
+    val defaultPort = (u.getScheme == "http" && u.getPort == 80) ||
+      (u.getScheme == "https" && u.getPort == 443)
+    val portPart =
+      if (u.getPort < 0 || defaultPort) "" else ":" + u.getPort
+    val keep = Option(u.getQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(p => p.nonEmpty && !p.matches("^(utm_[a-z]+|fbclid)=.*"))
+      .sorted
+    u.getScheme + "://" + host + portPart + u.getPath +
       (if (keep.nonEmpty) "?" + keep.mkString("&") else "")
   }
 
@@ -79,7 +87,7 @@ class UrlQueriesSpec extends AnyFunSuite {
       // java.net.URI needs a lowercase-scheme absolute URI — ours are.
       val u = new java.net.URI(raw)
       assert(r.getAs[String]("scheme") == u.getScheme)
-      assert(r.getAs[String]("host") == u.getHost.toLowerCase)
+      assert(r.getAs[String]("host") == u.getHost.toLowerCase(java.util.Locale.ROOT))
       val port = Option(r.getAs[Integer]("port")).map(_.toInt).getOrElse(-1)
       assert(port == u.getPort,
         s"port mismatch on $raw: got $port, URI says ${u.getPort}")
@@ -118,7 +126,7 @@ class UrlQueriesSpec extends AnyFunSuite {
     val expect = docIds
       .map { id =>
         val u = new java.net.URI(rawUrl(id))
-        naiveRegDomain(u.getHost.toLowerCase.replaceFirst("^www\\.", ""))
+        naiveRegDomain(u.getHost.toLowerCase(java.util.Locale.ROOT).replaceFirst("^www\\.", ""))
       }
       .groupBy(identity).view.mapValues(_.size).toMap
     assert(got.map(_.getAs[String]("reg_domain")).toSet == expect.keySet)
@@ -127,6 +135,57 @@ class UrlQueriesSpec extends AnyFunSuite {
     // Ordering contract: n_docs descending, domain ascending on ties.
     val keys = got.map(r => (-r.getAs[Long]("n_docs"), r.getAs[String]("reg_domain")))
     assert(keys.sameElements(keys.sorted), "ta_domain_stats order contract")
+  }
+
+  test("parse/canonicalize crawl-URI edge cases the fixture never emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{nullif, regexp_extract, lit}
+    val urls = Seq(
+      // userinfo + NON-default port (must survive canonicalization —
+      // a different origin) + utm + fragment
+      "http://user:pw@Site1.example.com:8080/a/b?id=1&utm_source=x#f",
+      // userinfo + www strip + param sort
+      "https://token@www.site2.co.uk/p?b=2&a=1",
+      // plain
+      "http://plain.io/x?id=3",
+      // DEFAULT port with matching scheme: dropped
+      "https://sec.org:443/y?id=4",
+      // query directly after authority, no path
+      "http://bare.com?id=5",
+      // '@' inside the query must not steal the host
+      "http://mail.net/u?ref=a@b.com",
+      // '?' only inside the fragment: NO query
+      "http://spa.app/p#!/view?id=6",
+      // no query at all: no trailing '?'
+      "http://noq.org/just/path",
+    ).toDF("u")
+    val got = urls.select(
+      UrlQueries.urlHost($"u").as("host"),
+      nullif(regexp_extract($"u", UrlQueries.PortRe, 1), lit(""))
+        .cast("int").as("port"),
+      UrlQueries.canonicalUrl($"u").as("canon"),
+    ).collect()
+    assert(got(0).getAs[String]("host") == "site1.example.com")
+    assert(got(0).getAs[Integer]("port") == 8080)
+    assert(got(0).getAs[String]("canon") ==
+      "http://site1.example.com:8080/a/b?id=1",
+      s"userinfo/utm/fragment drop, NON-default port survives: ${got(0)}")
+    assert(got(1).getAs[String]("host") == "www.site2.co.uk")
+    assert(got(1).getAs[Integer]("port") == null)
+    assert(got(1).getAs[String]("canon") == "https://site2.co.uk/p?a=1&b=2",
+      "www strip + param sort")
+    assert(got(2).getAs[String]("canon") == "http://plain.io/x?id=3")
+    assert(got(3).getAs[String]("canon") == "https://sec.org/y?id=4",
+      "scheme-default port must drop")
+    assert(got(4).getAs[String]("host") == "bare.com",
+      "authority must terminate at '?' when there is no path")
+    assert(got(4).getAs[String]("canon") == "http://bare.com?id=5")
+    assert(got(5).getAs[String]("host") == "mail.net",
+      "an '@' inside the query must not be read as userinfo")
+    assert(got(6).getAs[String]("canon") == "http://spa.app/p",
+      "a '?' inside the fragment is not a query")
+    assert(got(7).getAs[String]("canon") == "http://noq.org/just/path",
+      "no query => no trailing '?'")
   }
 
   test("blocklist filter conserves documents per source") {
@@ -146,7 +205,7 @@ class UrlQueriesSpec extends AnyFunSuite {
     val got = q("td_url_host_shard").fn(spark, sf).collect()
     val distinctDomains = docIds.map { id =>
       val u = new java.net.URI(rawUrl(id))
-      naiveRegDomain(u.getHost.toLowerCase.replaceFirst("^www\\.", ""))
+      naiveRegDomain(u.getHost.toLowerCase(java.util.Locale.ROOT).replaceFirst("^www\\.", ""))
     }.distinct.size
     assert(got.map(_.getAs[Long]("n_domains")).sum == distinctDomains.toLong,
       "shard domain counts must partition the distinct-domain set")
