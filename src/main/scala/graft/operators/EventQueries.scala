@@ -418,7 +418,10 @@ object EventQueries {
     }
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  /** Recursive delete for gate temp trees (children-first walk) — the
+    * ONE implementation the operator gates share.
+    */
+  private[operators] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
@@ -648,16 +651,7 @@ object EventQueries {
       name: String,
       mtimeMs: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-xbatch-write")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val listing = java.nio.file.Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          listing.iterator().asScala.toSeq.foreach(rmTree)
-        } finally listing.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
+    def rmTree(p: java.nio.file.Path): Unit = deleteRecursively(p)
     try {
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._

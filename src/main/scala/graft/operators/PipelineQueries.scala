@@ -1209,17 +1209,11 @@ object PipelineQueries {
            |ORDER BY source, bin""".stripMargin),
   )
 
-  /** Delete a gate temp tree (the ndjson-stream discipline). */
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p)) {
-      val listing = java.nio.file.Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala.toSeq.foreach(rmTree)
-      } finally listing.close()
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  /** Delete a gate temp tree (the ndjson-stream discipline) — the
+    * shared children-first walk in [[EventQueries.deleteRecursively]].
+    */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    EventQueries.deleteRecursively(p)
 
   // WARC ROUND-TRIP (the sources family, crawl-archive edition):
   // render the documents corpus as ISO-28500 WARC response records
@@ -1254,8 +1248,12 @@ object PipelineQueries {
           .agg(
             count(lit(1)).as("n_records"),
             sum($"content_length").as("bytes_total"),
+            // DECIMAL(38,0) accumulation: 48-bit per-record checksums
+            // overflow a Long sum past ~65k records/source; DuckDB's
+            // HUGEINT sum is the same exact-decimal shape
             sum(expr(
-              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)"))
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)"))
               .as("payload_ck"))
           .orderBy($"source")
           .localCheckpoint()
@@ -1264,8 +1262,7 @@ object PipelineQueries {
     Some("""SELECT source,
            |       count(*) AS n_records,
            |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
-           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
-           |            AS BIGINT) AS payload_ck
+           |       sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS payload_ck
            |FROM documents
            |GROUP BY source
            |ORDER BY source""".stripMargin),

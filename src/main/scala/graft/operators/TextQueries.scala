@@ -2054,7 +2054,10 @@ object TextQueries {
       // n_t = Σ c_t — one pass over the reference stream, not two
       val model = tgt
         .agg(map_from_entries(collect_list(struct($"bucket", $"c_t"))).as("m"),
-          sum($"c_t").as("n_t"))
+          // coalesce: an EMPTY reference stream must degrade to the
+          // uniform smoothed default (n_t = 0 → 1000000 div 256),
+          // like the oracle — a NULL sum would NULL every score
+          coalesce(sum($"c_t"), lit(0L)).as("n_t"))
         .select(expr(
           """transform(sequence(0L, 255L), b ->
             |  (coalesce(element_at(m, b), 0L) + 1) * 1000000 div (n_t + 256))""".stripMargin)

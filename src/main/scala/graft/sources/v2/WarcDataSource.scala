@@ -96,12 +96,17 @@ object WarcDataSource {
   private[sources] def expandPaths(paths: Seq[String]): Seq[String] =
     paths.flatMap { p =>
       val f = new java.io.File(p)
-      if (f.isDirectory)
-        f.listFiles().toSeq
+      if (f.isDirectory) {
+        // listFiles is null (not empty) on an I/O error or a directory
+        // that became unreadable — fail with the path, not an NPE
+        val children = Option(f.listFiles()).getOrElse(
+          throw new IllegalArgumentException(
+            s"WARC path $p is a directory but cannot be listed"))
+        children.toSeq
           .filter(c => c.isFile && c.length() > 0 &&
             !c.getName.startsWith("_") && !c.getName.startsWith("."))
           .map(_.getPath).sorted
-      else Seq(p)
+      } else Seq(p)
     }
 
   /** One parsed header block: field map (lower-cased names), the byte
@@ -109,10 +114,19 @@ object WarcDataSource {
     */
   private[v2] final case class Header(
       fields: Map[String, String], payloadStart: Long, recordStart: Long) {
-    def contentLength(path: String): Long =
-      fields.get("content-length").map(_.toLong).getOrElse(
+    def contentLength(path: String): Long = {
+      val raw = fields.getOrElse("content-length",
         throw new IllegalArgumentException(
           s"WARC record at $path:$recordStart has no Content-Length header"))
+      val n = raw.toLongOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"WARC record at $path:$recordStart has a non-numeric " +
+            s"Content-Length '$raw'"))
+      if (n < 0) throw new IllegalArgumentException(
+        s"WARC record at $path:$recordStart has a negative " +
+          s"Content-Length $n")
+      n
+    }
   }
 
   /** Read one header block (through its closing CRLFCRLF) from a
@@ -284,6 +298,30 @@ private[v2] class WarcPartitionReader(
   private val needPayload = required.fieldNames.contains("payload")
   private var row: InternalRow = _
 
+  // One extractor per REQUIRED field, resolved once — next() runs per
+  // record on crawl-scale archives, so it must not rebuild dispatch
+  // closures or re-materialize fieldNames arrays per row.
+  private val pathUtf8 = UTF8String.fromString(part.path)
+  private def header(h: Header, k: String): Any =
+    h.fields.get(k).map(UTF8String.fromString).orNull
+  private val extractors: Array[(Header, Long, Array[Byte]) => Any] =
+    required.fieldNames.map[(Header, Long, Array[Byte]) => Any] {
+      case "path" => (_, _, _) => pathUtf8
+      case "record_index" => (_, _, _) => idx
+      case "warc_type" => (h, _, _) => header(h, "warc-type")
+      case "record_id" => (h, _, _) =>
+        h.fields.get("warc-record-id")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
+      case "target_uri" => (h, _, _) => header(h, "warc-target-uri")
+      case "warc_date" => (h, _, _) => header(h, "warc-date")
+      case "content_type" => (h, _, _) => header(h, "content-type")
+      case "content_length" => (_, len, _) => len
+      case "payload" => (_, _, p) => p
+      case other => throw new IllegalArgumentException(
+        s"WARC reader asked for unknown column '$other'")
+    }
+
   override def next(): Boolean = {
     if (offset >= part.end) return false
     val h = readHeader(in, part.path, offset).getOrElse(
@@ -298,26 +336,12 @@ private[v2] class WarcPartitionReader(
         readFully(in, len.toInt, part.path, offset)
       } else { skipFully(in, len, part.path, offset); null }
     expectRecordEnd(in, part.path, offset)
-    val get: PartialFunction[String, Any] = {
-      case "path" => UTF8String.fromString(part.path)
-      case "record_index" => idx
-      case "warc_type" =>
-        h.fields.get("warc-type").map(UTF8String.fromString).orNull
-      case "record_id" =>
-        h.fields.get("warc-record-id")
-          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
-          .orNull
-      case "target_uri" =>
-        h.fields.get("warc-target-uri").map(UTF8String.fromString).orNull
-      case "warc_date" =>
-        h.fields.get("warc-date").map(UTF8String.fromString).orNull
-      case "content_type" =>
-        h.fields.get("content-type").map(UTF8String.fromString).orNull
-      case "content_length" => len
-      case "payload" => payload
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      values(i) = extractors(i)(h, len, payload); i += 1
     }
-    row = new GenericInternalRow(
-      required.fieldNames.map(get(_)).toArray[Any])
+    row = new GenericInternalRow(values)
     offset = h.payloadStart + len + 4
     idx += 1
     true

@@ -140,7 +140,16 @@ class WarcSourceSpec extends AnyFunSuite {
       .getBytes(StandardCharsets.UTF_8)
     // 3: not a WARC file at all
     val notWarc = "HTTP/1.1 200 OK\r\n\r\nbody".getBytes(StandardCharsets.UTF_8)
-    for (bad <- Seq(truncated, wrongLen, notWarc)) {
+    // 4: non-numeric Content-Length (must abort with path+offset, not
+    //    a bare NumberFormatException)
+    val badLen = new String(ok, StandardCharsets.UTF_8)
+      .replace("Content-Length: 3", "Content-Length: 3f")
+      .getBytes(StandardCharsets.UTF_8)
+    // 5: negative Content-Length (must not reach array allocation)
+    val negLen = new String(ok, StandardCharsets.UTF_8)
+      .replace("Content-Length: 3", "Content-Length: -5")
+      .getBytes(StandardCharsets.UTF_8)
+    for (bad <- Seq(truncated, wrongLen, notWarc, badLen, negLen)) {
       val dir = writeFixture(bad)
       try {
         val e = intercept[Exception] {
