@@ -55,6 +55,35 @@ object Plans {
         "per-bucket maxima (benign, nests to 3 levels before it " +
         "binds); oracle replays the naive global running-max window, " +
         "so the gate proves the scalable formulation equals it"),
+    "ta_url_parse" ->
+      ("round-11 URL family: regexp-only component parse, all six " +
+        "extracts in one whole-stage-codegen projection; the 1 " +
+        "exchange is the output ORDER BY contract. Parse semantics " +
+        "pinned against java.net.URI per row + crawl-URI edge " +
+        "vectors (userinfo, pathless query, fragment routing) in " +
+        "UrlQueriesSpec"),
+    "td_url_canonical_dedup" ->
+      ("round-11 URL family: canonical key is built in-row " +
+        "(codegen), then ONE hash aggregate on canonical_url — the " +
+        "100-TB shape is the same groupBy hash-partitioned on the " +
+        "key; non-default ports survive canonicalization " +
+        "(UrlQueriesSpec edge vectors)"),
+    "td_blocklist_filter" ->
+      ("round-11 URL family: BroadcastHashJoin against the blocklist " +
+        "dim — UT1-scale (~4M domains, ~100MB) still broadcasts; " +
+        "past that the same key becomes a bucketed semi-join. Spark " +
+        "dim and oracle IN-list interpolate ONE Blocklist definition"),
+    "td_url_host_shard" ->
+      ("round-11 URL family: md5-derived shard is engine-stable " +
+        "(unlike hash()/xxhash64 whose seeds differ per engine); at " +
+        "scale the shard IS the repartition key, the 16-row profile " +
+        "here is its audit"),
+    "pipe_warc_url_profile" ->
+      ("round-11 URL family x WARC source: reads the archive " +
+        "selecting ONLY target_uri — the reader's required-column " +
+        "pruning skips payload I/O (pruned ReadSchema pinned by " +
+        "WarcSourceSpec); the 0-exchange plan is the eager gate " +
+        "checkpoint, like pipe_warc_roundtrip"),
   )
 
   def main(args: Array[String]): Unit = {

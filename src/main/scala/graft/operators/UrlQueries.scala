@@ -382,6 +382,56 @@ object UrlQueries {
             |ORDER BY shard""".stripMargin),
   )
 
+  // ---------------------------------------------------------------
+  // 6. Per-domain cap sampling (RefinedWeb's anti-domination device:
+  //    no registered domain may contribute more than K documents).
+  //    Selection is the K smallest salted-md5 values per domain — a
+  //    deterministic reservoir, reproducible across engines and
+  //    partitionings, no rand(). One shuffle on the domain key; the
+  //    per-domain rank is a window sort bounded by the largest
+  //    domain. At 100 TB the same selection runs as a bounded-heap
+  //    partial aggregate (keep the K smallest (hash, doc) pairs
+  //    map-side, merge heaps — the ta_stable_sample/KmvDistinct
+  //    pattern), so the window never sees a whole mega-domain; the
+  //    hash-rank SEMANTICS are identical, which is what the oracle
+  //    pins here.
+  private val DomainCap = 5
+
+  private val domainCapSample = Q(
+    "td_domain_cap_sample",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val w = Window.partitionBy($"reg_domain").orderBy($"h", $"doc_id")
+      withRawUrl(Tables.documents(s, d))
+        .select($"doc_id", regDomain(host).as("reg_domain"))
+        .withColumn("h",
+          expr("md5(concat('cap:', CAST(doc_id AS STRING)))"))
+        .withColumn("pick_rank", row_number().over(w))
+        .filter($"pick_rank" <= DomainCap)
+        .select($"reg_domain", $"doc_id", $"pick_rank")
+        .orderBy($"reg_domain", $"pick_rank")
+    },
+    Some(s"""WITH $RawUrlCte,
+            |dom AS (
+            |  SELECT doc_id,
+            |         ${regDomainSql(
+      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
+            |  FROM u),
+            |r AS (
+            |  SELECT reg_domain, doc_id,
+            |         CAST(row_number() OVER (PARTITION BY reg_domain
+            |           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+            |           AS INT) AS pick_rank
+            |  FROM dom)
+            |SELECT reg_domain, doc_id, pick_rank
+            |FROM r
+            |WHERE pick_rank <= $DomainCap
+            |ORDER BY reg_domain, pick_rank""".stripMargin),
+  )
+
   def all: Seq[Q] =
-    Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard)
+    Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
+      domainCapSample)
 }

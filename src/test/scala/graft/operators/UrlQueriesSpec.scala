@@ -201,6 +201,33 @@ class UrlQueriesSpec extends AnyFunSuite {
       "blocklist never fires on the fixture — list stale vs derivation")
   }
 
+  test("domain cap sampling replays the naive k-smallest-hash reservoir") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(s"cap:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val byDomain = docIds.groupBy { id =>
+      val u = new java.net.URI(rawUrl(id))
+      naiveRegDomain(u.getHost.toLowerCase(java.util.Locale.ROOT)
+        .replaceFirst("^www\\.", ""))
+    }
+    val expect = byDomain.flatMap { case (dom, ids) =>
+      ids.sortBy(id => (h(id), id)).take(5).zipWithIndex
+        .map { case (id, i) => (dom, id) -> (i + 1) }
+    }
+    val got = q("td_domain_cap_sample").fn(spark, sf).collect()
+    assert(got.length == expect.size,
+      s"kept-row count: got ${got.length}, expect ${expect.size}")
+    for (r <- got) {
+      val key = (r.getAs[String]("reg_domain"), r.getAs[Long]("doc_id"))
+      assert(expect.get(key).contains(r.getAs[Int]("pick_rank")),
+        s"row $r disagrees with the naive reservoir")
+    }
+    // the cap binds somewhere, or the fixture stopped exercising it
+    assert(byDomain.exists(_._2.size > 5),
+      "no domain exceeds the cap — fixture too small to test capping")
+  }
+
   test("politeness sharding: every domain maps to exactly one shard") {
     val got = q("td_url_host_shard").fn(spark, sf).collect()
     val distinctDomains = docIds.map { id =>
