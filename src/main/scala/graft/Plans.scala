@@ -84,6 +84,14 @@ object Plans {
         "pruning skips payload I/O (pruned ReadSchema pinned by " +
         "WarcSourceSpec); the 0-exchange plan is the eager gate " +
         "checkpoint, like pipe_warc_roundtrip"),
+    "td_domain_cap_sample" ->
+      ("round-11 URL family: deterministic k-smallest-salted-md5 " +
+        "reservoir per registered domain (RefinedWeb anti-domination " +
+        "cap); the window sort is bounded by the largest domain and " +
+        "at 100 TB becomes a bounded-heap partial aggregate with " +
+        "identical hash-rank semantics (the ta_stable_sample/" +
+        "KmvDistinct pattern) — naive reservoir replayed + cap-binds " +
+        "asserted in UrlQueriesSpec"),
   )
 
   def main(args: Array[String]): Unit = {

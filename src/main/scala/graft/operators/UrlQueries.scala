@@ -135,6 +135,14 @@ object UrlQueries {
   private[operators] def urlPath(u: Column) = regexp_extract(u, PathRe, 1)
   private[operators] def urlQuery(u: Column) = regexp_extract(u, QueryRe, 1)
 
+  /** Canonical host (lowercased, leading www. stripped) — the ONE
+    * definition behind every domain-keyed entry, with its SQL mirror.
+    */
+  private def canonHost(u: Column): Column =
+    regexp_replace(urlHost(u), "^www\\.", "")
+  private def canonHostSql(c: String): String =
+    s"regexp_replace(lower(regexp_extract($c, $HostReSql, 1)), '^www\\.', '')"
+
   /** Canonical URL: lowercase host, strip leading www., drop the
     * port only when it is the scheme DEFAULT (80/http, 443/https —
     * a non-default port is a different origin and must survive),
@@ -142,7 +150,7 @@ object UrlQueries {
     */
   private[operators] def canonicalUrl(u: Column): Column = {
     val scheme = urlScheme(u)
-    val host = regexp_replace(urlHost(u), "^www\\.", "")
+    val host = canonHost(u)
     val port = regexp_extract(u, PortRe, 1)
     val portPart = when(
       port === "" ||
@@ -167,7 +175,7 @@ object UrlQueries {
       s"""list_sort(list_filter(string_split(regexp_extract($c, $QueryReSql, 1), '&'),
          |  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)=')))""".stripMargin
     s"""$scheme || '://' ||
-       |regexp_replace(lower(regexp_extract($c, $HostReSql, 1)), '^www\\.', '') ||
+       |${canonHostSql(c)} ||
        |CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
        |          OR ($scheme = 'https' AND $port = '443')
        |     THEN '' ELSE ':' || $port END ||
@@ -276,7 +284,7 @@ object UrlQueries {
     "ta_domain_stats",
     (s, d) => {
       import s.implicits._
-      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val host = canonHost($"raw_url")
       withRawUrl(Tables.documents(s, d))
         .select(
           regDomain(host).as("reg_domain"),
@@ -292,7 +300,7 @@ object UrlQueries {
     Some(s"""WITH $RawUrlCte,
             |dom AS (
             |  SELECT ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain,
+      canonHostSql("raw_url"))} AS reg_domain,
             |         ${canonSql("raw_url")} AS canon,
             |         n_chars
             |  FROM u)
@@ -322,7 +330,7 @@ object UrlQueries {
     "td_blocklist_filter",
     (s, d) => {
       import s.implicits._
-      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val host = canonHost($"raw_url")
       val bl = Blocklist.toDF("domain").withColumn("banned", lit(1))
       withRawUrl(Tables.documents(s, d))
         .select($"source", regDomain(host).as("reg_domain"))
@@ -337,7 +345,7 @@ object UrlQueries {
             |dom AS (
             |  SELECT source,
             |         ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
+      canonHostSql("raw_url"))} AS reg_domain
             |  FROM u)
             |SELECT source,
             |       count(*) FILTER (WHERE reg_domain NOT IN ($BlocklistSql)) AS n_kept,
@@ -358,7 +366,7 @@ object UrlQueries {
     "td_url_host_shard",
     (s, d) => {
       import s.implicits._
-      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val host = canonHost($"raw_url")
       withRawUrl(Tables.documents(s, d))
         .select(regDomain(host).as("reg_domain"))
         .withColumn("shard",
@@ -372,7 +380,7 @@ object UrlQueries {
     Some(s"""WITH $RawUrlCte,
             |dom AS (
             |  SELECT ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
+      canonHostSql("raw_url"))} AS reg_domain
             |  FROM u)
             |SELECT CAST('0x' || substr(md5(reg_domain), 1, 6) AS BIGINT) % 16 AS shard,
             |       count(DISTINCT reg_domain) AS n_domains,
@@ -395,14 +403,14 @@ object UrlQueries {
   //    pattern), so the window never sees a whole mega-domain; the
   //    hash-rank SEMANTICS are identical, which is what the oracle
   //    pins here.
-  private val DomainCap = 5
+  private[operators] val DomainCap = 5
 
   private val domainCapSample = Q(
     "td_domain_cap_sample",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val host = regexp_replace(urlHost($"raw_url"), "^www\\.", "")
+      val host = canonHost($"raw_url")
       val w = Window.partitionBy($"reg_domain").orderBy($"h", $"doc_id")
       withRawUrl(Tables.documents(s, d))
         .select($"doc_id", regDomain(host).as("reg_domain"))
@@ -417,7 +425,7 @@ object UrlQueries {
             |dom AS (
             |  SELECT doc_id,
             |         ${regDomainSql(
-      s"regexp_replace(lower(regexp_extract(raw_url, $HostReSql, 1)), '^www\\.', '')")} AS reg_domain
+      canonHostSql("raw_url"))} AS reg_domain
             |  FROM u),
             |r AS (
             |  SELECT reg_domain, doc_id,

@@ -212,7 +212,7 @@ class UrlQueriesSpec extends AnyFunSuite {
         .replaceFirst("^www\\.", ""))
     }
     val expect = byDomain.flatMap { case (dom, ids) =>
-      ids.sortBy(id => (h(id), id)).take(5).zipWithIndex
+      ids.sortBy(id => (h(id), id)).take(UrlQueries.DomainCap).zipWithIndex
         .map { case (id, i) => (dom, id) -> (i + 1) }
     }
     val got = q("td_domain_cap_sample").fn(spark, sf).collect()
@@ -224,7 +224,7 @@ class UrlQueriesSpec extends AnyFunSuite {
         s"row $r disagrees with the naive reservoir")
     }
     // the cap binds somewhere, or the fixture stopped exercising it
-    assert(byDomain.exists(_._2.size > 5),
+    assert(byDomain.exists(_._2.size > UrlQueries.DomainCap),
       "no domain exceeds the cap — fixture too small to test capping")
   }
 
