@@ -1250,10 +1250,16 @@ object PipelineQueries {
             sum($"content_length").as("bytes_total"),
             // DECIMAL(38,0) accumulation: 48-bit per-record checksums
             // overflow a Long sum past ~65k records/source; DuckDB's
-            // HUGEINT sum is the same exact-decimal shape
-            sum(expr(
+            // HUGEINT sum is the same exact-decimal shape. The OUTPUT
+            // column, though, must be int64 on both engines (the driver
+            // hasher renders decimal128 and HUGEINT differently — the
+            // round-11 red row), so the exact wide sum is folded into
+            // int64 range with a shared modulus (2^53-1, the bytes_total
+            // device) before leaving the aggregate.
+            (sum(expr(
               "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
-              .cast("decimal(38,0)"))
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long")
               .as("payload_ck"))
           .orderBy($"source")
           .localCheckpoint()
@@ -1262,7 +1268,8 @@ object PipelineQueries {
     Some("""SELECT source,
            |       count(*) AS n_records,
            |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
-           |       sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS payload_ck
+           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+           |            % 9007199254740991 AS BIGINT) AS payload_ck
            |FROM documents
            |GROUP BY source
            |ORDER BY source""".stripMargin),

@@ -116,7 +116,11 @@ object UrlQueries {
   private val HostRe = "^[a-z]+://(?:[^/?#@]*@)?([^/:?#@]+)"
   private[operators] val PortRe =
     "^[a-z]+://(?:[^/?#@]*@)?[^/:?#@]+:([0-9]+)"
-  private val PathRe = "://[^/?#]+(/[^?#]*)"
+  // Anchored like the other component regexes: an unanchored '://'
+  // search would fall through to a URL EMBEDDED in the query string
+  // (http://h.com?u=http://x.com/y — common in crawl redirects) and
+  // invent the inner URL's path for the outer one.
+  private val PathRe = "^[a-z]+://(?:[^/?#@]*@)?[^/?#]*(/[^?#]*)"
   private val QueryRe = "^[^#]*?\\?([^#]*)"
   private val FragRe = "#(.*)$"
 
@@ -348,7 +352,7 @@ object UrlQueries {
       canonHostSql("raw_url"))} AS reg_domain
             |  FROM u)
             |SELECT source,
-            |       count(*) FILTER (WHERE reg_domain NOT IN ($BlocklistSql)) AS n_kept,
+            |       count(*) - count(*) FILTER (WHERE reg_domain IN ($BlocklistSql)) AS n_kept,
             |       count(*) FILTER (WHERE reg_domain IN ($BlocklistSql)) AS n_dropped
             |FROM dom
             |GROUP BY source

@@ -158,6 +158,10 @@ class UrlQueriesSpec extends AnyFunSuite {
       "http://spa.app/p#!/view?id=6",
       // no query at all: no trailing '?'
       "http://noq.org/just/path",
+      // an URL EMBEDDED in the query (crawl redirect): the anchored
+      // path regex must NOT fall through to the inner '://' and
+      // invent '/y' as the outer path
+      "http://h.com?u=http://x.com/y",
     ).toDF("u")
     val got = urls.select(
       UrlQueries.urlHost($"u").as("host"),
@@ -186,6 +190,9 @@ class UrlQueriesSpec extends AnyFunSuite {
       "a '?' inside the fragment is not a query")
     assert(got(7).getAs[String]("canon") == "http://noq.org/just/path",
       "no query => no trailing '?'")
+    assert(got(8).getAs[String]("host") == "h.com")
+    assert(got(8).getAs[String]("canon") == "http://h.com?u=http://x.com/y",
+      "embedded URL in the query must not donate its path to the outer URL")
   }
 
   test("blocklist filter conserves documents per source") {

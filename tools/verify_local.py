@@ -57,7 +57,23 @@ def fetch_arrow(cur):
     # on duplicate column names and would kill the whole gate
     pycols = [col.to_pylist() for col in tbl.columns]
     rows = list(zip(*pycols)) if cols else []
-    return cols, rows
+    types = [str(f.type) for f in tbl.schema]
+    return cols, rows, types
+
+
+def decimal_cols(cols, types):
+    """Output columns whose Arrow type is any decimal flavor.
+
+    Round-11 lesson (pipe_warc_roundtrip): this replica normalizes
+    Spark decimal128 and DuckDB HUGEINT values to the same string, but
+    the DRIVER's hasher renders them differently — so a decimal-typed
+    OUTPUT column can be locally green and driver-red. The catalogue
+    convention is therefore: decimal/HUGEINT arithmetic stays internal;
+    every final integer column is CAST to int64 on BOTH sides. This
+    check makes the replica conservative — any decimal output column is
+    a failure even if the values match.
+    """
+    return sorted(c for c, t in zip(cols, types) if "decimal" in t)
 
 
 def table_hash(cols, rows):
@@ -87,7 +103,7 @@ def main():
         if not files:
             results[name] = "NO_OUTPUT"
             continue
-        got_cols, got_rows = fetch_arrow(con.execute(
+        got_cols, got_rows, got_types = fetch_arrow(con.execute(
             "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
         ))
         if name not in oracle:
@@ -96,9 +112,17 @@ def main():
             )
             continue
         try:
-            want_cols, want_rows = fetch_arrow(con.execute(oracle[name]))
+            want_cols, want_rows, want_types = fetch_arrow(con.execute(oracle[name]))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
+            continue
+        risky = sorted(set(decimal_cols(got_cols, got_types))
+                       | set(decimal_cols(want_cols, want_types)))
+        if risky:
+            results[name] = (
+                f"DECIMAL_OUTPUT cols={risky} — cast to BIGINT on both sides; "
+                "the driver hasher renders decimal128/HUGEINT unlike int64"
+            )
             continue
         if sorted(got_cols) != sorted(want_cols):
             results[name] = f"SCHEMA_MISMATCH got={sorted(got_cols)} want={sorted(want_cols)}"
