@@ -67,7 +67,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val chunkBytes = Option(properties.get("chunkBytes"))
       .map(_.toLong).getOrElse(WarcDataSource.DefaultChunkBytes)
-    new WarcTable(WarcDataSource.expandPaths(paths), chunkBytes)
+    val planVia = Option(properties.get("planVia")).getOrElse("auto")
+    new WarcTable(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
   }
 }
 
@@ -237,35 +238,68 @@ object WarcDataSource {
   }
 }
 
-private[v2] class WarcTable(paths: Seq[String], chunkBytes: Long)
+private[v2] class WarcTable(
+    paths: Seq[String], chunkBytes: Long, planVia: String = "auto")
     extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths, chunkBytes)
+    new WarcScanBuilder(paths, chunkBytes, planVia)
 }
 
-private[v2] class WarcScanBuilder(paths: Seq[String], chunkBytes: Long)
+private[v2] class WarcScanBuilder(
+    paths: Seq[String], chunkBytes: Long, planVia: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcDataSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, chunkBytes, required)
+  override def build(): Scan = new WarcScan(paths, chunkBytes, planVia, required)
 }
 
 private[v2] class WarcScan(
-    paths: Seq[String], chunkBytes: Long, required: StructType)
+    paths: Seq[String], chunkBytes: Long, planVia: String,
+    required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.flatMap { p =>
-      WarcDataSource.indexSplits(p, chunkBytes).map {
+
+  /** Split planning. The per-file skim reads every header block and
+    * seeks over payloads — I/O ∝ headers — but it is still work
+    * ∝ record count, and a crawl archive is THOUSANDS of multi-GB
+    * segments: serialized on the driver, planning would dominate the
+    * query (the round-11 scale caveat). So with more than one file the
+    * skim runs as a SPARK JOB, one task per file (`planVia=job`; the
+    * collected result is one tuple per ~chunkBytes split — the same
+    * order of driver memory Spark already spends holding the
+    * InputPartition array). A single file keeps the driver-side skim
+    * (`planVia=driver`) — a one-task job would only add scheduling
+    * latency. `planVia=auto` (default) picks as above; the explicit
+    * values exist for the parity spec and for diagnostics.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunk = chunkBytes
+    val useJob = planVia match {
+      case "job" => true
+      case "driver" => false
+      case _ => paths.size > 1
+    }
+    val perFile: Seq[(String, Seq[(Long, Long, Long)])] =
+      if (!useJob) paths.map(p => p -> WarcDataSource.indexSplits(p, chunk))
+      else {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        // sort AFTER collect: task completion order is nondeterministic
+        sc.parallelize(paths, paths.size)
+          .map(p => p -> WarcDataSource.indexSplits(p, chunk))
+          .collect().toSeq.sortBy(_._1)
+      }
+    perFile.flatMap { case (p, splits) =>
+      splits.map {
         case (start, end, firstIdx) => WarcInputPartition(p, start, end, firstIdx)
       }
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required)
 }

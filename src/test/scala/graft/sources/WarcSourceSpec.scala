@@ -111,6 +111,34 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("job-side split planning matches the driver skim on a multi-file fixture") {
+    // >1 file → planVia=auto runs the skim as a Spark job (one task
+    // per file); this pins that the job planner and the driver skim
+    // produce IDENTICAL partitions and rows — the round-11 scale
+    // caveat (driver-serial planning ∝ total records) closed without
+    // changing semantics.
+    val dir = Files.createTempDirectory("warc-spec-multi")
+    try {
+      for (f <- 0 until 3) {
+        val recs = (0 until 20).map(i => record(s"http://f$f.example/$i",
+          (s"payload-$f-" * 10 + i).getBytes(StandardCharsets.UTF_8)))
+        Files.write(dir.resolve(s"$f.warc"), recs.flatten.toArray)
+      }
+      def load(via: String) = spark.read.format("warc")
+        .option("chunkBytes", "512").option("planVia", via)
+        .load(dir.toString)
+      val (drv, job) = (load("driver"), load("job"))
+      assert(job.rdd.getNumPartitions == drv.rdd.getNumPartitions &&
+        job.rdd.getNumPartitions > 3,
+        s"planners disagree on partitioning: job=${job.rdd.getNumPartitions} " +
+          s"driver=${drv.rdd.getNumPartitions}")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      assert(rows(job) == rows(drv))
+    } finally rm(dir)
+  }
+
   test("payload pruning reaches the DSv2 read schema") {
     val dir = writeFixture(
       record("http://a.example/1", "abc".getBytes(StandardCharsets.UTF_8)))
