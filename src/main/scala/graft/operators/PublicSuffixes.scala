@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bundled public-suffix table — a curated exact-rule subset of the
+  * public suffix list (publicsuffix.org, public domain data), covering
+  * the widely-registered ccTLD second-level namespaces plus the exact
+  * third-level rules (US k12/cc/lib, AU state edu). Registered-domain
+  * derivation joins this as a BROADCAST dim (UrlQueries.withRegDomain):
+  * longest-suffix-wins, registrable domain = one label + the matched
+  * suffix, unmatched hosts fall back to their last two labels — the
+  * PSL algorithm restricted to exact rules. The full PSL (wildcard and
+  * exception rules included, ~9k rows) is a drop-in replacement for
+  * [[all]]: same dim, same joins, same plan.
+  *
+  * Kept as ONE definition shared by the Spark dim and the DuckDB
+  * oracle literal lists ([[twoLevelSql]]/[[threeLevelSql]]) — the
+  * Blocklist/BlocklistSql device.
+  */
+object PublicSuffixes {
+
+  /** Exact two-label public suffixes (registrations live at level 3). */
+  val twoLevel: Seq[String] = Seq(
+    // uk
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // au
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    // jp
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    // nz
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    // za
+    "co.za", "net.za", "org.za", "ac.za", "gov.za", "edu.za", "web.za",
+    // br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br", "emp.br",
+    // in
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    // cn
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // latam
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "com.uy", "com.ec", "gob.ec", "com.bo", "gob.bo",
+    "com.py", "gov.py", "gob.cl", "gov.cl",
+    // tr
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "k12.tr",
+    "av.tr", "bel.tr",
+    // sg/hk/tw/my/id/kr/th/vn/ph
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "net.id", "or.id", "ac.id", "web.id", "sch.id", "go.id",
+    "mil.id",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "seoul.kr", "busan.kr",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph",
+    "ngo.ph",
+    // south asia
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk",
+    "biz.pk", "web.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd", "mil.bd",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np", "mil.np",
+    "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk",
+    // mena
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg", "eun.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    "com.kw", "com.qa", "com.om", "com.bh", "com.jo", "com.lb",
+    "com.sy", "com.ye",
+    // africa
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "name.ng", "i.ng", "mobi.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "info.ke", "mobi.ke",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "or.tz", "go.tz", "ac.tz", "ne.tz", "sc.tz",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
+    "org.ug",
+    "co.zw", "org.zw", "gov.zw", "ac.zw", "co.zm", "com.zm",
+    // il / ua / ru (exact entries only)
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "idf.il", "k12.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "lviv.ua",
+    "ac.ru", "edu.ru", "gov.ru",
+    // europe misc
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "wroc.pl", "krakow.pl",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.ro", "org.ro", "store.ro", "tm.ro", "nt.ro", "nom.ro",
+    "info.ro", "rec.ro", "arts.ro", "firm.ro",
+    "co.hu", "org.hu", "info.hu",
+    // us states (registrations live at <name>.<st>.us)
+    "ca.us", "ny.us", "tx.us", "fl.us", "wa.us", "ma.us", "il.us",
+    "pa.us", "oh.us", "mi.us",
+  )
+
+  /** Exact three-label public suffixes (registrations at level 4). */
+  val threeLevel: Seq[String] = Seq(
+    // US k12 / community-college / library namespaces
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.wa.us",
+    "k12.ma.us", "k12.il.us", "k12.pa.us", "k12.oh.us", "k12.mi.us",
+    "cc.ca.us", "cc.ny.us", "cc.tx.us",
+    "lib.ca.us", "lib.ny.us", "lib.tx.us",
+    // AU state education namespaces
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au",
+    "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
+  )
+
+  def all: Seq[String] = twoLevel ++ threeLevel
+
+  /** SQL IN-list literals for the DuckDB oracle mirrors. */
+  val twoLevelSql: String = twoLevel.map(s => s"'$s'").mkString(",")
+  val threeLevelSql: String = threeLevel.map(s => s"'$s'").mkString(",")
+
+  /** The suffix dim as a one-column DataFrame, for broadcast joins.
+    * A few hundred rows — at the full PSL's ~9k rows still far under
+    * any broadcast threshold.
+    */
+  def dim(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    all.toDF(col)
+  }
+}

@@ -189,32 +189,56 @@ object UrlQueries {
        |     ELSE '' END""".stripMargin
   }
 
-  /** Registered domain from a canonical (lowercased, no-www) host:
-    * last two labels, or last three when the last two are a known
-    * two-level public suffix — the heuristic core of the public-suffix
-    * list (the full PSL is a broadcast dim at scale, same plan). */
-  private val TwoLevelSuffixes = Seq("co.uk", "com.au", "co.jp", "ac.uk")
-  private val TwoLevelSuffixesSql =
-    TwoLevelSuffixes.map(s => s"'$s'").mkString(",")
-
-  private[operators] def regDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    // try_element_at: NULL (not an ANSI error) past either end, so a
-    // single-label host ('localhost') degrades to itself and a host
-    // that IS a bare two-level suffix ('co.uk') stays itself —
-    // concat_ws skips NULLs; regDomainSql mirrors both cases.
-    val last2 = concat_ws(".",
-      try_element_at(labels, lit(-2)), try_element_at(labels, lit(-1)))
-    when(size(labels) < 2, host)
-      .when(last2.isin(TwoLevelSuffixes: _*),
-        concat_ws(".", try_element_at(labels, lit(-3)), last2))
-      .otherwise(last2)
+  /** Registered domain via the bundled PSL broadcast dim
+    * ([[PublicSuffixes]]): longest exact suffix wins (3-label rules
+    * before 2-label), registrable domain = one more label + the
+    * matched suffix; a host with no matching suffix keeps its last two
+    * labels; a single-label host ('localhost') stays itself; a host
+    * that IS a bare suffix stays itself (try_element_at is NULL past
+    * either end and concat_ws skips NULLs; regDomainSql mirrors every
+    * case). Two broadcast hash joins of a few-hundred-row dim — at
+    * 100 TB the dim ships once per executor and the derivation stays a
+    * per-row map stage; the full ~9k-row PSL swaps in as the same dim.
+    */
+  private[operators] def withRegDomain(
+      df: DataFrame, host: Column, out: String = "reg_domain"): DataFrame = {
+    val spark = df.sparkSession
+    val lbl = split(host, "\\.")
+    def el(i: Int): Column = try_element_at(lbl, lit(i))
+    val last2 = concat_ws(".", el(-2), el(-1))
+    val last3 = concat_ws(".", el(-3), el(-2), el(-1))
+    df
+      // join keys are NULL when the host has too few labels: a 2-label
+      // host must not probe the 3-level rules with its own 2 labels
+      .withColumn("_psl_k2", when(size(lbl) >= 2, last2))
+      .withColumn("_psl_k3", when(size(lbl) >= 3, last3))
+      .join(broadcast(PublicSuffixes.dim(spark, "_psl_sfx3")),
+        col("_psl_k3") === col("_psl_sfx3"), "left")
+      .join(broadcast(PublicSuffixes.dim(spark, "_psl_sfx2")),
+        col("_psl_k2") === col("_psl_sfx2"), "left")
+      .withColumn(out,
+        when(size(lbl) < 2, host)
+          .when(col("_psl_sfx3").isNotNull,
+            concat_ws(".", el(-4), col("_psl_sfx3")))
+          .when(col("_psl_sfx2").isNotNull,
+            concat_ws(".", el(-3), col("_psl_sfx2")))
+          .otherwise(last2))
+      .drop("_psl_k2", "_psl_k3", "_psl_sfx2", "_psl_sfx3")
   }
 
-  /** DuckDB registered-domain expression over a host expression. */
+  /** DuckDB registered-domain expression over a host expression —
+    * mirrors [[withRegDomain]] case by case against the SAME suffix
+    * lists ([[PublicSuffixes.twoLevelSql]]/[[PublicSuffixes
+    * .threeLevelSql]]); a NULL label concatenation falls through each
+    * IN just as a NULL join key misses the dim.
+    */
   private[operators] def regDomainSql(host: String): String =
     s"""CASE WHEN lbl[-2] IS NULL THEN lbl[-1]
-       |     WHEN lbl[-2] || '.' || lbl[-1] IN ($TwoLevelSuffixesSql)
+       |     WHEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+       |          IN (${PublicSuffixes.threeLevelSql})
+       |     THEN coalesce(lbl[-4] || '.', '') ||
+       |          lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+       |     WHEN lbl[-2] || '.' || lbl[-1] IN (${PublicSuffixes.twoLevelSql})
        |     THEN coalesce(lbl[-3] || '.', '') || lbl[-2] || '.' || lbl[-1]
        |     ELSE lbl[-2] || '.' || lbl[-1] END""".stripMargin
       .replace("lbl", s"string_split($host, '.')")
@@ -289,9 +313,9 @@ object UrlQueries {
     (s, d) => {
       import s.implicits._
       val host = canonHost($"raw_url")
-      withRawUrl(Tables.documents(s, d))
+      withRegDomain(withRawUrl(Tables.documents(s, d)), host)
         .select(
-          regDomain(host).as("reg_domain"),
+          $"reg_domain",
           canonicalUrl($"raw_url").as("canon"),
           $"n_chars")
         .groupBy($"reg_domain")
@@ -336,8 +360,8 @@ object UrlQueries {
       import s.implicits._
       val host = canonHost($"raw_url")
       val bl = Blocklist.toDF("domain").withColumn("banned", lit(1))
-      withRawUrl(Tables.documents(s, d))
-        .select($"source", regDomain(host).as("reg_domain"))
+      withRegDomain(withRawUrl(Tables.documents(s, d)), host)
+        .select($"source", $"reg_domain")
         .join(broadcast(bl), $"reg_domain" === $"domain", "left")
         .groupBy($"source")
         .agg(
@@ -371,8 +395,8 @@ object UrlQueries {
     (s, d) => {
       import s.implicits._
       val host = canonHost($"raw_url")
-      withRawUrl(Tables.documents(s, d))
-        .select(regDomain(host).as("reg_domain"))
+      withRegDomain(withRawUrl(Tables.documents(s, d)), host)
+        .select($"reg_domain")
         .withColumn("shard",
           expr("CAST(conv(substring(md5(reg_domain), 1, 6), 16, 10) AS BIGINT) % 16"))
         .groupBy($"shard")
@@ -416,8 +440,8 @@ object UrlQueries {
       import org.apache.spark.sql.expressions.Window
       val host = canonHost($"raw_url")
       val w = Window.partitionBy($"reg_domain").orderBy($"h", $"doc_id")
-      withRawUrl(Tables.documents(s, d))
-        .select($"doc_id", regDomain(host).as("reg_domain"))
+      withRegDomain(withRawUrl(Tables.documents(s, d)), host)
+        .select($"doc_id", $"reg_domain")
         .withColumn("h",
           expr("md5(concat('cap:', CAST(doc_id AS STRING)))"))
         .withColumn("pick_rank", row_number().over(w))

@@ -65,10 +65,15 @@ class UrlQueriesSpec extends AnyFunSuite {
   }
 
   private def naiveRegDomain(canonHost: String): String = {
-    val two = Set("co.uk", "com.au", "co.jp", "ac.uk")
+    // independent replay of the PSL algorithm over the bundled rules:
+    // longest exact suffix wins, registrable = one more label + suffix
+    val rules = PublicSuffixes.all.toSet
     val l = canonHost.split("\\.")
     val last2 = l.takeRight(2).mkString(".")
-    if (two(last2)) l.takeRight(3).mkString(".") else last2
+    val last3 = l.takeRight(3).mkString(".")
+    if (l.length >= 3 && rules(last3)) l.takeRight(4).mkString(".")
+    else if (l.length >= 2 && rules(last2)) l.takeRight(3).mkString(".")
+    else last2
   }
 
   private lazy val docIds: Seq[Long] = {
@@ -119,9 +124,37 @@ class UrlQueriesSpec extends AnyFunSuite {
       assert(ids.map(id => naiveCanonical(rawUrl(id))).distinct.size == 1)
   }
 
-  test("registered-domain extraction handles two-level public suffixes") {
+  test("registered-domain extraction: PSL dim semantics + broadcast plan") {
+    import spark.implicits._
     assert(naiveRegDomain("cdn.site7.co.uk") == "site7.co.uk")
     assert(naiveRegDomain("site3.io") == "site3.io")
+    // PSL-rule edge vectors straight through the broadcast-dim join
+    val vectors = Seq(
+      "cdn.site7.co.uk" -> "site7.co.uk", // 2-level rule
+      "www2.example.com" -> "example.com", // no rule: last two labels
+      "district.k12.ca.us" -> "district.k12.ca.us", // 3-level rule, 4 labels
+      "school.district.k12.ca.us" -> "district.k12.ca.us", // deep host
+      "college.vic.edu.au" -> "college.vic.edu.au", // 3-level beats edu.au
+      "plain.edu.au" -> "plain.edu.au", // 2-level rule
+      "k12.ca.us" -> "k12.ca.us", // host IS a bare 3-level suffix
+      "co.uk" -> "co.uk", // host IS a bare 2-level suffix
+      "localhost" -> "localhost", // single label
+    )
+    val dimmed = UrlQueries.withRegDomain(
+      vectors.map(_._1).toDF("h"), org.apache.spark.sql.functions.col("h"))
+    val gotVec = dimmed.collect()
+      .map(r => r.getAs[String]("h") -> r.getAs[String]("reg_domain")).toMap
+    for ((h, want) <- vectors)
+      assert(gotVec(h) == want, s"regDomain($h): got ${gotVec(h)}, want $want")
+    // every vector agrees with the independent replay too
+    for ((h, want) <- vectors if h != "localhost")
+      assert(naiveRegDomain(h) == want, s"naive($h)")
+    // the dim must join as a BROADCAST (the 100-TB plan): no shuffle
+    val plan = dimmed.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"PSL dim should broadcast-join, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PSL dim must not sort-merge-join:\n$plan")
     val got = q("ta_domain_stats").fn(spark, sf).collect()
     val expect = docIds
       .map { id =>
