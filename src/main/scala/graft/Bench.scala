@@ -114,8 +114,27 @@ object Bench {
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.newBufferedWriter(path)
     }
+    // JIT-quiesce barrier: per-rep dumps show every query's worst rep
+    // is rep 1 and it always coincides with a JIT burst (compile-time
+    // deltas 5-10× the warm reps; GC ≤60 ms — not the mechanism). The
+    // background C2 queue from query N's freshly codegen'd classes
+    // steals CPU from query N+1's reps, which is why the 2-3× spiking
+    // entry ROTATED between identical-code runs (round-11 drift). Wait
+    // (bounded) for compilation to go quiet before each query's reps.
+    def jitQuiesce(): Unit = {
+      val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+      var last = jitMillis
+      var quiet = false
+      while (!quiet && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = jitMillis
+        quiet = now - last < 10
+        last = now
+      }
+    }
     def timeQuery(q: Q): (String, Double, Double, Option[String]) = {
       var err: Option[String] = None
+      jitQuiesce()
       def rep(i: Int): Option[Double] = {
         spark.catalog.clearCache()
         val (gc0, jit0) = (gcMillis, jitMillis)
