@@ -1229,14 +1229,15 @@ object PipelineQueries {
   // Crawl out) for the 100-TB pipeline. Gate files live under the
   // tmpfs gate dir and are deleted before the result leaves; the
   // per-source aggregate is localCheckpoint-ed first (eager).
-  private val warcRoundtrip = Q(
-    "pipe_warc_roundtrip",
+  private def warcRoundtripQ(name: String, gz: Boolean) = Q(
+    name,
     (s, d) => {
       import s.implicits._
       val base = EventQueries.gateTempDir("graft-warc-gate")
       try {
         val dir = s"$base/warc"
-        graft.sources.Warc.write(Tables.documents(s, d), dir)
+        if (gz) graft.sources.Warc.writeGzip(Tables.documents(s, d), dir)
+        else graft.sources.Warc.write(Tables.documents(s, d), dir)
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
           .load(dir)
@@ -1275,6 +1276,16 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  private val warcRoundtrip = warcRoundtripQ("pipe_warc_roundtrip", gz = false)
+
+  // The same gate replayed over a `.warc.gz` fixture (per-record gzip
+  // members — the Common Crawl layout): [[graft.sources.Warc.writeGzip]]
+  // renders one gzip member per record through the DSv2 warc sink, the
+  // splittable member-walking reader parses them back under forced
+  // multi-split planning, and the SAME oracle proves every payload byte
+  // survived graft → gzip members → graft.
+  private val warcGzRoundtrip = warcRoundtripQ("pipe_warc_gz_roundtrip", gz = true)
+
   // WARC URL PROFILE (sources family × URL family): read the archive
   // back touching ONLY `WARC-Target-URI` — the reader's required-
   // column pruning means payload bytes are never read (WarcSourceSpec
@@ -1287,14 +1298,15 @@ object PipelineQueries {
   // aggregate on host. The oracle replays the URI derivation directly
   // over `documents` (Warc.render pins uri =
   // http://<source>.example/doc/<doc_id>).
-  private val warcUrlProfile = Q(
-    "pipe_warc_url_profile",
+  private def warcUrlProfileQ(name: String, gz: Boolean) = Q(
+    name,
     (s, d) => {
       import s.implicits._
       val base = EventQueries.gateTempDir("graft-warc-url")
       try {
         val dir = s"$base/warc"
-        graft.sources.Warc.write(Tables.documents(s, d), dir)
+        if (gz) graft.sources.Warc.writeGzip(Tables.documents(s, d), dir)
+        else graft.sources.Warc.write(Tables.documents(s, d), dir)
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
           .load(dir)
@@ -1316,8 +1328,20 @@ object PipelineQueries {
            |ORDER BY host""".stripMargin),
   )
 
+  private val warcUrlProfile =
+    warcUrlProfileQ("pipe_warc_url_profile", gz = false)
+
+  // Header-only audit over the `.warc.gz` fixture: pruning still skips
+  // payload MATERIALIZATION, but unlike the plain format the member
+  // must be decompressed to find its end — the I/O-level header-only
+  // win belongs to plain WARC; this gate pins that the gz path stays
+  // CORRECT under the same pruned read schema.
+  private val warcGzUrlProfile =
+    warcUrlProfileQ("pipe_warc_gz_url_profile", gz = true)
+
   def all: Seq[Q] =
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
-      csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcUrlProfile)
+      csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
+      warcUrlProfile, warcGzUrlProfile)
 }

@@ -76,4 +76,15 @@ object Warc {
   def write(docs: DataFrame, path: String): Unit =
     render(docs).write.mode("overwrite")
       .option("lineSep", "\r\n").text(path)
+
+  /** Write documents as `.warc.gz` part files (overwrite): one gzip
+    * MEMBER per record — the Common Crawl layout — via the DSv2 warc
+    * sink, so the archives stay splittable (members are
+    * self-delimiting; the reader's member walk starts at any member
+    * boundary). A generic text sink with gzip compression would emit
+    * ONE member per file and destroy splittability.
+    */
+  def writeGzip(docs: DataFrame, path: String): Unit =
+    render(docs).write.format("warc").option("compression", "gzip")
+      .mode("overwrite").save(path)
 }

@@ -56,6 +56,11 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "warc"
 
+  // true so a WRITE's dataframe schema (one rendered-record string
+  // column) reaches getTable instead of being forced to the 9-column
+  // read schema; the read path still requires the fixed schema.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WarcDataSource.schema
 
@@ -63,12 +68,13 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val paths = Option(properties.get("path")).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val rawPath = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("warc source/sink needs a path"))
+    val paths = rawPath.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val chunkBytes = Option(properties.get("chunkBytes"))
       .map(_.toLong).getOrElse(WarcDataSource.DefaultChunkBytes)
     val planVia = Option(properties.get("planVia")).getOrElse("auto")
-    new WarcTable(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
+    new WarcTable(paths, chunkBytes, planVia, schema, rawPath)
   }
 }
 
@@ -205,11 +211,24 @@ object WarcDataSource {
         s"(got ${got.mkString("[", ",", "]")}) — Content-Length wrong?")
   }
 
-  /** Driver-side index skim of one file: byte ranges of consecutive
-    * record runs, each ≈ chunkBytes, as (start, endExclusive,
-    * firstRecordIndex). Reads headers, SEEKS over payloads.
+  /** gzip-member file? (Common Crawl convention: one member/record). */
+  private[v2] def isGzip(path: String): Boolean = path.endsWith(".gz")
+
+  /** Index skim of one file (runs on the driver for a single file, as
+    * a one-task-per-file Spark job otherwise): byte ranges of
+    * consecutive record runs, each ≈ chunkBytes, as (start,
+    * endExclusive, firstRecordIndex). Plain files read headers and
+    * SEEK over payloads; `.gz` files walk gzip MEMBERS (self-
+    * delimiting, so member boundaries are exact split points) —
+    * decompression is unavoidable there (gzip has no skip), which is
+    * exactly why the skim runs distributed.
     */
   private[v2] def indexSplits(
+      path: String, chunkBytes: Long): Seq[(Long, Long, Long)] =
+    if (isGzip(path)) indexSplitsGz(path, chunkBytes)
+    else indexSplitsPlain(path, chunkBytes)
+
+  private def indexSplitsPlain(
       path: String, chunkBytes: Long): Seq[(Long, Long, Long)] = {
     val in = new BufferedInputStream(new FileInputStream(path), 64 * 1024)
     try {
@@ -236,17 +255,79 @@ object WarcDataSource {
       splits.result()
     } finally in.close()
   }
+
+  /** Count the WARC records inside one decompressed gzip member. */
+  private def countRecords(
+      member: Array[Byte], path: String, at: Long): Long = {
+    val in = new BufferedInputStream(
+      new java.io.ByteArrayInputStream(member))
+    var n = 0L
+    var h = readHeader(in, path, at)
+    while (h.isDefined) {
+      val len = h.get.contentLength(path)
+      skipFully(in, len, path, at)
+      expectRecordEnd(in, path, at)
+      n += 1
+      h = readHeader(in, path, at)
+    }
+    n
+  }
+
+  private def indexSplitsGz(
+      path: String, chunkBytes: Long): Seq[(Long, Long, Long)] = {
+    val in = new BufferedInputStream(new FileInputStream(path), 64 * 1024)
+    try {
+      val gz = new GzipMemberStream(in, path)
+      val splits = Seq.newBuilder[(Long, Long, Long)]
+      var idx = 0L
+      var splitStart = -1L
+      var splitFirstIdx = 0L
+      var memberStart = gz.offset
+      var m = gz.readMember()
+      while (m.isDefined) {
+        val n = countRecords(m.get, path, memberStart)
+        if (splitStart < 0) { splitStart = memberStart; splitFirstIdx = idx }
+        idx += n
+        val end = gz.offset
+        if (end - splitStart >= chunkBytes) {
+          splits += ((splitStart, end, splitFirstIdx))
+          splitStart = -1L
+        }
+        memberStart = end
+        m = gz.readMember()
+      }
+      if (splitStart >= 0) splits += ((splitStart, gz.offset, splitFirstIdx))
+      splits.result()
+    } finally in.close()
+  }
 }
 
 private[v2] class WarcTable(
-    paths: Seq[String], chunkBytes: Long, planVia: String = "auto")
-    extends Table with SupportsRead {
+    paths: Seq[String], chunkBytes: Long, planVia: String = "auto",
+    tableSchema: StructType = WarcDataSource.schema, rawPath: String = "")
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc(${paths.mkString(",")})"
-  override def schema(): StructType = WarcDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths, chunkBytes, planVia)
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema == WarcDataSource.schema,
+      "the warc READ schema is fixed (path, record_index, warc_type, " +
+        "record_id, target_uri, warc_date, content_type, content_length, " +
+        s"payload); a user-supplied schema is not supported: ${tableSchema.sql}")
+    // directory expansion happens at SCAN time, not getTable: a write
+    // target may not exist yet and must not be listed
+    new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(rawPath.nonEmpty && !rawPath.contains(","),
+      s"warc sink needs exactly one directory path, got '$rawPath'")
+    new WarcWriteBuilder(info, rawPath)
+  }
 }
 
 private[v2] class WarcScanBuilder(
@@ -310,14 +391,59 @@ private[v2] case class WarcInputPartition(
 
 private[v2] class WarcReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(p.asInstanceOf[WarcInputPartition], required)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[WarcInputPartition]
+    if (WarcDataSource.isGzip(part.path))
+      new GzipWarcPartitionReader(part, required)
+    else new WarcPartitionReader(part, required)
+  }
 }
 
-/** Task-side reader of one byte range. Field extraction is driven by
-  * the PRUNED schema: a range whose schema excludes `payload` seeks
-  * over payload bytes — at crawl payload fractions that is the
-  * difference between scanning the archive and scanning its headers.
+/** Row assembly shared by the plain and gzip readers: one extractor
+  * per REQUIRED field, resolved once — next() runs per record on
+  * crawl-scale archives, so it must not rebuild dispatch closures or
+  * re-materialize fieldNames arrays per row.
+  */
+private[v2] final class WarcRowBuilder(required: StructType, path: String) {
+  import WarcDataSource.Header
+
+  val needPayload: Boolean = required.fieldNames.contains("payload")
+  private val pathUtf8 = UTF8String.fromString(path)
+  private def header(h: Header, k: String): Any =
+    h.fields.get(k).map(UTF8String.fromString).orNull
+  private val extractors: Array[(Header, Long, Array[Byte], Long) => Any] =
+    required.fieldNames.map[(Header, Long, Array[Byte], Long) => Any] {
+      case "path" => (_, _, _, _) => pathUtf8
+      case "record_index" => (_, _, _, idx) => idx
+      case "warc_type" => (h, _, _, _) => header(h, "warc-type")
+      case "record_id" => (h, _, _, _) =>
+        h.fields.get("warc-record-id")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
+      case "target_uri" => (h, _, _, _) => header(h, "warc-target-uri")
+      case "warc_date" => (h, _, _, _) => header(h, "warc-date")
+      case "content_type" => (h, _, _, _) => header(h, "content-type")
+      case "content_length" => (_, len, _, _) => len
+      case "payload" => (_, _, p, _) => p
+      case other => throw new IllegalArgumentException(
+        s"WARC reader asked for unknown column '$other'")
+    }
+
+  def build(h: Header, len: Long, payload: Array[Byte], idx: Long): InternalRow = {
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) {
+      values(i) = extractors(i)(h, len, payload, idx); i += 1
+    }
+    new GenericInternalRow(values)
+  }
+}
+
+/** Task-side reader of one plain byte range. Field extraction is
+  * driven by the PRUNED schema: a range whose schema excludes
+  * `payload` seeks over payload bytes — at crawl payload fractions
+  * that is the difference between scanning the archive and scanning
+  * its headers.
   */
 private[v2] class WarcPartitionReader(
     part: WarcInputPartition, required: StructType)
@@ -329,32 +455,8 @@ private[v2] class WarcPartitionReader(
   skipFully(in, part.start, part.path, 0L)
   private var offset = part.start
   private var idx = part.firstIdx
-  private val needPayload = required.fieldNames.contains("payload")
+  private val builder = new WarcRowBuilder(required, part.path)
   private var row: InternalRow = _
-
-  // One extractor per REQUIRED field, resolved once — next() runs per
-  // record on crawl-scale archives, so it must not rebuild dispatch
-  // closures or re-materialize fieldNames arrays per row.
-  private val pathUtf8 = UTF8String.fromString(part.path)
-  private def header(h: Header, k: String): Any =
-    h.fields.get(k).map(UTF8String.fromString).orNull
-  private val extractors: Array[(Header, Long, Array[Byte]) => Any] =
-    required.fieldNames.map[(Header, Long, Array[Byte]) => Any] {
-      case "path" => (_, _, _) => pathUtf8
-      case "record_index" => (_, _, _) => idx
-      case "warc_type" => (h, _, _) => header(h, "warc-type")
-      case "record_id" => (h, _, _) =>
-        h.fields.get("warc-record-id")
-          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
-          .orNull
-      case "target_uri" => (h, _, _) => header(h, "warc-target-uri")
-      case "warc_date" => (h, _, _) => header(h, "warc-date")
-      case "content_type" => (h, _, _) => header(h, "content-type")
-      case "content_length" => (_, len, _) => len
-      case "payload" => (_, _, p) => p
-      case other => throw new IllegalArgumentException(
-        s"WARC reader asked for unknown column '$other'")
-    }
 
   override def next(): Boolean = {
     if (offset >= part.end) return false
@@ -363,19 +465,14 @@ private[v2] class WarcPartitionReader(
         s"WARC split at ${part.path}:$offset ended before ${part.end}"))
     val len = h.contentLength(part.path)
     val payload: Array[Byte] =
-      if (needPayload) {
+      if (builder.needPayload) {
         require(len <= Int.MaxValue - 16,
           s"WARC payload at ${part.path}:$offset is ${len}B; " +
             "single-record payloads above 2 GiB are not supported")
         readFully(in, len.toInt, part.path, offset)
       } else { skipFully(in, len, part.path, offset); null }
     expectRecordEnd(in, part.path, offset)
-    val values = new Array[Any](extractors.length)
-    var i = 0
-    while (i < extractors.length) {
-      values(i) = extractors(i)(h, len, payload); i += 1
-    }
-    row = new GenericInternalRow(values)
+    row = builder.build(h, len, payload, idx)
     offset = h.payloadStart + len + 4
     idx += 1
     true
@@ -383,4 +480,64 @@ private[v2] class WarcPartitionReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Task-side reader of one `.warc.gz` byte range: walks gzip members
+  * from a member-aligned start offset, parsing the WARC records inside
+  * each decompressed member. Column pruning still skips payload
+  * MATERIALIZATION, but the member must be decompressed either way —
+  * gzip has no seek; the header-only-bytes I/O win belongs to the
+  * plain format. A member decompresses fully in memory (per-record
+  * members — the Common Crawl layout — are small; a whole-file
+  * single-member archive degrades to one task holding one record run,
+  * and its payload cap is the same 2 GiB as the plain reader).
+  */
+private[v2] class GzipWarcPartitionReader(
+    part: WarcInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import WarcDataSource._
+
+  private val fileIn = new BufferedInputStream(
+    new FileInputStream(part.path), 64 * 1024)
+  skipFully(fileIn, part.start, part.path, 0L)
+  private val gz = new GzipMemberStream(fileIn, part.path, part.start)
+  private var memberIn: BufferedInputStream = _
+  private var memberAt = part.start
+  private var idx = part.firstIdx
+  private val builder = new WarcRowBuilder(required, part.path)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (memberIn != null) {
+        readHeader(memberIn, part.path, memberAt) match {
+          case Some(h) =>
+            val len = h.contentLength(part.path)
+            require(len <= Int.MaxValue - 16,
+              s"WARC payload at ${part.path}:$memberAt is ${len}B; " +
+                "single-record payloads above 2 GiB are not supported")
+            val payload: Array[Byte] =
+              if (builder.needPayload)
+                readFully(memberIn, len.toInt, part.path, memberAt)
+              else { skipFully(memberIn, len, part.path, memberAt); null }
+            expectRecordEnd(memberIn, part.path, memberAt)
+            row = builder.build(h, len, payload, idx)
+            idx += 1
+            return true
+          case None => memberIn = null // member drained
+        }
+      } else {
+        if (gz.offset >= part.end) return false
+        memberAt = gz.offset
+        val bytes = gz.readMember().getOrElse(throw new EOFException(
+          s"warc.gz split at ${part.path}:$memberAt ended before ${part.end}"))
+        memberIn = new BufferedInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = fileIn.close()
 }

@@ -1,0 +1,112 @@
+package graft.sources.v2
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** DSv2 batch write for WARC part files:
+  *
+  *   df.write.format("warc").option("compression", "gzip")
+  *     .mode("overwrite").save(dir)
+  *
+  * Input contract: ONE string column; each row is a rendered WARC
+  * record ([[graft.sources.Warc.render]]) and the writer terminates it
+  * with CRLF — exactly the text writer's `lineSep=\r\n` semantics, so
+  * plain output is byte-identical to the text-writer sink.
+  *
+  * `compression=gzip` writes each record as its OWN gzip member
+  * (`.warc.gz`, the Common Crawl layout): members are self-delimiting,
+  * so the archive stays SPLITTABLE — the reader's member walk
+  * ([[GzipWarcPartitionReader]]) starts at any member boundary.
+  * Whole-file gzip (what a generic text sink with compression would
+  * emit) would destroy that.
+  *
+  * Commit protocol: each task writes `part-<partition>-<task>` (task
+  * attempt ids make concurrent speculative attempts write distinct
+  * files), task commit keeps the file, task abort deletes it, job
+  * abort deletes every committed file. Overwrite mode clears prior
+  * part files on the driver before tasks launch (SupportsTruncate).
+  */
+private[v2] class WarcWriteBuilder(info: LogicalWriteInfo, dir: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    require(schema.length == 1 && schema.head.dataType == StringType,
+      "the warc writer takes exactly one string column (a rendered " +
+        s"record per row — graft.sources.Warc.render); got ${schema.sql}")
+    val gzip = Option(info.options.get("compression")) match {
+      case Some("gzip") => true
+      case Some("none") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"warc writer compression must be gzip|none, got '$other'")
+    }
+    new WarcWrite(dir, gzip, doTruncate)
+  }
+}
+
+private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val d = new File(dir)
+    if (!d.exists()) require(d.mkdirs(), s"cannot create warc sink dir $dir")
+    if (truncate) {
+      val stale = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      stale.foreach(f => require(f.delete(), s"cannot clear stale $f"))
+    }
+    new WarcWriterFactory(dir, gzip)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case WarcCommitMessage(path) => new File(path).delete()
+      case _ => ()
+    }
+}
+
+private[v2] case class WarcCommitMessage(path: String)
+    extends WriterCommitMessage
+
+private[v2] class WarcWriterFactory(dir: String, gzip: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, gzip, partitionId, taskId)
+}
+
+private[v2] class WarcDataWriter(
+    dir: String, gzip: Boolean, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val ext = if (gzip) ".warc.gz" else ".warc"
+  private val path = f"$dir/part-$partitionId%05d-$taskId$ext"
+  private val out = new BufferedOutputStream(
+    new FileOutputStream(path), 1 << 20)
+  private val CrLf = Array[Byte]('\r', '\n')
+
+  override def write(row: InternalRow): Unit = {
+    val bytes = row.getUTF8String(0).getBytes
+    if (gzip) {
+      // one gzip member per record: finish() completes the member
+      // (trailer included) without closing the underlying stream
+      val gz = new GZIPOutputStream(out, 8 * 1024)
+      gz.write(bytes); gz.write(CrLf)
+      gz.finish()
+    } else { out.write(bytes); out.write(CrLf) }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close(); WarcCommitMessage(path)
+  }
+  override def abort(): Unit = { out.close(); new File(path).delete() }
+  override def close(): Unit = out.close()
+}

@@ -192,6 +192,125 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  test("warc.gz: per-record members parse, split, and match the plain reader") {
+    val recs = (0 until 40).map(i => record(s"http://gz.example/$i",
+      (s"gz-payload-" * 8 + i).getBytes(StandardCharsets.UTF_8)))
+    val dir = Files.createTempDirectory("warc-spec-gz")
+    try {
+      Files.write(dir.resolve("plain.warc"), recs.flatten.toArray)
+      // the same records, one gzip MEMBER each (the Common Crawl layout)
+      Files.write(dir.resolve("mem.warc.gz"),
+        recs.flatMap(gzipMember).toArray)
+      def rows(name: String, chunk: String) = spark.read.format("warc")
+        .option("chunkBytes", chunk).load(dir.resolve(name).toString)
+        .selectExpr("record_index", "target_uri", "content_length",
+          "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      val plain = rows("plain.warc", "1048576")
+      assert(rows("mem.warc.gz", "1048576") == plain,
+        "gz member walk must yield the plain reader's rows")
+      // tiny chunk: member-aligned multi-split planning, same rows
+      val split = spark.read.format("warc").option("chunkBytes", "512")
+        .load(dir.resolve("mem.warc.gz").toString)
+      assert(split.rdd.getNumPartitions > 1,
+        "chunkBytes=512 should plan multiple member-aligned splits")
+      assert(rows("mem.warc.gz", "512") == plain)
+    } finally rm(dir)
+  }
+
+  test("warc.gz: multi-record members and whole-file single member degrade correctly") {
+    val recs = (0 until 6).map(i => record(s"http://multi.example/$i",
+      s"payload-$i".getBytes(StandardCharsets.UTF_8)))
+    val dir = Files.createTempDirectory("warc-spec-gzm")
+    try {
+      // member 1 holds records 0-3, member 2 holds 4-5
+      Files.write(dir.resolve("multi.warc.gz"),
+        gzipMember(recs.take(4).flatten.toArray) ++
+          gzipMember(recs.drop(4).flatten.toArray))
+      // whole file as ONE member (what a generic gzip sink would emit)
+      Files.write(dir.resolve("single.warc.gz"),
+        gzipMember(recs.flatten.toArray))
+      for (f <- Seq("multi.warc.gz", "single.warc.gz")) {
+        val got = spark.read.format("warc").option("chunkBytes", "64")
+          .load(dir.resolve(f).toString)
+          .selectExpr("record_index", "target_uri").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted
+        assert(got.length == 6, s"$f should yield 6 records")
+        assert(got.map(_._1).toSeq == (0L until 6L),
+          s"$f record_index must stay exact across members")
+      }
+      // single member = indivisible: exactly one split despite chunk=64
+      val one = spark.read.format("warc").option("chunkBytes", "64")
+        .load(dir.resolve("single.warc.gz").toString)
+      assert(one.rdd.getNumPartitions == 1,
+        "a whole-file single member cannot split")
+    } finally rm(dir)
+  }
+
+  test("warc.gz: corrupt members abort loudly") {
+    val rec = record("http://bad.example/1",
+      "payload".getBytes(StandardCharsets.UTF_8))
+    val member = gzipMember(rec)
+    val dir = Files.createTempDirectory("warc-spec-gzbad")
+    try {
+      // flip a byte in the deflate body: CRC/ISIZE must catch it
+      val corrupt = member.clone()
+      corrupt(member.length / 2) = (corrupt(member.length / 2) ^ 0x41).toByte
+      Files.write(dir.resolve("bad.warc.gz"), corrupt)
+      val e = intercept[Exception] {
+        spark.read.format("warc").load(dir.resolve("bad.warc.gz").toString)
+          .collect()
+      }
+      val msg = String.valueOf(e.getMessage) +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("gzip") || msg.contains("corrupt") ||
+        msg.contains("invalid"),
+        s"corruption must surface loudly, got: $msg")
+    } finally rm(dir)
+  }
+
+  test("writeGzip: one member per record, splittable, byte-exact round-trip") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("warc-spec-wgz")
+    try {
+      Warc.writeGzip(docs, dir.toString + "/w")
+      val files = new java.io.File(dir.toString + "/w").listFiles()
+        .filter(_.getName.endsWith(".warc.gz"))
+      assert(files.nonEmpty, "writeGzip must emit .warc.gz part files")
+      // member-per-record: the member walk over one part file must
+      // find as many members as the file has records
+      val f = files.minBy(_.getName)
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f))
+      val gz = new graft.sources.v2.GzipMemberStream(in, f.getPath)
+      var members = 0
+      try while (gz.readMember().isDefined) members += 1
+      finally in.close()
+      val recsInFile = spark.read.format("warc").load(f.getPath).count()
+      assert(members.toLong == recsInFile && members > 1,
+        s"expected one member per record, got $members members for " +
+          s"$recsInFile records")
+      // full corpus parity, forced multi-split
+      val back = spark.read.format("warc")
+        .option("chunkBytes", "65536").load(dir.toString + "/w")
+        .selectExpr(
+          "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT) AS doc_id",
+          "CAST(payload AS STRING) AS text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val want = docs.selectExpr("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(back.length == want.length && back.sameElements(want),
+        "writeGzip -> reader must preserve every doc byte-exactly")
+    } finally rm(dir)
+  }
+
   test("corpus round-trip: documents -> WARC -> documents parity (sf0.001)") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("warc-spec-rt")
