@@ -22,7 +22,7 @@ import java.util.zip.Inflater
   * that disagrees with the inflated size all abort with path + byte
   * offset, never a silent short scan.
   */
-private[sources] final class GzipMemberStream(
+private[graft] final class GzipMemberStream(
     raw: InputStream, path: String, base: Long = 0L) {
   private val buf = new Array[Byte](64 * 1024)
   private var len = 0 // valid bytes in buf
@@ -34,6 +34,16 @@ private[sources] final class GzipMemberStream(
 
   /** File offset of the next unconsumed byte. */
   def offset: Long = pulled - (len - pos)
+
+  // ONE inflater for the stream's lifetime, reset() per member — a
+  // per-record-member archive walks tens of thousands of members per
+  // split, and allocating a native zlib stream per member is the
+  // writer-side leak's read-side twin. Callers release via end().
+  private val inflater = new Inflater(true)
+  private val tmp = new Array[Byte](64 * 1024)
+
+  /** Release the native inflater (call once, when done with the file). */
+  def end(): Unit = inflater.end()
 
   private def ensure(): Boolean = {
     if (pos < len) return true
@@ -79,24 +89,21 @@ private[sources] final class GzipMemberStream(
     if ((flg & 0x08) != 0) while (readByte(start) != 0) () // FNAME
     if ((flg & 0x10) != 0) while (readByte(start) != 0) () // FCOMMENT
     if ((flg & 0x02) != 0) skipBytes(2, start) // FHCRC
-    val inflater = new Inflater(true)
+    inflater.reset()
     val out = new java.io.ByteArrayOutputStream(64 * 1024)
-    val tmp = new Array[Byte](64 * 1024)
-    try {
-      while (!inflater.finished()) {
-        if (inflater.needsInput()) {
-          if (!ensure()) throw new EOFException(
-            s"gzip member at $path:$start truncated mid-deflate")
-          inflater.setInput(buf, pos, len - pos)
-          pos = len // provisional; the unconsumed tail is returned below
-        }
-        val n = inflater.inflate(tmp)
-        if (n > 0) out.write(tmp, 0, n)
-        else require(!inflater.needsDictionary(),
-          s"gzip member at $path:$start needs a preset dictionary")
+    while (!inflater.finished()) {
+      if (inflater.needsInput()) {
+        if (!ensure()) throw new EOFException(
+          s"gzip member at $path:$start truncated mid-deflate")
+        inflater.setInput(buf, pos, len - pos)
+        pos = len // provisional; the unconsumed tail is returned below
       }
-      pos -= inflater.getRemaining // hand back the unconsumed tail
-    } finally inflater.end()
+      val n = inflater.inflate(tmp)
+      if (n > 0) out.write(tmp, 0, n)
+      else require(!inflater.needsDictionary(),
+        s"gzip member at $path:$start needs a preset dictionary")
+    }
+    pos -= inflater.getRemaining // hand back the unconsumed tail
     // trailer: CRC32(4) + ISIZE(4), little-endian; validate ISIZE so a
     // framing bug surfaces here, not as a corrupt downstream parse
     var crc = 0L; var isize = 0L

@@ -276,8 +276,8 @@ object WarcDataSource {
   private def indexSplitsGz(
       path: String, chunkBytes: Long): Seq[(Long, Long, Long)] = {
     val in = new BufferedInputStream(new FileInputStream(path), 64 * 1024)
+    val gz = new GzipMemberStream(in, path)
     try {
-      val gz = new GzipMemberStream(in, path)
       val splits = Seq.newBuilder[(Long, Long, Long)]
       var idx = 0L
       var splitStart = -1L
@@ -298,7 +298,7 @@ object WarcDataSource {
       }
       if (splitStart >= 0) splits += ((splitStart, gz.offset, splitFirstIdx))
       splits.result()
-    } finally in.close()
+    } finally { gz.end(); in.close() }
   }
 }
 
@@ -539,5 +539,5 @@ private[v2] class GzipWarcPartitionReader(
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = fileIn.close()
+  override def close(): Unit = { gz.end(); fileIn.close() }
 }

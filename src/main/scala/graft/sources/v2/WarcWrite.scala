@@ -89,24 +89,63 @@ private[v2] class WarcDataWriter(
     extends DataWriter[InternalRow] {
   private val ext = if (gzip) ".warc.gz" else ".warc"
   private val path = f"$dir/part-$partitionId%05d-$taskId$ext"
-  private val out = new BufferedOutputStream(
-    new FileOutputStream(path), 1 << 20)
+  // opened on the FIRST record: an empty input partition must not
+  // leave an empty part file behind
+  private var out: BufferedOutputStream = _
+  // ONE deflater + CRC per task, reset() per member — a fresh
+  // java.util.zip.GZIPOutputStream per record would allocate (and,
+  // since finish() does not end() it, LEAK) a native zlib stream per
+  // record; measured at grow_sf1 that degraded the whole JVM 4×
+  private val deflater =
+    if (gzip) new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    else null
+  private val crc = new java.util.zip.CRC32
+  private val dbuf = new Array[Byte](64 * 1024)
+  // RFC 1952 member header: magic, CM=deflate, FLG=0, MTIME=0 (the
+  // sink is deterministic — no timestamps), XFL=0, OS=255 (unknown)
+  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
+    0, 0, 0, 0, 0, 0xff.toByte)
   private val CrLf = Array[Byte]('\r', '\n')
 
+  private def writeIntLE(v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
   override def write(row: InternalRow): Unit = {
-    val bytes = row.getUTF8String(0).getBytes
+    if (out == null)
+      out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val s = row.getUTF8String(0).getBytes
     if (gzip) {
-      // one gzip member per record: finish() completes the member
-      // (trailer included) without closing the underlying stream
-      val gz = new GZIPOutputStream(out, 8 * 1024)
-      gz.write(bytes); gz.write(CrLf)
-      gz.finish()
-    } else { out.write(bytes); out.write(CrLf) }
+      // one complete record (terminating CRLF included) per member, so
+      // concatenated decompressed members form a valid WARC stream
+      val rec = java.util.Arrays.copyOf(s, s.length + 2)
+      rec(s.length) = '\r'; rec(s.length + 1) = '\n'
+      out.write(GzHeader)
+      crc.reset(); crc.update(rec)
+      deflater.reset()
+      deflater.setInput(rec); deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(dbuf)
+        if (n > 0) out.write(dbuf, 0, n)
+      }
+      writeIntLE(crc.getValue)
+      writeIntLE(rec.length.toLong & 0xffffffffL)
+    } else { out.write(s); out.write(CrLf) }
+  }
+
+  private def release(): Unit = {
+    if (deflater != null) deflater.end()
+    if (out != null) out.close()
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); WarcCommitMessage(path)
+    release()
+    WarcCommitMessage(if (out == null) "" else path)
   }
-  override def abort(): Unit = { out.close(); new File(path).delete() }
-  override def close(): Unit = out.close()
+  override def abort(): Unit = {
+    release(); new File(path).delete()
+  }
+  override def close(): Unit = release()
 }

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Scratch decomposition probe (session-local, not part of the suite):
   * times isolated stages of a query under investigation.
+  *
+  * Current target: the warc.gz gates at grow_sf1 (64-69 s vs 2.8-4.6 s
+  * plain) — splits write vs plan vs read.
   */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
@@ -16,7 +19,6 @@ object ScratchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -25,47 +27,62 @@ object ScratchProbe {
     }
 
     val docs = graft.model.Tables.documents(spark, d)
-      .select($"doc_id", $"source",
-        regexp_replace($"text", "[^ -~]", "").as("t"))
-      .filter(length($"t") >= 3)
-
-    // warmup scan
-    time("scan_only")(docs.count())
-    time("scan_only2")(docs.count())
-    // explode positions only (no md5)
-    time("explode_only")(docs.select($"doc_id",
-      explode(expr("sequence(1, length(t) - 2)")).as("i")).count())
-    // explode + ONE md5 per position
-    time("explode_md5x1")(docs.select($"doc_id",
-      explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
-      .select($"doc_id",
-        (expr("CAST(conv(substring(md5(concat('lm3:', tri)), 1, 6), 16, 10) AS BIGINT)") % 4096).as("b3"))
-      .groupBy($"b3").count().count())
-    // explode + TWO md5s (the real projection)
-    time("explode_md5x2")(docs.select($"doc_id",
-      explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
-      .select($"doc_id",
-        (expr("CAST(conv(substring(md5(concat('lm3:', tri)), 1, 6), 16, 10) AS BIGINT)") % 4096).as("b3"),
-        (expr("CAST(conv(substring(md5(concat('lm2:', substring(tri, 1, 2))), 1, 6), 16, 10) AS BIGINT)") % 4096).as("b2"))
-      .groupBy($"b3", $"b2").count().count())
-    // per-doc agg over the two-md5 stream (adds the doc_id shuffle shape)
-    time("perdoc_agg")(docs.select($"doc_id",
-      explode(expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
-      .select($"doc_id",
-        (expr("CAST(conv(substring(md5(concat('lm3:', tri)), 1, 6), 16, 10) AS BIGINT)") % 4096).as("b3"))
-      .groupBy($"doc_id").agg(count(lit(1)), sum($"b3")).count())
-    // in-row HOF aggregate with one md5 per position (codegen question)
-    time("hof_md5x1")(docs.select($"doc_id",
-      expr("""aggregate(sequence(1, length(t) - 2), 0L, (acc, i) ->
-        acc + CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096)""").as("s"))
-      .groupBy().sum("s").count())
-    // in-row HOF with two md5s per position
-    time("hof_md5x2")(docs.select($"doc_id",
-      expr("""aggregate(sequence(1, length(t) - 2), 0L, (acc, i) ->
-        acc + CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096
-            + CAST(conv(substring(md5(concat('lm2:', substring(t, i, 2))), 1, 6), 16, 10) AS BIGINT) % 4096)""").as("s"))
-      .groupBy().sum("s").count())
-
+    val base = java.nio.file.Files.createTempDirectory("scratch-warc")
+    val plainDir = s"$base/plain"
+    val gzDir = s"$base/gz"
+    try {
+      time("write_plain") { graft.sources.Warc.write(docs, plainDir); 0L }
+      time("write_gz") { graft.sources.Warc.writeGzip(docs, gzDir); 0L }
+      time("write_gz_2nd") { graft.sources.Warc.writeGzip(docs, gzDir); 0L }
+      def read(dir: String, cols: String) =
+        spark.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString).load(dir)
+          .selectExpr(cols.split(";").toIndexedSeq: _*).count()
+      time("read_plain_payload")(read(plainDir, "md5(payload)"))
+      time("read_plain_header")(read(plainDir, "target_uri"))
+      time("read_gz_payload")(read(gzDir, "md5(payload)"))
+      time("read_gz_payload_2nd")(read(gzDir, "md5(payload)"))
+      time("read_gz_header")(read(gzDir, "target_uri"))
+      // planning alone: getNumPartitions forces planInputPartitions
+      time("plan_gz") {
+        spark.read.format("warc").option("chunkBytes", (256 * 1024).toString)
+          .load(gzDir).rdd.getNumPartitions.toLong
+      }
+      val nFiles = new java.io.File(gzDir).listFiles().count(_.getName.endsWith(".warc.gz"))
+      println(s"""{"gz_part_files":$nFiles}""")
+      // single-thread micro: our member walk vs GZIPInputStream over
+      // the same part file — isolates per-member overhead from Spark
+      val f = new java.io.File(gzDir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).maxBy(_.length())
+      println(s"""{"micro_file_bytes":${f.length()}}""")
+      time("micro_member_walk") {
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 64 * 1024)
+        val gz = new graft.sources.v2.GzipMemberStream(in, f.getPath)
+        var n = 0L; var bytes = 0L
+        try {
+          var m = gz.readMember()
+          while (m.isDefined) { n += 1; bytes += m.get.length; m = gz.readMember() }
+        } finally { gz.end(); in.close() }
+        println(s"""{"micro_members":$n,"micro_inflated":$bytes}""")
+        n
+      }
+      time("micro_gzipinputstream") {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f), 64 * 1024), 64 * 1024)
+        val buf = new Array[Byte](64 * 1024)
+        var total = 0L
+        var r = in.read(buf)
+        while (r >= 0) { total += r; r = in.read(buf) }
+        in.close()
+        total
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }

@@ -292,7 +292,7 @@ class WarcSourceSpec extends AnyFunSuite {
       val gz = new graft.sources.v2.GzipMemberStream(in, f.getPath)
       var members = 0
       try while (gz.readMember().isDefined) members += 1
-      finally in.close()
+      finally { gz.end(); in.close() }
       val recsInFile = spark.read.format("warc").load(f.getPath).count()
       assert(members.toLong == recsInFile && members > 1,
         s"expected one member per record, got $members members for " +
