@@ -1328,6 +1328,124 @@ object PipelineQueries {
            |ORDER BY host""".stripMargin),
   )
 
+  // The DuckDB replay of graft.sources.Warc.htmlBody — the one shared
+  // construction behind both http-payload gates below.
+  private val HtmlSql =
+    """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</title></head><body><p>' || text || '</p></body></html>'""".stripMargin
+
+  // WARC HTTP PARSE (the REAL Common Crawl record shape): payloads are
+  // full HTTP responses (status line, headers, blank line, HTML body)
+  // rendered by Warc.renderHttp through the DSv2 sink, read back under
+  // forced multi-split planning, and split into status/headers/body
+  // with builtin string ops (regexp_extract for the status line,
+  // instr+substr for the first CRLFCRLF boundary — all whole-stage
+  // codegen). The per-source aggregate pins the split: body byte count
+  // and a folded md5 checksum must equal the oracle's recomputation of
+  // the SAME html construction directly over `documents` — one
+  // misplaced boundary byte and the checksum diverges. At 100 TB this
+  // is the first map stage after the archive scan (WET extraction's
+  // prerequisite), zero shuffles before the final small aggregate.
+  private val warcHttpParse = Q(
+    "pipe_warc_http_parse",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-http")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttp(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"payload".cast("string").as("p"))
+          .withColumn("status",
+            regexp_extract($"p", "^HTTP/1\\.1 ([0-9]{3})", 1).cast("int"))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when($"status" === 200, 1)).as("n_ok"),
+            count(when($"status" === 404, 1)).as("n_notfound"),
+            sum(octet_length($"body")).as("body_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(body AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("body_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id, $HtmlSql AS html
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_records,
+            |       count(*) FILTER (WHERE doc_id % 17 <> 0) AS n_ok,
+            |       count(*) FILTER (WHERE doc_id % 17 = 0) AS n_notfound,
+            |       CAST(sum(octet_length(encode(html))) AS BIGINT) AS body_bytes,
+            |       CAST(sum(CAST('0x' || substr(md5(html), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS body_ck
+            |FROM h
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
+  // WET EXTRACT (Common Crawl's text sidecar, derived not stored):
+  // http-payload archive written as PER-RECORD GZIP MEMBERS, read
+  // back, body split off, tags stripped with one shared regex, the
+  // language pulled from the X-Crawl-Lang response header — the
+  // per-language profile a corpus builder runs before language
+  // filtering. Every string op is a codegen builtin over the payload;
+  // the oracle recomputes extraction from `documents` with the same
+  // regex (DuckDB needs the explicit 'g' flag — its regexp_replace is
+  // first-match by default, Spark's is global).
+  private val warcWetExtract = Q(
+    "pipe_warc_wet_extract",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-wet")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttpGzip(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select($"payload".cast("string").as("p"))
+          .withColumn("lang",
+            regexp_extract($"p", "X-Crawl-Lang: ([a-z]+)", 1))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length($"wet")).as("n_chars"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(wet AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("wet_ck"))
+          .orderBy($"lang")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT lang,
+            |         regexp_replace($HtmlSql, '<[^>]*>', '', 'g') AS wet
+            |  FROM documents)
+            |SELECT lang,
+            |       count(*) AS n_docs,
+            |       CAST(sum(length(wet)) AS BIGINT) AS n_chars,
+            |       CAST(sum(CAST('0x' || substr(md5(wet), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS wet_ck
+            |FROM h
+            |GROUP BY lang
+            |ORDER BY lang""".stripMargin),
+  )
+
   private val warcUrlProfile =
     warcUrlProfileQ("pipe_warc_url_profile", gz = false)
 
@@ -1343,5 +1461,5 @@ object PipelineQueries {
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
-      warcUrlProfile, warcGzUrlProfile)
+      warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcWetExtract)
 }

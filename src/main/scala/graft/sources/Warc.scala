@@ -48,8 +48,14 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  /** Render documents rows to one WARC record string per row. */
-  def render(docs: DataFrame): DataFrame = {
+  /** The WARC record envelope around a payload expression: every
+    * derived header stays deterministic row arithmetic so a DuckDB
+    * oracle can replay the bytes without reading the files back.
+    */
+  private def envelope(
+      docs: DataFrame,
+      payload: org.apache.spark.sql.Column,
+      contentType: String): DataFrame = {
     val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
     val date = concat(
       lit("2020-01-01T"),
@@ -65,11 +71,43 @@ object Warc {
       lit("WARC-Date: "), date, lit("\r\n"),
       lit("WARC-Target-URI: http://"), col("source"),
       lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
-      lit("Content-Type: text/plain; charset=utf-8\r\n"),
-      lit("Content-Length: "), octet_length(col("text")).cast("string"),
+      lit(s"Content-Type: $contentType\r\n"),
+      lit("Content-Length: "), octet_length(payload).cast("string"),
       lit("\r\n\r\n"),
-      col("text"), lit("\r\n"),
+      payload, lit("\r\n"),
     ).as("value"))
+  }
+
+  /** Render documents rows to one WARC record string per row. */
+  def render(docs: DataFrame): DataFrame =
+    envelope(docs, col("text"), "text/plain; charset=utf-8")
+
+  /** The deterministic HTML wrapping of a document's text, shared by
+    * [[renderHttp]] and the oracle replays of the http/wet entries.
+    */
+  def htmlBody: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>doc "), col("doc_id").cast("string"),
+    lit("</title></head><body><p>"), col("text"), lit("</p></body></html>"))
+
+  /** Render documents as `application/http; msgtype=response` WARC
+    * records — the ACTUAL Common Crawl layout, where each payload is a
+    * full HTTP response (status line, headers, blank line, HTML body)
+    * and consumers must split headers from body before any text
+    * processing. Status is 200 except every 17th doc (404), so a
+    * status-filtering operator has real work; the body is the
+    * deterministic [[htmlBody]] wrap either way.
+    */
+  def renderHttp(docs: DataFrame): DataFrame = {
+    val status = when(col("doc_id") % 17 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val http = concat(
+      lit("HTTP/1.1 "), status, lit("\r\n"),
+      lit("Content-Type: text/html; charset=utf-8\r\n"),
+      lit("X-Crawl-Lang: "), col("lang"), lit("\r\n"),
+      lit("Content-Length: "), octet_length(htmlBody).cast("string"),
+      lit("\r\n\r\n"),
+      htmlBody)
+    envelope(docs, http, "application/http; msgtype=response")
   }
 
   /** Write documents as WARC part files under `path` (overwrite). */
@@ -86,5 +124,17 @@ object Warc {
     */
   def writeGzip(docs: DataFrame, path: String): Unit =
     render(docs).write.format("warc").option("compression", "gzip")
+      .mode("overwrite").save(path)
+
+  /** Write documents as application/http WARC records (plain, via the
+    * DSv2 sink — byte-identical envelope discipline to [[write]]).
+    */
+  def writeHttp(docs: DataFrame, path: String): Unit =
+    renderHttp(docs).write.format("warc").option("compression", "none")
+      .mode("overwrite").save(path)
+
+  /** [[writeHttp]] as per-record gzip members. */
+  def writeHttpGzip(docs: DataFrame, path: String): Unit =
+    renderHttp(docs).write.format("warc").option("compression", "gzip")
       .mode("overwrite").save(path)
 }
