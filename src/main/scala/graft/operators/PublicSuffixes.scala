@@ -128,12 +128,26 @@ object PublicSuffixes {
   val twoLevelSql: String = twoLevel.map(s => s"'$s'").mkString(",")
   val threeLevelSql: String = threeLevel.map(s => s"'$s'").mkString(",")
 
-  /** The suffix dim as a one-column DataFrame, for broadcast joins.
-    * A few hundred rows — at the full PSL's ~9k rows still far under
-    * any broadcast threshold.
+  /** Per-level suffix dims as one-column DataFrames for broadcast
+    * joins — split by label count so each join key can only match
+    * rules of its own level, structurally mirroring the oracle's two
+    * IN lists. A few hundred rows each — at the full PSL's ~9k rows
+    * still far under any broadcast threshold. Both lists are lint-
+    * checked for label count at class init: a rule in the wrong list
+    * fails loudly here, not as a silent regDomain divergence.
     */
-  def dim(spark: SparkSession, col: String): DataFrame = {
+  def dimTwo(spark: SparkSession, col: String): DataFrame = {
     import spark.implicits._
-    all.toDF(col)
+    twoLevel.toDF(col)
   }
+  def dimThree(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    threeLevel.toDF(col)
+  }
+
+  require(twoLevel.forall(_.count(_ == '.') == 1),
+    "every twoLevel public-suffix rule must have exactly 2 labels")
+  require(threeLevel.forall(_.count(_ == '.') == 2),
+    "every threeLevel public-suffix rule must have exactly 3 labels")
+  require(all.distinct.size == all.size, "duplicate public-suffix rules")
 }

@@ -212,9 +212,14 @@ object UrlQueries {
       // host must not probe the 3-level rules with its own 2 labels
       .withColumn("_psl_k2", when(size(lbl) >= 2, last2))
       .withColumn("_psl_k3", when(size(lbl) >= 3, last3))
-      .join(broadcast(PublicSuffixes.dim(spark, "_psl_sfx3")),
+      // per-LEVEL dims, not the combined list: the 3-label key joins
+      // only 3-label rules and the 2-label key only 2-label rules —
+      // the same structure as regDomainSql's two IN lists, so a rule
+      // landing in the wrong list fails the same way on both engines
+      // instead of silently matching here only
+      .join(broadcast(PublicSuffixes.dimThree(spark, "_psl_sfx3")),
         col("_psl_k3") === col("_psl_sfx3"), "left")
-      .join(broadcast(PublicSuffixes.dim(spark, "_psl_sfx2")),
+      .join(broadcast(PublicSuffixes.dimTwo(spark, "_psl_sfx2")),
         col("_psl_k2") === col("_psl_sfx2"), "left")
       .withColumn(out,
         when(size(lbl) < 2, host)

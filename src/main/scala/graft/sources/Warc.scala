@@ -110,10 +110,15 @@ object Warc {
     envelope(docs, http, "application/http; msgtype=response")
   }
 
-  /** Write documents as WARC part files under `path` (overwrite). */
+  /** Write documents as WARC part files under `path` (overwrite) —
+    * via the DSv2 sink (byte-identical record stream to the text
+    * writer with lineSep=CRLF, which this replaced), so plain archives
+    * also carry the sidecar split index and planning reads marks
+    * instead of skimming headers.
+    */
   def write(docs: DataFrame, path: String): Unit =
-    render(docs).write.mode("overwrite")
-      .option("lineSep", "\r\n").text(path)
+    render(docs).write.format("warc").option("compression", "none")
+      .mode("overwrite").save(path)
 
   /** Write documents as `.warc.gz` part files (overwrite): one gzip
     * MEMBER per record — the Common Crawl layout — via the DSv2 warc

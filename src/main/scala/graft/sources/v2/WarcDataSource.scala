@@ -225,8 +225,49 @@ object WarcDataSource {
     */
   private[v2] def indexSplits(
       path: String, chunkBytes: Long): Seq[(Long, Long, Long)] =
-    if (isGzip(path)) indexSplitsGz(path, chunkBytes)
-    else indexSplitsPlain(path, chunkBytes)
+    sidecarSplits(path, chunkBytes).getOrElse {
+      if (isGzip(path)) indexSplitsGz(path, chunkBytes)
+      else indexSplitsPlain(path, chunkBytes)
+    }
+
+  /** Sidecar magic + mark granularity shared with the DSv2 writer. */
+  private[v2] val SidecarMagic = "warcidx1"
+  private[v2] val SidecarMarkBytes: Long = 64L * 1024
+
+  /** Split planning from a sink-written sidecar index (`.{name}.idx`:
+    * one record-boundary mark per ~64 KiB), when present and FRESH
+    * (its recorded byte length must equal the file's — a stale or
+    * foreign index falls back to the skim, which is ground truth).
+    * This makes planning I/O ∝ 0.1% of the archive and — for gz —
+    * removes planning-side decompression entirely.
+    */
+  private def sidecarSplits(
+      path: String, chunkBytes: Long): Option[Seq[(Long, Long, Long)]] = {
+    val f = new java.io.File(path)
+    val idx = new java.io.File(f.getParentFile, "." + f.getName + ".idx")
+    if (!idx.isFile) return None
+    try {
+      val lines = java.nio.file.Files.readAllLines(idx.toPath)
+      val head = lines.get(0).split(" ")
+      if (head.length != 3 || head(0) != SidecarMagic) return None
+      val fileBytes = head(1).toLong
+      if (fileBytes != f.length()) return None // stale index
+      val marks = Seq((0L, 0L)) ++ (1 until lines.size).map { i =>
+        val p = lines.get(i).split(" "); (p(0).toLong, p(1).toLong)
+      } ++ Seq((fileBytes, -1L)) // terminal boundary; count unused
+      val splits = Seq.newBuilder[(Long, Long, Long)]
+      var start = 0L
+      var firstIdx = 0L
+      for (((off, recs), i) <- marks.zipWithIndex.drop(1)) {
+        if (off - start >= chunkBytes || i == marks.size - 1) {
+          if (off > start) splits += ((start, off, firstIdx))
+          start = off
+          firstIdx = recs
+        }
+      }
+      Some(splits.result())
+    } catch { case _: Exception => None } // malformed → skim
+  }
 
   private def indexSplitsPlain(
       path: String, chunkBytes: Long): Seq[(Long, Long, Long)] = {

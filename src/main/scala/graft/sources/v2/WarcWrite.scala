@@ -59,8 +59,11 @@ private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
     val d = new File(dir)
     if (!d.exists()) require(d.mkdirs(), s"cannot create warc sink dir $dir")
     if (truncate) {
+      // clear committed part files AND orphaned in-progress dotfiles
+      // (a previous run's JVM death leaves the latter behind)
       val stale = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .filter(f => f.isFile && (f.getName.startsWith("part-") ||
+          f.getName.startsWith(".part-")))
       stale.foreach(f => require(f.delete(), s"cannot clear stale $f"))
     }
     new WarcWriterFactory(dir, gzip)
@@ -89,6 +92,12 @@ private[v2] class WarcDataWriter(
     extends DataWriter[InternalRow] {
   private val ext = if (gzip) ".warc.gz" else ".warc"
   private val path = f"$dir/part-$partitionId%05d-$taskId$ext"
+  // task-commit protocol: write under a DOTTED temp name (expandPaths
+  // never lists dotfiles, so a half-written file is invisible to
+  // readers even if the JVM dies without abort()), rename to the final
+  // name only at task commit — a retried task can then never leave a
+  // partial part file next to its successor's output
+  private val tmpPath = f"$dir/.part-$partitionId%05d-$taskId$ext.inprogress"
   // opened on the FIRST record: an empty input partition must not
   // leave an empty part file behind
   private var out: BufferedOutputStream = _
@@ -113,9 +122,20 @@ private[v2] class WarcDataWriter(
     out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
   }
 
+  // Sidecar split index: record-boundary marks every ~64 KiB of output
+  // (offset after record i, records written so far), emitted at task
+  // commit as `.{part}.idx`. The planner reads the marks instead of
+  // skimming — for gz that removes planning-side DECOMPRESSION of the
+  // whole archive; for plain it removes the header walk. Memory is one
+  // tuple per 64 KiB — bounded and tiny.
+  private var bytesOut = 0L
+  private var recordsOut = 0L
+  private var lastMark = 0L
+  private val marks = Seq.newBuilder[(Long, Long)]
+
   override def write(row: InternalRow): Unit = {
     if (out == null)
-      out = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+      out = new BufferedOutputStream(new FileOutputStream(tmpPath), 1 << 20)
     val s = row.getUTF8String(0).getBytes
     if (gzip) {
       // one complete record (terminating CRLF included) per member, so
@@ -126,13 +146,22 @@ private[v2] class WarcDataWriter(
       crc.reset(); crc.update(rec)
       deflater.reset()
       deflater.setInput(rec); deflater.finish()
+      var deflated = 0L
       while (!deflater.finished()) {
         val n = deflater.deflate(dbuf)
-        if (n > 0) out.write(dbuf, 0, n)
+        if (n > 0) { out.write(dbuf, 0, n); deflated += n }
       }
       writeIntLE(crc.getValue)
       writeIntLE(rec.length.toLong & 0xffffffffL)
-    } else { out.write(s); out.write(CrLf) }
+      bytesOut += GzHeader.length + deflated + 8
+    } else {
+      out.write(s); out.write(CrLf)
+      bytesOut += s.length + 2
+    }
+    recordsOut += 1
+    if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
+      marks += ((bytesOut, recordsOut)); lastMark = bytesOut
+    }
   }
 
   private def release(): Unit = {
@@ -142,10 +171,21 @@ private[v2] class WarcDataWriter(
 
   override def commit(): WriterCommitMessage = {
     release()
-    WarcCommitMessage(if (out == null) "" else path)
+    if (out == null) return WarcCommitMessage("")
+    val f = new File(path)
+    val idx = new File(f.getParentFile, "." + f.getName + ".idx")
+    val lines = new StringBuilder(
+      s"${WarcDataSource.SidecarMagic} $bytesOut $recordsOut\n")
+    for ((off, recs) <- marks.result()) lines.append(s"$off $recs\n")
+    java.nio.file.Files.write(idx.toPath,
+      lines.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    WarcCommitMessage(path)
   }
   override def abort(): Unit = {
-    release(); new File(path).delete()
+    release(); new File(tmpPath).delete()
   }
   override def close(): Unit = release()
 }

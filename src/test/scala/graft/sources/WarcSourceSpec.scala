@@ -311,6 +311,39 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("sidecar index: planning uses it, parity with the skim, stale falls back") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("warc-spec-idx")
+    try {
+      Warc.writeGzip(docs, dir.toString + "/w")
+      val d = new java.io.File(dir.toString + "/w")
+      val parts = d.listFiles().filter(_.getName.endsWith(".warc.gz"))
+      val sidecars = d.listFiles().filter(_.getName.endsWith(".idx"))
+      assert(parts.nonEmpty && sidecars.length == parts.length,
+        "every part file must carry a sidecar split index")
+      def collectRows(chunk: String) = spark.read.format("warc")
+        .option("chunkBytes", chunk).load(d.toString)
+        .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      val withIdx = collectRows("65536")
+      val partsWithIdx = spark.read.format("warc")
+        .option("chunkBytes", "65536").load(d.toString).rdd.getNumPartitions
+      assert(partsWithIdx > parts.length,
+        "sidecar marks should still yield multi-split planning")
+      // delete the sidecars: the skim must produce the same ROWS
+      sidecars.foreach(s => assert(s.delete()))
+      assert(collectRows("65536") == withIdx,
+        "sidecar planning and the skim must agree on every row")
+      // stale sidecar (wrong length) must fall back to the skim, not
+      // mis-plan: write garbage marks with a wrong byte count
+      val f = parts.minBy(_.getName)
+      Files.write(new java.io.File(d, "." + f.getName + ".idx").toPath,
+        "warcidx1 1 1\n5 1\n".getBytes("UTF-8"))
+      assert(collectRows("65536") == withIdx,
+        "a stale sidecar must be ignored")
+    } finally rm(dir)
+  }
+
   test("corpus round-trip: documents -> WARC -> documents parity (sf0.001)") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("warc-spec-rt")
