@@ -48,7 +48,35 @@ object Plans {
         "256k forces multi-split planning); the 0-exchange plan is " +
         "the eager gate checkpoint — source behavior is gated by " +
         "WarcSourceSpec (framing, splits, pruned ReadSchema, " +
-        "malformed aborts)"),
+        "malformed aborts). Round-12: planning reads the sink's " +
+        "sidecar split index (one mark per ~64 KiB, freshness-checked)" +
+        " and otherwise skims as a one-task-per-file Spark job — " +
+        "never driver-serial over total records"),
+    "pipe_warc_gz_roundtrip" ->
+      ("round-12: the same roundtrip oracle over PER-RECORD GZIP " +
+        "members (the Common Crawl layout) — members are " +
+        "self-delimiting so member boundaries are exact split points; " +
+        "one reused Deflater/Inflater per task (a native zlib stream " +
+        "per record measured 12x slower at grow_sf1, " +
+        "probes/round12_warc_gz_probe.jsonl)"),
+    "pipe_warc_gz_url_profile" ->
+      ("round-12: header-only audit over the .warc.gz fixture — " +
+        "pruning skips payload MATERIALIZATION; the I/O-level " +
+        "header-only-bytes win belongs to plain WARC (gzip cannot " +
+        "seek), which this gate documents by existing"),
+    "pipe_warc_http_parse" ->
+      ("round-12: application/http payloads (the real Common Crawl " +
+        "record shape) split into status/headers/body with codegen " +
+        "builtins (regexp status line, instr+substr CRLFCRLF " +
+        "boundary); body byte count + folded md5 vs the oracle's " +
+        "direct reconstruction — one misplaced boundary byte fails " +
+        "the hash"),
+    "pipe_warc_wet_extract" ->
+      ("round-12: WET-style text extraction over gzip-member " +
+        "http-payload archives — tag-strip regex shared with the " +
+        "oracle (DuckDB regexp_replace needs the explicit 'g' flag), " +
+        "language from the X-Crawl-Lang response header; per-language " +
+        "profile is the pre-language-filter audit"),
     "ev_late_data_audit" ->
       ("round-11: two-level prefix-scan watermark replay — the " +
         "SINGLE-PARTITION exchange carries only |stream|/10k " +
