@@ -1446,6 +1446,52 @@ object PipelineQueries {
             |ORDER BY lang""".stripMargin),
   )
 
+  // LID AUDIT (WET × text-analysis composition): run the catalogue's
+  // stopword-voting language classifier (TextQueries.lidPredict — ONE
+  // shared device with ta_language_id) over the WET text extracted
+  // from a gzip-member http archive, and cross-tabulate against the
+  // X-Crawl-Lang response header — the agreement matrix a corpus
+  // builder inspects before trusting EITHER signal for language
+  // filtering. All in-row (header regexp, body split, tag strip,
+  // marker voting) plus one small hash aggregate on the (header,
+  // predicted) pair; the oracle replays classifier and construction
+  // from `documents` via the same shared SQL renderings.
+  private val warcLidAudit = Q(
+    "pipe_warc_lid_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-lid")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttpGzip(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select($"payload".cast("string").as("p"))
+          .withColumn("header_lang",
+            regexp_extract($"p", "X-Crawl-Lang: ([a-z]+)", 1))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
+          .groupBy($"header_lang",
+            TextQueries.lidPredict($"wet").as("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"header_lang", $"predicted_lang")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT lang AS header_lang,
+            |         regexp_replace($HtmlSql, '<[^>]*>', '', 'g') AS wet
+            |  FROM documents)
+            |SELECT header_lang,
+            |       ${TextQueries.lidPredictSql("wet")} AS predicted_lang,
+            |       count(*) AS n_docs
+            |FROM h
+            |GROUP BY 1, 2
+            |ORDER BY header_lang, predicted_lang""".stripMargin),
+  )
+
   private val warcUrlProfile =
     warcUrlProfileQ("pipe_warc_url_profile", gz = false)
 
@@ -1461,5 +1507,6 @@ object PipelineQueries {
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
-      warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcWetExtract)
+      warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcWetExtract,
+      warcLidAudit)
 }

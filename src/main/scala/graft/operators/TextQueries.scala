@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -92,56 +92,70 @@ object TextQueries {
   )
 
   // Language id: stopword-marker voting with a deterministic
-  // tie-break order (en, es, de, fr, zh).
+  // tie-break order (en, es, de, fr, zh). The marker table and both
+  // engine renderings live HERE, once — ta_language_id and the WARC
+  // pipeline's lid audit (pipe_warc_lid_audit) consume the same
+  // device, so the classifier cannot fork between entries.
+  private[operators] val LidMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "zh" -> Seq("的", "是", "在", "了"),
+  )
+
+  /** Predicted language of a text column (whole-stage-codegen only:
+    * split + filter + size + a greatest cascade).
+    */
+  private[operators] def lidPredict(text: Column): Column = {
+    val words = split(text, " ")
+    val scores = LidMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isin(markers.map(x => x: Any): _*)))
+    }
+    val byLang = scores.toMap
+    val all = scores.map(_._2)
+    def rest(from: Int) = scores.drop(from).map(_._2)
+    when(greatest(all: _*) === 0, "und")
+      .when(byLang("en") >= greatest(rest(1): _*), "en")
+      .when(byLang("es") >= greatest(rest(2): _*), "es")
+      .when(byLang("de") >= greatest(rest(3): _*), "de")
+      .when(byLang("fr") >= byLang("zh"), "fr")
+      .otherwise("zh")
+  }
+
+  /** The DuckDB rendering of [[lidPredict]] over a text expression —
+    * score expressions inlined from the SAME marker table.
+    */
+  private[operators] def lidPredictSql(t: String): String = {
+    def sc(markers: Seq[String]) =
+      s"len(list_filter(string_split($t, ' '), " +
+        s"w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val s = LidMarkers.map { case (lang, m) => lang -> sc(m) }.toMap
+    def gr(langs: Seq[String]) =
+      s"greatest(${langs.map(s(_)).mkString(", ")})"
+    s"""CASE WHEN ${gr(LidMarkers.map(_._1))} = 0 THEN 'und'
+       |     WHEN ${s("en")} >= ${gr(Seq("es", "de", "fr", "zh"))} THEN 'en'
+       |     WHEN ${s("es")} >= ${gr(Seq("de", "fr", "zh"))} THEN 'es'
+       |     WHEN ${s("de")} >= ${gr(Seq("fr", "zh"))} THEN 'de'
+       |     WHEN ${s("fr")} >= ${s("zh")} THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
+  }
+
   private val langid = Q(
     "ta_language_id",
     (s, d) => {
       import s.implicits._
-      val words = split($"text", " ")
-      def score(markers: Seq[String]) =
-        size(filter(words, w => w.isin(markers.map(x => x: Any): _*)))
       Tables.documents(s, d)
         .select(
           $"doc_id", $"lang".as("labeled_lang"),
-          score(Seq("the", "a", "of", "and")).as("s_en"),
-          score(Seq("el", "la", "de", "y")).as("s_es"),
-          score(Seq("der", "die", "das", "und")).as("s_de"),
-          score(Seq("le", "la", "et", "un")).as("s_fr"),
-          score(Seq("的", "是", "在", "了")).as("s_zh"),
-        )
-        .select(
-          $"doc_id", $"labeled_lang",
-          when(greatest($"s_en", $"s_es", $"s_de", $"s_fr", $"s_zh") === 0, "und")
-            .when($"s_en" >= greatest($"s_es", $"s_de", $"s_fr", $"s_zh"), "en")
-            .when($"s_es" >= greatest($"s_de", $"s_fr", $"s_zh"), "es")
-            .when($"s_de" >= greatest($"s_fr", $"s_zh"), "de")
-            .when($"s_fr" >= $"s_zh", "fr")
-            .otherwise("zh").as("predicted_lang"),
+          lidPredict($"text").as("predicted_lang"),
         )
         .orderBy($"doc_id")
     },
-    Some("""WITH scores AS (
-           |  SELECT doc_id, lang AS labeled_lang,
-           |         len(list_filter(string_split(text, ' '),
-           |             w -> w IN ('the', 'a', 'of', 'and'))) AS s_en,
-           |         len(list_filter(string_split(text, ' '),
-           |             w -> w IN ('el', 'la', 'de', 'y'))) AS s_es,
-           |         len(list_filter(string_split(text, ' '),
-           |             w -> w IN ('der', 'die', 'das', 'und'))) AS s_de,
-           |         len(list_filter(string_split(text, ' '),
-           |             w -> w IN ('le', 'la', 'et', 'un'))) AS s_fr,
-           |         len(list_filter(string_split(text, ' '),
-           |             w -> w IN ('的', '是', '在', '了'))) AS s_zh
-           |  FROM documents)
-           |SELECT doc_id, labeled_lang,
-           |       CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
-           |            WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-           |            WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-           |            WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-           |            WHEN s_fr >= s_zh THEN 'fr'
-           |            ELSE 'zh' END AS predicted_lang
-           |FROM scores
-           |ORDER BY doc_id""".stripMargin),
+    Some(s"""SELECT doc_id, lang AS labeled_lang,
+            |       ${lidPredictSql("text")} AS predicted_lang
+            |FROM documents
+            |ORDER BY doc_id""".stripMargin),
   )
 
   // Document fingerprint: Karp-Rabin rolling hash (native Catalyst
