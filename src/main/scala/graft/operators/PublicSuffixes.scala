@@ -2,19 +2,34 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Bundled public-suffix table — a curated exact-rule subset of the
-  * public suffix list (publicsuffix.org, public domain data), covering
-  * the widely-registered ccTLD second-level namespaces plus the exact
-  * third-level rules (US k12/cc/lib, AU state edu). Registered-domain
-  * derivation joins this as a BROADCAST dim (UrlQueries.withRegDomain):
-  * longest-suffix-wins, registrable domain = one label + the matched
-  * suffix, unmatched hosts fall back to their last two labels — the
-  * PSL algorithm restricted to exact rules. The full PSL (wildcard and
-  * exception rules included, ~9k rows) is a drop-in replacement for
-  * [[all]]: same dim, same joins, same plan.
+/** Bundled public-suffix table — a curated subset of the public
+  * suffix list (publicsuffix.org, public domain data) carrying ALL
+  * THREE PSL rule classes:
   *
-  * Kept as ONE definition shared by the Spark dim and the DuckDB
-  * oracle literal lists ([[twoLevelSql]]/[[threeLevelSql]]) — the
+  *  - EXACT rules ([[twoLevel]]/[[threeLevel]]): the widely-registered
+  *    ccTLD second-level namespaces plus the exact third-level rules
+  *    (US k12/cc/lib, AU state edu);
+  *  - WILDCARD rules (`*.ck` — [[wildOneParents]]/[[wildTwoParents]],
+  *    keyed by the rule's PARENT suffix): EVERY label directly under
+  *    the parent is a public suffix;
+  *  - EXCEPTION rules (`!www.ck` — [[excTwo]]/[[excThree]]): the named
+  *    domain is NOT a public suffix despite a covering wildcard; its
+  *    public suffix is the rule minus its leftmost label, so the rule
+  *    itself IS the registrable domain.
+  *
+  * Registered-domain derivation joins these as BROADCAST dims
+  * (UrlQueries.withRegDomain) with the PSL's precedence — exception
+  * beats everything, then most labels wins (a wildcard counts its `*`
+  * as a label, so `*.P` ties with an exact rule of |P|+1 labels and
+  * both yield the SAME suffix, making their order immaterial);
+  * registrable domain = one label + the matched suffix; unmatched
+  * hosts keep their last two labels. The full PSL (~9k rows) is a
+  * drop-in replacement: every rule class lands in the matching list
+  * (wildcard parents here cover 1- and 2-label parents, which is every
+  * wildcard in the published list).
+  *
+  * Kept as ONE definition shared by the Spark dims and the DuckDB
+  * oracle literal lists (the `*Sql` mirrors) — the
   * Blocklist/BlocklistSql device.
   */
 object PublicSuffixes {
@@ -122,11 +137,44 @@ object PublicSuffixes {
     "sa.edu.au", "tas.edu.au", "vic.edu.au", "wa.edu.au",
   )
 
+  /** Wildcard rules with a one-label parent (`*.ck` → parent `ck`):
+    * any `X.ck` is a public suffix. These are the PSL's remaining
+    * whole-ccTLD wildcards (the historical `*.bd`-style entries that
+    * were later expanded to exact lists).
+    */
+  val wildOneParents: Seq[String] = Seq(
+    "ck", "er", "fk", "jm", "kh", "mm", "pg",
+  )
+
+  /** Wildcard rules with a two-label parent (`*.kawasaki.jp` → parent
+    * `kawasaki.jp`): any `X.kawasaki.jp` is a public suffix. The PSL's
+    * Japanese ordinance-designated-city namespaces.
+    */
+  val wildTwoParents: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+  )
+
+  /** Two-label exception rules (`!www.ck`): the rule itself is the
+    * registrable domain (its public suffix is the rule minus the
+    * leftmost label). Each must puncture a [[wildOneParents]] rule.
+    */
+  val excTwo: Seq[String] = Seq("www.ck")
+
+  /** Three-label exception rules (`!city.kawasaki.jp`), puncturing the
+    * [[wildTwoParents]] wildcards.
+    */
+  val excThree: Seq[String] = wildTwoParents.map("city." + _)
+
   def all: Seq[String] = twoLevel ++ threeLevel
 
   /** SQL IN-list literals for the DuckDB oracle mirrors. */
   val twoLevelSql: String = twoLevel.map(s => s"'$s'").mkString(",")
   val threeLevelSql: String = threeLevel.map(s => s"'$s'").mkString(",")
+  val wildOneParentsSql: String = wildOneParents.map(s => s"'$s'").mkString(",")
+  val wildTwoParentsSql: String = wildTwoParents.map(s => s"'$s'").mkString(",")
+  val excTwoSql: String = excTwo.map(s => s"'$s'").mkString(",")
+  val excThreeSql: String = excThree.map(s => s"'$s'").mkString(",")
 
   /** Per-level suffix dims as one-column DataFrames for broadcast
     * joins — split by label count so each join key can only match
@@ -144,10 +192,45 @@ object PublicSuffixes {
     import spark.implicits._
     threeLevel.toDF(col)
   }
+  def dimWildOne(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    wildOneParents.toDF(col)
+  }
+  def dimWildTwo(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    wildTwoParents.toDF(col)
+  }
+  def dimExcTwo(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    excTwo.toDF(col)
+  }
+  def dimExcThree(spark: SparkSession, col: String): DataFrame = {
+    import spark.implicits._
+    excThree.toDF(col)
+  }
 
   require(twoLevel.forall(_.count(_ == '.') == 1),
     "every twoLevel public-suffix rule must have exactly 2 labels")
   require(threeLevel.forall(_.count(_ == '.') == 2),
     "every threeLevel public-suffix rule must have exactly 3 labels")
   require(all.distinct.size == all.size, "duplicate public-suffix rules")
+  require(wildOneParents.forall(!_.contains(".")),
+    "every wildOne parent must be a single label (the rule is *.<parent>)")
+  require(wildTwoParents.forall(_.count(_ == '.') == 1),
+    "every wildTwo parent must have exactly 2 labels")
+  // an exception rule only means anything against a covering wildcard:
+  // `!www.ck` punctures `*.ck`, so its parent MUST be a wildcard parent
+  require(excTwo.forall(e => wildOneParents.contains(e.split("\\.")(1))),
+    "every 2-label exception must puncture a wildOne rule")
+  require(excThree.forall(e =>
+      wildTwoParents.contains(e.split("\\.", 2)(1))),
+    "every 3-label exception must puncture a wildTwo rule")
+  // a wildcard parent that is ALSO an exact rule would make precedence
+  // between the classes observable — keep the lists disjoint so the
+  // merged same-label-count branches in withRegDomain stay equivalent
+  require(!wildTwoParents.exists(twoLevel.contains),
+    "wildTwo parents must not duplicate exact twoLevel rules")
+  require(!excThree.exists(threeLevel.contains) &&
+      !excTwo.exists(twoLevel.contains),
+    "exception rules must not duplicate exact rules")
 }

@@ -189,16 +189,21 @@ object UrlQueries {
        |     ELSE '' END""".stripMargin
   }
 
-  /** Registered domain via the bundled PSL broadcast dim
-    * ([[PublicSuffixes]]): longest exact suffix wins (3-label rules
-    * before 2-label), registrable domain = one more label + the
-    * matched suffix; a host with no matching suffix keeps its last two
-    * labels; a single-label host ('localhost') stays itself; a host
-    * that IS a bare suffix stays itself (try_element_at is NULL past
-    * either end and concat_ws skips NULLs; regDomainSql mirrors every
-    * case). Two broadcast hash joins of a few-hundred-row dim — at
-    * 100 TB the dim ships once per executor and the derivation stays a
-    * per-row map stage; the full ~9k-row PSL swaps in as the same dim.
+  /** Registered domain via the bundled PSL broadcast dims
+    * ([[PublicSuffixes]]), full PSL semantics: EXCEPTION rules win
+    * (`!www.ck` — the rule itself is the registrable domain), then the
+    * matching rule with the most labels (a wildcard's `*` counts, so
+    * `*.kawasaki.jp` sits in the 3-label tier with exact 3-label
+    * rules — both yield the same suffix when both match, so the tiers
+    * merge into one branch each); registrable domain = one more label
+    * + the matched suffix; a host with no matching rule keeps its last
+    * two labels; a single-label host ('localhost') stays itself; a
+    * host that IS a bare suffix stays itself (try_element_at is NULL
+    * past either end and concat_ws skips NULLs; regDomainSql mirrors
+    * every case). Six broadcast hash joins of tiny dims — at 100 TB
+    * the dims ship once per executor and the derivation stays a
+    * per-row map stage; the full ~9k-row PSL swaps in as the same
+    * dims, each rule class in its list.
     */
   private[operators] def withRegDomain(
       df: DataFrame, host: Column, out: String = "reg_domain"): DataFrame = {
@@ -207,43 +212,77 @@ object UrlQueries {
     def el(i: Int): Column = try_element_at(lbl, lit(i))
     val last2 = concat_ws(".", el(-2), el(-1))
     val last3 = concat_ws(".", el(-3), el(-2), el(-1))
+    val last4 = concat_ws(".", el(-4), el(-3), el(-2), el(-1))
     df
       // join keys are NULL when the host has too few labels: a 2-label
-      // host must not probe the 3-level rules with its own 2 labels
+      // host must not probe the 3-level rules with its own 2 labels.
+      // Wildcard rules join on the rule's PARENT suffix (the labels
+      // UNDER the wildcard's `*`): `*.ck` keys on el(-1),
+      // `*.kawasaki.jp` on last2 — with a labels-enough guard so the
+      // `*` itself has a label to bind (the suffix needs one more
+      // label than the parent).
       .withColumn("_psl_k2", when(size(lbl) >= 2, last2))
       .withColumn("_psl_k3", when(size(lbl) >= 3, last3))
-      // per-LEVEL dims, not the combined list: the 3-label key joins
-      // only 3-label rules and the 2-label key only 2-label rules —
-      // the same structure as regDomainSql's two IN lists, so a rule
-      // landing in the wrong list fails the same way on both engines
-      // instead of silently matching here only
+      .withColumn("_psl_kw2", when(size(lbl) >= 3, last2))
+      .withColumn("_psl_kw1", when(size(lbl) >= 2, el(-1)))
+      // per-CLASS-and-LEVEL dims, not a combined list: each key joins
+      // only rules of its own class and level — the same structure as
+      // regDomainSql's IN lists, so a rule landing in the wrong list
+      // fails the same way on both engines instead of silently
+      // matching here only
+      .join(broadcast(PublicSuffixes.dimExcThree(spark, "_psl_exc3")),
+        col("_psl_k3") === col("_psl_exc3"), "left")
+      .join(broadcast(PublicSuffixes.dimExcTwo(spark, "_psl_exc2")),
+        col("_psl_k2") === col("_psl_exc2"), "left")
       .join(broadcast(PublicSuffixes.dimThree(spark, "_psl_sfx3")),
         col("_psl_k3") === col("_psl_sfx3"), "left")
+      .join(broadcast(PublicSuffixes.dimWildTwo(spark, "_psl_w2")),
+        col("_psl_kw2") === col("_psl_w2"), "left")
       .join(broadcast(PublicSuffixes.dimTwo(spark, "_psl_sfx2")),
         col("_psl_k2") === col("_psl_sfx2"), "left")
+      .join(broadcast(PublicSuffixes.dimWildOne(spark, "_psl_w1")),
+        col("_psl_kw1") === col("_psl_w1"), "left")
       .withColumn(out,
         when(size(lbl) < 2, host)
-          .when(col("_psl_sfx3").isNotNull,
-            concat_ws(".", el(-4), col("_psl_sfx3")))
-          .when(col("_psl_sfx2").isNotNull,
-            concat_ws(".", el(-3), col("_psl_sfx2")))
+          // exception rule = the registrable domain itself, matched as
+          // a SUFFIX of the host (PSL: `!www.ck` governs a.www.ck too)
+          .when(col("_psl_exc3").isNotNull, last3)
+          .when(col("_psl_exc2").isNotNull, last2)
+          // 3-label suffix tier: exact 3-label rule OR a wildcard with
+          // a 2-label parent (suffix = wildcard label + parent = last3)
+          .when(col("_psl_sfx3").isNotNull || col("_psl_w2").isNotNull,
+            last4)
+          // 2-label suffix tier: exact 2-label rule OR `*.<tld>`
+          .when(col("_psl_sfx2").isNotNull || col("_psl_w1").isNotNull,
+            last3)
           .otherwise(last2))
-      .drop("_psl_k2", "_psl_k3", "_psl_sfx2", "_psl_sfx3")
+      .drop("_psl_k2", "_psl_k3", "_psl_kw2", "_psl_kw1",
+        "_psl_exc3", "_psl_exc2", "_psl_sfx3", "_psl_w2", "_psl_sfx2",
+        "_psl_w1")
   }
 
   /** DuckDB registered-domain expression over a host expression —
-    * mirrors [[withRegDomain]] case by case against the SAME suffix
-    * lists ([[PublicSuffixes.twoLevelSql]]/[[PublicSuffixes
-    * .threeLevelSql]]); a NULL label concatenation falls through each
-    * IN just as a NULL join key misses the dim.
+    * mirrors [[withRegDomain]] case by case against the SAME rule
+    * lists ([[PublicSuffixes]]' `*Sql` literals); a NULL label
+    * concatenation falls through each IN just as a NULL join key
+    * misses the dim (the wildcard branches guard the extra-label
+    * requirement explicitly, as the join keys do).
     */
   private[operators] def regDomainSql(host: String): String =
     s"""CASE WHEN lbl[-2] IS NULL THEN lbl[-1]
        |     WHEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+       |          IN (${PublicSuffixes.excThreeSql})
+       |     THEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
+       |     WHEN lbl[-2] || '.' || lbl[-1] IN (${PublicSuffixes.excTwoSql})
+       |     THEN lbl[-2] || '.' || lbl[-1]
+       |     WHEN lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
        |          IN (${PublicSuffixes.threeLevelSql})
+       |          OR (lbl[-3] IS NOT NULL AND lbl[-2] || '.' || lbl[-1]
+       |              IN (${PublicSuffixes.wildTwoParentsSql}))
        |     THEN coalesce(lbl[-4] || '.', '') ||
        |          lbl[-3] || '.' || lbl[-2] || '.' || lbl[-1]
        |     WHEN lbl[-2] || '.' || lbl[-1] IN (${PublicSuffixes.twoLevelSql})
+       |          OR lbl[-1] IN (${PublicSuffixes.wildOneParentsSql})
        |     THEN coalesce(lbl[-3] || '.', '') || lbl[-2] || '.' || lbl[-1]
        |     ELSE lbl[-2] || '.' || lbl[-1] END""".stripMargin
       .replace("lbl", s"string_split($host, '.')")
@@ -472,7 +511,60 @@ object UrlQueries {
             |ORDER BY reg_domain, pick_rank""".stripMargin),
   )
 
+  // ---------------------------------------------------------------
+  // 7. PSL rule-class coverage: registered-domain extraction over a
+  //    fixture host set that exercises EVERY public-suffix rule class
+  //    (exact 2/3-label, wildcard `*.ck` and `*.kawasaki.jp`,
+  //    exception `!www.ck` and `!city.kawasaki.jp` — at the suffix
+  //    itself, one label above, and deep), plus the no-rule and
+  //    single-label fallbacks. Hosts derive from doc_id (one shared
+  //    literal list, interpolated into the oracle — the
+  //    Blocklist/BlocklistSql device), so the entry is the same
+  //    broadcast-dim map stage as every other reg-domain consumer;
+  //    the oracle replays regDomainSql over the same derivation.
+  private[operators] val PslHosts: Seq[String] = Seq(
+    "cdn.site1.co.uk", // exact 2-label rule
+    "school.district.k12.ca.us", // exact 3-label rule, deep host
+    "foo.bar.ck", // wildcard *.ck: suffix bar.ck
+    "bar.ck", // host IS a bare wildcard suffix
+    "www.ck", // exception !www.ck: registrable despite *.ck
+    "a.www.ck", // exception governs deeper hosts too
+    "shop.foo.kawasaki.jp", // wildcard *.kawasaki.jp: suffix foo.kawasaki.jp
+    "foo.kawasaki.jp", // bare 2-label-parent wildcard suffix
+    "kawasaki.jp", // the wildcard PARENT alone matches no rule
+    "city.kawasaki.jp", // exception !city.kawasaki.jp
+    "sub.city.kawasaki.jp", // 3-label exception under a deeper host
+    "deep.multi.unknown.example", // no rule: last two labels
+    "localhost", // single label stays itself
+  )
+
+  private val PslHostsSql = PslHosts.map(h => s"'$h'").mkString(",")
+
+  private val pslClasses = Q(
+    "ta_url_psl_classes",
+    (s, d) => {
+      import s.implicits._
+      val host = element_at(
+        array(PslHosts.map(lit): _*),
+        (col("doc_id") % PslHosts.size + 1).cast("int"))
+      withRegDomain(
+        Tables.documents(s, d).withColumn("host", host), $"host")
+        .groupBy($"host", $"reg_domain")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"host")
+    },
+    Some(s"""WITH ph AS (
+            |  SELECT ([$PslHostsSql])[CAST(doc_id % ${PslHosts.size} AS INT) + 1]
+            |           AS host
+            |  FROM documents)
+            |SELECT host, ${regDomainSql("host")} AS reg_domain,
+            |       count(*) AS n_docs
+            |FROM ph
+            |GROUP BY 1, 2
+            |ORDER BY host""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
-      domainCapSample)
+      domainCapSample, pslClasses)
 }

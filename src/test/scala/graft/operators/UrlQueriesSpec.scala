@@ -65,14 +65,22 @@ class UrlQueriesSpec extends AnyFunSuite {
   }
 
   private def naiveRegDomain(canonHost: String): String = {
-    // independent replay of the PSL algorithm over the bundled rules:
-    // longest exact suffix wins, registrable = one more label + suffix
+    // independent replay of the FULL PSL algorithm over the bundled
+    // rules: exception beats everything, then most labels wins (a
+    // wildcard's `*` counts as a label); registrable = one more label
+    // + the prevailing suffix
     val rules = PublicSuffixes.all.toSet
     val l = canonHost.split("\\.")
     val last2 = l.takeRight(2).mkString(".")
     val last3 = l.takeRight(3).mkString(".")
-    if (l.length >= 3 && rules(last3)) l.takeRight(4).mkString(".")
-    else if (l.length >= 2 && rules(last2)) l.takeRight(3).mkString(".")
+    if (l.length >= 3 && PublicSuffixes.excThree.contains(last3)) last3
+    else if (l.length >= 2 && PublicSuffixes.excTwo.contains(last2)) last2
+    else if (l.length >= 3 && (rules(last3) ||
+        PublicSuffixes.wildTwoParents.contains(last2)))
+      l.takeRight(4).mkString(".")
+    else if (l.length >= 2 && (rules(last2) ||
+        PublicSuffixes.wildOneParents.contains(l.last)))
+      last3
     else last2
   }
 
@@ -139,6 +147,21 @@ class UrlQueriesSpec extends AnyFunSuite {
       "k12.ca.us" -> "k12.ca.us", // host IS a bare 3-level suffix
       "co.uk" -> "co.uk", // host IS a bare 2-level suffix
       "localhost" -> "localhost", // single label
+      // WILDCARD rules: *.ck makes every X.ck a public suffix
+      "foo.bar.ck" -> "foo.bar.ck",
+      "deep.foo.bar.ck" -> "foo.bar.ck",
+      "bar.ck" -> "bar.ck", // host IS a bare wildcard suffix
+      // EXCEPTION rules: !www.ck punctures *.ck — www.ck registrable
+      "www.ck" -> "www.ck",
+      "a.www.ck" -> "www.ck",
+      // 2-label-parent wildcard *.kawasaki.jp and its exception
+      "shop.foo.kawasaki.jp" -> "shop.foo.kawasaki.jp",
+      "foo.kawasaki.jp" -> "foo.kawasaki.jp",
+      "kawasaki.jp" -> "kawasaki.jp", // the parent alone: no rule
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // multi-level unknown TLD: no rule anywhere → last two labels
+      "deep.multi.unknown.example" -> "unknown.example",
     )
     val dimmed = UrlQueries.withRegDomain(
       vectors.map(_._1).toDF("h"), org.apache.spark.sql.functions.col("h"))
@@ -226,6 +249,20 @@ class UrlQueriesSpec extends AnyFunSuite {
     assert(got(8).getAs[String]("host") == "h.com")
     assert(got(8).getAs[String]("canon") == "http://h.com?u=http://x.com/y",
       "embedded URL in the query must not donate its path to the outer URL")
+  }
+
+  test("ta_url_psl_classes: every fixture host resolves per the naive PSL") {
+    val got = q("ta_url_psl_classes").fn(spark, sf).collect()
+    assert(got.map(_.getAs[String]("host")).toSet ==
+      UrlQueries.PslHosts.toSet,
+      "the fixture must exercise every PSL-class host")
+    for (r <- got) {
+      val h = r.getAs[String]("host")
+      val want = if (h == "localhost") "localhost" else naiveRegDomain(h)
+      assert(r.getAs[String]("reg_domain") == want,
+        s"reg_domain($h): got ${r.getAs[String]("reg_domain")}, want $want")
+    }
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docIds.length.toLong)
   }
 
   test("blocklist filter conserves documents per source") {
