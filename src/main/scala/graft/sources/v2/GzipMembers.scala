@@ -99,8 +99,16 @@ private[graft] final class GzipMemberStream(
         pos = len // provisional; the unconsumed tail is returned below
       }
       val n = inflater.inflate(tmp)
-      if (n > 0) out.write(tmp, 0, n)
-      else require(!inflater.needsDictionary(),
+      if (n > 0) {
+        // cap cumulative inflated size BEFORE the buffer grows: a
+        // pathological multi-GB single-member archive must abort with
+        // path+offset (the plain reader's 2 GiB payload discipline),
+        // not an opaque array-size OOM mid-inflate
+        require(out.size().toLong + n <= Int.MaxValue - 16,
+          s"gzip member at $path:$start inflates past ${Int.MaxValue - 16} " +
+            "bytes; single-record payloads above 2 GiB are not supported")
+        out.write(tmp, 0, n)
+      } else require(!inflater.needsDictionary(),
         s"gzip member at $path:$start needs a preset dictionary")
     }
     pos -= inflater.getRemaining // hand back the unconsumed tail

@@ -231,17 +231,55 @@ object WarcDataSource {
     }
 
   /** Sidecar magic + mark granularity shared with the DSv2 writer. */
-  private[v2] val SidecarMagic = "warcidx1"
+  private[v2] val SidecarMagic = "warcidx2"
   private[v2] val SidecarMarkBytes: Long = 64L * 1024
+  /** Bytes fingerprinted at each end of a part file (see
+    * [[contentFingerprint]]).
+    */
+  private[v2] val FingerprintBytes: Int = 4096
+
+  /** Content fingerprint shared by the sidecar writer and the planner:
+    * CRC32 over the file's first min(4096, n) bytes followed by its
+    * last min(4096, n) bytes (the two ranges overlap on short files —
+    * both sides compute the same way). The writer folds it from bytes
+    * it already streams; the planner re-reads just 8 KiB per file, so
+    * freshness checking stays ∝ file COUNT, not bytes. A same-length
+    * rewrite of the part file (the hole in the round-12 length-only
+    * check) now misses the fingerprint and falls back to the skim.
+    */
+  private[v2] def contentFingerprint(
+      head: Array[Byte], headLen: Int, tail: Array[Byte], tailLen: Int): Long = {
+    val crc = new java.util.zip.CRC32
+    crc.update(head, 0, headLen)
+    crc.update(tail, 0, tailLen)
+    crc.getValue
+  }
+
+  /** [[contentFingerprint]] recomputed from the file itself. */
+  private[sources] def fileFingerprint(f: java.io.File): Long = {
+    val n = f.length()
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val headLen = math.min(n, FingerprintBytes.toLong).toInt
+      val head = new Array[Byte](headLen)
+      raf.readFully(head)
+      val tailLen = headLen // min(n, FingerprintBytes) too
+      val tail = new Array[Byte](tailLen)
+      raf.seek(n - tailLen)
+      raf.readFully(tail)
+      contentFingerprint(head, headLen, tail, tailLen)
+    } finally raf.close()
+  }
 
   /** Split planning from a sink-written sidecar index (`.{name}.idx`:
-    * one record-boundary mark per ~64 KiB), when present and FRESH
-    * (its recorded byte length must equal the file's — a stale or
-    * foreign index falls back to the skim, which is ground truth).
-    * This makes planning I/O ∝ 0.1% of the archive and — for gz —
-    * removes planning-side decompression entirely.
+    * one record-boundary mark per ~64 KiB), when present and FRESH —
+    * its recorded byte length AND head/tail content fingerprint must
+    * match the file's (a stale, foreign, or same-length-rewritten
+    * index falls back to the skim, which is ground truth). This makes
+    * planning I/O ∝ 0.1% of the archive and — for gz — removes
+    * planning-side decompression entirely.
     */
-  private def sidecarSplits(
+  private[sources] def sidecarSplits(
       path: String, chunkBytes: Long): Option[Seq[(Long, Long, Long)]] = {
     val f = new java.io.File(path)
     val idx = new java.io.File(f.getParentFile, "." + f.getName + ".idx")
@@ -249,9 +287,10 @@ object WarcDataSource {
     try {
       val lines = java.nio.file.Files.readAllLines(idx.toPath)
       val head = lines.get(0).split(" ")
-      if (head.length != 3 || head(0) != SidecarMagic) return None
+      if (head.length != 4 || head(0) != SidecarMagic) return None
       val fileBytes = head(1).toLong
       if (fileBytes != f.length()) return None // stale index
+      if (head(3).toLong != fileFingerprint(f)) return None // rewritten
       val marks = Seq((0L, 0L)) ++ (1 until lines.size).map { i =>
         val p = lines.get(i).split(" "); (p(0).toLong, p(1).toLong)
       } ++ Seq((fileBytes, -1L)) // terminal boundary; count unused
@@ -410,6 +449,10 @@ private[v2] class WarcScan(
     val perFile: Seq[(String, Seq[(Long, Long, Long)])] =
       if (!useJob) paths.map(p => p -> WarcDataSource.indexSplits(p, chunk))
       else {
+        // planInputPartitions is a DRIVER-side planning hook, so the
+        // active session is the right (and only) way to reach the
+        // context here — but this lookup must never move into task
+        // code (no active session exists on executors)
         val sc = org.apache.spark.sql.SparkSession.active.sparkContext
         // sort AFTER collect: task completion order is nondeterministic
         sc.parallelize(paths, paths.size)

@@ -72,7 +72,13 @@ private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case WarcCommitMessage(path) => new File(path).delete()
+      case WarcCommitMessage(path) if path.nonEmpty =>
+        val f = new File(path)
+        f.delete()
+        // the companion sidecar index must not outlive its part file:
+        // an orphaned idx next to a later same-named file is exactly
+        // the stale-adoption case the freshness check guards against
+        new File(f.getParentFile, "." + f.getName + ".idx").delete()
       case _ => ()
     }
 }
@@ -87,6 +93,64 @@ private[v2] class WarcWriterFactory(dir: String, gzip: Boolean)
     new WarcDataWriter(dir, gzip, partitionId, taskId)
 }
 
+/** Pass-through stream folding the head/tail content fingerprint
+  * ([[WarcDataSource.contentFingerprint]]) from bytes the writer
+  * already streams — it never re-reads its own output. Sits UNDER the
+  * task's BufferedOutputStream, so it sees batched arrays and the
+  * accounting is arraycopy-per-flush, not per-byte.
+  */
+private[sources] final class FingerprintStream(under: java.io.OutputStream)
+    extends java.io.OutputStream {
+  private val N = WarcDataSource.FingerprintBytes
+  private val head = new Array[Byte](N)
+  private val ring = new Array[Byte](N)
+  private var total = 0L
+
+  override def write(b: Int): Unit = {
+    under.write(b)
+    if (total < N) head(total.toInt) = b.toByte
+    ring((total % N).toInt) = b.toByte
+    total += 1
+  }
+
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    under.write(b, off, len)
+    if (total < N) {
+      val h = math.min(len.toLong, N - total).toInt
+      System.arraycopy(b, off, head, total.toInt, h)
+    }
+    // the ring keeps the last N bytes in stream order: copy only the
+    // LAST min(len, N) bytes of this chunk, wrapping at the ring end
+    val t = math.min(len, N)
+    val srcOff = off + len - t
+    var pos = ((total + (len - t)) % N).toInt
+    var copied = 0
+    while (copied < t) {
+      val run = math.min(t - copied, N - pos)
+      System.arraycopy(b, srcOff + copied, ring, pos, run)
+      pos = (pos + run) % N
+      copied += run
+    }
+    total += len
+  }
+
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = under.close()
+
+  /** The fingerprint of everything written so far (call after close). */
+  def fingerprint: Long = {
+    val headLen = math.min(total, N.toLong).toInt
+    val tailLen = headLen
+    val tail = new Array[Byte](tailLen)
+    var i = 0
+    while (i < tailLen) {
+      tail(i) = ring(((total - tailLen + i) % N).toInt)
+      i += 1
+    }
+    WarcDataSource.contentFingerprint(head, headLen, tail, tailLen)
+  }
+}
+
 private[v2] class WarcDataWriter(
     dir: String, gzip: Boolean, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -98,9 +162,12 @@ private[v2] class WarcDataWriter(
   // name only at task commit — a retried task can then never leave a
   // partial part file next to its successor's output
   private val tmpPath = f"$dir/.part-$partitionId%05d-$taskId$ext.inprogress"
+  private val tmpIdxPath = f"$dir/.part-$partitionId%05d-$taskId$ext.idx.inprogress"
   // opened on the FIRST record: an empty input partition must not
   // leave an empty part file behind
   private var out: BufferedOutputStream = _
+  // fingerprint tap under the buffer (head/tail CRC for the sidecar)
+  private var fp: FingerprintStream = _
   // ONE deflater + CRC per task, reset() per member — a fresh
   // java.util.zip.GZIPOutputStream per record would allocate (and,
   // since finish() does not end() it, LEAK) a native zlib stream per
@@ -134,8 +201,10 @@ private[v2] class WarcDataWriter(
   private val marks = Seq.newBuilder[(Long, Long)]
 
   override def write(row: InternalRow): Unit = {
-    if (out == null)
-      out = new BufferedOutputStream(new FileOutputStream(tmpPath), 1 << 20)
+    if (out == null) {
+      fp = new FingerprintStream(new FileOutputStream(tmpPath))
+      out = new BufferedOutputStream(fp, 1 << 20)
+    }
     val s = row.getUTF8String(0).getBytes
     if (gzip) {
       // one complete record (terminating CRLF included) per member, so
@@ -172,20 +241,36 @@ private[v2] class WarcDataWriter(
   override def commit(): WriterCommitMessage = {
     release()
     if (out == null) return WarcCommitMessage("")
+    // ORDER MATTERS: move the data file to its final name FIRST, then
+    // write the sidecar (via its own temp+rename) — a final-named idx
+    // must never exist without its final-named data file, or a crash
+    // between the two leaves an orphan for a later same-named part to
+    // adopt (the fingerprint would reject it, but the invariant is
+    // cheaper than the recovery)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val f = new File(path)
     val idx = new File(f.getParentFile, "." + f.getName + ".idx")
     val lines = new StringBuilder(
-      s"${WarcDataSource.SidecarMagic} $bytesOut $recordsOut\n")
+      s"${WarcDataSource.SidecarMagic} $bytesOut $recordsOut ${fp.fingerprint}\n")
     for ((off, recs) <- marks.result()) lines.append(s"$off $recs\n")
-    java.nio.file.Files.write(idx.toPath,
-      lines.toString.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmpIdxPath), lines.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmpPath), java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(tmpIdxPath), idx.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     WarcCommitMessage(path)
   }
   override def abort(): Unit = {
-    release(); new File(tmpPath).delete()
+    release()
+    // every name this attempt can have created: the in-progress data
+    // file, the in-progress idx, and — when commit() failed between
+    // its two moves — the final-named data file (attempt-unique names,
+    // so this can never delete another attempt's output)
+    new File(tmpPath).delete()
+    new File(tmpIdxPath).delete()
+    new File(path).delete()
   }
   override def close(): Unit = release()
 }

@@ -344,6 +344,61 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("sidecar freshness: a same-length rewrite falls back to the skim") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("warc-spec-fresh")
+    try {
+      Warc.write(docs, dir.toString + "/w")
+      val d = new java.io.File(dir.toString + "/w")
+      val f = d.listFiles().filter(_.getName.endsWith(".warc")).minBy(_.getName)
+      // fresh file + idx: the planner trusts the sidecar
+      assert(WarcDataSource.sidecarSplits(f.getPath, 65536).isDefined,
+        "a fresh sidecar must be used")
+      // in-place SAME-LENGTH rewrite: flip the first payload byte (the
+      // byte after the first CRLFCRLF) — framing intact, length
+      // unchanged, content different. The round-12 length-only check
+      // adopted this; the fingerprint must reject it.
+      val bytes = Files.readAllBytes(f.toPath)
+      val at = bytes.indexOfSlice("\r\n\r\n".getBytes("UTF-8")) + 4
+      bytes(at) = (bytes(at) ^ 0x01).toByte
+      Files.write(f.toPath, bytes)
+      assert(WarcDataSource.sidecarSplits(f.getPath, 65536).isEmpty,
+        "a same-length rewritten part file must fall back to the skim")
+      // and the skim still reads the (valid) modified archive fine
+      val n = spark.read.format("warc")
+        .option("chunkBytes", "65536").load(d.toString).count()
+      assert(n == docs.count(), "skim fallback must read every record")
+    } finally rm(dir)
+  }
+
+  test("FingerprintStream folds the same fingerprint the planner reads") {
+    val dir = Files.createTempDirectory("warc-spec-fp")
+    try {
+      // deterministic pseudo-random chunk sizes straddling the 4 KiB
+      // head/tail windows, plus a tiny (<4 KiB, overlapping-windows)
+      // file — the two shapes the ring linearization must get right
+      for ((sizes, name) <- Seq(
+          (Seq(1, 7, 4095, 4096, 4097, 100000, 3, 8192), "big"),
+          (Seq(5, 17, 100), "tiny"))) {
+        val p = dir.resolve(name)
+        val fp = new graft.sources.v2.FingerprintStream(
+          new java.io.FileOutputStream(p.toFile))
+        var seed = 42L
+        for (n <- sizes) {
+          val chunk = new Array[Byte](n)
+          for (i <- 0 until n) {
+            seed = seed * 6364136223846793005L + 1442695040888963407L
+            chunk(i) = (seed >>> 56).toByte
+          }
+          fp.write(chunk, 0, n)
+        }
+        fp.close()
+        assert(fp.fingerprint == WarcDataSource.fileFingerprint(p.toFile),
+          s"writer-side and file-side fingerprints must agree ($name)")
+      }
+    } finally rm(dir)
+  }
+
   test("corpus round-trip: documents -> WARC -> documents parity (sf0.001)") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("warc-spec-rt")
