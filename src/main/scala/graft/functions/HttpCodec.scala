@@ -1,0 +1,192 @@
+package graft.functions
+
+/** Byte-level codecs for REAL crawl HTTP payloads — chunked
+  * transfer-encoding (RFC 9112 §7.1) and gzip content-encoding
+  * (RFC 1952) — backing the codegen'd expressions in
+  * [[graft.functions]] (`ChunkedEncode`/`ChunkedDecode`/
+  * `GzipCompress`/`GzipDecompress`). Common Crawl response records
+  * are routinely chunked and/or gzip-encoded with a declared charset;
+  * a consumer that casts payload bytes to UTF-8 (the round-12
+  * `pipe_warc_http_parse` shape) mis-reads them, which is why the
+  * decode belongs in the engine as per-row expressions.
+  *
+  * The gzip side reuses the WARC sink's discipline: deterministic
+  * member framing (MTIME=0, OS=255 — no timestamps, so fixtures and
+  * re-renders are byte-stable) and ONE native zlib stream per thread,
+  * reset per call — never allocated per row (the measured
+  * native-leak/4×-degradation failure mode from round 12, see
+  * sources/v2/WarcWrite.scala).
+  */
+object HttpCodec {
+
+  /** RFC 1952 member header: magic, CM=deflate, FLG=0, MTIME=0,
+    * XFL=0, OS=255 — identical to the WARC gzip sink's framing.
+    */
+  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
+    0, 0, 0, 0, 0, 0xff.toByte)
+
+  // one native zlib stream per THREAD, reset per call: executor task
+  // threads are long-lived and bounded, so this is the no-leak,
+  // no-per-row-native-churn shape
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater(true))
+
+  /** Deterministic single-member gzip of `bytes`. */
+  def gzipCompress(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    out.write(GzHeader, 0, GzHeader.length)
+    val deflater = deflaters.get()
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes)
+    writeIntLE(out, crc.getValue)
+    writeIntLE(out, bytes.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** Inflate one gzip member, validating magic, CRC32 and ISIZE — the
+    * GzipMemberStream discipline at expression granularity. Accepts
+    * exactly one member (a content-encoded HTTP body is one member;
+    * trailing bytes mean a mis-split upstream and abort loudly).
+    */
+  def gzipDecompress(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 18 && bytes(0) == 0x1f && bytes(1) == 0x8b.toByte,
+      s"gzip_decompress: not a gzip member (${bytes.length} bytes)")
+    require(bytes(2) == 8, s"gzip_decompress: unsupported method ${bytes(2)}")
+    val flg = bytes(3) & 0xff
+    var p = 10
+    if ((flg & 0x04) != 0) { // FEXTRA
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 0x08) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 0x10) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    val inflater = inflaters.get()
+    inflater.reset()
+    inflater.setInput(bytes, p, bytes.length - p - 8)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inflater.finished()) {
+      require(!inflater.needsInput(),
+        "gzip_decompress: member truncated mid-deflate")
+      val n = inflater.inflate(buf)
+      if (n > 0) {
+        require(out.size().toLong + n <= Int.MaxValue - 16,
+          "gzip_decompress: body inflates past 2 GiB")
+        out.write(buf, 0, n)
+      } else require(!inflater.needsDictionary(),
+        "gzip_decompress: member needs a preset dictionary")
+    }
+    val trailerAt = p + (bytes.length - p - 8 - inflater.getRemaining)
+    require(inflater.getRemaining == 0 && trailerAt + 8 == bytes.length,
+      "gzip_decompress: trailing bytes after the member — not a single " +
+        "content-encoded body?")
+    val result = out.toByteArray
+    val crc = readIntLE(bytes, trailerAt)
+    val isize = readIntLE(bytes, trailerAt + 4)
+    val check = new java.util.zip.CRC32
+    check.update(result)
+    require(check.getValue == crc, "gzip_decompress: CRC mismatch")
+    require(isize == (result.length.toLong & 0xffffffffL),
+      s"gzip_decompress: ISIZE=$isize but inflated ${result.length} bytes")
+    result
+  }
+
+  private def readIntLE(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  /** Render `bytes` as an RFC 9112 chunked body: lowercase-hex size
+    * line, chunk data, CRLF per chunk, terminated `0 CRLF CRLF`.
+    */
+  def chunkedEncode(bytes: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, s"chunked_encode: chunkSize=$chunkSize")
+    val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(chunkSize, bytes.length - off)
+      out.write(java.lang.Integer.toHexString(n).getBytes("US-ASCII"))
+      out.write('\r'); out.write('\n')
+      out.write(bytes, off, n)
+      out.write('\r'); out.write('\n')
+      off += n
+    }
+    out.write('0'); out.write('\r'); out.write('\n')
+    out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** Decode an RFC 9112 chunked body: hex size lines (either case,
+    * `;`-separated chunk extensions tolerated), per-chunk CRLF
+    * validated, optional trailer section after the 0-chunk skipped.
+    * Malformed framing aborts loudly — a chunk-length that disagrees
+    * with the bytes present must never yield a silently short body.
+    */
+  def chunkedDecode(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var p = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+        i += 1
+      require(i + 1 < bytes.length,
+        s"chunked_decode: no CRLF after offset $from")
+      i
+    }
+    while (true) {
+      val e = lineEnd(p)
+      var sizeStr = new String(bytes, p, e - p, "US-ASCII")
+      val semi = sizeStr.indexOf(';')
+      if (semi >= 0) sizeStr = sizeStr.substring(0, semi)
+      sizeStr = sizeStr.trim
+      require(sizeStr.nonEmpty && sizeStr.forall(c =>
+          Character.digit(c, 16) >= 0),
+        s"chunked_decode: bad chunk-size line '$sizeStr' at $p")
+      val n = java.lang.Long.parseLong(sizeStr, 16)
+      require(n <= Int.MaxValue - 16, s"chunked_decode: chunk of $n bytes")
+      p = e + 2
+      if (n == 0L) {
+        // trailer section: zero or more header lines, then a bare CRLF
+        var done = false
+        while (!done) {
+          require(p + 2 <= bytes.length,
+            "chunked_decode: truncated trailer section")
+          if (bytes(p) == '\r' && bytes(p + 1) == '\n') {
+            p += 2
+            done = true
+          } else {
+            p = lineEnd(p) + 2
+          }
+        }
+        require(p == bytes.length,
+          s"chunked_decode: ${bytes.length - p} trailing bytes after the " +
+            "terminal chunk")
+        return out.toByteArray
+      }
+      require(p + n + 2 <= bytes.length,
+        s"chunked_decode: chunk of $n bytes at $p overruns the body")
+      out.write(bytes, p, n.toInt)
+      p += n.toInt
+      require(bytes(p) == '\r' && bytes(p + 1) == '\n',
+        s"chunked_decode: chunk at $p not followed by CRLF")
+      p += 2
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

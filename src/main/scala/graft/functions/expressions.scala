@@ -439,6 +439,75 @@ object WinnowKernel {
   }
 }
 
+/** Binary-in/binary-out codec expression base: the HTTP payload codecs
+  * ([[HttpCodec]]) share everything but the kernel call. All four stay
+  * inside whole-stage codegen via static calls, per the file's
+  * discipline — HTTP body decode runs per record on crawl-scale
+  * archives, the worst place for an interpreted fallback.
+  */
+sealed abstract class BinaryCodecExpression extends UnaryExpression {
+  /** `graft.functions.HttpCodec.<kernel>` static method name. */
+  protected def kernel: String
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary argument, got ${child.dataType.sql}")
+  override protected def nullSafeEval(input: Any): Any =
+    evalKernel(input.asInstanceOf[Array[Byte]])
+  protected def evalKernel(bytes: Array[Byte]): Array[Byte]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HttpCodec.$kernel($c)")
+}
+
+/** Deterministic single-member gzip (RFC 1952, MTIME=0) — the
+  * content-encoding side of real crawl HTTP payloads.
+  */
+case class GzipCompress(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "gzipCompress"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.gzipCompress(b)
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+}
+
+/** Inflate one gzip member, CRC/ISIZE-validated ([[HttpCodec]]). */
+case class GzipDecompress(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "gzipDecompress"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.gzipDecompress(b)
+  override protected def withNewChildInternal(newChild: Expression): GzipDecompress =
+    copy(child = newChild)
+}
+
+/** Render a body as RFC 9112 chunked transfer-encoding. */
+case class ChunkedEncode(child: Expression, chunkSize: Int)
+    extends BinaryCodecExpression {
+  require(chunkSize > 0, s"chunked_encode needs chunkSize >= 1, got $chunkSize")
+  override protected def kernel: String = "chunkedEncode"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.chunkedEncode(b, chunkSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HttpCodec.chunkedEncode($c, $chunkSize)")
+  override protected def withNewChildInternal(newChild: Expression): ChunkedEncode =
+    copy(child = newChild)
+}
+
+/** Decode an RFC 9112 chunked body (extensions/trailers tolerated,
+  * framing violations abort loudly).
+  */
+case class ChunkedDecode(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "chunkedDecode"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.chunkedDecode(b)
+  override protected def withNewChildInternal(newChild: Expression): ChunkedDecode =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -471,6 +540,11 @@ object exprs {
     c(MortonInterleave(e(x), e(y)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     c(WinnowFingerprints(e(text), k, w))
+  def gzip_compress(bin: Column): Column = c(GzipCompress(e(bin)))
+  def gzip_decompress(bin: Column): Column = c(GzipDecompress(e(bin)))
+  def chunked_encode(bin: Column, chunkSize: Int): Column =
+    c(ChunkedEncode(e(bin), chunkSize))
+  def chunked_decode(bin: Column): Column = c(ChunkedDecode(e(bin)))
 
   /** Constant-int `planes` argument for the geometry-parameterized
     * LSH functions: plan-time literal in [1, 20], validated with the

@@ -1394,6 +1394,97 @@ object PipelineQueries {
             |ORDER BY source""".stripMargin),
   )
 
+  // The DuckDB replay of graft.sources.Warc.htmlBodyIntl — htmlBody
+  // with the § marker whose UTF-8/ISO-8859-1 encodings differ.
+  private val HtmlIntlSql =
+    """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+      |' §</title></head><body><p>' || text || '</p></body></html>'""".stripMargin
+
+  // WARC HTTP CHUNKED/GZIP/CHARSET (the encodings real crawl responses
+  // carry, which pipe_warc_http_parse idealizes away): the fixture
+  // renders one third of the records with Transfer-Encoding: chunked
+  // (no Content-Length, per RFC 9112), one third with
+  // Content-Encoding: gzip, and alternates declared charsets
+  // (utf-8 / iso-8859-1) — applied to a body containing a § so a
+  // consumer that ignores the charset gets different bytes AND a
+  // different decoded string. The reader side decodes with per-row
+  // codegen devices only: the ISO-8859-1 decode/encode round-trip
+  // (bijective bytes↔chars) exposes the header block to builtin
+  // string ops without corrupting binary bodies, then
+  // chunked_decode / gzip_decompress (native codegen expressions,
+  // functions/HttpCodec.scala) undo the transfer/content encodings and
+  // the declared charset decodes the text. The per-source aggregate
+  // pins every step: decoded byte counts and a folded md5 checksum
+  // must equal the oracle's recomputation of the SAME html directly
+  // over `documents` — one wrong chunk boundary, gzip byte, or
+  // charset pick and the checksum diverges. At 100 TB this is still
+  // the zero-shuffle map stage after the archive scan.
+  private val warcHttpChunked = Q(
+    "pipe_warc_http_chunked",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.{chunked_decode, gzip_decompress}
+      val base = EventQueries.gateTempDir("graft-warc-enc")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttpEncoded(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            decode($"payload", "ISO-8859-1").as("p"))
+          .withColumn("hdr", $"p".substr(lit(1), instr($"p", "\r\n\r\n") - 1))
+          .withColumn("te",
+            regexp_extract($"hdr", "Transfer-Encoding: ([a-z]+)", 1))
+          .withColumn("ce",
+            regexp_extract($"hdr", "Content-Encoding: ([a-z]+)", 1))
+          .withColumn("cs",
+            lower(regexp_extract($"hdr", "charset=([A-Za-z0-9-]+)", 1)))
+          .withColumn("braw",
+            encode($"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")),
+              "ISO-8859-1"))
+          .withColumn("b1",
+            when($"te" === "chunked", chunked_decode($"braw"))
+              .otherwise($"braw"))
+          .withColumn("b2",
+            when($"ce" === "gzip", gzip_decompress($"b1")).otherwise($"b1"))
+          .withColumn("body",
+            when($"cs" === "iso-8859-1", decode($"b2", "ISO-8859-1"))
+              .otherwise(decode($"b2", "UTF-8")))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when($"te" === "chunked", 1)).as("n_chunked"),
+            count(when($"ce" === "gzip", 1)).as("n_gzip"),
+            sum(octet_length($"b2")).as("decoded_body_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(body AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("body_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id, $HtmlIntlSql AS html
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_records,
+            |       count(*) FILTER (WHERE doc_id % 3 = 1) AS n_chunked,
+            |       count(*) FILTER (WHERE doc_id % 3 = 2) AS n_gzip,
+            |       CAST(sum(CASE WHEN doc_id % 2 = 0
+            |                     THEN octet_length(encode(html))
+            |                     ELSE length(html) END) AS BIGINT)
+            |         AS decoded_body_bytes,
+            |       CAST(sum(CAST('0x' || substr(md5(html), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS body_ck
+            |FROM h
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   // WET EXTRACT (Common Crawl's text sidecar, derived not stored):
   // http-payload archive written as PER-RECORD GZIP MEMBERS, read
   // back, body split off, tags stripped with one shared regex, the
@@ -1507,6 +1598,6 @@ object PipelineQueries {
     Seq(endToEnd, ndjsonLines, ndjsonStream, geojsonStreamParity, trainingData,
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
-      warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcWetExtract,
-      warcLidAudit)
+      warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
+      warcWetExtract, warcLidAudit)
 }

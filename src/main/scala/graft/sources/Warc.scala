@@ -110,6 +110,106 @@ object Warc {
     envelope(docs, http, "application/http; msgtype=response")
   }
 
+  /** [[htmlBody]] with a non-ASCII marker (§, U+00A7) after the doc id
+    * — the one char whose UTF-8 (0xC2 0xA7) and ISO-8859-1 (0xA7)
+    * encodings differ, so a consumer that ignores the declared charset
+    * produces a different byte count AND a different decoded string.
+    * Shared with the oracle replay of the encoded-payload gate.
+    */
+  def htmlBodyIntl: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>doc "), col("doc_id").cast("string"),
+    lit(" §</title></head><body><p>"), col("text"),
+    lit("</p></body></html>"))
+
+  /** Render documents as application/http WARC records with REAL
+    * response encodings — the part of the Common Crawl record shape
+    * [[renderHttp]] idealizes away. Per row (all doc_id arithmetic,
+    * oracle-replayable):
+    *
+    *  - `doc_id % 3 == 1`: `Transfer-Encoding: chunked` (256-byte
+    *    chunks, no Content-Length — the RFC 9112 shape);
+    *  - `doc_id % 3 == 2`: `Content-Encoding: gzip` (deterministic
+    *    member, [[graft.functions.HttpCodec]]);
+    *  - otherwise identity;
+    *  - charset alternates utf-8 / iso-8859-1 (`doc_id % 2`), declared
+    *    in Content-Type and APPLIED to the body bytes — the body is
+    *    [[htmlBodyIntl]], whose § encodes differently per charset.
+    *
+    * The record is assembled as BINARY (gzip bodies are not UTF-8):
+    * ASCII envelope/HTTP headers encode transparently, the body stays
+    * raw bytes, and the WARC Content-Length counts the encoded payload
+    * exactly as the reader's framing requires.
+    */
+  def renderHttpEncoded(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.{chunked_encode, gzip_compress}
+    val enc = col("doc_id") % 3
+    val charset = when(col("doc_id") % 2 === 0, lit("utf-8"))
+      .otherwise(lit("iso-8859-1"))
+    val bodyBytes = when(col("doc_id") % 2 === 0,
+      encode(htmlBodyIntl, "utf-8"))
+      .otherwise(encode(htmlBodyIntl, "iso-8859-1"))
+    val encodedBody = when(enc === 1, chunked_encode(bodyBytes, 256))
+      .when(enc === 2, gzip_compress(bodyBytes))
+      .otherwise(bodyBytes)
+    val status = when(col("doc_id") % 17 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val httpHeaders = concat(
+      lit("HTTP/1.1 "), status, lit("\r\n"),
+      lit("Content-Type: text/html; charset="), charset, lit("\r\n"),
+      lit("X-Crawl-Lang: "), col("lang"), lit("\r\n"),
+      when(enc === 1, lit("Transfer-Encoding: chunked\r\n"))
+        .otherwise(lit("")),
+      when(enc === 2, lit("Content-Encoding: gzip\r\n"))
+        .otherwise(lit("")),
+      // a chunked response carries NO Content-Length (RFC 9112 §6.2);
+      // the others declare the ENCODED body size
+      when(enc === 1, lit(""))
+        .otherwise(concat(lit("Content-Length: "),
+          octet_length(encodedBody).cast("string"), lit("\r\n"))),
+      lit("\r\n"))
+    val http = concat(encode(httpHeaders, "utf-8"), encodedBody)
+    envelopeBinary(docs, http, "application/http; msgtype=response")
+  }
+
+  /** [[envelope]] for BINARY payloads: same derived headers, assembled
+    * as a binary concat (ASCII header text encodes transparently), so
+    * payload bytes that are not valid UTF-8 — gzip-encoded HTTP
+    * bodies — survive untouched. Content-Length still counts payload
+    * bytes; the DSv2 sink accepts the single binary column and appends
+    * the record CRLF exactly as in the string path.
+    */
+  private def envelopeBinary(
+      docs: DataFrame,
+      payload: org.apache.spark.sql.Column,
+      contentType: String): DataFrame = {
+    val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
+    val date = concat(
+      lit("2020-01-01T"),
+      two(col("doc_id") % 24), lit(":"),
+      two(col("doc_id") % 60), lit(":"),
+      two((col("doc_id") * 7) % 60), lit("Z"))
+    val head = concat(
+      lit("WARC/1.0\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:md5:"),
+      md5(concat(lit("warc:"), col("doc_id").cast("string")).cast("binary")),
+      lit(">\r\n"),
+      lit("WARC-Date: "), date, lit("\r\n"),
+      lit("WARC-Target-URI: http://"), col("source"),
+      lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
+      lit(s"Content-Type: $contentType\r\n"),
+      lit("Content-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"))
+    docs.select(concat(
+      encode(head, "utf-8"), payload, encode(lit("\r\n"), "utf-8"),
+    ).as("value"))
+  }
+
+  /** [[renderHttpEncoded]] written as plain WARC part files. */
+  def writeHttpEncoded(docs: DataFrame, path: String): Unit =
+    renderHttpEncoded(docs).write.format("warc").option("compression", "none")
+      .mode("overwrite").save(path)
+
   /** Write documents as WARC part files under `path` (overwrite) —
     * via the DSv2 sink (byte-identical record stream to the text
     * writer with lineSep=CRLF, which this replaced), so plain archives

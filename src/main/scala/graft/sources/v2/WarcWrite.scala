@@ -5,17 +5,20 @@ import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
 
 /** DSv2 batch write for WARC part files:
   *
   *   df.write.format("warc").option("compression", "gzip")
   *     .mode("overwrite").save(dir)
   *
-  * Input contract: ONE string column; each row is a rendered WARC
-  * record ([[graft.sources.Warc.render]]) and the writer terminates it
-  * with CRLF — exactly the text writer's `lineSep=\r\n` semantics, so
-  * plain output is byte-identical to the text-writer sink.
+  * Input contract: ONE string column (text payloads,
+  * [[graft.sources.Warc.render]]) or ONE binary column (encoded HTTP
+  * payloads, [[graft.sources.Warc.renderHttpEncoded]] — gzip bodies
+  * are not valid UTF-8); each row is a rendered WARC record and the
+  * writer terminates it with CRLF — exactly the text writer's
+  * `lineSep=\r\n` semantics, so plain string output is byte-identical
+  * to the text-writer sink.
   *
   * `compression=gzip` writes each record as its OWN gzip member
   * (`.warc.gz`, the Common Crawl layout): members are self-delimiting,
@@ -37,20 +40,26 @@ private[v2] class WarcWriteBuilder(info: LogicalWriteInfo, dir: String)
 
   override def build(): Write = {
     val schema = info.schema()
-    require(schema.length == 1 && schema.head.dataType == StringType,
-      "the warc writer takes exactly one string column (a rendered " +
-        s"record per row — graft.sources.Warc.render); got ${schema.sql}")
+    // string for text-payload renders (Warc.render); BINARY for
+    // encoded-payload renders (Warc.renderHttpEncoded — gzip bodies
+    // are not valid UTF-8 and must never round-trip through a string)
+    require(schema.length == 1 && (schema.head.dataType == StringType ||
+        schema.head.dataType == BinaryType),
+      "the warc writer takes exactly one string or binary column (a " +
+        s"rendered record per row — graft.sources.Warc.render); got ${schema.sql}")
     val gzip = Option(info.options.get("compression")) match {
       case Some("gzip") => true
       case Some("none") | None => false
       case Some(other) => throw new IllegalArgumentException(
         s"warc writer compression must be gzip|none, got '$other'")
     }
-    new WarcWrite(dir, gzip, doTruncate)
+    new WarcWrite(dir, gzip, doTruncate,
+      binary = schema.head.dataType == BinaryType)
   }
 }
 
-private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
+private[v2] class WarcWrite(
+    dir: String, gzip: Boolean, truncate: Boolean, binary: Boolean)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
@@ -66,7 +75,7 @@ private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
           f.getName.startsWith(".part-")))
       stale.foreach(f => require(f.delete(), s"cannot clear stale $f"))
     }
-    new WarcWriterFactory(dir, gzip)
+    new WarcWriterFactory(dir, gzip, binary)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -86,11 +95,11 @@ private[v2] class WarcWrite(dir: String, gzip: Boolean, truncate: Boolean)
 private[v2] case class WarcCommitMessage(path: String)
     extends WriterCommitMessage
 
-private[v2] class WarcWriterFactory(dir: String, gzip: Boolean)
+private[v2] class WarcWriterFactory(dir: String, gzip: Boolean, binary: Boolean)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, gzip, partitionId, taskId)
+    new WarcDataWriter(dir, gzip, partitionId, taskId, binary)
 }
 
 /** Pass-through stream folding the head/tail content fingerprint
@@ -152,7 +161,8 @@ private[sources] final class FingerprintStream(under: java.io.OutputStream)
 }
 
 private[v2] class WarcDataWriter(
-    dir: String, gzip: Boolean, partitionId: Int, taskId: Long)
+    dir: String, gzip: Boolean, partitionId: Int, taskId: Long,
+    binary: Boolean = false)
     extends DataWriter[InternalRow] {
   private val ext = if (gzip) ".warc.gz" else ".warc"
   private val path = f"$dir/part-$partitionId%05d-$taskId$ext"
@@ -205,7 +215,7 @@ private[v2] class WarcDataWriter(
       fp = new FingerprintStream(new FileOutputStream(tmpPath))
       out = new BufferedOutputStream(fp, 1 << 20)
     }
-    val s = row.getUTF8String(0).getBytes
+    val s = if (binary) row.getBinary(0) else row.getUTF8String(0).getBytes
     if (gzip) {
       // one complete record (terminating CRLF included) per member, so
       // concatenated decompressed members form a valid WARC stream
