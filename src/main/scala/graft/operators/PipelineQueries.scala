@@ -1537,6 +1537,95 @@ object PipelineQueries {
             |ORDER BY lang""".stripMargin),
   )
 
+  // WARC REVISIT DEDUP (ISO 28500 §6.7 — the crawl-side dedup device):
+  // a two-crawl fixture (every doc fetched once, every 7th re-fetched
+  // unchanged) goes through Warc.renderWithRevisits, whose
+  // (source, payload-digest) first-seen window turns the re-fetches
+  // into `revisit` records — empty payload, WARC-Refers-To at the
+  // referent. The read side then RESOLVES them: revisit records join
+  // responses on record id (the one shuffle this operator costs at any
+  // scale) and the per-source aggregate proves the resolution — stored
+  // vs logical bytes and a folded checksum of the REFERENT payloads
+  // must equal the oracle's replay of the same first-seen window
+  // directly over `documents`. A dropped or mis-targeted WARC-Refers-To
+  // shrinks n_revisit or diverges resolved_ck. The reader handles the
+  // mixed record types under the existing Content-Length framing.
+  private val warcRevisitDedup = Q(
+    "pipe_warc_revisit_dedup",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-rv")
+      try {
+        val dir = s"$base/warc"
+        val docs = Tables.documents(s, d)
+        val fetches = docs.withColumn("fetch_id", $"doc_id" * 2)
+          .unionAll(docs.filter($"doc_id" % 7 === 3)
+            .withColumn("fetch_id", $"doc_id" * 2 + 1))
+        graft.sources.Warc.writeRevisits(fetches, dir)
+        def archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .withColumn("source",
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1))
+        val respAgg = archive.filter($"warc_type" === "response")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_response"),
+            sum($"content_length").as("stored_bytes"))
+        val resolvedAgg = archive.filter($"warc_type" === "revisit")
+          .select($"source".as("rv_source"), $"refers_to")
+          .join(
+            archive.filter($"warc_type" === "response")
+              .select($"record_id".as("ref_id"),
+                $"content_length".as("ref_len"), $"payload".as("ref_payload")),
+            $"refers_to" === $"ref_id")
+          .groupBy($"rv_source")
+          .agg(
+            count(lit(1)).as("n_revisit"),
+            sum($"ref_len").as("extra_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(ref_payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("resolved_ck"))
+        respAgg
+          .join(resolvedAgg, $"source" === $"rv_source", "left")
+          .select(
+            $"source", $"n_response",
+            coalesce($"n_revisit", lit(0L)).as("n_revisit"),
+            $"stored_bytes",
+            ($"stored_bytes" + coalesce($"extra_bytes", lit(0L)))
+              .as("logical_bytes"),
+            coalesce($"resolved_ck", lit(0L)).as("resolved_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""WITH f AS (
+           |  SELECT source, text, doc_id * 2 AS fetch_id FROM documents
+           |  UNION ALL
+           |  SELECT source, text, doc_id * 2 + 1 FROM documents
+           |  WHERE doc_id % 7 = 3),
+           |r AS (
+           |  SELECT source, text,
+           |         row_number() OVER (PARTITION BY source, md5(text)
+           |                            ORDER BY fetch_id) AS rk
+           |  FROM f)
+           |SELECT source,
+           |       count(*) FILTER (WHERE rk = 1) AS n_response,
+           |       count(*) FILTER (WHERE rk > 1) AS n_revisit,
+           |       CAST(sum(octet_length(encode(text))) FILTER (WHERE rk = 1)
+           |            AS BIGINT) AS stored_bytes,
+           |       CAST(sum(octet_length(encode(text))) AS BIGINT)
+           |         AS logical_bytes,
+           |       CAST(coalesce(sum(CAST('0x' || substr(md5(text), 1, 12)
+           |                              AS BIGINT))
+           |                       FILTER (WHERE rk > 1), 0)
+           |            % 9007199254740991 AS BIGINT) AS resolved_ck
+           |FROM r
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   // LID AUDIT (WET × text-analysis composition): run the catalogue's
   // stopword-voting language classifier (TextQueries.lidPredict — ONE
   // shared device with ta_language_id) over the WET text extracted
@@ -1599,5 +1688,5 @@ object PipelineQueries {
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
-      warcWetExtract, warcLidAudit)
+      warcWetExtract, warcLidAudit, warcRevisitDedup)
 }

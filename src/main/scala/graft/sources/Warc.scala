@@ -55,7 +55,11 @@ object Warc {
   private def envelope(
       docs: DataFrame,
       payload: org.apache.spark.sql.Column,
-      contentType: String): DataFrame = {
+      contentType: String,
+      warcType: org.apache.spark.sql.Column = lit("response"),
+      idSeed: org.apache.spark.sql.Column =
+        concat(lit("warc:"), col("doc_id").cast("string")),
+      extraHeaders: org.apache.spark.sql.Column = lit("")): DataFrame = {
     val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
     val date = concat(
       lit("2020-01-01T"),
@@ -64,13 +68,14 @@ object Warc {
       two((col("doc_id") * 7) % 60), lit("Z"))
     docs.select(concat(
       lit("WARC/1.0\r\n"),
-      lit("WARC-Type: response\r\n"),
+      lit("WARC-Type: "), warcType, lit("\r\n"),
       lit("WARC-Record-ID: <urn:md5:"),
-      md5(concat(lit("warc:"), col("doc_id").cast("string")).cast("binary")),
+      md5(idSeed.cast("binary")),
       lit(">\r\n"),
       lit("WARC-Date: "), date, lit("\r\n"),
       lit("WARC-Target-URI: http://"), col("source"),
       lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
+      extraHeaders,
       lit(s"Content-Type: $contentType\r\n"),
       lit("Content-Length: "), octet_length(payload).cast("string"),
       lit("\r\n\r\n"),
@@ -209,6 +214,60 @@ object Warc {
   def writeHttpEncoded(docs: DataFrame, path: String): Unit =
     renderHttpEncoded(docs).write.format("warc").option("compression", "none")
       .mode("overwrite").save(path)
+
+  /** Crawl-side payload dedup, rendered the way real crawls ship it
+    * (ISO 28500 §6.7; Common Crawl): of all fetches sharing a payload
+    * digest within a source, the FIRST becomes a full `response`
+    * record and every later one a `revisit` record — empty payload,
+    * `WARC-Profile: identical-payload-digest`, `WARC-Refers-To`
+    * pointing at the referent's record id, `WARC-Payload-Digest`
+    * carrying the shared hash. This is the dedup device that keeps a
+    * recrawl from re-storing unchanged pages; resolution
+    * (revisit → referent payload) is the read-side operator gated by
+    * `pipe_warc_revisit_dedup`.
+    *
+    * Input: documents columns plus a `fetch_id` (unique per fetch;
+    * first-seen = smallest). The first-seen choice is ONE window over
+    * the (source, digest) key — the same hash-partitioned shuffle any
+    * payload dedup costs at 100 TB; everything else stays per-row.
+    */
+  def renderWithRevisits(fetches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("source"), md5(col("text").cast("binary")))
+      .orderBy(col("fetch_id"))
+    val ranked = fetches
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_ref_fid",
+        min(col("fetch_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val digest = concat(lit("WARC-Payload-Digest: md5:"),
+      md5(col("text").cast("binary")), lit("\r\n"))
+    val responses = envelope(
+      ranked.filter(col("_rk") === 1),
+      col("text"), "text/plain; charset=utf-8",
+      idSeed = concat(lit("warc:f:"), col("fetch_id").cast("string")),
+      extraHeaders = digest)
+    val revisits = envelope(
+      ranked.filter(col("_rk") > 1),
+      lit(""), "text/plain; charset=utf-8",
+      warcType = lit("revisit"),
+      idSeed = concat(lit("warc:f:"), col("fetch_id").cast("string")),
+      extraHeaders = concat(
+        lit("WARC-Refers-To: <urn:md5:"),
+        md5(concat(lit("warc:f:"), col("_ref_fid").cast("string"))
+          .cast("binary")),
+        lit(">\r\n"),
+        lit("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+          "identical-payload-digest\r\n"),
+        digest))
+    responses.unionAll(revisits)
+  }
+
+  /** [[renderWithRevisits]] written as plain WARC part files. */
+  def writeRevisits(fetches: DataFrame, path: String): Unit =
+    renderWithRevisits(fetches).write.format("warc")
+      .option("compression", "none").mode("overwrite").save(path)
 
   /** Write documents as WARC part files under `path` (overwrite) —
     * via the DSv2 sink (byte-identical record stream to the text

@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("warc").load(dir)   // or "a.warc,b.warc"
   *
   * → rows (path, record_index, warc_type, record_id, target_uri,
-  * warc_date, content_type, content_length, payload). Counterpart of
+  * warc_date, content_type, content_length, refers_to, payload) —
+  * refers_to is `WARC-Refers-To`, the revisit record's pointer at its
+  * referent (crawl-side payload dedup). Counterpart of
   * the [[graft.sources.Warc]] sink; together they round-trip a corpus
   * graft → WARC → graft byte-exactly (gated by `pipe_warc_roundtrip`).
   *
@@ -94,6 +96,7 @@ object WarcDataSource {
     StructField("warc_date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
+    StructField("refers_to", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = false),
   ))
 
@@ -396,7 +399,7 @@ private[v2] class WarcTable(
     require(tableSchema == WarcDataSource.schema,
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
-        s"payload); a user-supplied schema is not supported: ${tableSchema.sql}")
+        s"refers_to, payload); a user-supplied schema is not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed
     new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
@@ -505,6 +508,10 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
       case "target_uri" => (h, _, _, _) => header(h, "warc-target-uri")
+      case "refers_to" => (h, _, _, _) =>
+        h.fields.get("warc-refers-to")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
       case "warc_date" => (h, _, _, _) => header(h, "warc-date")
       case "content_type" => (h, _, _, _) => header(h, "content-type")
       case "content_length" => (_, len, _, _) => len

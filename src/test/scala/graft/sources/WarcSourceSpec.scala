@@ -72,6 +72,34 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("revisit records: mixed types parse, refers_to round-trips") {
+    val dir = writeFixture(
+      record("http://a.example/1", "hello".getBytes(StandardCharsets.UTF_8)),
+      record("http://a.example/1", Array.emptyByteArray, wtype = "revisit",
+        extra = Seq(
+          "WARC-Refers-To: <urn:test:http://a.example/1>",
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+            "identical-payload-digest")))
+    try {
+      val rows = spark.read.format("warc").load(dir.toString)
+        .orderBy("record_index").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("warc_type") == "response")
+      assert(rows(0).getAs[String]("refers_to") == null,
+        "a response record carries no WARC-Refers-To")
+      val rv = rows(1)
+      assert(rv.getAs[String]("warc_type") == "revisit")
+      assert(rv.getAs[String]("refers_to") == "urn:test:http://a.example/1",
+        "refers_to must strip the <> like record_id")
+      assert(rv.getAs[Long]("content_length") == 0L)
+      assert(rv.getAs[Array[Byte]]("payload").isEmpty,
+        "a revisit record has an empty payload")
+      // the resolution join device: revisit.refers_to == response.record_id
+      assert(rv.getAs[String]("refers_to") ==
+        rows(0).getAs[String]("record_id"))
+    } finally rm(dir)
+  }
+
   test("Content-Length framing survives adversarial payloads") {
     // payloads containing the record separator and header-looking
     // lines — a delimiter-scanning reader desynchronizes here
