@@ -75,6 +75,26 @@ object Bench {
     // design. Training is therefore timed as its own first-class entry
     // (min/mean over the same rep count, memo reset before each rep) and
     // the memo is left warm so every later IVF rep measures assignment.
+    // Process-CPU clock (ask of round 12's bench-noise adjudication):
+    // a WALL spike without a matching process-CPU spike is, by
+    // construction, external host load — the per-query cpu_sec in both
+    // JSON surfaces makes that call possible from the artifacts alone,
+    // where round 12 needed a same-HEAD A/B pair to acquit a 7 s
+    // drift reading.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+    /** One timed query: min/mean wall, the process-CPU seconds of the
+      * min-wall rep (the comparison basis), error, and any
+      * adaptive-tail failure (recorded, never silently dropped).
+      */
+    final case class QResult(
+        name: String, min: Double, mean: Double, cpuSec: Double,
+        err: Option[String], tailErr: Option[String] = None)
+
     val ivfTrain =
       if (!matched.exists(_.name.startsWith("sim_ivf"))) Seq.empty
       else {
@@ -85,9 +105,10 @@ object Bench {
         val times = (1 to Reps).flatMap { _ =>
           try {
             operators.SimilarityQueries.resetCentroidCache()
+            val c0 = cpuNanos
             val t0 = System.nanoTime()
             operators.SimilarityQueries.trainIvf(spark, sfDir)
-            Some((System.nanoTime() - t0) / 1e9)
+            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9))
           } catch {
             case e: Throwable =>
               err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -95,10 +116,13 @@ object Bench {
           }
         }
         // same -1 convention as the main loop when anything failed
-        val (mn, mean) =
-          if (err.isDefined || times.isEmpty) (-1.0, -1.0)
-          else (times.min, times.sum / times.size)
-        Seq(("sim_ivf_train", mn, mean, err))
+        if (err.isDefined || times.isEmpty)
+          Seq(QResult("sim_ivf_train", -1.0, -1.0, -1.0, err))
+        else {
+          val best = times.minBy(_._1)
+          Seq(QResult("sim_ivf_train", best._1,
+            times.map(_._1).sum / times.size, best._2, None))
+        }
       }
     // Per-rep attribution (SPARK_GRAFT_BENCH_REPDUMP=<path> writes one
     // JSONL row per rep): wall time plus the JVM's own GC-time and
@@ -138,21 +162,36 @@ object Bench {
         last = now
       }
     }
-    def timeQuery(q: Q): (String, Double, Double, Option[String]) = {
+    // Full JSON string escape (backslash, quote, ALL control chars):
+    // an exception message with a tab or stray CR must not break the
+    // driver's json.load of the bench line.
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    def timeQuery(q: Q): QResult = {
       var err: Option[String] = None
       jitQuiesce()
-      def rep(i: Int): Option[Double] = {
+      def rep(i: Int): Option[(Double, Double)] = {
         spark.catalog.clearCache()
-        val (gc0, jit0) = (gcMillis, jitMillis)
+        val (gc0, jit0, c0) = (gcMillis, jitMillis, cpuNanos)
         val t0 = System.nanoTime()
         val r =
-          try { q.fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
+          try {
+            q.fn(spark, sfDir).count()
+            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9))
+          } catch {
             case e: Throwable =>
               err = Some(e.toString.takeWhile(_ != '\n').take(200)); None
           }
-        for (w <- repDump; t <- r) {
-          w.write(s"""{"q":"${q.name}","rep":$i,"sec":$t,""" +
+        for (w <- repDump; (t, cpu) <- r) {
+          w.write(s"""{"q":"${q.name}","rep":$i,"sec":$t,"cpu_sec":$cpu,""" +
             s""""gc_ms":${gcMillis - gc0},"jit_ms":${jitMillis - jit0}}""" + "\n")
           w.flush()
         }
@@ -166,37 +205,42 @@ object Bench {
       // reps there cost ~seconds total and tighten the min estimate
       // where it is noisiest relative to signal; heavy entries keep
       // the base rep count — their minima were already stable. The
-      // tail is OPTIONAL precision: a transient failure there must
-      // fall back to the valid base reps, not erase them.
+      // tail is OPTIONAL precision: a transient failure there falls
+      // back to the valid base reps — but is RECORDED (tail_errors in
+      // the full JSON + an error row in the rep dump), never silently
+      // dropped: an intermittently failing query must not look green.
+      var tailErr: Option[String] = None
       val times =
-        if (err.isEmpty && base.nonEmpty && base.min < FastTailBelowSec &&
+        if (err.isEmpty && base.nonEmpty && base.map(_._1).min < FastTailBelowSec &&
           Reps > 1) {
           val extra = (Reps + 1 to Reps + FastTailReps).iterator.map(rep)
             .takeWhile(_.isDefined).flatten.toSeq
-          if (err.isDefined) err = None // base reps stand on their own
+          if (err.isDefined) {
+            tailErr = err
+            err = None // base reps stand on their own
+            for (w <- repDump; e <- tailErr) {
+              w.write(s"""{"q":"${q.name}","rep":"tail","error":"${esc(e)}"}""" + "\n")
+              w.flush()
+            }
+          }
           base ++ extra
         } else base
-      val min = if (err.isDefined) -1.0 else times.min
-      val mean = if (err.isDefined) -1.0 else times.sum / times.size
-      (q.name, min, mean, err)
+      if (err.isDefined || times.isEmpty)
+        QResult(q.name, -1.0, -1.0, -1.0, err.orElse(Some("no completed reps")))
+      else {
+        val best = times.minBy(_._1)
+        QResult(q.name, best._1, times.map(_._1).sum / times.size, best._2,
+          None, tailErr)
+      }
     }
     val results = ivfTrain ++ selected.map(timeQuery)
-    // Full JSON string escape (backslash, quote, ALL control chars):
-    // an exception message with a tab or stray CR must not break the
-    // driver's json.load of the bench line.
-    def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case QResult(k, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val tailErrs = results.collect { case QResult(k, _, _, _, None, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case r if r.err.isEmpty => r.min }.sum
 
     // Provenance: stamp the git SHA in BOTH output surfaces (the
     // stdout tail and the full-map file) so any two "final" artifacts
@@ -232,12 +276,18 @@ object Bench {
     //      window): total, the TOP-40 costliest per-query minima
     //      (regressions live in the heavy tail), per-family subtotals
     //      covering every query, errors, and the full-file pointer.
-    val fullQs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val fullQs = results.map(r => "\"" + r.name + "\":" + r.min)
       .mkString("{", ",", "}")
-    val fullMeans = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }
+    val fullMeans = results.map(r => "\"" + r.name + "\":" + r.mean)
+      .mkString("{", ",", "}")
+    // cpu_sec of the MIN-WALL rep (the rep the contract number comes
+    // from): wall ≫ cpu on that rep means the plan was stalled by
+    // something outside the process — external load, adjudicable from
+    // the artifact alone
+    val fullCpu = results.map(r => "\"" + r.name + "\":" + r.cpuSec)
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"fast_below_sec":$FastTailBelowSec,"git_sha":"$gitSha","queries":$fullQs,"queries_mean":$fullMeans,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"fast_below_sec":$FastTailBelowSec,"git_sha":"$gitSha","queries":$fullQs,"queries_mean":$fullMeans,"queries_cpu":$fullCpu,"errors":$errs,"tail_errors":$tailErrs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "probes/bench_full_latest.json"))
     try {
@@ -248,21 +298,37 @@ object Bench {
     }
 
     def r3(v: Double): String = f"$v%.3f".replace(",", ".")
-    val top = results.filter(_._4.isEmpty).sortBy(-_._2).take(40)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+    def r2(v: Double): String = f"$v%.2f".replace(",", ".")
+    val ok = results.filter(_.err.isEmpty)
+    val topResults = ok.sortBy(-_.min).take(40)
+    val top = topResults
+      .map(r => "\"" + r.name + "\":" + r3(r.min))
       .mkString("{", ",", "}")
-    val families = results.filter(_._4.isEmpty)
-      .groupBy { case (k, _, _, _) => k.takeWhile(_ != '_') }
+    val families = ok
+      .groupBy(_.name.takeWhile(_ != '_'))
       .toSeq.sortBy(_._1)
-      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_._2).sum) }
+      .map { case (f, rs) => "\"" + f + "\":" + r3(rs.map(_.min).sum) }
       .mkString("{", ",", "}")
     // n_errors makes the tail-window artifact self-describing when
     // queries fail: the top-40 map and family subtotals EXCLUDE
     // errored entries, so without it a family whose queries all error
     // silently vanishes from the subtotals and `value` undercounts.
-    val nErrors = results.count(_._4.isDefined)
+    val nErrors = results.count(_.err.isDefined)
+    // The stdout line must stay inside the driver's ~2000-char tail
+    // window or its json.load of the line breaks. Per-query cpu_sec
+    // (the drift-adjudication signal) is included for as many of the
+    // top entries as the budget allows — the full map is always in the
+    // file; cpu_total always ships (whole-run wall-vs-cpu sanity).
+    val cpuTotal = ok.map(_.cpuSec).filter(_ >= 0).sum
+    def line(cpuK: Int): String = {
+      val cpu = topResults.take(cpuK)
+        .map(r => "\"" + r.name + "\":" + r2(r.cpuSec))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"n_queries":${results.size},"n_errors":$nErrors,"n_tail_errors":${results.count(_.tailErr.isDefined)},"cpu_total":${r2(cpuTotal)},"git_sha":"$gitSha","queries":$top,"cpu":$cpu,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}"""
+    }
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"n_queries":${results.size},"n_errors":$nErrors,"git_sha":"$gitSha","queries":$top,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}""")
+      (40 to 0 by -5).iterator.map(line).find(_.length <= 1900)
+        .getOrElse(line(0)))
     repDump.foreach(_.close())
     spark.stop()
   }
