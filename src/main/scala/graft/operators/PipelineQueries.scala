@@ -1672,6 +1672,55 @@ object PipelineQueries {
             |ORDER BY header_lang, predicted_lang""".stripMargin),
   )
 
+  // LID AUDIT v2 (the three-way confusion table a corpus builder
+  // actually wants before trusting ANY language signal): the same
+  // gzip-member WET pipeline, cross-tabulated over THREE independent
+  // predictors — the crawl's own header (X-Crawl-Lang), the stopword
+  // voter (TextQueries.lidPredict — the shared device of
+  // ta_language_id and pipe_warc_lid_audit), and the hashed-feature
+  // linear model (TextQueries.lidHashedPredict — the
+  // ta_hashed_classifier weight device, language-salted). The two
+  // model predictors share no features, so agreement cells are
+  // evidence, not an artifact of one classifier audited against
+  // itself. Still one small hash aggregate after in-row work.
+  private val warcLidAudit2 = Q(
+    "pipe_warc_lid_audit2",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-lid2")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttpGzip(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select($"payload".cast("string").as("p"))
+          .withColumn("header_lang",
+            regexp_extract($"p", "X-Crawl-Lang: ([a-z]+)", 1))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
+          .groupBy($"header_lang",
+            TextQueries.lidPredict($"wet").as("voter_lang"),
+            TextQueries.lidHashedPredict($"wet").as("hashed_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"header_lang", $"voter_lang", $"hashed_lang")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT lang AS header_lang,
+            |         regexp_replace($HtmlSql, '<[^>]*>', '', 'g') AS wet
+            |  FROM documents)
+            |SELECT header_lang,
+            |       ${TextQueries.lidPredictSql("wet")} AS voter_lang,
+            |       ${TextQueries.lidHashedPredictSql("wet")} AS hashed_lang,
+            |       count(*) AS n_docs
+            |FROM h
+            |GROUP BY 1, 2, 3
+            |ORDER BY header_lang, voter_lang, hashed_lang""".stripMargin),
+  )
+
   private val warcUrlProfile =
     warcUrlProfileQ("pipe_warc_url_profile", gz = false)
 
@@ -1688,5 +1737,5 @@ object PipelineQueries {
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
-      warcWetExtract, warcLidAudit, warcRevisitDedup)
+      warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup)
 }

@@ -141,6 +141,54 @@ object TextQueries {
        |     ELSE 'zh' END""".stripMargin
   }
 
+  /** Second, INDEPENDENT language predictor for the agreement audits:
+    * a hashed-feature multi-class linear model — per language, sum a
+    * salted-hash weight over word unigrams (the ta_hashed_classifier
+    * weight device verbatim, salted `<lang>:<word>`), argmax with the
+    * same deterministic tie-break order as [[lidPredict]]. It shares
+    * NO marker table with the stopword voter, so header × voter ×
+    * hashed is a genuine three-way confusion surface, not the voter
+    * audited against itself. In-row transform/aggregate fold — the
+    * model rides in the expression, the corpus never explodes into a
+    * token table (the hashed-classifier scale story).
+    */
+  private[operators] def lidHashedPredict(text: Column): Column = {
+    val words = split(text, " ")
+    val scores = LidMarkers.map { case (lang, _) =>
+      lang -> aggregate(
+        transform(words, w =>
+          (conv(substring(md5(concat(lit(lang + ":"), w)), 1, 4), 16, 10)
+            .cast("long") % 256) * lit(2654435761L) % 1001 - 500),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val byLang = scores.toMap
+    def rest(from: Int) = scores.drop(from).map(_._2)
+    when(byLang("en") >= greatest(rest(1): _*), "en")
+      .when(byLang("es") >= greatest(rest(2): _*), "es")
+      .when(byLang("de") >= greatest(rest(3): _*), "de")
+      .when(byLang("fr") >= byLang("zh"), "fr")
+      .otherwise("zh")
+  }
+
+  /** The DuckDB rendering of [[lidHashedPredict]] — same salted-hash
+    * weight expression, same argmax cascade, over the SAME language
+    * order.
+    */
+  private[operators] def lidHashedPredictSql(t: String): String = {
+    def sc(lang: String) =
+      s"list_aggregate(list_transform(string_split($t, ' '), " +
+        s"w -> (CAST('0x' || substr(md5('$lang:' || w), 1, 4) AS BIGINT) " +
+        s"% 256) * 2654435761 % 1001 - 500), 'sum')"
+    val s = LidMarkers.map { case (lang, _) => lang -> sc(lang) }.toMap
+    def gr(langs: Seq[String]) =
+      s"greatest(${langs.map(s(_)).mkString(", ")})"
+    s"""CASE WHEN ${s("en")} >= ${gr(Seq("es", "de", "fr", "zh"))} THEN 'en'
+       |     WHEN ${s("es")} >= ${gr(Seq("de", "fr", "zh"))} THEN 'es'
+       |     WHEN ${s("de")} >= ${gr(Seq("fr", "zh"))} THEN 'de'
+       |     WHEN ${s("fr")} >= ${s("zh")} THEN 'fr'
+       |     ELSE 'zh' END""".stripMargin
+  }
+
   private val langid = Q(
     "ta_language_id",
     (s, d) => {
