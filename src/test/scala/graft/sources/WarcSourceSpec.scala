@@ -100,6 +100,45 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("renderWithRevisits: first-seen dedup across a >2 duplicate group") {
+    import spark.implicits._
+    // three fetches of identical payload + one distinct, two sources —
+    // the generic window path the %7 gate fixture (pairs only) misses
+    val fetches = Seq(
+      (10L, "srcA", "same text", 100L),
+      (11L, "srcA", "same text", 101L),
+      (12L, "srcA", "same text", 102L),
+      (13L, "srcA", "other text", 103L),
+      (14L, "srcB", "same text", 104L), // same text, OTHER source: own referent
+    ).toDF("doc_id", "source", "text", "fetch_id")
+    val dir = Files.createTempDirectory("warc-spec-rvw")
+    try {
+      Warc.writeRevisits(fetches, dir.toString + "/w")
+      val rows = spark.read.format("warc").load(dir.toString + "/w")
+        .selectExpr("warc_type", "record_id", "refers_to",
+          "CAST(payload AS STRING) AS text", "content_length")
+        .collect()
+      val resp = rows.filter(_.getAs[String]("warc_type") == "response")
+      val rv = rows.filter(_.getAs[String]("warc_type") == "revisit")
+      assert(resp.length == 3 && rv.length == 2,
+        s"want 3 responses (A:same, A:other, B:same) + 2 revisits, got " +
+          s"${resp.length}/${rv.length}")
+      // both revisits are srcA's later fetches and refer to fetch 100
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def id(fid: Long) = "urn:md5:" + md.digest(s"warc:f:$fid".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(rv.map(_.getAs[String]("refers_to")).toSet == Set(id(100L)),
+        "every later duplicate must refer to the FIRST fetch's record")
+      assert(rv.forall(_.getAs[Long]("content_length") == 0L))
+      // srcB's identical text is NOT deduped across sources
+      assert(resp.map(_.getAs[String]("record_id")).toSet ==
+        Set(id(100L), id(103L), id(104L)))
+      // referent resolution recovers the bytes
+      assert(resp.filter(_.getAs[String]("record_id") == id(100L))
+        .head.getAs[String]("text") == "same text")
+    } finally rm(dir)
+  }
+
   test("Content-Length framing survives adversarial payloads") {
     // payloads containing the record separator and header-looking
     // lines — a delimiter-scanning reader desynchronizes here
