@@ -36,6 +36,12 @@ object UrlQueries {
 
   /** Deterministic messy raw URL per document row.
     *
+    * The TLD cycle includes `ck` — a WILDCARD public suffix (`*.ck`),
+    * so the main URL family's registered-domain consumers exercise
+    * the wildcard rule class on every run, not only the dedicated
+    * `ta_url_psl_classes` fixture (a `cdn.siteN.ck` host keeps its
+    * cdn label: `siteN.ck` is itself a public suffix there).
+    *
     * P = doc_id div 4 groups four consecutive docs onto one canonical
     * URL; everything canonical-RELEVANT (scheme, host labels, tld,
     * path, the id param) derives from P, everything canonicalization
@@ -47,8 +53,8 @@ object UrlQueries {
     val p = expr("doc_id div 4")
     val scheme = when(p % 3 === 0, "https").otherwise("http")
     val tld = element_at(
-      array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
-      (p % 4 + 1).cast("int"))
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ck")),
+      (p % 5 + 1).cast("int"))
     val hostCore = concat(
       when(p % 2 === 0, "cdn.").otherwise(""),
       lit("site"), (p % 23).cast("string"), lit("."), tld)
@@ -80,7 +86,7 @@ object UrlQueries {
       |         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
       |          CASE WHEN p % 2 = 0 THEN 'cdn.' ELSE '' END ||
       |          'site' || CAST(p % 23 AS VARCHAR) || '.' ||
-      |          (['com','org','co.uk','io'])[CAST(p % 4 AS INT) + 1]
+      |          (['com','org','co.uk','io','ck'])[CAST(p % 5 AS INT) + 1]
       |         ) AS hostfull
       |  FROM p0),
       |u AS (

@@ -33,7 +33,7 @@ class UrlQueriesSpec extends AnyFunSuite {
   private def rawUrl(docId: Long): String = {
     val p = docId / 4
     val scheme = if (p % 3 == 0) "https" else "http"
-    val tld = Seq("com", "org", "co.uk", "io")((p % 4).toInt)
+    val tld = Seq("com", "org", "co.uk", "io", "ck")((p % 5).toInt)
     val hostCore =
       (if (p % 2 == 0) "cdn." else "") + s"site${p % 23}.$tld"
     val hostFull = (if (docId % 2 == 0) "www." else "") + hostCore
