@@ -1626,6 +1626,62 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC REQUEST/RESPONSE PAIRING (the full capture shape: real crawl
+  // segments store the request NEXT TO its response, linked by
+  // WARC-Concurrent-To): Warc.renderWithRequests writes both record
+  // types, the read side parses the request line out of each request
+  // payload and joins requests to responses on record id — the same
+  // one-shuffle resolution device as revisit dedup. The per-source
+  // checksum folds md5(request path || '|' || response target URI), so
+  // a dropped, unpaired, or MIS-paired request (path and URI would
+  // disagree) diverges from the oracle's recomputation over
+  // `documents`. The response side of the join touches headers only —
+  // payload pruning keeps the pairing audit at ~header I/O.
+  private val warcRequestPair = Q(
+    "pipe_warc_request_pair",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-rq")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeRequests(Tables.documents(s, d), dir)
+        def archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+        val reqs = archive.filter($"warc_type" === "request")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"concurrent_to",
+            regexp_extract($"payload".cast("string"),
+              "^GET ([^ ]+) HTTP/1\\.1", 1).as("req_path"))
+        val resps = archive.filter($"warc_type" === "response")
+          .select($"record_id".as("rid"), $"target_uri")
+        reqs
+          .join(resps, $"concurrent_to" === $"rid")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_paired"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(concat(req_path, '|', target_uri) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("pair_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""SELECT source,
+           |       count(*) AS n_paired,
+           |       CAST(sum(CAST('0x' || substr(md5(
+           |                '/doc/' || CAST(doc_id AS VARCHAR) || '|' ||
+           |                'http://' || source || '.example/doc/' ||
+           |                CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+           |            % 9007199254740991 AS BIGINT) AS pair_ck
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   // LID AUDIT (WET × text-analysis composition): run the catalogue's
   // stopword-voting language classifier (TextQueries.lidPredict — ONE
   // shared device with ta_language_id) over the WET text extracted
@@ -1737,5 +1793,6 @@ object PipelineQueries {
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
-      warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup)
+      warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
+      warcRequestPair)
 }

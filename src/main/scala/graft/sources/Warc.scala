@@ -269,6 +269,38 @@ object Warc {
     renderWithRevisits(fetches).write.format("warc")
       .option("compression", "none").mode("overwrite").save(path)
 
+  /** Render full CAPTURES the way real crawls ship them: a `request`
+    * record (the HTTP request that was sent, `WARC-Concurrent-To`
+    * pointing at its response) next to each `response` record
+    * ([[renderHttp]]'s shape). Request payloads are deterministic
+    * request-line + headers, so an oracle can replay the pairing
+    * byte-for-byte; the pairing key is the response's record id —
+    * resolution is the same record-id join device as revisit
+    * resolution, gated by `pipe_warc_request_pair`.
+    */
+  def renderWithRequests(docs: DataFrame): DataFrame = {
+    val reqHttp = concat(
+      lit("GET /doc/"), col("doc_id").cast("string"), lit(" HTTP/1.1\r\n"),
+      lit("Host: "), col("source"), lit(".example\r\n"),
+      lit("User-Agent: graft-crawler/1.0\r\n"),
+      lit("Accept: text/html\r\n\r\n"))
+    val requests = envelope(
+      docs, reqHttp, "application/http; msgtype=request",
+      warcType = lit("request"),
+      idSeed = concat(lit("warc:rq:"), col("doc_id").cast("string")),
+      extraHeaders = concat(
+        lit("WARC-Concurrent-To: <urn:md5:"),
+        md5(concat(lit("warc:"), col("doc_id").cast("string"))
+          .cast("binary")),
+        lit(">\r\n")))
+    requests.unionAll(renderHttp(docs))
+  }
+
+  /** [[renderWithRequests]] written as plain WARC part files. */
+  def writeRequests(docs: DataFrame, path: String): Unit =
+    renderWithRequests(docs).write.format("warc")
+      .option("compression", "none").mode("overwrite").save(path)
+
   /** Write documents as WARC part files under `path` (overwrite) —
     * via the DSv2 sink (byte-identical record stream to the text
     * writer with lineSep=CRLF, which this replaced), so plain archives

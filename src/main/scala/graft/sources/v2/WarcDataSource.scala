@@ -22,9 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("warc").load(dir)   // or "a.warc,b.warc"
   *
   * → rows (path, record_index, warc_type, record_id, target_uri,
-  * warc_date, content_type, content_length, refers_to, payload) —
-  * refers_to is `WARC-Refers-To`, the revisit record's pointer at its
-  * referent (crawl-side payload dedup). Counterpart of
+  * warc_date, content_type, content_length, refers_to, concurrent_to,
+  * payload) — refers_to is `WARC-Refers-To`, the revisit record's
+  * pointer at its referent (crawl-side payload dedup); concurrent_to
+  * is `WARC-Concurrent-To`, the request record's pointer at the
+  * response of the same capture. Counterpart of
   * the [[graft.sources.Warc]] sink; together they round-trip a corpus
   * graft → WARC → graft byte-exactly (gated by `pipe_warc_roundtrip`).
   *
@@ -97,6 +99,7 @@ object WarcDataSource {
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
     StructField("refers_to", StringType, nullable = true),
+    StructField("concurrent_to", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = false),
   ))
 
@@ -399,7 +402,8 @@ private[v2] class WarcTable(
     require(tableSchema == WarcDataSource.schema,
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
-        s"refers_to, payload); a user-supplied schema is not supported: ${tableSchema.sql}")
+        "refers_to, concurrent_to, payload); a user-supplied schema is " +
+        s"not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed
     new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
@@ -510,6 +514,10 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
       case "target_uri" => (h, _, _, _) => header(h, "warc-target-uri")
       case "refers_to" => (h, _, _, _) =>
         h.fields.get("warc-refers-to")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
+      case "concurrent_to" => (h, _, _, _) =>
+        h.fields.get("warc-concurrent-to")
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
       case "warc_date" => (h, _, _, _) => header(h, "warc-date")

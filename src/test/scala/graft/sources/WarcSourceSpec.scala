@@ -100,6 +100,29 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("request records: concurrent_to parses and pairs with the response") {
+    val dir = writeFixture(
+      record("http://a.example/1",
+        "GET /1 HTTP/1.1\r\nHost: a.example\r\n\r\n"
+          .getBytes(StandardCharsets.UTF_8),
+        wtype = "request",
+        extra = Seq("WARC-Concurrent-To: <urn:test:http://a.example/1>")),
+      record("http://a.example/1", "hello".getBytes(StandardCharsets.UTF_8)))
+    try {
+      val rows = spark.read.format("warc").load(dir.toString)
+        .orderBy("record_index").collect()
+      val rq = rows(0)
+      assert(rq.getAs[String]("warc_type") == "request")
+      assert(rq.getAs[String]("concurrent_to") == "urn:test:http://a.example/1",
+        "concurrent_to must strip the <> like record_id")
+      assert(rows(1).getAs[String]("concurrent_to") == null,
+        "a response record carries no WARC-Concurrent-To")
+      // the pairing join device: request.concurrent_to == response.record_id
+      assert(rq.getAs[String]("concurrent_to") ==
+        rows(1).getAs[String]("record_id"))
+    } finally rm(dir)
+  }
+
   test("renderWithRevisits: first-seen dedup across a >2 duplicate group") {
     import spark.implicits._
     // three fetches of identical payload + one distinct, two sources —
