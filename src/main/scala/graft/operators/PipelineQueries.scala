@@ -1682,6 +1682,144 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
+  // §6.6): Warc.renderWithMetadata writes an application/warc-fields
+  // metadata record next to each response; the read side parses the
+  // fields out of the payload, joins metadata to responses on record
+  // id (Concurrent-To — header-only response side) and aggregates
+  // per-source fetch-time/outlink totals plus a checksum folding
+  // (fields | response URI), so dropped, unparsed, or mis-linked
+  // metadata diverges from the oracle's doc_id-arithmetic replay.
+  private val warcMetadata = Q(
+    "pipe_warc_metadata",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-md")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeMetadata(Tables.documents(s, d), dir)
+        def archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+        val meta = archive.filter($"warc_type" === "metadata")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"concurrent_to",
+            regexp_extract($"payload".cast("string"),
+              "fetchTimeMs: ([0-9]+)", 1).cast("long").as("fetch_ms"),
+            regexp_extract($"payload".cast("string"),
+              "outlinks: ([0-9]+)", 1).cast("long").as("outlinks"))
+        val resps = archive.filter($"warc_type" === "response")
+          .select($"record_id".as("rid"), $"target_uri")
+        meta
+          .join(resps, $"concurrent_to" === $"rid")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_meta"),
+            sum($"fetch_ms").as("fetch_ms_total"),
+            sum($"outlinks").as("outlinks_total"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(concat(fetch_ms, '|', outlinks, '|', target_uri) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("meta_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""SELECT source,
+           |       count(*) AS n_meta,
+           |       CAST(sum((doc_id * 13) % 900 + 100) AS BIGINT)
+           |         AS fetch_ms_total,
+           |       CAST(sum(doc_id % 17) AS BIGINT) AS outlinks_total,
+           |       CAST(sum(CAST('0x' || substr(md5(
+           |                CAST((doc_id * 13) % 900 + 100 AS VARCHAR) || '|' ||
+           |                CAST(doc_id % 17 AS VARCHAR) || '|' ||
+           |                'http://' || source || '.example/doc/' ||
+           |                CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+           |            % 9007199254740991 AS BIGINT) AS meta_ck
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
+  // WARC → WET DERIVATION, END TO END (the actual Common Crawl
+  // sidecar pipeline): documents render as an http `.warc.gz`, the
+  // read side tag-strips each payload into WET text, Warc
+  // .renderConversions writes a SECOND `.warc.gz` of `conversion`
+  // records (ISO 28500 §6.8 — what WET files consist of, Refers-To at
+  // the source response), and the gate reads THAT archive back and
+  // profiles it per source. Every byte crosses two archive round
+  // trips; the oracle recomputes the extraction directly over
+  // `documents`, so one wrong byte anywhere in the chain (render,
+  // member framing, split, strip, re-render, re-read) diverges.
+  private val warcWetConvert = Q(
+    "pipe_warc_wet_convert",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-wetc")
+      try {
+        val httpDir = s"$base/http"
+        val wetDir = s"$base/wet"
+        graft.sources.Warc.writeHttpGzip(Tables.documents(s, d), httpDir)
+        val pages = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(httpDir)
+          .select(
+            expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)")
+              .as("doc_id"),
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"payload".cast("string").as("p"))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
+          .select($"doc_id", $"source", $"wet")
+        graft.sources.Warc.writeConversionsGzip(pages, wetDir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(wetDir)
+          .filter($"warc_type" === "conversion")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"refers_to", $"payload")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_conversions"),
+            sum(octet_length($"payload")).as("wet_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("wet_ck"),
+            // refers_to linkage: the referent ids are reproducible
+            // doc_id arithmetic, folded so a broken pointer diverges
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(refers_to AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("ref_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id,
+            |         regexp_replace($HtmlSql, '<[^>]*>', '', 'g') AS wet
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_conversions,
+            |       CAST(sum(octet_length(encode(wet))) AS BIGINT) AS wet_bytes,
+            |       CAST(sum(CAST('0x' || substr(md5(wet), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS wet_ck,
+            |       CAST(sum(CAST('0x' || substr(md5(
+            |                'urn:md5:' || md5('warc:' || CAST(doc_id AS VARCHAR))),
+            |                1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS ref_ck
+            |FROM h
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   // LID AUDIT (WET × text-analysis composition): run the catalogue's
   // stopword-voting language classifier (TextQueries.lidPredict — ONE
   // shared device with ta_language_id) over the WET text extracted
@@ -1794,5 +1932,5 @@ object PipelineQueries {
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
-      warcRequestPair)
+      warcRequestPair, warcMetadata, warcWetConvert)
 }

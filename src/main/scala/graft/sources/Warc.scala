@@ -301,6 +301,60 @@ object Warc {
     renderWithRequests(docs).write.format("warc")
       .option("compression", "none").mode("overwrite").save(path)
 
+  /** Render `metadata` records next to each [[renderHttp]] response —
+    * the per-capture fetch telemetry real crawls store (ISO 28500
+    * §6.6: `application/warc-fields` payload, `WARC-Concurrent-To`
+    * at the capture's response). Field values are doc_id arithmetic
+    * so the oracle replays them without reading the archive:
+    * fetchTimeMs = (doc_id·13) % 900 + 100, outlinks = doc_id % 17.
+    */
+  def renderWithMetadata(docs: DataFrame): DataFrame = {
+    val fields = concat(
+      lit("fetchTimeMs: "),
+      ((col("doc_id") * 13) % 900 + 100).cast("string"), lit("\r\n"),
+      lit("outlinks: "), (col("doc_id") % 17).cast("string"), lit("\r\n"))
+    val metadata = envelope(
+      docs, fields, "application/warc-fields",
+      warcType = lit("metadata"),
+      idSeed = concat(lit("warc:md:"), col("doc_id").cast("string")),
+      extraHeaders = concat(
+        lit("WARC-Concurrent-To: <urn:md5:"),
+        md5(concat(lit("warc:"), col("doc_id").cast("string"))
+          .cast("binary")),
+        lit(">\r\n")))
+    metadata.unionAll(renderHttp(docs))
+  }
+
+  /** [[renderWithMetadata]] written as plain WARC part files. */
+  def writeMetadata(docs: DataFrame, path: String): Unit =
+    renderWithMetadata(docs).write.format("warc")
+      .option("compression", "none").mode("overwrite").save(path)
+
+  /** Render WET-style `conversion` records (ISO 28500 §6.8 — the
+    * record type Common Crawl's WET sidecar files consist of): one
+    * text/plain record per page whose payload is the EXTRACTED text,
+    * `WARC-Refers-To` pointing at the response record the text was
+    * derived from. Input: (doc_id, source, wet) — typically parsed
+    * back out of an http archive (`pipe_warc_wet_convert` chains
+    * documents → http .warc.gz → tag-strip → THIS renderer → a second
+    * .warc.gz → read-back, the real WARC→WET derivation end to end).
+    */
+  def renderConversions(pages: DataFrame): DataFrame =
+    envelope(
+      pages, col("wet"), "text/plain",
+      warcType = lit("conversion"),
+      idSeed = concat(lit("warc:wet:"), col("doc_id").cast("string")),
+      extraHeaders = concat(
+        lit("WARC-Refers-To: <urn:md5:"),
+        md5(concat(lit("warc:"), col("doc_id").cast("string"))
+          .cast("binary")),
+        lit(">\r\n")))
+
+  /** [[renderConversions]] written as `.warc.gz` (the WET layout). */
+  def writeConversionsGzip(pages: DataFrame, path: String): Unit =
+    renderConversions(pages).write.format("warc")
+      .option("compression", "gzip").mode("overwrite").save(path)
+
   /** Write documents as WARC part files under `path` (overwrite) —
     * via the DSv2 sink (byte-identical record stream to the text
     * writer with lineSep=CRLF, which this replaced), so plain archives
