@@ -1682,6 +1682,85 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC STREAMING INGEST (how crawl archives actually ARRIVE: a
+  // fetcher fleet lands finished segments one by one): the gate
+  // renders the corpus into segment files, lands half of them in a
+  // watched directory, starts `readStream.format("warc")`, lands the
+  // rest, and requires the pickup to happen in exactly two data
+  // micro-batches (an offset/listing regression fails loudly). The
+  // streamed rows then aggregate to the SAME per-source
+  // count/bytes/checksum contract as the batch round-trip gate — one
+  // oracle pins batch scan, stream scan, and the sink's bytes against
+  // `documents` simultaneously.
+  private val warcStreamParity = Q(
+    "pipe_warc_stream_parity",
+    (s, d) => EventQueries.withStreamGateConfs(s) {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-stream")
+      try {
+        val stage = s"$base/stage"
+        val land = java.nio.file.Paths.get(s"$base/land")
+        java.nio.file.Files.createDirectories(land)
+        // hash-repartition so the staged corpus lands as SEVERAL
+        // segment files (the arrival shape the stream models); the
+        // per-source aggregate is assignment-insensitive
+        graft.sources.Warc.write(
+          Tables.documents(s, d).repartition(4, $"doc_id"), stage)
+        val parts = new java.io.File(stage).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".warc"))
+          .map(_.toPath).sortBy(_.getFileName.toString)
+        require(parts.length >= 2,
+          s"stream fixture needs >=2 part files, got ${parts.length}")
+        def landFiles(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+          // write-then-rename discipline: the dotted temp name is
+          // never listed; the file appears atomically
+          val tmp = land.resolve("." + p.getFileName.toString + ".tmp")
+          java.nio.file.Files.copy(p, tmp)
+          java.nio.file.Files.move(tmp, land.resolve(p.getFileName.toString),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        val (first, rest) = parts.toSeq.splitAt(parts.length / 2)
+        landFiles(first)
+        val stream = s.readStream.format("warc").load(land.toString)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"content_length", $"payload")
+        val sink = "pipe_warc_stream_parity_sink"
+        val q = stream.writeStream
+          .outputMode("append").format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          landFiles(rest)
+          q.processAllAvailable()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches == 2,
+            s"warc stream fixture must land in 2 micro-batches, got $dataBatches")
+        } finally q.stop()
+        s.table(sink)
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum($"content_length").as("bytes_total"),
+            (sum(expr(
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long")
+              .as("payload_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""SELECT source,
+           |       count(*) AS n_records,
+           |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+           |            % 9007199254740991 AS BIGINT) AS payload_ck
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
   // §6.6): Warc.renderWithMetadata writes an application/warc-fields
   // metadata record next to each response; the read side parses the
@@ -1932,5 +2011,5 @@ object PipelineQueries {
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
-      warcRequestPair, warcMetadata, warcWetConvert)
+      warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity)
 }

@@ -396,8 +396,8 @@ private[v2] class WarcTable(
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(tableSchema == WarcDataSource.schema,
       "the warc READ schema is fixed (path, record_index, warc_type, " +
@@ -405,8 +405,11 @@ private[v2] class WarcTable(
         "refers_to, concurrent_to, payload); a user-supplied schema is " +
         s"not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
-    // target may not exist yet and must not be listed
-    new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes, planVia)
+    // target may not exist yet and must not be listed. The RAW paths
+    // ride along for the streaming side, which watches the directory
+    // itself instead of freezing one listing.
+    new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes,
+      planVia, paths)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -418,20 +421,31 @@ private[v2] class WarcTable(
 }
 
 private[v2] class WarcScanBuilder(
-    paths: Seq[String], chunkBytes: Long, planVia: String)
+    paths: Seq[String], chunkBytes: Long, planVia: String,
+    watchPaths: Seq[String] = Seq.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcDataSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, chunkBytes, planVia, required)
+  override def build(): Scan =
+    new WarcScan(paths, chunkBytes, planVia, required, watchPaths)
 }
 
 private[v2] class WarcScan(
     paths: Seq[String], chunkBytes: Long, planVia: String,
-    required: StructType)
+    required: StructType, watchPaths: Seq[String] = Seq.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(watchPaths.size == 1 &&
+        new java.io.File(watchPaths.head).isDirectory,
+      s"streaming warc needs a single landing DIRECTORY to watch, " +
+        s"got $watchPaths")
+    new WarcMicroBatchStream(watchPaths.head, chunkBytes, required)
+  }
 
   /** Split planning. The per-file skim reads every header block and
     * seeks over payloads — I/O ∝ headers — but it is still work
@@ -479,6 +493,63 @@ private[v2] class WarcScan(
 private[v2] case class WarcInputPartition(
     path: String, start: Long, end: Long, firstIdx: Long)
     extends InputPartition
+
+/** Micro-batch stream over a landing directory of WARC segment files —
+  * the shape crawl archives actually ARRIVE in (a fetcher fleet lands
+  * finished `.warc.gz` segments one by one; Common Crawl publishes
+  * thousands of segment files per crawl). The GeoJson source's device
+  * (GeoJsonDataSource.scala:163-181): an offset is the SET of files
+  * ingested so far, a batch is exactly the newly-landed files, each
+  * planned with the SAME splitting as the batch scan (sidecar index
+  * when the graft sink wrote one, header skim otherwise), so
+  * `record_index` and every per-record column are identical between
+  * batch and stream reads of the same bytes. Files must land
+  * atomically (write-then-rename — dotted temp names are never
+  * listed); the same O(files-ever-landed) offset caveat and
+  * monotone-name compaction note as the GeoJson stream applies.
+  */
+private[v2] class WarcMicroBatchStream(
+    dir: String, chunkBytes: Long, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def listFiles(): Seq[String] = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs == null) Seq.empty
+    else fs.filter(f => f.isFile && f.length() > 0 &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+        (f.getName.endsWith(".warc") || f.getName.endsWith(".warc.gz")))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = WarcStreamOffset(Seq.empty)
+  override def latestOffset(): Offset = WarcStreamOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
+    end.asInstanceOf[WarcStreamOffset].files.filterNot(seen)
+      .flatMap { p =>
+        WarcDataSource.indexSplits(p, chunkBytes).map {
+          case (s, e, i) => WarcInputPartition(p, s, e, i): InputPartition
+        }
+      }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[v2] case class WarcStreamOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(files.sorted.toArray)
+}
 
 private[v2] class WarcReaderFactory(required: StructType)
     extends PartitionReaderFactory {

@@ -510,6 +510,42 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("streaming ingest: incremental pickup, batch/stream row parity") {
+    val dir = Files.createTempDirectory("warc-spec-stream")
+    def seg(f: Int): Array[Byte] =
+      (0 until 5).map(i => record(s"http://s$f.example/$i",
+        s"payload-$f-$i".getBytes(StandardCharsets.UTF_8)))
+        .reduce(_ ++ _)
+    def landSeg(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      landSeg("a.warc", seg(0))
+      val q = spark.readStream.format("warc").load(dir.toString)
+        .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("warc_stream_spec").start()
+      try {
+        q.processAllAvailable()
+        landSeg("b.warc", seg(1))
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+          "each landed segment must arrive as its own micro-batch")
+      } finally q.stop()
+      val streamed = spark.table("warc_stream_spec")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = spark.read.format("warc").load(dir.toString)
+        .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        "stream and batch reads of the same landed bytes must agree row-for-row")
+      assert(streamed.size == 10)
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
