@@ -78,7 +78,10 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     val chunkBytes = Option(properties.get("chunkBytes"))
       .map(_.toLong).getOrElse(WarcDataSource.DefaultChunkBytes)
     val planVia = Option(properties.get("planVia")).getOrElse("auto")
-    new WarcTable(paths, chunkBytes, planVia, schema, rawPath)
+    val offsetMode = Option(properties.get("offsetMode")).getOrElse("set")
+    require(offsetMode == "set" || offsetMode == "watermark",
+      s"warc offsetMode must be set|watermark, got '$offsetMode'")
+    new WarcTable(paths, chunkBytes, planVia, schema, rawPath, offsetMode)
   }
 }
 
@@ -390,7 +393,8 @@ object WarcDataSource {
 
 private[v2] class WarcTable(
     paths: Seq[String], chunkBytes: Long, planVia: String = "auto",
-    tableSchema: StructType = WarcDataSource.schema, rawPath: String = "")
+    tableSchema: StructType = WarcDataSource.schema, rawPath: String = "",
+    offsetMode: String = "set")
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc(${paths.mkString(",")})"
@@ -409,7 +413,7 @@ private[v2] class WarcTable(
     // ride along for the streaming side, which watches the directory
     // itself instead of freezing one listing.
     new WarcScanBuilder(WarcDataSource.expandPaths(paths), chunkBytes,
-      planVia, paths)
+      planVia, paths, offsetMode)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -422,18 +426,20 @@ private[v2] class WarcTable(
 
 private[v2] class WarcScanBuilder(
     paths: Seq[String], chunkBytes: Long, planVia: String,
-    watchPaths: Seq[String] = Seq.empty)
+    watchPaths: Seq[String] = Seq.empty, offsetMode: String = "set")
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcDataSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new WarcScan(paths, chunkBytes, planVia, required, watchPaths)
+    new WarcScan(paths, chunkBytes, planVia, required, watchPaths,
+      offsetMode)
 }
 
 private[v2] class WarcScan(
     paths: Seq[String], chunkBytes: Long, planVia: String,
-    required: StructType, watchPaths: Seq[String] = Seq.empty)
+    required: StructType, watchPaths: Seq[String] = Seq.empty,
+    offsetMode: String = "set")
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -444,7 +450,8 @@ private[v2] class WarcScan(
         new java.io.File(watchPaths.head).isDirectory,
       s"streaming warc needs a single landing DIRECTORY to watch, " +
         s"got $watchPaths")
-    new WarcMicroBatchStream(watchPaths.head, chunkBytes, required)
+    new WarcMicroBatchStream(watchPaths.head, chunkBytes, required,
+      offsetMode)
   }
 
   /** Split planning. The per-file skim reads every header block and
@@ -509,7 +516,8 @@ private[v2] case class WarcInputPartition(
   * monotone-name compaction note as the GeoJson stream applies.
   */
 private[v2] class WarcMicroBatchStream(
-    dir: String, chunkBytes: Long, required: StructType)
+    dir: String, chunkBytes: Long, required: StructType,
+    offsetMode: String = "set")
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -524,19 +532,54 @@ private[v2] class WarcMicroBatchStream(
       .map(_.getAbsolutePath).sorted.toSeq
   }
 
-  override def initialOffset(): Offset = WarcStreamOffset(Seq.empty)
-  override def latestOffset(): Offset = WarcStreamOffset(listFiles())
+  private def watermark = offsetMode == "watermark"
+
+  override def initialOffset(): Offset =
+    if (watermark) WarcWatermarkOffset("", 0L) else WarcStreamOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    if (watermark) {
+      val names = listFiles().map(p => new java.io.File(p).getName)
+      if (names.isEmpty) WarcWatermarkOffset("", 0L)
+      else WarcWatermarkOffset(names.max, names.size.toLong)
+    } else WarcStreamOffset(listFiles())
+
   override def deserializeOffset(json: String): Offset =
-    WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+    if (watermark) {
+      val node = mapper.readTree(json)
+      WarcWatermarkOffset(node.get("wm").asText(), node.get("n").asLong())
+    } else WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
-    end.asInstanceOf[WarcStreamOffset].files.filterNot(seen)
-      .flatMap { p =>
-        WarcDataSource.indexSplits(p, chunkBytes).map {
-          case (s, e, i) => WarcInputPartition(p, s, e, i): InputPartition
+    val batch: Seq[String] = (start, end) match {
+      case (s: WarcStreamOffset, e: WarcStreamOffset) =>
+        val seen = s.files.toSet
+        e.files.filterNot(seen)
+      case (s: WarcWatermarkOffset, e: WarcWatermarkOffset) =>
+        val files = listFiles()
+        // the monotone-landing promise the O(1) offset rests on is
+        // CHECKED, not assumed: the count of files at-or-below the
+        // start watermark is pinned in the offset, so a late lander
+        // sorting below it aborts loudly instead of being silently
+        // skipped forever
+        val below = files.count(p => new java.io.File(p).getName <= s.wm)
+        require(below == s.n,
+          s"warc stream watermark violated: $below files sort at or " +
+            s"below watermark '${s.wm}' but the offset recorded ${s.n} — " +
+            "landing names are not monotone; use offsetMode=set")
+        files.filter { p =>
+          val n = new java.io.File(p).getName
+          n > s.wm && n <= e.wm
         }
-      }.toArray
+      case other => throw new IllegalStateException(
+        s"mixed warc stream offset kinds: $other")
+    }
+    batch.flatMap { p =>
+      WarcDataSource.indexSplits(p, chunkBytes).map {
+        case (s, e, i) => WarcInputPartition(p, s, e, i): InputPartition
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required)
@@ -549,6 +592,23 @@ private[v2] case class WarcStreamOffset(files: Seq[String])
   override def json(): String =
     new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsString(files.sorted.toArray)
+}
+
+/** O(1) stream offset for monotone landing names (`offsetMode=
+  * watermark`): the highest file NAME ingested plus the count of
+  * files at-or-below it (the cheap promise check). A months-long
+  * continuous ingest with timestamped segment names keeps constant
+  * offset size where the default set offset grows with every file
+  * ever landed.
+  */
+private[v2] case class WarcWatermarkOffset(wm: String, n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("wm", wm); node.put("n", n)
+    m.writeValueAsString(node)
+  }
 }
 
 private[v2] class WarcReaderFactory(required: StructType)

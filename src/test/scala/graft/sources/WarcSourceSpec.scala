@@ -546,6 +546,50 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("streaming watermark offsets: O(1) offset parity, violation aborts") {
+    val dir = Files.createTempDirectory("warc-spec-wm")
+    def seg(f: Int): Array[Byte] =
+      (0 until 3).map(i => record(s"http://w$f.example/$i",
+        s"wm-$f-$i".getBytes(StandardCharsets.UTF_8))).reduce(_ ++ _)
+    def landSeg(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      landSeg("seg-001.warc", seg(0))
+      def start() = spark.readStream.format("warc")
+        .option("offsetMode", "watermark").load(dir.toString)
+        .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("warc_wm_spec").start()
+      val q = start()
+      try {
+        q.processAllAvailable()
+        landSeg("seg-002.warc", seg(1)) // monotone: sorts above 001
+        q.processAllAvailable()
+        val streamed = spark.table("warc_wm_spec")
+          .collect().map(_.toString).sorted.toSeq
+        val batch = spark.read.format("warc").load(dir.toString)
+          .selectExpr("path", "record_index", "target_uri", "md5(payload) AS ck")
+          .collect().map(_.toString).sorted.toSeq
+        assert(streamed == batch && streamed.size == 6,
+          "watermark offsets must ingest exactly the batch rows")
+        // a late lander BELOW the watermark violates the monotone
+        // promise the O(1) offset rests on — the stream must abort
+        // loudly, never skip the file silently
+        landSeg("seg-000.warc", seg(2))
+        val ex = intercept[Exception] { q.processAllAvailable() }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(ex).exists(_.contains("watermark violated")),
+          s"expected a watermark-violation abort, got: $ex")
+      } finally q.stop()
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
