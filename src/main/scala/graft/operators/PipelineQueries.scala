@@ -1733,9 +1733,14 @@ object PipelineQueries {
           q.processAllAvailable()
           landFiles(rest)
           q.processAllAvailable()
+          // ≥2 proves incremental pickup (the second landing wave was
+          // NOT folded into the first batch); an exact ==2 races with
+          // the trigger when large files land mid-poll and a wave
+          // splits — completeness is the checksum oracle's job
           val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-          require(dataBatches == 2,
-            s"warc stream fixture must land in 2 micro-batches, got $dataBatches")
+          require(dataBatches >= 2,
+            s"warc stream fixture must land incrementally (>=2 " +
+              s"micro-batches), got $dataBatches")
         } finally q.stop()
         s.table(sink)
           .groupBy($"source")
