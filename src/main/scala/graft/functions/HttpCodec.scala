@@ -20,10 +20,20 @@ package graft.functions
 object HttpCodec {
 
   /** RFC 1952 member header: magic, CM=deflate, FLG=0, MTIME=0,
-    * XFL=0, OS=255 — identical to the WARC gzip sink's framing.
+    * XFL=0, OS=255 — THE deterministic member framing, shared with
+    * the WARC gzip sink (sources/v2/WarcWrite.scala) so the
+    * expression and the sink cannot drift byte-wise.
     */
-  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
+  private[graft] val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
     0, 0, 0, 0, 0, 0xff.toByte)
+
+  /** Little-endian uint32, the RFC 1952 trailer encoding (shared with
+    * the WARC gzip sink).
+    */
+  private[graft] def writeIntLE(out: java.io.OutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
 
   // one native zlib stream per THREAD, reset per call: executor task
   // threads are long-lived and bounded, so this is the no-leak,
@@ -54,11 +64,6 @@ object HttpCodec {
     out.toByteArray
   }
 
-  private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-  }
-
   /** Inflate one gzip member, validating magic, CRC32 and ISIZE — the
     * GzipMemberStream discipline at expression granularity. Accepts
     * exactly one member (a content-encoded HTTP body is one member;
@@ -70,13 +75,30 @@ object HttpCodec {
     require(bytes(2) == 8, s"gzip_decompress: unsupported method ${bytes(2)}")
     val flg = bytes(3) & 0xff
     var p = 10
+    // optional-field parsing stays bounds-checked so a truncated or
+    // lying header aborts with the codec's own message, never a raw
+    // ArrayIndexOutOfBounds from deep inside a codegen'd expression
+    val deflateEnd = bytes.length - 8 // trailer must remain
+    def need(n: Int, what: String): Unit =
+      require(p + n <= deflateEnd,
+        s"gzip_decompress: member truncated inside $what (offset $p)")
     if ((flg & 0x04) != 0) { // FEXTRA
+      need(2, "FEXTRA length")
       val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      need(2 + xlen, "FEXTRA")
       p += 2 + xlen
     }
-    if ((flg & 0x08) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
-    if ((flg & 0x10) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
-    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if ((flg & 0x08) != 0) { // FNAME
+      while (p < deflateEnd && bytes(p) != 0) p += 1
+      need(1, "FNAME"); p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < deflateEnd && bytes(p) != 0) p += 1
+      need(1, "FCOMMENT"); p += 1
+    }
+    if ((flg & 0x02) != 0) { need(2, "FHCRC"); p += 2 }
+    require(p <= deflateEnd,
+      s"gzip_decompress: header fields overrun the member (offset $p)")
     val inflater = inflaters.get()
     inflater.reset()
     inflater.setInput(bytes, p, bytes.length - p - 8)
@@ -158,7 +180,12 @@ object HttpCodec {
       require(sizeStr.nonEmpty && sizeStr.forall(c =>
           Character.digit(c, 16) >= 0),
         s"chunked_decode: bad chunk-size line '$sizeStr' at $p")
-      val n = java.lang.Long.parseLong(sizeStr, 16)
+      // length-bound BEFORE parseLong: a 17+-hex-digit size line must
+      // get this message, not a raw NumberFormatException
+      val trimmed = sizeStr.dropWhile(_ == '0')
+      require(trimmed.length <= 8,
+        s"chunked_decode: chunk-size '$sizeStr' at $p is absurdly large")
+      val n = if (trimmed.isEmpty) 0L else java.lang.Long.parseLong(trimmed, 16)
       require(n <= Int.MaxValue - 16, s"chunked_decode: chunk of $n bytes")
       p = e + 2
       if (n == 0L) {

@@ -48,25 +48,26 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  /** The WARC record envelope around a payload expression: every
-    * derived header stays deterministic row arithmetic so a DuckDB
-    * oracle can replay the bytes without reading the files back.
+  /** The record's complete header block (version line through the
+    * blank line) as ONE string expression — every derived header is
+    * deterministic row arithmetic so a DuckDB oracle can replay the
+    * bytes without reading the files back, and it is the single
+    * definition behind both the string and the binary envelope, so a
+    * header change can never reach one renderer and miss the other.
     */
-  private def envelope(
-      docs: DataFrame,
+  private def headerBlock(
       payload: org.apache.spark.sql.Column,
       contentType: String,
-      warcType: org.apache.spark.sql.Column = lit("response"),
-      idSeed: org.apache.spark.sql.Column =
-        concat(lit("warc:"), col("doc_id").cast("string")),
-      extraHeaders: org.apache.spark.sql.Column = lit("")): DataFrame = {
+      warcType: org.apache.spark.sql.Column,
+      idSeed: org.apache.spark.sql.Column,
+      extraHeaders: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
     val date = concat(
       lit("2020-01-01T"),
       two(col("doc_id") % 24), lit(":"),
       two(col("doc_id") % 60), lit(":"),
       two((col("doc_id") * 7) % 60), lit("Z"))
-    docs.select(concat(
+    concat(
       lit("WARC/1.0\r\n"),
       lit("WARC-Type: "), warcType, lit("\r\n"),
       lit("WARC-Record-ID: <urn:md5:"),
@@ -78,10 +79,21 @@ object Warc {
       extraHeaders,
       lit(s"Content-Type: $contentType\r\n"),
       lit("Content-Length: "), octet_length(payload).cast("string"),
-      lit("\r\n\r\n"),
+      lit("\r\n\r\n"))
+  }
+
+  private def envelope(
+      docs: DataFrame,
+      payload: org.apache.spark.sql.Column,
+      contentType: String,
+      warcType: org.apache.spark.sql.Column = lit("response"),
+      idSeed: org.apache.spark.sql.Column =
+        concat(lit("warc:"), col("doc_id").cast("string")),
+      extraHeaders: org.apache.spark.sql.Column = lit("")): DataFrame =
+    docs.select(concat(
+      headerBlock(payload, contentType, warcType, idSeed, extraHeaders),
       payload, lit("\r\n"),
     ).as("value"))
-  }
 
   /** Render documents rows to one WARC record string per row. */
   def render(docs: DataFrame): DataFrame =
@@ -176,39 +188,22 @@ object Warc {
     envelopeBinary(docs, http, "application/http; msgtype=response")
   }
 
-  /** [[envelope]] for BINARY payloads: same derived headers, assembled
-    * as a binary concat (ASCII header text encodes transparently), so
-    * payload bytes that are not valid UTF-8 — gzip-encoded HTTP
-    * bodies — survive untouched. Content-Length still counts payload
-    * bytes; the DSv2 sink accepts the single binary column and appends
-    * the record CRLF exactly as in the string path.
+  /** [[envelope]] for BINARY payloads: the SAME [[headerBlock]]
+    * expression, assembled as a binary concat (ASCII header text
+    * encodes transparently), so payload bytes that are not valid
+    * UTF-8 — gzip-encoded HTTP bodies — survive untouched. The DSv2
+    * sink accepts the single binary column and appends the record
+    * CRLF exactly as in the string path.
     */
   private def envelopeBinary(
       docs: DataFrame,
       payload: org.apache.spark.sql.Column,
-      contentType: String): DataFrame = {
-    val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
-    val date = concat(
-      lit("2020-01-01T"),
-      two(col("doc_id") % 24), lit(":"),
-      two(col("doc_id") % 60), lit(":"),
-      two((col("doc_id") * 7) % 60), lit("Z"))
-    val head = concat(
-      lit("WARC/1.0\r\n"),
-      lit("WARC-Type: response\r\n"),
-      lit("WARC-Record-ID: <urn:md5:"),
-      md5(concat(lit("warc:"), col("doc_id").cast("string")).cast("binary")),
-      lit(">\r\n"),
-      lit("WARC-Date: "), date, lit("\r\n"),
-      lit("WARC-Target-URI: http://"), col("source"),
-      lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
-      lit(s"Content-Type: $contentType\r\n"),
-      lit("Content-Length: "), octet_length(payload).cast("string"),
-      lit("\r\n\r\n"))
+      contentType: String): DataFrame =
     docs.select(concat(
-      encode(head, "utf-8"), payload, encode(lit("\r\n"), "utf-8"),
+      encode(headerBlock(payload, contentType, lit("response"),
+        concat(lit("warc:"), col("doc_id").cast("string")), lit("")), "utf-8"),
+      payload, encode(lit("\r\n"), "utf-8"),
     ).as("value"))
-  }
 
   /** [[renderHttpEncoded]] written as plain WARC part files. */
   def writeHttpEncoded(docs: DataFrame, path: String): Unit =

@@ -521,7 +521,7 @@ private[v2] class WarcMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val mapper = WarcOffsets.mapper
 
   private def listFiles(): Seq[String] = {
     val fs = new java.io.File(dir).listFiles()
@@ -534,20 +534,42 @@ private[v2] class WarcMicroBatchStream(
 
   private def watermark = offsetMode == "watermark"
 
+  /** Order-independent fold of the names at-or-below a watermark —
+    * O(1) offset state that pins the exact SET of below-watermark
+    * names, so a compensating delete-plus-late-land (count unchanged,
+    * membership changed) still aborts, not only a count change.
+    */
+  private def belowCk(names: Seq[String], wm: String): (Long, Long) = {
+    var n = 0L
+    var ck = 0L
+    for (name <- names if name <= wm) {
+      val c = new java.util.zip.CRC32
+      c.update(name.getBytes("UTF-8"))
+      n += 1; ck += c.getValue
+    }
+    (n, ck)
+  }
+
   override def initialOffset(): Offset =
-    if (watermark) WarcWatermarkOffset("", 0L) else WarcStreamOffset(Seq.empty)
+    if (watermark) WarcWatermarkOffset("", 0L, 0L)
+    else WarcStreamOffset(Seq.empty)
 
   override def latestOffset(): Offset =
     if (watermark) {
       val names = listFiles().map(p => new java.io.File(p).getName)
-      if (names.isEmpty) WarcWatermarkOffset("", 0L)
-      else WarcWatermarkOffset(names.max, names.size.toLong)
+      if (names.isEmpty) WarcWatermarkOffset("", 0L, 0L)
+      else {
+        val wm = names.max
+        val (n, ck) = belowCk(names, wm)
+        WarcWatermarkOffset(wm, n, ck)
+      }
     } else WarcStreamOffset(listFiles())
 
   override def deserializeOffset(json: String): Offset =
     if (watermark) {
       val node = mapper.readTree(json)
-      WarcWatermarkOffset(node.get("wm").asText(), node.get("n").asLong())
+      WarcWatermarkOffset(node.get("wm").asText(), node.get("n").asLong(),
+        node.get("ck").asLong())
     } else WarcStreamOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
 
   override def planInputPartitions(
@@ -559,15 +581,18 @@ private[v2] class WarcMicroBatchStream(
       case (s: WarcWatermarkOffset, e: WarcWatermarkOffset) =>
         val files = listFiles()
         // the monotone-landing promise the O(1) offset rests on is
-        // CHECKED, not assumed: the count of files at-or-below the
-        // start watermark is pinned in the offset, so a late lander
-        // sorting below it aborts loudly instead of being silently
-        // skipped forever
-        val below = files.count(p => new java.io.File(p).getName <= s.wm)
-        require(below == s.n,
-          s"warc stream watermark violated: $below files sort at or " +
-            s"below watermark '${s.wm}' but the offset recorded ${s.n} — " +
-            "landing names are not monotone; use offsetMode=set")
+        // CHECKED, not assumed: the offset pins count AND an
+        // order-independent name checksum of everything at-or-below
+        // the start watermark, so a late lander sorting below it — or
+        // a compensating delete-plus-land that keeps the count — 
+        // aborts loudly instead of being silently skipped forever
+        val names = files.map(p => new java.io.File(p).getName)
+        val (below, belowSum) = belowCk(names, s.wm)
+        require(below == s.n && belowSum == s.ck,
+          s"warc stream watermark violated: files at or below watermark " +
+            s"'${s.wm}' changed (count $below vs ${s.n}, name-ck " +
+            s"$belowSum vs ${s.ck}) — landing names are not monotone " +
+            "or ingested segments were removed; use offsetMode=set")
         files.filter { p =>
           val n = new java.io.File(p).getName
           n > s.wm && n <= e.wm
@@ -587,27 +612,34 @@ private[v2] class WarcMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** One shared Jackson mapper for offset (de)serialization — offsets
+  * serialize every trigger, and ObjectMapper construction is the
+  * expensive part of Jackson.
+  */
+private[v2] object WarcOffsets {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
 private[v2] case class WarcStreamOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(files.sorted.toArray)
+    WarcOffsets.mapper.writeValueAsString(files.sorted.toArray)
 }
 
 /** O(1) stream offset for monotone landing names (`offsetMode=
-  * watermark`): the highest file NAME ingested plus the count of
-  * files at-or-below it (the cheap promise check). A months-long
-  * continuous ingest with timestamped segment names keeps constant
-  * offset size where the default set offset grows with every file
-  * ever landed.
+  * watermark`): the highest file NAME ingested plus the count and an
+  * order-independent CRC fold of the names at-or-below it (the
+  * promise check — membership-sensitive, not just count-sensitive).
+  * A months-long continuous ingest with timestamped segment names
+  * keeps constant offset size where the default set offset grows
+  * with every file ever landed.
   */
-private[v2] case class WarcWatermarkOffset(wm: String, n: Long)
+private[v2] case class WarcWatermarkOffset(wm: String, n: Long, ck: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("wm", wm); node.put("n", n)
-    m.writeValueAsString(node)
+    val node = WarcOffsets.mapper.createObjectNode()
+    node.put("wm", wm); node.put("n", n); node.put("ck", ck)
+    WarcOffsets.mapper.writeValueAsString(node)
   }
 }
 

@@ -188,16 +188,15 @@ private[v2] class WarcDataWriter(
     else null
   private val crc = new java.util.zip.CRC32
   private val dbuf = new Array[Byte](64 * 1024)
-  // RFC 1952 member header: magic, CM=deflate, FLG=0, MTIME=0 (the
-  // sink is deterministic — no timestamps), XFL=0, OS=255 (unknown)
-  private val GzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0,
-    0, 0, 0, 0, 0, 0xff.toByte)
+  // RFC 1952 member framing shared with the gzip_compress expression
+  // (graft.functions.HttpCodec): ONE definition of the deterministic
+  // header and trailer encoding, so sink members and expression
+  // members stay byte-identical by construction
+  private val GzHeader = graft.functions.HttpCodec.GzHeader
   private val CrLf = Array[Byte]('\r', '\n')
 
-  private def writeIntLE(v: Long): Unit = {
-    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
-    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
-  }
+  private def writeIntLE(v: Long): Unit =
+    graft.functions.HttpCodec.writeIntLE(out, v)
 
   // Sidecar split index: record-boundary marks every ~64 KiB of output
   // (offset after record i, records written so far), emitted at task

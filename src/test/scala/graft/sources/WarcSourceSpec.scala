@@ -590,6 +590,42 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("streaming watermark: compensating delete+land still aborts") {
+    // the count-only hole: remove an ingested segment AND land a late
+    // one — the below-watermark count is unchanged, but the offset's
+    // name checksum pins MEMBERSHIP, so the violation still aborts
+    val dir = Files.createTempDirectory("warc-spec-wm2")
+    def one(f: Int): Array[Byte] =
+      record(s"http://c$f.example/0", s"cc-$f".getBytes(StandardCharsets.UTF_8))
+    def landSeg(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = dir.resolve(s".$name.tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    try {
+      landSeg("seg-001.warc", one(1))
+      landSeg("seg-002.warc", one(2))
+      val q = spark.readStream.format("warc")
+        .option("offsetMode", "watermark").load(dir.toString)
+        .selectExpr("target_uri")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("warc_wm2_spec").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("warc_wm2_spec").count() == 2)
+        assert(Files.deleteIfExists(dir.resolve("seg-001.warc")))
+        landSeg("seg-000.warc", one(0)) // count below wm unchanged
+        val ex = intercept[Exception] { q.processAllAvailable() }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(ex).exists(_.contains("watermark violated")),
+          s"expected a membership-violation abort, got: $ex")
+      } finally q.stop()
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
