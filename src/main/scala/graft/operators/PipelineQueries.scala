@@ -1766,6 +1766,72 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC CDX INDEX (the random-access sidecar: Common Crawl ships a
+  // CDX(J) index of (urlkey, offset, length, digest) so consumers can
+  // range-request single records out of multi-GB segments): write the
+  // corpus as ONE deterministic-order segment, read it back, and emit
+  // each record's CDX tuple — seekable byte offset (`record_offset`),
+  // stored length, payload digest. The oracle replays the OFFSETS by
+  // reconstructing the envelope byte-for-byte in SQL (shared header
+  // derivations: record-id md5, date arithmetic, Content-Length
+  // digits) and prefix-summing record sizes — a single drifted byte
+  // anywhere in the rendering or the reader's offset accounting shifts
+  // every subsequent offset. At scale CDX generation is per-file
+  // (offsets are file-local), so the single-segment fixture is the
+  // contract check, not the scale shape; the random-access REPLAY of
+  // these offsets is spec-pinned in WarcSourceSpec.
+  private val warcCdx = Q(
+    "pipe_warc_cdx",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-cdx")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.write(
+          Tables.documents(s, d).orderBy($"doc_id").coalesce(1), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)")
+              .as("doc_id"),
+            $"record_offset", $"content_length",
+            md5($"payload").as("digest"))
+          .orderBy($"doc_id")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+           |r AS (
+           |  SELECT doc_id,
+           |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+           |         octet_length(encode(
+           |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
+           |           'WARC-Record-ID: <urn:md5:' ||
+           |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
+           |           'WARC-Date: 2020-01-01T' ||
+           |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+           |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+           |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
+           |             'Z' || c ||
+           |           'WARC-Target-URI: http://' || source ||
+           |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
+           |           'Content-Type: text/plain; charset=utf-8' || c ||
+           |           'Content-Length: ' ||
+           |             CAST(octet_length(encode(text)) AS VARCHAR) ||
+           |             c || c || text)) + 4 AS rec_bytes,
+           |         md5(text) AS digest
+           |  FROM documents, crlf)
+           |SELECT doc_id,
+           |       CAST(coalesce(sum(rec_bytes) OVER (ORDER BY doc_id
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |            0) AS BIGINT) AS record_offset,
+           |       plen AS content_length,
+           |       digest
+           |FROM r
+           |ORDER BY doc_id""".stripMargin),
+  )
+
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
   // §6.6): Warc.renderWithMetadata writes an application/warc-fields
   // metadata record next to each response; the read side parses the
@@ -2016,5 +2082,6 @@ object PipelineQueries {
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
-      warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity)
+      warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
+      warcCdx)
 }

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * → rows (path, record_index, warc_type, record_id, target_uri,
   * warc_date, content_type, content_length, refers_to, concurrent_to,
-  * payload) — refers_to is `WARC-Refers-To`, the revisit record's
+  * record_offset, payload) — record_offset is the byte offset of the
+  * record's seekable frame start (the gzip MEMBER start in .warc.gz),
+  * i.e. what a CDX index stores; refers_to is `WARC-Refers-To`, the revisit record's
   * pointer at its referent (crawl-side payload dedup); concurrent_to
   * is `WARC-Concurrent-To`, the request record's pointer at the
   * response of the same capture. Counterpart of
@@ -103,6 +105,11 @@ object WarcDataSource {
     StructField("content_length", LongType, nullable = false),
     StructField("refers_to", StringType, nullable = true),
     StructField("concurrent_to", StringType, nullable = true),
+    // byte offset of the record's seekable frame start: the record
+    // itself in plain files, the enclosing gzip MEMBER in .warc.gz —
+    // exactly the offset a CDX index stores and a range-request
+    // replay seeks to
+    StructField("record_offset", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false),
   ))
 
@@ -128,7 +135,7 @@ object WarcDataSource {
   /** One parsed header block: field map (lower-cased names), the byte
     * offset just past the blank line, and the record's start offset.
     */
-  private[v2] final case class Header(
+  private[sources] final case class Header(
       fields: Map[String, String], payloadStart: Long, recordStart: Long) {
     def contentLength(path: String): Long = {
       val raw = fields.getOrElse("content-length",
@@ -148,7 +155,7 @@ object WarcDataSource {
   /** Read one header block (through its closing CRLFCRLF) from a
     * stream positioned at a record start. None at clean EOF.
     */
-  private[v2] def readHeader(
+  private[sources] def readHeader(
       in: BufferedInputStream, path: String, offset: Long): Option[Header] = {
     val first = in.read()
     if (first < 0) return None
@@ -198,7 +205,7 @@ object WarcDataSource {
     }
   }
 
-  private[v2] def readFully(
+  private[sources] def readFully(
       in: BufferedInputStream, n: Int, path: String, offset: Long): Array[Byte] = {
     val out = new Array[Byte](n)
     var got = 0
@@ -406,8 +413,8 @@ private[v2] class WarcTable(
     require(tableSchema == WarcDataSource.schema,
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
-        "refers_to, concurrent_to, payload); a user-supplied schema is " +
-        s"not supported: ${tableSchema.sql}")
+        "refers_to, concurrent_to, record_offset, payload); a " +
+        s"user-supplied schema is not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed. The RAW paths
     // ride along for the streaming side, which watches the directory
@@ -683,6 +690,7 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
         h.fields.get("warc-concurrent-to")
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
+      case "record_offset" => (h, _, _, _) => h.recordStart
       case "warc_date" => (h, _, _, _) => header(h, "warc-date")
       case "content_type" => (h, _, _, _) => header(h, "content-type")
       case "content_length" => (_, len, _, _) => len

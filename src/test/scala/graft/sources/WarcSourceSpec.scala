@@ -626,6 +626,54 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("record_offset enables random access (plain and gzip member)") {
+    import graft.sources.v2.{GzipMemberStream, WarcDataSource => WDS}
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (gz <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("warc-spec-off")
+      try {
+        if (gz) Warc.writeGzip(docs, dir.toString + "/w")
+        else Warc.write(docs, dir.toString + "/w")
+        val rows = spark.read.format("warc")
+          .option("chunkBytes", "65536").load(dir.toString + "/w")
+          .selectExpr("path", "record_offset", "record_id",
+            "md5(payload) AS ck")
+          .collect()
+        // seek DIRECTLY to a sample of offsets and parse one frame —
+        // the CDX replay path: no scan, no planner, just (path, offset)
+        for (r <- rows.sortBy(_.getAs[Long]("record_offset")).take(5) ++
+            rows.sortBy(-_.getAs[Long]("record_offset")).take(5)) {
+          val path = r.getAs[String]("path")
+          val off = r.getAs[Long]("record_offset")
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(path))
+          try {
+            var skipped = 0L
+            while (skipped < off) skipped += in.skip(off - skipped)
+            val recIn =
+              if (gz) {
+                val ms = new GzipMemberStream(in, path, off)
+                val member = ms.readMember().get
+                new java.io.BufferedInputStream(
+                  new java.io.ByteArrayInputStream(member))
+              } else in
+            val h = WDS.readHeader(recIn, path, off).get
+            val id = h.fields("warc-record-id")
+              .stripPrefix("<").stripSuffix(">")
+            assert(id == r.getAs[String]("record_id"),
+              s"random access at $path:$off found the wrong record")
+            val len = h.contentLength(path).toInt
+            val payload = WDS.readFully(recIn, len, path, off)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            assert(md.digest(payload).map(b => f"$b%02x").mkString ==
+              r.getAs[String]("ck"),
+              s"random access at $path:$off read different payload bytes")
+          } finally in.close()
+        }
+      } finally rm(dir)
+    }
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
