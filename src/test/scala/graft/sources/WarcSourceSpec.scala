@@ -674,6 +674,35 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("header-only side of a resolution join prunes payload I/O") {
+    // the metadata/request/revisit gates all join a parsed side against
+    // a header-only response side; the 100-TB claim is that the
+    // header-only branch never reads payload bytes — pin it in the
+    // executed plan's per-scan ReadSchema
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("warc-spec-prune")
+    try {
+      Warc.writeMetadata(docs, dir.toString + "/w")
+      def archive = spark.read.format("warc").load(dir.toString + "/w")
+      val meta = archive.filter(col("warc_type") === "metadata")
+        .select(col("concurrent_to"),
+          length(col("payload")).as("plen"))
+      val resps = archive.filter(col("warc_type") === "response")
+        .select(col("record_id").as("rid"), col("target_uri"))
+      val joined = meta.join(resps, col("concurrent_to") === col("rid"))
+        .agg(count(lit(1)), sum(col("plen")))
+      joined.collect() // force execution so the final adaptive plan exists
+      val scans = joined.queryExecution.executedPlan.toString
+        .split("\n").filter(_.contains("BatchScan warc"))
+      assert(scans.length >= 2, s"expected two warc scans:\n$scans")
+      assert(scans.exists(!_.contains("payload")),
+        "the header-only join side must carry a payload-free ReadSchema")
+      assert(scans.exists(_.contains("payload")),
+        "the parsed side still reads payload")
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
