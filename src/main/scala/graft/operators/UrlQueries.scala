@@ -570,7 +570,72 @@ object UrlQueries {
             |ORDER BY host""".stripMargin),
   )
 
+  // ---------------------------------------------------------------
+  // 8. robots.txt politeness filter: the crawl-side compliance op —
+  //    a URL is dropped when ANY of its registered domain's Disallow
+  //    prefixes matches its path (RFC 9309 prefix semantics; CCBot
+  //    honors exactly this before fetching). The rules ship as ONE
+  //    literal list (Blocklist/BlocklistSql device) pre-grouped to a
+  //    (domain, prefix-array) broadcast dim, so the check is one
+  //    broadcast join plus an in-row exists() — no per-rule row
+  //    explosion and no doc-level regroup; at 100 TB a real
+  //    robots corpus (one row per crawled domain) broadcasts or
+  //    becomes a bucketed join on the same key.
+  private[operators] val RobotsRules: Seq[(String, String)] = Seq(
+    "site1.com" -> "/doc/1", // prefix semantics: /doc/1, /doc/1*, ...
+    "site7.co.uk" -> "/doc/", // whole path space disallowed
+    "site7.co.uk" -> "/never/", // second rule per domain: any-match
+    "site3.io" -> "/private/", // never matches the fixture → all kept
+    "cdn.site4.ck" -> "/doc/4", // wildcard-PSL domain keeps its label
+  )
+
+  private val RobotsRulesSql = RobotsRules
+    .map { case (d, p) => s"('$d','$p')" }.mkString(",")
+
+  private val robotsFilter = Q(
+    "td_robots_filter",
+    (s, d) => {
+      import s.implicits._
+      val host = canonHost($"raw_url")
+      val dim = RobotsRules.groupBy(_._1).view
+        .mapValues(_.map(_._2)).toSeq
+        .toDF("r_dom", "r_prefixes")
+      withRegDomain(withRawUrl(Tables.documents(s, d)), host)
+        .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
+        .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
+        .withColumn("blocked",
+          coalesce(exists($"r_prefixes", p => startswith($"path", p)),
+            lit(false)))
+        .groupBy($"source")
+        .agg(
+          count(when(!$"blocked", 1)).as("n_allowed"),
+          count(when($"blocked", 1)).as("n_disallowed"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH $RawUrlCte,
+            |rules(r_dom, r_prefix) AS (VALUES $RobotsRulesSql),
+            |dom AS (
+            |  SELECT source,
+            |         ${regDomainSql(
+      canonHostSql("raw_url"))} AS reg_domain,
+            |         regexp_extract(raw_url, $PathReSql, 1) AS path
+            |  FROM u),
+            |b AS (
+            |  SELECT source,
+            |         EXISTS(SELECT 1 FROM rules r
+            |                WHERE r.r_dom = dom.reg_domain
+            |                  AND dom.path LIKE r.r_prefix || '%')
+            |           AS blocked
+            |  FROM dom)
+            |SELECT source,
+            |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
+            |       count(*) FILTER (WHERE blocked) AS n_disallowed
+            |FROM b
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
-      domainCapSample, pslClasses)
+      domainCapSample, pslClasses, robotsFilter)
 }

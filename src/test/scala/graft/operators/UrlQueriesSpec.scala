@@ -265,6 +265,26 @@ class UrlQueriesSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_docs")).sum == docIds.length.toLong)
   }
 
+  test("robots filter replays RFC 9309 prefix semantics, and fires") {
+    val rules = UrlQueries.RobotsRules.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    def naiveBlocked(id: Long): Boolean = {
+      val u = new java.net.URI(rawUrl(id))
+      val dom = naiveRegDomain(u.getHost.toLowerCase(java.util.Locale.ROOT)
+        .replaceFirst("^www\\.", ""))
+      rules.get(dom).exists(_.exists(u.getPath.startsWith))
+    }
+    val expectBlocked = docIds.count(naiveBlocked)
+    val got = q("td_robots_filter").fn(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_disallowed")).sum == expectBlocked.toLong,
+      "disallowed count must match the naive RFC 9309 replay")
+    assert(got.map(r => r.getAs[Long]("n_allowed") +
+      r.getAs[Long]("n_disallowed")).sum == docIds.length.toLong,
+      "allowed + disallowed must conserve the corpus")
+    assert(expectBlocked > 0,
+      "robots rules never fire on the fixture — rules stale vs derivation")
+  }
+
   test("blocklist filter conserves documents per source") {
     import spark.implicits._
     val perSource = graft.model.Tables.documents(spark, sf)
