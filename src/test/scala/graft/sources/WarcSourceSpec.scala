@@ -703,6 +703,42 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("garbage robustness: arbitrary bytes always abort loudly, never short-scan") {
+    // the reader's contract is framing-or-abort: no byte soup may ever
+    // yield a plausible-but-wrong row set. Deterministic LCG fuzz plus
+    // the three structured corruption shapes.
+    def fuzz(seed: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n); var s = seed
+      for (i <- 0 until n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(i) = (s >>> 56).toByte
+      }
+      out
+    }
+    def mustAbort(name: String, bytes: Array[Byte]): Unit = {
+      val dir = Files.createTempDirectory("warc-spec-garbage")
+      try {
+        Files.write(dir.resolve("g.warc"), bytes)
+        val ex = intercept[Throwable] {
+          spark.read.format("warc").load(dir.toString).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ msgs(e.getCause))
+        assert(msgs(ex).exists(m => m.contains("WARC") || m.contains("warc")),
+          s"$name: abort must carry a WARC-framing message, got $ex")
+      } finally rm(dir)
+    }
+    for (seed <- 1 to 8) mustAbort(s"fuzz-$seed", fuzz(seed, 500 + seed * 37))
+    val good = record("http://a.example/1", "ok".getBytes(StandardCharsets.UTF_8))
+    mustAbort("valid-record-then-garbage", good ++ fuzz(99, 200))
+    mustAbort("content-length-overruns-file",
+      record("http://a.example/1", "short".getBytes(StandardCharsets.UTF_8))
+        .take(40) ++ "Content-Length: 99999\r\n\r\nx".getBytes(StandardCharsets.UTF_8))
+    mustAbort("header-never-ends",
+      ("WARC/1.0\r\n" + "X: y\r\n" * 50000).getBytes(StandardCharsets.UTF_8))
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
