@@ -86,14 +86,25 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    }
+    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
 
-    /** One timed query: min/mean wall, the process-CPU seconds of the
-      * min-wall rep (the comparison basis), error, and any
-      * adaptive-tail failure (recorded, never silently dropped).
+    /** One timed query: min/mean wall, the process-CPU seconds and GC
+      * milliseconds of the min-wall rep (the comparison basis), error,
+      * and any adaptive-tail failure (recorded, never silently
+      * dropped). gc_ms closes the round-13 triage gap: cpu_sec alone
+      * says "the work happened in-process" but cannot separate GC
+      * thrash (wall AND cpu spike together, gc_ms spikes too) from
+      * genuinely more plan work (gc_ms flat) — with all three in the
+      * driver-visible artifact an outlier adjudicates without a
+      * same-SHA rerun.
       */
     final case class QResult(
         name: String, min: Double, mean: Double, cpuSec: Double,
-        err: Option[String], tailErr: Option[String] = None)
+        gcMs: Long, err: Option[String], tailErr: Option[String] = None)
 
     val ivfTrain =
       if (!matched.exists(_.name.startsWith("sim_ivf"))) Seq.empty
@@ -105,10 +116,11 @@ object Bench {
         val times = (1 to Reps).flatMap { _ =>
           try {
             operators.SimilarityQueries.resetCentroidCache()
-            val c0 = cpuNanos
+            val (c0, g0) = (cpuNanos, gcMillis)
             val t0 = System.nanoTime()
             operators.SimilarityQueries.trainIvf(spark, sfDir)
-            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9))
+            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9,
+              gcMillis - g0))
           } catch {
             case e: Throwable =>
               err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -117,11 +129,11 @@ object Bench {
         }
         // same -1 convention as the main loop when anything failed
         if (err.isDefined || times.isEmpty)
-          Seq(QResult("sim_ivf_train", -1.0, -1.0, -1.0, err))
+          Seq(QResult("sim_ivf_train", -1.0, -1.0, -1.0, -1L, err))
         else {
           val best = times.minBy(_._1)
           Seq(QResult("sim_ivf_train", best._1,
-            times.map(_._1).sum / times.size, best._2, None))
+            times.map(_._1).sum / times.size, best._2, best._3, None))
         }
       }
     // Per-rep attribution (SPARK_GRAFT_BENCH_REPDUMP=<path> writes one
@@ -130,11 +142,6 @@ object Bench {
     // with a GC/JIT delta is machine noise, not a plan change — this is
     // the mechanical dissection of the round-11 "same code, sub-3 s
     // query swings 2–3× between runs" drift.
-    val gcBeans = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
-    }
-    def gcMillis: Long = gcBeans.map(_.getCollectionTime).sum
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def jitMillis: Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
@@ -178,21 +185,22 @@ object Bench {
     def timeQuery(q: Q): QResult = {
       var err: Option[String] = None
       jitQuiesce()
-      def rep(i: Int): Option[(Double, Double)] = {
+      def rep(i: Int): Option[(Double, Double, Long)] = {
         spark.catalog.clearCache()
         val (gc0, jit0, c0) = (gcMillis, jitMillis, cpuNanos)
         val t0 = System.nanoTime()
         val r =
           try {
             q.fn(spark, sfDir).count()
-            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9))
+            Some(((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9,
+              gcMillis - gc0))
           } catch {
             case e: Throwable =>
               err = Some(e.toString.takeWhile(_ != '\n').take(200)); None
           }
-        for (w <- repDump; (t, cpu) <- r) {
+        for (w <- repDump; (t, cpu, gc) <- r) {
           w.write(s"""{"q":"${q.name}","rep":$i,"sec":$t,"cpu_sec":$cpu,""" +
-            s""""gc_ms":${gcMillis - gc0},"jit_ms":${jitMillis - jit0}}""" + "\n")
+            s""""gc_ms":$gc,"jit_ms":${jitMillis - jit0}}""" + "\n")
           w.flush()
         }
         r
@@ -226,19 +234,21 @@ object Bench {
           base ++ extra
         } else base
       if (err.isDefined || times.isEmpty)
-        QResult(q.name, -1.0, -1.0, -1.0, err.orElse(Some("no completed reps")))
+        QResult(q.name, -1.0, -1.0, -1.0, -1L,
+          err.orElse(Some("no completed reps")))
       else {
         val best = times.minBy(_._1)
         QResult(q.name, best._1, times.map(_._1).sum / times.size, best._2,
-          None, tailErr)
+          best._3, None, tailErr)
       }
     }
     val results = ivfTrain ++ selected.map(timeQuery)
-    val errs = results.collect { case QResult(k, _, _, _, Some(e), _) =>
+    val errs = results.collect { case QResult(k, _, _, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
-    val tailErrs = results.collect { case QResult(k, _, _, _, None, Some(e)) =>
-      "\"" + k + "\":\"" + esc(e) + "\""
+    val tailErrs = results.collect {
+      case QResult(k, _, _, _, _, None, Some(e)) =>
+        "\"" + k + "\":\"" + esc(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case r if r.err.isEmpty => r.min }.sum
 
@@ -286,8 +296,13 @@ object Bench {
     // the artifact alone
     val fullCpu = results.map(r => "\"" + r.name + "\":" + r.cpuSec)
       .mkString("{", ",", "}")
+    // gc_ms of the MIN-WALL rep (same rep as cpu_sec): wall ≈ cpu with
+    // gc_ms spiking = GC thrash (memory pressure), wall ≈ cpu with
+    // gc_ms flat = genuinely more plan work, wall ≫ cpu = external load
+    val fullGc = results.map(r => "\"" + r.name + "\":" + r.gcMs)
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"fast_below_sec":$FastTailBelowSec,"git_sha":"$gitSha","queries":$fullQs,"queries_mean":$fullMeans,"queries_cpu":$fullCpu,"errors":$errs,"tail_errors":$tailErrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"fast_below_sec":$FastTailBelowSec,"git_sha":"$gitSha","queries":$fullQs,"queries_mean":$fullMeans,"queries_cpu":$fullCpu,"queries_gc_ms":$fullGc,"errors":$errs,"tail_errors":$tailErrs,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "probes/bench_full_latest.json"))
     try {
@@ -320,11 +335,18 @@ object Bench {
     // top entries as the budget allows — the full map is always in the
     // file; cpu_total always ships (whole-run wall-vs-cpu sanity).
     val cpuTotal = ok.map(_.cpuSec).filter(_ >= 0).sum
+    val gcTotal = ok.map(_.gcMs).filter(_ >= 0).sum
     def line(cpuK: Int): String = {
       val cpu = topResults.take(cpuK)
         .map(r => "\"" + r.name + "\":" + r2(r.cpuSec))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"n_queries":${results.size},"n_errors":$nErrors,"n_tail_errors":${results.count(_.tailErr.isDefined)},"cpu_total":${r2(cpuTotal)},"git_sha":"$gitSha","queries":$top,"cpu":$cpu,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}"""
+      // per-query gc_ms for the same top entries the cpu map covers
+      // (one shrink budget for both): wall/cpu/gc triage per outlier
+      // straight from the driver-visible tail
+      val gc = topResults.take(cpuK)
+        .map(r => "\"" + r.name + "\":" + r.gcMs)
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$Reps,"reps_fast_extra":$FastTailReps,"n_queries":${results.size},"n_errors":$nErrors,"n_tail_errors":${results.count(_.tailErr.isDefined)},"cpu_total":${r2(cpuTotal)},"gc_ms_total":$gcTotal,"git_sha":"$gitSha","queries":$top,"cpu":$cpu,"gc_ms":$gc,"families":$families,"errors":$errs,"full":"$fullPath","sf":"$sfDir"}"""
     }
     println(
       (40 to 0 by -5).iterator.map(line).find(_.length <= 1900)

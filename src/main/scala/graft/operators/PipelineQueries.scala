@@ -1427,6 +1427,23 @@ object PipelineQueries {
       val base = EventQueries.gateTempDir("graft-warc-enc")
       try {
         val dir = s"$base/warc"
+        // the iso-8859-1 arm of the fixture assumes every corpus text
+        // char IS Latin-1-representable: Spark's encode substitutes '?'
+        // for unmappable chars while the oracle recomputes from the
+        // original text, so real non-Latin-1 corpus text (e.g. CJK)
+        // would fail the gate far downstream as a checksum divergence.
+        // Make that coupling LOUD here instead: a one-row probe that
+        // aborts with the actual reason the moment the corpus fixture
+        // evolves past Latin-1.
+        val nonLatin1 = Tables.documents(s, d)
+          .filter(decode(encode($"text", "iso-8859-1"), "iso-8859-1")
+            =!= $"text")
+          .limit(1).count()
+        require(nonLatin1 == 0,
+          "pipe_warc_http_chunked's iso-8859-1 arm needs Latin-1-" +
+            "representable corpus text; the documents fixture now has " +
+            "chars that do not round-trip ISO-8859-1 — restrict the " +
+            "iso arm to such rows or change its charset")
         graft.sources.Warc.writeHttpEncoded(Tables.documents(s, d), dir)
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)

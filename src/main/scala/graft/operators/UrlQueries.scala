@@ -592,6 +592,13 @@ object UrlQueries {
   private val RobotsRulesSql = RobotsRules
     .map { case (d, p) => s"('$d','$p')" }.mkString(",")
 
+  // the oracle matches with starts_with (not LIKE), so prefixes are
+  // plain strings on both engines; this lint keeps that true if a rule
+  // with a quote ever tried to break the VALUES literal
+  require(RobotsRules.forall { case (d, p) =>
+      !d.contains("'") && !p.contains("'") },
+    "robots rules must not contain quotes (they interpolate into SQL)")
+
   private val robotsFilter = Q(
     "td_robots_filter",
     (s, d) => {
@@ -624,7 +631,7 @@ object UrlQueries {
             |  SELECT source,
             |         EXISTS(SELECT 1 FROM rules r
             |                WHERE r.r_dom = dom.reg_domain
-            |                  AND dom.path LIKE r.r_prefix || '%')
+            |                  AND starts_with(dom.path, r.r_prefix))
             |           AS blocked
             |  FROM dom)
             |SELECT source,

@@ -541,6 +541,23 @@ private[v2] class WarcMicroBatchStream(
 
   private def watermark = offsetMode == "watermark"
 
+  /** The listing `latestOffset()` derived its watermark offset FROM,
+    * reused by `planInputPartitions` when the end offset matches: a
+    * batch must be a deterministic function of its (start, end)
+    * offsets, and a live re-listing is not — a file landing between
+    * latestOffset() and planInputPartitions() with a name at or below
+    * the new watermark would be ingested but not counted in the
+    * offset's (n, ck), permanently failing the next trigger's
+    * monotonicity check. With the snapshot, that late lander is simply
+    * not in the batch, and the NEXT trigger's check aborts loudly on
+    * it — the designed non-monotone-landing failure, not a poisoned
+    * offset. planInputPartitions falls back to a re-list only on
+    * restart replay (fresh stream object, snapshot empty), where the
+    * offsets come from the checkpoint log.
+    */
+  @volatile private var listingSnapshot
+      : Option[(WarcWatermarkOffset, Seq[String])] = None
+
   /** Order-independent fold of the names at-or-below a watermark —
     * O(1) offset state that pins the exact SET of below-watermark
     * names, so a compensating delete-plus-late-land (count unchanged,
@@ -563,13 +580,17 @@ private[v2] class WarcMicroBatchStream(
 
   override def latestOffset(): Offset =
     if (watermark) {
-      val names = listFiles().map(p => new java.io.File(p).getName)
-      if (names.isEmpty) WarcWatermarkOffset("", 0L, 0L)
-      else {
-        val wm = names.max
-        val (n, ck) = belowCk(names, wm)
-        WarcWatermarkOffset(wm, n, ck)
-      }
+      val files = listFiles()
+      val names = files.map(p => new java.io.File(p).getName)
+      val off =
+        if (names.isEmpty) WarcWatermarkOffset("", 0L, 0L)
+        else {
+          val wm = names.max
+          val (n, ck) = belowCk(names, wm)
+          WarcWatermarkOffset(wm, n, ck)
+        }
+      listingSnapshot = Some((off, files))
+      off
     } else WarcStreamOffset(listFiles())
 
   override def deserializeOffset(json: String): Offset =
@@ -586,20 +607,34 @@ private[v2] class WarcMicroBatchStream(
         val seen = s.files.toSet
         e.files.filterNot(seen)
       case (s: WarcWatermarkOffset, e: WarcWatermarkOffset) =>
-        val files = listFiles()
+        // the batch is planned from the SAME listing the end offset
+        // was derived from (see listingSnapshot) — a live re-list here
+        // runs only on restart replay, where the checkpoint log is the
+        // offset's provenance
+        val files = listingSnapshot match {
+          case Some((off, snap)) if off == e => snap
+          case _ => listFiles()
+        }
         // the monotone-landing promise the O(1) offset rests on is
         // CHECKED, not assumed: the offset pins count AND an
         // order-independent name checksum of everything at-or-below
         // the start watermark, so a late lander sorting below it — or
-        // a compensating delete-plus-land that keeps the count — 
-        // aborts loudly instead of being silently skipped forever
+        // a compensating delete-plus-land that keeps the count —
+        // aborts loudly instead of being silently skipped forever.
+        // RECOVERY NOTE: a violated watermark is not self-healing —
+        // the offset can no longer describe the directory, so recovery
+        // means a FRESH checkpoint (with offsetMode=set if landing
+        // names stay non-monotone), which re-ingests the directory;
+        // downstream must tolerate those duplicates or be rebuilt.
         val names = files.map(p => new java.io.File(p).getName)
         val (below, belowSum) = belowCk(names, s.wm)
         require(below == s.n && belowSum == s.ck,
           s"warc stream watermark violated: files at or below watermark " +
             s"'${s.wm}' changed (count $below vs ${s.n}, name-ck " +
             s"$belowSum vs ${s.ck}) — landing names are not monotone " +
-            "or ingested segments were removed; use offsetMode=set")
+            "or ingested segments were removed; recovery needs a fresh " +
+            "checkpoint (re-ingests everything; use offsetMode=set if " +
+            "names stay non-monotone)")
         files.filter { p =>
           val n = new java.io.File(p).getName
           n > s.wm && n <= e.wm
