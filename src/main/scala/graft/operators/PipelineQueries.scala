@@ -1783,20 +1783,95 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARCINFO RECORDS (ISO 28500 §6.2 — the file-level metadata record
+  // every real crawl segment BEGINS with): the corpus is written as
+  // four part files, each LED by a sink-emitted warcinfo record
+  // (warc-fields payload, WARC-Filename), and read back whole. The
+  // output unions the round-trip per-source response profile with a
+  // `_warcinfo` profile row, so ONE oracle pins three things at once:
+  // the reader exposes warcinfo as a first-class row (count = part
+  // files, payload = the shared WarcinfoFields bytes), the response
+  // rows' counts/bytes/checksums are UNAFFECTED by the leading record
+  // (the type filter every consumer already applies keeps working),
+  // and record accounting (content_length framing) holds across the
+  // mixed profile. Still one scan + one small hash aggregate.
+  private val InfoParts = 4
+  private val warcWarcinfo = Q(
+    "pipe_warc_warcinfo",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-info")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeWithWarcinfo(
+          Tables.documents(s, d).repartition(InfoParts, $"doc_id"), dir)
+        val archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+        val resp = archive.filter($"warc_type" === "response")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("k"),
+            $"content_length", $"payload")
+        val info = archive.filter($"warc_type" === "warcinfo")
+          .select(lit("_warcinfo").as("k"), $"content_length", $"payload")
+        resp.unionAll(info)
+          .groupBy($"k")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum($"content_length").as("bytes_total"),
+            (sum(expr(
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("payload_ck"))
+          .select($"k".as("source"), $"n_records", $"bytes_total",
+            $"payload_ck")
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""SELECT source,
+            |       count(*) AS n_records,
+            |       CAST(sum(octet_length(encode(text))) AS BIGINT)
+            |         AS bytes_total,
+            |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS payload_ck
+            |FROM documents
+            |GROUP BY source
+            |UNION ALL
+            |SELECT '_warcinfo',
+            |       CAST($InfoParts AS BIGINT),
+            |       CAST($InfoParts *
+            |            length(${graft.sources.Warc.WarcinfoFieldsSql})
+            |            AS BIGINT),
+            |       CAST(($InfoParts *
+            |             CAST('0x' || substr(
+            |               md5(${graft.sources.Warc.WarcinfoFieldsSql}),
+            |               1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT)
+            |ORDER BY source""".stripMargin),
+  )
+
   // WARC CDX INDEX (the random-access sidecar: Common Crawl ships a
   // CDX(J) index of (urlkey, offset, length, digest) so consumers can
   // range-request single records out of multi-GB segments): write the
-  // corpus as ONE deterministic-order segment, read it back, and emit
-  // each record's CDX tuple — seekable byte offset (`record_offset`),
-  // stored length, payload digest. The oracle replays the OFFSETS by
-  // reconstructing the envelope byte-for-byte in SQL (shared header
-  // derivations: record-id md5, date arithmetic, Content-Length
-  // digits) and prefix-summing record sizes — a single drifted byte
-  // anywhere in the rendering or the reader's offset accounting shifts
-  // every subsequent offset. At scale CDX generation is per-file
-  // (offsets are file-local), so the single-segment fixture is the
-  // contract check, not the scale shape; the random-access REPLAY of
-  // these offsets is spec-pinned in WarcSourceSpec.
+  // corpus as ONE deterministic-order segment — LED, as every real
+  // segment is, by a warcinfo record (the sink's warcinfo option; its
+  // WARC-Filename field pinned to a literal so the record's bytes are
+  // replayable) — read it back, and emit each response's CDX tuple:
+  // seekable byte offset (`record_offset`), stored length, payload
+  // digest. The oracle replays the OFFSETS by reconstructing the
+  // envelope byte-for-byte in SQL (shared header derivations:
+  // record-id md5, date arithmetic, Content-Length digits, the
+  // warcinfo record's full envelope as the base offset) and
+  // prefix-summing record sizes — a single drifted byte anywhere in
+  // the rendering, the warcinfo head, or the reader's offset
+  // accounting shifts every subsequent offset. At scale CDX generation
+  // is per-file (offsets are file-local), so the single-segment
+  // fixture is the contract check, not the scale shape; the
+  // random-access REPLAY of these offsets is spec-pinned in
+  // WarcSourceSpec.
+  private val CdxInfoName = "segment-00000.warc"
   private val warcCdx = Q(
     "pipe_warc_cdx",
     (s, d) => {
@@ -1804,11 +1879,13 @@ object PipelineQueries {
       val base = EventQueries.gateTempDir("graft-warc-cdx")
       try {
         val dir = s"$base/warc"
-        graft.sources.Warc.write(
-          Tables.documents(s, d).orderBy($"doc_id").coalesce(1), dir)
+        graft.sources.Warc.writeWithWarcinfo(
+          Tables.documents(s, d).orderBy($"doc_id").coalesce(1), dir,
+          filenameField = Some(CdxInfoName))
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
           .load(dir)
+          .filter($"warc_type" === "response")
           .select(
             expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)")
               .as("doc_id"),
@@ -1818,35 +1895,48 @@ object PipelineQueries {
           .localCheckpoint()
       } finally rmTree(base)
     },
-    Some("""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
-           |r AS (
-           |  SELECT doc_id,
-           |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
-           |         octet_length(encode(
-           |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
-           |           'WARC-Record-ID: <urn:md5:' ||
-           |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
-           |           'WARC-Date: 2020-01-01T' ||
-           |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
-           |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
-           |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
-           |             'Z' || c ||
-           |           'WARC-Target-URI: http://' || source ||
-           |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
-           |           'Content-Type: text/plain; charset=utf-8' || c ||
-           |           'Content-Length: ' ||
-           |             CAST(octet_length(encode(text)) AS VARCHAR) ||
-           |             c || c || text)) + 4 AS rec_bytes,
-           |         md5(text) AS digest
-           |  FROM documents, crlf)
-           |SELECT doc_id,
-           |       CAST(coalesce(sum(rec_bytes) OVER (ORDER BY doc_id
-           |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           |            0) AS BIGINT) AS record_offset,
-           |       plen AS content_length,
-           |       digest
-           |FROM r
-           |ORDER BY doc_id""".stripMargin),
+    Some(s"""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+            |wi AS (
+            |  SELECT octet_length(encode(
+            |           'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+            |           'WARC-Record-ID: <urn:md5:' ||
+            |             md5('warcinfo:$CdxInfoName') || '>' || c ||
+            |           'WARC-Date: 2020-01-01T00:00:00Z' || c ||
+            |           'WARC-Filename: $CdxInfoName' || c ||
+            |           'Content-Type: application/warc-fields' || c ||
+            |           'Content-Length: ' || CAST(length(
+            |             ${graft.sources.Warc.WarcinfoFieldsSql}) AS VARCHAR) ||
+            |             c || c ||
+            |           ${graft.sources.Warc.WarcinfoFieldsSql})) + 4 AS base
+            |  FROM crlf),
+            |r AS (
+            |  SELECT doc_id,
+            |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+            |         octet_length(encode(
+            |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
+            |           'WARC-Record-ID: <urn:md5:' ||
+            |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
+            |           'WARC-Date: 2020-01-01T' ||
+            |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+            |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+            |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
+            |             'Z' || c ||
+            |           'WARC-Target-URI: http://' || source ||
+            |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
+            |           'Content-Type: text/plain; charset=utf-8' || c ||
+            |           'Content-Length: ' ||
+            |             CAST(octet_length(encode(text)) AS VARCHAR) ||
+            |             c || c || text)) + 4 AS rec_bytes,
+            |         md5(text) AS digest
+            |  FROM documents, crlf)
+            |SELECT doc_id,
+            |       CAST(wi.base + coalesce(sum(rec_bytes) OVER (ORDER BY doc_id
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |            0) AS BIGINT) AS record_offset,
+            |       plen AS content_length,
+            |       digest
+            |FROM r, wi
+            |ORDER BY doc_id""".stripMargin),
   )
 
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
@@ -2100,5 +2190,5 @@ object PipelineQueries {
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
-      warcCdx)
+      warcCdx, warcWarcinfo)
 }

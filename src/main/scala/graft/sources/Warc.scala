@@ -48,6 +48,22 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
+  /** The warc-fields payload of every sink-emitted warcinfo record
+    * (ISO 28500 §6.2) — ONE definition shared by the DSv2 writer and
+    * the oracle replays, so the warcinfo gate's checksums and the CDX
+    * oracle's byte accounting can reconstruct the record without
+    * reading it back.
+    */
+  val WarcinfoFields: String =
+    "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+
+  /** [[WarcinfoFields]] as a DuckDB expression (chr(13)||chr(10) —
+    * standard SQL string literals have no escapes).
+    */
+  val WarcinfoFieldsSql: String =
+    "('software: graft-warc/1.0' || chr(13) || chr(10) || " +
+      "'format: WARC File Format 1.0' || chr(13) || chr(10))"
+
   /** The record's complete header block (version line through the
     * blank line) as ONE string expression — every derived header is
     * deterministic row arithmetic so a DuckDB oracle can replay the
@@ -359,6 +375,22 @@ object Warc {
   def write(docs: DataFrame, path: String): Unit =
     render(docs).write.format("warc").option("compression", "none")
       .mode("overwrite").save(path)
+
+  /** [[write]] with every part file LED by a warcinfo record (the
+    * real crawl-segment profile — ISO 28500 §6.2; Common Crawl
+    * segments all begin with one). `filenameField` overrides the
+    * warcinfo record's WARC-Filename VALUE for single-partition
+    * segments whose consumers must replay the record's bytes without
+    * knowing the sink's task-id-bearing part name (the CDX oracle).
+    */
+  def writeWithWarcinfo(
+      docs: DataFrame, path: String,
+      filenameField: Option[String] = None): Unit = {
+    val w = render(docs).write.format("warc")
+      .option("compression", "none").option("warcinfo", "true")
+    filenameField.fold(w)(f => w.option("warcinfoFilename", f))
+      .mode("overwrite").save(path)
+  }
 
   /** Write documents as `.warc.gz` part files (overwrite): one gzip
     * MEMBER per record — the Common Crawl layout — via the DSv2 warc

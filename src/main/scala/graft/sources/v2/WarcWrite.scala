@@ -1,6 +1,7 @@
 package graft.sources.v2
 
 import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -53,13 +54,31 @@ private[v2] class WarcWriteBuilder(info: LogicalWriteInfo, dir: String)
       case Some(other) => throw new IllegalArgumentException(
         s"warc writer compression must be gzip|none, got '$other'")
     }
+    // warcinfo=true: every part file LEADS with a warcinfo record
+    // (ISO 28500 §6.2 — real crawl segments all start with one), the
+    // file-level metadata record carrying WARC-Filename and an
+    // application/warc-fields payload. warcinfoFilename overrides the
+    // filename FIELD (not the file's name) for single-partition
+    // segment writes whose consumers need a task-id-free, replayable
+    // value (the CDX oracle); default is the part file's actual name.
+    val warcinfo = Option(info.options.get("warcinfo")) match {
+      case Some("true") => true
+      case Some("false") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"warc writer warcinfo must be true|false, got '$other'")
+    }
+    val warcinfoFilename = Option(info.options.get("warcinfoFilename"))
+    require(warcinfo || warcinfoFilename.isEmpty,
+      "warcinfoFilename needs warcinfo=true")
     new WarcWrite(dir, gzip, doTruncate,
-      binary = schema.head.dataType == BinaryType)
+      binary = schema.head.dataType == BinaryType,
+      warcinfo = warcinfo, warcinfoFilename = warcinfoFilename)
   }
 }
 
 private[v2] class WarcWrite(
-    dir: String, gzip: Boolean, truncate: Boolean, binary: Boolean)
+    dir: String, gzip: Boolean, truncate: Boolean, binary: Boolean,
+    warcinfo: Boolean = false, warcinfoFilename: Option[String] = None)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
@@ -75,7 +94,7 @@ private[v2] class WarcWrite(
           f.getName.startsWith(".part-")))
       stale.foreach(f => require(f.delete(), s"cannot clear stale $f"))
     }
-    new WarcWriterFactory(dir, gzip, binary)
+    new WarcWriterFactory(dir, gzip, binary, warcinfo, warcinfoFilename)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -95,11 +114,14 @@ private[v2] class WarcWrite(
 private[v2] case class WarcCommitMessage(path: String)
     extends WriterCommitMessage
 
-private[v2] class WarcWriterFactory(dir: String, gzip: Boolean, binary: Boolean)
+private[v2] class WarcWriterFactory(
+    dir: String, gzip: Boolean, binary: Boolean,
+    warcinfo: Boolean = false, warcinfoFilename: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(dir, gzip, partitionId, taskId, binary)
+    new WarcDataWriter(dir, gzip, partitionId, taskId, binary,
+      warcinfo, warcinfoFilename)
 }
 
 /** Pass-through stream folding the head/tail content fingerprint
@@ -162,7 +184,8 @@ private[sources] final class FingerprintStream(under: java.io.OutputStream)
 
 private[v2] class WarcDataWriter(
     dir: String, gzip: Boolean, partitionId: Int, taskId: Long,
-    binary: Boolean = false)
+    binary: Boolean = false, warcinfo: Boolean = false,
+    warcinfoFilename: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val ext = if (gzip) ".warc.gz" else ".warc"
   private val path = f"$dir/part-$partitionId%05d-$taskId$ext"
@@ -209,17 +232,13 @@ private[v2] class WarcDataWriter(
   private var lastMark = 0L
   private val marks = Seq.newBuilder[(Long, Long)]
 
-  override def write(row: InternalRow): Unit = {
-    if (out == null) {
-      fp = new FingerprintStream(new FileOutputStream(tmpPath))
-      out = new BufferedOutputStream(fp, 1 << 20)
-    }
-    val s = if (binary) row.getBinary(0) else row.getUTF8String(0).getBytes
+  /** One COMPLETE record (its terminating CRLFCRLF included): as its
+    * own gzip member in gz mode — so concatenated decompressed members
+    * form a valid WARC stream — plain bytes otherwise; either way the
+    * sidecar mark accounting counts it, keeping `record_index` exact.
+    */
+  private def emitRecord(rec: Array[Byte]): Unit = {
     if (gzip) {
-      // one complete record (terminating CRLF included) per member, so
-      // concatenated decompressed members form a valid WARC stream
-      val rec = java.util.Arrays.copyOf(s, s.length + 2)
-      rec(s.length) = '\r'; rec(s.length + 1) = '\n'
       out.write(GzHeader)
       crc.reset(); crc.update(rec)
       deflater.reset()
@@ -233,12 +252,64 @@ private[v2] class WarcDataWriter(
       writeIntLE(rec.length.toLong & 0xffffffffL)
       bytesOut += GzHeader.length + deflated + 8
     } else {
-      out.write(s); out.write(CrLf)
-      bytesOut += s.length + 2
+      out.write(rec)
+      bytesOut += rec.length
     }
     recordsOut += 1
     if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
       marks += ((bytesOut, recordsOut)); lastMark = bytesOut
+    }
+  }
+
+  /** The file-head warcinfo record (ISO 28500 §6.2): WARC-Filename
+    * names the part file (or the caller's override — see the builder),
+    * the payload is the fixed [[graft.sources.Warc.WarcinfoFields]],
+    * and the record id derives from the filename, so the whole record
+    * is deterministic given the name. Emitted through [[emitRecord]],
+    * so offsets, sidecar marks, and `record_index` all account for it.
+    */
+  private def writeWarcinfo(): Unit = {
+    val fname = warcinfoFilename.getOrElse(new File(path).getName)
+    val payload =
+      graft.sources.Warc.WarcinfoFields.getBytes(StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val id = md.digest(("warcinfo:" + fname).getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val head = (s"WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      s"WARC-Record-ID: <urn:md5:$id>\r\n" +
+      "WARC-Date: 2020-01-01T00:00:00Z\r\n" +
+      s"WARC-Filename: $fname\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    emitRecord(head ++ payload ++ "\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      fp = new FingerprintStream(new FileOutputStream(tmpPath))
+      out = new BufferedOutputStream(fp, 1 << 20)
+      // lazily with the first data record: an empty partition leaves
+      // no file, so it must not leave a warcinfo-only one either
+      if (warcinfo) writeWarcinfo()
+    }
+    val s = if (binary) row.getBinary(0) else row.getUTF8String(0).getBytes
+    // the rendered record ends "...payload\r\n"; the writer's CRLF
+    // completes the spec's double-CRLF record separator. gz needs the
+    // complete record in one array (one member per record); the plain
+    // path streams the two pieces and skips the copy.
+    if (gzip) {
+      val rec = java.util.Arrays.copyOf(s, s.length + 2)
+      rec(s.length) = '\r'; rec(s.length + 1) = '\n'
+      emitRecord(rec)
+    } else {
+      out.write(s); out.write(CrLf)
+      bytesOut += s.length + 2
+      recordsOut += 1
+      if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
+        marks += ((bytesOut, recordsOut)); lastMark = bytesOut
+      }
     }
   }
 

@@ -739,6 +739,66 @@ class WarcSourceSpec extends AnyFunSuite {
       ("WARC/1.0\r\n" + "X: y\r\n" * 50000).getBytes(StandardCharsets.UTF_8))
   }
 
+  test("warcinfo: sink-led segments expose the head record, offsets shift exactly") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("doc_id < 40")
+    for (gz <- Seq(false, true)) {
+      val dir = Files.createTempDirectory("warc-spec-info")
+      try {
+        Warc.render(docs).write.format("warc")
+          .option("compression", if (gz) "gzip" else "none")
+          .option("warcinfo", "true")
+          .mode("overwrite").save(dir.toString + "/w")
+        val rows = spark.read.format("warc").load(dir.toString + "/w")
+          .selectExpr("path", "record_index", "warc_type", "content_type",
+            "record_offset", "CAST(payload AS STRING) AS p")
+          .collect()
+        val byPath = rows.groupBy(_.getAs[String]("path"))
+        for ((path, rs) <- byPath) {
+          // record 0 of EVERY part file is the warcinfo record, with
+          // the shared warc-fields payload and the right content type
+          val head = rs.find(_.getAs[Long]("record_index") == 0L).get
+          assert(head.getAs[String]("warc_type") == "warcinfo",
+            s"$path must lead with a warcinfo record")
+          assert(head.getAs[String]("content_type") == "application/warc-fields")
+          assert(head.getAs[String]("p") == Warc.WarcinfoFields)
+          assert(head.getAs[Long]("record_offset") == 0L)
+          // the WARC-Filename header defaults to the part file's own
+          // basename (header not in the read schema — parse the frame)
+          val in = new java.io.BufferedInputStream(
+            new java.io.FileInputStream(path))
+          try {
+            val recIn =
+              if (gz) {
+                val ms = new graft.sources.v2.GzipMemberStream(in, path)
+                new java.io.BufferedInputStream(
+                  new java.io.ByteArrayInputStream(ms.readMember().get))
+              } else in
+            val h = WarcDataSource.readHeader(recIn, path, 0L).get
+            assert(h.fields("warc-filename") ==
+              path.substring(path.lastIndexOf('/') + 1),
+              "warcinfo WARC-Filename must name its part file")
+            // plain files: the first data record starts EXACTLY at the
+            // warcinfo record's end — byte-exact offset accounting
+            if (!gz) {
+              val infoBytes = h.payloadStart +
+                h.contentLength(path) + 4
+              val next = rs.filter(_.getAs[Long]("record_offset") > 0L)
+                .map(_.getAs[Long]("record_offset")).min
+              assert(next == infoBytes,
+                s"first response offset $next != warcinfo size $infoBytes")
+            }
+          } finally in.close()
+        }
+        // type-filtered consumption is unaffected by the head record
+        val resp = rows.filter(_.getAs[String]("warc_type") == "response")
+        assert(resp.length == 40 &&
+          rows.length == 40 + byPath.size,
+          "responses must be untouched; one warcinfo per part file")
+      } finally rm(dir)
+    }
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
