@@ -1939,6 +1939,122 @@ object PipelineQueries {
             |ORDER BY doc_id""".stripMargin),
   )
 
+  // WARC CDX v2 (the REAL index shape: SURT-canonicalized urlkey +
+  // multi-file): real CDX(J) lines key on the SURT form of the URL —
+  // host labels reversed and comma-joined, then ')' + path
+  // (`com,example)/doc/7`), so one domain's captures sort together —
+  // and offsets are FILE-LOCAL across many segment files, disambiguated
+  // by a filename column. The fixture writes TWO warcinfo-led segments
+  // (seg = doc_id % 2, each deterministically ordered and renamed to
+  // the name its warcinfo field promises; the sidecar index moves with
+  // it — its fingerprint is content-based, so renames keep it fresh),
+  // reads them back as one archive, and emits (urlkey, filename,
+  // record_offset, content_length, digest). The oracle replays the
+  // SURT transform with its own list machinery AND the per-file byte
+  // accounting via seg-partitioned prefix sums over byte-exact
+  // envelope reconstructions (warcinfo head included) — a drifted byte
+  // in either file, or a record attributed to the wrong file, fails.
+  // At 100 TB: CDX generation is embarrassingly per-file (everything
+  // here is in-row except the final order), exactly this plan.
+  private val warcCdx2 = Q(
+    "pipe_warc_cdx2",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-cdx2")
+      try {
+        val docs = Tables.documents(s, d)
+        val segsDir = java.nio.file.Paths.get(s"$base/segs")
+        java.nio.file.Files.createDirectories(segsDir)
+        for (g <- Seq(0, 1)) {
+          val name = f"segment-$g%05d.warc"
+          graft.sources.Warc.writeWithWarcinfo(
+            docs.filter($"doc_id" % 2 === g).orderBy($"doc_id").coalesce(1),
+            s"$base/w$g", filenameField = Some(name))
+          val segDir = new java.io.File(s"$base/w$g")
+          val part = segDir.listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".warc") &&
+              !f.getName.startsWith("."))
+            .toSeq match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"cdx2 fixture expected one part file, got $other")
+          }
+          java.nio.file.Files.move(part.toPath, segsDir.resolve(name))
+          val idx = new java.io.File(segDir, "." + part.getName + ".idx")
+          if (idx.isFile) java.nio.file.Files.move(
+            idx.toPath, segsDir.resolve("." + name + ".idx"))
+        }
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(segsDir.toString)
+          .filter($"warc_type" === "response")
+          .select(
+            concat(
+              array_join(
+                reverse(split(UrlQueries.urlHost($"target_uri"), "\\.")),
+                ","),
+              lit(")"), UrlQueries.urlPath($"target_uri")).as("urlkey"),
+            regexp_extract($"path", "/([^/]+)$", 1).as("filename"),
+            $"record_offset", $"content_length",
+            md5($"payload").as("digest"))
+          .orderBy($"urlkey", $"filename")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+            |wi AS (
+            |  SELECT seg,
+            |         'segment-0000' || CAST(seg AS VARCHAR) || '.warc'
+            |           AS filename,
+            |         octet_length(encode(
+            |           'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+            |           'WARC-Record-ID: <urn:md5:' ||
+            |             md5('warcinfo:segment-0000' ||
+            |                 CAST(seg AS VARCHAR) || '.warc') || '>' || c ||
+            |           'WARC-Date: 2020-01-01T00:00:00Z' || c ||
+            |           'WARC-Filename: segment-0000' ||
+            |             CAST(seg AS VARCHAR) || '.warc' || c ||
+            |           'Content-Type: application/warc-fields' || c ||
+            |           'Content-Length: ' || CAST(length(
+            |             ${graft.sources.Warc.WarcinfoFieldsSql}) AS VARCHAR) ||
+            |             c || c ||
+            |           ${graft.sources.Warc.WarcinfoFieldsSql})) + 4 AS base
+            |  FROM (SELECT 0 AS seg UNION ALL SELECT 1), crlf),
+            |r AS (
+            |  SELECT doc_id, source, doc_id % 2 AS seg,
+            |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+            |         octet_length(encode(
+            |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
+            |           'WARC-Record-ID: <urn:md5:' ||
+            |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
+            |           'WARC-Date: 2020-01-01T' ||
+            |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+            |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+            |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
+            |             'Z' || c ||
+            |           'WARC-Target-URI: http://' || source ||
+            |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
+            |           'Content-Type: text/plain; charset=utf-8' || c ||
+            |           'Content-Length: ' ||
+            |             CAST(octet_length(encode(text)) AS VARCHAR) ||
+            |             c || c || text)) + 4 AS rec_bytes,
+            |         md5(text) AS digest
+            |  FROM documents, crlf)
+            |SELECT array_to_string(
+            |         list_reverse(string_split(r.source || '.example', '.')),
+            |         ',') || ')/doc/' || CAST(r.doc_id AS VARCHAR) AS urlkey,
+            |       wi.filename,
+            |       CAST(wi.base +
+            |            coalesce(sum(rec_bytes) OVER (PARTITION BY r.seg
+            |              ORDER BY doc_id
+            |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |            0) AS BIGINT) AS record_offset,
+            |       plen AS content_length,
+            |       digest
+            |FROM r JOIN wi ON wi.seg = r.seg
+            |ORDER BY urlkey, filename""".stripMargin),
+  )
+
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
   // §6.6): Warc.renderWithMetadata writes an application/warc-fields
   // metadata record next to each response; the read side parses the
@@ -2190,5 +2306,5 @@ object PipelineQueries {
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
-      warcCdx, warcWarcinfo)
+      warcCdx, warcCdx2, warcWarcinfo)
 }

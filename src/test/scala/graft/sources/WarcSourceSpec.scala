@@ -626,9 +626,13 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
-  test("record_offset enables random access (plain and gzip member)") {
+  test("record_offset enables random access (plain and gzip member, multi-file)") {
     import graft.sources.v2.{GzipMemberStream, WarcDataSource => WDS}
+    // repartition(3): the CDX replay must work across SEVERAL segment
+    // files with file-local offsets (the pipe_warc_cdx2 shape), so the
+    // fixture forces a multi-part archive and the sample below spans it
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(3, org.apache.spark.sql.functions.col("doc_id"))
     for (gz <- Seq(false, true)) {
       val dir = Files.createTempDirectory("warc-spec-off")
       try {
@@ -639,10 +643,13 @@ class WarcSourceSpec extends AnyFunSuite {
           .selectExpr("path", "record_offset", "record_id",
             "md5(payload) AS ck")
           .collect()
-        // seek DIRECTLY to a sample of offsets and parse one frame —
-        // the CDX replay path: no scan, no planner, just (path, offset)
-        for (r <- rows.sortBy(_.getAs[Long]("record_offset")).take(5) ++
-            rows.sortBy(-_.getAs[Long]("record_offset")).take(5)) {
+        assert(rows.map(_.getAs[String]("path")).distinct.length == 3,
+          "multi-file replay fixture must span 3 segment files")
+        // per-file offsets: sample the head and tail of EACH file so
+        // the replay proves file-local accounting, not just file 1's
+        for (r <- rows.groupBy(_.getAs[String]("path")).values.flatMap(fs =>
+            fs.sortBy(_.getAs[Long]("record_offset")).take(3) ++
+              fs.sortBy(-_.getAs[Long]("record_offset")).take(3))) {
           val path = r.getAs[String]("path")
           val off = r.getAs[Long]("record_offset")
           val in = new java.io.BufferedInputStream(
