@@ -642,7 +642,194 @@ object UrlQueries {
             |ORDER BY source""".stripMargin),
   )
 
+  // ---------------------------------------------------------------
+  // 9. robots.txt rules DERIVED FROM THE CRAWL (what td_robots_filter
+  //    proves the JOIN for, this proves end to end): robots.txt
+  //    fetches are rendered as WARC response records (target URI
+  //    http://<host>/robots.txt — the RFC 9309 address) into a mixed
+  //    archive next to page fetches, the read side parses
+  //    User-agent/Disallow groups OUT of the payloads with codegen
+  //    expressions (group selection per RFC 9309 §2.2.1: the group
+  //    naming this crawler wins over `*`; multiple matching groups
+  //    combine; an empty Disallow value contributes no rule =
+  //    allow-all; comment/Crawl-delay lines ignored), builds the
+  //    (domain, prefix-array) dim from the archive itself, and applies
+  //    the same broadcast filter join. The oracle replays the filter
+  //    from EFFECTIVE rules computed by an independent line-structured
+  //    parser over the same fixture texts ([[robotsEffectivePrefixes]]
+  //    — colon-split fields, not the regexes), so a wrong group pick,
+  //    a swallowed rule, or a mis-handled empty Disallow diverges.
+  //
+  //    100-TB shape: the robots corpus is one row per crawled domain
+  //    (~100M rows ≈ a few GB) — parse stays per-row map work after
+  //    the archive scan; the dim then broadcasts when it fits (a
+  //    UA-filtered subset usually does) and otherwise becomes a
+  //    bucketed semi-join on reg_domain, the same key the page side
+  //    already groups by. Nothing here is fixture-shaped except the
+  //    literal robots texts.
+  private[operators] val CrawlerUa = "graft-crawler"
+
+  /** Fixture robots.txt bodies, one per crawled domain — every
+    * group-selection case, each OBSERVABLE at the gate's scale:
+    * domains with p ≡ r (mod 115), r < 10 carry page ids r and r+115
+    * even at sf0.01, and every rule below fires on at least one of
+    * them, so a parse bug that drops or misattributes ANY single rule
+    * (or mis-picks a group) changes the counts:
+    *
+    *  - site2.co.uk — specific-UA group (blocks only /doc/2 → page 2)
+    *    beats a block-all `*` group (which would also block page 117);
+    *  - site6.org — `*` fallback, MULTI-rule group (pages 6 and 121)
+    *    with a comment and a Crawl-delay line to ignore;
+    *  - site3.io — EMPTY Disallow in the specific group = allow-all,
+    *    overriding a block-all `*` group (pages 3/118 stay allowed);
+    *  - site20.org — no group matches this crawler at all (page 66
+    *    stays allowed despite the otherbot block-all);
+    *  - site5.com — TWO groups naming this crawler: their rules
+    *    combine (pages 5 and 120, one rule each);
+    *  - cdn.site9.ck — CRLF line endings on a wildcard-PSL domain
+    *    (blocks /doc/12 → page 124, the cdn-carrying capture).
+    */
+  private[operators] val RobotsCrawl: Seq[(String, String)] = Seq(
+    "site2.co.uk" -> ("User-agent: graft-crawler\nDisallow: /doc/2\n\n" +
+      "User-agent: *\nDisallow: /\n"),
+    "site6.org" -> ("# crawl policy\nUser-agent: *\nCrawl-delay: 2\n" +
+      "Disallow: /doc/6\nDisallow: /doc/12\n"),
+    "site3.io" -> ("User-agent: graft-crawler\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /\n"),
+    "site20.org" -> "User-agent: otherbot\nDisallow: /\n",
+    "site5.com" -> ("User-agent: graft-crawler\nDisallow: /doc/5\n\n" +
+      "User-agent: graft-crawler\nDisallow: /doc/12\n"),
+    "cdn.site9.ck" -> "User-agent: graft-crawler\r\nDisallow: /doc/12\r\n",
+  )
+
+  /** The EFFECTIVE Disallow prefixes of `ua` under a robots.txt body —
+    * the oracle's independent replay of the Spark-side expression
+    * parse: line-structured colon-split fields (the regex devices of
+    * the query side appear nowhere here), blank-line-separated groups,
+    * specific-UA-beats-`*` selection, empty values dropped.
+    */
+  private[operators] def robotsEffectivePrefixes(
+      ua: String, content: String): Seq[String] = {
+    val groups = content.replace("\r\n", "\n").split("\n{2,}").toSeq
+    def fieldVals(g: String, field: String): Seq[String] =
+      g.split("\n").toSeq.flatMap { l =>
+        val i = l.indexOf(':')
+        if (i <= 0) None
+        else {
+          val name = l.substring(0, i).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          if (name == field) Some(l.substring(i + 1).trim) else None
+        }
+      }
+    def withUa(t: String) =
+      groups.filter(g => fieldVals(g, "user-agent").contains(t))
+    val mine = withUa(ua)
+    val chosen = if (mine.nonEmpty) mine else withUa("*")
+    chosen.flatMap(g => fieldVals(g, "disallow")).filter(_.nonEmpty).distinct
+  }
+
+  /** The Spark-side robots.txt parse as ONE column device: payload
+    * text → effective Disallow prefix array for [[CrawlerUa]]. All
+    * builtin higher-order/regexp functions (whole-stage codegen), no
+    * UDF: normalize CRLF, split blank-line groups, pick the groups
+    * naming this crawler (else the `*` groups), extract non-empty
+    * Disallow values, dedupe. UrlQueriesSpec replays it against
+    * [[robotsEffectivePrefixes]] on the fixture AND adversarial
+    * bodies.
+    */
+  private[operators] def robotsPrefixes(txt: Column): Column = {
+    def uaHas(g: Column, ua: String): Column = array_contains(
+      regexp_extract_all(g,
+        lit("(?im)^user-agent:[ \t]*(\\S+)[ \t]*$"), lit(1)),
+      ua)
+    val groups = split(regexp_replace(txt, "\r\n", "\n"), "\n{2,}")
+    val mine = filter(groups, g => uaHas(g, CrawlerUa))
+    val star = filter(groups, g => uaHas(g, "*"))
+    val chosen = when(size(mine) > 0, mine).otherwise(star)
+    array_distinct(filter(
+      flatten(transform(chosen, g => regexp_extract_all(g,
+        lit("(?im)^disallow:[ \t]*(\\S*)[ \t]*$"), lit(1)))),
+      p => p =!= ""))
+  }
+
+  private val RobotsCrawlRulesSql: String = {
+    val rules = RobotsCrawl.flatMap { case (dom, txt) =>
+      robotsEffectivePrefixes(CrawlerUa, txt).map(dom -> _)
+    }
+    require(rules.nonEmpty, "the robots fixture must yield some rules")
+    require(rules.forall { case (d, p) =>
+        !d.contains("'") && !p.contains("'") },
+      "robots rules must not contain quotes (they interpolate into SQL)")
+    rules.map { case (d, p) => s"('$d','$p')" }.mkString(",")
+  }
+
+  private val robotsFromCrawl = Q(
+    "td_robots_filter2",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-robots-crawl")
+      try {
+        val dir = s"$base/warc"
+        val docs = Tables.documents(s, d)
+        val robotsDf = RobotsCrawl.zipWithIndex
+          .map { case ((dom, txt), i) => (i.toLong, dom, txt) }
+          .toDF("doc_id", "host", "body")
+        // ONE mixed archive: page fetches next to the domains'
+        // robots.txt fetches, the shape a crawl segment actually has
+        graft.sources.Warc.render(docs)
+          .unionAll(graft.sources.Warc.renderRobots(robotsDf))
+          .write.format("warc").option("compression", "none")
+          .mode("overwrite").save(dir)
+        def archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+        // parse the rule groups out of the robots payloads — all
+        // in-row builtin-function work over the few robots rows
+        val dim = archive
+          .filter($"target_uri".endsWith("/robots.txt"))
+          .select(
+            regexp_extract($"target_uri",
+              "^http://([^/]+)/robots\\.txt$", 1).as("r_dom"),
+            robotsPrefixes($"payload".cast("string")).as("r_prefixes"))
+        val host = canonHost($"raw_url")
+        withRegDomain(withRawUrl(docs), host)
+          .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
+          .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
+          .withColumn("blocked",
+            coalesce(exists($"r_prefixes", p => startswith($"path", p)),
+              lit(false)))
+          .groupBy($"source")
+          .agg(
+            count(when(!$"blocked", 1)).as("n_allowed"),
+            count(when($"blocked", 1)).as("n_disallowed"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally EventQueries.deleteRecursively(base)
+    },
+    Some(s"""WITH $RawUrlCte,
+            |rules(r_dom, r_prefix) AS (VALUES $RobotsCrawlRulesSql),
+            |dom AS (
+            |  SELECT source,
+            |         ${regDomainSql(
+      canonHostSql("raw_url"))} AS reg_domain,
+            |         regexp_extract(raw_url, $PathReSql, 1) AS path
+            |  FROM u),
+            |b AS (
+            |  SELECT source,
+            |         EXISTS(SELECT 1 FROM rules r
+            |                WHERE r.r_dom = dom.reg_domain
+            |                  AND starts_with(dom.path, r.r_prefix))
+            |           AS blocked
+            |  FROM dom)
+            |SELECT source,
+            |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
+            |       count(*) FILTER (WHERE blocked) AS n_disallowed
+            |FROM b
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
-      domainCapSample, pslClasses, robotsFilter)
+      domainCapSample, pslClasses, robotsFilter, robotsFromCrawl)
 }

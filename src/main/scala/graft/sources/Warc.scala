@@ -71,12 +71,20 @@ object Warc {
     * definition behind both the string and the binary envelope, so a
     * header change can never reach one renderer and miss the other.
     */
+  /** The default target URI: the corpus page address every renderer
+    * except [[renderRobots]] uses.
+    */
+  private def docUri: org.apache.spark.sql.Column =
+    concat(lit("http://"), col("source"), lit(".example/doc/"),
+      col("doc_id").cast("string"))
+
   private def headerBlock(
       payload: org.apache.spark.sql.Column,
       contentType: String,
       warcType: org.apache.spark.sql.Column,
       idSeed: org.apache.spark.sql.Column,
-      extraHeaders: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      extraHeaders: org.apache.spark.sql.Column,
+      targetUri: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val two = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 2, "0")
     val date = concat(
       lit("2020-01-01T"),
@@ -90,8 +98,7 @@ object Warc {
       md5(idSeed.cast("binary")),
       lit(">\r\n"),
       lit("WARC-Date: "), date, lit("\r\n"),
-      lit("WARC-Target-URI: http://"), col("source"),
-      lit(".example/doc/"), col("doc_id").cast("string"), lit("\r\n"),
+      lit("WARC-Target-URI: "), targetUri, lit("\r\n"),
       extraHeaders,
       lit(s"Content-Type: $contentType\r\n"),
       lit("Content-Length: "), octet_length(payload).cast("string"),
@@ -105,9 +112,11 @@ object Warc {
       warcType: org.apache.spark.sql.Column = lit("response"),
       idSeed: org.apache.spark.sql.Column =
         concat(lit("warc:"), col("doc_id").cast("string")),
-      extraHeaders: org.apache.spark.sql.Column = lit("")): DataFrame =
+      extraHeaders: org.apache.spark.sql.Column = lit(""),
+      targetUri: org.apache.spark.sql.Column = docUri): DataFrame =
     docs.select(concat(
-      headerBlock(payload, contentType, warcType, idSeed, extraHeaders),
+      headerBlock(payload, contentType, warcType, idSeed, extraHeaders,
+        targetUri),
       payload, lit("\r\n"),
     ).as("value"))
 
@@ -217,7 +226,8 @@ object Warc {
       contentType: String): DataFrame =
     docs.select(concat(
       encode(headerBlock(payload, contentType, lit("response"),
-        concat(lit("warc:"), col("doc_id").cast("string")), lit("")), "utf-8"),
+        concat(lit("warc:"), col("doc_id").cast("string")), lit(""),
+        docUri), "utf-8"),
       payload, encode(lit("\r\n"), "utf-8"),
     ).as("value"))
 
@@ -279,6 +289,20 @@ object Warc {
   def writeRevisits(fetches: DataFrame, path: String): Unit =
     renderWithRevisits(fetches).write.format("warc")
       .option("compression", "none").mode("overwrite").save(path)
+
+  /** Render robots.txt fetches as response records — target URI
+    * `http://<host>/robots.txt`, the address every polite crawler
+    * (RFC 9309) fetches before a domain's pages. Input columns:
+    * (doc_id, host, body) — doc_id feeds the deterministic date only.
+    * The read side of `td_robots_filter2` parses User-agent/Disallow
+    * groups back OUT of these payloads to build the politeness dim
+    * from the archive itself, the way a production pipeline derives
+    * its rules.
+    */
+  def renderRobots(robots: DataFrame): DataFrame =
+    envelope(robots, col("body"), "text/plain; charset=utf-8",
+      idSeed = concat(lit("warc:robots:"), col("host")),
+      targetUri = concat(lit("http://"), col("host"), lit("/robots.txt")))
 
   /** Render full CAPTURES the way real crawls ship them: a `request`
     * record (the HTTP request that was sent, `WARC-Concurrent-To`

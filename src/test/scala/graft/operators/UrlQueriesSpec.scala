@@ -285,6 +285,33 @@ class UrlQueriesSpec extends AnyFunSuite {
       "robots rules never fire on the fixture — rules stale vs derivation")
   }
 
+  test("robots-from-crawl: expression parse == independent line parser, and fires") {
+    import spark.implicits._
+    // adversarial bodies beyond the fixture's cases
+    val extra = Seq(
+      "USER-AGENT: graft-crawler\nDISALLOW: /x\n", // case-insensitive fields
+      "User-agent: graft-crawlerX\nDisallow: /y\n", // UA token is not ours
+      "User-agent: *\nDisallow:\n\nUser-agent: *\nDisallow: /z\n", // empty + rule across two * groups
+      "justtext no colon\n\nUser-agent: *\nDisallow: /q\n", // garbage group ignored
+      "User-agent: graft-crawler\nUser-agent: otherbot\nDisallow: /shared\n", // multi-UA group
+      "User-agent: otherbot\nDisallow: /a\n\nUser-agent: graft-crawler\nDisallow: /b\n", // ours second
+    )
+    val bodies = UrlQueries.RobotsCrawl.map(_._2) ++ extra
+    val got = bodies.toDF("body")
+      .select(UrlQueries.robotsPrefixes($"body").as("p"))
+      .as[Seq[String]].collect().toSeq
+    val want = bodies.map(b =>
+      UrlQueries.robotsEffectivePrefixes(UrlQueries.CrawlerUa, b))
+    assert(got.map(_.toList) == want.map(_.toList),
+      s"expression parse diverged from the line parser:\n got=$got\nwant=$want")
+    // EVERY firing rule is observable at this sf (500 docs, p<125):
+    // blocked pages p in {2, 5, 6, 120, 121, 124}, 4 docs each — a
+    // parse bug dropping any single rule changes this count
+    val res = q("td_robots_filter2").fn(spark, sf).collect()
+    assert(res.map(_.getAs[Long]("n_disallowed")).sum == 24L,
+      "expected pages of p in {2,5,6,120,121,124} (4 docs each) disallowed")
+  }
+
   test("blocklist filter conserves documents per source") {
     import spark.implicits._
     val perSource = graft.model.Tables.documents(spark, sf)
