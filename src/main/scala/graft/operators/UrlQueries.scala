@@ -212,7 +212,8 @@ object UrlQueries {
     * dims, each rule class in its list.
     */
   private[operators] def withRegDomain(
-      df: DataFrame, host: Column, out: String = "reg_domain"): DataFrame = {
+      df: DataFrame, host: Column, out: String = "reg_domain",
+      rules: PslRules = PublicSuffixes.default): DataFrame = {
     val spark = df.sparkSession
     val lbl = split(host, "\\.")
     def el(i: Int): Column = try_element_at(lbl, lit(i))
@@ -236,17 +237,17 @@ object UrlQueries {
       // regDomainSql's IN lists, so a rule landing in the wrong list
       // fails the same way on both engines instead of silently
       // matching here only
-      .join(broadcast(PublicSuffixes.dimExcThree(spark, "_psl_exc3")),
+      .join(broadcast(rules.dimExcThree(spark, "_psl_exc3")),
         col("_psl_k3") === col("_psl_exc3"), "left")
-      .join(broadcast(PublicSuffixes.dimExcTwo(spark, "_psl_exc2")),
+      .join(broadcast(rules.dimExcTwo(spark, "_psl_exc2")),
         col("_psl_k2") === col("_psl_exc2"), "left")
-      .join(broadcast(PublicSuffixes.dimThree(spark, "_psl_sfx3")),
+      .join(broadcast(rules.dimThree(spark, "_psl_sfx3")),
         col("_psl_k3") === col("_psl_sfx3"), "left")
-      .join(broadcast(PublicSuffixes.dimWildTwo(spark, "_psl_w2")),
+      .join(broadcast(rules.dimWildTwo(spark, "_psl_w2")),
         col("_psl_kw2") === col("_psl_w2"), "left")
-      .join(broadcast(PublicSuffixes.dimTwo(spark, "_psl_sfx2")),
+      .join(broadcast(rules.dimTwo(spark, "_psl_sfx2")),
         col("_psl_k2") === col("_psl_sfx2"), "left")
-      .join(broadcast(PublicSuffixes.dimWildOne(spark, "_psl_w1")),
+      .join(broadcast(rules.dimWildOne(spark, "_psl_w1")),
         col("_psl_kw1") === col("_psl_w1"), "left")
       .withColumn(out,
         when(size(lbl) < 2, host)
