@@ -2055,6 +2055,84 @@ object PipelineQueries {
             |ORDER BY urlkey, filename""".stripMargin),
   )
 
+  // WARC SEGMENTED RECORDS (ISO 28500 §5.8 — how >buffer records ship
+  // in real crawls): documents render with every text over SegChars
+  // chars split into a first `response` record plus `continuation`
+  // records (WARC-Segment-Number / WARC-Segment-Origin-ID /
+  // terminal WARC-Segment-Total-Length), and the read side REASSEMBLES:
+  // continuations group on the origin id, sort by segment number, and
+  // concatenate onto their first record's payload — the one shuffle
+  // this operator costs, and it moves ONLY segmented records (the
+  // unsegmented majority short-circuits through the left join). The
+  // per-source aggregate pins count, segmented-doc count, continuation
+  // count, reassembled length, and a folded md5 of the REASSEMBLED
+  // text against the oracle's direct recomputation over `documents` —
+  // a lost continuation, a mis-sorted segment, or a broken origin
+  // pointer diverges. At 100 TB the shuffle is ∝ segmented records
+  // (real crawls: a small tail), hash-partitioned on the origin id.
+  private val SegChars = 256
+  private val warcSegmented = Q(
+    "pipe_warc_segmented",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-seg")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeSegmented(
+          Tables.documents(s, d), dir, SegChars)
+        def archive = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+        val firsts = archive.filter($"warc_type" === "response")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"record_id", $"segment_number", $"payload")
+        val conts = archive.filter($"warc_type" === "continuation")
+          .groupBy($"segment_origin_id")
+          .agg(
+            count(lit(1)).as("n_cont"),
+            collect_list(struct($"segment_number".as("k"),
+              $"payload".as("p"))).as("parts"))
+          .select($"segment_origin_id".as("oid"), $"n_cont",
+            expr("aggregate(array_sort(parts), CAST('' AS BINARY), " +
+              "(acc, x) -> concat(acc, x.p))").as("rest"))
+        firsts
+          .join(conts, $"record_id" === $"oid", "left")
+          .withColumn("text",
+            concat($"payload",
+              coalesce($"rest", lit(Array.emptyByteArray))).cast("string"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count($"segment_number").as("n_segmented"),
+            sum(coalesce($"n_cont", lit(0L))).as("n_continuations"),
+            sum(length($"text")).as("n_chars"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("text_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH r AS (
+            |  SELECT source, text,
+            |         CAST(greatest(ceil(length(text) / $SegChars.0), 1)
+            |              AS BIGINT) AS n_seg
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_docs,
+            |       count(*) FILTER (WHERE n_seg > 1) AS n_segmented,
+            |       CAST(sum(n_seg - 1) AS BIGINT) AS n_continuations,
+            |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+            |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS text_ck
+            |FROM r
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
   // §6.6): Warc.renderWithMetadata writes an application/warc-fields
   // metadata record next to each response; the read side parses the
@@ -2306,5 +2384,5 @@ object PipelineQueries {
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
-      warcCdx, warcCdx2, warcWarcinfo)
+      warcCdx, warcCdx2, warcWarcinfo, warcSegmented)
 }

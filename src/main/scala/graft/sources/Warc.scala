@@ -365,6 +365,66 @@ object Warc {
     renderWithMetadata(docs).write.format("warc")
       .option("compression", "none").mode("overwrite").save(path)
 
+  /** Render documents as SEGMENTED records (ISO 28500 §5.8 — how
+    * records larger than a writer's buffer ship in real crawls): a
+    * document whose text exceeds `segChars` becomes a first `response`
+    * record carrying `WARC-Segment-Number: 1` and the first chunk,
+    * plus `continuation` records (`WARC-Segment-Number: k`,
+    * `WARC-Segment-Origin-ID` pointing at the first record's id; the
+    * LAST one also `WARC-Segment-Total-Length`, the reassembled byte
+    * count, per spec). Short documents render as ordinary unsegmented
+    * responses — no segment headers at all. Chunks split at CHARACTER
+    * boundaries (any split point is spec-legal; char boundaries keep
+    * multi-byte UTF-8 sequences intact per chunk), each chunk's
+    * Content-Length counting its own UTF-8 bytes.
+    *
+    * Rendering is one in-row explode — zero shuffles; READ-side
+    * reassembly (`pipe_warc_segmented`) is the operator with a
+    * shuffle, and it shuffles only the segmented records.
+    */
+  def renderSegmented(docs: DataFrame, segChars: Int): DataFrame = {
+    require(segChars > 0, s"segChars must be positive, got $segChars")
+    val chunks = expr(
+      s"""transform(
+         |  sequence(0, int(greatest(ceil(length(text) / $segChars.0), 1)) - 1),
+         |  i -> substring(text, i * $segChars + 1, $segChars))""".stripMargin)
+    val parts = docs
+      .withColumn("_chunks", chunks)
+      .withColumn("_n", size(col("_chunks")))
+      .withColumn("_total", octet_length(col("text")))
+      .select(col("doc_id"), col("source"), col("_n"), col("_total"),
+        posexplode(col("_chunks")).as(Seq("_i", "_seg")))
+    val originId = concat(lit("<urn:md5:"),
+      md5(concat(lit("warc:"), col("doc_id").cast("string"))
+        .cast("binary")),
+      lit(">"))
+    envelope(
+      parts,
+      col("_seg"), "text/plain; charset=utf-8",
+      warcType = when(col("_i") === 0, lit("response"))
+        .otherwise(lit("continuation")),
+      idSeed = when(col("_i") === 0,
+        concat(lit("warc:"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("warc:seg:"), col("doc_id").cast("string"),
+          lit(":"), col("_i").cast("string"))),
+      extraHeaders = when(col("_n") === 1, lit(""))
+        .otherwise(concat(
+          when(col("_i") > 0,
+            concat(lit("WARC-Segment-Origin-ID: "), originId, lit("\r\n")))
+            .otherwise(lit("")),
+          lit("WARC-Segment-Number: "), (col("_i") + 1).cast("string"),
+          lit("\r\n"),
+          when(col("_i") === col("_n") - 1,
+            concat(lit("WARC-Segment-Total-Length: "),
+              col("_total").cast("string"), lit("\r\n")))
+            .otherwise(lit("")))))
+  }
+
+  /** [[renderSegmented]] written as plain WARC part files. */
+  def writeSegmented(docs: DataFrame, path: String, segChars: Int): Unit =
+    renderSegmented(docs, segChars).write.format("warc")
+      .option("compression", "none").mode("overwrite").save(path)
+
   /** Render WET-style `conversion` records (ISO 28500 §6.8 — the
     * record type Common Crawl's WET sidecar files consist of): one
     * text/plain record per page whose payload is the EXTRACTED text,

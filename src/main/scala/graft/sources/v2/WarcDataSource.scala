@@ -105,6 +105,15 @@ object WarcDataSource {
     StructField("content_length", LongType, nullable = false),
     StructField("refers_to", StringType, nullable = true),
     StructField("concurrent_to", StringType, nullable = true),
+    // ISO 28500 §5.8 segmentation: records larger than a writer's
+    // buffer ship as a first record (WARC-Segment-Number: 1) plus
+    // `continuation` records pointing at it — segment_origin_id is
+    // `WARC-Segment-Origin-ID`, the continuation's pointer at its
+    // first record; both NULL on unsegmented records. Reassembly is a
+    // read-side OPERATOR (group continuations on the origin id, sort
+    // by segment number, concatenate) — gated by `pipe_warc_segmented`
+    StructField("segment_number", LongType, nullable = true),
+    StructField("segment_origin_id", StringType, nullable = true),
     // byte offset of the record's seekable frame start: the record
     // itself in plain files, the enclosing gzip MEMBER in .warc.gz —
     // exactly the offset a CDX index stores and a range-request
@@ -413,7 +422,8 @@ private[v2] class WarcTable(
     require(tableSchema == WarcDataSource.schema,
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
-        "refers_to, concurrent_to, record_offset, payload); a " +
+        "refers_to, concurrent_to, segment_number, segment_origin_id, " +
+        "record_offset, payload); a " +
         s"user-supplied schema is not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed. The RAW paths
@@ -723,6 +733,13 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
           .orNull
       case "concurrent_to" => (h, _, _, _) =>
         h.fields.get("warc-concurrent-to")
+          .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
+          .orNull
+      case "segment_number" => (h, _, _, _) =>
+        h.fields.get("warc-segment-number").flatMap(_.toLongOption)
+          .map(Long.box).orNull
+      case "segment_origin_id" => (h, _, _, _) =>
+        h.fields.get("warc-segment-origin-id")
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
       case "record_offset" => (h, _, _, _) => h.recordStart

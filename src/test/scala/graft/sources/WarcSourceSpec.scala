@@ -806,6 +806,50 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("segmented records: golden render/parse shape and reassembly order") {
+    import spark.implicits._
+    // one doc that splits into exactly 3 segments of 4 chars, one that
+    // stays whole — the renderer/reader contract in miniature
+    val docs = Seq((7L, "abcdEFGHijkl", "w"), (8L, "xy", "w"))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("warc-spec-seg")
+    try {
+      Warc.writeSegmented(docs.coalesce(1), dir.toString + "/w", segChars = 4)
+      val rows = spark.read.format("warc").load(dir.toString + "/w")
+        .selectExpr("warc_type", "record_id", "segment_number",
+          "segment_origin_id", "CAST(payload AS STRING) AS p",
+          "content_length")
+        .collect()
+      assert(rows.length == 4)
+      val first = rows.filter(r => r.getAs[String]("p") == "abcd")
+      assert(first.length == 1 &&
+        first.head.getAs[String]("warc_type") == "response" &&
+        first.head.getAs[Long]("segment_number") == 1L &&
+        first.head.getAs[String]("segment_origin_id") == null)
+      val conts = rows.filter(_.getAs[String]("warc_type") == "continuation")
+        .sortBy(_.getAs[Long]("segment_number"))
+      assert(conts.map(_.getAs[String]("p")).toSeq == Seq("EFGH", "ijkl"))
+      assert(conts.map(_.getAs[Long]("segment_number")).toSeq == Seq(2L, 3L))
+      assert(conts.forall(_.getAs[String]("segment_origin_id") ==
+        first.head.getAs[String]("record_id")),
+        "every continuation must point at its first record")
+      val whole = rows.filter(_.getAs[String]("p") == "xy")
+      assert(whole.length == 1 &&
+        whole.head.getAs[String]("warc_type") == "response" &&
+        whole.head.isNullAt(whole.head.fieldIndex("segment_number")),
+        "an unsegmented record must carry no segment headers")
+      // the terminal segment declares the reassembled byte count
+      val raw = new String(Files.readAllBytes(
+        dir.resolve("w").toFile.listFiles()
+          .filter(_.getName.endsWith(".warc")).head.toPath),
+        StandardCharsets.UTF_8)
+      assert(raw.contains("WARC-Segment-Total-Length: 12\r\n"))
+      assert(!raw.replace("WARC-Segment-Total-Length: 12", "")
+        .contains("WARC-Segment-Total-Length"),
+        "only the LAST segment carries Total-Length")
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
