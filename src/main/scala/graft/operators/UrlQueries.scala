@@ -703,14 +703,16 @@ object UrlQueries {
     "cdn.site9.ck" -> "User-agent: graft-crawler\r\nDisallow: /doc/12\r\n",
   )
 
-  /** The EFFECTIVE Disallow prefixes of `ua` under a robots.txt body —
-    * the oracle's independent replay of the Spark-side expression
-    * parse: line-structured colon-split fields (the regex devices of
-    * the query side appear nowhere here), blank-line-separated groups,
-    * specific-UA-beats-`*` selection, empty values dropped.
+  /** The EFFECTIVE (Disallow, Allow) prefixes of `ua` under a
+    * robots.txt body — the oracle's independent replay of the
+    * Spark-side expression parse: line-structured colon-split fields
+    * (the regex devices of the query side appear nowhere here),
+    * blank-line-separated groups, specific-UA-beats-`*` selection
+    * with CASE-INSENSITIVE UA tokens (RFC 9309 §2.2.1), empty values
+    * dropped.
     */
-  private[operators] def robotsEffectivePrefixes(
-      ua: String, content: String): Seq[String] = {
+  private[operators] def robotsEffectiveRules(
+      ua: String, content: String): (Seq[String], Seq[String]) = {
     val groups = content.replace("\r\n", "\n").split("\n{2,}").toSeq
     def fieldVals(g: String, field: String): Seq[String] =
       g.split("\n").toSeq.flatMap { l =>
@@ -722,36 +724,56 @@ object UrlQueries {
           if (name == field) Some(l.substring(i + 1).trim) else None
         }
       }
-    def withUa(t: String) =
-      groups.filter(g => fieldVals(g, "user-agent").contains(t))
-    val mine = withUa(ua)
+    def withUa(t: String) = groups.filter(g =>
+      fieldVals(g, "user-agent")
+        .map(_.toLowerCase(java.util.Locale.ROOT)).contains(t))
+    val mine = withUa(ua.toLowerCase(java.util.Locale.ROOT))
     val chosen = if (mine.nonEmpty) mine else withUa("*")
-    chosen.flatMap(g => fieldVals(g, "disallow")).filter(_.nonEmpty).distinct
+    def vals(field: String) =
+      chosen.flatMap(g => fieldVals(g, field)).filter(_.nonEmpty).distinct
+    (vals("disallow"), vals("allow"))
   }
 
-  /** The Spark-side robots.txt parse as ONE column device: payload
-    * text → effective Disallow prefix array for [[CrawlerUa]]. All
-    * builtin higher-order/regexp functions (whole-stage codegen), no
-    * UDF: normalize CRLF, split blank-line groups, pick the groups
-    * naming this crawler (else the `*` groups), extract non-empty
-    * Disallow values, dedupe. UrlQueriesSpec replays it against
-    * [[robotsEffectivePrefixes]] on the fixture AND adversarial
-    * bodies.
+  /** Effective Disallow prefixes only (the `td_robots_filter2`
+    * oracle's view).
     */
-  private[operators] def robotsPrefixes(txt: Column): Column = {
+  private[operators] def robotsEffectivePrefixes(
+      ua: String, content: String): Seq[String] =
+    robotsEffectiveRules(ua, content)._1
+
+  /** The Spark-side robots.txt parse as ONE column device: payload
+    * text → struct(dis, alw) of effective Disallow/Allow prefix
+    * arrays for [[CrawlerUa]]. All builtin higher-order/regexp
+    * functions (whole-stage codegen), no UDF: normalize CRLF, split
+    * blank-line groups, pick the groups naming this crawler (UA
+    * token match CASE-INSENSITIVE per RFC 9309 §2.2.1; else the `*`
+    * groups), extract non-empty rule values per field, dedupe.
+    * UrlQueriesSpec replays it against [[robotsEffectiveRules]] on
+    * the fixtures AND adversarial bodies.
+    */
+  private[operators] def robotsRules(txt: Column): Column = {
     def uaHas(g: Column, ua: String): Column = array_contains(
-      regexp_extract_all(g,
-        lit("(?im)^user-agent:[ \t]*(\\S+)[ \t]*$"), lit(1)),
+      transform(
+        regexp_extract_all(g,
+          lit("(?im)^user-agent:[ \t]*(\\S+)[ \t]*$"), lit(1)),
+        t => lower(t)),
       ua)
     val groups = split(regexp_replace(txt, "\r\n", "\n"), "\n{2,}")
     val mine = filter(groups, g => uaHas(g, CrawlerUa))
     val star = filter(groups, g => uaHas(g, "*"))
     val chosen = when(size(mine) > 0, mine).otherwise(star)
-    array_distinct(filter(
+    def prefixes(field: String): Column = array_distinct(filter(
       flatten(transform(chosen, g => regexp_extract_all(g,
-        lit("(?im)^disallow:[ \t]*(\\S*)[ \t]*$"), lit(1)))),
+        lit(s"(?im)^$field:[ \t]*(\\S*)[ \t]*$$"), lit(1)))),
       p => p =!= ""))
+    struct(prefixes("disallow").as("dis"), prefixes("allow").as("alw"))
   }
+
+  /** Effective Disallow prefixes only — the `td_robots_filter2`
+    * any-match device ([[robotsRules]]' dis field).
+    */
+  private[operators] def robotsPrefixes(txt: Column): Column =
+    robotsRules(txt).getField("dis")
 
   private val RobotsCrawlRulesSql: String = {
     val rules = RobotsCrawl.flatMap { case (dom, txt) =>
@@ -830,7 +852,134 @@ object UrlQueries {
             |ORDER BY source""".stripMargin),
   )
 
+  // ---------------------------------------------------------------
+  // 10. robots.txt ALLOW rules, longest-match precedence (RFC 9309
+  //     §2.2.2 — what real robots files lean on: a broad Disallow
+  //     punctured by Allow carve-outs): per URL the MOST SPECIFIC
+  //     matching rule wins (most octets), and an allow/disallow TIE
+  //     goes to allow. Rules come from the crawl archive exactly as
+  //     in td_robots_filter2 (shared [[robotsRules]] parse — now both
+  //     fields), the decision is in-row arithmetic (longest matching
+  //     prefix per class via filter/transform/array_max — no rule-row
+  //     explosion), and the oracle recomputes both maxima with
+  //     correlated subqueries over the independent line parser's
+  //     effective rules. The fixture makes every semantic observable:
+  //     an Allow carve-out inside a broad Disallow, an allow=disallow
+  //     tie (allow wins), a longer-allow-beats-shorter-disallow, a
+  //     case-INSENSITIVE UA group header, and group selection with
+  //     a block-all `*` fallback.
+  private[operators] val RobotsAllowCrawl: Seq[(String, String)] = Seq(
+    // mixed-case UA token must still match (RFC 9309: case-insensitive);
+    // wrong group selection (falling to *) would also block page 0
+    "site0.com" -> ("User-Agent: Graft-Crawler\nDisallow: /doc/11\n\n" +
+      "User-agent: *\nDisallow: /\n"),
+    // allow longer than the disallow it punctures: /doc/116 allowed,
+    // /doc/1 stays blocked; the empty Allow line is ignored
+    "site1.org" ->
+      "User-agent: *\nDisallow: /doc/1\nAllow: /doc/116\nAllow:\n",
+    // exact tie (/doc/8 vs /doc/8) -> allow wins; /doc/123 blocked
+    "site8.io" -> ("User-agent: graft-crawler\nDisallow: /doc/8\n" +
+      "Allow: /doc/8\nDisallow: /doc/123\n"),
+  )
+
+  private val RobotsAllowRulesSql: String = {
+    val rules = RobotsAllowCrawl.flatMap { case (dom, txt) =>
+      val (dis, alw) = robotsEffectiveRules(CrawlerUa, txt)
+      dis.map(p => (dom, p, false)) ++ alw.map(p => (dom, p, true))
+    }
+    require(rules.exists(_._3) && rules.exists(!_._3),
+      "the allow fixture must yield rules of both classes")
+    require(rules.forall { case (d, p, _) =>
+        !d.contains("'") && !p.contains("'") },
+      "robots rules must not contain quotes (they interpolate into SQL)")
+    rules.map { case (d, p, a) =>
+      s"('$d','$p',${if (a) "TRUE" else "FALSE"})"
+    }.mkString(",")
+  }
+
+  /** RFC 9309 §2.2.2 decision over parsed rule arrays: longest
+    * matching rule wins, ties go to allow — so blocked iff the
+    * longest matching Disallow is STRICTLY longer than the longest
+    * matching Allow (−1 when a class matches nothing).
+    */
+  private[operators] def robotsBlockedLongestMatch(
+      path: Column, dis: Column, alw: Column): Column = {
+    def maxLen(arr: Column): Column = coalesce(
+      array_max(transform(filter(arr, p => startswith(path, p)),
+        p => length(p))),
+      lit(-1))
+    maxLen(dis) > maxLen(alw)
+  }
+
+  private val robotsAllow = Q(
+    "td_robots_allow",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-robots-allow")
+      try {
+        val dir = s"$base/warc"
+        val docs = Tables.documents(s, d)
+        val robotsDf = RobotsAllowCrawl.zipWithIndex
+          .map { case ((dom, txt), i) => (i.toLong, dom, txt) }
+          .toDF("doc_id", "host", "body")
+        graft.sources.Warc.render(docs)
+          .unionAll(graft.sources.Warc.renderRobots(robotsDf))
+          .write.format("warc").option("compression", "none")
+          .mode("overwrite").save(dir)
+        val dim = s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .filter($"target_uri".endsWith("/robots.txt"))
+          .select(
+            regexp_extract($"target_uri",
+              "^http://([^/]+)/robots\\.txt$", 1).as("r_dom"),
+            robotsRules($"payload".cast("string")).as("r"))
+        val host = canonHost($"raw_url")
+        withRegDomain(withRawUrl(docs), host)
+          .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
+          .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
+          .withColumn("blocked",
+            coalesce(robotsBlockedLongestMatch($"path",
+              $"r.dis", $"r.alw"), lit(false)))
+          .groupBy($"source")
+          .agg(
+            count(when(!$"blocked", 1)).as("n_allowed"),
+            count(when($"blocked", 1)).as("n_disallowed"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally EventQueries.deleteRecursively(base)
+    },
+    Some(s"""WITH $RawUrlCte,
+            |rules(r_dom, r_prefix, r_allow) AS (VALUES $RobotsAllowRulesSql),
+            |dom AS (
+            |  SELECT source,
+            |         ${regDomainSql(
+      canonHostSql("raw_url"))} AS reg_domain,
+            |         regexp_extract(raw_url, $PathReSql, 1) AS path
+            |  FROM u),
+            |b AS (
+            |  SELECT source,
+            |         coalesce((SELECT max(length(r.r_prefix)) FROM rules r
+            |                   WHERE r.r_dom = dom.reg_domain
+            |                     AND NOT r.r_allow
+            |                     AND starts_with(dom.path, r.r_prefix)), -1)
+            |         >
+            |         coalesce((SELECT max(length(r.r_prefix)) FROM rules r
+            |                   WHERE r.r_dom = dom.reg_domain
+            |                     AND r.r_allow
+            |                     AND starts_with(dom.path, r.r_prefix)), -1)
+            |           AS blocked
+            |  FROM dom)
+            |SELECT source,
+            |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
+            |       count(*) FILTER (WHERE blocked) AS n_disallowed
+            |FROM b
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
-      domainCapSample, pslClasses, robotsFilter, robotsFromCrawl)
+      domainCapSample, pslClasses, robotsFilter, robotsFromCrawl,
+      robotsAllow)
 }

@@ -296,13 +296,20 @@ class UrlQueriesSpec extends AnyFunSuite {
       "User-agent: graft-crawler\nUser-agent: otherbot\nDisallow: /shared\n", // multi-UA group
       "User-agent: otherbot\nDisallow: /a\n\nUser-agent: graft-crawler\nDisallow: /b\n", // ours second
     )
-    val bodies = UrlQueries.RobotsCrawl.map(_._2) ++ extra
+    val bodies = UrlQueries.RobotsCrawl.map(_._2) ++
+      UrlQueries.RobotsAllowCrawl.map(_._2) ++ extra ++ Seq(
+        // case-insensitive UA + Allow field casing
+        "USER-AGENT: GRAFT-CRAWLER\nALLOW: /ok\nDISALLOW: /no\n",
+        // allow in the unmatched group must NOT leak
+        "User-agent: otherbot\nAllow: /other\n\nUser-agent: *\nDisallow: /d\n")
     val got = bodies.toDF("body")
-      .select(UrlQueries.robotsPrefixes($"body").as("p"))
-      .as[Seq[String]].collect().toSeq
+      .select(UrlQueries.robotsRules($"body").as("r"))
+      .selectExpr("r.dis", "r.alw")
+      .as[(Seq[String], Seq[String])].collect().toSeq
     val want = bodies.map(b =>
-      UrlQueries.robotsEffectivePrefixes(UrlQueries.CrawlerUa, b))
-    assert(got.map(_.toList) == want.map(_.toList),
+      UrlQueries.robotsEffectiveRules(UrlQueries.CrawlerUa, b))
+    assert(got.map(t => (t._1.toList, t._2.toList)) ==
+      want.map(t => (t._1.toList, t._2.toList)),
       s"expression parse diverged from the line parser:\n got=$got\nwant=$want")
     // EVERY firing rule is observable at this sf (500 docs, p<125):
     // blocked pages p in {2, 5, 6, 120, 121, 124}, 4 docs each — a
@@ -310,6 +317,12 @@ class UrlQueriesSpec extends AnyFunSuite {
     val res = q("td_robots_filter2").fn(spark, sf).collect()
     assert(res.map(_.getAs[Long]("n_disallowed")).sum == 24L,
       "expected pages of p in {2,5,6,120,121,124} (4 docs each) disallowed")
+    // longest-match gate: page 0 survives the mixed-case specific
+    // group pick, 116 survives its longer Allow, 8 survives the
+    // allow=disallow tie; 115/1/123 stay blocked
+    val res2 = q("td_robots_allow").fn(spark, sf).collect()
+    assert(res2.map(_.getAs[Long]("n_disallowed")).sum == 12L,
+      "expected pages of p in {115,1,123} (4 docs each) disallowed")
   }
 
   test("blocklist filter conserves documents per source") {
