@@ -134,6 +134,84 @@ object HttpCodec {
     (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
       ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
 
+  // zlib-WRAPPED (RFC 1950) streams for the "deflate" content-coding —
+  // RFC 9110's actual meaning of `Content-Encoding: deflate`. A
+  // separate thread-local pair from the raw streams above: nowrap is
+  // fixed at Inflater/Deflater construction.
+  private val zlibDeflaters = ThreadLocal.withInitial[java.util.zip.Deflater](
+    () => new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, false))
+  private val zlibInflaters = ThreadLocal.withInitial[java.util.zip.Inflater](
+    () => new java.util.zip.Inflater(false))
+
+  private def deflateWith(
+      deflater: java.util.zip.Deflater, bytes: Array[Byte]): Array[Byte] = {
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic zlib-wrapped deflate (what a CORRECT server sends
+    * for `Content-Encoding: deflate`).
+    */
+  def deflateCompress(bytes: Array[Byte]): Array[Byte] =
+    deflateWith(zlibDeflaters.get(), bytes)
+
+  /** Deterministic RAW deflate — the famous server bug (RFC 9110
+    * §8.4.1.2 notes "some non-conformant implementations send the
+    * 'deflate' compressed data without the zlib wrapper"); rendered
+    * by the fixture so the decoder's sniffing fallback is GATED, not
+    * just spec'd.
+    */
+  def deflateCompressRaw(bytes: Array[Byte]): Array[Byte] =
+    deflateWith(deflaters.get(), bytes)
+
+  /** Decode a `Content-Encoding: deflate` body the way browsers do:
+    * sniff the two-byte zlib header (CM=8, CMF/FLG checksum divisible
+    * by 31 — RFC 1950 §2.2) and inflate wrapped (ADLER32 validated by
+    * the Inflater) or raw accordingly. Truncation, trailing bytes,
+    * and corrupt streams abort loudly with the codec's own message.
+    */
+  def deflateDecompress(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.nonEmpty, "deflate_decompress: empty body")
+    val zlib = bytes.length >= 2 && (bytes(0) & 0x0f) == 8 &&
+      ((((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)) % 31 == 0)
+    val inflater = if (zlib) zlibInflaters.get() else inflaters.get()
+    inflater.reset()
+    inflater.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inflater.finished()) {
+        require(!inflater.needsInput(),
+          "deflate_decompress: body truncated mid-stream")
+        val n = inflater.inflate(buf)
+        if (n > 0) {
+          require(out.size().toLong + n <= Int.MaxValue - 16,
+            "deflate_decompress: body inflates past 2 GiB")
+          out.write(buf, 0, n)
+        } else require(!inflater.needsDictionary(),
+          "deflate_decompress: stream needs a preset dictionary")
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"deflate_decompress: corrupt ${if (zlib) "zlib" else "raw"} " +
+            s"stream: ${e.getMessage}")
+    }
+    require(inflater.getRemaining == 0,
+      s"deflate_decompress: ${inflater.getRemaining} trailing bytes " +
+        "after the stream — not a single content-encoded body?")
+    out.toByteArray
+  }
+
   /** Render `bytes` as an RFC 9112 chunked body: lowercase-hex size
     * line, chunk data, CRLF per chunk, terminated `0 CRLF CRLF`.
     */

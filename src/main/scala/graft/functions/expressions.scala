@@ -508,6 +508,39 @@ case class ChunkedDecode(child: Expression) extends BinaryCodecExpression {
     copy(child = newChild)
 }
 
+/** Deterministic zlib-wrapped deflate (RFC 1950 — the RFC 9110
+  * meaning of `Content-Encoding: deflate`).
+  */
+case class DeflateCompress(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "deflateCompress"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.deflateCompress(b)
+  override protected def withNewChildInternal(newChild: Expression): DeflateCompress =
+    copy(child = newChild)
+}
+
+/** Deterministic RAW deflate — the non-conformant-server shape the
+  * decoder's sniffing fallback exists for.
+  */
+case class DeflateCompressRaw(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "deflateCompressRaw"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.deflateCompressRaw(b)
+  override protected def withNewChildInternal(newChild: Expression): DeflateCompressRaw =
+    copy(child = newChild)
+}
+
+/** Decode a `deflate` body, zlib-header-sniffing raw fallback
+  * ([[HttpCodec.deflateDecompress]]).
+  */
+case class DeflateDecompress(child: Expression) extends BinaryCodecExpression {
+  override protected def kernel: String = "deflateDecompress"
+  override protected def evalKernel(b: Array[Byte]): Array[Byte] =
+    HttpCodec.deflateDecompress(b)
+  override protected def withNewChildInternal(newChild: Expression): DeflateDecompress =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the custom expressions. */
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
@@ -545,6 +578,10 @@ object exprs {
   def chunked_encode(bin: Column, chunkSize: Int): Column =
     c(ChunkedEncode(e(bin), chunkSize))
   def chunked_decode(bin: Column): Column = c(ChunkedDecode(e(bin)))
+  def deflate_compress(bin: Column): Column = c(DeflateCompress(e(bin)))
+  def deflate_compress_raw(bin: Column): Column =
+    c(DeflateCompressRaw(e(bin)))
+  def deflate_decompress(bin: Column): Column = c(DeflateDecompress(e(bin)))
 
   /** Constant-int `planes` argument for the geometry-parameterized
     * LSH functions: plan-time literal in [1, 20], validated with the

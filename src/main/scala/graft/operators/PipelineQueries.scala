@@ -1502,6 +1502,72 @@ object PipelineQueries {
             |ORDER BY source""".stripMargin),
   )
 
+  // WARC HTTP DEFLATE (the third real content-coding, and its famous
+  // ambiguity): `Content-Encoding: deflate` means a zlib-wrapped
+  // stream per RFC 9110, but non-conformant servers send RAW deflate
+  // under the same header (RFC 9110 §8.4.1.2 documents the bug) — a
+  // consumer must sniff the two-byte zlib header and fall back, which
+  // is exactly what the deflate_decompress expression does. The
+  // fixture renders BOTH shapes (zlib at doc_id%4==1, raw at ==2,
+  // identity otherwise) under one header; the per-source aggregate
+  // pins decoded byte counts and a folded md5 against the oracle's
+  // recomputation of the same html over `documents` — a wrong sniff
+  // on EITHER arm corrupts the checksum. Zero-shuffle map stage, as
+  // with the chunked/gzip gate.
+  private val warcHttpDeflate = Q(
+    "pipe_warc_http_deflate",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.exprs.deflate_decompress
+      val base = EventQueries.gateTempDir("graft-warc-defl")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeHttpDeflate(Tables.documents(s, d), dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            decode($"payload", "ISO-8859-1").as("p"))
+          .withColumn("hdr", $"p".substr(lit(1), instr($"p", "\r\n\r\n") - 1))
+          .withColumn("ce",
+            regexp_extract($"hdr", "Content-Encoding: ([a-z]+)", 1))
+          .withColumn("braw",
+            encode($"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")),
+              "ISO-8859-1"))
+          .withColumn("b2",
+            when($"ce" === "deflate", deflate_decompress($"braw"))
+              .otherwise($"braw"))
+          .withColumn("body", decode($"b2", "UTF-8"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when($"ce" === "deflate", 1)).as("n_deflate"),
+            sum(octet_length($"b2")).as("decoded_body_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(CAST(body AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("body_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, doc_id, $HtmlSql AS html
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_records,
+            |       count(*) FILTER (WHERE doc_id % 4 IN (1, 2)) AS n_deflate,
+            |       CAST(sum(octet_length(encode(html))) AS BIGINT)
+            |         AS decoded_body_bytes,
+            |       CAST(sum(CAST('0x' || substr(md5(html), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS body_ck
+            |FROM h
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   // WET EXTRACT (Common Crawl's text sidecar, derived not stored):
   // http-payload archive written as PER-RECORD GZIP MEMBERS, read
   // back, body split off, tags stripped with one shared regex, the
@@ -2382,7 +2448,8 @@ object PipelineQueries {
       dataSelection, shardAssign, epochShuffle, snapshotDiff, dropAudit,
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
-      warcWetExtract, warcLidAudit, warcLidAudit2, warcRevisitDedup,
+      warcHttpDeflate, warcWetExtract, warcLidAudit, warcLidAudit2,
+      warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
       warcCdx, warcCdx2, warcWarcinfo, warcSegmented)
 }

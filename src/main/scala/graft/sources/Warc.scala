@@ -213,6 +213,40 @@ object Warc {
     envelopeBinary(docs, http, "application/http; msgtype=response")
   }
 
+  /** Render documents as application/http WARC records with
+    * `Content-Encoding: deflate` bodies — BOTH the RFC 9110 zlib
+    * shape (doc_id % 4 == 1) and the infamous non-conformant RAW
+    * stream (doc_id % 4 == 2; RFC 9110 §8.4.1.2 documents the bug),
+    * under the SAME `deflate` header — exactly the ambiguity a real
+    * consumer's sniffing decoder must resolve. Remaining rows are
+    * identity. Body is the shared [[htmlBody]]; utf-8 throughout.
+    */
+  def renderHttpDeflate(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs.{deflate_compress, deflate_compress_raw}
+    val enc = col("doc_id") % 4
+    val bodyBytes = encode(htmlBody, "utf-8")
+    val encodedBody = when(enc === 1, deflate_compress(bodyBytes))
+      .when(enc === 2, deflate_compress_raw(bodyBytes))
+      .otherwise(bodyBytes)
+    val status = when(col("doc_id") % 17 === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val httpHeaders = concat(
+      lit("HTTP/1.1 "), status, lit("\r\n"),
+      lit("Content-Type: text/html; charset=utf-8\r\n"),
+      lit("X-Crawl-Lang: "), col("lang"), lit("\r\n"),
+      when(enc === 1 || enc === 2, lit("Content-Encoding: deflate\r\n"))
+        .otherwise(lit("")),
+      lit("Content-Length: "),
+      octet_length(encodedBody).cast("string"), lit("\r\n\r\n"))
+    val http = concat(encode(httpHeaders, "utf-8"), encodedBody)
+    envelopeBinary(docs, http, "application/http; msgtype=response")
+  }
+
+  /** [[renderHttpDeflate]] written as plain WARC part files. */
+  def writeHttpDeflate(docs: DataFrame, path: String): Unit =
+    renderHttpDeflate(docs).write.format("warc").option("compression", "none")
+      .mode("overwrite").save(path)
+
   /** [[envelope]] for BINARY payloads: the SAME [[headerBlock]]
     * expression, assembled as a binary concat (ASCII header text
     * encodes transparently), so payload bytes that are not valid

@@ -93,6 +93,40 @@ class HttpCodecSpec extends AnyFunSuite {
       HttpCodec.gzipDecompress("not gzip".getBytes("UTF-8")))
   }
 
+  test("deflate: zlib + raw both round-trip through the sniffing decoder") {
+    val bodies = Seq(
+      "x".getBytes("UTF-8"), fuzzBytes(9, 3000), fuzzBytes(10, 100000))
+    for ((b, i) <- bodies.zipWithIndex) {
+      val z = HttpCodec.deflateCompress(b)
+      val r = HttpCodec.deflateCompressRaw(b)
+      // the two wire shapes differ (that IS the server bug) but both
+      // decode through the one sniffing entry point
+      assert(!z.sameElements(r), s"zlib and raw must differ, body $i")
+      assert(HttpCodec.deflateDecompress(z).sameElements(b), s"zlib rt $i")
+      assert(HttpCodec.deflateDecompress(r).sameElements(b), s"raw rt $i")
+      assert(z.sameElements(HttpCodec.deflateCompress(b)),
+        s"deflateCompress must be deterministic, body $i")
+    }
+    // interop: java's own zlib wrapper (DeflaterOutputStream default)
+    val b = fuzzBytes(11, 12345)
+    val bos = new java.io.ByteArrayOutputStream
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(b); d.close()
+    assert(HttpCodec.deflateDecompress(bos.toByteArray).sameElements(b))
+  }
+
+  test("deflate decompress aborts on corruption, truncation, trailing bytes") {
+    val ok = HttpCodec.deflateCompress(fuzzBytes(12, 1000))
+    val flipped = ok.clone(); flipped(10) = (flipped(10) ^ 0x55).toByte
+    assertThrows[Exception](HttpCodec.deflateDecompress(flipped))
+    assertThrows[Exception](
+      HttpCodec.deflateDecompress(ok.take(ok.length / 2)))
+    assertThrows[Exception](
+      HttpCodec.deflateDecompress(ok ++ Array[Byte](9, 9, 9)))
+    assertThrows[Exception](
+      HttpCodec.deflateDecompress(Array.emptyByteArray))
+  }
+
   test("codegen expressions evaluate the kernels inside a plan") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
