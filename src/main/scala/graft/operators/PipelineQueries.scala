@@ -2199,6 +2199,67 @@ object PipelineQueries {
             |ORDER BY source""".stripMargin),
   )
 
+  // WARC TRUNCATED RECORDS (ISO 28500 §5.13 — what real crawlers do
+  // with oversized payloads by DEFAULT: store a prefix and mark
+  // `WARC-Truncated: length`; CC caps at 1 MiB): texts over TruncChars
+  // render cut with the marker, the rest whole, and the read side
+  // profiles completeness per source — the audit a corpus builder
+  // runs before trusting content_length as document length (a
+  // truncated page treated as complete poisons length-based quality
+  // filters). The aggregate pins the truncated count, STORED bytes,
+  // and a folded md5 of the stored prefixes against the oracle's
+  // recomputation over `documents` — a reader that dropped the
+  // truncation header, or a renderer whose Content-Length lied about
+  // the stored bytes, diverges. Zero-shuffle map + small aggregate.
+  private val TruncChars = 300
+  private val warcTruncated = Q(
+    "pipe_warc_truncated",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-trunc")
+      try {
+        val dir = s"$base/warc"
+        graft.sources.Warc.writeTruncated(
+          Tables.documents(s, d), dir, TruncChars)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"truncated", $"content_length", $"payload")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when($"truncated" === "length", 1)).as("n_truncated"),
+            sum($"content_length").as("stored_bytes"),
+            (sum(expr(
+              "CAST(conv(substring(md5(payload), 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("stored_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH r AS (
+            |  SELECT source,
+            |         CASE WHEN length(text) > $TruncChars
+            |              THEN substr(text, 1, $TruncChars) ELSE text END
+            |           AS stored,
+            |         length(text) > $TruncChars AS cut
+            |  FROM documents)
+            |SELECT source,
+            |       count(*) AS n_records,
+            |       count(*) FILTER (WHERE cut) AS n_truncated,
+            |       CAST(sum(octet_length(encode(stored))) AS BIGINT)
+            |         AS stored_bytes,
+            |       CAST(sum(CAST('0x' || substr(md5(stored), 1, 12) AS BIGINT))
+            |            % 9007199254740991 AS BIGINT) AS stored_ck
+            |FROM r
+            |GROUP BY source
+            |ORDER BY source""".stripMargin),
+  )
+
   // WARC METADATA RECORDS (the capture telemetry type, ISO 28500
   // §6.6): Warc.renderWithMetadata writes an application/warc-fields
   // metadata record next to each response; the read side parses the
@@ -2451,5 +2512,5 @@ object PipelineQueries {
       warcHttpDeflate, warcWetExtract, warcLidAudit, warcLidAudit2,
       warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
-      warcCdx, warcCdx2, warcWarcinfo, warcSegmented)
+      warcCdx, warcCdx2, warcWarcinfo, warcSegmented, warcTruncated)
 }

@@ -459,6 +459,32 @@ object Warc {
     renderSegmented(docs, segChars).write.format("warc")
       .option("compression", "none").mode("overwrite").save(path)
 
+  /** Render documents with TRUNCATION (ISO 28500 §5.13 — the other
+    * oversized-payload device next to [[renderSegmented]], and the
+    * one real crawlers actually default to: store only a prefix and
+    * mark the record `WARC-Truncated: length`): texts over `capChars`
+    * chars store their first `capChars` chars with the truncation
+    * header; shorter texts render whole with no marker.
+    * Content-Length counts the STORED bytes — the framing stays
+    * honest about what is on disk, the header about what is not.
+    */
+  def renderTruncated(docs: DataFrame, capChars: Int): DataFrame = {
+    require(capChars > 0, s"capChars must be positive, got $capChars")
+    val cut = length(col("text")) > capChars
+    envelope(
+      docs,
+      when(cut, substring(col("text"), 1, capChars))
+        .otherwise(col("text")),
+      "text/plain; charset=utf-8",
+      extraHeaders = when(cut, lit("WARC-Truncated: length\r\n"))
+        .otherwise(lit("")))
+  }
+
+  /** [[renderTruncated]] written as plain WARC part files. */
+  def writeTruncated(docs: DataFrame, path: String, capChars: Int): Unit =
+    renderTruncated(docs, capChars).write.format("warc")
+      .option("compression", "none").mode("overwrite").save(path)
+
   /** Render WET-style `conversion` records (ISO 28500 §6.8 — the
     * record type Common Crawl's WET sidecar files consist of): one
     * text/plain record per page whose payload is the EXTRACTED text,

@@ -114,6 +114,13 @@ object WarcDataSource {
     // by segment number, concatenate) — gated by `pipe_warc_segmented`
     StructField("segment_number", LongType, nullable = true),
     StructField("segment_origin_id", StringType, nullable = true),
+    // ISO 28500 §5.13 `WARC-Truncated`: the reason token (`length`,
+    // `time`, `disconnect`, `unspecified`) when the crawler stored
+    // only a PREFIX of the fetched payload — the other oversized-
+    // payload device next to segmentation, and one a corpus builder
+    // must see to avoid treating cut-off pages as complete documents.
+    // NULL on whole records.
+    StructField("truncated", StringType, nullable = true),
     // byte offset of the record's seekable frame start: the record
     // itself in plain files, the enclosing gzip MEMBER in .warc.gz —
     // exactly the offset a CDX index stores and a range-request
@@ -423,7 +430,7 @@ private[v2] class WarcTable(
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
         "refers_to, concurrent_to, segment_number, segment_origin_id, " +
-        "record_offset, payload); a " +
+        "truncated, record_offset, payload); a " +
         s"user-supplied schema is not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed. The RAW paths
@@ -742,6 +749,7 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
         h.fields.get("warc-segment-origin-id")
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
+      case "truncated" => (h, _, _, _) => header(h, "warc-truncated")
       case "record_offset" => (h, _, _, _) => h.recordStart
       case "warc_date" => (h, _, _, _) => header(h, "warc-date")
       case "content_type" => (h, _, _, _) => header(h, "content-type")
