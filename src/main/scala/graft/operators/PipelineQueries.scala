@@ -2055,11 +2055,11 @@ object PipelineQueries {
           .load(segsDir.toString)
           .filter($"warc_type" === "response")
           .select(
-            concat(
-              array_join(
-                reverse(split(UrlQueries.urlHost($"target_uri"), "\\.")),
-                ","),
-              lit(")"), UrlQueries.urlPath($"target_uri")).as("urlkey"),
+            // the SHARED SURT device (UrlQueries.urlSurt — also gated
+            // over messy URLs by ta_url_surt); on these clean URIs the
+            // canonicalization arms are no-ops and the key is pure
+            // host-reversal + path
+            UrlQueries.urlSurt($"target_uri").as("urlkey"),
             regexp_extract($"path", "/([^/]+)$", 1).as("filename"),
             $"record_offset", $"content_length",
             md5($"payload").as("digest"))

@@ -153,23 +153,52 @@ object UrlQueries {
   private def canonHostSql(c: String): String =
     s"regexp_replace(lower(regexp_extract($c, $HostReSql, 1)), '^www\\.', '')"
 
-  /** Canonical URL: lowercase host, strip leading www., drop the
-    * port only when it is the scheme DEFAULT (80/http, 443/https —
-    * a non-default port is a different origin and must survive),
-    * drop fragment and tracking params, sort the surviving params.
+  /** Query params that survive canonicalization: non-empty, non-
+    * tracking, sorted — shared by [[canonicalUrl]] and [[urlSurt]].
     */
-  private[operators] def canonicalUrl(u: Column): Column = {
+  private def keptParams(u: Column): Column =
+    array_sort(filter(split(urlQuery(u), "&"),
+      x => x =!= "" && !x.rlike("^(utm_[a-z]+|fbclid)=")))
+
+  /** `:port` only when NOT the scheme default (80/http, 443/https —
+    * a non-default port is a different origin and must survive).
+    */
+  private def nonDefaultPort(u: Column): Column = {
     val scheme = urlScheme(u)
-    val host = canonHost(u)
     val port = regexp_extract(u, PortRe, 1)
-    val portPart = when(
+    when(
       port === "" ||
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
-    val keep = array_sort(filter(split(urlQuery(u), "&"),
-      x => x =!= "" && !x.rlike("^(utm_[a-z]+|fbclid)=")))
-    concat(scheme, lit("://"), host, portPart, urlPath(u),
+  }
+
+  /** Canonical URL: lowercase host, strip leading www., drop the
+    * default port, drop fragment and tracking params, sort the
+    * surviving params.
+    */
+  private[operators] def canonicalUrl(u: Column): Column = {
+    val keep = keptParams(u)
+    concat(urlScheme(u), lit("://"), canonHost(u), nonDefaultPort(u),
+      urlPath(u),
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** SURT (Sort-friendly URI Reordering Transform) key of a raw URL —
+    * the form CDX(J) indexes and wayback machines sort on
+    * (`com,example)/path?q`): the SAME canonicalization as
+    * [[canonicalUrl]] (lowercased www-stripped host, default port
+    * dropped, tracking params dropped, survivors sorted, fragment
+    * gone, scheme gone) with the host labels REVERSED and
+    * comma-joined so one registrable domain's captures sort together;
+    * a surviving non-default port rides between host and `)`.
+    */
+  private[operators] def urlSurt(u: Column): Column = {
+    val keep = keptParams(u)
+    concat(
+      array_join(reverse(split(canonHost(u), "\\.")), ","),
+      nonDefaultPort(u), lit(")"), urlPath(u),
       when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
         .otherwise(lit("")))
   }
@@ -189,6 +218,27 @@ object UrlQueries {
        |CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
        |          OR ($scheme = 'https' AND $port = '443')
        |     THEN '' ELSE ':' || $port END ||
+       |regexp_extract($c, $PathReSql, 1) ||
+       |CASE WHEN len($keep) > 0
+       |     THEN '?' || array_to_string($keep, '&')
+       |     ELSE '' END""".stripMargin
+  }
+
+  /** DuckDB SURT expression over a raw-url column `c` — mirrors
+    * [[urlSurt]] term by term (shared regex literals, same default-
+    * port rule, same tracking-param filter).
+    */
+  private def surtSql(c: String): String = {
+    val port = s"regexp_extract($c, $PortReSql, 1)"
+    val scheme = s"regexp_extract($c, $SchemeReSql, 1)"
+    val keep =
+      s"""list_sort(list_filter(string_split(regexp_extract($c, $QueryReSql, 1), '&'),
+         |  x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid)=')))""".stripMargin
+    s"""array_to_string(list_reverse(string_split(${canonHostSql(c)}, '.')), ',') ||
+       |CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80')
+       |          OR ($scheme = 'https' AND $port = '443')
+       |     THEN '' ELSE ':' || $port END ||
+       |')' ||
        |regexp_extract($c, $PathReSql, 1) ||
        |CASE WHEN len($keep) > 0
        |     THEN '?' || array_to_string($keep, '&')
@@ -644,6 +694,37 @@ object UrlQueries {
   )
 
   // ---------------------------------------------------------------
+  // 8b. SURT urlkey over the MESSY corpus: pipe_warc_cdx2 computes
+  //     SURT from clean archive URIs; this entry runs the SAME shared
+  //     device ([[urlSurt]]) over raw crawl URLs with every mess the
+  //     fixture encodes (uppercase hosts, www, default and non-default
+  //     ports, tracking params in both positions, fragments) and
+  //     first-seen-dedups on the key — the urlkey-level collapse a
+  //     wayback-style index performs. Groups of 4 raw variants share
+  //     one SURT, so the counts prove the canonicalization, and the
+  //     oracle replays the transform with its own list machinery.
+  //     One projection + one hash aggregate on the key — the
+  //     td_url_canonical_dedup scale shape.
+  private val urlSurtKey = Q(
+    "ta_url_surt",
+    (s, d) => {
+      import s.implicits._
+      withRawUrl(Tables.documents(s, d))
+        .select($"doc_id", urlSurt($"raw_url").as("urlkey"))
+        .groupBy($"urlkey")
+        .agg(count(lit(1)).as("n_raw"), min($"doc_id").as("first_doc"))
+        .orderBy($"urlkey")
+    },
+    Some(s"""WITH $RawUrlCte
+            |SELECT ${surtSql("raw_url")} AS urlkey,
+            |       count(*) AS n_raw,
+            |       min(doc_id) AS first_doc
+            |FROM u
+            |GROUP BY 1
+            |ORDER BY urlkey""".stripMargin),
+  )
+
+  // ---------------------------------------------------------------
   // 9. robots.txt rules DERIVED FROM THE CRAWL (what td_robots_filter
   //    proves the JOIN for, this proves end to end): robots.txt
   //    fetches are rendered as WARC response records (target URI
@@ -980,6 +1061,6 @@ object UrlQueries {
 
   def all: Seq[Q] =
     Seq(urlParse, urlDedup, domainStats, blocklistFilter, hostShard,
-      domainCapSample, pslClasses, robotsFilter, robotsFromCrawl,
-      robotsAllow)
+      domainCapSample, pslClasses, urlSurtKey, robotsFilter,
+      robotsFromCrawl, robotsAllow)
 }

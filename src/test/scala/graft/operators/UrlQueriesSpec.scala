@@ -265,6 +265,31 @@ class UrlQueriesSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_docs")).sum == docIds.length.toLong)
   }
 
+  test("ta_url_surt replays the naive SURT over java.net.URI parts") {
+    def naiveSurt(raw: String): String = {
+      val u = new java.net.URI(raw)
+      val host = u.getHost.toLowerCase(java.util.Locale.ROOT)
+        .replaceFirst("^www\\.", "")
+      val default = (u.getScheme == "http" && u.getPort == 80) ||
+        (u.getScheme == "https" && u.getPort == 443)
+      val port = if (u.getPort < 0 || default) "" else ":" + u.getPort
+      val keep = Option(u.getQuery).map(_.split("&").toSeq).getOrElse(Nil)
+        .filter(p => p.nonEmpty && !p.matches("^(utm_[a-z]+|fbclid)=.*"))
+        .sorted
+      host.split("\\.").reverse.mkString(",") + port + ")" + u.getPath +
+        (if (keep.nonEmpty) "?" + keep.mkString("&") else "")
+    }
+    val want = docIds.groupBy(id => naiveSurt(rawUrl(id)))
+    val got = q("ta_url_surt").fn(spark, sf).collect()
+    assert(got.length == want.size, "distinct urlkey count diverged")
+    for (r <- got) {
+      val k = r.getAs[String]("urlkey")
+      assert(want.contains(k), s"unexpected urlkey $k")
+      assert(r.getAs[Long]("n_raw") == want(k).size.toLong, s"count at $k")
+      assert(r.getAs[Long]("first_doc") == want(k).min, s"first_doc at $k")
+    }
+  }
+
   test("robots filter replays RFC 9309 prefix semantics, and fires") {
     val rules = UrlQueries.RobotsRules.groupBy(_._1).view
       .mapValues(_.map(_._2)).toMap
