@@ -3114,6 +3114,119 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin),
   )
 
+  // -----------------------------------------------------------------
+  // SCRIPT-BASED LANGUAGE ID (the production device the stopword/
+  // hashed predictors deliberately are NOT): real unsegmented CJK
+  // text has no spaces, so any space-tokenized classifier — including
+  // this catalogue's lidPredict/lidHashedPredict, whose zh markers
+  // can never match it — needs a script-level front end. The fixture
+  // makes that text REAL: zh rows rewrite each word into two
+  // md5-picked Han characters joined with NO separators (deterministic
+  // on both engines via the shared literal alphabet); other langs keep
+  // their Latin text. The classifier is tokenization-free: per-script
+  // character counts via one strip-regexp each (codegen'd
+  // regexp_replace + length; ASCII-only \x{...} range patterns parse
+  // identically under Java regex and DuckDB's RE2), argmax with a
+  // deterministic tie-break. The crosstab plus per-cell char sums pin
+  // construction AND classification — zh must land on han with ZERO
+  // latin-letter chars, every other lang on latin with zero han.
+  // At 100 TB: one in-row projection, the usual small hash aggregate.
+  private[operators] val HanAlphabet: Seq[String] = Seq(
+    "的", "一", "是", "不", "了", "人", "我", "在", "有", "他",
+    "这", "中", "大", "来", "上", "国", "个", "到", "说", "们")
+  private val HanAlphabetSql = HanAlphabet.map(c => s"'$c'").mkString(",")
+
+  // character-class strip patterns, ASCII-only escapes so the SAME
+  // string is a valid Java regex and a valid RE2 (DuckDB) regex;
+  // defined as plain vals so the s-interpolated oracle never
+  // re-processes the backslashes (the sqlLit discipline)
+  private val NotHanRe = "[^\\x{4E00}-\\x{9FFF}]"
+  private val NotLatinRe = "[^A-Za-z]"
+  private val NotCyrillicRe = "[^\\x{0400}-\\x{04FF}]"
+  private val NotArabicRe = "[^\\x{0600}-\\x{06FF}]"
+
+  /** The unsegmented-script corpus derivation: zh → Han (two chars
+    * per source word, NO separators), everything else unchanged.
+    */
+  private def scriptText(text: Column, lang: Column): Column = {
+    val alphabet = array(HanAlphabet.map(lit): _*)
+    def pick(w: Column, at: Int): Column = element_at(alphabet,
+      (conv(substring(md5(w), at, 4), 16, 10).cast("long") % 20 + 1)
+        .cast("int"))
+    when(lang === "zh",
+      array_join(transform(split(text, " "),
+        w => concat(pick(w, 1), pick(w, 5))), ""))
+      .otherwise(text)
+  }
+
+  /** Chars of `t` belonging to the class that `notRe` strips the
+    * complement of — length(regexp_replace(t, notRe, '')).
+    */
+  private def scriptCount(t: Column, notRe: String): Column =
+    length(regexp_replace(t, notRe, ""))
+
+  private val scriptLid = Q(
+    "ta_script_lid",
+    (s, d) => {
+      import s.implicits._
+      val st = scriptText($"text", $"lang")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", st.as("st"))
+        .select(
+          $"lang",
+          scriptCount($"st", NotHanRe).as("han"),
+          scriptCount($"st", NotLatinRe).as("latin"),
+          scriptCount($"st", NotCyrillicRe).as("cyr"),
+          scriptCount($"st", NotArabicRe).as("ar"))
+        .withColumn("script",
+          when(greatest($"han", $"latin", $"cyr", $"ar") === 0, "other")
+            .when($"latin" >= greatest($"han", $"cyr", $"ar"), "latin")
+            .when($"han" >= greatest($"cyr", $"ar"), "han")
+            .when($"cyr" >= $"ar", "cyrillic")
+            .otherwise("arabic"))
+        .groupBy($"lang", $"script")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"han").as("han_chars"),
+          sum($"latin").as("latin_chars"))
+        .orderBy($"lang", $"script")
+    },
+    Some(s"""WITH st AS (
+            |  SELECT lang,
+            |         CASE WHEN lang = 'zh' THEN
+            |           array_to_string(list_transform(string_split(text, ' '),
+            |             w -> ([$HanAlphabetSql])[
+            |                    CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
+            |                         % 20 AS INT) + 1] ||
+            |                  ([$HanAlphabetSql])[
+            |                    CAST(CAST('0x' || substr(md5(w), 5, 4) AS BIGINT)
+            |                         % 20 AS INT) + 1]), '')
+            |         ELSE text END AS t
+            |  FROM documents),
+            |counts AS (
+            |  SELECT lang,
+            |         length(regexp_replace(t, '$NotHanRe', '', 'g')) AS han,
+            |         length(regexp_replace(t, '$NotLatinRe', '', 'g')) AS latin,
+            |         length(regexp_replace(t, '$NotCyrillicRe', '', 'g')) AS cyr,
+            |         length(regexp_replace(t, '$NotArabicRe', '', 'g')) AS ar
+            |  FROM st),
+            |cls AS (
+            |  SELECT lang, han, latin,
+            |         CASE WHEN greatest(han, latin, cyr, ar) = 0 THEN 'other'
+            |              WHEN latin >= greatest(han, cyr, ar) THEN 'latin'
+            |              WHEN han >= greatest(cyr, ar) THEN 'han'
+            |              WHEN cyr >= ar THEN 'cyrillic'
+            |              ELSE 'arabic' END AS script
+            |  FROM counts)
+            |SELECT lang, script,
+            |       count(*) AS n_docs,
+            |       CAST(sum(han) AS BIGINT) AS han_chars,
+            |       CAST(sum(latin) AS BIGINT) AS latin_chars
+            |FROM cls
+            |GROUP BY lang, script
+            |ORDER BY lang, script""".stripMargin),
+  )
+
   def all: Seq[Q] =
     Seq(tokens, quality, langid, fingerprint, stableSample, stratifiedSample,
       split3, bigramsUdtf, piiScrub, repetition, weightedMix, temperatureMix,
@@ -3124,7 +3237,7 @@ object TextQueries {
       textrank, langConfusion, rake, extractiveSummary, tokenizerFertility,
       neymanAlloc, heapsCurve, zipfOctaves, burstiness, readabilityFk,
       burrowsDelta, vocabRichness, postingsVarint, uncertaintySample,
-      cooccurrenceLift, msttr, sqlSurfaceText)
+      cooccurrenceLift, msttr, scriptLid, sqlSurfaceText)
 
   // SQL-TEXT SURFACE for the text-kernel family — the third member of
   // the sql_surface_{spatial,similarity} series: the same registered
