@@ -2493,6 +2493,102 @@ object PipelineQueries {
             |ORDER BY header_lang, voter_lang, hashed_lang""".stripMargin),
   )
 
+  // SCRIPT LID THROUGH THE ARCHIVE (the non-ASCII end-to-end: every
+  // prior WARC byte-path gate carried ASCII-or-§ payloads; this one
+  // pushes genuinely multi-byte, UNSEGMENTED Han text through the
+  // whole pipeline — string render → UTF-8 envelope bytes → per-record
+  // gzip members → splittable read-back → WET tag-strip — and then
+  // classifies the extracted text with the tokenization-free script
+  // device of ta_script_lid, crosstabbed against the crawl's own
+  // header). The WET text is realistically MIXED ("doc N" title ASCII
+  // + digits around the Han body), so the classifier must win on
+  // counts, not purity; the per-cell char sums pin byte survival —
+  // one UTF-8 sequence mangled anywhere in render/compress/split/
+  // strip moves han_chars. Same zero-shuffle shape as the lid audits.
+  private val warcLidScript = Q(
+    "pipe_warc_lid_script",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-lidscript")
+      try {
+        val dir = s"$base/warc"
+        val docs = Tables.documents(s, d)
+          .withColumn("text", TextQueries.scriptText($"text", $"lang"))
+        graft.sources.Warc.writeHttpGzip(docs, dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .select($"payload".cast("string").as("p"))
+          .withColumn("header_lang",
+            regexp_extract($"p", "X-Crawl-Lang: ([a-z]+)", 1))
+          .withColumn("body",
+            $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
+          .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
+          .select(
+            $"header_lang",
+            TextQueries.scriptCount($"wet", TextQueries.NotHanRe)
+              .as("han"),
+            TextQueries.scriptCount($"wet", TextQueries.NotLatinRe)
+              .as("latin"),
+            TextQueries.scriptCount($"wet", TextQueries.NotCyrillicRe)
+              .as("cyr"),
+            TextQueries.scriptCount($"wet", TextQueries.NotArabicRe)
+              .as("ar"))
+          .withColumn("script",
+            when(greatest($"han", $"latin", $"cyr", $"ar") === 0, "other")
+              .when($"latin" >= greatest($"han", $"cyr", $"ar"), "latin")
+              .when($"han" >= greatest($"cyr", $"ar"), "han")
+              .when($"cyr" >= $"ar", "cyrillic")
+              .otherwise("arabic"))
+          .groupBy($"header_lang", $"script")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"han").as("han_chars"),
+            sum($"latin").as("latin_chars"))
+          .orderBy($"header_lang", $"script")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some(s"""WITH st AS (
+            |  SELECT doc_id, lang, source,
+            |         CASE WHEN lang = 'zh' THEN
+            |           array_to_string(list_transform(string_split(text, ' '),
+            |             w -> ([${TextQueries.HanAlphabetSql}])[
+            |                    CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
+            |                         % 20 AS INT) + 1] ||
+            |                  ([${TextQueries.HanAlphabetSql}])[
+            |                    CAST(CAST('0x' || substr(md5(w), 5, 4) AS BIGINT)
+            |                         % 20 AS INT) + 1]), '')
+            |         ELSE text END AS text
+            |  FROM documents),
+            |h AS (
+            |  SELECT lang AS header_lang,
+            |         regexp_replace($HtmlSql, '<[^>]*>', '', 'g') AS wet
+            |  FROM st),
+            |counts AS (
+            |  SELECT header_lang,
+            |         length(regexp_replace(wet, '${TextQueries.NotHanRe}', '', 'g')) AS han,
+            |         length(regexp_replace(wet, '${TextQueries.NotLatinRe}', '', 'g')) AS latin,
+            |         length(regexp_replace(wet, '${TextQueries.NotCyrillicRe}', '', 'g')) AS cyr,
+            |         length(regexp_replace(wet, '${TextQueries.NotArabicRe}', '', 'g')) AS ar
+            |  FROM h),
+            |cls AS (
+            |  SELECT header_lang, han, latin,
+            |         CASE WHEN greatest(han, latin, cyr, ar) = 0 THEN 'other'
+            |              WHEN latin >= greatest(han, cyr, ar) THEN 'latin'
+            |              WHEN han >= greatest(cyr, ar) THEN 'han'
+            |              WHEN cyr >= ar THEN 'cyrillic'
+            |              ELSE 'arabic' END AS script
+            |  FROM counts)
+            |SELECT header_lang, script,
+            |       count(*) AS n_docs,
+            |       CAST(sum(han) AS BIGINT) AS han_chars,
+            |       CAST(sum(latin) AS BIGINT) AS latin_chars
+            |FROM cls
+            |GROUP BY header_lang, script
+            |ORDER BY header_lang, script""".stripMargin),
+  )
+
   private val warcUrlProfile =
     warcUrlProfileQ("pipe_warc_url_profile", gz = false)
 
@@ -2510,7 +2606,7 @@ object PipelineQueries {
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcHttpDeflate, warcWetExtract, warcLidAudit, warcLidAudit2,
-      warcRevisitDedup,
+      warcLidScript, warcRevisitDedup,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
       warcCdx, warcCdx2, warcWarcinfo, warcSegmented, warcTruncated)
 }

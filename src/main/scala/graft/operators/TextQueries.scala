@@ -3134,21 +3134,21 @@ object TextQueries {
   private[operators] val HanAlphabet: Seq[String] = Seq(
     "的", "一", "是", "不", "了", "人", "我", "在", "有", "他",
     "这", "中", "大", "来", "上", "国", "个", "到", "说", "们")
-  private val HanAlphabetSql = HanAlphabet.map(c => s"'$c'").mkString(",")
+  private[operators] val HanAlphabetSql = HanAlphabet.map(c => s"'$c'").mkString(",")
 
   // character-class strip patterns, ASCII-only escapes so the SAME
   // string is a valid Java regex and a valid RE2 (DuckDB) regex;
   // defined as plain vals so the s-interpolated oracle never
   // re-processes the backslashes (the sqlLit discipline)
-  private val NotHanRe = "[^\\x{4E00}-\\x{9FFF}]"
-  private val NotLatinRe = "[^A-Za-z]"
-  private val NotCyrillicRe = "[^\\x{0400}-\\x{04FF}]"
-  private val NotArabicRe = "[^\\x{0600}-\\x{06FF}]"
+  private[operators] val NotHanRe = "[^\\x{4E00}-\\x{9FFF}]"
+  private[operators] val NotLatinRe = "[^A-Za-z]"
+  private[operators] val NotCyrillicRe = "[^\\x{0400}-\\x{04FF}]"
+  private[operators] val NotArabicRe = "[^\\x{0600}-\\x{06FF}]"
 
   /** The unsegmented-script corpus derivation: zh → Han (two chars
     * per source word, NO separators), everything else unchanged.
     */
-  private def scriptText(text: Column, lang: Column): Column = {
+  private[operators] def scriptText(text: Column, lang: Column): Column = {
     val alphabet = array(HanAlphabet.map(lit): _*)
     def pick(w: Column, at: Int): Column = element_at(alphabet,
       (conv(substring(md5(w), at, 4), 16, 10).cast("long") % 20 + 1)
@@ -3162,7 +3162,7 @@ object TextQueries {
   /** Chars of `t` belonging to the class that `notRe` strips the
     * complement of — length(regexp_replace(t, notRe, '')).
     */
-  private def scriptCount(t: Column, notRe: String): Column =
+  private[operators] def scriptCount(t: Column, notRe: String): Column =
     length(regexp_replace(t, notRe, ""))
 
   private val scriptLid = Q(
