@@ -1709,6 +1709,80 @@ object PipelineQueries {
            |ORDER BY source""".stripMargin),
   )
 
+  // WARC PAYLOAD-DIGEST AUDIT (ISO 28500 §5.9 — the integrity check a
+  // consumer runs before trusting archive bytes: every response
+  // carries the WARC-Payload-Digest its crawler computed at fetch
+  // time; recomputing it over the stored payload catches storage/
+  // transport corruption that framing alone cannot, since a flipped
+  // payload byte leaves Content-Length true). The fixture is the
+  // revisit corpus (its responses carry md5 digests); the read side
+  // recomputes md5(payload) per record IN-ROW and compares against
+  // the parsed header — the oracle replays digests from `documents`
+  // through the same first-seen window, so a reader that mis-parses
+  // the digest header, or bytes that changed anywhere between render
+  // and read-back, diverge. n_mismatch is pinned to ZERO here; the
+  // POSITIVE case — one deliberately flipped payload byte caught as
+  // exactly one mismatch — is spec-pinned in WarcSourceSpec (a gate
+  // cannot tamper bytes and stay oracle-replayable). Zero-shuffle
+  // map + small aggregate.
+  private val warcDigestAudit = Q(
+    "pipe_warc_digest_audit",
+    (s, d) => {
+      import s.implicits._
+      val base = EventQueries.gateTempDir("graft-warc-digest")
+      try {
+        val dir = s"$base/warc"
+        val docs = Tables.documents(s, d)
+        val fetches = docs.withColumn("fetch_id", $"doc_id" * 2)
+          .unionAll(docs.filter($"doc_id" % 7 === 3)
+            .withColumn("fetch_id", $"doc_id" * 2 + 1))
+        graft.sources.Warc.writeRevisits(fetches, dir)
+        s.read.format("warc")
+          .option("chunkBytes", (256 * 1024).toString)
+          .load(dir)
+          .filter($"warc_type" === "response")
+          .select(
+            regexp_extract($"target_uri", "^http://([^.]+)\\.example/", 1)
+              .as("source"),
+            $"payload_digest",
+            md5($"payload").as("recomputed"))
+          .withColumn("ok",
+            $"payload_digest" === concat(lit("md5:"), $"recomputed"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_responses"),
+            count(when($"ok", 1)).as("n_verified"),
+            count(when(!$"ok", 1)).as("n_mismatch"),
+            (sum(expr(
+              "CAST(conv(substring(recomputed, 1, 12), 16, 10) AS BIGINT)")
+              .cast("decimal(38,0)")) % lit(9007199254740991L))
+              .cast("long").as("digest_ck"))
+          .orderBy($"source")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""WITH f AS (
+           |  SELECT source, text, doc_id * 2 AS fetch_id FROM documents
+           |  UNION ALL
+           |  SELECT source, text, doc_id * 2 + 1 FROM documents
+           |  WHERE doc_id % 7 = 3),
+           |r AS (
+           |  SELECT source, text,
+           |         row_number() OVER (PARTITION BY source, md5(text)
+           |                            ORDER BY fetch_id) AS rk
+           |  FROM f)
+           |SELECT source,
+           |       count(*) FILTER (WHERE rk = 1) AS n_responses,
+           |       count(*) FILTER (WHERE rk = 1) AS n_verified,
+           |       CAST(0 AS BIGINT) AS n_mismatch,
+           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+           |              FILTER (WHERE rk = 1)
+           |            % 9007199254740991 AS BIGINT) AS digest_ck
+           |FROM r
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+  )
+
   // WARC REQUEST/RESPONSE PAIRING (the full capture shape: real crawl
   // segments store the request NEXT TO its response, linked by
   // WARC-Concurrent-To): Warc.renderWithRequests writes both record
@@ -2606,7 +2680,7 @@ object PipelineQueries {
       csvFlatten, datasetCard, compactionBins, warcRoundtrip, warcGzRoundtrip,
       warcUrlProfile, warcGzUrlProfile, warcHttpParse, warcHttpChunked,
       warcHttpDeflate, warcWetExtract, warcLidAudit, warcLidAudit2,
-      warcLidScript, warcRevisitDedup,
+      warcLidScript, warcRevisitDedup, warcDigestAudit,
       warcRequestPair, warcMetadata, warcWetConvert, warcStreamParity,
       warcCdx, warcCdx2, warcWarcinfo, warcSegmented, warcTruncated)
 }

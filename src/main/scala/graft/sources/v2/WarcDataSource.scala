@@ -121,6 +121,11 @@ object WarcDataSource {
     // must see to avoid treating cut-off pages as complete documents.
     // NULL on whole records.
     StructField("truncated", StringType, nullable = true),
+    // ISO 28500 §5.9 `WARC-Payload-Digest` (verbatim, e.g.
+    // `md5:abc…` / `sha1:…`) — what CDX digests come from and what an
+    // integrity audit verifies payload bytes AGAINST
+    // (`pipe_warc_digest_audit`); NULL when the writer recorded none.
+    StructField("payload_digest", StringType, nullable = true),
     // byte offset of the record's seekable frame start: the record
     // itself in plain files, the enclosing gzip MEMBER in .warc.gz —
     // exactly the offset a CDX index stores and a range-request
@@ -430,7 +435,7 @@ private[v2] class WarcTable(
       "the warc READ schema is fixed (path, record_index, warc_type, " +
         "record_id, target_uri, warc_date, content_type, content_length, " +
         "refers_to, concurrent_to, segment_number, segment_origin_id, " +
-        "truncated, record_offset, payload); a " +
+        "truncated, payload_digest, record_offset, payload); a " +
         s"user-supplied schema is not supported: ${tableSchema.sql}")
     // directory expansion happens at SCAN time, not getTable: a write
     // target may not exist yet and must not be listed. The RAW paths
@@ -750,6 +755,8 @@ private[v2] final class WarcRowBuilder(required: StructType, path: String) {
           .map(s => UTF8String.fromString(s.stripPrefix("<").stripSuffix(">")))
           .orNull
       case "truncated" => (h, _, _, _) => header(h, "warc-truncated")
+      case "payload_digest" => (h, _, _, _) =>
+        header(h, "warc-payload-digest")
       case "record_offset" => (h, _, _, _) => h.recordStart
       case "warc_date" => (h, _, _, _) => header(h, "warc-date")
       case "content_type" => (h, _, _, _) => header(h, "content-type")

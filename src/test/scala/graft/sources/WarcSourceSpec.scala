@@ -850,6 +850,54 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("payload-digest audit catches a single flipped payload byte") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("doc_id < 30")
+    val dir = Files.createTempDirectory("warc-spec-digest")
+    try {
+      val fetches = docs.withColumn("fetch_id", $"doc_id")
+      Warc.writeRevisits(fetches, dir.toString + "/w")
+      def audit() = spark.read.format("warc").load(dir.toString + "/w")
+        .filter($"warc_type" === "response")
+        .select($"record_id", $"path", $"record_offset",
+          $"content_length", $"payload_digest",
+          ($"payload_digest" === concat(lit("md5:"), md5($"payload")))
+            .as("ok"))
+        .collect()
+      val before = audit()
+      assert(before.nonEmpty && before.forall(_.getAs[Boolean]("ok")),
+        "pristine archive must verify everywhere")
+      // flip ONE payload byte of a response with a non-trivial body —
+      // framing stays intact (Content-Length still true), only the
+      // digest can catch it
+      val victim = before.filter(_.getAs[Long]("content_length") >= 3L).head
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(
+        victim.getAs[String]("path")))
+      val h = try {
+        var left = victim.getAs[Long]("record_offset")
+        while (left > 0) left -= in.skip(left)
+        WarcDataSource.readHeader(in, victim.getAs[String]("path"),
+          victim.getAs[Long]("record_offset")).get
+      } finally in.close()
+      val raf = new java.io.RandomAccessFile(victim.getAs[String]("path"), "rw")
+      try {
+        raf.seek(h.payloadStart + 1)
+        val b = raf.read()
+        raf.seek(h.payloadStart + 1)
+        raf.write(b ^ 0x20)
+      } finally raf.close()
+      val after = audit()
+      val bad = after.filterNot(_.getAs[Boolean]("ok"))
+      assert(bad.length == 1 &&
+        bad.head.getAs[String]("record_id") ==
+          victim.getAs[String]("record_id"),
+        s"audit must flag exactly the tampered record, got ${bad.toSeq}")
+    } finally rm(dir)
+  }
+
   test("expandPaths: directory lists files, hidden/_ excluded") {
     val dir = Files.createTempDirectory("warc-spec-paths")
     try {
