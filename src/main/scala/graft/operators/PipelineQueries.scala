@@ -1215,6 +1215,28 @@ object PipelineQueries {
   private def rmTree(p: java.nio.file.Path): Unit =
     EventQueries.deleteRecursively(p)
 
+  /** Per-JVM memo of the Latin-1 corpus guard (see
+    * `pipe_warc_http_chunked`): the invariant is a property of the
+    * DATASET, so one scan per (JVM, sfDir) keeps the loud abort
+    * without re-scanning on every benched rep.
+    */
+  private val latin1Checked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def requireLatin1Corpus(s: SparkSession, d: String): Unit =
+    latin1Checked.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val nonLatin1 = Tables.documents(s, d)
+        .filter(decode(encode($"text", "iso-8859-1"), "iso-8859-1")
+          =!= $"text")
+        .limit(1).count()
+      require(nonLatin1 == 0,
+        "pipe_warc_http_chunked's iso-8859-1 arm needs Latin-1-" +
+          "representable corpus text; the documents fixture now has " +
+          "chars that do not round-trip ISO-8859-1 — restrict the " +
+          "iso arm to such rows or change its charset")
+      java.lang.Boolean.TRUE
+    })
+
   // WARC ROUND-TRIP (the sources family, crawl-archive edition):
   // render the documents corpus as ISO-28500 WARC response records
   // ([[graft.sources.Warc]]), read the bytes back through the
@@ -1432,18 +1454,11 @@ object PipelineQueries {
         // for unmappable chars while the oracle recomputes from the
         // original text, so real non-Latin-1 corpus text (e.g. CJK)
         // would fail the gate far downstream as a checksum divergence.
-        // Make that coupling LOUD here instead: a one-row probe that
-        // aborts with the actual reason the moment the corpus fixture
-        // evolves past Latin-1.
-        val nonLatin1 = Tables.documents(s, d)
-          .filter(decode(encode($"text", "iso-8859-1"), "iso-8859-1")
-            =!= $"text")
-          .limit(1).count()
-        require(nonLatin1 == 0,
-          "pipe_warc_http_chunked's iso-8859-1 arm needs Latin-1-" +
-            "representable corpus text; the documents fixture now has " +
-            "chars that do not round-trip ISO-8859-1 — restrict the " +
-            "iso arm to such rows or change its charset")
+        // Make that coupling LOUD instead — checked ONCE per JVM per
+        // dataset (the memo keeps the guard scan off the benched
+        // path: without it the probe re-scans the corpus on every
+        // timed rep).
+        requireLatin1Corpus(s, d)
         graft.sources.Warc.writeHttpEncoded(Tables.documents(s, d), dir)
         s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
@@ -1746,8 +1761,14 @@ object PipelineQueries {
               .as("source"),
             $"payload_digest",
             md5($"payload").as("recomputed"))
+          // an ABSENT digest header must count as a mismatch, not
+          // fall between the counters: ok is NULL there (===-on-null),
+          // and an integrity audit that silently passes exactly the
+          // records it could not verify is no audit
           .withColumn("ok",
-            $"payload_digest" === concat(lit("md5:"), $"recomputed"))
+            coalesce(
+              $"payload_digest" === concat(lit("md5:"), $"recomputed"),
+              lit(false)))
           .groupBy($"source")
           .agg(
             count(lit(1)).as("n_responses"),
@@ -1945,6 +1966,16 @@ object PipelineQueries {
         val dir = s"$base/warc"
         graft.sources.Warc.writeWithWarcinfo(
           Tables.documents(s, d).repartition(InfoParts, $"doc_id"), dir)
+        // the oracle's `_warcinfo` row hardcodes InfoParts; an empty
+        // hash partition writes NO file (lazy open, by design), which
+        // would otherwise surface as an opaque hash mismatch — abort
+        // with the actual cause instead
+        val nParts = new java.io.File(dir).listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".warc"))
+        require(nParts == InfoParts,
+          s"warcinfo fixture wrote $nParts part files, oracle expects " +
+            s"$InfoParts — corpus too small for ${InfoParts} non-empty " +
+            "hash partitions?")
         val archive = s.read.format("warc")
           .option("chunkBytes", (256 * 1024).toString)
           .load(dir)
@@ -2012,6 +2043,47 @@ object PipelineQueries {
   // random-access REPLAY of these offsets is spec-pinned in
   // WarcSourceSpec.
   private val CdxInfoName = "segment-00000.warc"
+
+  /** DuckDB reconstruction of one response record's TOTAL byte size
+    * (header block + payload + closing CRLFCRLF) over `documents`
+    * columns — THE single definition behind every CDX oracle's prefix
+    * sums, mirroring [[graft.sources.Warc]]'s headerBlock field by
+    * field. Expects a `crlf` CTE providing `c` in scope.
+    */
+  private val RespRecBytesSql =
+    """octet_length(encode(
+      |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
+      |           'WARC-Record-ID: <urn:md5:' ||
+      |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
+      |           'WARC-Date: 2020-01-01T' ||
+      |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+      |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+      |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
+      |             'Z' || c ||
+      |           'WARC-Target-URI: http://' || source ||
+      |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
+      |           'Content-Type: text/plain; charset=utf-8' || c ||
+      |           'Content-Length: ' ||
+      |             CAST(octet_length(encode(text)) AS VARCHAR) ||
+      |             c || c || text)) + 4""".stripMargin
+
+  /** DuckDB reconstruction of a sink-emitted warcinfo record's TOTAL
+    * byte size, `filenameExpr` being a SQL expression for its
+    * WARC-Filename value — shared by the CDX oracles' base offsets.
+    * Expects the `crlf` CTE's `c` in scope.
+    */
+  private def warcinfoHeadBytesSql(filenameExpr: String): String =
+    s"""octet_length(encode(
+       |           'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+       |           'WARC-Record-ID: <urn:md5:' ||
+       |             md5('warcinfo:' || $filenameExpr) || '>' || c ||
+       |           'WARC-Date: 2020-01-01T00:00:00Z' || c ||
+       |           'WARC-Filename: ' || $filenameExpr || c ||
+       |           'Content-Type: application/warc-fields' || c ||
+       |           'Content-Length: ' || CAST(length(
+       |             ${graft.sources.Warc.WarcinfoFieldsSql}) AS VARCHAR) ||
+       |             c || c ||
+       |           ${graft.sources.Warc.WarcinfoFieldsSql})) + 4""".stripMargin
   private val warcCdx = Q(
     "pipe_warc_cdx",
     (s, d) => {
@@ -2037,36 +2109,12 @@ object PipelineQueries {
     },
     Some(s"""WITH crlf AS (SELECT chr(13) || chr(10) AS c),
             |wi AS (
-            |  SELECT octet_length(encode(
-            |           'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
-            |           'WARC-Record-ID: <urn:md5:' ||
-            |             md5('warcinfo:$CdxInfoName') || '>' || c ||
-            |           'WARC-Date: 2020-01-01T00:00:00Z' || c ||
-            |           'WARC-Filename: $CdxInfoName' || c ||
-            |           'Content-Type: application/warc-fields' || c ||
-            |           'Content-Length: ' || CAST(length(
-            |             ${graft.sources.Warc.WarcinfoFieldsSql}) AS VARCHAR) ||
-            |             c || c ||
-            |           ${graft.sources.Warc.WarcinfoFieldsSql})) + 4 AS base
+            |  SELECT ${warcinfoHeadBytesSql(s"'$CdxInfoName'")} AS base
             |  FROM crlf),
             |r AS (
             |  SELECT doc_id,
             |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
-            |         octet_length(encode(
-            |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
-            |           'WARC-Record-ID: <urn:md5:' ||
-            |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
-            |           'WARC-Date: 2020-01-01T' ||
-            |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
-            |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
-            |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
-            |             'Z' || c ||
-            |           'WARC-Target-URI: http://' || source ||
-            |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
-            |           'Content-Type: text/plain; charset=utf-8' || c ||
-            |           'Content-Length: ' ||
-            |             CAST(octet_length(encode(text)) AS VARCHAR) ||
-            |             c || c || text)) + 4 AS rec_bytes,
+            |         $RespRecBytesSql AS rec_bytes,
             |         md5(text) AS digest
             |  FROM documents, crlf)
             |SELECT doc_id,
@@ -2146,38 +2194,13 @@ object PipelineQueries {
             |  SELECT seg,
             |         'segment-0000' || CAST(seg AS VARCHAR) || '.warc'
             |           AS filename,
-            |         octet_length(encode(
-            |           'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
-            |           'WARC-Record-ID: <urn:md5:' ||
-            |             md5('warcinfo:segment-0000' ||
-            |                 CAST(seg AS VARCHAR) || '.warc') || '>' || c ||
-            |           'WARC-Date: 2020-01-01T00:00:00Z' || c ||
-            |           'WARC-Filename: segment-0000' ||
-            |             CAST(seg AS VARCHAR) || '.warc' || c ||
-            |           'Content-Type: application/warc-fields' || c ||
-            |           'Content-Length: ' || CAST(length(
-            |             ${graft.sources.Warc.WarcinfoFieldsSql}) AS VARCHAR) ||
-            |             c || c ||
-            |           ${graft.sources.Warc.WarcinfoFieldsSql})) + 4 AS base
+            |         ${warcinfoHeadBytesSql(
+      "'segment-0000' || CAST(seg AS VARCHAR) || '.warc'")} AS base
             |  FROM (SELECT 0 AS seg UNION ALL SELECT 1), crlf),
             |r AS (
             |  SELECT doc_id, source, doc_id % 2 AS seg,
             |         CAST(octet_length(encode(text)) AS BIGINT) AS plen,
-            |         octet_length(encode(
-            |           'WARC/1.0' || c || 'WARC-Type: response' || c ||
-            |           'WARC-Record-ID: <urn:md5:' ||
-            |             md5('warc:' || CAST(doc_id AS VARCHAR)) || '>' || c ||
-            |           'WARC-Date: 2020-01-01T' ||
-            |             lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
-            |             lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
-            |             lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') ||
-            |             'Z' || c ||
-            |           'WARC-Target-URI: http://' || source ||
-            |             '.example/doc/' || CAST(doc_id AS VARCHAR) || c ||
-            |           'Content-Type: text/plain; charset=utf-8' || c ||
-            |           'Content-Length: ' ||
-            |             CAST(octet_length(encode(text)) AS VARCHAR) ||
-            |             c || c || text)) + 4 AS rec_bytes,
+            |         $RespRecBytesSql AS rec_bytes,
             |         md5(text) AS digest
             |  FROM documents, crlf)
             |SELECT array_to_string(
@@ -2598,22 +2621,9 @@ object PipelineQueries {
           .withColumn("body",
             $"p".substr(instr($"p", "\r\n\r\n") + lit(4), length($"p")))
           .withColumn("wet", regexp_replace($"body", "<[^>]*>", ""))
-          .select(
-            $"header_lang",
-            TextQueries.scriptCount($"wet", TextQueries.NotHanRe)
-              .as("han"),
-            TextQueries.scriptCount($"wet", TextQueries.NotLatinRe)
-              .as("latin"),
-            TextQueries.scriptCount($"wet", TextQueries.NotCyrillicRe)
-              .as("cyr"),
-            TextQueries.scriptCount($"wet", TextQueries.NotArabicRe)
-              .as("ar"))
+          .select($"header_lang" +: TextQueries.scriptCounts($"wet"): _*)
           .withColumn("script",
-            when(greatest($"han", $"latin", $"cyr", $"ar") === 0, "other")
-              .when($"latin" >= greatest($"han", $"cyr", $"ar"), "latin")
-              .when($"han" >= greatest($"cyr", $"ar"), "han")
-              .when($"cyr" >= $"ar", "cyrillic")
-              .otherwise("arabic"))
+            TextQueries.scriptArgmax($"han", $"latin", $"cyr", $"ar"))
           .groupBy($"header_lang", $"script")
           .agg(
             count(lit(1)).as("n_docs"),
@@ -2625,15 +2635,7 @@ object PipelineQueries {
     },
     Some(s"""WITH st AS (
             |  SELECT doc_id, lang, source,
-            |         CASE WHEN lang = 'zh' THEN
-            |           array_to_string(list_transform(string_split(text, ' '),
-            |             w -> ([${TextQueries.HanAlphabetSql}])[
-            |                    CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
-            |                         % 20 AS INT) + 1] ||
-            |                  ([${TextQueries.HanAlphabetSql}])[
-            |                    CAST(CAST('0x' || substr(md5(w), 5, 4) AS BIGINT)
-            |                         % 20 AS INT) + 1]), '')
-            |         ELSE text END AS text
+            |         ${TextQueries.scriptTextSql} AS text
             |  FROM documents),
             |h AS (
             |  SELECT lang AS header_lang,
@@ -2641,18 +2643,11 @@ object PipelineQueries {
             |  FROM st),
             |counts AS (
             |  SELECT header_lang,
-            |         length(regexp_replace(wet, '${TextQueries.NotHanRe}', '', 'g')) AS han,
-            |         length(regexp_replace(wet, '${TextQueries.NotLatinRe}', '', 'g')) AS latin,
-            |         length(regexp_replace(wet, '${TextQueries.NotCyrillicRe}', '', 'g')) AS cyr,
-            |         length(regexp_replace(wet, '${TextQueries.NotArabicRe}', '', 'g')) AS ar
+            |         ${TextQueries.scriptCountsSql("wet")}
             |  FROM h),
             |cls AS (
             |  SELECT header_lang, han, latin,
-            |         CASE WHEN greatest(han, latin, cyr, ar) = 0 THEN 'other'
-            |              WHEN latin >= greatest(han, cyr, ar) THEN 'latin'
-            |              WHEN han >= greatest(cyr, ar) THEN 'han'
-            |              WHEN cyr >= ar THEN 'cyrillic'
-            |              ELSE 'arabic' END AS script
+            |         ${TextQueries.ScriptArgmaxSql} AS script
             |  FROM counts)
             |SELECT header_lang, script,
             |       count(*) AS n_docs,

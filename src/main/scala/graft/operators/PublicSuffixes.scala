@@ -133,11 +133,17 @@ object PublicSuffixes {
     val w2 = Seq.newBuilder[String]
     val e2 = Seq.newBuilder[String]
     val e3 = Seq.newBuilder[String]
-    for ((raw, i) <- text.linesIterator.zipWithIndex) {
+    // a UTF-8 BOM on line 1 would otherwise become a garbage rule char
+    for ((raw, i) <- text.stripPrefix("\uFEFF").linesIterator.zipWithIndex) {
       // "the rule is the line up to the first whitespace"
       val line = raw.takeWhile(!_.isWhitespace)
       def fail(why: String): Nothing = throw new IllegalArgumentException(
-        s"PSL line ${i + 1}: '$line' $why")
+        s"PSL line ${i + 1}: '${if (line.nonEmpty) line else raw.trim}' $why")
+      // an INDENTED rule must abort, not silently vanish as a "blank"
+      // line — the published format has no indented rules, and a
+      // silently dropped rule mis-derives every domain under it
+      if (line.isEmpty && raw.exists(!_.isWhitespace))
+        fail("starts with whitespace — not the published list format")
       if (line.nonEmpty && !line.startsWith("//")) {
         val (kind, body) =
           if (line.startsWith("!")) ("exc", line.substring(1))

@@ -3165,6 +3165,57 @@ object TextQueries {
   private[operators] def scriptCount(t: Column, notRe: String): Column =
     length(regexp_replace(t, notRe, ""))
 
+  /** The four per-script char counts of `t` as named columns — ONE
+    * definition for every script-LID consumer (ta_script_lid and the
+    * archive twin pipe_warc_lid_script).
+    */
+  private[operators] def scriptCounts(t: Column): Seq[Column] = Seq(
+    scriptCount(t, NotHanRe).as("han"),
+    scriptCount(t, NotLatinRe).as("latin"),
+    scriptCount(t, NotCyrillicRe).as("cyr"),
+    scriptCount(t, NotArabicRe).as("ar"))
+
+  /** Deterministic argmax over the four count columns (ties resolved
+    * latin → han → cyrillic → arabic; all-zero → other) — the Spark
+    * side of the shared classifier.
+    */
+  private[operators] def scriptArgmax(
+      han: Column, latin: Column, cyr: Column, ar: Column): Column =
+    when(greatest(han, latin, cyr, ar) === 0, "other")
+      .when(latin >= greatest(han, cyr, ar), "latin")
+      .when(han >= greatest(cyr, ar), "han")
+      .when(cyr >= ar, "cyrillic")
+      .otherwise("arabic")
+
+  /** SQL mirrors of the shared classifier, over a text column `t` /
+    * count columns named han/latin/cyr/ar.
+    */
+  private[operators] def scriptCountsSql(t: String): String =
+    s"""length(regexp_replace($t, '$NotHanRe', '', 'g')) AS han,
+       |         length(regexp_replace($t, '$NotLatinRe', '', 'g')) AS latin,
+       |         length(regexp_replace($t, '$NotCyrillicRe', '', 'g')) AS cyr,
+       |         length(regexp_replace($t, '$NotArabicRe', '', 'g')) AS ar""".stripMargin
+  private[operators] val ScriptArgmaxSql: String =
+    """CASE WHEN greatest(han, latin, cyr, ar) = 0 THEN 'other'
+      |              WHEN latin >= greatest(han, cyr, ar) THEN 'latin'
+      |              WHEN han >= greatest(cyr, ar) THEN 'han'
+      |              WHEN cyr >= ar THEN 'cyrillic'
+      |              ELSE 'arabic' END""".stripMargin
+
+  /** The unsegmented-Han corpus derivation as a DuckDB fragment over
+    * `text`/`lang` columns — the oracle mirror of [[scriptText]].
+    */
+  private[operators] def scriptTextSql: String =
+    s"""CASE WHEN lang = 'zh' THEN
+       |           array_to_string(list_transform(string_split(text, ' '),
+       |             w -> ([$HanAlphabetSql])[
+       |                    CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
+       |                         % 20 AS INT) + 1] ||
+       |                  ([$HanAlphabetSql])[
+       |                    CAST(CAST('0x' || substr(md5(w), 5, 4) AS BIGINT)
+       |                         % 20 AS INT) + 1]), '')
+       |         ELSE text END""".stripMargin
+
   private val scriptLid = Q(
     "ta_script_lid",
     (s, d) => {
@@ -3172,18 +3223,9 @@ object TextQueries {
       val st = scriptText($"text", $"lang")
       Tables.documents(s, d)
         .select($"doc_id", $"lang", st.as("st"))
-        .select(
-          $"lang",
-          scriptCount($"st", NotHanRe).as("han"),
-          scriptCount($"st", NotLatinRe).as("latin"),
-          scriptCount($"st", NotCyrillicRe).as("cyr"),
-          scriptCount($"st", NotArabicRe).as("ar"))
+        .select($"lang" +: scriptCounts($"st"): _*)
         .withColumn("script",
-          when(greatest($"han", $"latin", $"cyr", $"ar") === 0, "other")
-            .when($"latin" >= greatest($"han", $"cyr", $"ar"), "latin")
-            .when($"han" >= greatest($"cyr", $"ar"), "han")
-            .when($"cyr" >= $"ar", "cyrillic")
-            .otherwise("arabic"))
+          scriptArgmax($"han", $"latin", $"cyr", $"ar"))
         .groupBy($"lang", $"script")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -3192,31 +3234,15 @@ object TextQueries {
         .orderBy($"lang", $"script")
     },
     Some(s"""WITH st AS (
-            |  SELECT lang,
-            |         CASE WHEN lang = 'zh' THEN
-            |           array_to_string(list_transform(string_split(text, ' '),
-            |             w -> ([$HanAlphabetSql])[
-            |                    CAST(CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
-            |                         % 20 AS INT) + 1] ||
-            |                  ([$HanAlphabetSql])[
-            |                    CAST(CAST('0x' || substr(md5(w), 5, 4) AS BIGINT)
-            |                         % 20 AS INT) + 1]), '')
-            |         ELSE text END AS t
+            |  SELECT lang, $scriptTextSql AS t
             |  FROM documents),
             |counts AS (
             |  SELECT lang,
-            |         length(regexp_replace(t, '$NotHanRe', '', 'g')) AS han,
-            |         length(regexp_replace(t, '$NotLatinRe', '', 'g')) AS latin,
-            |         length(regexp_replace(t, '$NotCyrillicRe', '', 'g')) AS cyr,
-            |         length(regexp_replace(t, '$NotArabicRe', '', 'g')) AS ar
+            |         ${scriptCountsSql("t")}
             |  FROM st),
             |cls AS (
             |  SELECT lang, han, latin,
-            |         CASE WHEN greatest(han, latin, cyr, ar) = 0 THEN 'other'
-            |              WHEN latin >= greatest(han, cyr, ar) THEN 'latin'
-            |              WHEN han >= greatest(cyr, ar) THEN 'han'
-            |              WHEN cyr >= ar THEN 'cyrillic'
-            |              ELSE 'arabic' END AS script
+            |         $ScriptArgmaxSql AS script
             |  FROM counts)
             |SELECT lang, script,
             |       count(*) AS n_docs,

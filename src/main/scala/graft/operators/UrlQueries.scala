@@ -794,7 +794,8 @@ object UrlQueries {
     */
   private[operators] def robotsEffectiveRules(
       ua: String, content: String): (Seq[String], Seq[String]) = {
-    val groups = content.replace("\r\n", "\n").split("\n{2,}").toSeq
+    val groups = content.replace("\r\n", "\n").replace('\r', '\n')
+      .split("\n{2,}").toSeq
     def fieldVals(g: String, field: String): Seq[String] =
       g.split("\n").toSeq.flatMap { l =>
         val i = l.indexOf(':')
@@ -802,7 +803,12 @@ object UrlQueries {
         else {
           val name = l.substring(0, i).trim
             .toLowerCase(java.util.Locale.ROOT)
-          if (name == field) Some(l.substring(i + 1).trim) else None
+          // the value is the first whitespace-free token; trailing
+          // junk (`# comment`) is discarded — mirrors the expression
+          // side's `(\S*).*$`
+          if (name == field)
+            Some(l.substring(i + 1).trim.takeWhile(!_.isWhitespace))
+          else None
         }
       }
     def withUa(t: String) = groups.filter(g =>
@@ -833,19 +839,30 @@ object UrlQueries {
     * the fixtures AND adversarial bodies.
     */
   private[operators] def robotsRules(txt: Column): Column = {
+    // line-grammar notes, kept equivalent with robotsEffectiveRules
+    // BY CONSTRUCTION (the spec replays both on adversarial bodies):
+    //  - lone-\r line endings normalize along with \r\n, and the `d`
+    //    (UNIX_LINES) regex flag pins ^/$ to \n ONLY — Java's default
+    //    multiline terminators include \r and U+2028/2029, which the
+    //    oracle's split-on-\n parser would never see;
+    //  - `[ \t]*` leading the line: RFC 9309 permits indented rule
+    //    lines and the oracle's colon-split trims names;
+    //  - the VALUE is the first whitespace-run-free token; `.*$` then
+    //    discards anything after it (trailing `# comment` junk), the
+    //    oracle mirrors with takeWhile(!isWhitespace).
     def uaHas(g: Column, ua: String): Column = array_contains(
       transform(
         regexp_extract_all(g,
-          lit("(?im)^user-agent:[ \t]*(\\S+)[ \t]*$"), lit(1)),
+          lit("(?imd)^[ \t]*user-agent[ \t]*:[ \t]*(\\S+).*$"), lit(1)),
         t => lower(t)),
       ua)
-    val groups = split(regexp_replace(txt, "\r\n", "\n"), "\n{2,}")
+    val groups = split(regexp_replace(txt, "\r\n?", "\n"), "\n{2,}")
     val mine = filter(groups, g => uaHas(g, CrawlerUa))
     val star = filter(groups, g => uaHas(g, "*"))
     val chosen = when(size(mine) > 0, mine).otherwise(star)
     def prefixes(field: String): Column = array_distinct(filter(
       flatten(transform(chosen, g => regexp_extract_all(g,
-        lit(s"(?im)^$field:[ \t]*(\\S*)[ \t]*$$"), lit(1)))),
+        lit(s"(?imd)^[ \t]*$field[ \t]*:[ \t]*(\\S*).*$$"), lit(1)))),
       p => p =!= ""))
     struct(prefixes("disallow").as("dis"), prefixes("allow").as("alw"))
   }
@@ -867,70 +884,87 @@ object UrlQueries {
     rules.map { case (d, p) => s"('$d','$p')" }.mkString(",")
   }
 
+  /** Shared gate shell for the crawl-derived robots filters: write
+    * ONE mixed archive (page fetches next to the fixture's robots.txt
+    * fetches — the shape a crawl segment actually has), parse the
+    * rules dim back out of the payloads ([[robotsRules]] — in-row
+    * builtin work over the few robots rows), broadcast-join the URL
+    * corpus on registered domain, and profile allowed/disallowed per
+    * source under the given blocked decision over (path, rules
+    * struct). The two gates differ ONLY in fixture and decision.
+    */
+  private def robotsCrawlGate(
+      s: SparkSession, d: String, fixture: Seq[(String, String)],
+      tmpPrefix: String,
+      blocked: (Column, Column) => Column): DataFrame = {
+    import s.implicits._
+    val base = EventQueries.gateTempDir(tmpPrefix)
+    try {
+      val dir = s"$base/warc"
+      val docs = Tables.documents(s, d)
+      val robotsDf = fixture.zipWithIndex
+        .map { case ((dom, txt), i) => (i.toLong, dom, txt) }
+        .toDF("doc_id", "host", "body")
+      graft.sources.Warc.render(docs)
+        .unionAll(graft.sources.Warc.renderRobots(robotsDf))
+        .write.format("warc").option("compression", "none")
+        .mode("overwrite").save(dir)
+      val dim = s.read.format("warc")
+        .option("chunkBytes", (256 * 1024).toString)
+        .load(dir)
+        .filter($"target_uri".endsWith("/robots.txt"))
+        .select(
+          regexp_extract($"target_uri",
+            "^http://([^/]+)/robots\\.txt$", 1).as("r_dom"),
+          robotsRules($"payload".cast("string")).as("r"))
+      val host = canonHost($"raw_url")
+      withRegDomain(withRawUrl(docs), host)
+        .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
+        .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
+        .withColumn("blocked",
+          coalesce(blocked($"path", $"r"), lit(false)))
+        .groupBy($"source")
+        .agg(
+          count(when(!$"blocked", 1)).as("n_allowed"),
+          count(when($"blocked", 1)).as("n_disallowed"))
+        .orderBy($"source")
+        .localCheckpoint()
+    } finally EventQueries.deleteRecursively(base)
+  }
+
+  /** The oracle shell matching [[robotsCrawlGate]]: a rules
+    * declaration CTE plus a blocked-decision SQL expression over the
+    * `dom` relation (reg_domain, path).
+    */
+  private def robotsOracleSql(
+      rulesDecl: String, blockedExpr: String): String =
+    s"""WITH $RawUrlCte,
+       |$rulesDecl,
+       |dom AS (
+       |  SELECT source,
+       |         ${regDomainSql(canonHostSql("raw_url"))} AS reg_domain,
+       |         regexp_extract(raw_url, $PathReSql, 1) AS path
+       |  FROM u),
+       |b AS (
+       |  SELECT source, $blockedExpr AS blocked
+       |  FROM dom)
+       |SELECT source,
+       |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
+       |       count(*) FILTER (WHERE blocked) AS n_disallowed
+       |FROM b
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   private val robotsFromCrawl = Q(
     "td_robots_filter2",
-    (s, d) => {
-      import s.implicits._
-      val base = EventQueries.gateTempDir("graft-robots-crawl")
-      try {
-        val dir = s"$base/warc"
-        val docs = Tables.documents(s, d)
-        val robotsDf = RobotsCrawl.zipWithIndex
-          .map { case ((dom, txt), i) => (i.toLong, dom, txt) }
-          .toDF("doc_id", "host", "body")
-        // ONE mixed archive: page fetches next to the domains'
-        // robots.txt fetches, the shape a crawl segment actually has
-        graft.sources.Warc.render(docs)
-          .unionAll(graft.sources.Warc.renderRobots(robotsDf))
-          .write.format("warc").option("compression", "none")
-          .mode("overwrite").save(dir)
-        def archive = s.read.format("warc")
-          .option("chunkBytes", (256 * 1024).toString)
-          .load(dir)
-        // parse the rule groups out of the robots payloads — all
-        // in-row builtin-function work over the few robots rows
-        val dim = archive
-          .filter($"target_uri".endsWith("/robots.txt"))
-          .select(
-            regexp_extract($"target_uri",
-              "^http://([^/]+)/robots\\.txt$", 1).as("r_dom"),
-            robotsPrefixes($"payload".cast("string")).as("r_prefixes"))
-        val host = canonHost($"raw_url")
-        withRegDomain(withRawUrl(docs), host)
-          .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
-          .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
-          .withColumn("blocked",
-            coalesce(exists($"r_prefixes", p => startswith($"path", p)),
-              lit(false)))
-          .groupBy($"source")
-          .agg(
-            count(when(!$"blocked", 1)).as("n_allowed"),
-            count(when($"blocked", 1)).as("n_disallowed"))
-          .orderBy($"source")
-          .localCheckpoint()
-      } finally EventQueries.deleteRecursively(base)
-    },
-    Some(s"""WITH $RawUrlCte,
-            |rules(r_dom, r_prefix) AS (VALUES $RobotsCrawlRulesSql),
-            |dom AS (
-            |  SELECT source,
-            |         ${regDomainSql(
-      canonHostSql("raw_url"))} AS reg_domain,
-            |         regexp_extract(raw_url, $PathReSql, 1) AS path
-            |  FROM u),
-            |b AS (
-            |  SELECT source,
-            |         EXISTS(SELECT 1 FROM rules r
-            |                WHERE r.r_dom = dom.reg_domain
-            |                  AND starts_with(dom.path, r.r_prefix))
-            |           AS blocked
-            |  FROM dom)
-            |SELECT source,
-            |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
-            |       count(*) FILTER (WHERE blocked) AS n_disallowed
-            |FROM b
-            |GROUP BY source
-            |ORDER BY source""".stripMargin),
+    (s, d) => robotsCrawlGate(s, d, RobotsCrawl, "graft-robots-crawl",
+      (path, r) =>
+        exists(r.getField("dis"), p => startswith(path, p))),
+    Some(robotsOracleSql(
+      s"rules(r_dom, r_prefix) AS (VALUES $RobotsCrawlRulesSql)",
+      """EXISTS(SELECT 1 FROM rules r
+        |                WHERE r.r_dom = dom.reg_domain
+        |                  AND starts_with(dom.path, r.r_prefix))""".stripMargin)),
   )
 
   // ---------------------------------------------------------------
@@ -994,69 +1028,20 @@ object UrlQueries {
 
   private val robotsAllow = Q(
     "td_robots_allow",
-    (s, d) => {
-      import s.implicits._
-      val base = EventQueries.gateTempDir("graft-robots-allow")
-      try {
-        val dir = s"$base/warc"
-        val docs = Tables.documents(s, d)
-        val robotsDf = RobotsAllowCrawl.zipWithIndex
-          .map { case ((dom, txt), i) => (i.toLong, dom, txt) }
-          .toDF("doc_id", "host", "body")
-        graft.sources.Warc.render(docs)
-          .unionAll(graft.sources.Warc.renderRobots(robotsDf))
-          .write.format("warc").option("compression", "none")
-          .mode("overwrite").save(dir)
-        val dim = s.read.format("warc")
-          .option("chunkBytes", (256 * 1024).toString)
-          .load(dir)
-          .filter($"target_uri".endsWith("/robots.txt"))
-          .select(
-            regexp_extract($"target_uri",
-              "^http://([^/]+)/robots\\.txt$", 1).as("r_dom"),
-            robotsRules($"payload".cast("string")).as("r"))
-        val host = canonHost($"raw_url")
-        withRegDomain(withRawUrl(docs), host)
-          .select($"source", $"reg_domain", urlPath($"raw_url").as("path"))
-          .join(broadcast(dim), $"reg_domain" === $"r_dom", "left")
-          .withColumn("blocked",
-            coalesce(robotsBlockedLongestMatch($"path",
-              $"r.dis", $"r.alw"), lit(false)))
-          .groupBy($"source")
-          .agg(
-            count(when(!$"blocked", 1)).as("n_allowed"),
-            count(when($"blocked", 1)).as("n_disallowed"))
-          .orderBy($"source")
-          .localCheckpoint()
-      } finally EventQueries.deleteRecursively(base)
-    },
-    Some(s"""WITH $RawUrlCte,
-            |rules(r_dom, r_prefix, r_allow) AS (VALUES $RobotsAllowRulesSql),
-            |dom AS (
-            |  SELECT source,
-            |         ${regDomainSql(
-      canonHostSql("raw_url"))} AS reg_domain,
-            |         regexp_extract(raw_url, $PathReSql, 1) AS path
-            |  FROM u),
-            |b AS (
-            |  SELECT source,
-            |         coalesce((SELECT max(length(r.r_prefix)) FROM rules r
-            |                   WHERE r.r_dom = dom.reg_domain
-            |                     AND NOT r.r_allow
-            |                     AND starts_with(dom.path, r.r_prefix)), -1)
-            |         >
-            |         coalesce((SELECT max(length(r.r_prefix)) FROM rules r
-            |                   WHERE r.r_dom = dom.reg_domain
-            |                     AND r.r_allow
-            |                     AND starts_with(dom.path, r.r_prefix)), -1)
-            |           AS blocked
-            |  FROM dom)
-            |SELECT source,
-            |       count(*) FILTER (WHERE NOT blocked) AS n_allowed,
-            |       count(*) FILTER (WHERE blocked) AS n_disallowed
-            |FROM b
-            |GROUP BY source
-            |ORDER BY source""".stripMargin),
+    (s, d) => robotsCrawlGate(s, d, RobotsAllowCrawl, "graft-robots-allow",
+      (path, r) => robotsBlockedLongestMatch(path,
+        r.getField("dis"), r.getField("alw"))),
+    Some(robotsOracleSql(
+      s"rules(r_dom, r_prefix, r_allow) AS (VALUES $RobotsAllowRulesSql)",
+      """coalesce((SELECT max(length(r.r_prefix)) FROM rules r
+        |                   WHERE r.r_dom = dom.reg_domain
+        |                     AND NOT r.r_allow
+        |                     AND starts_with(dom.path, r.r_prefix)), -1)
+        |         >
+        |         coalesce((SELECT max(length(r.r_prefix)) FROM rules r
+        |                   WHERE r.r_dom = dom.reg_domain
+        |                     AND r.r_allow
+        |                     AND starts_with(dom.path, r.r_prefix)), -1)""".stripMargin)),
   )
 
   def all: Seq[Q] =

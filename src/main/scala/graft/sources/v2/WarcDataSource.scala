@@ -23,12 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * → rows (path, record_index, warc_type, record_id, target_uri,
   * warc_date, content_type, content_length, refers_to, concurrent_to,
+  * segment_number, segment_origin_id, truncated, payload_digest,
   * record_offset, payload) — record_offset is the byte offset of the
   * record's seekable frame start (the gzip MEMBER start in .warc.gz),
   * i.e. what a CDX index stores; refers_to is `WARC-Refers-To`, the revisit record's
   * pointer at its referent (crawl-side payload dedup); concurrent_to
   * is `WARC-Concurrent-To`, the request record's pointer at the
-  * response of the same capture. Counterpart of
+  * response of the same capture; the segment/truncated/digest columns
+  * carry ISO 28500 §5.8/§5.13/§5.9 headers (NULL when absent).
+  * Counterpart of
   * the [[graft.sources.Warc]] sink; together they round-trip a corpus
   * graft → WARC → graft byte-exactly (gated by `pipe_warc_roundtrip`).
   *

@@ -232,6 +232,18 @@ private[v2] class WarcDataWriter(
   private var lastMark = 0L
   private val marks = Seq.newBuilder[(Long, Long)]
 
+  /** The ONE copy of per-record byte/record/sidecar-mark accounting —
+    * warcinfo records and data records must agree on it or
+    * `record_index` and split marks skew per record type.
+    */
+  private def accountRecord(n: Long): Unit = {
+    bytesOut += n
+    recordsOut += 1
+    if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
+      marks += ((bytesOut, recordsOut)); lastMark = bytesOut
+    }
+  }
+
   /** One COMPLETE record (its terminating CRLFCRLF included): as its
     * own gzip member in gz mode — so concatenated decompressed members
     * form a valid WARC stream — plain bytes otherwise; either way the
@@ -250,14 +262,10 @@ private[v2] class WarcDataWriter(
       }
       writeIntLE(crc.getValue)
       writeIntLE(rec.length.toLong & 0xffffffffL)
-      bytesOut += GzHeader.length + deflated + 8
+      accountRecord(GzHeader.length + deflated + 8)
     } else {
       out.write(rec)
-      bytesOut += rec.length
-    }
-    recordsOut += 1
-    if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
-      marks += ((bytesOut, recordsOut)); lastMark = bytesOut
+      accountRecord(rec.length.toLong)
     }
   }
 
@@ -305,11 +313,7 @@ private[v2] class WarcDataWriter(
       emitRecord(rec)
     } else {
       out.write(s); out.write(CrLf)
-      bytesOut += s.length + 2
-      recordsOut += 1
-      if (bytesOut - lastMark >= WarcDataSource.SidecarMarkBytes) {
-        marks += ((bytesOut, recordsOut)); lastMark = bytesOut
-      }
+      accountRecord(s.length.toLong + 2)
     }
   }
 

@@ -326,7 +326,15 @@ class UrlQueriesSpec extends AnyFunSuite {
         // case-insensitive UA + Allow field casing
         "USER-AGENT: GRAFT-CRAWLER\nALLOW: /ok\nDISALLOW: /no\n",
         // allow in the unmatched group must NOT leak
-        "User-agent: otherbot\nAllow: /other\n\nUser-agent: *\nDisallow: /d\n")
+        "User-agent: otherbot\nAllow: /other\n\nUser-agent: *\nDisallow: /d\n",
+        // indented rule lines (RFC 9309 permits leading whitespace)
+        "  User-agent: *\n\tDisallow: /indent\n",
+        // whitespace before the colon
+        "User-agent : graft-crawler\nDisallow : /spacedcolon\n",
+        // trailing junk after the value is discarded, not rule-dropping
+        "User-agent: * # the default group\nDisallow: /junk # legacy\n",
+        // lone-\r line endings (old-Mac robots files exist)
+        "User-agent: *\rDisallow: /cr\r\r\rUser-agent: otherbot\rDisallow: /\r")
     val got = bodies.toDF("body")
       .select(UrlQueries.robotsRules($"body").as("r"))
       .selectExpr("r.dis", "r.alw")
