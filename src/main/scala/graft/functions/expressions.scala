@@ -542,10 +542,100 @@ case class DeflateDecompress(child: Expression) extends BinaryCodecExpression {
 }
 
 /** Column-API surface for the custom expressions. */
+/** Shared shape of the two md5-device expressions: N string children
+  * digested as one concatenation (null if any child is null — exactly
+  * `md5(concat(...))`'s null semantics).
+  */
+trait Md5DeviceExpression extends Expression {
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.nonEmpty && children.forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 1+ string arguments, got " +
+          children.map(_.dataType.sql).mkString(", "))
+  /** `Md5Kernel.<method>(<partsVar>)` */
+  protected def kernelCall(partsVar: String): String
+  protected def kernelEval(parts: Array[UTF8String]): Any
+  override def eval(input: InternalRow): Any = {
+    val parts = new Array[UTF8String](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      parts(i) = v.asInstanceOf[UTF8String]
+      i += 1
+    }
+    kernelEval(parts)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val parts = ctx.freshName("parts")
+    val tpe = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    // nested null short-circuit: evaluate child i only if 0..i-1 were
+    // non-null, exactly the interpreted eval's order
+    val body = evals.zipWithIndex.foldRight(
+      s"${ev.isNull} = false;\n${ev.value} = ${kernelCall(parts)};") {
+      case ((e, i), inner) =>
+        s"""${e.code}
+           |if (${e.isNull}) { ${ev.isNull} = true; } else {
+           |  $parts[$i] = ${e.value};
+           |  $inner
+           |}""".stripMargin
+    }
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(
+        new StringContext(
+          s"""boolean ${ev.isNull} = true;
+             |$tpe ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(dataType)};
+             |org.apache.spark.unsafe.types.UTF8String[] $parts =
+             |  new org.apache.spark.unsafe.types.UTF8String[${children.length}];
+             |$body
+             |""".stripMargin)).code())
+  }
+}
+
+/** `CAST(conv(substring(md5(concat(parts...)), 1, nHex), 16, 10) AS
+  * BIGINT)` as one thread-local-digest kernel call (see [[Md5Kernel]]).
+  */
+case class Md5PrefixLong(nHex: Int, children: Seq[Expression])
+    extends Md5DeviceExpression {
+  require(nHex >= 1 && nHex <= 15,
+    s"md5_prefix_long needs 1 <= nHex <= 15 (long-safe); got $nHex")
+  override def dataType: DataType = LongType
+  override protected def kernelCall(partsVar: String): String =
+    s"graft.functions.Md5Kernel.prefixLong($nHex, $partsVar)"
+  override protected def kernelEval(parts: Array[UTF8String]): Any =
+    Md5Kernel.prefixLong(nHex, parts)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Md5PrefixLong =
+    copy(children = newChildren)
+}
+
+/** `md5(concat(parts...))` (full 32-char lowercase hex) via the same
+  * thread-local-digest kernel.
+  */
+case class Md5HexMulti(children: Seq[Expression])
+    extends Md5DeviceExpression {
+  override def dataType: DataType = StringType
+  override protected def kernelCall(partsVar: String): String =
+    s"graft.functions.Md5Kernel.hex($partsVar)"
+  override protected def kernelEval(parts: Array[UTF8String]): Any =
+    Md5Kernel.hex(parts)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Md5HexMulti =
+    copy(children = newChildren)
+}
+
 object exprs {
   private def c(e: Expression): Column = org.apache.spark.sql.graftbridge.Bridge.column(e)
   private def e(col: Column): Expression = org.apache.spark.sql.graftbridge.Bridge.expression(col)
 
+  def md5_prefix_long(nHex: Int, parts: Column*): Column =
+    c(Md5PrefixLong(nHex, parts.map(e)))
+  def md5_hex(parts: Column*): Column = c(Md5HexMulti(parts.map(e)))
   def js_coord_join(coords: Column): Column = c(JsCoordJoin(e(coords)))
   def js_coord_join_raw(rawJson: Column): Column = c(JsCoordJoinRaw(e(rawJson)))
   def base62_encode_hex(hex: Column): Column = c(Base62EncodeHex(e(hex)))
@@ -612,6 +702,33 @@ object exprs {
     * sorted_intersect_count and morton_interleave extensions-only).
     */
   val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("md5_prefix_long",
+      "md5_prefix_long(n, str...) - BIGINT value of the first n (<=15) hex digits of md5(concat(str...))",
+      es => {
+        if (es.length < 2) throw new org.apache.spark.sql.AnalysisException(
+          "_LEGACY_ERROR_TEMP_1332",
+          Map("errorMessage" ->
+            s"md5_prefix_long(n, str...) takes 2+ arguments, got ${es.length}"))
+        val n = es.head match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case i: java.lang.Integer => i.intValue()
+            case l: Long if l == l.toInt => l.toInt
+            case other => throw new org.apache.spark.sql.AnalysisException(
+              "_LEGACY_ERROR_TEMP_1332",
+              Map("errorMessage" ->
+                s"md5_prefix_long(n, str...): n must be a constant INT, got $other"))
+          }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332",
+            Map("errorMessage" ->
+              "md5_prefix_long(n, str...): n must be a constant integer literal"))
+        }
+        Md5PrefixLong(n, es.tail)
+      }),
+    ("md5_hex",
+      "md5_hex(str...) - md5(concat(str...)) as 32-char lowercase hex",
+      es => Md5HexMulti(es)),
     ("js_coord_join",
       "js_coord_join(array<double>) - ECMAScript Array.join(',')",
       es => JsCoordJoin(es.head)),

@@ -309,26 +309,78 @@ object GraphQueries {
     * |V|-to-|V| join pipeline racing the vote shuffle for executor
     * memory.
     */
-  private def votesStep(sym: org.apache.spark.sql.DataFrame,
+  /** One synchronous LPA vote round over `symPlus` = the symmetrized
+    * edge list PLUS one (n, n) self-loop per node (see [[withSelfLoops]]).
+    *
+    * Round-14 optimization (measured: gr_label_propagation 88 → 33
+    * CPU-s, shuffle 79 → 48 MB at sf0.1): the previous formulation
+    * referenced `labels` TWICE per round — once on the join's build
+    * side (a BroadcastExchange) and once in a union arm feeding the
+    * vote shuffle (a ShuffleExchange). Different exchange kinds never
+    * hit Spark's exchange reuse, so in the declarative (non-robust)
+    * loop each round re-executed the previous round's whole lineage
+    * twice — 2^rounds subtree blow-up. Routing the self-vote through
+    * the join itself (the self-loop edge (n, n) delivers node n its own
+    * current label, and `src = dst` marks it as the self row) leaves
+    * exactly ONE `labels` reference per round: vote multiset identical
+    * row for row, lineage linear. Both real edge sets are loop-free by
+    * construction (bipartite even/odd ids; co-purchase pairs are
+    * strictly u < v), so `src = dst` identifies self rows exactly.
+    *
+    * (Round-10 measured NON-change: a shuffle_hash hint on the labels
+    * side — the katz device — was tried and reverted: 28.3 s vs
+    * 23.2 s at grow_sf1, 6.16 vs 5.86 at sf0.1. The vote aggregate,
+    * not the join sort, is this kernel's cost.)
+    */
+  private def votesStep(symPlus: org.apache.spark.sql.DataFrame,
       labels: org.apache.spark.sql.DataFrame,
-      voteParts: Int): org.apache.spark.sql.DataFrame = {
-    // (Round-10 measured NON-change: a shuffle_hash hint on the labels
-    // side — the katz device — was tried and reverted: 28.3 s vs
-    // 23.2 s at grow_sf1, 6.16 vs 5.86 at sf0.1. The vote aggregate,
-    // not the join sort, is this kernel's cost.)
-    val nbr = sym.join(labels, col("dst") === col("node"))
+      voteParts: Int,
+      bcastLabels: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // Round-14: broadcast the |V|-sized LABELS side explicitly in the
+    // declarative path — left to AQE, the planner was broadcasting the
+    // EDGE side (67 MB / 1.2M rows at sf0.1, rebuilt per round; wrong
+    // at every scale since edges ≫ labels). The robust (grown-scale)
+    // path keeps the planner's shuffle join against the dst-
+    // prepartitioned checkpoint.
+    val lbls = if (bcastLabels) broadcast(labels) else labels
+    val votes = symPlus.join(lbls, col("dst") === col("node"))
       .select(col("src").as("v"), col("lbl"),
-        lit(null).cast("long").as("self"))
-    val votes = nbr.unionByName(
-      labels.select(col("node").as("v"), col("lbl"), col("lbl").as("self")))
+        when(col("src") === col("dst"), col("lbl"))
+          .cast("long").as("self"))
+    // Round-14: the argmax was max(struct(cnt, -lbl)) — a struct max
+    // has no mutable-primitive aggregation buffer, so BOTH levels of
+    // the vote aggregate fell to SortAggregate (two full sorts of the
+    // vote stream per round; measured the dominant CPU of the LPA
+    // family). Packing the same (cnt DESC, lbl ASC) total order into
+    // ONE BIGINT — cnt·2³² + (2³²−1−lbl) — keeps every level a
+    // HashAggregate. Bit-identical argmax: max cnt first, then min
+    // lbl; the guard raises loudly if a label ever leaves [0, 2³²)
+    // (node ids are 2·key(+1) and the co-purchase pack already
+    // requires ids < 2³¹, so this never fires on the gated graphs).
     votes.repartition(voteParts, col("v"), col("lbl"))
       .groupBy(col("v"), col("lbl"))
       .agg(count(lit(1)).as("cnt"), max(col("self")).as("self"))
+      .select(col("v"), col("self"),
+        when(col("lbl") >= 0L && col("lbl") <= 4294967295L,
+          col("cnt") * 4294967296L + (lit(4294967295L) - col("lbl")))
+          .otherwise(expr(
+            "CAST(raise_error('votesStep: label outside packable [0, 2^32)') AS BIGINT)"))
+          .as("pk"))
       .groupBy(col("v"))
-      .agg(max(struct(col("cnt"), (col("lbl") * -1).as("neg"))).as("m"),
-        max(col("self")).as("prev"))
-      .select(col("v").as("node"), (col("m.neg") * -1).as("lbl"), col("prev"))
+      .agg(max(col("pk")).as("pk"), max(col("self")).as("prev"))
+      .select(col("v").as("node"),
+        (lit(4294967295L) - pmod(col("pk"), lit(4294967296L))).as("lbl"),
+        col("prev"))
   }
+
+  /** `sym` plus one (n, n) self-loop per node of `nodes(node)` — the
+    * [[votesStep]] input shape. The node set is round-invariant, so
+    * callers build this once outside the loop.
+    */
+  private def withSelfLoops(sym: org.apache.spark.sql.DataFrame,
+      nodes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sym.unionByName(
+      nodes.select(col("node").as("src"), col("node").as("dst")))
 
   /** The LPA label assignment over the part↔supplier bipartite graph,
     * gated by `gr_label_propagation`. (`gr_modularity` runs its own
@@ -407,18 +459,23 @@ object GraphQueries {
       // exchanges it replaces; the post-revert pair confirms parity
       // (122.1 vs 121.2). See BASELINE.md "Round 11" and
       // probes/round11_ab_graph_sf10{,b}.jsonl.
-      var labels = sym.select($"src".as("node")).distinct()
-        .withColumn("lbl", $"node")
-      if (robust) labels = labels.localCheckpoint()
+      // The node set is tiny (|V|) and round-invariant; checkpointing
+      // it once feeds both the label seed and the self-loop arm of
+      // symPlus (votesStep's round-14 single-reference shape) without
+      // re-deriving the |E|-row distinct per round.
+      val nodes = sym.select($"src".as("node")).distinct().localCheckpoint()
+      val symPlus = withSelfLoops(sym, nodes)
+      var labels = nodes.withColumn("lbl", $"node")
       var round = 0
       var converged = false
       while (round < Iters && !converged) {
         if (robust) {
-          val next = votesStep(sym, labels, voteParts).localCheckpoint()
+          val next = votesStep(symPlus, labels, voteParts).localCheckpoint()
           converged = next.filter($"lbl" =!= $"prev").isEmpty
           labels = next.drop("prev")
         } else {
-          labels = votesStep(sym, labels, voteParts).drop("prev")
+          labels = votesStep(symPlus, labels, voteParts, bcastLabels = true)
+            .drop("prev")
         }
         round += 1
       }
@@ -513,22 +570,28 @@ object GraphQueries {
         .getOrElse(voteParts > s.sessionState.conf.numShufflePartitions)
       val symRaw = kept.select($"u".as("src"), $"v".as("dst"))
         .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
-      val sym = if (!robust) symRaw
-        else symRaw.repartition(voteParts, $"dst")
+      // Self-loops ride INSIDE the (possibly checkpointed/pre-
+      // partitioned) vote edge list so the robust path's exchange
+      // reuse still covers the whole votesStep probe side; the real
+      // edges are strictly u < v, so src = dst rows are exactly the
+      // loops and the degree aggregate below filters them back out.
+      val nodes0 = kept.select($"u".as("node"))
+        .unionByName(kept.select($"v".as("node"))).distinct()
+      val nodes = nodes0.localCheckpoint()
+      val symPlus0 = withSelfLoops(symRaw, nodes)
+      val symPlus = if (!robust) symPlus0
+        else symPlus0.repartition(voteParts, $"dst")
           .localCheckpoint(true,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val deg0 = sym.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val deg0 = symPlus.filter($"src" =!= $"dst")
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val deg = if (!robust) deg0
         else deg0.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      // robust seed: the checkpointed degree artifact's node column is
-      // exactly the node set — the seed's own |E|-row distinct
-      // disappears, and rounds checkpoint so they never race each
-      // other's aggregates for the pool at grown scale
-      var labels = if (robust) deg.select($"node", $"node".as("lbl"))
-        else sym.select($"src".as("node")).distinct().withColumn("lbl", $"node")
+      var labels = nodes.withColumn("lbl", $"node")
       (1 to Iters).foreach { _ =>
-        labels = votesStep(sym, labels, voteParts).drop("prev")
+        labels = votesStep(symPlus, labels, voteParts, bcastLabels = !robust)
+          .drop("prev")
         if (robust) labels = labels.localCheckpoint()
       }
       // checkpoint: the labels feed THREE consumers (two intra-join
