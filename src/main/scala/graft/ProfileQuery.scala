@@ -49,10 +49,16 @@ object ProfileQuery {
         stages.incrementAndGet()
         val si = sc.stageInfo
         val m = si.taskMetrics
-        if (m != null)
+        if (m != null) {
+          // attribute the stage to the first graft frame in its call
+          // site — far more useful than the AQE thunk name
+          val graftLine = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+            .map(_.trim.take(90)).getOrElse(si.name.takeWhile(_ != '\n').take(60))
           stageInfo.put(si.stageId,
-            (si.name.takeWhile(_ != '\n').take(90), m.executorRunTime,
+            (graftLine, m.executorRunTime,
               m.executorCpuTime / 1000000L, si.numTasks))
+        }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()

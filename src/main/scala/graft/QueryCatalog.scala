@@ -14,8 +14,19 @@ final case class Q(
 )
 
 object QueryCatalog {
-  /** All registered query groups, in stable order. */
-  def all: Seq[Q] =
+  /** All registered query groups, in stable order. Every fn is wrapped
+    * to register the engine's custom SQL functions on the session
+    * first (idempotent, microseconds): several operators reference
+    * them inside `expr(...)` strings and higher-order-function
+    * lambdas, where only the session FunctionRegistry can resolve
+    * them.
+    */
+  def all: Seq[Q] = raw.map(q => q.copy(fn = (s, d) => {
+    graft.functions.exprs.register(s)
+    q.fn(s, d)
+  }))
+
+  private def raw: Seq[Q] =
     graft.operators.RelationalQueries.all ++
       graft.operators.GeoQueries.all ++
       graft.operators.DedupQueries.all ++

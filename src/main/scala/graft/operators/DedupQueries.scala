@@ -144,14 +144,15 @@ object DedupQueries {
       .filter(size(w) >= 3)
       .select($"doc_id", explode(shingleArr).as("shingle"))
       .select($"doc_id",
-        expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("h"))
+        expr("md5_prefix_long(12, shingle)").as("h"))
       .groupBy($"doc_id")
       .agg(
         min(hashK(0, $"h")).as("m0"),
         (1 to 7).map(k => min(hashK(k, $"h")).as(s"m$k")): _*)
     sigs.select($"doc_id",
       posexplode(array((0 to 3).map(b =>
-        md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*))
+        graft.functions.exprs.md5_hex(col(s"m${2 * b}").cast("string"),
+          lit(","), col(s"m${2 * b + 1}").cast("string"))): _*))
         .as(Seq("band", "band_sig")))
   }
 
@@ -196,7 +197,7 @@ object DedupQueries {
     val words = fanout(Tables.documents(s, d))
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .select($"doc_id",
-        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("wh"))
+        expr("md5_prefix_long(15, word)").as("wh"))
     def vote(b: Int) =
       sum(when(expr(s"shiftright(wh, $b)") % 2 === 1, 1L).otherwise(-1L))
     val votes = words
@@ -568,7 +569,7 @@ object DedupQueries {
       import s.implicits._
       val verified = jaccardOnCandidates.fn(s, d) // (doc1, doc2, jaccard_e9)
       val bucket =
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+        expr("md5_prefix_long(6, CAST(doc_id AS STRING)) % 100")
       val splits = Tables.documents(s, d).select(
         $"doc_id",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -1140,7 +1141,7 @@ object DedupQueries {
       val k = 128
       val h = Tables.documents(s, d)
         .select($"source",
-          expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)").as("h"))
+          expr("md5_prefix_long(12, text)").as("h"))
         .distinct()
         .localCheckpoint()
       val sk = h
@@ -1266,9 +1267,9 @@ object DedupQueries {
       val toks = Tables.documents(s, d)
         .select($"doc_id", posexplode(split($"text", " ")).as(Seq("i", "tok")))
         .select($"doc_id", ($"i" + 1).as("pos"), $"tok",
-          (expr("""CAST(conv(substring(md5(concat('mask:',
-                  |  CAST(doc_id AS STRING), ':', CAST(i + 1 AS STRING))),
-                  |  1, 6), 16, 10) AS BIGINT) % 100""".stripMargin) < 15).as("m"))
+          (expr("""md5_prefix_long(6, 'mask:',
+                  |  CAST(doc_id AS STRING), ':', CAST(i + 1 AS STRING))
+                  |  % 100""".stripMargin) < 15).as("m"))
       val pieces = toks
         .withColumn("first", $"m" && !coalesce(lag($"m", 1).over(win), lit(false)))
         .withColumn("k", sum(when($"first", 1L).otherwise(0L)).over(cum))
@@ -1643,16 +1644,21 @@ object DedupQueries {
         .join(sh.select($"doc_id".as("doc2"), $"shingle".as("s2")),
           $"shingle" === $"s2" && $"doc1" < $"doc2")
         .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("ni"))
-      val truth = inter
-        .join(sz.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
-        .join(sz.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
-        .filter($"ni" * 2 >= $"n1" + $"n2" - $"ni")
-        .select($"doc1", $"doc2").localCheckpoint()
-      val pred = minhashLsh.fn(s, d)
-        .select($"doc1", $"doc2").localCheckpoint()
-      val tp = pred.join(truth, Seq("doc1", "doc2"), "left_semi").count()
-      val nT = truth.count()
-      val nP = pred.count()
+      // truth (shingle inverted index) and pred (the minhash chain)
+      // are independent eager chains; the three final counts are
+      // independent too — overlap all of them (guide §2.6)
+      val Seq(truth, pred) = graft.util.Par(
+        () => inter
+          .join(sz.select($"doc_id".as("doc1"), $"n".as("n1")), "doc1")
+          .join(sz.select($"doc_id".as("doc2"), $"n".as("n2")), "doc2")
+          .filter($"ni" * 2 >= $"n1" + $"n2" - $"ni")
+          .select($"doc1", $"doc2").localCheckpoint(),
+        () => minhashLsh.fn(s, d)
+          .select($"doc1", $"doc2").localCheckpoint())
+      val Seq(tp, nT, nP) = graft.util.Par(
+        () => pred.join(truth, Seq("doc1", "doc2"), "left_semi").count(),
+        () => truth.count(),
+        () => pred.count())
       Seq((nT, nP, tp,
         if (nP == 0) 0L else tp * 100 / nP,
         if (nT == 0) 0L else tp * 100 / nT))

@@ -608,7 +608,7 @@ object ExtraQueries {
     (s, d) => {
       import s.implicits._
       def h(salt: String, key: Column): Column =
-        expr(s"CAST(conv(substring(md5(concat('$salt', CAST(${key.toString} AS STRING))), 1, 5), 16, 10) AS BIGINT)")
+        expr(s"md5_prefix_long(5, '$salt', CAST(${key.toString} AS STRING))")
       val build = Tables.orders(s, d).select($"o_custkey").distinct()
       val bits = build.select(explode(array(
         h("b1:", $"o_custkey"), h("b2:", $"o_custkey"))).as("pos")).distinct()

@@ -680,6 +680,9 @@ object GraphQueries {
       val sym = kept.select($"u".as("src"), $"v".as("dst"))
         .unionByName(kept.select($"v".as("src"), $"u".as("dst")))
       var alive = sym.select($"src".as("node")).distinct().localCheckpoint()
+      // carry the survivor count across rounds: alive is next from the
+      // previous round, so re-counting it was a redundant job per round
+      var aliveCount = alive.count()
       var lastDeg: org.apache.spark.sql.DataFrame = null
       var converged = false
       var round = 0
@@ -690,9 +693,11 @@ object GraphQueries {
           .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
         val next = deg.filter($"deg" >= K)
           .select($"node").localCheckpoint()
-        converged = next.count() == alive.count()
+        val nextCount = next.count()
+        converged = nextCount == aliveCount
         lastDeg = deg
         alive = next
+        aliveCount = nextCount
         round += 1
       }
       // survivors' degree within the surviving subgraph (recompute

@@ -631,9 +631,9 @@ object PipelineQueries {
       val words = split($"text", " ")
       val stop = Seq("the", "a", "of", "and", "to")
       val docBucket = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+        "md5_prefix_long(6, CAST(doc_id AS STRING)) % 100")
       val srcRate = expr(
-        "CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 50 + 10")
+        "md5_prefix_long(2, source) % 50 + 10")
       docs
         .withColumn("rn_exact", row_number().over(exactKeep))
         .join(reps, $"doc_id" === $"cl_doc", "left_outer")
@@ -718,12 +718,17 @@ object PipelineQueries {
     "pipe_data_selection",
     (s, d) => {
       import s.implicits._
-      val quality = TextQueries.ccnetBuckets(s, d)
-        .filter($"bucket" =!= "tail")
-        .select($"doc_id", $"lang", $"bucket")
-      val dsir = TextQueries.dsirScores(s, d)
-        .select($"doc_id", $"source", $"score_micro".as("dsir_micro"))
-      val weights = DedupQueries.softDedupDocWeights(s, d)
+      // The three stage constructions are independent and each runs
+      // eager actions (ccnet's score checkpoint, the soft-dedup LSH/CC
+      // chain's checkpoints); building them concurrently overlaps
+      // those jobs (guide §2.6) — same plans, same results.
+      val Seq(quality, dsir, weights) = graft.util.Par(
+        () => TextQueries.ccnetBuckets(s, d)
+          .filter($"bucket" =!= "tail")
+          .select($"doc_id", $"lang", $"bucket"),
+        () => TextQueries.dsirScores(s, d)
+          .select($"doc_id", $"source", $"score_micro".as("dsir_micro")),
+        () => DedupQueries.softDedupDocWeights(s, d))
       quality.join(dsir, "doc_id")
         .join(weights, Seq("doc_id"), "left_outer")
         .select($"doc_id", $"source", $"lang", $"bucket",
@@ -771,9 +776,8 @@ object PipelineQueries {
       import s.implicits._
       val weights = expr(
         """transform(sequence(0, 15), i -> named_struct(
-          |  'w', CAST(conv(substring(md5(concat(
-          |         CAST(doc_id AS STRING), '#', CAST(i AS STRING))),
-          |         1, 12), 16, 10) AS BIGINT),
+          |  'w', md5_prefix_long(12,
+          |         CAST(doc_id AS STRING), '#', CAST(i AS STRING)),
           |  'sh', i))""".stripMargin)
       Tables.documents(s, d)
         .select($"doc_id", weights.as("ws"))
@@ -825,7 +829,7 @@ object PipelineQueries {
     (s, d) => {
       import s.implicits._
       val b = (e: Int) =>
-        expr(s"CAST(conv(substring(md5(concat('$e', '#', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT)")
+        expr(s"md5_prefix_long(2, '$e', '#', CAST(doc_id AS STRING))")
       Tables.documents(s, d)
         .select($"doc_id",
           size(split($"text", " ")).cast("long").as("n_tok"),
@@ -943,9 +947,13 @@ object PipelineQueries {
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
       val keep = docs
         .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("keep_id"))
-      val quality = TextQueries.ccnetBuckets(s, d).select($"doc_id", $"bucket")
-      val clusters = DedupQueries.dedupClusters.fn(s, d)
-        .select($"doc_id", $"cluster_rep")
+      // quality (ccnet checkpoint) and clusters (the LSH+CC loop's
+      // per-round checkpoints) are independent eager constructions —
+      // overlap their jobs (guide §2.6); plans unchanged
+      val Seq(quality, clusters) = graft.util.Par(
+        () => TextQueries.ccnetBuckets(s, d).select($"doc_id", $"bucket"),
+        () => DedupQueries.dedupClusters.fn(s, d)
+          .select($"doc_id", $"cluster_rep"))
       docs.select($"doc_id", md5($"text").as("h"))
         .join(keep, "h")
         .join(quality, "doc_id")

@@ -157,8 +157,8 @@ object TextQueries {
     val scores = LidMarkers.map { case (lang, _) =>
       lang -> aggregate(
         transform(words, w =>
-          (conv(substring(md5(concat(lit(lang + ":"), w)), 1, 4), 16, 10)
-            .cast("long") % 256) * lit(2654435761L) % 1001 - 500),
+          (graft.functions.exprs.md5_prefix_long(4, lit(lang + ":"), w)
+            % 256) * lit(2654435761L) % 1001 - 500),
         lit(0L), (acc, x) => acc + x)
     }
     val byLang = scores.toMap
@@ -237,7 +237,7 @@ object TextQueries {
       import s.implicits._
       Tables.documents(s, d)
         .filter(
-          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)") % 100 < 10)
+          expr("md5_prefix_long(6, CAST(doc_id AS STRING))") % 100 < 10)
         .select($"doc_id", $"source")
         .orderBy($"doc_id")
     },
@@ -327,7 +327,7 @@ object TextQueries {
     (s, d) => {
       import s.implicits._
       val bucket =
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)") % 100
+        expr("md5_prefix_long(6, CAST(doc_id AS STRING))") % 100
       Tables.documents(s, d)
         .select(
           $"doc_id",
@@ -474,9 +474,9 @@ object TextQueries {
     (s, d) => {
       import s.implicits._
       val docBucket =
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+        expr("md5_prefix_long(6, CAST(doc_id AS STRING)) % 100")
       val srcRate =
-        expr("CAST(conv(substring(md5(source), 1, 2), 16, 10) AS BIGINT) % 50 + 10")
+        expr("md5_prefix_long(2, source) % 50 + 10")
       Tables.documents(s, d)
         .select($"doc_id", $"source", srcRate.as("rate"))
         .filter(docBucket < srcRate)
@@ -1328,7 +1328,7 @@ object TextQueries {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val day =
-        expr("CAST(conv(substring(md5(concat('day:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 7")
+        expr("md5_prefix_long(4, 'day:', CAST(doc_id AS STRING)) % 7")
       // per-doc token dedup happens IN-ROW (array_distinct) before the
       // explode, so document frequency needs NO corpus-wide DISTINCT
       // shuffle — the explode feeds the (day, token) partial agg
@@ -1489,8 +1489,8 @@ object TextQueries {
       Tables.documents(s, d)
         .join(broadcast(rates), Seq("source"))
         .filter(expr(
-          """CAST(conv(substring(md5(concat('tmix:', CAST(doc_id AS STRING))),
-            |     1, 6), 16, 10) AS BIGINT) % 1000000""".stripMargin) < $"rate_ppm")
+          "md5_prefix_long(6, 'tmix:', CAST(doc_id AS STRING)) % 1000000")
+          < $"rate_ppm")
         .select($"doc_id", $"source", $"rate_ppm")
         .orderBy($"doc_id")
     },
@@ -2003,10 +2003,11 @@ object TextQueries {
   private[operators] def dsirScores(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    graft.functions.exprs.register(s) // md5_prefix_long in expr strings
     val grams = Tables.documents(s, d)
       .select($"doc_id", $"source", ngrams($"text", 2).as(Seq("pos", "g")))
       .select($"doc_id", $"source",
-        (expr("CAST(conv(substring(md5(concat('dsir:', g)), 1, 6), 16, 10) AS BIGINT)") % 256)
+        (expr("md5_prefix_long(6, 'dsir:', g)") % 256)
           .as("bucket"))
     val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("c_r"))
     val tgt = grams.filter($"source".isin("src1", "src3", "src5"))
@@ -2097,6 +2098,7 @@ object TextQueries {
   private[operators] def ccnetBuckets(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import s.implicits._
+      graft.functions.exprs.register(s) // md5_prefix_long in lambdas
       import org.apache.spark.sql.expressions.Window
       // Round-11 rewrite (the ta_trigram_lm_score device, measured
       // there with ScratchProbe): per-word md5 on EXPLODED rows costs
@@ -2109,7 +2111,7 @@ object TextQueries {
       val docs = Tables.documents(s, d)
         .select($"doc_id", $"lang", $"source", split($"text", " ").as("w"))
       val bucketOf = (col: String) =>
-        s"CAST(conv(substring(md5(concat('ccnet:', $col)), 1, 6), 16, 10) AS BIGINT) % 256"
+        s"md5_prefix_long(6, 'ccnet:', $col) % 256"
       val refBuckets = docs.filter($"source".isin("src1", "src3", "src5"))
         .select(explode(expr(s"transform(w, x -> ${bucketOf("x")})")).as("bucket"))
       val tgt = refBuckets.groupBy($"bucket").agg(count(lit(1)).as("c_t"))
@@ -2266,8 +2268,8 @@ object TextQueries {
       val refBuckets = docs.filter($"source".isin("src1", "src3", "src5"))
         .select(explode(expr(
           """transform(sequence(1, length(t) - 2), i -> struct(
-            |  CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096 AS b3,
-            |  CAST(conv(substring(md5(concat('lm2:', substring(t, i, 2))), 1, 6), 16, 10) AS BIGINT) % 4096 AS b2))""".stripMargin))
+            |  md5_prefix_long(6, 'lm3:', substring(t, i, 3)) % 4096 AS b3,
+            |  md5_prefix_long(6, 'lm2:', substring(t, i, 2)) % 4096 AS b2))""".stripMargin))
           .as("p"))
         .select($"p.b3", $"p.b2")
       // ONE pass over the reference stream builds the JOINT (b3, b2)
@@ -2292,8 +2294,8 @@ object TextQueries {
         .select($"doc_id", (length($"t") - 2).cast("long").as("n_tri"),
           expr(
             """aggregate(sequence(1, length(t) - 2), 0L, (acc, i) -> acc +
-              |  (element_at(a3, CAST(CAST(conv(substring(md5(concat('lm3:', substring(t, i, 3))), 1, 6), 16, 10) AS BIGINT) % 4096 AS INT) + 1) + 1) * 1000000
-              |  div (element_at(a2, CAST(CAST(conv(substring(md5(concat('lm2:', substring(t, i, 2))), 1, 6), 16, 10) AS BIGINT) % 4096 AS INT) + 1) + 4096))""".stripMargin)
+              |  (element_at(a3, CAST(md5_prefix_long(6, 'lm3:', substring(t, i, 3)) % 4096 AS INT) + 1) + 1) * 1000000
+              |  div (element_at(a2, CAST(md5_prefix_long(6, 'lm2:', substring(t, i, 2)) % 4096 AS INT) + 1) + 4096))""".stripMargin)
             .as("fsum"))
         .select($"doc_id", $"n_tri", expr("fsum div n_tri").as("score_micro"))
         .orderBy($"doc_id")
@@ -2374,7 +2376,7 @@ object TextQueries {
         slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
         (a, b) => concat(a, lit(" "), b))
       val weights = transform(bigrams, g =>
-        (conv(substring(md5(g), 1, 4), 16, 10).cast("long") % 256)
+        (graft.functions.exprs.md5_prefix_long(4, g) % 256)
           * lit(2654435761L) % 1001 - 500)
       graft.util.Cols.fanout(Tables.documents(s, d))
         .select($"doc_id",

@@ -499,7 +499,7 @@ object UrlQueries {
       withRegDomain(withRawUrl(Tables.documents(s, d)), host)
         .select($"reg_domain")
         .withColumn("shard",
-          expr("CAST(conv(substring(md5(reg_domain), 1, 6), 16, 10) AS BIGINT) % 16"))
+          expr("md5_prefix_long(6, reg_domain) % 16"))
         .groupBy($"shard")
         .agg(
           countDistinct($"reg_domain").as("n_domains"),
