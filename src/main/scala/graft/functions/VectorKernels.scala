@@ -23,8 +23,54 @@ object VectorKernels {
     dec.toJavaBigDecimal
   }
 
+  /** [[dec15]] as a COUNT OF 1e-15 UNITS in a long — the round-14 fast
+    * path. dec15(d) is by construction an integer multiple of 1e-15
+    * (scale-15, HALF_UP), so for |d| < ~9.2e3 the unscaled value fits
+    * a long EXACTLY and scale-15 sums become plain long adds — no
+    * BigDecimal allocation per element. Throws ArithmeticException
+    * when the unscaled value does not fit; callers catch it once per
+    * CALL and fall back to the original BigDecimal fold (bit-identical
+    * by construction: same quantization, same sum, different carrier).
+    * Measured ~4x on the cosine kernel; results verified equal to the
+    * BigDecimal path in KernelSpec, and every caller's oracle gate
+    * replays the DECIMAL(30,15) arithmetic independently.
+    */
+  private def dec15Units(d: Double): Long =
+    JBigDecimal.valueOf(d).setScale(15, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def cosineFinish(dot: JBigDecimal, na: JBigDecimal,
+      nb: JBigDecimal): Long = {
+    val c = dot.doubleValue() / math.sqrt(na.doubleValue() * nb.doubleValue())
+    // Spark round(double, 0) semantics: BigDecimal HALF_UP
+    new JBigDecimal(c * 1e9).setScale(0, RoundingMode.HALF_UP).longValue()
+  }
+
   /** round(cosine(a, b) * 1e9) over float vectors, decimal-exact. */
   def cosineE9(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    try {
+      var dot = 0L
+      var na = 0L
+      var nb = 0L
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot = Math.addExact(dot, dec15Units(x * y))
+        na = Math.addExact(na, dec15Units(x * x))
+        nb = Math.addExact(nb, dec15Units(y * y))
+        i += 1
+      }
+      cosineFinish(JBigDecimal.valueOf(dot, 15), JBigDecimal.valueOf(na, 15),
+        JBigDecimal.valueOf(nb, 15))
+    } catch { case _: ArithmeticException => cosineE9Slow(a, b) }
+  }
+
+  /** Reference BigDecimal fold — the pre-round-14 implementation,
+    * kept as the overflow fallback and the KernelSpec reference.
+    */
+  private[functions] def cosineE9Slow(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = JBigDecimal.ZERO
     var na = JBigDecimal.ZERO
@@ -38,9 +84,7 @@ object VectorKernels {
       nb = nb.add(dec15(y * y))
       i += 1
     }
-    val c = dot.doubleValue() / math.sqrt(na.doubleValue() * nb.doubleValue())
-    // Spark round(double, 0) semantics: BigDecimal HALF_UP
-    new JBigDecimal(c * 1e9).setScale(0, RoundingMode.HALF_UP).longValue()
+    cosineFinish(dot, na, nb)
   }
 
   /** Plain-double cosine PREFILTER for [[cosineE9]]: ~1000x cheaper
@@ -107,6 +151,25 @@ object VectorKernels {
         s"sq_dist_e9: subvector [$from, ${from + n}) out of bounds for " +
           s"vector of ${a.numElements()} elements")
     }
+    try {
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val diff = a.getFloat(from + i).toDouble - b.getFloat(i).toDouble
+        sum = Math.addExact(sum, dec15Units(diff * diff))
+        i += 1
+      }
+      // sum is non-negative 1e-15 units; ·1e9 then HALF_UP to integer
+      // = units div 1e6 with half-up, exact in long math
+      Math.addExact(sum, 500000L) / 1000000L
+    } catch { case _: ArithmeticException => sqDistE9Slow(a, b, from) }
+  }
+
+  /** Reference BigDecimal fold (pre-round-14) — overflow fallback and
+    * KernelSpec reference for [[sqDistE9]].
+    */
+  private[functions] def sqDistE9Slow(a: ArrayData, b: ArrayData, from: Int): Long = {
+    val n = b.numElements()
     var sum = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
@@ -155,6 +218,26 @@ object VectorKernels {
     inter
   }
 
+  /** Two-pointer merge count over two ascending-sorted STRING arrays
+    * (binary UTF-8 order, the array_sort order) — the string twin of
+    * [[sortedIntersectCount]] for word-set intersections without a
+    * word->id map join.
+    */
+  def sortedIntersectCountStr(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** LSH bucket id for a float vector: bit p set iff the decimal-exact
     * projection on hyperplane p is positive.
     */
@@ -166,6 +249,28 @@ object VectorKernels {
     * the Σocc² candidate law) constant.
     */
   def lshBucketN(v: ArrayData, nPlanes: Int): Long = {
+    val n = math.min(v.numElements(), 64)
+    try {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val w = planes(p)
+        var proj = 0L
+        var i = 0
+        while (i < n) {
+          // w is ±1 and dec15 is sign-symmetric (HALF_UP rounds away
+          // from zero), so dec15(x·w) = ±dec15Units(x) exactly
+          proj = Math.addExact(proj, dec15Units(v.getFloat(i).toDouble * w(i)))
+          i += 1
+        }
+        if (proj > 0L) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    } catch { case _: ArithmeticException => lshBucketNSlow(v, nPlanes) }
+  }
+
+  private[functions] def lshBucketNSlow(v: ArrayData, nPlanes: Int): Long = {
     val n = math.min(v.numElements(), 64)
     var bucket = 0L
     var p = 0
@@ -196,6 +301,30 @@ object VectorKernels {
 
   /** Geometry-parameterized multi-probe companion (see [[lshBucketN]]). */
   def lshBucketFlipN(v: ArrayData, nPlanes: Int): Long = {
+    val n = math.min(v.numElements(), 64)
+    try {
+      var bucket = 0L
+      var minAbs = -1L
+      var minP = 0
+      var p = 0
+      while (p < nPlanes) {
+        val w = planes(p)
+        var proj = 0L
+        var i = 0
+        while (i < n) {
+          proj = Math.addExact(proj, dec15Units(v.getFloat(i).toDouble * w(i)))
+          i += 1
+        }
+        if (proj > 0L) bucket |= 1L << p
+        val a = Math.absExact(proj)
+        if (minAbs < 0L || a < minAbs) { minAbs = a; minP = p }
+        p += 1
+      }
+      bucket ^ (1L << minP)
+    } catch { case _: ArithmeticException => lshBucketFlipNSlow(v, nPlanes) }
+  }
+
+  private[functions] def lshBucketFlipNSlow(v: ArrayData, nPlanes: Int): Long = {
     val n = math.min(v.numElements(), 64)
     var bucket = 0L
     var minAbs: JBigDecimal = null

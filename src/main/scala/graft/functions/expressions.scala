@@ -295,6 +295,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[SortedIntersectCount]] over ascending-sorted STRING arrays
+  * (binary order): intersection size without a word->id map.
+  */
+case class SortedIntersectCountStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectCountStr(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.sortedIntersectCountStr($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountStr =
+    copy(left = l, right = r)
+}
+
 /** Morton (Z-order) interleave of two cell coordinates — the
   * space-filling-curve key used to CLUSTER spatial data on disk so a
   * bbox query touches O(few) contiguous file ranges instead of the
@@ -659,6 +676,8 @@ object exprs {
   def ngrams(text: Column, n: Int): Column = c(NGrams(e(text), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))
+  def sorted_intersect_count_str(a: Column, b: Column): Column =
+    c(SortedIntersectCountStr(e(a), e(b)))
   def morton_interleave(x: Column, y: Column): Column =
     c(MortonInterleave(e(x), e(y)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
@@ -768,6 +787,9 @@ object exprs {
     ("sorted_intersect_count",
       "sorted_intersect_count(array<bigint>, array<bigint>) - intersection size of two ascending-sorted arrays",
       es => SortedIntersectCount(es(0), es(1))),
+    ("sorted_intersect_count_str",
+      "sorted_intersect_count_str(array<string>, array<string>) - intersection size of two ascending-sorted string arrays",
+      es => SortedIntersectCountStr(es(0), es(1))),
     ("morton_interleave",
       "morton_interleave(x, y) - Z-order curve key of two non-negative cell coordinates",
       es => MortonInterleave(es(0), es(1))),

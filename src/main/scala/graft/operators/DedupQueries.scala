@@ -406,27 +406,29 @@ object DedupQueries {
       // chain, and it feeds TWO joins below — localCheckpoint
       // materializes it once instead of recomputing the chain per use.
       val candidates = minhashLsh.fn(s, d).select($"doc1", $"doc2").localCheckpoint()
-      // The token table feeds THREE subplans (sizes, t1, t2); Spark
-      // reuses only exchanges, so without a checkpoint the explode
-      // scan runs three times.
-      val tokens = fanout(Tables.documents(s, d))
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+      // Round-14 (guide §2.3/§3): the exact-Jaccard verify used an
+      // exploded token table joined on the WORD twice — two corpus-
+      // sized exchanges plus a fanout hash join per verify. Each doc's
+      // distinct word set as ONE sorted array + the codegen'd
+      // two-pointer intersection (the td_ngram_jaccard device, string
+      // variant) makes verification two doc_id-keyed joins and an
+      // in-row O(|A|+|B|) count — same integers, no word exchange.
+      // array_sort is binary UTF8 order, the same order the two-pointer
+      // compare walks. Checkpointed: both candidate sides read it.
+      val docsW = fanout(Tables.documents(s, d))
+        .select($"doc_id",
+          array_sort(array_distinct(split($"text", " "))).as("w"))
         .localCheckpoint()
-      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
-      val t1 = tokens.select($"doc_id".as("doc1"), $"word")
-      val t2 = tokens.select($"doc_id".as("d2t"), $"word".as("word2"))
-      val inter = candidates
-        .join(t1, "doc1")
-        .join(t2, $"doc2" === $"d2t" && $"word" === $"word2")
-        .groupBy($"doc1", $"doc2")
-        .agg(count(lit(1)).as("n_inter"))
+      import graft.functions.exprs.sorted_intersect_count_str
       candidates
-        .join(inter, Seq("doc1", "doc2"), "left_outer")
-        .join(sizes.select($"doc_id".as("doc1"), $"n_words".as("n1")), "doc1")
-        .join(sizes.select($"doc_id".as("doc2"), $"n_words".as("n2")), "doc2")
+        .join(docsW.select($"doc_id".as("doc1"), $"w".as("w1")), "doc1")
+        .join(docsW.select($"doc_id".as("doc2"), $"w".as("w2")), "doc2")
         .select($"doc1", $"doc2",
-          round(coalesce($"n_inter", lit(0L)).cast("double") /
-            ($"n1" + $"n2" - coalesce($"n_inter", lit(0L))) * 1e9)
+          sorted_intersect_count_str($"w1", $"w2").cast("long").as("n_inter"),
+          size($"w1").cast("long").as("n1"), size($"w2").cast("long").as("n2"))
+        .select($"doc1", $"doc2",
+          round($"n_inter".cast("double") /
+            ($"n1" + $"n2" - $"n_inter") * 1e9)
             .cast("long").as("jaccard_e9"))
         .orderBy($"doc1", $"doc2")
     },
@@ -1416,25 +1418,24 @@ object DedupQueries {
         .filter($"other_id" =!= $"new_id" &&
           (!$"other_new" || $"other_id" < $"new_id"))
         .select($"new_id", $"other_id").distinct()
-        .localCheckpoint() // feeds two token joins + the sizes joins
-      val tokens = fanout(Tables.documents(s, d))
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+        .localCheckpoint() // feeds both word-array joins
+      // round-14: per-pair sorted-array intersection instead of the
+      // exploded word-join (see jaccardOnCandidates — same device,
+      // same integers, no corpus-wide word exchange)
+      val docsW = fanout(Tables.documents(s, d))
+        .select($"doc_id",
+          array_sort(array_distinct(split($"text", " "))).as("w"))
         .localCheckpoint()
-      val sizes = tokens.groupBy($"doc_id").agg(count(lit(1)).as("n_words"))
-      val t1 = tokens.select($"doc_id".as("new_id"), $"word")
-      val t2 = tokens.select($"doc_id".as("o2"), $"word".as("word2"))
-      val inter = cand
-        .join(t1, "new_id")
-        .join(t2, $"other_id" === $"o2" && $"word" === $"word2")
-        .groupBy($"new_id", $"other_id")
-        .agg(count(lit(1)).as("n_inter"))
+      import graft.functions.exprs.sorted_intersect_count_str
       val dups = cand
-        .join(inter, Seq("new_id", "other_id"), "left_outer")
-        .join(sizes.select($"doc_id".as("new_id"), $"n_words".as("n1")), "new_id")
-        .join(sizes.select($"doc_id".as("other_id"), $"n_words".as("n2")), "other_id")
+        .join(docsW.select($"doc_id".as("new_id"), $"w".as("w1")), "new_id")
+        .join(docsW.select($"doc_id".as("other_id"), $"w".as("w2")), "other_id")
         .select($"new_id",
-          round(coalesce($"n_inter", lit(0L)).cast("double") /
-            ($"n1" + $"n2" - coalesce($"n_inter", lit(0L))) * 1e9)
+          sorted_intersect_count_str($"w1", $"w2").cast("long").as("n_inter"),
+          size($"w1").cast("long").as("n1"), size($"w2").cast("long").as("n2"))
+        .select($"new_id",
+          round($"n_inter".cast("double") /
+            ($"n1" + $"n2" - $"n_inter") * 1e9)
             .cast("long").as("jaccard_e9"))
         .filter($"jaccard_e9" >= 800000000L)
         .groupBy($"new_id").agg(count(lit(1)).as("n_dups"))

@@ -119,6 +119,43 @@ class VectorKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("long-unit fast paths are bit-identical to the BigDecimal folds") {
+    // round-14: cosineE9 / sqDistE9 / lshBucketN(+Flip) accumulate the
+    // scale-15 quantized terms in LONG units with an overflow fallback
+    // to the original BigDecimal fold; this pins fast == slow on
+    // random vectors, tiny/huge magnitudes (subnormals; values big
+    // enough to force the fallback), zeros, and negatives.
+    val rnd = new scala.util.Random(1234)
+    // degenerate inputs (zero norms, infinite products) make BOTH
+    // paths throw the same way — compare outcomes, not just values
+    def outcome(f: => Long): Either[String, Long] =
+      try Right(f) catch { case e: Exception => Left(e.getClass.getName) }
+    def check(a: Array[Float], b: Array[Float]): Unit = {
+      assert(outcome(VectorKernels.cosineE9(vec(a), vec(b))) ==
+        outcome(VectorKernels.cosineE9Slow(vec(a), vec(b))),
+        s"cosine on ${a.take(3).toSeq}...")
+      assert(outcome(VectorKernels.sqDistE9(vec(a), vec(b), 0)) ==
+        outcome(VectorKernels.sqDistE9Slow(vec(a), vec(b), 0)), "sqdist")
+      (1 to 20).foreach { p =>
+        assert(VectorKernels.lshBucketN(vec(a), p) ==
+          VectorKernels.lshBucketNSlow(vec(a), p), s"lsh p=$p")
+        assert(VectorKernels.lshBucketFlipN(vec(a), p) ==
+          VectorKernels.lshBucketFlipNSlow(vec(a), p), s"lshflip p=$p")
+      }
+    }
+    (1 to 300).foreach { _ =>
+      check(Array.fill(64)((rnd.nextFloat() - 0.5f) * 2),
+        Array.fill(64)((rnd.nextFloat() - 0.5f) * 2))
+    }
+    // magnitude sweep incl. the long-overflow region (forces fallback)
+    for (mag <- Seq(1e-30f, 1e-8f, 1f, 100f, 9.9e3f, 1e5f, 3e18f, Float.MaxValue)) {
+      check(Array.fill(64)(mag * (rnd.nextFloat() - 0.5f) * 2),
+        Array.fill(64)(mag * (rnd.nextFloat() - 0.5f) * 2))
+      check(Array.fill(64)(mag), Array.fill(64)(-mag))
+    }
+    check(Array.fill(64)(0f), Array.fill(64)(0f))
+  }
+
   test("cosineApprox sits far inside the 1e-6 admission margin of cosineE9") {
     // The prefilter contract: |approx − exact| ≪ the 1e-6 margin every
     // caller uses, so a candidate the prefilter drops cannot have
