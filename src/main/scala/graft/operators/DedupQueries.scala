@@ -466,22 +466,27 @@ object DedupQueries {
       val edges = minhashLsh.fn(s, d).select($"doc1", $"doc2").localCheckpoint()
       val sym = edges.unionByName(
         edges.select($"doc2".as("doc1"), $"doc1".as("doc2")))
-      var labels = sym.select($"doc1".as("node")).distinct()
-        .select($"node", $"node".as("label"))
+      // round-14 (the votesStep device): one (n, n) self-loop per node
+      // delivers each node its own label through the SAME join that
+      // delivers neighbor labels — the separate union arm (an extra
+      // labels scan + shuffle per round) disappears, and `doc1 = doc2`
+      // marks the self row that carries `old` for the convergence
+      // check. Candidate pairs are strictly doc1 < doc2, so the real
+      // edge set is loop-free and the marker is exact.
+      val nodes = sym.select($"doc1".as("node")).distinct().localCheckpoint()
+      val symPlus = sym.unionByName(
+        nodes.select($"node".as("doc1"), $"node".as("doc2")))
+      var labels = nodes.select($"node", $"node".as("label"))
       var converged = false
       var iter = 0
       while (!converged && iter < 12) {
-        // One checkpoint action per round: the previous label rides
-        // along as `old` (max(old) over the union — the self branch is
-        // the only one carrying it), so convergence detection is a
-        // cheap scan of the checkpointed result instead of an extra
-        // join+action; the pointer-jump self-join reuses the
-        // propagation's shuffle via ReusedExchange.
-        val labelT = labels.schema("label").dataType
-        val propagated = sym
-          .join(labels, sym("doc2") === labels("node"))
-          .select($"doc1".as("node"), $"label", lit(null).cast(labelT).as("old"))
-          .unionByName(labels.select($"node", $"label", $"label".as("old")))
+        // One checkpoint action per round; the pointer-jump self-join
+        // reuses the propagation's shuffle via ReusedExchange.
+        val propagated = symPlus
+          .join(labels, symPlus("doc2") === labels("node"))
+          .select($"doc1".as("node"), $"label",
+            when($"doc1" === symPlus("doc2"), $"label")
+              .cast(labels.schema("label").dataType).as("old"))
           .groupBy($"node")
           .agg(min($"label").as("label"), max($"old").as("old"))
         // pointer jumping: relabel by the label's own label — halves

@@ -147,11 +147,15 @@ object PipelineQueries {
     import s.implicits._
     val layers = Tables.region(s, d).filter($"r_regionkey" =!= 4)
       .select($"r_regionkey".cast("long").as("id"), $"r_name".as("borough"))
-    val sheets = synthSheets(s, d).localCheckpoint()
-    val cons = InspectorPipeline.consolidated(
-      s, synthConsolidated(s, d).localCheckpoint(), sheets, layers)
+    // the three synth-input materializations are independent —
+    // overlap their checkpoint jobs (guide §2.6, the Par device)
+    val Seq(sheets, synthCons, synthTopo) = graft.util.Par(
+      () => synthSheets(s, d).localCheckpoint(),
+      () => synthConsolidated(s, d).localCheckpoint(),
+      () => synthToponyms(s, d).localCheckpoint())
+    val cons = InspectorPipeline.consolidated(s, synthCons, sheets, layers)
     val topo = InspectorPipeline.toponyms(
-      s, synthToponyms(s, d).localCheckpoint(), sheets, layers, cons.indexedBuildings)
+      s, synthTopo, sheets, layers, cons.indexedBuildings)
     cons.records.unionByName(topo)
   }
 
